@@ -1,0 +1,206 @@
+package graft.core
+
+import scala.collection.immutable.{SortedMap, SortedSet}
+import scala.collection.mutable
+
+/** Memoized replay cache + shelve/merge orchestration — the reference's
+  * `WorkCache` (/root/reference/crates/esvc-core/src/workcache.rs:12-479).
+  *
+  * `sts` maps an applied-event-set to its materialized datum, seeded with
+  * `{} -> init` (workcache.rs:61-65). Replay is an *ordered,
+  * non-commutative* fold, which is why the distributed flavor
+  * ([[graft.operators.Replay]]) is a sort-within-partition streaming fold
+  * and not an `Aggregator`.
+  *
+  * Shelve/merge are inherently sequential per event (each shelve mutates
+  * the graph — workcache.rs:419-479), so they run as driver-side
+  * orchestration here; the per-round commutation tests (the parallel
+  * part) are pure `Engine` calls and can fan out over executors when the
+  * frontier is large.
+  */
+final class WorkCache[A, D](val engine: Engine[A, D], initData: D) {
+  /** state cache: applied event set -> materialized datum */
+  val sts: mutable.HashMap[SortedSet[String], D] =
+    mutable.HashMap(SortedSet.empty[String] -> initData)
+
+  private sealed trait DepSt
+  private case object Use extends DepSt
+  private case object UseSoft extends DepSt
+  private case object Deny extends DepSt
+
+  /** Ordered, memoized replay of `deps` over the cached state for `tt0`.
+    * Every prefix state is cached. Mirrors `run_deps`
+    * (workcache.rs:68-108).
+    */
+  def runDeps(graph: EventGraph[A], tt0: SortedSet[String], deps: Seq[String]): (D, SortedSet[String]) = {
+    var tt = tt0
+    var data = sts.getOrElse(tt, throw new DatasetNotFound)
+    deps.foreach { evid =>
+      val evwd = graph.events.getOrElse(evid, throw new DependencyNotFound(evid))
+      val key = tt + evid
+      sts.get(key) match {
+        case Some(cached) => data = cached
+        case None =>
+          data = engine.runEvent(evwd.cmd, evwd.arg, data)
+          sts.update(key, data)
+      }
+      tt = key
+    }
+    (data, tt)
+  }
+
+  /** Linearize + replay: the reference's query-execution entry point
+    * (`run_foreach_recursively`, workcache.rs:110-117).
+    */
+  def runForeachRecursively(graph: EventGraph[A], evids: SortedMap[String, IncludeSpec]): (D, SortedSet[String]) = {
+    val deps = graph.calculateDependencies(SortedSet.empty, evids)
+    runDeps(graph, SortedSet.empty, deps)
+  }
+
+  def materialize(graph: EventGraph[A], state: SortedSet[String]): (D, SortedSet[String]) =
+    runForeachRecursively(graph, SortedMap.from(state.iterator.map(_ -> (IncludeSpec.All: IncludeSpec))))
+
+  private def includeAll(it: Iterable[String]): SortedMap[String, IncludeSpec] =
+    SortedMap.from(it.iterator.map(_ -> (IncludeSpec.All: IncludeSpec)))
+
+  /** Infer the minimal dependency set of a new event against the seed
+    * frontier by commutation testing, then register it. Returns None iff
+    * the event is a no-op. `ev.deps` is ignored (recomputed). Mirrors
+    * `shelve_event` (workcache.rs:121-417): no-op elimination
+    * (159-162, 208-211), the revert / equal-but-non-idempotent / general
+    * independence tests (271-330), the backward dependency-minimization
+    * loop, and the lost-dependency audit with soft-dep fallback (343-393).
+    */
+  def shelveEvent(graph: EventGraph[A], seedDeps0: SortedSet[String], cmd: Int, arg: A): Option[String] = {
+    var seedDeps = seedDeps0
+    val curDeps = mutable.TreeMap.empty[String, DepSt]
+
+    // expected state after applying the new event on the full seed closure
+    locally {
+      val (baseSt, _) = runForeachRecursively(graph, includeAll(seedDeps))
+      val curSt = engine.runEvent(cmd, arg, baseSt)
+      if (curDeps.isEmpty && baseSt == curSt) return None // no-op event
+    }
+
+    var loop = seedDeps.nonEmpty
+    while (loop) {
+      var newSeedDeps = SortedSet.empty[String]
+      seedDeps = seedDeps.filter(h => !curDeps.contains(h))
+
+      val useDeps = curDeps.iterator.collect { case (h, Use) => h }.toVector
+      val (baseSt, _) = runForeachRecursively(
+        graph,
+        includeAll(seedDeps.filter(h => !curDeps.get(h).contains(Deny)) ++ useDeps))
+      val curSt = engine.runEvent(cmd, arg, baseSt)
+      if (curDeps.isEmpty && baseSt == curSt) return None // no-op event
+
+      var extraNewSeedDeps = SortedSet.empty[String]
+
+      // per concurrent frontier event: the event-set of "everything except
+      // conc itself" (IncludeOnlyDeps for conc, IncludeAll for the rest)
+      val seedDeps2 = mutable.TreeMap.empty[String, SortedSet[String]]
+      seedDeps.foreach { concEvid =>
+        val incl = SortedMap.from(
+          (seedDeps.iterator ++ useDeps.iterator).map { i =>
+            i -> (if (i == concEvid) IncludeSpec.OnlyDeps else IncludeSpec.All: IncludeSpec)
+          })
+        val (_, tmptt) = runForeachRecursively(graph, incl)
+        if (tmptt.contains(concEvid)) {
+          // pulled in by another dependency — defer to the next seed round
+          extraNewSeedDeps += concEvid
+        } else {
+          seedDeps2.update(concEvid, tmptt)
+        }
+      }
+
+      seedDeps2.foreach { case (concEvid, tmptt) =>
+        val concBaseSt = sts(tmptt)
+        val concEv = graph.events(concEvid)
+        val isIndep =
+          if (curSt == concBaseSt) {
+            false // revert: applying conc restored the pre-conc state
+          } else if (cmd == concEv.cmd && arg == concEv.arg) {
+            false // equal but non-idempotent duplicate (e.g. s/x/xx/)
+          } else {
+            val evFirst = engine.runEvent(cmd, arg, concBaseSt)
+            val evFirstThen = engine.runEvent(concEv.cmd, concEv.arg, evFirst)
+            evFirst != evFirstThen && evFirstThen == curSt
+          }
+        if (isIndep) {
+          // independent -> walk backward to conc's own deps
+          newSeedDeps = newSeedDeps ++ concEv.deps.keysIterator
+        } else {
+          // dependent -> becomes a hard dep; its hard deps are subsumed
+          if (!curDeps.contains(concEvid)) curDeps.update(concEvid, Use)
+          concEv.deps.foreach { case (dep, isHard) => if (isHard) curDeps.update(dep, Deny) }
+        }
+      }
+
+      if (extraNewSeedDeps != seedDeps) newSeedDeps = newSeedDeps ++ extraNewSeedDeps
+
+      // lost-dependency audit: replay with the reduced seed set and check
+      // the final state still matches; fall back to soft deps if not
+      val useDeps2 = curDeps.iterator.collect { case (h, Use) => h }.toVector
+      val (bareSt, bareTt) = runForeachRecursively(
+        graph,
+        includeAll(newSeedDeps.filter(h => !curDeps.get(h).contains(Deny)) ++ useDeps2))
+      var tmpSt = engine.runEvent(cmd, arg, bareSt)
+      seedDeps = seedDeps.diff(bareTt)
+      seedDeps.foreach { concEvid =>
+        val concEv = graph.events(concEvid)
+        tmpSt = engine.runEvent(concEv.cmd, concEv.arg, tmpSt)
+      }
+      if (curSt != tmpSt) {
+        // a necessary dependency got lost: add all current seeds as soft
+        require(
+          !curDeps.exists { case (h, s) => (s == Deny || s == Use) && seedDeps.contains(h) },
+          "soft-dep fallback would overwrite resolved deps")
+        seedDeps.foreach(h => curDeps.update(h, UseSoft))
+        loop = false
+      } else {
+        seedDeps = newSeedDeps
+        loop = seedDeps.nonEmpty
+      }
+    }
+
+    val deps = SortedMap.from(curDeps.iterator.collect {
+      case (dep, Use) => dep -> true
+      case (dep, UseSoft) => dep -> false
+    })
+    val (collision, evhash) = graph.ensureEvent(Ev(cmd, arg, deps))
+    if (collision.isDefined) throw new HashCollision(evhash)
+    Some(evhash)
+  }
+
+  /** Merge parallel branches by re-shelving every non-common event onto
+    * the growing common frontier, in hash order. O(n^2) by design
+    * (reference README.md:5-6). Mirrors `try_merge` (workcache.rs:419-479)
+    * including the only-soft-deps-changed hash-stability exemption.
+    */
+  def tryMerge(graph: EventGraph[A], states: SortedSet[String]): Unit = {
+    val fullSeedDeps: SortedSet[String] = SortedSet.from(
+      graph.calculateDependencies(
+        SortedSet.empty,
+        SortedMap.from(states.iterator.map(_ -> (IncludeSpec.OnlyDeps: IncludeSpec)))))
+
+    var seedDeps: SortedSet[String] =
+      SortedSet.from(graph.foldState(SortedMap.from(fullSeedDeps.iterator.map(_ -> false)), expand = false).keysIterator)
+
+    states.foreach { i =>
+      if (!fullSeedDeps.contains(i)) {
+        val ev = graph.events(i)
+        shelveEvent(graph, seedDeps, ev.cmd, ev.arg) match {
+          case Some(ih) =>
+            if (ih != i) {
+              val oldHard = graph.events(i).deps.filter(_._2)
+              val newHard = graph.events(ih).deps.filter(_._2)
+              if (oldHard != newHard) throw new HashChangeAtMerge(i, ih)
+              // else: only soft deps changed — carry on
+            }
+            seedDeps = seedDeps + i
+          case None => throw new NoopAtMerge(i)
+        }
+      }
+    }
+  }
+}
