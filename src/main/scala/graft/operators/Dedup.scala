@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators: exact (content hash),
+  * near-duplicate (banded MinHash-LSH), SimHash, and n-gram Jaccard
+  * verification. The reference's content-addressed dedup insert
+  * (/root/reference/crates/esvc-core/src/graph.rs:136-154) generalized
+  * to the text-corpus case a training-data pipeline needs.
+  *
+  * Scale contract: candidate pairs are ONLY ever generated inside an
+  * LSH band bucket (equi-join on the band key) — never an all-pairs
+  * crossJoin — and the band join carries doc ids only (shingle sets are
+  * re-joined per candidate). All hash algebra uses md5 so the DuckDB
+  * oracle can reproduce it bit-for-bit.
+  */
+object Dedup {
+  /** Whitespace word tokens of the lowercased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " +"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles, space-joined. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => size(split(s, " ")) === n))
+  }
+
+  /** Exact dedup: one representative per normalized-content hash.
+    * At 100 TB this is a single hash-partitioned shuffle.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(lower(trim(col(textCol)))))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature component k: the minimum md5 of salted shingles.
+    * Salting with the hash index gives k independent permutations
+    * (min-wise hashing over the md5 order).
+    */
+  private def minhash(sh: Column, k: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(k.toString), lit("|"), s))))
+
+  /** Near-duplicate pairs via banded MinHash-LSH + exact Jaccard
+    * verification. `bands` bands of `rows` rows; a pair is a candidate
+    * iff it collides in >= 1 band; candidates are verified with exact
+    * shingle Jaccard >= `threshold`.
+    */
+  def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, bands: Int = 4, rows: Int = 3,
+                   threshold: Double = 0.4): DataFrame = {
+    val withSh = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val sig = withSh.select(col("doc_id"), array(
+      (0 until bands).map { b =>
+        md5(concat_ws("|", (0 until rows).map(r => minhash(col("sh"), b * rows + r)): _*))
+      }: _*).as("bands"))
+
+    val banded = sig.select(col("doc_id"), explode(col("bands")).as("band_key"))
+      .withColumn("band_id", lit(0)) // band identity is already baked into the key salt
+      .select(col("band_key"), col("doc_id"))
+
+    // pair generation strictly within a band bucket, ids only
+    val candidates = banded.as("l").join(banded.as("r"), Seq("band_key"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+    candidates
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for an explicit pair list (the
+    * verification kernel of [[nearDupPairs]], exposed standalone).
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6).as("jaccard"))
+  }
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** 64-bit SimHash over word tokens as a 64-char bit string: per
+    * distinct token, md5; each of the 64 leading hash bits votes
+    * +count/-count; the sign vector is the fingerprint.
+    *
+    * Implemented as a single-pass scalar function (one projection, ZERO
+    * shuffles) rather than an explode(64 x tokens) aggregation — at
+    * 100 TB the column-algebra version would blow up rows 64x and
+    * shuffle twice; this runs entirely map-side. md5 is used so the
+    * DuckDB oracle reproduces it exactly.
+    */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        text.toLowerCase.split(" +").foreach { t =>
+          if (t.nonEmpty) counts.update(t, counts.getOrElse(t, 0) + 1)
+        }
+        val votes = new Array[Long](64)
+        counts.foreach { case (tok, cnt) =>
+          val d = md.digest(tok.getBytes("UTF-8"))
+          var bit = 0
+          while (bit < 64) {
+            val byteV = d(bit / 8) & 0xff
+            val isSet = (byteV >> (7 - bit % 8)) & 1
+            votes(bit) += (if (isSet == 1) cnt.toLong else -cnt.toLong)
+            bit += 1
+          }
+        }
+        val sb = new StringBuilder(64)
+        var i = 0
+        while (i < 64) { sb.append(if (votes(i) > 0) '1' else '0'); i += 1 }
+        sb.result()
+      }
+    }
+
+  /** Hamming distance between two same-length simhash bit strings. */
+  def hammingBits(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), b => b))
+
+  /** Document fingerprint: the min-wise w-shingling fingerprint (Broder
+    * style) — minimum md5 over word `w`-gram shingles. Deterministic,
+    * robust to local edits beyond the window, oracle-checkable.
+    */
+  def fingerprint(docs: DataFrame, textCol: String, idCol: String, w: Int = 5): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      array_min(transform(shingles(col(textCol), w), s => md5(s))).as("fingerprint"))
+}

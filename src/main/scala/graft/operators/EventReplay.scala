@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed ordered replay — the reference's `run_deps` fold
+  * (/root/reference/crates/esvc-core/src/workcache.rs:68-108) lifted to
+  * per-entity causal chains: each event hard-depends on the same
+  * entity's previous event (the lag edge), so linearization degenerates
+  * to an order-by within the entity and replay is an ordered,
+  * NON-COMMUTATIVE fold.
+  *
+  * Why not an `Aggregator`: Spark aggregates must merge partial buffers
+  * commutatively; replay must see events in causal order. The scalable
+  * shape is repartition-by-key + sortWithinPartitions + a streaming
+  * per-partition fold (constant memory per partition, no per-group
+  * buffering, one shuffle — survives groups of any size at 100 TB).
+  */
+object EventReplay {
+  /** Command registry for the events table — the `Engine` contract
+    * (`cmd -> (arg, dat) -> dat`, esvc-traits/src/lib.rs:15-28) with
+    * `Dat = Double` running state, commands keyed by event_type:
+    * signup resets the state to the event value; purchase accumulates
+    * the value; click increments; view/error leave state unchanged.
+    */
+  def command(eventType: String): (Double, Double) => Double = eventType match {
+    case "signup" => (_, v) => v
+    case "purchase" => (s, v) => s + v
+    case "click" => (s, _) => s + 1.0
+    case _ => (s, _) => s
+  }
+
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.parquet carries nanosecond timestamps, which Spark's
+    // vectorized reader rejects; read them as raw nanos-since-epoch
+    // (ordering-equivalent, which is all replay needs)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  /** Final replayed state per user over the full event log. One shuffle
+    * (hash partition by user), in-partition sort, streaming fold.
+    */
+  def replayPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = loadEvents(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val folded = ev
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { rows: Iterator[Row] =>
+        new Iterator[(Long, Double)] {
+          private var pending: Option[(Long, Double)] = None
+          private var cur = Option.empty[Long]
+          private var state = 0.0
+          private def advance(): Unit = {
+            while (pending.isEmpty && rows.hasNext) {
+              val r = rows.next()
+              val uid = r.getLong(0)
+              if (cur.isEmpty) { cur = Some(uid); state = 0.0 }
+              else if (cur.get != uid) { pending = Some((cur.get, state)); cur = Some(uid); state = 0.0 }
+              state = command(r.getString(3))(state, r.getDouble(4))
+            }
+            if (pending.isEmpty && rows.isEmpty && cur.nonEmpty) {
+              pending = Some((cur.get, state)); cur = None
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.nonEmpty }
+          override def next(): (Long, Double) = { advance(); val p = pending.get; pending = None; p }
+        }
+      }
+    folded.toDF("user_id", "state_raw")
+      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").as("state"))
+  }
+
+  /** Per-entity deterministic linearization — `calculate_dependencies`
+    * (graph.rs:85-129) for the per-entity chain case, where the topo
+    * order degenerates to a window order-by.
+    */
+  def linearize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    loadEvents(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("seq", row_number().over(w))
+      .select(col("event_id"), col("user_id"), col("seq"))
+  }
+}

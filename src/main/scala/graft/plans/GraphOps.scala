@@ -1,0 +1,121 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed flavors of the reference's graph algebra
+  * (/root/reference/crates/esvc-core/src/graph.rs) as DataFrame
+  * operators. The event-dependency relation is a plain edge table
+  * `(id, dep)`; every traversal is an equi-join, frontier compression is
+  * an anti-join, topological linearization is Kahn rounds — exactly the
+  * shapes Catalyst optimizes (broadcast selection, AQE, pushdown).
+  *
+  * Scale notes (100 TB path):
+  *  - fixpoint loops carry only the *frontier* forward (BFS), never
+  *    re-join the whole closure;
+  *  - every round is `localCheckpoint()`ed to cut lineage growth — the
+  *    #1 driver-killer in iterative Spark jobs;
+  *  - the frontier side of each join is broadcast when small (it almost
+  *    always is), so rounds are map-side joins with no shuffle of the
+  *    big edge table beyond the first.
+  */
+object GraphOps {
+  private val BroadcastRows = 500000L
+
+  /** Transitive closure (reachable set) of `seeds` over `edges(id, dep)`
+    * following id -> dep, i.e. the reference's `fold_state(expand=true)`
+    * (graph.rs:59-83). Returns one column `id`.
+    */
+  def closure(seeds: DataFrame, edges: DataFrame, maxIter: Int = 10000): DataFrame = {
+    val e = edges.select(col("id"), col("dep"))
+    var acc = seeds.select("id").distinct().localCheckpoint()
+    var frontier = acc
+    var frontierCount = frontier.count()
+    var iter = 0
+    while (frontierCount > 0 && iter < maxIter) {
+      val f = if (frontierCount < BroadcastRows) broadcast(frontier) else frontier
+      val next = e.join(f, "id").select(col("dep").as("id")).distinct()
+        .join(if (acc.count() < BroadcastRows) broadcast(acc) else acc, Seq("id"), "left_anti")
+        .localCheckpoint()
+      frontierCount = next.count()
+      if (frontierCount > 0) acc = acc.union(next).localCheckpoint()
+      frontier = next
+      iter += 1
+    }
+    acc
+  }
+
+  /** Frontier/antichain of a (dependency-closed) state: members that are
+    * no other member's dependency — `fold_state(expand=false)`'s retain
+    * step (graph.rs:78-81) as a single anti-join.
+    */
+  def frontier(state: DataFrame, edges: DataFrame): DataFrame = {
+    val members = state.select("id")
+    val depsOfMembers = edges.join(members, "id").select(col("dep").as("id"))
+    members.join(depsOfMembers, Seq("id"), "left_anti")
+  }
+
+  /** Deterministic topological linearization by Kahn rounds —
+    * `calculate_dependencies` (graph.rs:85-129) re-expressed for bulk
+    * evaluation: every node gets a `round` (its dependency depth);
+    * `orderBy(round, id)` reproduces a deterministic total order.
+    * Throws on dependency cycles (non-empty remainder, no progress).
+    */
+  def topoRounds(nodes: DataFrame, edges: DataFrame, maxIter: Int = 10000): DataFrame = {
+    val n0 = nodes.select("id").distinct()
+    // only edges internal to the node set constrain the sort
+    val e0 = edges.join(n0, Seq("id"), "left_semi")
+      .join(n0.withColumnRenamed("id", "dep"), Seq("dep"), "left_semi")
+      .select("id", "dep")
+
+    var remaining = n0.localCheckpoint()
+    var remEdges = e0.localCheckpoint()
+    var out: DataFrame = null
+    var round = 0
+    var remainingCount = remaining.count()
+    while (remainingCount > 0) {
+      if (round >= maxIter) throw new IllegalStateException(s"topoRounds: no fixpoint after $maxIter rounds")
+      val ready = remaining.join(remEdges.select("id"), Seq("id"), "left_anti")
+        .withColumn("round", lit(round)).localCheckpoint()
+      val readyCount = ready.count()
+      if (readyCount == 0)
+        throw new IllegalStateException(s"dependency circuit: $remainingCount nodes unsortable")
+      val readyIds = ready.select("id")
+      val b = if (readyCount < BroadcastRows) broadcast(readyIds) else readyIds
+      out = if (out == null) ready else out.union(ready)
+      remaining = remaining.join(b, Seq("id"), "left_anti").localCheckpoint()
+      remEdges = remEdges.join(b.withColumnRenamed("id", "dep"), Seq("dep"), "left_anti").localCheckpoint()
+      remainingCount = remainingCount - readyCount
+      round += 1
+    }
+    if (out == null) n0.withColumn("round", lit(0)) else out
+  }
+
+  /** Content-addressed dedup insert — `ensure_event` (graph.rs:136-154)
+    * in bulk: of `incoming`, keep one representative per content hash
+    * (smallest `tieBreak`) that does not already exist in `existing`.
+    * At scale this is exactly hash-partitioned `dropDuplicates` + an
+    * anti-join; no driver-side state.
+    *
+    * @param hashCol content-hash column present in both frames
+    */
+  def dedupInsert(existing: DataFrame, incoming: DataFrame, hashCol: String, tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(hashCol)).orderBy(col(tieBreak))
+    incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(existing.select(hashCol), Seq(hashCol), "left_anti")
+  }
+
+  /** Hash-collision audit — same hash, different payload
+    * (graph.rs:52-53): inner join on the hash with payload inequality.
+    */
+  def collisionAudit(a: DataFrame, b: DataFrame, hashCol: String, payloadCols: Seq[String]): DataFrame = {
+    val bb = payloadCols.foldLeft(b.withColumnRenamed(hashCol, hashCol)) { (d, c) =>
+      d.withColumnRenamed(c, c + "_b")
+    }
+    val cond: Column = payloadCols.map(c => col(c) =!= col(c + "_b")).reduce(_ || _)
+    a.join(bb, hashCol).filter(cond)
+  }
+}
