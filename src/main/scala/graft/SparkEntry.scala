@@ -161,11 +161,14 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         ExvcColumns.sear(ExvcColumns.sear(col("text"), "spark", "SPARK"), "data", "DATA").as("text"))),
 
-    // OP-14/15/16: a full exvc edit script over the word-array view
+    // OP-14/15/16: a full exvc edit script over the word-array view.
+    // The words array is materialized behind a projection boundary so
+    // the script's many references don't re-tokenize per use.
     "q_edit_script" -> ((s, dir) => {
-      val words = Dedup.tokens(col("text"))
-      t(s, dir, "documents").select(col("doc_id"),
-        concat_ws(" ", ExvcColumns.applyScript(words, editScript)).as("text"))
+      val withWords = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("words"))
+      withWords.select(col("doc_id"),
+        concat_ws(" ", ExvcColumns.applyScript(col("words"), editScript)).as("text"))
     }),
 
     // ---- LLM-pipeline: embedding similarity ----

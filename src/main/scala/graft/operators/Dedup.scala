@@ -39,33 +39,40 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature component k: the minimum md5 of salted shingles.
-    * Salting with the hash index gives k independent permutations
-    * (min-wise hashing over the md5 order).
-    */
-  private def minhash(sh: Column, k: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(k.toString), lit("|"), s))))
-
   /** Near-duplicate pairs via banded MinHash-LSH + exact Jaccard
     * verification. `bands` bands of `rows` rows; a pair is a candidate
     * iff it collides in >= 1 band; candidates are verified with exact
     * shingle Jaccard >= `threshold`.
+    *
+    * Shape chosen for scale: shingles are exploded ONCE and the
+    * `bands*rows` salted-md5 minima are computed as flat aggregate
+    * columns — fully codegen'd, with map-side partial min combine, one
+    * shuffle on doc_id. (The tempting all-HOF formulation — 12 nested
+    * transform/array_min trees in one projection — falls out of
+    * whole-stage codegen and ran ~50x slower.)
     */
   def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 4, rows: Int = 3,
                    threshold: Double = 0.4): DataFrame = {
-    val withSh = docs
+    // materialized once: the band self-join and the two verification
+    // joins would otherwise each recompute the shingle + minhash
+    // pipeline from the scan (2-4x the md5 work)
+    val withSh = Par.spread(docs)
       .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
 
-    val sig = withSh.select(col("doc_id"), array(
+    val nHashes = bands * rows
+    val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val minhashes = exploded.groupBy("doc_id").agg(
+      min(md5(concat(lit("0|"), col("s")))).as("h0"),
+      (1 until nHashes).map(k => min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k")): _*)
+
+    val banded = minhashes.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
-        md5(concat_ws("|", (0 until rows).map(r => minhash(col("sh"), b * rows + r)): _*))
-      }: _*).as("bands"))
-
-    val banded = sig.select(col("doc_id"), explode(col("bands")).as("band_key"))
-      .withColumn("band_id", lit(0)) // band identity is already baked into the key salt
-      .select(col("band_key"), col("doc_id"))
+        md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+      }: _*)).as("band_key"))
+      .localCheckpoint() // tiny (docs x bands); feeds both self-join sides
 
     // pair generation strictly within a band bucket, ids only
     val candidates = banded.as("l").join(banded.as("r"), Seq("band_key"))
@@ -88,7 +95,11 @@ object Dedup {
     * verification kernel of [[nearDupPairs]], exposed standalone).
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // only shingle the documents that actually appear in a pair
+    val ids = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val withSh = docs.join(ids, docs(idCol) === ids("id"), "left_semi")
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     pairs
       .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -146,7 +157,6 @@ object Dedup {
     * robust to local edits beyond the window, oracle-checkable.
     */
   def fingerprint(docs: DataFrame, textCol: String, idCol: String, w: Int = 5): DataFrame =
-    docs.select(
-      col(idCol).as("doc_id"),
-      array_min(transform(shingles(col(textCol), w), s => md5(s))).as("fingerprint"))
+    Par.spread(docs).select(col(idCol).as("doc_id"), explode(shingles(col(textCol), w)).as("s"))
+      .groupBy("doc_id").agg(min(md5(col("s"))).as("fingerprint"))
 }

@@ -96,7 +96,7 @@ object Similarity {
       }
     }
 
-    val base = embeddings
+    val base = Par.spread(embeddings)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
       .withColumn("bucket", explode(bucketKeys(col("v"))))
     val q = queries

@@ -29,16 +29,24 @@ object GraphOps {
   def closure(seeds: DataFrame, edges: DataFrame, maxIter: Int = 10000): DataFrame = {
     val e = edges.select(col("id"), col("dep"))
     var acc = seeds.select("id").distinct().localCheckpoint()
+    var accCount = acc.count()
     var frontier = acc
-    var frontierCount = frontier.count()
+    var frontierCount = accCount
     var iter = 0
     while (frontierCount > 0 && iter < maxIter) {
       val f = if (frontierCount < BroadcastRows) broadcast(frontier) else frontier
+      val accSide = if (accCount < BroadcastRows) broadcast(acc) else acc
       val next = e.join(f, "id").select(col("dep").as("id")).distinct()
-        .join(if (acc.count() < BroadcastRows) broadcast(acc) else acc, Seq("id"), "left_anti")
+        .join(accSide, Seq("id"), "left_anti")
         .localCheckpoint()
       frontierCount = next.count()
-      if (frontierCount > 0) acc = acc.union(next).localCheckpoint()
+      if (frontierCount > 0) {
+        acc = acc.union(next)
+        accCount += frontierCount
+        // acc is a union of checkpointed leaves; fold the plan down
+        // periodically instead of paying a materialization every round
+        if (iter % 4 == 3) acc = acc.localCheckpoint()
+      }
       frontier = next
       iter += 1
     }
@@ -83,8 +91,13 @@ object GraphOps {
       val readyIds = ready.select("id")
       val b = if (readyCount < BroadcastRows) broadcast(readyIds) else readyIds
       out = if (out == null) ready else out.union(ready)
-      remaining = remaining.join(b, Seq("id"), "left_anti").localCheckpoint()
-      remEdges = remEdges.join(b.withColumnRenamed("id", "dep"), Seq("dep"), "left_anti").localCheckpoint()
+      remaining = remaining.join(b, Seq("id"), "left_anti")
+      remEdges = remEdges.join(b.withColumnRenamed("id", "dep"), Seq("dep"), "left_anti")
+      // fold lineage down every few rounds rather than every round
+      if (round % 3 == 2) {
+        remaining = remaining.localCheckpoint()
+        remEdges = remEdges.localCheckpoint()
+      }
       remainingCount = remainingCount - readyCount
       round += 1
     }
