@@ -75,6 +75,34 @@ object ExvcDemo {
       catch { case e: EngineException => "EngineException: " + e.getMessage.takeWhile(_ != '\n').take(50) }
     println("bad regex      -> " + badRegex)
     println("bad hash text  -> " + Hashes.parse("blake2b512:tooshort"))
+
+    // persistence + merge-from-file (OP-19) through Spark parquet
+    locally {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dir = java.nio.file.Files.createTempDirectory("graft-demo").toString
+      g.nstates.update("", merged)
+      graft.sources.GraphStore.save(spark, g, s"$dir/session")
+      val reloaded = graft.sources.GraphStore.load(spark, ExvcEngine, s"$dir/session")
+      println(s"persisted+reloaded ${reloaded.events.size} events, state=${reloaded.nstates("").size}")
+      val w2 = new WorkCache[Command, Vector[String]](ExvcEngine, Vector.empty)
+      val (redoc, _) = w2.materialize(reloaded, reloaded.nstates(""))
+      require(redoc == mergedDoc, s"reload mismatch: $redoc vs $mergedDoc")
+      println("reloaded replay matches")
+      val dot = graft.sources.Dot.render(reloaded, (c: Command) => c.kind.getClass.getSimpleName)
+      println(s"dot export: ${dot.linesIterator.size} lines, clusters=${dot.contains("cluster_")}")
+      spark.stop()
+    }
+
+    // external byte-engine registry (OP-20 contract)
+    locally {
+      import graft.core.ExternalEngine._
+      val en = new graft.core.ExternalEngine
+      val (first, count) = en.addCommands(Seq(searModule))
+      val out = en.runEvent(first, searArg("l", "w"), bytes("hello world"))
+      println(s"external engine [$first,+$count): " + new String(out.toArray, "UTF-8"))
+    }
     println("EXVC-DEMO-OK")
   }
 }

@@ -16,6 +16,9 @@ trait Engine[A, D] {
 
   /** Canonical bytes of an argument, for content-addressing events. */
   def encodeArg(arg: A): Array[Byte]
+
+  /** Inverse of [[encodeArg]] (graph persistence round-trip). */
+  def decodeArg(bytes: Array[Byte]): A
 }
 
 final class EngineException(msg: String) extends RuntimeException(msg)

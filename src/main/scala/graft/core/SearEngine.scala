@@ -25,4 +25,15 @@ object SearEngine extends Engine[SearArg, String] {
     buf.putLong(s.length.toLong).put(s).putLong(r.length.toLong).put(r)
     buf.array()
   }
+
+  override def decodeArg(bytes: Array[Byte]): SearArg = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def str(): String = {
+      val n = buf.getLong.toInt
+      val b = new Array[Byte](n)
+      buf.get(b)
+      new String(b, StandardCharsets.UTF_8)
+    }
+    SearArg(str(), str())
+  }
 }

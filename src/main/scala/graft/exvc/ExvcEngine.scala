@@ -158,4 +158,33 @@ object ExvcEngine extends Engine[Command, Vector[String]] {
     parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
     out
   }
+
+  override def decodeArg(bytes: Array[Byte]): Command = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def str(): String = {
+      val n = buf.getLong.toInt
+      val b = new Array[Byte](n)
+      buf.get(b)
+      new String(b, StandardCharsets.UTF_8)
+    }
+    def lines(): Vector[String] = Vector.fill(buf.getLong.toInt)(str())
+    import Address._
+    val addr = buf.get() match {
+      case 0 => Rgx(str())
+      case 1 => Rng(buf.getLong.toInt, buf.getLong.toInt)
+      case 2 => RngF(buf.getLong.toInt)
+      case 3 => Last
+      case t => throw new EngineException(s"bad address tag $t")
+    }
+    import CommandKind._
+    val kind = buf.get() match {
+      case 10 => Append(lines())
+      case 11 => Change(lines())
+      case 12 => Delete
+      case 13 => Insert(lines())
+      case 14 => Substitute(str(), str())
+      case t => throw new EngineException(s"bad command tag $t")
+    }
+    Command(addr, kind)
+  }
 }

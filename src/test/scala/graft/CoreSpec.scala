@@ -260,6 +260,7 @@ class WorkCacheSpec extends AnyFunSuite {
         calls += 1; SearEngine.runEvent(cmd, arg, dat)
       }
       override def encodeArg(arg: SearArg): Array[Byte] = SearEngine.encodeArg(arg)
+      override def decodeArg(bytes: Array[Byte]): SearArg = SearEngine.decodeArg(bytes)
     }
     val g = new EventGraph[SearArg](CountingEngine)
     val w = new WorkCache[SearArg, String](CountingEngine, "aaa")

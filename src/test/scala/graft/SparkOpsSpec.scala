@@ -1,0 +1,316 @@
+package graft
+
+import graft.core._
+import graft.exvc._
+import graft.operators._
+import graft.plans.GraphOps
+import graft.sources.{Dot, GraphStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.immutable.{ArraySeq, SortedMap, SortedSet}
+
+trait SharedSpark extends BeforeAndAfterAll { this: org.scalatest.Suite =>
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override protected def afterAll(): Unit = { /* shared session, keep alive */ }
+}
+
+/** DataFrame graph operators vs hand-computed small graphs and vs the
+  * driver-side EventGraph semantics.
+  */
+class GraphOpsSpec extends AnyFunSuite with SharedSpark {
+  import scala.jdk.CollectionConverters._
+
+  private def df(pairs: Seq[(Long, Long)]): DataFrame =
+    spark.createDataFrame(pairs.map(p => org.apache.spark.sql.Row(p._1, p._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dep", org.apache.spark.sql.types.LongType))))
+
+  private def ids(xs: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    xs.toDF("id")
+  }
+
+  //      1 -> 0,  2 -> 0,  3 -> 1,  4 -> {2, 3}
+  private val edges = df(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L), (4L, 3L)))
+
+  test("closure expands to all transitive deps (graph.rs:59-83)") {
+    val got = GraphOps.closure(ids(Seq(4L)), edges).collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L, 2L, 3L, 1L, 0L))
+    val got2 = GraphOps.closure(ids(Seq(3L)), edges).collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(3L, 1L, 0L))
+  }
+
+  test("frontier keeps only non-dependencies (graph.rs:78-81)") {
+    val state = ids(Seq(0L, 1L, 2L, 3L, 4L))
+    val got = GraphOps.frontier(state, edges).collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L))
+    // two incomparable chains -> both tips survive
+    val st2 = ids(Seq(0L, 1L, 2L, 3L))
+    assert(GraphOps.frontier(st2, edges).collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("topoRounds assigns dependency depth, deterministic (graph.rs:85-129)") {
+    val got = GraphOps.topoRounds(ids(Seq(0L, 1L, 2L, 3L, 4L)), edges)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("topoRounds detects cycles (graph.rs:102-104)") {
+    val cyc = df(Seq((1L, 2L), (2L, 1L)))
+    val e = intercept[IllegalStateException] {
+      GraphOps.topoRounds(ids(Seq(1L, 2L)), cyc).collect()
+    }
+    assert(e.getMessage.contains("circuit"))
+  }
+
+  test("dedupInsert keeps one new representative per hash (graph.rs:136-154)") {
+    import spark.implicits._
+    val existing = Seq("h1").toDF("h")
+    val incoming = Seq(("h1", 1L), ("h2", 5L), ("h2", 3L), ("h3", 9L)).toDF("h", "id")
+    val got = GraphOps.dedupInsert(existing, incoming, "h", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("h2", 3L), ("h3", 9L)))
+  }
+
+  test("collisionAudit finds same-hash different-payload (graph.rs:52-53)") {
+    import spark.implicits._
+    val a = Seq(("h1", "x"), ("h2", "y")).toDF("h", "payload")
+    val b = Seq(("h1", "x"), ("h2", "z")).toDF("h", "payload")
+    val got = GraphOps.collisionAudit(a, b, "h", Seq("payload")).select("h")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("h2"))
+  }
+}
+
+/** The column-level exvc engine must agree with the driver-side
+  * Vector[String] engine (the semantic spec) on random docs x commands.
+  */
+class ExvcColumnsSpec extends AnyFunSuite with SharedSpark {
+  import CommandKind._
+
+  private val docs: Seq[Vector[String]] = Seq(
+    Vector.empty,
+    Vector("a"),
+    Vector("foo", "bar", "baz"),
+    Vector("x1", "x2", "x3", "x4", "x5", "x6"),
+    Vector("bar", "bar", "nope", "bar"))
+
+  private val commands: Seq[Command] = Seq(
+    Command(Address.Rng(0, 2), Delete),
+    Command(Address.Rng(1, 3), Change(Vector("C1", "C2"))),
+    Command(Address.Rng(2, 99), Append(Vector("A"))),
+    Command(Address.Rng(7, 9), Delete), // start past end
+    Command(Address.RngF(0), Insert(Vector("I"))),
+    Command(Address.RngF(2), Substitute("a", "@")),
+    Command(Address.RngF(6), Append(Vector("AtEnd"))),
+    Command(Address.RngF(9), Append(Vector("Nothing"))),
+    Command(Address.Last, Delete),
+    Command(Address.Last, Append(Vector("A1", "A2"))),
+    Command(Address.Rgx("^b"), Substitute("b", "B")),
+    Command(Address.Rgx("^b"), Delete),
+    Command(Address.Rgx("nope"), Insert(Vector("I1"))),
+    Command(Address.Rgx("zzz"), Change(Vector("never"))))
+
+  test("ExvcColumns == ExvcEngine on the doc x command grid (en.rs:105-188)") {
+    import spark.implicits._
+    val df = docs.zipWithIndex.map { case (d, i) => (i, d) }.toDF("id", "lines")
+    commands.zipWithIndex.foreach { case (cmd, ci) =>
+      val got = df.select(col("id"), ExvcColumns.apply(col("lines"), cmd).as("out"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toVector).toMap
+      docs.zipWithIndex.foreach { case (d, i) =>
+        val expected = ExvcEngine.runEvent(0, cmd, d)
+        assert(got(i) == expected, s"cmd #$ci $cmd on doc #$i $d")
+      }
+    }
+  }
+}
+
+/** Distributed replay vs an in-memory sequential fold; simhash UDF vs
+  * its column hamming helper; multimodal plumbing.
+  */
+class OperatorSpec extends AnyFunSuite with SharedSpark {
+  test("replayPerUser == sequential in-memory fold per user") {
+    val df = EventReplay.replayPerUser(spark, "/root/testdata/sf0.001")
+    val got = df.collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+
+    val raw = EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val expected = raw.groupBy(_._1).map { case (uid, evs) =>
+      var st = 0.0
+      evs.sortBy(e => (e._2, e._3)).foreach(e => st = EventReplay.command(e._4)(st, e._5))
+      uid -> math.rint(st * 100) / 100
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (uid, exp) =>
+      assert(math.abs(got(uid) - exp) < 1e-9, s"user $uid")
+    }
+  }
+
+  test("simhash of identical docs collide; hammingBits reasonable") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a completely different sentence here")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L).length == 64 && sh(1L).forall(c => c == '0' || c == '1'))
+    val ham = df.as("a").join(df.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.hammingBits(Dedup.simhash64(col("a.text")), Dedup.simhash64(col("b.text"))).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(ham((1L, 2L)) == 0)
+    assert(ham((1L, 3L)) > 0)
+  }
+
+  test("multimodal feature extraction round-trips payload bytes") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val got = Multimodal.extractFeatures(Multimodal.withPayload(df, "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getInt(3))).toMap
+    assert(got(1L)._1 == 3L)
+    // sha256("abc")
+    assert(got(1L)._2 == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(got(2L)._1 == 0L)
+  }
+
+  test("blake2b512 Catalyst expression matches the reference vector and runs in SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val out = Seq("Guten Tag!").toDF("s")
+      .selectExpr("concat('blake2b512:', replace(replace(replace(replace(rtrim('=', base64(blake2b512(encode(s, 'UTF-8')))), '\\n', ''), '\\r', ''), '+', '-'), '/', '_')) AS h")
+      .collect().head.getString(0)
+    assert(out == "blake2b512:z3L37mvoETflutamuNBg_EMgHMtxwm8YlZ2Jf7d2eZwOICKEivONmVdMbZH3bWzmDdIFJjhMEilg6XrrN0Jrlg")
+  }
+}
+
+/** ANN recall against brute force on the synthetic embeddings (which
+  * are near-uniform random — see Similarity scaladoc; the bound here is
+  * the data-appropriate one, not a general claim).
+  */
+class SimilaritySpec extends AnyFunSuite with SharedSpark {
+  test("annLsh recall@5 >= 0.4 vs brute force on sf0.001") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.topKCosine(emb, q, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(emb, q, 5, dim = 64)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+}
+
+/** Graph persistence + merge-from-file (OP-19) and Dot export (OP-12). */
+class GraphStoreSpec extends AnyFunSuite with SharedSpark {
+  test("save/load round-trip validates content hashes; foreign merge works") {
+    val dir = java.nio.file.Files.createTempDirectory("graftstore").toString
+    // local session: two events
+    val g = new EventGraph[SearArg](SearEngine)
+    val w = new WorkCache[SearArg, String](SearEngine, "A|B|C")
+    var xs = SortedSet.empty[String]
+    xs += w.shelveEvent(g, xs, 0, SearArg("B", "D")).get
+    g.nstates.update("", xs)
+    GraphStore.save(spark, g, s"$dir/local")
+
+    // foreign session: same base + a divergent edit
+    val g2 = new EventGraph[SearArg](SearEngine)
+    val w2 = new WorkCache[SearArg, String](SearEngine, "A|B|C")
+    var ys = SortedSet.empty[String]
+    ys += w2.shelveEvent(g2, ys, 0, SearArg("B", "D")).get
+    ys += w2.shelveEvent(g2, ys, 0, SearArg("A|D", "E|D")).get
+    g2.nstates.update("", ys)
+    GraphStore.save(spark, g2, s"$dir/foreign")
+
+    // reload local, merge foreign in (m< flow, main.rs:54-111)
+    val gl = GraphStore.load(spark, SearEngine, s"$dir/local")
+    assert(gl.events.size == 1 && gl.nstates("") == xs)
+    val wl = new WorkCache[SearArg, String](SearEngine, "A|B|C")
+    val merged = GraphStore.mergeFrom(spark, gl, wl, s"$dir/foreign")
+    val (dat, _) = wl.materialize(gl, merged)
+    assert(dat == "E|D|C")
+  }
+
+  test("dot export renders nodes, hard/soft edges, clusters (dot.rs:10-61)") {
+    val g = new EventGraph[SearArg](SearEngine)
+    val w = new WorkCache[SearArg, String](SearEngine, "ab")
+    var xs = SortedSet.empty[String]
+    xs += w.shelveEvent(g, xs, 0, SearArg("a", "b")).get
+    xs += w.shelveEvent(g, xs, 0, SearArg("bb", "c\"x")).get
+    g.nstates.update("main", xs)
+    val dot = Dot.render(g, (a: SearArg) => s"${a.search}->${a.replacement}")
+    assert(dot.startsWith("digraph {"))
+    assert(dot.contains("label=\"hard\""))
+    assert(dot.contains("subgraph \"cluster_main\""))
+    assert(dot.contains("c\\\"x")) // escaping
+  }
+}
+
+/** External-UDF registry contract (OP-20). */
+class ExternalEngineSpec extends AnyFunSuite {
+  test("addCommands id ranges + byte-opaque transforms (esvc-wasm lib.rs:16-108)") {
+    import ExternalEngine._
+    val en = new ExternalEngine
+    val (first, count) = en.addCommands(Seq(searModule))
+    assert((first, count) == (0, 1))
+    val (first2, _) = en.addCommands(Seq(searModule))
+    assert(first2 == 1)
+    val out = en.runEvent(0, searArg("l", "w"), bytes("hello world"))
+    assert(new String(out.toArray, "UTF-8") == "hewwo worwd")
+    intercept[EngineException](en.runEvent(9, searArg("a", "b"), bytes("x")))
+    // full stack: shelve + merge through the byte engine
+    val g = new EventGraph[ArraySeq[Byte]](en)
+    val w = new WorkCache[ArraySeq[Byte], ArraySeq[Byte]](en, bytes("hello world"))
+    var xs = SortedSet.empty[String]
+    xs += w.shelveEvent(g, xs, 0, searArg("hello", "hi")).get
+    xs += w.shelveEvent(g, xs, 0, searArg("world", "there")).get
+    w.tryMerge(g, xs)
+    val (dat, _) = w.materialize(g, xs)
+    assert(new String(dat.toArray, "UTF-8") == "hi there")
+  }
+}
+
+/** Streaming replay: incremental per-user state across micro-batches
+  * must equal the batch replay.
+  */
+class StreamingReplaySpec extends AnyFunSuite with SharedSpark {
+  test("flatMapGroupsWithState replay across 2 batches == batch fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = graft.streaming.StreamingReplay.eventsRecords(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(e => (e.ts, e.event_id))
+    val (b1, b2) = all.splitAt(all.length / 2)
+
+    val stream = MemoryStream[graft.streaming.EventRecord]
+    val out = graft.streaming.StreamingReplay.replay(stream.toDS())
+    val query = out.writeStream.format("memory").queryName("replay_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.sql(
+      "SELECT user_id, state FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn FROM replay_out) WHERE rn = 1")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val batch = EventReplay.replayPerUser(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (uid, exp) =>
+      assert(math.abs(math.rint(streamed(uid) * 100) / 100 - exp) < 1e-9, s"user $uid")
+    }
+  }
+}
