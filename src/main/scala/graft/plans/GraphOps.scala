@@ -53,6 +53,40 @@ object GraphOps {
     acc
   }
 
+  /** Transitive closure for FUNCTIONAL dependency graphs (every node
+    * has at most one dependency — per-entity causal chains and
+    * halving-tree graphs qualify) via pointer doubling: the jump table
+    * squares each round (2^k-step ancestor pointers), so a depth-d
+    * graph needs ceil(log2(d)) rounds instead of BFS's d. At 100 TB
+    * event-chain depth is exactly what explodes (a day of one entity's
+    * events can be 1e6 deep), so this is the scale path for chains;
+    * [[closure]] remains the general-DAG operator.
+    */
+  def closureFunctional(seeds: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    // invariant after round k: acc = ancestors within distance 2^k - 1,
+    // jump = the exact 2^k-step ancestor pointer (<=1 row per node)
+    var jump = edges.select(col("id"), col("dep")).localCheckpoint()
+    var acc = seeds.select("id").distinct().localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val stepped = acc.join(jump, "id").select(col("dep").as("id")).distinct()
+        .join(acc, Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (stepped.isEmpty) done = true
+      else {
+        acc = acc.union(stepped).localCheckpoint()
+        // square the stride: jump2(id) = jump(jump(id))
+        jump = jump.as("a")
+          .join(jump.as("b"), col("a.dep") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.dep").as("dep"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    acc
+  }
+
   /** Frontier/antichain of a (dependency-closed) state: members that are
     * no other member's dependency — `fold_state(expand=false)`'s retain
     * step (graph.rs:78-81) as a single anti-join.
@@ -102,6 +136,43 @@ object GraphOps {
       round += 1
     }
     if (out == null) n0.withColumn("round", lit(0)) else out
+  }
+
+  /** Dependency depth (= Kahn round, deterministic topo key) for
+    * FUNCTIONAL dependency graphs via pointer doubling — ceil(log2(d))
+    * rounds instead of [[topoRounds]]'s d Kahn rounds. Returns
+    * `(id, round)` identical to [[topoRounds]] on such graphs.
+    */
+  def topoDepthFunctional(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val n0 = nodes.select("id").distinct()
+    val e0 = edges.join(n0, Seq("id"), "left_semi")
+      .join(n0.withColumnRenamed("id", "dep"), Seq("dep"), "left_semi")
+      .select("id", "dep").localCheckpoint()
+    // build the 2^k-step pointer levels by repeated squaring, then
+    // binary-decompose each node's depth with a DESCENDING-stride sweep
+    // (greedy MSB-first — ascending strides strand non-power depths)
+    val levels = scala.collection.mutable.ArrayBuffer(
+      e0.select(col("id"), col("dep").as("anc"), lit(1).as("d")).localCheckpoint())
+    var growing = !levels.last.isEmpty
+    while (growing && levels.size < maxRounds) {
+      val prev = levels.last
+      val sq = prev.as("a").join(prev.as("b"), col("a.anc") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.anc").as("anc"), (col("a.d") + col("b.d")).as("d"))
+        .localCheckpoint()
+      if (sq.isEmpty) growing = false else levels += sq
+    }
+    var cur = n0.select(col("id"), col("id").as("anc"), lit(0).as("d"))
+    levels.reverseIterator.foreach { jump =>
+      val j = jump.select(col("id").as("anc"), col("anc").as("janc"), col("d").as("jd"))
+      cur = cur.join(j, Seq("anc"), "left")
+        .select(col("id"),
+          coalesce(col("janc"), col("anc")).as("anc"),
+          (col("d") + coalesce(col("jd"), lit(0))).as("d"))
+        .localCheckpoint()
+    }
+    // roots never appear as a jump source, so their d stays 0 — the
+    // sweep already yields depth for every node
+    cur.select(col("id"), col("d").as("round"))
   }
 
   /** Content-addressed dedup insert — `ensure_event` (graph.rs:136-154)

@@ -314,3 +314,41 @@ class StreamingReplaySpec extends AnyFunSuite with SharedSpark {
     }
   }
 }
+
+/** Functional-graph fast paths must agree with the general operators. */
+class FunctionalGraphSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("closureFunctional == closure on a halving tree") {
+    val ids = (0L until 200L).toDF("id")
+    val edges = ids.filter(col("id") > 0).select(col("id"), expr("id DIV 2").as("dep"))
+    val seeds = ids.filter(col("id") % 17 === 0)
+    val bfs = GraphOps.closure(seeds, edges).collect().map(_.getLong(0)).toSet
+    val dbl = GraphOps.closureFunctional(seeds, edges).collect().map(_.getLong(0)).toSet
+    assert(dbl == bfs)
+  }
+
+  test("topoDepthFunctional == topoRounds on a halving tree") {
+    val ids = (0L until 200L).toDF("id")
+    val edges = ids.filter(col("id") > 0).select(col("id"), expr("id DIV 2").as("dep"))
+    val kahn = GraphOps.topoRounds(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dbl = GraphOps.topoDepthFunctional(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dbl == kahn)
+  }
+
+  test("closureFunctional on per-user lag chains == closure") {
+    val ev = EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") % 11 === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = ev.select(col("event_id").as("id"),
+        lag(col("event_id"), 1).over(w).as("dep"))
+      .filter(col("dep").isNotNull)
+    val seeds = GraphOps.frontier(ev.select(col("event_id").as("id")), edges)
+    val bfs = GraphOps.closure(seeds, edges).collect().map(_.getLong(0)).toSet
+    val dbl = GraphOps.closureFunctional(seeds, edges).collect().map(_.getLong(0)).toSet
+    assert(dbl == bfs && dbl.nonEmpty)
+  }
+}
