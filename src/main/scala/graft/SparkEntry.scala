@@ -82,6 +82,10 @@ object SparkEntry {
     // OP-5/6/7+13: content-addressed linearized ordered replay
     "q_replay_per_user" -> ((s, dir) => EventReplay.replayPerUser(s, dir)),
 
+    // OP-5/6: distributed state cache — materialize a causal prefix,
+    // then fold only the suffix; output must equal the full replay
+    "q_replay_incremental" -> ((s, dir) => StateCache.replayIncremental(s, dir)),
+
     // OP-4 (degenerate per-entity chain): deterministic linearization
     "q_linearize" -> ((s, dir) => EventReplay.linearize(s, dir)
       .select(col("event_id"), col("user_id"), col("seq").cast("long").as("seq"))),
@@ -234,6 +238,18 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_replay_per_user" ->
+      """WITH ls AS (
+        |  SELECT user_id, max(ts) AS sts FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT e.user_id,
+        |  CAST(sum(CASE
+        |    WHEN e.event_type = 'signup' AND e.ts = ls.sts THEN e.value
+        |    WHEN e.event_type = 'purchase' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN e.value
+        |    WHEN e.event_type = 'click' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN 1.0
+        |    ELSE 0 END) AS DECIMAL(18,2)) AS state
+        |FROM events e LEFT JOIN ls ON e.user_id = ls.user_id
+        |GROUP BY e.user_id""".stripMargin,
+
+    "q_replay_incremental" ->
       """WITH ls AS (
         |  SELECT user_id, max(ts) AS sts FROM events WHERE event_type = 'signup' GROUP BY user_id)
         |SELECT e.user_id,

@@ -8,7 +8,7 @@ import scala.collection.mutable
   * Purity is load-bearing: hash stability, replay memoization and the
   * shelve commutation tests all assume it.
   */
-trait Engine[A, D] {
+trait Engine[A, D] extends Serializable {
   /** Apply command `cmd` with argument `arg` to datum `dat`. Must be pure.
     * Throws [[EngineException]] on failure (e.g. a bad regex).
     */

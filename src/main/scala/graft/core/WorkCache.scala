@@ -18,7 +18,17 @@ import scala.collection.mutable
   * part) are pure `Engine` calls and can fan out over executors when the
   * frontier is large.
   */
-final class WorkCache[A, D](val engine: Engine[A, D], initData: D) {
+final case class IndepCase[A, D](concEvid: String, concCmd: Int, concArg: A, concBase: D)
+
+final class WorkCache[A, D](
+    val engine: Engine[A, D], initData: D,
+    /** Optional batch independence tester for the OP-9 commutation
+      * tests — the embarrassingly parallel part of shelve. When set
+      * (e.g. [[graft.plans.ShelveSpark.tester]]), each round's tests
+      * fan out over executors; results must match the sequential
+      * classification exactly (property-tested).
+      */
+    val indepTester: Option[(Int, A, D, Seq[IndepCase[A, D]]) => Map[String, Boolean]] = None) {
   /** state cache: applied event set -> materialized datum */
   val sts: mutable.HashMap[SortedSet[String], D] =
     mutable.HashMap(SortedSet.empty[String] -> initData)
@@ -113,19 +123,18 @@ final class WorkCache[A, D](val engine: Engine[A, D], initData: D) {
         }
       }
 
-      seedDeps2.foreach { case (concEvid, tmptt) =>
-        val concBaseSt = sts(tmptt)
+      val cases = seedDeps2.iterator.map { case (concEvid, tmptt) =>
         val concEv = graph.events(concEvid)
-        val isIndep =
-          if (curSt == concBaseSt) {
-            false // revert: applying conc restored the pre-conc state
-          } else if (cmd == concEv.cmd && arg == concEv.arg) {
-            false // equal but non-idempotent duplicate (e.g. s/x/xx/)
-          } else {
-            val evFirst = engine.runEvent(cmd, arg, concBaseSt)
-            val evFirstThen = engine.runEvent(concEv.cmd, concEv.arg, evFirst)
-            evFirst != evFirstThen && evFirstThen == curSt
-          }
+        IndepCase(concEvid, concEv.cmd, concEv.arg, sts(tmptt))
+      }.toVector
+      val verdicts: Map[String, Boolean] = indepTester match {
+        case Some(t) if cases.length > 1 => t(cmd, arg, curSt, cases)
+        case _ => cases.iterator.map(c =>
+          c.concEvid -> WorkCache.isIndependent(engine, cmd, arg, curSt, c)).toMap
+      }
+      seedDeps2.foreach { case (concEvid, _) =>
+        val concEv = graph.events(concEvid)
+        val isIndep = verdicts(concEvid)
         if (isIndep) {
           // independent -> walk backward to conc's own deps
           newSeedDeps = newSeedDeps ++ concEv.deps.keysIterator
@@ -203,4 +212,22 @@ final class WorkCache[A, D](val engine: Engine[A, D], initData: D) {
       }
     }
   }
+}
+
+object WorkCache {
+  /** The OP-9 independence classification (workcache.rs:271-330),
+    * shared by the sequential path and any batch tester: revert and
+    * equal-but-non-idempotent are dependent; otherwise conc is
+    * independent iff applying the new event first changes state AND
+    * conc still applies on top to reach the same result.
+    */
+  def isIndependent[A, D](engine: Engine[A, D], cmd: Int, arg: A, curSt: D,
+                          c: IndepCase[A, D]): Boolean =
+    if (curSt == c.concBase) false
+    else if (cmd == c.concCmd && arg == c.concArg) false
+    else {
+      val evFirst = engine.runEvent(cmd, arg, c.concBase)
+      val evFirstThen = engine.runEvent(c.concCmd, c.concArg, evFirst)
+      evFirst != evFirstThen && evFirstThen == curSt
+    }
 }

@@ -41,9 +41,17 @@ object EventReplay {
   /** Final replayed state per user over the full event log. One shuffle
     * (hash partition by user), in-partition sort, streaming fold.
     */
-  def replayPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+  def replayPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    foldStates(loadEvents(spark, sfDir))
+      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").as("state"))
+
+  /** The raw ordered fold: (user_id, state_raw) from any frame with
+    * `user_id, ts, event_id, event_type, value` columns.
+    */
+  def foldStates(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val ev = loadEvents(spark, sfDir)
+    val ev = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
     val folded = ev
       .repartition(col("user_id"))
@@ -70,7 +78,6 @@ object EventReplay {
         }
       }
     folded.toDF("user_id", "state_raw")
-      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").as("state"))
   }
 
   /** Per-entity deterministic linearization — `calculate_dependencies`

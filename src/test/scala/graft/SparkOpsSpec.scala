@@ -352,3 +352,50 @@ class FunctionalGraphSpec extends AnyFunSuite with SharedSpark {
     assert(dbl == bfs && dbl.nonEmpty)
   }
 }
+
+/** Incremental state cache: prefix materialization + suffix fold must
+  * equal the full replay (the reference's memoization invariant,
+  * workcache.rs:85-102, distributed).
+  */
+class StateCacheSpec extends AnyFunSuite with SharedSpark {
+  test("cache(prefix) + fold(suffix) == full replay") {
+    val full = EventReplay.replayPerUser(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val inc = StateCache.replayIncremental(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(inc == full)
+  }
+}
+
+/** Parallel commutation tests must reproduce sequential shelve exactly. */
+class ShelveSparkSpec extends AnyFunSuite with SharedSpark {
+  import graft.plans.ShelveSpark
+
+  private def runBoth(start: String, sears: Seq[(String, String)]): (String, String) = {
+    def shelveAll(w: WorkCache[SearArg, String], g: EventGraph[SearArg]): String = {
+      var xs = SortedSet.empty[String]
+      sears.foreach { case (s, r) => w.shelveEvent(g, xs, 0, SearArg(s, r)).foreach(h => xs += h) }
+      val (dat, _) = w.materialize(g, xs)
+      g.events.keysIterator.mkString(",") + "|" + dat
+    }
+    val seqRes = shelveAll(new WorkCache[SearArg, String](SearEngine, start),
+      new EventGraph[SearArg](SearEngine))
+    val parRes = shelveAll(
+      new WorkCache[SearArg, String](SearEngine, start,
+        indepTester = Some(ShelveSpark.tester(spark, SearEngine, minBatch = 1))),
+      new EventGraph[SearArg](SearEngine))
+    (seqRes, parRes)
+  }
+
+  test("parallel tester == sequential shelve (hashes + materialized state)") {
+    val cases = Seq(
+      ("Hi, what's up??", Seq(("Hi", "Hello UwU"), ("UwU", "World"), ("what", "wow"),
+        ("s up", "sup"), ("??", "!"), ("sup!", "soap?"), ("p", "np"))),
+      ("x", Seq(("x", "xx"), ("x", "xx"), ("x", "y"))),
+      ("A|B|C", Seq(("B", "D"), ("A|D", "E|D"), ("D|C", "D|F"))))
+    cases.foreach { case (start, sears) =>
+      val (s, p) = runBoth(start, sears)
+      assert(s == p, s"divergence for start=$start")
+    }
+  }
+}
