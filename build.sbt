@@ -15,6 +15,8 @@ run / fork := true
 // the bench JSON line (sbt's default logger prefixes stdout with
 // "[info] ", which broke BENCH_r01 parsing)
 run / outputStrategy := Some(StdoutOutput)
+// forward stdin to forked runs (the exvc REPL reads it)
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
