@@ -188,8 +188,15 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
     }),
 
-    // scale-path ANN (bucketed sign-LSH); rows-only check — candidate
-    // generation is approximate by construction
+    // embedding-cosine near-dup dedup: LSH-bucketed candidates +
+    // exact-cosine verify; oracle mirrors the full bucket algebra
+    // (hyperplanes are SQL-derivable)
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.embedNearDup(t(s, dir, "embeddings"), threshold = 0.3, dim = 64)),
+
+    // scale-path ANN (bucketed sign-LSH) — approximate by
+    // construction, but the bucket algebra is SQL-derivable so even the
+    // approximation is oracle-checked
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.annLsh(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
@@ -403,6 +410,10 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
         |FROM r WHERE rank <= 5""".stripMargin,
 
+    "q_embed_neardup" -> embedNearDupOracle,
+
+    "q_ann_lsh" -> annLshOracle,
+
     "q_multimodal" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -459,4 +470,63 @@ object SparkEntry {
       |  FROM cnt, (SELECT unnest(range(64)) AS bit) b GROUP BY 1, 2)
       |SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
       |FROM bits GROUP BY doc_id""".stripMargin
+/** DuckDB mirror of the sign-LSH bucket algebra for embedding
+    * near-dup: identical hyperplanes (md5-hex15 -> [-1,1)), identical
+    * bucket keys, identical cosine formula.
+    */
+  private def embedNearDupOracle: String =
+    """WITH hp AS (
+      |  SELECT k.k, d.d,
+      |    ('0x' || substr(md5(k.k || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS val
+      |  FROM (SELECT unnest(range(32)) AS k) k, (SELECT unnest(range(64)) AS d) d),
+      |e AS (SELECT vec_id, d.d, CAST(embedding[d.d + 1] AS DOUBLE) AS x
+      |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+      |proj AS (SELECT e.vec_id, hp.k, sum(e.x * hp.val) AS pr
+      |  FROM e JOIN hp ON e.d = hp.d GROUP BY 1, 2),
+      |bk AS (SELECT vec_id, (k // 4) AS tbl,
+      |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bits
+      |  FROM proj GROUP BY 1, 2),
+      |b AS (SELECT vec_id, tbl || ':' || bits AS bucket FROM bk),
+      |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+      |  FROM b l JOIN b r USING (bucket) WHERE l.vec_id < r.vec_id),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |s AS (SELECT vec_a, vec_b,
+      |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cosine
+      |  FROM cand JOIN v a ON a.vec_id = vec_a JOIN v b ON b.vec_id = vec_b)
+      |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM s WHERE cosine >= 0.3""".stripMargin
+/** DuckDB mirror of q_ann_lsh: same buckets as [[embedNearDupOracle]],
+    * query side restricted to vec_id < 8, exact-cosine rank@5 within
+    * the candidate set.
+    */
+  private def annLshOracle: String =
+    """WITH hp AS (
+      |  SELECT k.k, d.d,
+      |    ('0x' || substr(md5(k.k || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS val
+      |  FROM (SELECT unnest(range(32)) AS k) k, (SELECT unnest(range(64)) AS d) d),
+      |e AS (SELECT vec_id, d.d, CAST(embedding[d.d + 1] AS DOUBLE) AS x
+      |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+      |proj AS (SELECT e.vec_id, hp.k, sum(e.x * hp.val) AS pr
+      |  FROM e JOIN hp ON e.d = hp.d GROUP BY 1, 2),
+      |bk AS (SELECT vec_id, (k // 4) AS tbl,
+      |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bits
+      |  FROM proj GROUP BY 1, 2),
+      |b AS (SELECT vec_id, tbl || ':' || bits AS bucket FROM bk),
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      |  FROM b q JOIN b n USING (bucket)
+      |  WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+      |  FROM cand JOIN v a ON a.vec_id = query_id JOIN v b ON b.vec_id = neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM s)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
+      |FROM r WHERE rank <= 5""".stripMargin
 }
+
+

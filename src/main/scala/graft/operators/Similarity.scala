@@ -54,6 +54,64 @@ object Similarity {
     }
   }
 
+  /** Hyperplane component in the SQL-expressible derivation used by the
+    * oracle-checked operators: the first 15 hex chars of md5("k|d") as
+    * a 60-bit integer, mapped to [-1, 1). DuckDB computes the identical
+    * value via `('0x' || substr(md5(k||'|'||d), 1, 15))::BIGINT`.
+    */
+  def hyperplaneSql(k: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val hex = md.digest(s"$k|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 576460752303423488.0 - 1.0 // / 2^59
+    }
+  }
+
+  /** Embedding near-duplicate pairs: sign-LSH bucketed candidate
+    * generation (candidates ONLY within a bucket — never all-pairs),
+    * exact-cosine verification at `threshold`. The whole algebra
+    * (hyperplanes included, via [[hyperplaneSql]]) is reproducible in
+    * SQL, so the DuckDB oracle mirrors candidate generation and misses
+    * match on both sides — same contract as the MinHash near-dup.
+    */
+  def embedNearDup(embeddings: DataFrame, threshold: Double,
+                   dim: Int, planes: Int = 4, tables: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hps: Array[Array[Double]] = Array.tabulate(tables * planes)(k => hyperplaneSql(k, dim))
+    val nPlanes = planes
+    val nTables = tables
+    val bucketKeys = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      (0 until nTables).map { t =>
+        val sb = new StringBuilder(nPlanes + 4)
+        sb.append(t).append(':')
+        var p = 0
+        while (p < nPlanes) {
+          val hp = hps(t * nPlanes + p)
+          var dot = 0.0
+          var i = 0
+          while (i < arr.length) { dot += arr(i).toDouble * hp(i); i += 1 }
+          sb.append(if (dot >= 0) '1' else '0')
+          p += 1
+        }
+        sb.result()
+      }
+    }
+    val b = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", explode(bucketKeys(col("v"))))
+      .localCheckpoint()
+    val candidates = b.as("l").join(b.as("r"), Seq("bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+    candidates
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Bucketed approximate nearest neighbors: `planes` sign bits form an
     * LSH bucket key; candidates are generated ONLY within a bucket
     * (equi-join), then exact-cosine ranked per query. Multiple
@@ -75,7 +133,7 @@ object Similarity {
              dim: Int, planes: Int = 4, tables: Int = 8,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val hps: Array[Array[Double]] =
-      Array.tabulate(tables * planes)(i => hyperplane(i, dim))
+      Array.tabulate(tables * planes)(i => hyperplaneSql(i, dim))
     val nPlanes = planes
     val nTables = tables
     val bucketKeys = udf { (v: Seq[Float]) =>
@@ -88,7 +146,7 @@ object Similarity {
           val hp = hps(t * nPlanes + p)
           var dot = 0.0
           var i = 0
-          while (i < arr.length) { dot += arr(i) * hp(i); i += 1 }
+          while (i < arr.length) { dot += arr(i).toDouble * hp(i); i += 1 }
           sb.append(if (dot >= 0) '1' else '0')
           p += 1
         }
