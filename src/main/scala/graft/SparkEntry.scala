@@ -478,12 +478,12 @@ object SparkEntry {
     """WITH hp AS (
       |  SELECT k.k, d.d,
       |    ('0x' || substr(md5(k.k || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS val
-      |  FROM (SELECT unnest(range(32)) AS k) k, (SELECT unnest(range(64)) AS d) d),
+      |  FROM (SELECT unnest(range(48)) AS k) k, (SELECT unnest(range(64)) AS d) d),
       |e AS (SELECT vec_id, d.d, CAST(embedding[d.d + 1] AS DOUBLE) AS x
       |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
       |proj AS (SELECT e.vec_id, hp.k, sum(e.x * hp.val) AS pr
       |  FROM e JOIN hp ON e.d = hp.d GROUP BY 1, 2),
-      |bk AS (SELECT vec_id, (k // 4) AS tbl,
+      |bk AS (SELECT vec_id, (k // 6) AS tbl,
       |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bits
       |  FROM proj GROUP BY 1, 2),
       |b AS (SELECT vec_id, tbl || ':' || bits AS bucket FROM bk),

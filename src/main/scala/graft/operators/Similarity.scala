@@ -73,9 +73,15 @@ object Similarity {
     * (hyperplanes included, via [[hyperplaneSql]]) is reproducible in
     * SQL, so the DuckDB oracle mirrors candidate generation and misses
     * match on both sides — same contract as the MinHash near-dup.
+    *
+    * Default 6 planes x 8 tables is tuned for genuine near-duplicates
+    * (cos >= 0.9 -> ~0.98 recall) while keeping the random-pair
+    * candidate rate ~10%; the synthetic embeddings have no pairs above
+    * cos 0.52, so measured recall there is the worst case, mirrored by
+    * the oracle either way.
     */
   def embedNearDup(embeddings: DataFrame, threshold: Double,
-                   dim: Int, planes: Int = 4, tables: Int = 8,
+                   dim: Int, planes: Int = 6, tables: Int = 8,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val hps: Array[Array[Double]] = Array.tabulate(tables * planes)(k => hyperplaneSql(k, dim))
     val nPlanes = planes
@@ -97,16 +103,18 @@ object Similarity {
         sb.result()
       }
     }
-    val b = embeddings
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", explode(bucketKeys(col("v"))))
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint()
+    // bucket table carries ids only — candidate pairs must never
+    // shuffle the vector payloads (that is the whole cost at scale)
+    val b = vecs.withColumn("bucket", explode(bucketKeys(col("v")))).select("bucket", "id")
       .localCheckpoint()
     val candidates = b.as("l").join(b.as("r"), Seq("bucket"))
       .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"))
+      .distinct()
     candidates
+      .join(vecs.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(vecs.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
