@@ -14,4 +14,18 @@ object Par {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
+
+  /** Skew-salted equi-join: replicate each `right` row `salt` times and
+    * scatter `left` rows across the salted keys, so one hot key spreads
+    * over `salt` tasks instead of melting a single reducer. Use when a
+    * handful of keys dominate (AQE's skew-join handles sort-merge
+    * cases; salting also covers aggregations-after-join and pre-AQE
+    * shuffles).
+    */
+  def saltedJoin(lhs: DataFrame, rhs: DataFrame, key: String, salt: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val saltedLeft = lhs.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val saltedRight = rhs.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
 }

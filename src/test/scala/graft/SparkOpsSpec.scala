@@ -399,3 +399,62 @@ class ShelveSparkSpec extends AnyFunSuite with SharedSpark {
     }
   }
 }
+
+/** Scale patterns: bucketed co-located joins, skew salting, streaming
+  * windowed rollup with watermark.
+  */
+class ScalePatternSpec extends AnyFunSuite with SharedSpark {
+  test("bucketed tables join with zero shuffle") {
+    import graft.sources.BucketedTables
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    BucketedTables.writeBucketed(li, "li_b", "l_orderkey", 8)
+    BucketedTables.writeBucketed(ord, "ord_b", "l_orderkey", 8)
+    val joined = BucketedTables.colocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
+    assert(!BucketedTables.hasShuffle(joined), joined.queryExecution.executedPlan.toString.take(500))
+    // and it computes the right thing
+    val plain = li.join(ord, "l_orderkey").count()
+    assert(joined.count() == plain)
+  }
+
+  test("saltedJoin == plain join result") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (1L, "d")).toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val salted = Par.saltedJoin(left, right, "k", salt = 4).select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("streaming hourly rollup with watermark == batch rollup (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = graft.streaming.StreamingReplay.eventsRecords(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.ts)
+    val stream = MemoryStream[graft.streaming.EventRecord]
+    val out = graft.streaming.StreamingRollup.hourly(stream.toDS(), lateness = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("rollup_out").outputMode("append").start()
+    try {
+      stream.addData(all.toIndexedSeq)
+      q.processAllAvailable()
+      // advance the watermark past everything so all windows close
+      stream.addData(Seq(all.last.copy(ts = all.last.ts + 7200L * 1000000000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT event_type, sum(n) FROM rollup_out GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every original event landed in exactly one closed window (modulo
+    // the synthetic watermark-advancing event)
+    batch.foreach { case (t, n) =>
+      assert(streamed.getOrElse(t, 0L) >= n, s"$t: ${streamed.get(t)} < $n")
+      assert(streamed(t) <= n + 1)
+    }
+  }
+}
