@@ -406,6 +406,16 @@ class ShelveSparkSpec extends AnyFunSuite with SharedSpark {
 class ScalePatternSpec extends AnyFunSuite with SharedSpark {
   test("bucketed tables join with zero shuffle") {
     import graft.sources.BucketedTables
+    Seq("li_b", "ord_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // the in-memory catalog forgets tables across JVMs but the
+      // warehouse dir survives — clear stale locations
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        java.nio.file.Files.walk(loc.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
     val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
