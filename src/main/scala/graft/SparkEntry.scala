@@ -432,21 +432,34 @@ object SparkEntry {
     * both sides because the oracle replicates candidate generation.
     */
   private def neardupOracle: String = {
-    val mh = (0 until 12).map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS h$k").mkString(",\n    ")
-    val bandKeys = (0 until 6).map(b => s"md5(h${2 * b} || '|' || h${2 * b + 1})").mkString(", ")
-    s"""WITH t AS (SELECT doc_id,
+    // XOR masks inlined from Dedup.minhashMask (md5("mask|k") hex15)
+    """WITH t AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
        |  FROM documents),
-       |s AS (SELECT doc_id, list_distinct(list_transform(
+       |shr AS (SELECT doc_id, unnest(list_transform(
        |    range(1, greatest(len(toks) - 2, 0) + 1),
-       |    i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
-       |s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-       |m AS (SELECT doc_id, sh,
-       |    $mh
-       |  FROM s2),
-       |b AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM m),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shr),
+       |m AS (SELECT doc_id,
+       |    min(xor(h, 209447588586780011)) AS h0,
+    min(xor(h, 936341403301489455)) AS h1,
+    min(xor(h, 295277263637340404)) AS h2,
+    min(xor(h, 563676826287926931)) AS h3,
+    min(xor(h, 422759062283486138)) AS h4,
+    min(xor(h, 787458769371879955)) AS h5,
+    min(xor(h, 276480797554209527)) AS h6,
+    min(xor(h, 940242011891231416)) AS h7,
+    min(xor(h, 17226769401980447)) AS h8,
+    min(xor(h, 462358560736444671)) AS h9,
+    min(xor(h, 914886181343869267)) AS h10,
+    min(xor(h, 639468835962388899)) AS h11
+       |  FROM hs GROUP BY doc_id),
+       |b AS (SELECT doc_id, unnest([md5(h0 || '|' || h1), md5(h2 || '|' || h3), md5(h4 || '|' || h5), md5(h6 || '|' || h7), md5(h8 || '|' || h9), md5(h10 || '|' || h11)]) AS band_key FROM m),
        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM b l JOIN b r USING (band_key) WHERE l.doc_id < r.doc_id),
+       |s2 AS (SELECT t.doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
        |j AS (SELECT doc_a, doc_b,
        |    len(list_intersect(sa.sh, sb.sh)) AS inter, len(sa.sh) AS la, len(sb.sh) AS lb
        |  FROM cand JOIN s2 sa ON sa.doc_id = doc_a JOIN s2 sb ON sb.doc_id = doc_b)

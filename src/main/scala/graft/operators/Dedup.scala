@@ -21,13 +21,28 @@ object Dedup {
     filter(split(lower(text), " +"), t => length(t) > 0)
 
   /** Distinct word n-gram shingles, space-joined. */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(shinglesRaw(text, n))
+
+  /** All word n-gram shingles (with duplicates) — cheaper when the
+    * consumer is multiset-insensitive (min-wise hashing): skips the
+    * per-document quadratic array_distinct.
+    */
+  def shinglesRaw(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-        s => size(split(s, " ")) === n))
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => size(split(s, " ")) === n)
+  }
+
+  /** XOR mask for minhash permutation k: a fixed 60-bit constant from
+    * md5("mask|k") — the same value the oracle inlines.
+    */
+  def minhashMask(k: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"mask|$k".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
   }
 
   /** Exact dedup: one representative per normalized-content hash.
@@ -54,19 +69,23 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 4, rows: Int = 3,
                    threshold: Double = 0.4): DataFrame = {
-    // materialized once: the band self-join and the two verification
-    // joins would otherwise each recompute the shingle + minhash
-    // pipeline from the scan (2-4x the md5 work)
-    val withSh = Par.spread(docs)
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val spreadDocs = Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
       .localCheckpoint()
 
+    // min-wise hashing is multiset-insensitive, so the minhash path
+    // explodes RAW shingles (no per-doc quadratic distinct). Each
+    // shingle is md5'd ONCE into a 60-bit int; the k permutations are
+    // XOR masks (a bijective min-wise family), so the aggregate is k
+    // LONG mins over one hash instead of k string mins over k md5s —
+    // and still bit-reproducible in the DuckDB oracle.
     val nHashes = bands * rows
-    val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val minhashes = exploded.groupBy("doc_id").agg(
-      min(md5(concat(lit("0|"), col("s")))).as("h0"),
-      (1 until nHashes).map(k => min(md5(concat(lit(s"$k|"), col("s")))).as(s"h$k")): _*)
+    val explodedH = spreadDocs
+      .select(col("doc_id"), explode(shinglesRaw(col("__text"), shingleN)).as("s"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val minhashes = explodedH.groupBy("doc_id").agg(
+      min(col("h").bitwiseXOR(lit(minhashMask(0)))).as("h0"),
+      (1 until nHashes).map(k => min(col("h").bitwiseXOR(lit(minhashMask(k)))).as(s"h$k")): _*)
 
     val banded = minhashes.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
@@ -80,6 +99,12 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
+    // distinct shingle SETS are needed only for surviving candidates —
+    // recompute them for that small set instead of materializing all
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b"))).distinct()
+    val withSh = spreadDocs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("__text"), shingleN).as("sh"))
     candidates
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
