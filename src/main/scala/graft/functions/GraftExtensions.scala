@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions wiring: makes the native functions available
+  * to any session built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * deployment-config path, complementing the programmatic
+  * [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("blake2b512"),
+      new ExpressionInfo(classOf[Blake2b512Expr].getName, "blake2b512"),
+      (exprs: Seq[Expression]) => Blake2b512Expr(exprs.head)))
+  }
+}

