@@ -71,6 +71,15 @@ object SparkEntry {
         .agg(expr("CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4))").as("revenue"))
     }),
 
+    // JSON scalar surface over the props payload (the reference's one
+    // JSON parse lives in its WASM example module)
+    "q_json_props" -> ((s, dir) => {
+      EventReplay.loadEvents(s, dir)
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+
     "q_hourly_rollup" -> ((s, dir) => {
       EventReplay.loadEvents(s, dir)
         .groupBy(expr("ts DIV 3600000000000").as("hour_bucket"), col("event_type"))
@@ -237,6 +246,10 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id % 10 = 0""".stripMargin,
 
     "q_hourly_rollup" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
