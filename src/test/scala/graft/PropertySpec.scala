@@ -62,3 +62,54 @@ class SearPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Shelve/merge properties through the exvc editor engine — the
+  * reference fuzzes only the sear engine; commands with addresses
+  * exercise arg equality and non-idempotence differently.
+  */
+class ExvcPropertySpec extends AnyFunSuite {
+  import graft.exvc._
+  private val lineGen = Gen.chooseNum(0, 3).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b')))
+  private val linesGen = Gen.chooseNum(0, 2).flatMap(n => Gen.listOfN(n, lineGen).map(_.toVector))
+  private val addrGen: Gen[Address] = Gen.oneOf(
+    Gen.chooseNum(0, 3).map(s => Address.Rng(s, s + 2)),
+    Gen.chooseNum(0, 3).map(Address.RngF(_)),
+    Gen.const(Address.Last),
+    Gen.oneOf("a", "b", "^a", "b$").map(Address.Rgx(_)))
+  private val kindGen: Gen[CommandKind] = Gen.oneOf(
+    linesGen.map(CommandKind.Append(_)),
+    linesGen.map(CommandKind.Insert(_)),
+    linesGen.map(CommandKind.Change(_)),
+    Gen.const(CommandKind.Delete),
+    Gen.zip(Gen.oneOf("a", "b"), Gen.oneOf("", "ab", "x")).map { case (p, r) => CommandKind.Substitute(p, r) })
+  private val caseGen = for {
+    init <- Gen.chooseNum(0, 4).flatMap(n => Gen.listOfN(n, lineGen).map(_.toVector))
+    n <- Gen.chooseNum(1, 5)
+    cmds <- Gen.listOfN(n, Gen.zip(addrGen, kindGen).map { case (a, k) => Command(a, k) })
+  } yield (init, cmds)
+
+  test("exvc shelve replay-equivalence + merge totality, 200 random cases") {
+    val params = Gen.Parameters.default
+    var seed = Seed(7L)
+    var i = 0
+    while (i < 200) {
+      val (init, cmds) = caseGen.pureApply(params, seed)
+      val expected = cmds.foldLeft(init)((d, c) => ExvcEngine.runEvent(0, c, d))
+      val g = new EventGraph[Command](ExvcEngine)
+      val w = new WorkCache[Command, Vector[String]](ExvcEngine, init)
+      var xs = SortedSet.empty[String]
+      cmds.foreach(c => w.shelveEvent(g, xs, 0, c).foreach(h => xs += h))
+      val minx = SortedSet.from(
+        g.foldState(SortedMap.from(xs.iterator.map(_ -> false)), expand = false).keysIterator)
+      val (got, tt) = w.runForeachRecursively(
+        g, SortedMap.from(minx.iterator.map(_ -> (IncludeSpec.All: IncludeSpec))))
+      withClue(s"case #$i init=$init cmds=$cmds: ") {
+        assert(tt == xs)
+        assert(got == expected)
+        w.tryMerge(g, xs)
+      }
+      seed = seed.next
+      i += 1
+    }
+  }
+}
