@@ -500,3 +500,37 @@ class DagReplaySpec extends AnyFunSuite with SharedSpark {
     assert(n == 64)
   }
 }
+
+/** Source/sink round-trips + partition pruning + predicate pushdown. */
+class FormatsSpec extends AnyFunSuite with SharedSpark {
+  import graft.sources.Formats
+
+  test("parquet/orc/json/csv round-trip the documents frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val expected = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    Seq("parquet", "orc", "json", "csv").foreach { fmt =>
+      Formats.write(docs, s"$dir/$fmt", fmt)
+      val back = Formats.read(spark, s"$dir/$fmt", fmt)
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang", "CAST(n_chars AS BIGINT) AS n_chars")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(back == expected, s"format $fmt")
+    }
+  }
+
+  test("partitioned event log prunes partitions and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = graft.operators.EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
+    Formats.writePartitioned(ev, s"$dir/events", "event_type")
+    val q = spark.read.parquet(s"$dir/events")
+      .filter(col("event_type") === "purchase" && col("value") > 100.0)
+      .select("event_id", "value")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("purchase"), plan.take(800))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value,100.0"), plan.take(800))
+    // and the pruned read is correct
+    val expected = ev.filter(col("event_type") === "purchase" && col("value") > 100.0).count()
+    assert(q.count() == expected)
+  }
+}
