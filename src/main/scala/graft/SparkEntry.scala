@@ -71,6 +71,36 @@ object SparkEntry {
         .agg(expr("CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4))").as("revenue"))
     }),
 
+    // sessionization: 30-min-gap sessions per user (lag boundary +
+    // running sum). Computed on the MICROsecond timeline on both sides:
+    // DuckDB reads the ns parquet timestamps at us precision, so us is
+    // the shared exact domain.
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      EventReplay.loadEvents(s, dir)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn("boundary",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("boundary")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+    }),
+
+    // star-schema window top-k: top-20 customers by revenue
+    "q_top_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // JSON scalar surface over the props payload (the reference's one
     // JSON parse lives in its WASM example module)
     "q_json_props" -> ((s, dir) => {
@@ -246,6 +276,29 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (SELECT user_id, tsu, event_id,
+        |    CASE WHEN prev_ts IS NULL OR tsu - prev_ts > 1800000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM e),
+        |sess AS (SELECT user_id, tsu,
+        |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(tsu) - min(tsu) AS duration_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
