@@ -534,3 +534,36 @@ class FormatsSpec extends AnyFunSuite with SharedSpark {
     assert(q.count() == expected)
   }
 }
+
+/** Plan-property regression guards: the scale-critical physical-plan
+  * shapes (PLANS.md) are asserted, not just observed once.
+  */
+class PlanGuardSpec extends AnyFunSuite with SharedSpark {
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q5: all dimension joins broadcast, no sort-merge join") {
+    val p = plan("q5_region_revenue")
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(400))
+  }
+
+  test("replay: exactly one hash-partition exchange (single shuffle)") {
+    val p = plan("q_replay_per_user")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+  }
+
+  test("no operator ever falls back to a cartesian product") {
+    Seq("q_neardup_minhash", "q_embed_neardup", "q_topk_cosine", "q_ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(300)}")
+    }
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx, p.take(400))
+  }
+}
