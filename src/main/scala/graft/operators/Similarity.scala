@@ -30,10 +30,13 @@ object Similarity {
     */
   def topKCosine(embeddings: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms are computed ONCE per vector, not per candidate pair
     val base = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+      .withColumn("vn", norm(col("v")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv"))))
     val scored = base.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("v")))
+      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -103,7 +106,8 @@ object Similarity {
         sb.result()
       }
     }
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint()
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vn", norm(col("v"))).localCheckpoint()
     // bucket table carries ids only — candidate pairs must never
     // shuffle the vector payloads (that is the whole cost at scale)
     val b = vecs.withColumn("bucket", explode(bucketKeys(col("v")))).select("bucket", "id")
@@ -113,9 +117,9 @@ object Similarity {
       .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"))
       .distinct()
     candidates
-      .join(vecs.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(vecs.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .join(vecs.select(col("id").as("vec_a"), col("v").as("va"), col("vn").as("na")), "vec_a")
+      .join(vecs.select(col("id").as("vec_b"), col("v").as("vb"), col("vn").as("nb")), "vec_b")
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -176,7 +180,7 @@ object Similarity {
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     candidates
-      .withColumn("score", cosine(col("qv"), col("v")))
+      .withColumn("score", dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6).as("score"))
