@@ -134,8 +134,6 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6).as("jaccard"))
   }
 
-  private val HexDigits = "0123456789abcdef"
-
   /** 64-bit SimHash over word tokens as a 64-char bit string: per
     * distinct token, md5; each of the 64 leading hash bits votes
     * +count/-count; the sign vector is the fingerprint.

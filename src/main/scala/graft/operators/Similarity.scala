@@ -44,21 +44,10 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6).as("score"))
   }
 
-  /** Deterministic pseudo-random hyperplanes for sign-LSH: component d
-    * of plane p is derived from md5("p|d") — reproducible across
-    * executors and sessions with no RNG state.
-    */
-  def hyperplane(p: Int, dim: Int): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(dim) { d =>
-      val bytes = md.digest(s"$p|$d".getBytes("UTF-8"))
-      val v = java.nio.ByteBuffer.wrap(bytes).getLong
-      (v.toDouble / Long.MaxValue.toDouble) // uniform-ish in [-1, 1]
-    }
-  }
-
-  /** Hyperplane component in the SQL-expressible derivation used by the
-    * oracle-checked operators: the first 15 hex chars of md5("k|d") as
+  /** Deterministic pseudo-random hyperplane for sign-LSH, derived from
+    * md5 so it is reproducible across executors/sessions with no RNG
+    * state, and SQL-expressible for the oracle-checked operators:
+    * the first 15 hex chars of md5("k|d") as
     * a 60-bit integer, mapped to [-1, 1). DuckDB computes the identical
     * value via `('0x' || substr(md5(k||'|'||d), 1, 15))::BIGINT`.
     */
