@@ -220,6 +220,30 @@ object SparkEntry {
         concat_ws(" ", ExvcColumns.applyScript(col("words"), editScript)).as("text"))
     }),
 
+    // ---- composed curation pipeline: language gate -> quality gate
+    // -> exact dedup -> survivors (the end-to-end shape a user chains
+    // the operators into) ----
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lang = TextAnalysis.langId(docs, "text", "doc_id")
+        .filter(col("marker_hits") >= 3).select("doc_id")
+      val quality = TextAnalysis.qualityStats(docs, "text", "doc_id")
+        .filter(col("n_words") >= 30 && col("stopword_ratio") <= 0.3)
+        .select("doc_id")
+      val eligible = docs.join(lang, "doc_id").join(quality, "doc_id")
+      Dedup.exact(eligible, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"), col("content_hash"))
+    }),
+
+    "q_corpus_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"), Dedup.tokens(col("text")).as("toks"), col("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("total_tokens"),
+          expr("CAST(sum(n_chars) AS BIGINT)").as("total_chars"))
+    }),
+
     // ---- LLM-pipeline: embedding similarity ----
     "q_topk_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -461,6 +485,38 @@ object SparkEntry {
         |  list_transform(w2, x -> CASE WHEN regexp_matches(x, '^b')
         |    THEN regexp_replace(x, '^b', 'B', 'g') ELSE x END), ' ') AS text
         |FROM edited""".stripMargin,
+
+    "q_curation_pipeline" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, lang, score,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |    FROM (
+        |      SELECT doc_id, 'en' AS lang, len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x))) AS score FROM toks
+        |      UNION ALL SELECT doc_id, 'de', len(list_filter(t, x -> list_contains(['der','die','und','ist','das'], x))) FROM toks
+        |      UNION ALL SELECT doc_id, 'fr', len(list_filter(t, x -> list_contains(['le','la','et','est','les'], x))) FROM toks
+        |      UNION ALL SELECT doc_id, 'es', len(list_filter(t, x -> list_contains(['el','la','y','es','los'], x))) FROM toks
+        |      UNION ALL SELECT doc_id, 'zh', len(list_filter(t, x -> list_contains(['de','shi','le','wo','ni'], x))) FROM toks))
+        |  WHERE rn = 1 AND score >= 3),
+        |quality AS (
+        |  SELECT doc_id FROM toks
+        |  WHERE len(t) >= 30
+        |    AND round(CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+        |      / greatest(len(t), 1), 6) <= 0.3),
+        |eligible AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN lang USING (doc_id) JOIN quality USING (doc_id))
+        |SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS content_hash
+        |FROM eligible GROUP BY md5(lower(trim(text)))""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_topk_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
