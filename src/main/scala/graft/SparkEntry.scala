@@ -121,6 +121,11 @@ object SparkEntry {
     // OP-5/6/7+13: content-addressed linearized ordered replay
     "q_replay_per_user" -> ((s, dir) => EventReplay.replayPerUser(s, dir)),
 
+    // OP-6 skew-proof variant: affine-algebra replay via two-level
+    // ordered reduction (parallel prefix) — a whale entity spanning
+    // many partitions no longer serializes on one task
+    "q_replay_affine" -> ((s, dir) => AffineReplay.replayPerUser(s, dir)),
+
     // OP-5/6: distributed state cache — materialize a causal prefix,
     // then fold only the suffix; output must equal the full replay
     "q_replay_incremental" -> ((s, dir) => StateCache.replayIncremental(s, dir)),
@@ -335,6 +340,19 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_replay_per_user" ->
+      """WITH ls AS (
+        |  SELECT user_id, max(ts) AS sts FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT e.user_id,
+        |  CAST(sum(CASE
+        |    WHEN e.event_type = 'signup' AND e.ts = ls.sts THEN e.value
+        |    WHEN e.event_type = 'purchase' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN e.value
+        |    WHEN e.event_type = 'click' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN 1.0
+        |    ELSE 0 END) AS DECIMAL(18,2)) AS state
+        |FROM events e LEFT JOIN ls ON e.user_id = ls.user_id
+        |GROUP BY e.user_id""".stripMargin,
+
+
+    "q_replay_affine" ->
       """WITH ls AS (
         |  SELECT user_id, max(ts) AS sts FROM events WHERE event_type = 'signup' GROUP BY user_id)
         |SELECT e.user_id,

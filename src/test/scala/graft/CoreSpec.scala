@@ -274,3 +274,26 @@ class WorkCacheSpec extends AnyFunSuite {
     assert(calls == afterFirst) // fully cached second time
   }
 }
+
+/** Error paths: missing dependencies, unknown base states, tampered
+  * persistence (reference error enum, graph.rs:40-54).
+  */
+class ErrorPathSpec extends AnyFunSuite {
+  test("foldState and calculateDependencies raise DependencyNotFound") {
+    val g = new EventGraph[SearArg](SearEngine)
+    intercept[DependencyNotFound] {
+      g.foldState(SortedMap("blake2b512:missing" -> false), expand = true)
+    }
+    intercept[DependencyNotFound] {
+      g.calculateDependencies(SortedSet.empty, SortedMap("blake2b512:missing" -> (IncludeSpec.All: IncludeSpec)))
+    }
+  }
+
+  test("runDeps on an uncached base state raises DatasetNotFound") {
+    val g = new EventGraph[SearArg](SearEngine)
+    val w = new WorkCache[SearArg, String](SearEngine, "x")
+    intercept[DatasetNotFound] {
+      w.runDeps(g, SortedSet("blake2b512:unknown"), Nil)
+    }
+  }
+}

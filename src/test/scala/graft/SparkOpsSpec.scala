@@ -567,3 +567,14 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx, p.take(400))
   }
 }
+
+/** The affine parallel-prefix replay must equal the sequential fold. */
+class AffineReplaySpec extends AnyFunSuite with SharedSpark {
+  test("AffineReplay == EventReplay on sf0.001") {
+    val seqR = EventReplay.replayPerUser(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val aff = AffineReplay.replayPerUser(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(aff == seqR)
+  }
+}
