@@ -578,3 +578,23 @@ class AffineReplaySpec extends AnyFunSuite with SharedSpark {
     assert(aff == seqR)
   }
 }
+
+/** Driver-contract invariants. */
+class ContractSpec extends AnyFunSuite with SharedSpark {
+  test("every query has an oracle and every oracle has a query") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"diff: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)} / ${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)}")
+  }
+
+  test("entry returns rows on sf0.001 (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 scan prunes unused lineitem columns") {
+    val p = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val schema = p.split("ReadSchema:").last.takeWhile(_ != '\n')
+    assert(!schema.contains("l_partkey") && !schema.contains("l_shipdate"), schema)
+    assert(schema.contains("l_quantity"), schema)
+  }
+}
