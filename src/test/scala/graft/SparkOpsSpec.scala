@@ -598,3 +598,51 @@ class ContractSpec extends AnyFunSuite with SharedSpark {
     assert(schema.contains("l_quantity"), schema)
   }
 }
+
+/** Randomized ExvcColumns equivalence: 40 seeded random commands
+  * evaluated as 40 columns of ONE projection against the driver
+  * engine's results.
+  */
+class ExvcColumnsRandomSpec extends AnyFunSuite with SharedSpark {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private val lineGen = Gen.chooseNum(0, 4).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'x')))
+  private val linesGen = Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, lineGen).map(_.toVector))
+  private val addrGen: Gen[Address] = Gen.oneOf(
+    Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(1, 4)).map { case (s, l) => Address.Rng(s, s + l) },
+    Gen.chooseNum(0, 6).map(Address.RngF(_)),
+    Gen.const(Address.Last),
+    Gen.oneOf("a", "x", "^a", "b$", "ab").map(Address.Rgx(_)))
+  private val kindGen: Gen[CommandKind] = Gen.oneOf(
+    linesGen.map(CommandKind.Append(_)),
+    linesGen.map(CommandKind.Insert(_)),
+    linesGen.map(CommandKind.Change(_)),
+    Gen.const(CommandKind.Delete),
+    Gen.zip(Gen.oneOf("a", "b", "ab"), Gen.oneOf("", "X", "YY")).map { case (p, r) => CommandKind.Substitute(p, r) })
+  private val cmdGen = Gen.zip(addrGen, kindGen).map { case (a, k) => Command(a, k) }
+
+  test("40 random commands x 6 docs in one projection == driver engine") {
+    import spark.implicits._
+    val docs: Seq[Vector[String]] = Seq(
+      Vector.empty, Vector("a"), Vector("ab", "ba"), Vector("a", "b", "x", "ab"),
+      Vector("x", "x", "x", "x", "x", "x"), Vector("ba", "ab", "a", "b", "xx"))
+    val params = Gen.Parameters.default
+    var seed = Seed(99L)
+    val cmds = (0 until 40).map { _ =>
+      val c = cmdGen.pureApply(params, seed); seed = seed.next; c
+    }
+    val df = docs.zipWithIndex.map { case (d, i) => (i, d) }.toDF("id", "lines")
+    val projected = df.select(col("id") +: cmds.zipWithIndex.map { case (c, i) =>
+      ExvcColumns.apply(col("lines"), c).as(s"out$i")
+    }: _*)
+    val got = projected.collect().map(r =>
+      r.getInt(0) -> (0 until 40).map(i => r.getSeq[String](i + 1).toVector)).toMap
+    docs.zipWithIndex.foreach { case (d, di) =>
+      cmds.zipWithIndex.foreach { case (c, ci) =>
+        val expected = ExvcEngine.runEvent(0, c, d)
+        assert(got(di)(ci) == expected, s"doc #$di $d cmd #$ci $c")
+      }
+    }
+  }
+}
