@@ -197,6 +197,9 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))),
 
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(t(s, dir, "documents"), "text", "doc_id")),
+
     "q_fingerprint" -> ((s, dir) =>
       Dedup.fingerprint(t(s, dir, "documents"), "text", "doc_id", w = 5)),
 
@@ -439,6 +442,8 @@ object SparkEntry {
 
     "q_simhash" -> simhashOracle,
 
+    "q_simhash_neardup" -> simhashNearDupOracle,
+
     "q_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
@@ -680,6 +685,22 @@ object SparkEntry {
       |  FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of the Manku-banded simhash near-dup. */
+  private def simhashNearDupOracle: String = {
+    val sim = simhashOracle
+    s"""WITH sim AS ($sim),
+       |b AS (SELECT doc_id, unnest([
+       |    '0:' || substr(simhash, 1, 16), '1:' || substr(simhash, 17, 16),
+       |    '2:' || substr(simhash, 33, 16), '3:' || substr(simhash, 49, 16)]) AS chunk
+       |  FROM sim),
+       |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM b l JOIN b r USING (chunk) WHERE l.doc_id < r.doc_id),
+       |h AS (SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(64), i -> substr(sa.simhash, CAST(i + 1 AS INT), 1) <> substr(sb.simhash, CAST(i + 1 AS INT), 1))) AS BIGINT) AS hamming
+       |  FROM cand JOIN sim sa ON sa.doc_id = doc_a JOIN sim sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 12""".stripMargin
+  }
 }
 
 

@@ -171,6 +171,32 @@ object Dedup {
       }
     }
 
+  /** SimHash near-duplicate pairs, Manku-style: band the 64-bit
+    * fingerprint into `chunks` equal substrings; a pair sharing any
+    * identical chunk is a candidate (guaranteed to catch all pairs
+    * with hamming < chunks); verify hamming <= maxHamming. Candidates
+    * only within chunk buckets — never all-pairs.
+    */
+  def simhashNearDup(docs: DataFrame, textCol: String, idCol: String,
+                     chunks: Int = 4, maxHamming: Int = 12): DataFrame = {
+    val width = 64 / chunks
+    val sh = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
+      .localCheckpoint()
+    val banded = sh.select(col("doc_id"), explode(array(
+      (0 until chunks).map(c =>
+        concat(lit(s"$c:"), substring(col("sim"), c * width + 1, width))): _*)).as("chunk"))
+    val cand = banded.as("l").join(banded.as("r"), Seq("chunk"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+      .withColumn("hamming", hammingBits(col("sim_a"), col("sim_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Hamming distance between two same-length simhash bit strings. */
   def hammingBits(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), b => b))
