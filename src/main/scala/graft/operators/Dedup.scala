@@ -192,10 +192,21 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
-      .withColumn("hamming", hammingBits(col("sim_a"), col("sim_b")).cast("long"))
+      .withColumn("hamming", hammingFast(col("sim_a"), col("sim_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Tight scalar hamming for the verify hot path (the HOF variant
+    * below allocates two 64-element arrays per pair).
+    */
+  val hammingFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: String, b: String) =>
+      var i = 0; var d = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+      d + math.abs(a.length - b.length)
+    }
 
   /** Hamming distance between two same-length simhash bit strings. */
   def hammingBits(a: Column, b: Column): Column =
