@@ -1,6 +1,6 @@
 package graft.exvc
 
-import graft.core.{Engine, EngineException, Hashes}
+import graft.core.{Engine, EngineException}
 import java.nio.charset.StandardCharsets
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.concurrent.ConcurrentHashMap
