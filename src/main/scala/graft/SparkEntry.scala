@@ -39,9 +39,11 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_qty"),
-          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_base_price"),
-          expr("CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4))").as("sum_disc_price"),
+          // decimal arithmetic internally (exact); DOUBLE on the output
+          // surface so the driver's float64 canonicalizer hashes cleanly
+          expr("CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)").as("sum_base_price"),
+          expr("CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -52,7 +54,7 @@ object SparkEntry {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy("o_orderkey")
-        .agg(expr("CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4))").as("revenue"))
+        .agg(expr("CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -68,7 +70,7 @@ object SparkEntry {
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy("r_name")
-        .agg(expr("CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4))").as("revenue"))
+        .agg(expr("CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)").as("revenue"))
     }),
 
     // sessionization: 30-min-gap sessions per user (lag boundary +
@@ -96,7 +98,7 @@ object SparkEntry {
       val ord = t(s, dir, "orders")
       ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("revenue"))
+        .agg(expr("CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -286,15 +288,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_top_revenue_orders" ->
       """SELECT o_orderkey,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -302,7 +304,7 @@ object SparkEntry {
 
     "q5_region_revenue" ->
       """SELECT r_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -327,7 +329,7 @@ object SparkEntry {
 
     "q_top_customers" ->
       """SELECT c_custkey, c_name,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
@@ -346,11 +348,11 @@ object SparkEntry {
       """WITH ls AS (
         |  SELECT user_id, max(ts) AS sts FROM events WHERE event_type = 'signup' GROUP BY user_id)
         |SELECT e.user_id,
-        |  CAST(sum(CASE
+        |  CAST(CAST(sum(CASE
         |    WHEN e.event_type = 'signup' AND e.ts = ls.sts THEN e.value
         |    WHEN e.event_type = 'purchase' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN e.value
         |    WHEN e.event_type = 'click' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN 1.0
-        |    ELSE 0 END) AS DECIMAL(18,2)) AS state
+        |    ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS state
         |FROM events e LEFT JOIN ls ON e.user_id = ls.user_id
         |GROUP BY e.user_id""".stripMargin,
 
@@ -359,11 +361,11 @@ object SparkEntry {
       """WITH ls AS (
         |  SELECT user_id, max(ts) AS sts FROM events WHERE event_type = 'signup' GROUP BY user_id)
         |SELECT e.user_id,
-        |  CAST(sum(CASE
+        |  CAST(CAST(sum(CASE
         |    WHEN e.event_type = 'signup' AND e.ts = ls.sts THEN e.value
         |    WHEN e.event_type = 'purchase' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN e.value
         |    WHEN e.event_type = 'click' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN 1.0
-        |    ELSE 0 END) AS DECIMAL(18,2)) AS state
+        |    ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS state
         |FROM events e LEFT JOIN ls ON e.user_id = ls.user_id
         |GROUP BY e.user_id""".stripMargin,
 
@@ -371,11 +373,11 @@ object SparkEntry {
       """WITH ls AS (
         |  SELECT user_id, max(ts) AS sts FROM events WHERE event_type = 'signup' GROUP BY user_id)
         |SELECT e.user_id,
-        |  CAST(sum(CASE
+        |  CAST(CAST(sum(CASE
         |    WHEN e.event_type = 'signup' AND e.ts = ls.sts THEN e.value
         |    WHEN e.event_type = 'purchase' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN e.value
         |    WHEN e.event_type = 'click' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN 1.0
-        |    ELSE 0 END) AS DECIMAL(18,2)) AS state
+        |    ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS state
         |FROM events e LEFT JOIN ls ON e.user_id = ls.user_id
         |GROUP BY e.user_id""".stripMargin,
 
@@ -567,9 +569,10 @@ object SparkEntry {
         |  CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
         |  CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels
         |FROM documents""".stripMargin
-    // q_ann_lsh: intentionally no oracle — approximate candidate
-    // generation; the driver records a rows-only check and the recall
-    // bound is asserted in SimilaritySpec.
+    // Every query above carries an oracle — including q_ann_lsh, whose
+    // bucket algebra is SQL-derivable (annLshOracle), so even the
+    // approximation is value-checked; the recall bound is additionally
+    // asserted in SimilaritySpec.
   )
 
   /** DuckDB mirror of the banded MinHash-LSH algebra (salts 0..11,

@@ -86,6 +86,6 @@ object AffineReplay {
         (uid, a * 0.0 + b) // initial state 0.0
       }
       .toDF("user_id", "state_raw")
-      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").as("state"))
+      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").cast("double").as("state"))
   }
 }

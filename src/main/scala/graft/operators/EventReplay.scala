@@ -43,7 +43,7 @@ object EventReplay {
     */
   def replayPerUser(spark: SparkSession, sfDir: String): DataFrame =
     foldStates(loadEvents(spark, sfDir))
-      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").as("state"))
+      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").cast("double").as("state"))
 
   /** The raw ordered fold: (user_id, state_raw) from any frame with
     * `user_id, ts, event_id, event_type, value` columns.

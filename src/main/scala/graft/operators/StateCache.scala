@@ -50,6 +50,6 @@ object StateCache {
     val cutoff = maxId / 2
     val cache = build(spark, sfDir, cutoff)
     incremental(spark, sfDir, cache, cutoff)
-      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").as("state"))
+      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").cast("double").as("state"))
   }
 }

@@ -139,7 +139,7 @@ class ExvcColumnsSpec extends AnyFunSuite with SharedSpark {
 class OperatorSpec extends AnyFunSuite with SharedSpark {
   test("replayPerUser == sequential in-memory fold per user") {
     val df = EventReplay.replayPerUser(spark, "/root/testdata/sf0.001")
-    val got = df.collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
     val raw = EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
       .selectExpr("user_id", "ts", "event_id", "event_type", "value").collect()
@@ -307,7 +307,7 @@ class StreamingReplaySpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
     val batch = EventReplay.replayPerUser(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(streamed.keySet == batch.keySet)
     batch.foreach { case (uid, exp) =>
       assert(math.abs(math.rint(streamed(uid) * 100) / 100 - exp) < 1e-9, s"user $uid")
@@ -360,9 +360,9 @@ class FunctionalGraphSpec extends AnyFunSuite with SharedSpark {
 class StateCacheSpec extends AnyFunSuite with SharedSpark {
   test("cache(prefix) + fold(suffix) == full replay") {
     val full = EventReplay.replayPerUser(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val inc = StateCache.replayIncremental(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(inc == full)
   }
 }
@@ -572,9 +572,9 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
 class AffineReplaySpec extends AnyFunSuite with SharedSpark {
   test("AffineReplay == EventReplay on sf0.001") {
     val seqR = EventReplay.replayPerUser(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val aff = AffineReplay.replayPerUser(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(aff == seqR)
   }
 }

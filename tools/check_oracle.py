@@ -18,12 +18,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df):
     import pandas as pd
+    import decimal
     df = df.reindex(sorted(df.columns), axis=1)
     def cell(v):
         if v is None or v != v:
             return "NULL"
+        # Match the driver's canonicalizer: DECIMAL is coerced to float64
+        # before stringification (observed in CORRECTNESS_r02 — Spark
+        # Decimal('253994.00') vs DuckDB 253994.0 broke the hash), and
+        # floats hash at full repr precision, not rounded.
+        if isinstance(v, decimal.Decimal):
+            v = float(v)
         if isinstance(v, float):
-            return repr(round(v, 9))
+            return repr(v)
         if isinstance(v, (list, tuple)) or type(v).__name__ == 'ndarray':
             return "[" + ",".join(cell(x) for x in v) + "]"
         return str(v)
