@@ -29,11 +29,18 @@ object Bench {
     }
 
     // session/JIT/codegen warmup so the first timed query is not
-    // charged for executor + whole-stage-codegen compiler startup
+    // charged for executor + whole-stage-codegen compiler startup;
+    // touch both the lineitem agg path and the documents regex/
+    // tokenize path (the two codegen families the queries live in)
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .limit(1000).groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    try graft.operators.TextAnalysis.qualityStats(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(200), "text", "doc_id")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    graft.plans.CheckpointHygiene.releaseAll(spark)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -42,7 +49,11 @@ object Bench {
         catch { case e: Throwable =>
           Some(e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse("").take(160))
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // free checkpoint blocks the query left behind — outside the
+      // timed region; accumulation across 32 queries drags GC
+      graft.plans.CheckpointHygiene.releaseAll(spark)
+      (name, dt, err)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""$k":"${esc(e)}"""" }

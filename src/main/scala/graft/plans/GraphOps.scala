@@ -33,6 +33,10 @@ object GraphOps {
     var frontier = acc
     var frontierCount = accCount
     var iter = 0
+    // frontiers superseded since the last fold: still union leaves of
+    // the unfolded acc, so they are only freeable once acc re-folds
+    var lastFold = acc
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (frontierCount > 0 && iter < maxIter) {
       val f = if (frontierCount < BroadcastRows) broadcast(frontier) else frontier
       val accSide = if (accCount < BroadcastRows) broadcast(acc) else acc
@@ -43,10 +47,19 @@ object GraphOps {
       if (frontierCount > 0) {
         acc = acc.union(next)
         accCount += frontierCount
+        pending += frontier
         // acc is a union of checkpointed leaves; fold the plan down
-        // periodically instead of paying a materialization every round
-        if (iter % 4 == 3) acc = acc.localCheckpoint()
-      }
+        // periodically instead of paying a materialization every round,
+        // then release the leaves the fold just replaced
+        if (iter % 4 == 3) {
+          val folded = acc.localCheckpoint()
+          CheckpointHygiene.free(pending.toSeq: _*)
+          CheckpointHygiene.free(lastFold)
+          pending.clear()
+          acc = folded
+          lastFold = folded
+        }
+      } else CheckpointHygiene.free(next)
       frontier = next
       iter += 1
     }
@@ -73,17 +86,24 @@ object GraphOps {
       val stepped = acc.join(jump, "id").select(col("dep").as("id")).distinct()
         .join(acc, Seq("id"), "left_anti")
         .localCheckpoint()
-      if (stepped.isEmpty) done = true
+      if (stepped.isEmpty) { done = true; CheckpointHygiene.free(stepped) }
       else {
-        acc = acc.union(stepped).localCheckpoint()
+        // every round re-checkpoints acc and jump, so the previous
+        // round's blocks (and the consumed frontier) free immediately
+        val acc2 = acc.union(stepped).localCheckpoint()
+        CheckpointHygiene.free(acc, stepped)
+        acc = acc2
         // square the stride: jump2(id) = jump(jump(id))
-        jump = jump.as("a")
+        val jump2 = jump.as("a")
           .join(jump.as("b"), col("a.dep") === col("b.id"))
           .select(col("a.id").as("id"), col("b.dep").as("dep"))
           .localCheckpoint()
+        CheckpointHygiene.free(jump)
+        jump = jump2
       }
       round += 1
     }
+    CheckpointHygiene.free(jump) // only acc is returned
     acc
   }
 
@@ -112,6 +132,11 @@ object GraphOps {
 
     var remaining = n0.localCheckpoint()
     var remEdges = e0.localCheckpoint()
+    // the checkpoint leaves currently backing remaining/remEdges —
+    // freeable as soon as a later fold supersedes them ("ready" rounds
+    // are returned via out, so those stay)
+    var remLeaf = remaining
+    var edgeLeaf = remEdges
     var out: DataFrame = null
     var round = 0
     var remainingCount = remaining.count()
@@ -131,10 +156,14 @@ object GraphOps {
       if (round % 3 == 2) {
         remaining = remaining.localCheckpoint()
         remEdges = remEdges.localCheckpoint()
+        CheckpointHygiene.free(remLeaf, edgeLeaf)
+        remLeaf = remaining
+        edgeLeaf = remEdges
       }
       remainingCount = remainingCount - readyCount
       round += 1
     }
+    CheckpointHygiene.free(remLeaf, edgeLeaf) // out carries its own leaves
     if (out == null) n0.withColumn("round", lit(0)) else out
   }
 
@@ -164,12 +193,17 @@ object GraphOps {
     var cur = n0.select(col("id"), col("id").as("anc"), lit(0).as("d"))
     levels.reverseIterator.foreach { jump =>
       val j = jump.select(col("id").as("anc"), col("anc").as("janc"), col("d").as("jd"))
-      cur = cur.join(j, Seq("anc"), "left")
+      val cur2 = cur.join(j, Seq("anc"), "left")
         .select(col("id"),
           coalesce(col("janc"), col("anc")).as("anc"),
           (col("d") + coalesce(col("jd"), lit(0))).as("d"))
         .localCheckpoint()
+      CheckpointHygiene.free(cur) // superseded sweep step (no-op round 1)
+      cur = cur2
     }
+    // the jump levels fed only the (materialized) sweep steps
+    CheckpointHygiene.free(levels.toSeq: _*)
+    CheckpointHygiene.free(e0)
     // roots never appear as a jump source, so their d stays 0 — the
     // sweep already yields depth for every node
     cur.select(col("id"), col("d").as("round"))

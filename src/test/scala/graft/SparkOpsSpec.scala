@@ -646,3 +646,57 @@ class ExvcColumnsRandomSpec extends AnyFunSuite with SharedSpark {
     }
   }
 }
+
+/** Iterative operators must not leave superseded localCheckpoint blocks
+  * behind: a long session (or a 32-query bench) otherwise accumulates
+  * dead blocks in the block manager.
+  */
+class CheckpointHygieneSpec extends AnyFunSuite with SharedSpark {
+  import graft.plans.{CheckpointHygiene, GraphOps}
+
+  private def chain(n: Int): (DataFrame, DataFrame) = {
+    val ids = spark.range(0, n).toDF("id")
+    (ids, ids.filter(col("id") > 0).select(col("id"), expr("id - 1").as("dep")))
+  }
+
+  test("closureFunctional frees all but the returned checkpoint") {
+    CheckpointHygiene.releaseAll(spark)
+    val (ids, edges) = chain(300) // depth-300 chain → ~9 doubling rounds
+    val res = GraphOps.closureFunctional(ids.filter(col("id") === 299), edges)
+    assert(res.count() == 300)
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 2, s"leaked $live persistent RDD blocks")
+    // the survivor must still be readable (we freed nothing live)
+    assert(res.count() == 300)
+    CheckpointHygiene.releaseAll(spark)
+  }
+
+  test("closure (BFS) bounds live blocks to the fold window") {
+    CheckpointHygiene.releaseAll(spark)
+    val (ids, edges) = chain(64)
+    val res = GraphOps.closure(ids.filter(col("id") === 63), edges)
+    assert(res.count() == 64)
+    val live = spark.sparkContext.getPersistentRDDs.size
+    // 64 BFS rounds; without fold-point freeing this would be >60
+    assert(live <= 8, s"leaked $live persistent RDD blocks")
+    assert(res.count() == 64)
+    CheckpointHygiene.releaseAll(spark)
+  }
+
+  test("topoRounds/topoDepthFunctional free superseded rounds; results intact") {
+    CheckpointHygiene.releaseAll(spark)
+    val (ids, edges) = chain(40)
+    val kahn = GraphOps.topoRounds(ids, edges)
+    val fast = GraphOps.topoDepthFunctional(ids, edges)
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val a = pairs(kahn)
+    val b = pairs(fast)
+    assert(a == b)
+    val live = spark.sparkContext.getPersistentRDDs.size
+    // kahn keeps one "ready" leaf per round (returned via out) — those
+    // must survive; superseded remaining/remEdges/jump levels must not
+    assert(live <= 50, s"leaked $live persistent RDD blocks")
+    CheckpointHygiene.releaseAll(spark)
+  }
+}
