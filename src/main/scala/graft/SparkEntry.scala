@@ -602,7 +602,9 @@ object SparkEntry {
     min(xor(h, 914886181343869267)) AS h10,
     min(xor(h, 639468835962388899)) AS h11
        |  FROM hs GROUP BY doc_id),
-       |b AS (SELECT doc_id, unnest([md5(h0 || '|' || h1), md5(h2 || '|' || h3), md5(h4 || '|' || h5), md5(h6 || '|' || h7), md5(h8 || '|' || h9), md5(h10 || '|' || h11)]) AS band_key FROM m),
+       |b0 AS (SELECT doc_id, unnest([md5(h0 || '|' || h1), md5(h2 || '|' || h3), md5(h4 || '|' || h5), md5(h6 || '|' || h7), md5(h8 || '|' || h9), md5(h10 || '|' || h11)]) AS band_key FROM m),
+       |b AS (SELECT doc_id, band_key FROM b0
+       |  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= 128),
        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM b l JOIN b r USING (band_key) WHERE l.doc_id < r.doc_id),
        |s2 AS (SELECT t.doc_id, list_distinct(list_transform(
@@ -647,7 +649,9 @@ object SparkEntry {
       |bk AS (SELECT vec_id, (k // 6) AS tbl,
       |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bits
       |  FROM proj GROUP BY 1, 2),
-      |b AS (SELECT vec_id, tbl || ':' || bits AS bucket FROM bk),
+      |b0 AS (SELECT vec_id, tbl || ':' || bits AS bucket FROM bk),
+      |b AS (SELECT vec_id, bucket FROM b0
+      |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 128),
       |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
       |  FROM b l JOIN b r USING (bucket) WHERE l.vec_id < r.vec_id),
       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -693,10 +697,12 @@ object SparkEntry {
   private def simhashNearDupOracle: String = {
     val sim = simhashOracle
     s"""WITH sim AS ($sim),
-       |b AS (SELECT doc_id, unnest([
+       |b0 AS (SELECT doc_id, unnest([
        |    '0:' || substr(simhash, 1, 16), '1:' || substr(simhash, 17, 16),
        |    '2:' || substr(simhash, 33, 16), '3:' || substr(simhash, 49, 16)]) AS chunk
        |  FROM sim),
+       |b AS (SELECT doc_id, chunk FROM b0
+       |  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id) <= 128),
        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM b l JOIN b r USING (chunk) WHERE l.doc_id < r.doc_id),
        |h AS (SELECT doc_a, doc_b,

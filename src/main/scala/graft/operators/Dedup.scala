@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication operators: exact (content hash),
@@ -45,6 +46,26 @@ object Dedup {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  /** Deterministic hot-bucket guard for LSH candidate generation: keep
+    * only the first `cap` members (ordered by id) of each bucket before
+    * the self-join. Without it, k identical documents share every band
+    * and produce k^2 candidate pairs in one bucket — a quadratic
+    * blow-up on a skewed key that kills duplicate-heavy corpora at
+    * scale. With it, per-bucket work is bounded by cap^2 regardless of
+    * corpus skew. The window partitions on the bucket key the join
+    * shuffles on anyway, so no extra exchange is introduced. The same
+    * `row_number() <= cap` algebra is mirrored in the DuckDB oracles,
+    * so hash-parity holds.
+    *
+    * Pairs beyond the cap are sacrificed by design; run [[exact]] dedup
+    * first (as `q_curation_pipeline` does) so identical documents are
+    * collapsed before near-dup ever sees them.
+    */
+  def capBucket(df: DataFrame, bucketCol: String, idCol: String, cap: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(bucketCol)).orderBy(col(idCol))))
+      .filter(col("__rn") <= cap).drop("__rn")
+
   /** Exact dedup: one representative per normalized-content hash.
     * At 100 TB this is a single hash-partitioned shuffle.
     */
@@ -68,7 +89,7 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 4, rows: Int = 3,
-                   threshold: Double = 0.4): DataFrame = {
+                   threshold: Double = 0.4, bucketCap: Int = 128): DataFrame = {
     val spreadDocs = Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
       .localCheckpoint()
 
@@ -87,10 +108,12 @@ object Dedup {
       min(col("h").bitwiseXOR(lit(minhashMask(0)))).as("h0"),
       (1 until nHashes).map(k => min(col("h").bitwiseXOR(lit(minhashMask(k)))).as(s"h$k")): _*)
 
-    val banded = minhashes.select(col("doc_id"), explode(array(
-      (0 until bands).map { b =>
-        md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
-      }: _*)).as("band_key"))
+    val banded = capBucket(
+      minhashes.select(col("doc_id"), explode(array(
+        (0 until bands).map { b =>
+          md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+        }: _*)).as("band_key")),
+      "band_key", "doc_id", bucketCap)
       .localCheckpoint() // tiny (docs x bands); feeds both self-join sides
 
     // pair generation strictly within a band bucket, ids only
@@ -178,13 +201,16 @@ object Dedup {
     * only within chunk buckets — never all-pairs.
     */
   def simhashNearDup(docs: DataFrame, textCol: String, idCol: String,
-                     chunks: Int = 4, maxHamming: Int = 12): DataFrame = {
+                     chunks: Int = 4, maxHamming: Int = 12,
+                     bucketCap: Int = 128): DataFrame = {
     val width = 64 / chunks
     val sh = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
       .localCheckpoint()
-    val banded = sh.select(col("doc_id"), explode(array(
-      (0 until chunks).map(c =>
-        concat(lit(s"$c:"), substring(col("sim"), c * width + 1, width))): _*)).as("chunk"))
+    val banded = capBucket(
+      sh.select(col("doc_id"), explode(array(
+        (0 until chunks).map(c =>
+          concat(lit(s"$c:"), substring(col("sim"), c * width + 1, width))): _*)).as("chunk")),
+      "chunk", "doc_id", bucketCap)
     val cand = banded.as("l").join(banded.as("r"), Seq("chunk"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))

@@ -74,7 +74,8 @@ object Similarity {
     */
   def embedNearDup(embeddings: DataFrame, threshold: Double,
                    dim: Int, planes: Int = 6, tables: Int = 8,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   bucketCap: Int = 128): DataFrame = {
     val hps: Array[Array[Double]] = Array.tabulate(tables * planes)(k => hyperplaneSql(k, dim))
     val nPlanes = planes
     val nTables = tables
@@ -98,8 +99,12 @@ object Similarity {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("vn", norm(col("v"))).localCheckpoint()
     // bucket table carries ids only — candidate pairs must never
-    // shuffle the vector payloads (that is the whole cost at scale)
-    val b = vecs.withColumn("bucket", explode(bucketKeys(col("v")))).select("bucket", "id")
+    // shuffle the vector payloads (that is the whole cost at scale).
+    // Hot buckets (k identical vectors -> k^2 pairs) are capped
+    // deterministically; see Dedup.capBucket.
+    val b = Dedup.capBucket(
+      vecs.withColumn("bucket", explode(bucketKeys(col("v")))).select("bucket", "id"),
+      "bucket", "id", bucketCap)
       .localCheckpoint()
     val candidates = b.as("l").join(b.as("r"), Seq("bucket"))
       .filter(col("l.id") < col("r.id"))

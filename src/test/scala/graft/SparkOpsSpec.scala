@@ -192,6 +192,53 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
   }
 }
 
+/** Hot-bucket guard ([[graft.operators.Dedup.capBucket]]): k identical
+  * documents share every LSH band, so without a cap candidate
+  * generation emits k^2 pairs from one bucket — quadratic on exactly
+  * the corpora (duplicate-heavy web scrapes) near-dup exists for. The
+  * cap bounds per-bucket work at cap^2 regardless of skew.
+  */
+class HotBucketSpec extends AnyFunSuite with SharedSpark {
+  private val capPairs = 128 * 127 / 2 // C(cap, 2) with the default cap
+
+  test("capBucket keeps the first-by-id members deterministically") {
+    import spark.implicits._
+    val df = Seq(("b", 5L), ("b", 3L), ("b", 1L), ("b", 9L), ("c", 7L)).toDF("bucket", "id")
+    val kept = Dedup.capBucket(df, "bucket", "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == Set(("b", 1L), ("b", 3L), ("c", 7L)))
+  }
+
+  test("1k identical docs: minhash near-dup candidates stay capped, not quadratic") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i =>
+      (i.toLong, "all work and no play makes jack a dull boy again and again")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id").collect()
+    // uncapped this would be C(1000,2) = 499500; every band holds the
+    // same first-128-by-id docs, so the distinct pair set is C(128,2)
+    assert(pairs.length == capPairs, s"got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("1k identical docs: simhash near-dup capped") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(docs, "text", "doc_id").collect()
+    assert(pairs.length == capPairs, s"got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Long]("hamming") == 0L))
+  }
+
+  test("1k identical vectors: embed near-dup capped") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (math.sin(i + 1)).toFloat)
+    val emb = (0 until 1000).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embedNearDup(emb, threshold = 0.9, dim = 64).collect()
+    assert(pairs.length == capPairs, s"got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.999999))
+  }
+}
+
 /** ANN recall against brute force on the synthetic embeddings (which
   * are near-uniform random — see Similarity scaladoc; the bound here is
   * the data-appropriate one, not a general claim).
