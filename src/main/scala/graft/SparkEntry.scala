@@ -276,10 +276,19 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
     }),
 
-    // ---- multimodal plumbing (stubbed decoder, real pipeline) ----
+    // ---- multimodal plumbing (from-spec container codecs) ----
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.withPayload(t(s, dir, "documents"), "text"), "doc_id"))
+        Multimodal.withPayload(t(s, dir, "documents"), "text"), "doc_id")),
+
+    // construct a VALID PNG/BMP/WAV per doc (by doc_id mod 3), then
+    // recover the dimensions by actually parsing the container bytes;
+    // the oracle predicts the same values from the construction
+    // algebra, so the check proves the construct -> parse round-trip
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.withMediaPayload(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
+        .select("doc_id", "kind", "width", "height", "channels", "sample_rate", "bit_depth"))
   )
 
   /** DuckDB equivalents, run by the driver on the same parquet tables.
@@ -565,10 +574,32 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS payload_sha256,
-        |  CAST(320 + octet_length(encode(text)) % 320 AS INT) AS width,
-        |  CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
-        |  CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels
-        |FROM documents""".stripMargin
+        |  'unknown' AS kind,
+        |  CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+        |  CAST(0 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+        |  CAST(0 AS INT) AS bit_depth
+        |FROM documents""".stripMargin,
+
+    // mirrors Multimodal.withMediaPayload's construction algebra; the
+    // Spark side recovers these values by parsing the container bytes
+    "q_media_decode" ->
+      """WITH d AS (SELECT doc_id, greatest(octet_length(encode(text)), 1) AS n FROM documents),
+        |w AS (SELECT doc_id, n, CAST(doc_id % 3 AS INT) AS f,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN (n - 1) % 512 + 1
+        |      WHEN 1 THEN (n - 1) % 256 + 1
+        |      ELSE 0 END AS wid
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
+        |  CAST(wid AS INT) AS width,
+        |  CAST(CASE f WHEN 0 THEN (n + wid - 1) // wid
+        |    WHEN 1 THEN (n + 3 * wid - 1) // (3 * wid)
+        |    ELSE 0 END AS INT) AS height,
+        |  CAST(CASE f WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE f WHEN 2 THEN 8000 + n % 8000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE f WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth
+        |FROM w""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally

@@ -11,33 +11,26 @@ import org.apache.spark.sql.types._
   * byte-opaque `Dat = Vec<u8>` contract
   * (/root/reference/crates/esvc-wasm/src/lib.rs:11-15).
   *
-  * The actual media decode is STUBBED (this container ships no
-  * image/audio codecs): [[FakeDecoder]] is a deterministic stand-in
-  * with the same signature a real decoder (e.g. via JNI/FFI or a
-  * Python `mapInPandas` stage) would have. Everything around it —
-  * schema, binary payload handling, partition-batched iteration,
-  * constant-memory streaming — is real and tested.
+  * Decoding is REAL from-spec container parsing ([[MediaCodec]]:
+  * PNG IHDR, BMP BITMAPINFOHEADER, WAV RIFF/fmt — pure-JVM byte
+  * parsing, since the container ships no codec libraries). Payloads
+  * the parser does not recognize surface as kind `unknown` with
+  * sentinel-0 metadata rather than failing the pipeline. Full
+  * pixel/sample decode of compressed codecs (JPEG/MP3/H.264) would
+  * slot into the same per-partition decoder via JNI/FFI or a Python
+  * `mapInPandas` stage.
   */
 object Multimodal {
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", LongType),
     StructField("payload_sha256", StringType),
+    StructField("kind", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("channels", IntegerType)))
-
-  /** STUB media decoder: deterministic fake dimensions derived from the
-    * payload bytes. A real implementation decodes the image header /
-    * audio frames here; the call shape (bytes -> typed features) and
-    * everything upstream/downstream of it is production-real.
-    */
-  object FakeDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Int) = {
-      val n = payload.length
-      (320 + (n % 320), 240 + (n % 240), if (n % 2 == 0) 3 else 1)
-    }
-  }
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bit_depth", IntegerType)))
 
   /** Attach a binary payload column (here: the utf-8 bytes of the text,
     * standing in for a real media blob read from object storage).
@@ -45,9 +38,35 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
 
-  /** Batch feature extraction over the binary column: one decoder
-    * instance per partition, streaming row-at-a-time (constant memory —
-    * no per-partition materialization), hash + metadata out.
+  /** Attach a VALID media payload per document — the text bytes packed
+    * into a PNG, BMP or WAV container (by doc_id mod 3) with
+    * dimensions derived from the byte length. Exercises the real
+    * [[MediaCodec]] writers; the derivation formulas are plain integer
+    * algebra so a SQL oracle can predict exactly what the parser must
+    * recover from the bytes (construct -> parse round-trip check).
+    */
+  def withMediaPayload(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val mk = udf { (id: Long, text: String) =>
+      val content = Option(text).getOrElse("").getBytes("UTF-8")
+      val n = math.max(content.length, 1)
+      (id % 3) match {
+        case 0 =>
+          val w = (n - 1) % 512 + 1
+          MediaCodec.png(content, w, (n + w - 1) / w)
+        case 1 =>
+          val w = (n - 1) % 256 + 1
+          MediaCodec.bmp24(content, w, (n + 3 * w - 1) / (3 * w))
+        case _ =>
+          MediaCodec.wav8(content, 8000 + n % 8000)
+      }
+    }
+    docs.withColumn("payload", mk(col(idCol).cast("long"), col(textCol)))
+  }
+
+  /** Batch feature extraction over the binary column: one decoder +
+    * digest instance per partition, streaming row-at-a-time (constant
+    * memory — no per-partition materialization), hash + parsed
+    * container metadata out.
     */
   def extractFeatures(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -56,11 +75,12 @@ object Multimodal {
     ds.mapPartitions { it =>
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       it.map { case (id, payload) =>
-        val (w, h, c) = FakeDecoder.decode(payload)
+        val m = MediaCodec.decode(payload)
         val digest = sha.digest(payload).map("%02x".format(_)).mkString
         sha.reset()
-        (id, payload.length.toLong, digest, w, h, c)
+        (id, payload.length.toLong, digest, m.kind, m.width, m.height, m.channels, m.sampleRate, m.bitDepth)
       }
-    }.toDF("doc_id", "n_bytes", "payload_sha256", "width", "height", "channels")
+    }.toDF("doc_id", "n_bytes", "payload_sha256", "kind",
+      "width", "height", "channels", "sample_rate", "bit_depth")
   }
 }

@@ -175,13 +175,87 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     import spark.implicits._
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
     val got = Multimodal.extractFeatures(Multimodal.withPayload(df, "text"), "doc_id")
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getInt(3))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3))).toMap
     assert(got(1L)._1 == 3L)
     // sha256("abc")
     assert(got(1L)._2 == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(got(1L)._3 == "unknown") // raw text bytes are no container
     assert(got(2L)._1 == 0L)
   }
 
+  test("media payloads are valid containers and parse back to constructed dims") {
+    import spark.implicits._
+    // ids 0,1,2 -> png, bmp, wav; text of 700 bytes crosses the
+    // png width modulus (w = 699%512+1 = 188, h = ceil(700/188) = 4)
+    val txt = "x" * 700
+    val df = Seq((0L, txt), (1L, txt), (2L, txt)).toDF("doc_id", "text")
+    val rows = Multimodal.extractFeatures(
+        Multimodal.withMediaPayload(df, "text", "doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8))).toMap
+    assert(rows(0L) == (("png", 188, 4, 1, 0, 8)))
+    assert(rows(1L) == (("bmp", 188, 2, 3, 0, 24))) // w = 699%256+1 = 188, h = ceil(700/564) = 2
+    assert(rows(2L) == (("wav", 0, 0, 1, 8000 + 700 % 8000, 8)))
+  }
+}
+
+/** From-spec container codecs: writers must emit valid files byte-wise
+  * (signatures, CRCs, sizes), and the parsers must recover exactly the
+  * constructed metadata — including on files our writers did NOT
+  * produce (hand-built top-down BMP, WAV with an extra chunk).
+  */
+class MediaCodecSpec extends AnyFunSuite {
+  import graft.operators.MediaCodec
+
+  test("png writer emits valid chunks; parser recovers dims") {
+    val p = MediaCodec.png("hello png world".getBytes("UTF-8"), 5, 3)
+    assert(p.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    // IHDR CRC must verify (computed over type+data, offsets 12..24)
+    val crc = new java.util.zip.CRC32()
+    crc.update(p, 12, 4 + 13)
+    val stored = ((p(29) & 0xffL) << 24) | ((p(30) & 0xffL) << 16) | ((p(31) & 0xffL) << 8) | (p(32) & 0xffL)
+    assert(crc.getValue == stored)
+    // IDAT inflates back to (w+1)*h filtered scanlines
+    val idatLen = ((p(33) & 0xff) << 24) | ((p(34) & 0xff) << 16) | ((p(35) & 0xff) << 8) | (p(36) & 0xff)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(p, 41, idatLen)
+    val raw = new Array[Byte](6 * 3 + 16)
+    assert(inf.inflate(raw) == 6 * 3)
+    assert(MediaCodec.decode(p) == MediaCodec.Meta("png", 5, 3, 1, 0, 8))
+  }
+
+  test("bmp writer pads rows; parser handles bottom-up and top-down heights") {
+    val p = MediaCodec.bmp24("bgr".getBytes("UTF-8"), 3, 2)
+    assert(p.length == 54 + 12 * 2) // rowSize(3px*3B=9 -> 12) * 2 rows
+    assert(MediaCodec.decode(p) == MediaCodec.Meta("bmp", 3, 2, 3, 0, 24))
+    // top-down variant (negative height) — not produced by our writer
+    val neg = p.clone()
+    val h = -2
+    neg(22) = h.toByte; neg(23) = (h >> 8).toByte; neg(24) = (h >> 16).toByte; neg(25) = (h >> 24).toByte
+    assert(MediaCodec.decode(neg).height == 2)
+  }
+
+  test("wav parser scans chunks; tolerates a non-fmt chunk first") {
+    val p = MediaCodec.wav8(Array[Byte](1, 2, 3, 4), 44100)
+    assert(MediaCodec.decode(p) == MediaCodec.Meta("wav", 0, 0, 1, 44100, 8))
+    // splice a LIST chunk before fmt (odd size exercises word alignment)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'a', 'b', 'c', 0)
+    val spliced = p.take(12) ++ list ++ p.drop(12)
+    // fix RIFF size (not needed by our parser, but keep the file honest)
+    assert(MediaCodec.decode(spliced) == MediaCodec.Meta("wav", 0, 0, 1, 44100, 8))
+  }
+
+  test("garbage and truncated payloads decode as unknown, never throw") {
+    assert(MediaCodec.decode("plain text".getBytes("UTF-8")) == MediaCodec.Unknown)
+    assert(MediaCodec.decode(Array.emptyByteArray) == MediaCodec.Unknown)
+    assert(MediaCodec.decode(null) == MediaCodec.Unknown)
+    // PNG signature but truncated before IHDR completes
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0)
+    assert(MediaCodec.decode(sig) == MediaCodec.Unknown)
+  }
+}
+
+class GraftFunctionsSpec extends AnyFunSuite with SharedSpark {
   test("blake2b512 Catalyst expression matches the reference vector and runs in SQL") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
