@@ -28,10 +28,42 @@ final class WorkCache[A, D](
       * fan out over executors; results must match the sequential
       * classification exactly (property-tested).
       */
-    val indepTester: Option[(Int, A, D, Seq[IndepCase[A, D]]) => Map[String, Boolean]] = None) {
-  /** state cache: applied event set -> materialized datum */
-  val sts: mutable.HashMap[SortedSet[String], D] =
-    mutable.HashMap(SortedSet.empty[String] -> initData)
+    val indepTester: Option[(Int, A, D, Seq[IndepCase[A, D]]) => Map[String, Boolean]] = None,
+    /** Upper bound on memoized prefix states. The reference memoizes
+      * every prefix forever (workcache.rs:12-15) — the classic
+      * memory-for-time trade; at 100x session length that OOMs the
+      * driver. Eviction is LRU, so the hot frontier states (re-read by
+      * every shelve round) stay resident while deep cold prefixes age
+      * out and are transparently recomputed on a miss.
+      */
+    val memoCap: Int = WorkCache.DefaultMemoCap) {
+  require(memoCap >= 1, "memoCap must be positive")
+
+  /** State memo: applied event set -> materialized datum, LRU-bounded
+    * at [[memoCap]] entries. The empty-set seed (`{} -> init`,
+    * workcache.rs:61-65) is pinned: every replay starts there, so
+    * evicting it would make the cache unrecoverable.
+    */
+  private val sts = new java.util.LinkedHashMap[SortedSet[String], D](64, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[SortedSet[String], D]): Boolean = false
+  }
+  sts.put(SortedSet.empty[String], initData)
+
+  private def stGet(key: SortedSet[String]): Option[D] = Option(sts.get(key))
+
+  private def stPut(key: SortedSet[String], d: D): Unit = {
+    sts.put(key, d)
+    if (sts.size() > memoCap) {
+      // evict from the LRU end, skipping the pinned seed
+      val it = sts.entrySet().iterator()
+      while (sts.size() > memoCap && it.hasNext) {
+        if (it.next().getKey.nonEmpty) it.remove()
+      }
+    }
+  }
+
+  /** Resident memo entries (seed included) — for tests/introspection. */
+  def memoSize: Int = sts.size()
 
   private sealed trait DepSt
   private case object Use extends DepSt
@@ -44,15 +76,15 @@ final class WorkCache[A, D](
     */
   def runDeps(graph: EventGraph[A], tt0: SortedSet[String], deps: Seq[String]): (D, SortedSet[String]) = {
     var tt = tt0
-    var data = sts.getOrElse(tt, throw new DatasetNotFound)
+    var data = stGet(tt).getOrElse(throw new DatasetNotFound)
     deps.foreach { evid =>
       val evwd = graph.events.getOrElse(evid, throw new DependencyNotFound(evid))
       val key = tt + evid
-      sts.get(key) match {
+      stGet(key) match {
         case Some(cached) => data = cached
         case None =>
           data = engine.runEvent(evwd.cmd, evwd.arg, data)
-          sts.update(key, data)
+          stPut(key, data)
       }
       tt = key
     }
@@ -107,25 +139,27 @@ final class WorkCache[A, D](
       var extraNewSeedDeps = SortedSet.empty[String]
 
       // per concurrent frontier event: the event-set of "everything except
-      // conc itself" (IncludeOnlyDeps for conc, IncludeAll for the rest)
-      val seedDeps2 = mutable.TreeMap.empty[String, SortedSet[String]]
+      // conc itself" (IncludeOnlyDeps for conc, IncludeAll for the rest).
+      // The replayed datum is carried alongside the event-set — it must
+      // not be re-read from the memo, which may have evicted it by now.
+      val seedDeps2 = mutable.TreeMap.empty[String, D]
       seedDeps.foreach { concEvid =>
         val incl = SortedMap.from(
           (seedDeps.iterator ++ useDeps.iterator).map { i =>
             i -> (if (i == concEvid) IncludeSpec.OnlyDeps else IncludeSpec.All: IncludeSpec)
           })
-        val (_, tmptt) = runForeachRecursively(graph, incl)
+        val (tmpSt, tmptt) = runForeachRecursively(graph, incl)
         if (tmptt.contains(concEvid)) {
           // pulled in by another dependency — defer to the next seed round
           extraNewSeedDeps += concEvid
         } else {
-          seedDeps2.update(concEvid, tmptt)
+          seedDeps2.update(concEvid, tmpSt)
         }
       }
 
-      val cases = seedDeps2.iterator.map { case (concEvid, tmptt) =>
+      val cases = seedDeps2.iterator.map { case (concEvid, base) =>
         val concEv = graph.events(concEvid)
-        IndepCase(concEvid, concEv.cmd, concEv.arg, sts(tmptt))
+        IndepCase(concEvid, concEv.cmd, concEv.arg, base)
       }.toVector
       val verdicts: Map[String, Boolean] = indepTester match {
         case Some(t) if cases.length > 1 => t(cmd, arg, curSt, cases)
@@ -215,6 +249,12 @@ final class WorkCache[A, D](
 }
 
 object WorkCache {
+  /** Default [[WorkCache.memoCap]]: generous enough that interactive
+    * sessions never evict, small enough that a datum of a few KB keeps
+    * the memo well under driver-heap scale.
+    */
+  val DefaultMemoCap: Int = 4096
+
   /** The OP-9 independence classification (workcache.rs:271-330),
     * shared by the sequential path and any batch tester: revert and
     * equal-but-non-idempotent are dependent; otherwise conc is

@@ -278,6 +278,62 @@ class WorkCacheSpec extends AnyFunSuite {
 /** Error paths: missing dependencies, unknown base states, tampered
   * persistence (reference error enum, graph.rs:40-54).
   */
+/** The replay memo is LRU-bounded ([[graft.core.WorkCache.memoCap]]).
+  * The reference memoizes every prefix state forever
+  * (workcache.rs:12-15) — fine for its session lengths, an OOM at
+  * 100x. Eviction must (a) hold the bound over long sessions, and
+  * (b) never change results: a miss is transparently recomputed.
+  */
+class MemoBoundSpec extends AnyFunSuite {
+  /** Shelve a fully dependent chain (each sear rewrites the previous
+    * event's output — worst case for the memo: every shelve replays
+    * the whole prefix) and materialize.
+    */
+  private def chainSession(cap: Int, n: Int): (String, Seq[String], Int) = {
+    val g = new EventGraph[SearArg](SearEngine)
+    val w = new WorkCache[SearArg, String](SearEngine, "a0", memoCap = cap)
+    var xs = SortedSet.empty[String]
+    (0 until n).foreach { i =>
+      xs += w.shelveEvent(g, xs, 0, SearArg(s"a$i", s"a${i + 1}")).get
+    }
+    val (dat, _) = w.materialize(g, xs)
+    (dat, xs.toSeq, w.memoSize)
+  }
+
+  test("capped session == unbounded session; memo stays within cap") {
+    val n = 60
+    val (datU, evsU, _) = chainSession(WorkCache.DefaultMemoCap, n)
+    val (datB, evsB, size) = chainSession(16, n)
+    assert(size <= 16, s"memo grew to $size")
+    assert(datB == datU)
+    assert(evsB == evsU) // identical event hashes -> identical deps inferred
+  }
+
+  test("10k-event replay holds the memo bound and replays correctly twice") {
+    val g = new EventGraph[SearArg](SearEngine)
+    val w = new WorkCache[SearArg, String](SearEngine, "s", memoCap = 64)
+    // hard-dep chain of 10k alternating sears (state stays 1 byte)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    var deps = SortedMap.empty[String, Boolean]
+    (0 until 10000).foreach { i =>
+      val arg = if (i % 2 == 0) SearArg("s", "t") else SearArg("t", "s")
+      val (coll, h) = g.ensureEvent(Ev(0, arg, deps))
+      assert(coll.isEmpty)
+      order += h
+      deps = SortedMap(h -> true)
+    }
+    val (dat, tt) = w.runDeps(g, SortedSet.empty, order.toSeq)
+    assert(dat == "s") // even count of flips
+    assert(tt.size == 10000)
+    assert(w.memoSize <= 64, s"memo grew to ${w.memoSize}")
+    // early prefixes are long evicted — a fresh replay must recompute
+    // through the pinned seed and agree
+    val (dat2, _) = w.runDeps(g, SortedSet.empty, order.toSeq)
+    assert(dat2 == "s")
+    assert(w.memoSize <= 64)
+  }
+}
+
 class ErrorPathSpec extends AnyFunSuite {
   test("foldState and calculateDependencies raise DependencyNotFound") {
     val g = new EventGraph[SearArg](SearEngine)
