@@ -436,6 +436,22 @@ class StreamingReplaySpec extends AnyFunSuite with SharedSpark {
   }
 }
 
+/** Full streaming ingest: staged file source -> flatMapGroupsWithState
+  * -> durable parquet sink, one file per micro-batch via AvailableNow.
+  * Stream-final state must equal the batch replay exactly (the
+  * MemoryStream test above covers the kernel; this covers the whole
+  * pipeline incl. source ordering, checkpointing and the sink).
+  */
+class StreamingIngestSpec extends AnyFunSuite with SharedSpark {
+  test("file-source pipeline over >=4 micro-batches == batch replay") {
+    val (nBatches, missing, mismatched) = graft.streaming.StreamingIngest.runAndCompare(
+      spark, "/root/testdata/sf0.001", "/tmp/graft_stream_ingest_spec", slices = 5)
+    assert(nBatches >= 4, s"expected multiple micro-batches, got $nBatches")
+    assert(missing == 0, s"$missing users differ in presence")
+    assert(mismatched == 0, s"$mismatched users differ in state")
+  }
+}
+
 /** Functional-graph fast paths must agree with the general operators. */
 class FunctionalGraphSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
