@@ -136,15 +136,23 @@ object SparkEntry {
     "q_linearize" -> ((s, dir) => EventReplay.linearize(s, dir)
       .select(col("event_id"), col("user_id"), col("seq").cast("long").as("seq"))),
 
-    // OP-3: content-addressed dedup insert (ensure_event in bulk)
+    // OP-3: content-addressed dedup insert (ensure_event in bulk).
+    // Addressing runs through the native blake2b512 Catalyst
+    // expression (the reference's event hash, hash.rs:77-85) inside
+    // whole-stage codegen: the dedup window + anti-join key on the
+    // blake2b address. The output carries a sha256 twin of the same
+    // content so DuckDB (which has no blake2b) value-checks identical
+    // grouping/anti-join semantics.
     "q_dedup_insert" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val ev = EventReplay.loadEvents(s, dir)
-        .withColumn("content_hash",
-          sha2(concat_ws("|", col("event_type"),
-            expr("CAST(CAST(round(value * 100) AS BIGINT) AS STRING)"), col("props")), 256))
-      val incoming = ev.filter(col("event_id") % 3 === 0).select("content_hash", "event_id")
-      val existing = ev.filter(col("event_id") % 3 =!= 0).select("content_hash")
-      GraphOps.dedupInsert(existing, incoming, "content_hash", "event_id")
+        .withColumn("content", concat_ws("|", col("event_type"),
+          expr("CAST(CAST(round(value * 100) AS BIGINT) AS STRING)"), col("props")))
+        .withColumn("addr", expr("blake2b512(encode(content, 'UTF-8'))"))
+        .withColumn("content_hash", sha2(col("content"), 256))
+      val incoming = ev.filter(col("event_id") % 3 === 0).select("addr", "content_hash", "event_id")
+      val existing = ev.filter(col("event_id") % 3 =!= 0).select("addr")
+      GraphOps.dedupInsert(existing, incoming, "addr", "event_id")
         .select(col("content_hash"), col("event_id").as("keep_event_id"))
     }),
 

@@ -703,6 +703,20 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     val aggIdx = p.indexOf("HashAggregate")
     assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx, p.take(400))
   }
+
+  test("dedup insert: blake2b512 executes inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_dedup_insert")(spark, "/root/testdata/sf0.001")
+    // run THIS dataset's QueryExecution (a write would plan a fresh
+    // one) so AQE finalizes and codegen-stage markers ("*(n)") appear
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val idx = p.indexOf("blake2b512")
+    assert(idx >= 0, "blake2b512 not in the executed plan: " + p.take(400))
+    // the expression's operator line carries a codegen-stage id, i.e.
+    // it was not pushed out into an interpreted Project
+    val line = p.lastIndexOf("\n", idx) match { case -1 => p.take(idx); case s => p.substring(s + 1, idx) }
+    assert(line.contains("*("), s"blake2b512 outside codegen: $line")
+  }
 }
 
 /** The affine parallel-prefix replay must equal the sequential fold. */
