@@ -32,5 +32,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, fully pre-touched heap. Root-caused from 8-40x per-query
+  // bench outliers (single task stalled, zero GC activity): tasks were
+  // eating first-touch page faults + THP compaction as G1 faulted in
+  // lazily-committed heap mid-query. Pre-touching moves that cost to
+  // JVM startup (untimed) and removes it from the measured queries.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+AlwaysPreTouch",
 )

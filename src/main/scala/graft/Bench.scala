@@ -41,6 +41,13 @@ object Bench {
         spark.read.parquet(s"$sfDir/documents.parquet").limit(200), "text", "doc_id")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // ...and the heaviest family: shingle explode + 12-way min-agg +
+    // banded self-join + jaccard verify (codegen classes are keyed by
+    // generated source, so the limited variant warms the full query)
+    try graft.operators.Dedup.nearDupPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(64), "text", "doc_id")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     graft.plans.CheckpointHygiene.releaseAll(spark)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
