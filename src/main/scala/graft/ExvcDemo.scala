@@ -103,6 +103,18 @@ object ExvcDemo {
       val out = en.runEvent(first, searArg("l", "w"), bytes("hello world"))
       println(s"external engine [$first,+$count): " + new String(out.toArray, "UTF-8"))
     }
+
+    // sandboxed WASM UDF engine (OP-20 hosting): real .wasm binaries
+    // through the wbindgen ABI, fresh instance per event
+    locally {
+      import graft.functions.wasm.{WasmEngine, WasmModules}
+      import scala.collection.immutable.ArraySeq
+      val en = new WasmEngine
+      val (first, count) = en.addCommands(Seq(WasmModules.byteSearModule, WasmModules.xorModule))
+      val out = en.runEvent(first, WasmModules.arg2('l', 'w'),
+        ArraySeq.unsafeWrapArray("hello world".getBytes("UTF-8")))
+      println(s"wasm engine [$first,+$count): " + new String(out.toArray, "UTF-8"))
+    }
     println("EXVC-DEMO-OK")
   }
 }

@@ -1,0 +1,226 @@
+package graft.functions.wasm
+
+/** Sandboxed stack-machine interpreter for a decoded [[WasmModule]] —
+  * the executable analog of the reference's wasmtime hosting
+  * (/root/reference/crates/esvc-wasm/src/lib.rs:36-77). One instance =
+  * one fresh store: its own linear memory (initialized from data
+  * segments) and its own mutable globals, so every call-site gets the
+  * same isolation the reference gets from a fresh
+  * `wasmtime::Store` + `Instance` per event.
+  *
+  * Sandbox properties enforced here (not just assumed):
+  *  - memory is bounds-checked on every access (WasmTrap on OOB);
+  *  - memory growth is capped at [[maxPages]];
+  *  - execution is metered: more than [[fuel]] instructions traps
+  *    (guaranteed termination — a spinning module cannot hang replay);
+  *  - no imports exist, so a module cannot reach the host at all.
+  *
+  * Branch semantics per spec §4.4.8: a `br` to a block/if exits it
+  * keeping the block's result values (stack truncated to entry
+  * height + arity); a `br` to a loop re-enters the loop body.
+  */
+final class WasmInstance(mod: WasmModule,
+                         maxPages: Int = 256, // 16 MiB
+                         fuel: Long = 200_000_000L) {
+  import Instr._
+
+  private val PageSize = 65536
+  private var mem = new Array[Byte](math.min(mod.memMinPages, maxPages) * PageSize)
+  private val globals = mod.globals.map(_.init).toArray
+  private var remaining = fuel
+
+  mod.data.foreach { seg =>
+    if (seg.offset < 0 || seg.offset + seg.bytes.length > mem.length)
+      throw WasmTrap("data segment out of bounds")
+    System.arraycopy(seg.bytes, 0, mem, seg.offset, seg.bytes.length)
+  }
+
+  def memorySize: Int = mem.length
+
+  def readBytes(off: Int, len: Int): Array[Byte] = {
+    if (off < 0 || len < 0 || off.toLong + len > mem.length)
+      throw WasmTrap(s"memory read out of bounds: $off+$len/${mem.length}")
+    java.util.Arrays.copyOfRange(mem, off, off + len)
+  }
+
+  def writeBytes(off: Int, bytes: Array[Byte]): Unit = {
+    if (off < 0 || off.toLong + bytes.length > mem.length)
+      throw WasmTrap(s"memory write out of bounds: $off+${bytes.length}/${mem.length}")
+    System.arraycopy(bytes, 0, mem, off, bytes.length)
+  }
+
+  /** Call an exported function by name. */
+  def invoke(name: String, args: Int*): Int = {
+    val idx = mod.exports.get(name) match {
+      case Some(("func", i)) => i
+      case _ => throw WasmTrap(s"unable to get export `$name`")
+    }
+    callFunction(idx, args.toArray)
+  }
+
+  private def callFunction(idx: Int, args: Array[Int]): Int = {
+    val f = mod.funcs.lift(idx).getOrElse(throw WasmTrap(s"bad function index $idx"))
+    if (args.length != f.tpe.params) throw WasmTrap(s"arity mismatch calling $idx")
+    val locals = new Array[Int](f.tpe.params + f.locals)
+    System.arraycopy(args, 0, locals, 0, args.length)
+    val stack = new IntStack
+    exec(f.body, locals, stack)
+    if (f.tpe.results == 1) stack.pop() else 0
+  }
+
+  /** Run a body; returns branch depth (-1 = fell through / returned). */
+  private def exec(body: Vector[Instr], locals: Array[Int], stack: IntStack): Int = {
+    var i = 0
+    while (i < body.length) {
+      remaining -= 1
+      if (remaining <= 0) throw WasmTrap("out of fuel (runaway module)")
+      body(i) match {
+        case Unreachable => throw WasmTrap("unreachable executed")
+        case Nop => ()
+        case Block(results, inner) =>
+          val h = stack.size
+          val br = exec(inner, locals, stack)
+          if (br == 0) stack.truncateKeepTop(h, results)
+          else if (br > 0) return br - 1
+        case Loop(_, inner) =>
+          val h = stack.size
+          var again = true
+          while (again) {
+            val br = exec(inner, locals, stack)
+            if (br == 0) { stack.truncate(h); remaining -= 1 } // br 0 = continue
+            else if (br > 0) return br - 1
+            else again = false
+          }
+        case If(results, thn, els) =>
+          val h = stack.size - 1
+          val cond = stack.pop()
+          val br = exec(if (cond != 0) thn else els, locals, stack)
+          if (br == 0) stack.truncateKeepTop(h, results)
+          else if (br > 0) return br - 1
+        case Br(d) => return d
+        case BrIf(d) => if (stack.pop() != 0) return d
+        case Return => return Int.MaxValue // unwinds every frame below
+        case Call(fidx) =>
+          val callee = mod.funcs.lift(fidx).getOrElse(throw WasmTrap(s"bad function index $fidx"))
+          val args = new Array[Int](callee.tpe.params)
+          var k = callee.tpe.params - 1
+          while (k >= 0) { args(k) = stack.pop(); k -= 1 }
+          val r = callFunction(fidx, args)
+          if (callee.tpe.results == 1) stack.push(r)
+        case Drop => stack.pop()
+        case Select =>
+          val c = stack.pop(); val b = stack.pop(); val a = stack.pop()
+          stack.push(if (c != 0) a else b)
+        case LocalGet(n) => stack.push(locals(n))
+        case LocalSet(n) => locals(n) = stack.pop()
+        case LocalTee(n) => locals(n) = stack.peek
+        case GlobalGet(n) => stack.push(globals(n))
+        case GlobalSet(n) =>
+          if (!mod.globals(n).mutable) throw WasmTrap(s"global $n is immutable")
+          globals(n) = stack.pop()
+        case Load(width, signed, offset) =>
+          val addr = stack.pop() + offset
+          if (addr < 0 || addr + width > mem.length) throw WasmTrap(s"load out of bounds: $addr")
+          stack.push(width match {
+            case 1 => if (signed) mem(addr).toInt else mem(addr) & 0xff
+            case 4 => (mem(addr) & 0xff) | ((mem(addr + 1) & 0xff) << 8) |
+              ((mem(addr + 2) & 0xff) << 16) | ((mem(addr + 3) & 0xff) << 24)
+          })
+        case Store(width, offset) =>
+          val v = stack.pop()
+          val addr = stack.pop() + offset
+          if (addr < 0 || addr + width > mem.length) throw WasmTrap(s"store out of bounds: $addr")
+          width match {
+            case 1 => mem(addr) = v.toByte
+            case 4 =>
+              mem(addr) = v.toByte; mem(addr + 1) = (v >>> 8).toByte
+              mem(addr + 2) = (v >>> 16).toByte; mem(addr + 3) = (v >>> 24).toByte
+          }
+        case MemorySize => stack.push(mem.length / PageSize)
+        case MemoryGrow =>
+          val delta = stack.pop()
+          val cur = mem.length / PageSize
+          if (delta < 0 || cur + delta > maxPages) stack.push(-1)
+          else {
+            mem = java.util.Arrays.copyOf(mem, (cur + delta) * PageSize)
+            stack.push(cur)
+          }
+        case I32Const(v) => stack.push(v)
+        case NumOp(op) => numeric(op, stack)
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** i32 numeric/comparison ops, spec §4.3.2 (unsigned via JDK
+    * *Unsigned intrinsics).
+    */
+  private def numeric(op: Int, stack: IntStack): Unit = {
+    def bool(b: Boolean): Int = if (b) 1 else 0
+    if (op == 0x45) { stack.push(bool(stack.pop() == 0)); return } // eqz
+    if (op == 0x67) { stack.push(Integer.numberOfLeadingZeros(stack.pop())); return } // clz
+    if (op == 0x68) { stack.push(Integer.numberOfTrailingZeros(stack.pop())); return } // ctz
+    if (op == 0x69) { stack.push(Integer.bitCount(stack.pop())); return } // popcnt
+    val b = stack.pop(); val a = stack.pop()
+    val r = op match {
+      case 0x46 => bool(a == b) // eq
+      case 0x47 => bool(a != b) // ne
+      case 0x48 => bool(a < b) // lt_s
+      case 0x49 => bool(Integer.compareUnsigned(a, b) < 0) // lt_u
+      case 0x4a => bool(a > b) // gt_s
+      case 0x4b => bool(Integer.compareUnsigned(a, b) > 0) // gt_u
+      case 0x4c => bool(a <= b) // le_s
+      case 0x4d => bool(Integer.compareUnsigned(a, b) <= 0) // le_u
+      case 0x4e => bool(a >= b) // ge_s
+      case 0x4f => bool(Integer.compareUnsigned(a, b) >= 0) // ge_u
+      case 0x6a => a + b
+      case 0x6b => a - b
+      case 0x6c => a * b
+      case 0x6d => if (b == 0) throw WasmTrap("integer divide by zero") else a / b // div_s
+      case 0x6e => if (b == 0) throw WasmTrap("integer divide by zero") else Integer.divideUnsigned(a, b)
+      case 0x6f => if (b == 0) throw WasmTrap("integer divide by zero") else a % b // rem_s
+      case 0x70 => if (b == 0) throw WasmTrap("integer divide by zero") else Integer.remainderUnsigned(a, b)
+      case 0x71 => a & b
+      case 0x72 => a | b
+      case 0x73 => a ^ b
+      case 0x74 => a << (b & 31)
+      case 0x75 => a >> (b & 31) // shr_s
+      case 0x76 => a >>> (b & 31) // shr_u
+      case 0x77 => Integer.rotateLeft(a, b & 31)
+      case 0x78 => Integer.rotateRight(a, b & 31)
+      case other => throw WasmTrap(f"unsupported numeric opcode 0x$other%02x")
+    }
+    stack.push(r)
+  }
+
+  /** Minimal int stack (no boxing in the interpreter hot loop). */
+  private final class IntStack {
+    private var a = new Array[Int](64)
+    private var n = 0
+    def size: Int = n
+    def push(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def pop(): Int = {
+      if (n == 0) throw WasmTrap("value stack underflow")
+      n -= 1; a(n)
+    }
+    def peek: Int = {
+      if (n == 0) throw WasmTrap("value stack underflow")
+      a(n - 1)
+    }
+    def truncate(h: Int): Unit = { if (h < n) n = h }
+    /** Exit a block: keep the top `keep` values, drop the rest down to
+      * entry height `h` (spec label-exit semantics).
+      */
+    def truncateKeepTop(h: Int, keep: Int): Unit = {
+      if (n > h + keep) {
+        var k = 0
+        while (k < keep) { a(h + k) = a(n - keep + k); k += 1 }
+        n = h + keep
+      }
+    }
+  }
+}
