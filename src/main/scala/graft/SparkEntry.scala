@@ -284,6 +284,15 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
     }),
 
+    // scale-path ANN (IVF coarse-quantize + probe) — deterministic
+    // md5-derived centroids make assignment/probing SQL-derivable, so
+    // the whole index algebra is oracle-checked
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annIvf(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
+    }),
+
     // ---- multimodal plumbing (from-spec container codecs) ----
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -578,6 +587,8 @@ object SparkEntry {
 
     "q_ann_lsh" -> annLshOracle,
 
+    "q_ann_ivf" -> annIvfOracle,
+
     "q_multimodal" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -721,6 +732,40 @@ object SparkEntry {
       |  FROM b q JOIN b n USING (bucket)
       |  WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id),
       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+      |  FROM cand JOIN v a ON a.vec_id = query_id JOIN v b ON b.vec_id = neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM s)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of q_ann_ivf: identical md5-derived centroids,
+    * identical sequential-order double arithmetic for assignment
+    * (argmax of dot - ||c||^2/2), nprobe=4 probing, exact-cosine
+    * rank@5 within probed lists only.
+    */
+  private def annIvfOracle: String =
+    """WITH cent AS (
+      |  SELECT c.c, list(
+      |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+      |      ORDER BY d.d) AS cv
+      |  FROM (SELECT unnest(range(16)) AS c) c, (SELECT unnest(range(64)) AS d) d
+      |  GROUP BY c.c),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |sc AS (SELECT v.vec_id, cent.c,
+      |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))
+      |      - 0.5 * list_sum(list_transform(cent.cv, x -> x * x)) AS score
+      |  FROM v, cent),
+      |assign AS (SELECT vec_id, c AS list_id FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
+      |probe AS (SELECT vec_id, c AS list_id FROM sc WHERE vec_id < 8
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) <= 4),
+      |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a USING (list_id) WHERE p.vec_id <> a.vec_id),
       |s AS (SELECT query_id, neighbor_id,
       |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
       |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))

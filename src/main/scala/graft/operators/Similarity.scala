@@ -118,6 +118,76 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Deterministic pseudo-centroid for IVF list `c`: md5-derived like
+    * [[hyperplaneSql]] (salt "ivf|c|d"), so the coarse quantizer is
+    * reproducible across executors/sessions AND SQL-expressible for
+    * the oracle. A production deployment would swap in k-means||
+    * centroids; the index/probe algebra is identical.
+    */
+  def ivfCentroidSql(c: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val hex = md.digest(s"ivf|$c|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 576460752303423488.0 - 1.0 // / 2^59
+    }
+  }
+
+  /** IVF (inverted-file) approximate nearest neighbors — the classic
+    * coarse-quantize-then-probe scale path, complementing the sign-LSH
+    * variant: every vector is assigned to its nearest of `lists`
+    * centroids (exact L2 argmin = argmax of dot - ||c||^2/2); a query
+    * probes its `nprobe` nearest lists and ranks ONLY those lists'
+    * members by exact cosine. At 100 TB the index table carries
+    * (list_id, id) pairs, the probe join is an equi-join on list_id,
+    * and per-query work is corpus_size * nprobe / lists — vectors
+    * never pairwise-join outside probed lists.
+    *
+    * All float math is sequential-order double arithmetic (same
+    * contract as [[dot]]), so the DuckDB oracle reproduces assignment,
+    * probing and scores bit-for-bit.
+    */
+  def annIvf(embeddings: DataFrame, queries: DataFrame, k: Int,
+             dim: Int, lists: Int = 16, nprobe: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents: Array[Array[Double]] = Array.tabulate(lists)(c => ivfCentroidSql(c, dim))
+    val normHalf: Array[Double] = cents.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
+    val nLists = lists
+    val nProbe = nprobe
+    def listScores(v: Seq[Float]): Array[Double] = {
+      val arr = v.toArray
+      Array.tabulate(nLists) { c =>
+        val cent = cents(c)
+        var dotv = 0.0
+        var i = 0
+        while (i < arr.length) { dotv += arr(i).toDouble * cent(i); i += 1 }
+        dotv - normHalf(c)
+      }
+    }
+    val assign = udf { (v: Seq[Float]) =>
+      val s = listScores(v)
+      var best = 0; var c = 1
+      while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 } // tie -> smaller c
+      best
+    }
+    val probe = udf { (v: Seq[Float]) =>
+      listScores(v).zipWithIndex.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2).toSeq
+    }
+
+    val base = Par.spread(embeddings)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .withColumn("list_id", assign(col("v")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("list_id", explode(probe(col("qv"))))
+    val candidates = base.join(q, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    candidates
+      .withColumn("score", dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Bucketed approximate nearest neighbors: `planes` sign bits form an
     * LSH bucket key; candidates are generated ONLY within a bucket
     * (equi-join), then exact-cosine ranked per query. Multiple

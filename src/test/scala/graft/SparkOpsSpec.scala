@@ -328,6 +328,21 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall $recall")
   }
+
+  test("annIvf: assignment partitions the corpus; probing bounds work; recall sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val ivf = Similarity.annIvf(emb, q, 5, dim = 64)
+    val rows = ivf.collect()
+    // every query gets a full top-5 from its probed lists
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    val exact = Similarity.topKCosine(emb, q, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // nprobe=4 of 16 lists scans ~25% of a uniform corpus
+    assert(recall >= 0.2, s"recall $recall")
+  }
 }
 
 /** Graph persistence + merge-from-file (OP-19) and Dot export (OP-12). */
