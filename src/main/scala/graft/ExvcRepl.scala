@@ -91,12 +91,24 @@ object ExvcRepl {
           InpCommandKind.parse(line) match {
             case Left(err) => println(s"!! $err")
             case Right((addr, InpCommandKind.Print)) =>
-              // stable line numbers across unselected spans (main.rs:152-174)
+              // stable line numbers across unselected spans
+              // (main.rs:152-174); when the session path has a known
+              // extension, lines are syntax-highlighted and EVERY line
+              // (selected or not) feeds the highlighter so its
+              // block-comment state stays in sync (main.rs:134-159)
               val dat = materialized
+              val hl = path.flatMap(exvc.Highlight.forPath)
               var lnum = 0
               ExvcEngine.resolveAddr(dat, addr).foreach { case (span, selected) =>
                 span.foreach { l =>
-                  if (selected) println(f"$lnum%4d| $l")
+                  hl match {
+                    case Some(h) =>
+                      val colored = h.line(l) // advances state even when unselected
+                      if (selected) println(
+                        f"${exvc.Highlight.LineNumColor}$lnum%5d\u001b[0m: $colored\u001b[0m")
+                    case None =>
+                      if (selected) println(f"$lnum%4d| $l")
+                  }
                   lnum += 1
                 }
               }
