@@ -293,6 +293,15 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
     }),
 
+    // int8-quantized cosine top-k: the memory/SIMD scale lever; the
+    // quantization algebra (floor scaling, integer dots) is exact, so
+    // the oracle checks it bit-for-bit
+    "q_topk_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.topKQuantized(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
+    }),
+
     // ---- multimodal plumbing (from-spec container codecs) ----
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -588,6 +597,28 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
+
+    // mirrors Similarity.quantizeInt8/topKQuantized: floor-scaled int8
+    // codes, integer dot products, double division only at the end
+    "q_topk_quantized" ->
+      """WITH q0 AS (SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, CASE WHEN ma = 0 THEN 1.0 ELSE ma END AS s FROM q0),
+        |qv AS (SELECT e.vec_id,
+        |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc.s) AS BIGINT)) AS qv
+        |  FROM embeddings e JOIN sc ON sc.vec_id = e.vec_id),
+        |n AS (SELECT vec_id, qv,
+        |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS vn FROM qv),
+        |s AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * b.qv[i])) AS DOUBLE)
+        |      / (q.vn * b.vn) AS score
+        |  FROM n q JOIN n b ON q.vec_id < 8 AND q.vec_id <> b.vec_id),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id,

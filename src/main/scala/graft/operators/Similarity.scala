@@ -118,6 +118,48 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the memory
+    * lever at 100 TB (4x smaller vectors, integer SIMD dot products):
+    * per-vector scale s = max(|v_i|), q_i = floor(v_i * 127 / s).
+    * Pure codegen'd column algebra (no UDF); `floor` so Spark and
+    * DuckDB agree exactly (their CAST rounding modes differ).
+    */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    embeddings
+      .withColumn("scale", when(maxAbs === 0.0d, lit(1.0d)).otherwise(maxAbs))
+      .select(col(idCol),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(127.0) / col("scale")).cast("long")).as("qv"),
+        col("scale"))
+  }
+
+  /** Exact top-k by QUANTIZED cosine: integer dot products over the
+    * int8 codes (the arithmetic a SIMD kernel would run), ranked
+    * per query. Scores are reported at quantized precision — the
+    * approximation is the point; QuantizeSpec bounds its error vs the
+    * float cosine.
+    */
+  def topKQuantized(embeddings: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def qdot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val base = quantizeInt8(embeddings, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qv").as("v"))
+      .withColumn("vn", sqrt(qdot(col("v"), col("v")).cast("double")))
+    val q = broadcast(quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qv").as("qv"))
+      .withColumn("qn", sqrt(qdot(col("qv"), col("qv")).cast("double"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    base.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", qdot(col("qv"), col("v")).cast("double") / (col("qn") * col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Deterministic pseudo-centroid for IVF list `c`: md5-derived like
     * [[hyperplaneSql]] (salt "ivf|c|d"), so the coarse quantizer is
     * reproducible across executors/sessions AND SQL-expressible for

@@ -329,6 +329,26 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("int8 quantization: codes in range, scale recoverable, cosine error bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb).collect()
+    assert(q.forall { r =>
+      val codes = r.getAs[scala.collection.Seq[Long]]("qv")
+      codes.forall(c => c >= -128 && c <= 127)
+    })
+    // quantized cosine tracks float cosine: same queries, compare scores
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.topKCosine(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val quant = Similarity.topKQuantized(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val shared = exact.keySet & quant.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { k =>
+      assert(math.abs(exact(k) - quant(k)) < 0.05, s"$k: ${exact(k)} vs ${quant(k)}")
+    }
+  }
+
   test("annIvf: assignment partitions the corpus; probing bounds work; recall sane") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 8)
