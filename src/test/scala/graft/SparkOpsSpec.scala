@@ -471,6 +471,45 @@ class StreamingReplaySpec extends AnyFunSuite with SharedSpark {
   }
 }
 
+/** Streaming exact-dedup: only the first event per content hash passes;
+  * duplicates are dropped ACROSS micro-batches (keyed state), and the
+  * surviving hash set equals the batch distinct.
+  */
+class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
+  test("dropDuplicatesWithinWatermark == batch distinct across 2 batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = graft.operators.EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[graft.streaming.EventRecordP].collect().sortBy(e => (e.ts, e.event_id))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    // replay three b1 records inside b2 — cross-batch duplicates that
+    // the keyed state must drop
+    val replayed = b2 ++ b1.take(3)
+
+    val stream = MemoryStream[graft.streaming.EventRecordP]
+    val out = graft.streaming.StreamingDedup.firstPerHash(stream.toDS())
+    val query = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(replayed.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.sql("SELECT content_hash FROM dedup_out")
+      .collect().map(_.getString(0))
+    assert(streamed.length == streamed.distinct.length, "a duplicate hash passed the filter")
+    val batchDistinct = graft.streaming.StreamingDedup.contentHash(
+        graft.operators.EventReplay.loadEvents(spark, "/root/testdata/sf0.001"))
+      .select("content_hash").distinct().collect().map(_.getString(0)).toSet
+    assert(streamed.toSet == batchDistinct)
+  }
+}
+
 /** Full streaming ingest: staged file source -> flatMapGroupsWithState
   * -> durable parquet sink, one file per micro-batch via AvailableNow.
   * Stream-final state must equal the batch replay exactly (the
