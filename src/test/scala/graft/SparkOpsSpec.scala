@@ -471,6 +471,40 @@ class StreamingReplaySpec extends AnyFunSuite with SharedSpark {
   }
 }
 
+/** Storage-layer log compaction: snapshot+tail replay must equal the
+  * full-log replay, including after advancing the boundary WITHOUT the
+  * retired history.
+  */
+class EventLogCompactionSpec extends AnyFunSuite with SharedSpark {
+  test("compact -> replay == full replay; advance stays equal") {
+    import graft.sources.EventLogCompaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val sf = "/root/testdata/sf0.001"
+    val full = EventReplay.replayPerUser(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val maxId = EventReplay.loadEvents(spark, sf).agg(max(col("event_id"))).first().getLong(0)
+    EventLogCompaction.compact(spark, sf, s"$dir/c1", maxId / 3)
+    def replayed(d: String): Map[Long, Double] = EventLogCompaction.replay(spark, d)
+      .select(col("user_id"), col("state_raw").cast("decimal(18,2)").cast("double").as("state"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(replayed(s"$dir/c1") == full)
+
+    // advance to 2/3 using ONLY snapshot+tail (history retired)
+    EventLogCompaction.advance(spark, s"$dir/c1", s"$dir/c2", 2 * maxId / 3)
+    assert(replayed(s"$dir/c2") == full)
+    // the advanced tail really shrank
+    val t1 = spark.read.parquet(s"$dir/c1/tail").count()
+    val t2 = spark.read.parquet(s"$dir/c2/tail").count()
+    assert(t2 < t1)
+    // n_events bookkeeping survives the advance
+    val nTotal = spark.read.parquet(s"$dir/c2/snapshot").agg(sum(col("n_events"))).first().getLong(0)
+    val nPrefix = EventReplay.loadEvents(spark, sf)
+      .filter(col("event_id") < 2 * maxId / 3).count()
+    assert(nTotal == nPrefix)
+  }
+}
+
 /** Streaming exact-dedup: only the first event per content hash passes;
   * duplicates are dropped ACROSS micro-batches (keyed state), and the
   * surviving hash set equals the batch distinct.
