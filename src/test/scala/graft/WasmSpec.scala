@@ -126,6 +126,39 @@ class WasmSpec extends AnyFunSuite {
     assert(e.getMessage.contains("wasm trap"))
   }
 
+  test("fuzz: interpreter matches the scala model on random payload/arg/command chains") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val en = new WasmEngine
+    en.addCommands(Seq(WasmModules.byteSearModule, WasmModules.xorModule))
+    def model(cmd: Int, arg: Array[Byte], dat: Array[Byte]): Array[Byte] = cmd match {
+      case 0 => dat.map(b => if (b == arg(0)) arg(1) else b)
+      case 1 => val k = if (arg.isEmpty) 0 else arg(0); dat.map(b => (b ^ k).toByte)
+    }
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 300)
+      dat <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+      steps <- Gen.chooseNum(1, 6)
+      cmds <- Gen.listOfN(steps, for {
+        cmd <- Gen.oneOf(0, 1)
+        a <- Gen.chooseNum(-128, 127).map(_.toByte)
+        b <- Gen.chooseNum(-128, 127).map(_.toByte)
+      } yield (cmd, Array(a, b)))
+    } yield (dat.toArray, cmds)
+    var seed = Seed(20260812L)
+    (1 to 150).foreach { i =>
+      val (dat0, cmds) = caseGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      var expected = dat0
+      var got: ArraySeq[Byte] = ArraySeq.unsafeWrapArray(dat0)
+      cmds.foreach { case (cmd, arg) =>
+        expected = model(cmd, arg, expected)
+        got = en.runEvent(cmd, ArraySeq.unsafeWrapArray(arg), got)
+      }
+      assert(got.toArray.toSeq == expected.toSeq, s"case $i diverged")
+    }
+  }
+
   test("full stack: shelve + merge through the WASM engine (byte-sear)") {
     val en = new WasmEngine
     val (first, _) = en.addCommands(Seq(WasmModules.byteSearModule, WasmModules.xorModule))
