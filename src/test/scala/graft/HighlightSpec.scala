@@ -57,6 +57,29 @@ class HighlightSpec extends AnyFunSuite {
     assert(out.contains(s"$esc[38;5;245m-- trailing"))
   }
 
+  test("property: coloring never alters text for random inputs, any syntax") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '/', '*', '"', '\'', '\\', '#', '-', '.', '_', '(', ')'),
+      1 -> Gen.oneOf('\t', '{', '}', ';', '=', '+'))
+    val lineGen = Gen.chooseNum(0, 60).flatMap(n => Gen.stringOfN(n, charGen))
+    val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, lineGen))
+    var seed = Seed(42L)
+    Seq("scala", "rs", "py", "sql", "sh").foreach { ext =>
+      (1 to 40).foreach { i =>
+        val doc = docGen.pureApply(Gen.Parameters.default, seed)
+        seed = seed.next
+        val h = Highlight.forExtension(ext).get
+        doc.foreach { l =>
+          val out = h.line(l)
+          assert(strip(out) == l, s"[$ext case $i] mangled: '$l' -> '${strip(out)}'")
+        }
+      }
+    }
+  }
+
   test("escaped quotes stay inside the string token") {
     val h = Highlight.forExtension("py").get
     val line = """s = "he said \"hi\" ok" + tail"""
