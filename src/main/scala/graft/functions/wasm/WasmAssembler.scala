@@ -49,6 +49,7 @@ object WasmAssembler {
     def block: this.type = op(0x02).op(0x40)
     def loop: this.type = op(0x03).op(0x40)
     def ifVoid: this.type = op(0x04).op(0x40)
+    def ifI32: this.type = op(0x04).op(0x7f) // typed if: arms yield one i32
     def els: this.type = op(0x05)
     def end: this.type = op(0x0b)
     def br(depth: Int): this.type = op(0x0c).u(depth)

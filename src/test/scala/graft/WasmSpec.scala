@@ -159,6 +159,78 @@ class WasmSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: random expression trees (typed ifs, select, all i32 ops) match a direct evaluator") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import WasmAssembler._
+    sealed trait E
+    case class C(v: Int) extends E
+    case class P(i: Int) extends E
+    case class B(op: Int, a: E, b: E) extends E // numeric + comparisons
+    case class If(c: E, t: E, e: E) extends E
+    case class Sel(c: E, a: E, b: E) extends E
+
+    val ops = Seq(0x6a, 0x6b, 0x6c, 0x71, 0x72, 0x73, 0x74, 0x76, // add..shr_u
+      0x46, 0x47, 0x49, 0x4f) // eq, ne, lt_u, ge_u
+    def gen(depth: Int): Gen[E] =
+      if (depth == 0) Gen.oneOf(Gen.chooseNum(-100, 100).map(C), Gen.oneOf(0, 1).map(P))
+      else Gen.frequency(
+        2 -> Gen.chooseNum(-100, 100).map(C),
+        2 -> Gen.oneOf(0, 1).map(P),
+        5 -> (for { op <- Gen.oneOf(ops); a <- gen(depth - 1); b <- gen(depth - 1) } yield B(op, a, b)),
+        2 -> (for { c <- gen(depth - 1); t <- gen(depth - 1); e <- gen(depth - 1) } yield If(c, t, e)),
+        1 -> (for { c <- gen(depth - 1); a <- gen(depth - 1); b <- gen(depth - 1) } yield Sel(c, a, b)))
+
+    def eval(e: E, p0: Int, p1: Int): Int = e match {
+      case C(v) => v
+      case P(i) => if (i == 0) p0 else p1
+      case B(op, a, b) =>
+        val x = eval(a, p0, p1); val y = eval(b, p0, p1)
+        op match {
+          case 0x6a => x + y; case 0x6b => x - y; case 0x6c => x * y
+          case 0x71 => x & y; case 0x72 => x | y; case 0x73 => x ^ y
+          case 0x74 => x << (y & 31); case 0x76 => x >>> (y & 31)
+          case 0x46 => if (x == y) 1 else 0
+          case 0x47 => if (x != y) 1 else 0
+          case 0x49 => if (Integer.compareUnsigned(x, y) < 0) 1 else 0
+          case 0x4f => if (Integer.compareUnsigned(x, y) >= 0) 1 else 0
+        }
+      case If(c, t, e2) => if (eval(c, p0, p1) != 0) eval(t, p0, p1) else eval(e2, p0, p1)
+      case Sel(c, a, b) => if (eval(c, p0, p1) != 0) eval(a, p0, p1) else eval(b, p0, p1)
+    }
+
+    def emit(f: FuncBuilder, e: E): Unit = e match {
+      case C(v) => f.i32Const(v)
+      case P(i) => f.localGet(i)
+      case B(op, a, b) =>
+        emit(f, a); emit(f, b)
+        op match {
+          case 0x6a => f.add; case 0x6b => f.sub; case 0x6c => f.mul
+          case 0x71 => f.and; case 0x72 => f.or; case 0x73 => f.xor
+          case 0x74 => f.shl; case 0x76 => f.shrU
+          case 0x46 => f.eq; case 0x47 => f.ne; case 0x49 => f.ltU; case 0x4f => f.geU
+        }
+      case If(c, t, e2) =>
+        emit(f, c); f.ifI32; emit(f, t); f.els; emit(f, e2); f.end
+      case Sel(c, a, b) =>
+        emit(f, a); emit(f, b); emit(f, c); f.select
+    }
+
+    var seed = Seed(77L)
+    (1 to 200).foreach { i =>
+      val tree = gen(4).pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val args = Gen.zip(Gen.chooseNum(Int.MinValue, Int.MaxValue),
+        Gen.chooseNum(Int.MinValue, Int.MaxValue)).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val fb = new FuncBuilder(params = 2, results = 1, locals = 0)
+      emit(fb, tree)
+      val wasm = module(Seq(fb), memPages = 1, globals = Nil, exports = Map("f" -> 0))
+      val got = new WasmInstance(WasmModule.decode(wasm)).invoke("f", args._1, args._2)
+      val expected = eval(tree, args._1, args._2)
+      assert(got == expected, s"case $i: got $got expected $expected tree $tree")
+    }
+  }
+
   test("full stack: shelve + merge through the WASM engine (byte-sear)") {
     val en = new WasmEngine
     val (first, _) = en.addCommands(Seq(WasmModules.byteSearModule, WasmModules.xorModule))
