@@ -799,8 +799,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
   }
 
-  test("no operator ever falls back to a cartesian product") {
-    Seq("q_neardup_minhash", "q_embed_neardup", "q_topk_cosine", "q_ann_lsh").foreach { q =>
+  test("no query in the whole surface plans a cartesian product") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(300)}")
     }
