@@ -253,6 +253,28 @@ object SparkEntry {
         .select(col("keep_id").as("doc_id"), col("content_hash"))
     }),
 
+    // the FULL curation shape: the exact-dedup winners additionally go
+    // through near-dup removal (minhash-LSH pairs; greedy keep-lowest-id
+    // policy — drop every doc_b of a verified pair). This ordering is
+    // the scale contract: exact dedup first collapses identical docs so
+    // near-dup's hot-bucket exposure shrinks before banding
+    "q_curation_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lang = TextAnalysis.langId(docs, "text", "doc_id")
+        .filter(col("marker_hits") >= 3).select("doc_id")
+      val quality = TextAnalysis.qualityStats(docs, "text", "doc_id")
+        .filter(col("n_words") >= 30 && col("stopword_ratio") <= 0.3)
+        .select("doc_id")
+      val eligible = docs.join(lang, "doc_id").join(quality, "doc_id")
+      val winners = Dedup.exact(eligible, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"), col("content_hash"))
+      val winnerDocs = docs.join(winners.select("doc_id"), "doc_id")
+      val drop = Dedup.nearDupPairs(winnerDocs, "text", "doc_id",
+          shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
+        .select(col("doc_b").as("doc_id")).distinct()
+      winners.join(drop, Seq("doc_id"), "left_anti")
+    }),
+
     "q_corpus_stats" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("source"), Dedup.tokens(col("text")).as("toks"), col("n_chars"))
@@ -572,6 +594,8 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS content_hash
         |FROM eligible GROUP BY md5(lower(trim(text)))""".stripMargin,
 
+    "q_curation_full" -> curationFullOracle,
+
     "q_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
@@ -773,6 +797,74 @@ object SparkEntry {
       |  FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of q_curation_full: the q_curation_pipeline winners
+    * CTE chain, then the full banded-minhash near-dup algebra (same
+    * masks/cap as [[neardupOracle]]) restricted to winners, then the
+    * greedy drop-doc_b anti-join.
+    */
+  private def curationFullOracle: String =
+    """WITH toks AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |lang AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, lang, score,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      |    FROM (
+      |      SELECT doc_id, 'en' AS lang, len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x))) AS score FROM toks
+      |      UNION ALL SELECT doc_id, 'de', len(list_filter(t, x -> list_contains(['der','die','und','ist','das'], x))) FROM toks
+      |      UNION ALL SELECT doc_id, 'fr', len(list_filter(t, x -> list_contains(['le','la','et','est','les'], x))) FROM toks
+      |      UNION ALL SELECT doc_id, 'es', len(list_filter(t, x -> list_contains(['el','la','y','es','los'], x))) FROM toks
+      |      UNION ALL SELECT doc_id, 'zh', len(list_filter(t, x -> list_contains(['de','shi','le','wo','ni'], x))) FROM toks))
+      |  WHERE rn = 1 AND score >= 3),
+      |quality AS (
+      |  SELECT doc_id FROM toks
+      |  WHERE len(t) >= 30
+      |    AND round(CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+      |      / greatest(len(t), 1), 6) <= 0.3),
+      |eligible AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  JOIN lang USING (doc_id) JOIN quality USING (doc_id)),
+      |winners AS (
+      |  SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS content_hash
+      |  FROM eligible GROUP BY md5(lower(trim(text)))),
+      |wt AS (SELECT w.doc_id,
+      |    list_filter(string_split_regex(lower(d.text), ' +'), x -> len(x) > 0) AS t
+      |  FROM winners w JOIN documents d USING (doc_id)),
+      |shr AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM wt),
+      |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shr),
+      |m AS (SELECT doc_id,
+      |    min(xor(h, 209447588586780011)) AS h0,
+      |    min(xor(h, 936341403301489455)) AS h1,
+      |    min(xor(h, 295277263637340404)) AS h2,
+      |    min(xor(h, 563676826287926931)) AS h3,
+      |    min(xor(h, 422759062283486138)) AS h4,
+      |    min(xor(h, 787458769371879955)) AS h5,
+      |    min(xor(h, 276480797554209527)) AS h6,
+      |    min(xor(h, 940242011891231416)) AS h7,
+      |    min(xor(h, 17226769401980447)) AS h8,
+      |    min(xor(h, 462358560736444671)) AS h9,
+      |    min(xor(h, 914886181343869267)) AS h10,
+      |    min(xor(h, 639468835962388899)) AS h11
+      |  FROM hs GROUP BY doc_id),
+      |b0 AS (SELECT doc_id, unnest([md5(h0 || '|' || h1), md5(h2 || '|' || h3), md5(h4 || '|' || h5), md5(h6 || '|' || h7), md5(h8 || '|' || h9), md5(h10 || '|' || h11)]) AS band_key FROM m),
+      |b AS (SELECT doc_id, band_key FROM b0
+      |  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= 128),
+      |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM b l JOIN b r USING (band_key) WHERE l.doc_id < r.doc_id),
+      |s2 AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM wt),
+      |j AS (SELECT doc_a, doc_b,
+      |    len(list_intersect(sa.sh, sb.sh)) AS inter, len(sa.sh) AS la, len(sb.sh) AS lb
+      |  FROM cand JOIN s2 sa ON sa.doc_id = doc_a JOIN s2 sb ON sb.doc_id = doc_b),
+      |dropd AS (SELECT DISTINCT doc_b AS doc_id FROM j
+      |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.4)
+      |SELECT w.doc_id, w.content_hash FROM winners w
+      |ANTI JOIN dropd ON w.doc_id = dropd.doc_id""".stripMargin
 
   /** DuckDB mirror of q_ann_ivf: identical md5-derived centroids,
     * identical sequential-order double arithmetic for assignment
