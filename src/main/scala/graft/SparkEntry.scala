@@ -207,6 +207,14 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))),
 
+    // winnowing (MOSS) fingerprints: aggregated per doc so the output
+    // stays compact — the full set is what q-grams share detection uses
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_fingerprints"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))),
+
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents"), "text", "doc_id")),
 
@@ -595,6 +603,22 @@ object SparkEntry {
         |FROM eligible GROUP BY md5(lower(trim(text)))""".stripMargin,
 
     "q_curation_full" -> curationFullOracle,
+
+    // mirrors Dedup.winnowFingerprints (k=8, w=4): per-position md5
+    // grams, min over a 4-row following window, full windows only
+    "q_winnow" ->
+      """WITH d AS (SELECT doc_id, text, len(text) - 8 + 1 AS maxpos
+        |  FROM documents WHERE len(text) >= 11),
+        |p AS (SELECT doc_id, maxpos, text, unnest(range(1, maxpos + 1)) AS pos FROM d),
+        |g AS (SELECT doc_id, maxpos, pos, md5(substr(text, CAST(pos AS INT), 8)) AS h FROM p),
+        |w AS (SELECT doc_id, maxpos, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= maxpos - 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+        |  min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM fps GROUP BY doc_id""".stripMargin,
 
     "q_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,

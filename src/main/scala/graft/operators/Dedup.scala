@@ -245,4 +245,39 @@ object Dedup {
   def fingerprint(docs: DataFrame, textCol: String, idCol: String, w: Int = 5): DataFrame =
     Par.spread(docs).select(col(idCol).as("doc_id"), explode(shingles(col(textCol), w)).as("s"))
       .groupBy("doc_id").agg(min(md5(col("s"))).as("fingerprint"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every `k`-char gram, slide a window of
+    * `w` consecutive gram hashes, keep each window's minimum; the
+    * distinct kept hashes are the document's fingerprint set. The
+    * guarantee: any shared substring of length >= k + w - 1 between
+    * two documents yields at least one shared fingerprint, so
+    * fingerprint-set intersection detects partial overlap (plagiarism/
+    * quotation), which whole-document hashing cannot.
+    *
+    * Pure column algebra: explode gram positions, hash, min over a
+    * rows-window — one shuffle on doc_id, map-side nothing quadratic.
+    * (A CPU implementation uses a Rabin rolling hash to make each
+    * gram O(1); the selection algebra — what the oracle must agree
+    * on — is identical with md5 per gram.)
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Par.spread(docs)
+      .filter(length(col(textCol)) >= k + w - 1) // too short -> no full window
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        (length(col(textCol)) - k + 1).as("__maxpos"))
+      .select(col("doc_id"), col("__maxpos"),
+        explode(sequence(lit(1), col("__maxpos"))).as("pos"),
+        col("__text"))
+      .select(col("doc_id"), col("__maxpos"), col("pos"),
+        md5(expr(s"substring(__text, pos, $k)")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("__maxpos") - w + 1) // full windows only
+      .select(col("doc_id"), col("fp")).distinct()
+  }
 }

@@ -183,6 +183,24 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(got(2L)._1 == 0L)
   }
 
+  test("winnowing guarantee: shared substring >= k+w-1 yields a shared fingerprint") {
+    import spark.implicits._
+    val shared = "uniquesharedsequencehere" // 24 chars >= 8+4-1
+    val a = "prefix text one " + shared + " tail alpha padding padding"
+    val b = "completely different opening " + shared + " other ending here"
+    val c = "no overlap with anything else at all in this document body"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring produced no shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty || (fps(2L) & fps(3L)).isEmpty,
+      "unrelated doc shares fingerprints with both others")
+    // too-short docs are excluded, not errored
+    val tiny = Seq((9L, "short")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(tiny, "text", "doc_id").count() == 0)
+  }
+
   test("media payloads are valid containers and parse back to constructed dims") {
     import spark.implicits._
     // ids 0,1,2 -> png, bmp, wav; text of 700 bytes crosses the
