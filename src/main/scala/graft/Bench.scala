@@ -19,6 +19,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // straggler armor: this box shows rare single-task stalls from
+      // host-level page management (zero GC, thread parked 10-40 s —
+      // see PLANS.md). The heap is pre-touched (build.sbt); speculation
+      // re-launches any task 4x over the stage median so one stalled
+      // thread cannot gate a whole query — which is also exactly the
+      // posture a real 1000-executor job runs with.
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "1s")
+      .config("spark.speculation.multiplier", "2")
+      // many stages here have 3-4 tasks: at the default quantile 0.75
+      // a single stalled task of 3 blocks speculation forever (2/3 <
+      // 0.75); 0.5 lets the healthy majority trigger it
+      .config("spark.speculation.quantile", "0.5")
+      .config("spark.speculation.efficiency.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
