@@ -251,12 +251,10 @@ object SparkEntry {
     // the operators into) ----
     "q_curation_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val lang = TextAnalysis.langId(docs, "text", "doc_id")
-        .filter(col("marker_hits") >= 3).select("doc_id")
-      val quality = TextAnalysis.qualityStats(docs, "text", "doc_id")
-        .filter(col("n_words") >= 30 && col("stopword_ratio") <= 0.3)
-        .select("doc_id")
-      val eligible = docs.join(lang, "doc_id").join(quality, "doc_id")
+      // fused single-scan gate: lang + quality thresholds in one
+      // projection — 1 corpus read instead of 3
+      val eligible = TextAnalysis.curationGate(docs, "text", "doc_id",
+        minMarkers = 3, minWords = 30, maxStopRatio = 0.3)
       Dedup.exact(eligible, "text", "doc_id")
         .select(col("keep_id").as("doc_id"), col("content_hash"))
     }),
@@ -268,12 +266,9 @@ object SparkEntry {
     // near-dup's hot-bucket exposure shrinks before banding
     "q_curation_full" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val lang = TextAnalysis.langId(docs, "text", "doc_id")
-        .filter(col("marker_hits") >= 3).select("doc_id")
-      val quality = TextAnalysis.qualityStats(docs, "text", "doc_id")
-        .filter(col("n_words") >= 30 && col("stopword_ratio") <= 0.3)
-        .select("doc_id")
-      val eligible = docs.join(lang, "doc_id").join(quality, "doc_id")
+      // fused single-scan gate (lang + quality in one projection)
+      val eligible = TextAnalysis.curationGate(docs, "text", "doc_id",
+        minMarkers = 3, minWords = 30, maxStopRatio = 0.3)
       val winners = Dedup.exact(eligible, "text", "doc_id")
         .select(col("keep_id").as("doc_id"), col("content_hash"))
       val winnerDocs = docs.join(winners.select("doc_id"), "doc_id")

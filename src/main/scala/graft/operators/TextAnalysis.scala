@@ -58,6 +58,30 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "y", "es", "los"),
     "zh" -> Seq("de", "shi", "le", "wo", "ni"))
 
+  /** Fused curation gate: language-marker AND quality thresholds in ONE
+    * projection over ONE scan — the composed-pipeline shape for scale
+    * (the unfused version reads the corpus once per gate; at 100 TB
+    * each extra pass is a full-corpus read). Returns the eligible
+    * (idCol, textCol) rows; semantics identical to
+    * `langId(...).filter(marker_hits >= minMarkers)` ∩
+    * `qualityStats(...).filter(n_words >= minWords && stopword_ratio
+    * <= maxStopRatio)`.
+    */
+  def curationGate(docs: DataFrame, textCol: String, idCol: String,
+                   minMarkers: Int, minWords: Int, maxStopRatio: Double): DataFrame = {
+    docs
+      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .withColumn("__hits", greatest(LangProfiles.map { case (_, words) =>
+        size(filter(col("__toks"), t => array_contains(lit(words.toArray), t)))
+      }: _*))
+      .withColumn("__nw", size(col("__toks")))
+      .withColumn("__stop", round(
+        size(filter(col("__toks"), t => array_contains(lit(Stopwords.toArray), t))).cast("double")
+          / greatest(col("__nw"), lit(1)).cast("double"), 6))
+      .filter(col("__hits") >= minMarkers && col("__nw") >= minWords && col("__stop") <= maxStopRatio)
+      .select(col(idCol), col(textCol))
+  }
+
   /** n-gram/function-word language-ID heuristic: count profile hits per
     * language over the token set, argmax score with lexicographic
     * tie-break, 'und' (undetermined) when nothing matches.
