@@ -94,6 +94,7 @@ object MediaCodec {
     var o = 12
     while (o + 8 <= p.length) {
       val size = le32(p, o + 4)
+      if (size < 0) return Unknown // corrupted size: no backward/stalled scan
       if (p(o) == 'f' && p(o + 1) == 'm' && p(o + 2) == 't' && p(o + 3) == ' ' && o + 8 + 16 <= p.length) {
         val channels = le16(p, o + 10)
         val rate = le32(p, o + 12)

@@ -271,6 +271,34 @@ class MediaCodecSpec extends AnyFunSuite {
     val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0)
     assert(MediaCodec.decode(sig) == MediaCodec.Unknown)
   }
+
+  test("fuzz: decode never throws — random bytes and mutated valid headers") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 500).foreach { _ =>
+      val p = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(p)
+      MediaCodec.decode(p) // any Meta is fine; throwing is the failure
+    }
+    // byte-flip corruptions of genuinely valid files — parsers must
+    // survive arbitrary header damage (truncation already covered)
+    val valid = Seq(
+      MediaCodec.png("payload".getBytes, 4, 2),
+      MediaCodec.bmp24("xyz".getBytes, 2, 2),
+      MediaCodec.wav8(Array[Byte](1, 2, 3), 8000))
+    valid.foreach { v =>
+      (1 to 300).foreach { _ =>
+        val m = v.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        MediaCodec.decode(m)
+        MediaCodec.decode(m.take(rnd.nextInt(m.length + 1)))
+      }
+    }
+    // crafted negative RIFF chunk size: must return (not stall/throw)
+    val evil = MediaCodec.wav8(Array[Byte](1, 2, 3), 8000).clone()
+    evil(12) = 'X'; evil(13) = 'X'; evil(14) = 'X'; evil(15) = 'X' // not "fmt "
+    evil(16) = -9; evil(17) = -1; evil(18) = -1; evil(19) = -1 // size = -9
+    assert(MediaCodec.decode(evil) == MediaCodec.Unknown)
+  }
 }
 
 class GraftFunctionsSpec extends AnyFunSuite with SharedSpark {

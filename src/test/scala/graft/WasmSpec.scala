@@ -87,6 +87,26 @@ class WasmSpec extends AnyFunSuite {
     val t3 = intercept[WasmTrap](new WasmInstance(mod, maxPages = 1).invoke("touch", 2 * 65536))
   }
 
+  test("interpreter: recursive calls (factorial via self-call)") {
+    import WasmAssembler._
+    // fact(n) = n == 0 ? 1 : n * fact(n - 1)
+    val fact = new FuncBuilder(params = 1, results = 1, locals = 0)
+    fact
+      .localGet(0).eqz
+      .ifI32
+        .i32Const(1)
+      .els
+        .localGet(0)
+        .localGet(0).i32Const(1).sub.call(0)
+        .mul
+      .end
+    val wasm = module(Seq(fact), memPages = 1, globals = Nil, exports = Map("fact" -> 0))
+    val inst = new WasmInstance(WasmModule.decode(wasm))
+    assert(inst.invoke("fact", 0) == 1)
+    assert(inst.invoke("fact", 5) == 120)
+    assert(inst.invoke("fact", 12) == 479001600)
+  }
+
   test("imports are rejected: the sandbox is closed") {
     // minimal module with an import section: magic+version, then
     // section 2 declaring one function import "e"."f"
