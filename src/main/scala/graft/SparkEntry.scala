@@ -339,6 +339,15 @@ object SparkEntry {
     "q_media_decode" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.withMediaPayload(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
+        .select("doc_id", "kind", "width", "height", "channels", "sample_rate", "bit_depth")),
+
+    // decode -> transform -> re-decode: BMPs half-resized (real pixel
+    // sampling), WAVs 2x sample-decimated, PNGs untouched; the oracle
+    // predicts the re-parsed metadata from the construction formulas
+    "q_media_transform" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.transformMedia(
+          Multimodal.withMediaPayload(t(s, dir, "documents"), "text", "doc_id"), "doc_id"), "doc_id")
         .select("doc_id", "kind", "width", "height", "channels", "sample_rate", "bit_depth"))
   )
 
@@ -692,7 +701,31 @@ object SparkEntry {
         |  CAST(CASE f WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS INT) AS channels,
         |  CAST(CASE f WHEN 2 THEN 8000 + n % 8000 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE f WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // q_media_decode's formulas with the transform applied: bmp dims
+    // ceil-halved, wav sample rate floor-halved, png unchanged
+    "q_media_transform" ->
+      """WITH d AS (SELECT doc_id, greatest(octet_length(encode(text)), 1) AS n FROM documents),
+        |w AS (SELECT doc_id, n, CAST(doc_id % 3 AS INT) AS f,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN (n - 1) % 512 + 1
+        |      WHEN 1 THEN (n - 1) % 256 + 1
+        |      ELSE 0 END AS wid
+        |  FROM d),
+        |h AS (SELECT doc_id, n, f, wid,
+        |    CASE f WHEN 0 THEN (n + wid - 1) // wid
+        |      WHEN 1 THEN (n + 3 * wid - 1) // (3 * wid)
+        |      ELSE 0 END AS hgt
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
+        |  CAST(CASE f WHEN 1 THEN (wid + 1) // 2 ELSE wid END AS INT) AS width,
+        |  CAST(CASE f WHEN 1 THEN (hgt + 1) // 2 ELSE hgt END AS INT) AS height,
+        |  CAST(CASE f WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE f WHEN 2 THEN (8000 + n % 8000) // 2 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE f WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth
+        |FROM h""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally

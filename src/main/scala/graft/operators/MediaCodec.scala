@@ -183,6 +183,52 @@ object MediaCodec {
     p
   }
 
+  // ---- transforms (real pixel/sample manipulation, not stubs) -------
+
+  /** Nearest-neighbor half-resize of a 24bpp bottom-up BMP: keep every
+    * even-indexed pixel/row -> ceil(w/2) x ceil(h/2). Non-BMP or
+    * foreign BMP flavors pass through unchanged.
+    */
+  def bmpResizeHalf(p: Array[Byte]): Array[Byte] = {
+    if (!isBmp(p)) return p
+    val w = le32(p, 18); val h = le32(p, 22); val bpp = le16(p, 28)
+    if (w <= 0 || h <= 0 || bpp != 24) return p
+    val rowSize = (w * 3 + 3) / 4 * 4
+    if (54 + rowSize.toLong * h > p.length) return p
+    val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+    val content = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = 54 + (2 * y) * rowSize + 3 * (2 * x)
+        val dst = (y * w2 + x) * 3
+        content(dst) = p(src); content(dst + 1) = p(src + 1); content(dst + 2) = p(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    bmp24(content, w2, h2)
+  }
+
+  /** Sample decimation of our 8-bit mono PCM WAV: keep every
+    * `factor`-th sample, divide the sample rate — the audio analog of
+    * frame sampling. Non-WAV (or non-8-bit/mono) passes through.
+    */
+  def wavDownsample(p: Array[Byte], factor: Int): Array[Byte] = {
+    if (!isWav(p) || factor <= 1) return p
+    val m = decodeWav(p)
+    if (m.kind != "wav" || m.channels != 1 || m.bitDepth != 8) return p
+    // our writer puts the data chunk at 36; verify before trusting it
+    if (!(p(36) == 'd' && p(37) == 'a' && p(38) == 't' && p(39) == 'a')) return p
+    val len = le32(p, 40)
+    if (len < 0 || 44 + len > p.length) return p
+    val out = new Array[Byte]((len + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = p(44 + i * factor); i += 1 }
+    wav8(out, m.sampleRate / factor)
+  }
+
   private def wbe32(p: Array[Byte], o: Int, v: Int): Unit = {
     p(o) = (v >>> 24).toByte; p(o + 1) = (v >>> 16).toByte
     p(o + 2) = (v >>> 8).toByte; p(o + 3) = v.toByte

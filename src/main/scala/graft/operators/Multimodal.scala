@@ -63,6 +63,25 @@ object Multimodal {
     docs.withColumn("payload", mk(col(idCol).cast("long"), col(textCol)))
   }
 
+  /** Media transform stage: REAL pixel/sample manipulation per payload
+    * kind — BMP half-resize (nearest neighbor), WAV 2x sample
+    * decimation; PNG/unknown pass through. Per-partition streaming,
+    * same constant-memory shape as [[extractFeatures]].
+    */
+  def transformMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val out = MediaCodec.decode(payload).kind match {
+          case "bmp" => MediaCodec.bmpResizeHalf(payload)
+          case "wav" => MediaCodec.wavDownsample(payload, 2)
+          case _ => payload
+        }
+        (id, out)
+      }).toDF(idCol, "payload")
+  }
+
   /** Batch feature extraction over the binary column: one decoder +
     * digest instance per partition, streaming row-at-a-time (constant
     * memory — no per-partition materialization), hash + parsed

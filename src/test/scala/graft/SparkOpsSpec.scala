@@ -272,6 +272,26 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decode(sig) == MediaCodec.Unknown)
   }
 
+  test("bmp half-resize samples even pixels; wav downsample keeps every 2nd sample") {
+    // 4x2 BMP, pixel (x,y) = value 10*y + x in all three channels
+    val content = new Array[Byte](4 * 2 * 3)
+    for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3)
+      content((y * 4 + x) * 3 + c) = (10 * y + x).toByte
+    val bmp = MediaCodec.bmp24(content, 4, 2)
+    val half = MediaCodec.bmpResizeHalf(bmp)
+    assert(MediaCodec.decode(half) == MediaCodec.Meta("bmp", 2, 1, 3, 0, 24))
+    // surviving pixels: (0,0)=0 and (2,0)=2 (even x, even y)
+    val rowSize = (2 * 3 + 3) / 4 * 4
+    assert(half(54) == 0 && half(54 + 3) == 2)
+    // idempotent on non-BMP input
+    assert(MediaCodec.bmpResizeHalf("not a bmp".getBytes).sameElements("not a bmp".getBytes))
+
+    val wav = MediaCodec.wav8(Array[Byte](10, 20, 30, 40, 50), 8000)
+    val down = MediaCodec.wavDownsample(wav, 2)
+    assert(MediaCodec.decode(down) == MediaCodec.Meta("wav", 0, 0, 1, 4000, 8))
+    assert(down.drop(44).toSeq == Seq[Byte](10, 30, 50))
+  }
+
   test("fuzz: decode never throws — random bytes and mutated valid headers") {
     val rnd = new scala.util.Random(20260812L)
     (1 to 500).foreach { _ =>
