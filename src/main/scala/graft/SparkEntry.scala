@@ -703,8 +703,8 @@ object SparkEntry {
         |  CAST(CASE f WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth
         |FROM w""".stripMargin,
 
-    // q_media_decode's formulas with the transform applied: bmp dims
-    // ceil-halved, wav sample rate floor-halved, png unchanged
+    // q_media_decode's formulas with the transform applied: png/bmp
+    // dims ceil-halved, wav sample rate floor-halved
     "q_media_transform" ->
       """WITH d AS (SELECT doc_id, greatest(octet_length(encode(text)), 1) AS n FROM documents),
         |w AS (SELECT doc_id, n, CAST(doc_id % 3 AS INT) AS f,
@@ -720,8 +720,8 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id,
         |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
-        |  CAST(CASE f WHEN 1 THEN (wid + 1) // 2 ELSE wid END AS INT) AS width,
-        |  CAST(CASE f WHEN 1 THEN (hgt + 1) // 2 ELSE hgt END AS INT) AS height,
+        |  CAST(CASE WHEN f IN (0, 1) THEN (wid + 1) // 2 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN f IN (0, 1) THEN (hgt + 1) // 2 ELSE 0 END AS INT) AS height,
         |  CAST(CASE f WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS INT) AS channels,
         |  CAST(CASE f WHEN 2 THEN (8000 + n % 8000) // 2 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE f WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth

@@ -211,6 +211,63 @@ object MediaCodec {
     bmp24(content, w2, h2)
   }
 
+  /** Nearest-neighbor half-resize of an 8-bit greyscale filter-0 PNG
+    * (the flavor [[png]] emits): inflate the scanlines, keep every
+    * even pixel/row, re-emit a valid PNG. Other PNG flavors (or
+    * non-PNG) pass through — resampling filtered/interlaced/color
+    * PNGs needs a full decoder.
+    */
+  def pngResizeHalf(p: Array[Byte]): Array[Byte] = {
+    if (!isPng(p)) return p
+    val m = decodePng(p)
+    if (m.kind != "png" || m.bitDepth != 8 || m.channels != 1 || m.width <= 0 || m.height <= 0) return p
+    // collect IDAT payloads (chunk walk from the first chunk)
+    val idat = new ByteArrayOutputStream()
+    var o = 8
+    var ok = true
+    while (ok && o + 8 <= p.length) {
+      val len = be32(p, o)
+      if (len < 0 || o + 12 + len > p.length) ok = false
+      else {
+        val typ = new String(p, o + 4, 4, US_ASCII)
+        if (typ == "IDAT") idat.write(p, o + 8, len)
+        o += 12 + len
+        if (typ == "IEND") o = p.length
+      }
+    }
+    if (!ok) return p
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((m.width + 1) * m.height)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return p // truncated stream
+        got += n
+      }
+    } finally inf.end()
+    if (got != raw.length) return p // unexpected layout: leave untouched
+    // verify filter-0 rows, then sample even pixels of even rows
+    var r = 0
+    while (r < m.height) {
+      if (raw(r * (m.width + 1)) != 0) return p
+      r += 1
+    }
+    val w2 = (m.width + 1) / 2; val h2 = (m.height + 1) / 2
+    val content = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        content(y * w2 + x) = raw((2 * y) * (m.width + 1) + 1 + 2 * x)
+        x += 1
+      }
+      y += 1
+    }
+    png(content, w2, h2)
+  }
+
   /** Sample decimation of our 8-bit mono PCM WAV: keep every
     * `factor`-th sample, divide the sample rate — the audio analog of
     * frame sampling. Non-WAV (or non-8-bit/mono) passes through.

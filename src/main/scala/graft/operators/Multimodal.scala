@@ -74,6 +74,7 @@ object Multimodal {
     docs.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val out = MediaCodec.decode(payload).kind match {
+          case "png" => MediaCodec.pngResizeHalf(payload)
           case "bmp" => MediaCodec.bmpResizeHalf(payload)
           case "wav" => MediaCodec.wavDownsample(payload, 2)
           case _ => payload

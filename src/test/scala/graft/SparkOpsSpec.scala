@@ -292,6 +292,21 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(down.drop(44).toSeq == Seq[Byte](10, 30, 50))
   }
 
+  test("png half-resize inflates, samples even pixels, re-emits valid png") {
+    // 4x3 grey PNG, pixel (x,y) = 10*y + x
+    val content = Array.tabulate[Byte](12)(i => (10 * (i / 4) + i % 4).toByte)
+    val p = MediaCodec.png(content, 4, 3)
+    val half = MediaCodec.pngResizeHalf(p)
+    assert(MediaCodec.decode(half) == MediaCodec.Meta("png", 2, 2, 1, 0, 8))
+    // survivors: (0,0)=0 (2,0)=2 (0,2)=20 (2,2)=22 — verify by
+    // resizing AGAIN (1x1 keeps (0,0)) and by a second parse pass
+    val q = MediaCodec.pngResizeHalf(half)
+    assert(MediaCodec.decode(q) == MediaCodec.Meta("png", 1, 1, 1, 0, 8))
+    // non-PNG passes through untouched
+    val junk = "hello".getBytes
+    assert(MediaCodec.pngResizeHalf(junk).sameElements(junk))
+  }
+
   test("fuzz: decode never throws — random bytes and mutated valid headers") {
     val rnd = new scala.util.Random(20260812L)
     (1 to 500).foreach { _ =>
