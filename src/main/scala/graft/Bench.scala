@@ -64,7 +64,11 @@ object Bench {
     catch { case _: Throwable => () }
     graft.plans.CheckpointHygiene.releaseAll(spark)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev iteration: SPARK_GRAFT_ONLY=q_a,q_b restricts the run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }

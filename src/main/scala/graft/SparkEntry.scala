@@ -208,12 +208,11 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))),
 
     // winnowing (MOSS) fingerprints: aggregated per doc so the output
-    // stays compact — the full set is what q-grams share detection uses
+    // stays compact — the full set is what q-grams share detection uses.
+    // winnowSummary keeps the aggregate inside the row (array algebra),
+    // so the plan is scan -> project with zero exchange.
     "q_winnow" -> ((s, dir) =>
-      Dedup.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_fingerprints"),
-          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))),
+      Dedup.winnowSummary(t(s, dir, "documents"), "text", "doc_id")),
 
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents"), "text", "doc_id")),

@@ -255,29 +255,46 @@ object Dedup {
     * fingerprint-set intersection detects partial overlap (plagiarism/
     * quotation), which whole-document hashing cannot.
     *
-    * Pure column algebra: explode gram positions, hash, min over a
-    * rows-window — one shuffle on doc_id, map-side nothing quadratic.
+    * Pure column algebra, ZERO shuffle: the whole selection is
+    * per-document, so it runs as array higher-order functions inside
+    * one projection over the scan — gram-hash array, sliding-window
+    * minima via slice+array_min, array_distinct — instead of exploding
+    * one row per character position and shuffling them all through a
+    * doc_id window (which at corpus scale moves ~|text| rows per doc
+    * through an exchange for what is a map-side computation).
     * (A CPU implementation uses a Rabin rolling hash to make each
     * gram O(1); the selection algebra — what the oracle must agree
     * on — is identical with md5 per gram.)
     */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
-                         k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Par.spread(docs)
+                         k: Int = 8, w: Int = 4): DataFrame =
+    winnowFpSets(docs, textCol, idCol, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** Per-document distinct winnowing fingerprint set as an array column
+    * `fps` — the map-side core of [[winnowFingerprints]]. No shuffle,
+    * no explode; each row is computed independently.
+    */
+  def winnowFpSets(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int = 8, w: Int = 4): DataFrame =
+    docs
       .filter(length(col(textCol)) >= k + w - 1) // too short -> no full window
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        (length(col(textCol)) - k + 1).as("__maxpos"))
-      .select(col("doc_id"), col("__maxpos"),
-        explode(sequence(lit(1), col("__maxpos"))).as("pos"),
-        col("__text"))
-      .select(col("doc_id"), col("__maxpos"), col("pos"),
-        md5(expr(s"substring(__text, pos, $k)")).as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("fp", min(col("h")).over(win))
-      .filter(col("pos") <= col("__maxpos") - w + 1) // full windows only
-      .select(col("doc_id"), col("fp")).distinct()
-  }
+      .select(col(idCol).as("doc_id"),
+        transform(sequence(lit(1), length(col(textCol)) - k + 1),
+          p => md5(col(textCol).substr(p, lit(k)))).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("hs")) - w + 1),
+          i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
+
+  /** Per-document fingerprint summary (count/min/max) straight off the
+    * array — the aggregate never leaves the row, so the whole query is
+    * scan → project with no exchange at all.
+    */
+  def winnowSummary(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8, w: Int = 4): DataFrame =
+    winnowFpSets(docs, textCol, idCol, k, w)
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
 }
