@@ -230,6 +230,61 @@ object SparkEntry {
     "q_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Gopher-style repetition signals — zero-shuffle fold over sorted
+    // per-doc gram arrays (see TextAnalysis.repetitionStats)
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")),
+
+    // PII scrub over deterministically augmented text (the corpus is
+    // synthetic word soup with no PII, so the query plants emails/IPs/
+    // phone numbers on a doc_id grid — the SAME augmentation runs in
+    // the oracle, so match counts and redaction are fully exercised)
+    "q_pii" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text2", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".17 up"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call +1-415-555-"),
+            lpad((col("doc_id") % 100).cast("string"), 4, "0"),
+            lit(" ok"))).otherwise(lit(""))))
+      TextAnalysis.piiScrub(aug, "text2", "doc_id")
+    }),
+
+    // ---- LLM-pipeline: curation beyond dedup ----
+    // benchmark decontamination: contamination scores of the corpus
+    // (doc_id % 50 != 3) against a held-out "test set" (% 50 == 3);
+    // flagged = sharing >= 3 distinct word-3-grams with any test doc
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contamination(
+        docs.filter(col("doc_id") % 50 =!= 3),
+        docs.filter(col("doc_id") % 50 === 3),
+        "text", "doc_id", n = 3)
+        .filter(col("n_overlap") >= 3)
+    }),
+
+    // deterministic md5 train/val/test split (90/5/5)
+    "q_hash_split" -> ((s, dir) =>
+      Curation.hashSplit(t(s, dir, "documents"), "doc_id")),
+
+    // deterministic stratified sampling with per-source rates
+    // (the domain-mixture lever: 50% src0, 25% src1, 5% src2, 10% rest)
+    "q_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 500, "src1" -> 250, "src2" -> 50), defaultPerMille = 100)
+        .select(col("doc_id"), col("source"))),
+
+    // SemDeDup-shape semantic dedup over embeddings: IVF-clustered
+    // candidates, exact-cosine verify, keep lowest id per near-pair
+    "q_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), tau = 0.3, dim = 64)
+        .select(col("vec_id"), col("list_id").cast("long").as("list_id"))),
+
     // OP-21 sear + OP-16 substitute as text operators
     "q_substitute" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -563,6 +618,85 @@ object SparkEntry {
         |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess,
         |  CAST(score AS BIGINT) AS marker_hits
         |FROM best WHERE rn = 1""".stripMargin,
+
+    // mirrors TextAnalysis.repetitionStats: per-gram counts via
+    // group-by (the fold over the sorted array selects the identical
+    // (cnt DESC, gram ASC) argmax), left joins for gram-less docs
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(toks) - 1, 0) + 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t),
+        |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, g, cnt FROM c2
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) = 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS g FROM t),
+        |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+        |d3 AS (SELECT doc_id, sum((cnt - 1) * len(g)) AS dup, sum(cnt * len(g)) AS tot
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |  round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS dup_word_frac,
+        |  coalesce(top2.g, '') AS top2_gram,
+        |  CAST(coalesce(top2.cnt, 0) AS BIGINT) AS top2_count,
+        |  round(CAST(coalesce(top2.cnt, 0) AS DOUBLE) * len(coalesce(top2.g, '')) / greatest(len(t.text), 1), 6) AS top2_char_frac,
+        |  round(CAST(coalesce(d3.dup, 0) AS DOUBLE) / greatest(coalesce(d3.tot, 0), 1), 6) AS dup3_char_frac
+        |FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)""".stripMargin,
+
+    // mirrors q_pii: identical augmentation grid, identical RE2/Java
+    // common-subset regexes, identical email -> IP -> phone redaction
+    // order ('g' flag: DuckDB replaces first match only by default)
+    "q_pii" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.17 up' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' call +1-415-555-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') || ' ok' ELSE '' END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  (len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t2, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+        |    + len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\s]{6,}[0-9]'))) > 0 AS has_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug""".stripMargin,
+
+    // mirrors Curation.contamination on the %50 test/corpus split
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+        |test AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 3),
+        |corp AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 3),
+        |ov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM corp JOIN test USING (g) GROUP BY doc_id)
+        |SELECT doc_id, n_overlap FROM ov WHERE n_overlap >= 3""".stripMargin,
+
+    // mirrors Curation.hashSplit (salt 'split', 90/5/5)
+    "q_hash_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)""".stripMargin,
+
+    // mirrors Curation.stratifiedSample (salt 'sample', per-mille rates)
+    "q_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5('sample|' || doc_id), 1, 15))::BIGINT % 1000 <
+        |  CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 WHEN 'src2' THEN 50 ELSE 100 END""".stripMargin,
+
+    "q_semantic_dedup" -> semanticDedupOracle,
 
     "q_substitute" ->
       "SELECT doc_id, replace(replace(text, 'spark', 'SPARK'), 'data', 'DATA') AS text FROM documents",
@@ -950,6 +1084,38 @@ object SparkEntry {
       |  FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of q_semantic_dedup: identical IVF assignment
+    * algebra as [[annIvfOracle]], capped within-list pair generation
+    * (same cap-128 QUALIFY as every LSH oracle), exact-cosine verify
+    * at tau=0.3, drop the higher id of each verified pair.
+    */
+  private def semanticDedupOracle: String =
+    """WITH cent AS (
+      |  SELECT c.c, list(
+      |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+      |      ORDER BY d.d) AS cv
+      |  FROM (SELECT unnest(range(16)) AS c) c, (SELECT unnest(range(64)) AS d) d
+      |  GROUP BY c.c),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |sc AS (SELECT v.vec_id, cent.c,
+      |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))
+      |      - 0.5 * list_sum(list_transform(cent.cv, x -> x * x)) AS score
+      |  FROM v, cent),
+      |assign AS (SELECT vec_id, c AS list_id FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
+      |b AS (SELECT vec_id, list_id FROM assign
+      |  QUALIFY row_number() OVER (PARTITION BY list_id ORDER BY vec_id) <= 128),
+      |cand AS (SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+      |  FROM b l JOIN b r USING (list_id) WHERE l.vec_id < r.vec_id),
+      |cos AS (SELECT vec_a, vec_b,
+      |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cosine
+      |  FROM cand JOIN v a ON a.vec_id = vec_a JOIN v b ON b.vec_id = vec_b),
+      |dropd AS (SELECT DISTINCT vec_b AS vec_id FROM cos WHERE cosine >= 0.3)
+      |SELECT a.vec_id, a.list_id FROM assign a
+      |ANTI JOIN dropd d ON a.vec_id = d.vec_id""".stripMargin
 
   /** DuckDB mirror of the Manku-banded simhash near-dup. */
   private def simhashNearDupOracle: String = {

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond dedup: benchmark decontamination,
+  * deterministic train/val/test splitting, and stratified sampling.
+  * These are the remaining table-stakes operations of a training-data
+  * pipeline (the dedup/similarity family lives in [[Dedup]] and
+  * [[Similarity]]).
+  *
+  * Everything is deterministic — split/sample assignment derives from
+  * md5 of the row id, never an RNG — so results are stable across
+  * re-runs, executors, and engines (the DuckDB oracle reproduces every
+  * operator bit-for-bit).
+  */
+object Curation {
+  /** 60-bit non-negative integer from the leading 15 hex chars of
+    * md5(salt|id) — the shared deterministic-assignment primitive
+    * (same algebra as [[Dedup.minhashMask]] / [[Similarity.hyperplaneSql]],
+    * SQL-expressible as `('0x' || substr(md5(...), 1, 15))::BIGINT`).
+    */
+  private def idHash(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt + "|"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Test-set contamination scores: for each corpus document, the
+    * number of distinct word `n`-grams it shares with ANY document of
+    * `testSet`. The standard benchmark-decontamination primitive
+    * (verbatim-overlap flavor): a training document that contains test
+    * material shares a run of n-grams with it.
+    *
+    * Scale shape: the test-set gram table is tiny relative to the
+    * corpus (benchmarks are small by definition) and deduplicated
+    * before the join, so it BROADCASTS; the corpus side explodes its
+    * distinct grams once and never shuffles the text — the aggregate
+    * is a map-side-combined count per doc_id. At 100 TB the corpus
+    * scan dominates and nothing else materializes.
+    */
+  def contamination(corpus: DataFrame, testSet: DataFrame,
+                    textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val testGrams = testSet
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
+    corpus
+      .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .join(broadcast(testGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_overlap"))
+  }
+
+  /** Decontaminated corpus: drop every document sharing >= `minOverlap`
+    * distinct `n`-grams with the test set. Returns the surviving rows
+    * of `corpus` unchanged (anti-join against the flagged ids).
+    */
+  def decontaminate(corpus: DataFrame, testSet: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 3, minOverlap: Int = 3): DataFrame = {
+    val flagged = contamination(corpus, testSet, textCol, idCol, n)
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id").as(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic train/val/test assignment: bucket = md5(salt|id)
+    * mod 100; [0, pctTrain) -> train, [pctTrain, pctTrain+pctVal) ->
+    * val, rest -> test. Content-hash splits are the scale answer to
+    * "stable under re-runs and under corpus growth": a document's
+    * split never changes when other documents are added or removed,
+    * and no RNG state needs coordinating across 1000 executors.
+    */
+  def hashSplit(docs: DataFrame, idCol: String, salt: String = "split",
+                pctTrain: Int = 90, pctVal: Int = 5): DataFrame = {
+    val bucket = pmod(idHash(salt, col(idCol)), lit(100L))
+    docs.select(col(idCol),
+      bucket.as("bucket"),
+      when(bucket < pctTrain, lit("train"))
+        .when(bucket < pctTrain + pctVal, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff
+    * md5(salt|id) mod 1000 < rate‰ for its stratum (per-mille rates
+    * in `ratesPerMille`, `defaultPerMille` otherwise). One projection
+    * + filter over the scan — sampling never shuffles, and per-stratum
+    * rates let a pipeline re-weight sources (the domain-mixture lever)
+    * without materializing intermediate tables.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+                       ratesPerMille: Map[String, Int], defaultPerMille: Int,
+                       salt: String = "sample"): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (stratum, r)) => when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    docs.filter(pmod(idHash(salt, col(idCol)), lit(1000L)) < rate)
+  }
+}

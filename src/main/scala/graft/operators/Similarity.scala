@@ -174,6 +174,65 @@ object Similarity {
     }
   }
 
+  /** Semantic dedup (the SemDeDup shape): coarse-cluster every
+    * embedding to its nearest deterministic IVF centroid, generate
+    * candidate pairs ONLY within a cluster (capped — see
+    * [[Dedup.capBucket]]), verify by exact cosine >= `tau`, and drop
+    * the higher id of each verified pair. Returns the surviving
+    * (vec_id, list_id) rows.
+    *
+    * Scale shape: identical to the IVF index build — assignment is one
+    * scan, the pair join carries ids only within list_id buckets, and
+    * vectors re-join per candidate. Near-identical embeddings land in
+    * the same list by construction (same argmax), so the restriction
+    * to within-cluster pairs is the semantic-dedup contract, not an
+    * approximation loss worth verifying globally.
+    */
+  def semanticDedup(embeddings: DataFrame, tau: Double, dim: Int,
+                    lists: Int = 16, idCol: String = "vec_id",
+                    vecCol: String = "embedding", bucketCap: Int = 128): DataFrame = {
+    val assigned = Par.spread(embeddings)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("list_id", ivfAssignUdf(dim, lists)(col("v")))
+      .withColumn("vn", norm(col("v")))
+      .localCheckpoint() // feeds bucket table, both verify sides, and the output
+    val b = Dedup.capBucket(assigned.select("list_id", "id"), "list_id", "id", bucketCap)
+    val candidates = b.as("l").join(b.as("r"), Seq("list_id"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"))
+    val drop = candidates
+      .join(assigned.select(col("id").as("vec_a"), col("v").as("va"), col("vn").as("na")), "vec_a")
+      .join(assigned.select(col("id").as("vec_b"), col("v").as("vb"), col("vn").as("nb")), "vec_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .select(col("vec_b").as("id")).distinct()
+    assigned.join(drop, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("list_id"))
+  }
+
+  /** Nearest-centroid assignment UDF shared by [[annIvf]] and
+    * [[semanticDedup]]: argmax over `lists` of (v . c_i - ||c_i||^2/2)
+    * — exact L2 argmin — with ties to the smaller list id.
+    */
+  private def ivfAssignUdf(dim: Int, lists: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cents: Array[Array[Double]] = Array.tabulate(lists)(c => ivfCentroidSql(c, dim))
+    val normHalf: Array[Double] = cents.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
+    udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      var best = 0; var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < lists) {
+        val cent = cents(c)
+        var dotv = 0.0
+        var i = 0
+        while (i < arr.length) { dotv += arr(i).toDouble * cent(i); i += 1 }
+        val s = dotv - normHalf(c)
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors — the classic
     * coarse-quantize-then-probe scale path, complementing the sign-LSH
     * variant: every vector is assigned to its nearest of `lists`

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: quality
@@ -80,6 +80,97 @@ object TextAnalysis {
           / greatest(col("__nw"), lit(1)).cast("double"), 6))
       .filter(col("__hits") >= minMarkers && col("__nw") >= minWords && col("__stop") <= maxStopRatio)
       .select(col(idCol), col(textCol))
+  }
+
+  /** Repetition-based quality signals (the Gopher/MassiveText rules
+    * adapted to the schema): duplicate-word fraction, most-frequent
+    * word-2-gram (count + character fraction), and the character
+    * fraction sitting in repeated word-3-grams. High values mark
+    * boilerplate/spam — the single most effective heuristic family for
+    * web-scale pretraining filters.
+    *
+    * ZERO shuffle: every signal folds over the document's own (sorted)
+    * gram array inside one projection, so the per-gram counting that a
+    * naive implementation does with explode + groupBy(doc, gram) +
+    * window-argmax (three exchanges of ~|doc| rows per document) stays
+    * map-side. Determinism: top gram = highest count, ties broken by
+    * lexicographically smallest gram — on a sorted array that is
+    * exactly "first gram to reach the winning count", so a strict >
+    * comparison in the fold suffices.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val nW = size(toks)
+    val dupWordFrac = round(
+      (nW - size(array_distinct(toks))).cast("double") / greatest(nW, lit(1)).cast("double"), 6)
+
+    // single pass over the sorted 2-gram array: track the current run
+    // length and keep the best (count, gram) seen
+    val grams2 = array_sort(Dedup.shinglesRaw(col(textCol), 2))
+    val top2 = aggregate(grams2,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best_cnt"), lit("").as("best_gram")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > acc.getField("best_cnt"), run)
+            .otherwise(acc.getField("best_cnt")).as("best_cnt"),
+          when(run > acc.getField("best_cnt"), x)
+            .otherwise(acc.getField("best_gram")).as("best_gram"))
+      })
+
+    // chars in occurrences beyond the first of each distinct 3-gram,
+    // over total 3-gram chars — same fold, sorted adjacency makes
+    // "beyond the first" = "equal to predecessor"
+    val grams3 = array_sort(Dedup.shinglesRaw(col(textCol), 3))
+    val dup3 = aggregate(grams3,
+      struct(lit("").as("prev"), lit(0L).as("dup"), lit(0L).as("tot")),
+      (acc, x) => struct(x.as("prev"),
+        (acc.getField("dup") +
+          when(x === acc.getField("prev"), length(x).cast("long")).otherwise(lit(0L))).as("dup"),
+        (acc.getField("tot") + length(x).cast("long")).as("tot")))
+
+    docs.select(
+      col(idCol).as("doc_id"),
+      nW.cast("long").as("n_words"),
+      dupWordFrac.as("dup_word_frac"),
+      top2.getField("best_gram").as("top2_gram"),
+      top2.getField("best_cnt").cast("long").as("top2_count"),
+      round(top2.getField("best_cnt").cast("double") * length(top2.getField("best_gram")).cast("double")
+        / greatest(length(col(textCol)), lit(1)).cast("double"), 6).as("top2_char_frac"),
+      round(dup3.getField("dup").cast("double")
+        / greatest(dup3.getField("tot"), lit(1)).cast("double"), 6).as("dup3_char_frac"))
+  }
+
+  /** PII regexes in the Java/RE2 common subset (no lookaround, no
+    * backreferences) so Spark and the DuckDB oracle match identically.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+
+  /** PII detection + redaction: per-document match counts for
+    * email/IPv4/phone shapes and the redacted text (matches replaced
+    * by <EMAIL>/<IP>/<PHONE>, in that order). Pure regex column
+    * algebra — one codegen'd projection, no UDF, no shuffle; at 100 TB
+    * this runs at scan speed, which is the entire requirement for a
+    * compliance pass over a crawl.
+    */
+  def piiScrub(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>")
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"),
+      (regexp_count(t, lit(EmailPattern)) + regexp_count(t, lit(Ipv4Pattern))
+        + regexp_count(t, lit(PhonePattern)) > 0).as("has_pii"),
+      md5(redacted).as("redacted_md5"))
   }
 
   /** n-gram/function-word language-ID heuristic: count profile hits per

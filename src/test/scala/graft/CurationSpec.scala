@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the curation operators beyond dedup: decontamination,
+  * deterministic splits/sampling, repetition signals, PII scrubbing,
+  * and semantic dedup.
+  */
+class CurationSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("contamination flags verbatim test-set overlap; decontaminate drops it") {
+    val testSet = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog and more"),
+      (2L, "completely unrelated content with different words entirely here"),
+      (3L, "quick brown fox appears briefly")).toDF("doc_id", "text")
+    val scores = Curation.contamination(corpus, testSet, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 embeds the whole test doc -> shares many 3-grams; doc 3
+    // shares exactly one ("quick brown fox"); doc 2 shares none
+    assert(scores(1L) >= 6)
+    assert(scores(3L) == 1)
+    assert(!scores.contains(2L))
+    val survivors = Curation.decontaminate(corpus, testSet, "text", "doc_id", n = 3, minOverlap = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.sameElements(Array(2L, 3L)))
+  }
+
+  test("hashSplit is deterministic, complete, and stable under corpus growth") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val a = Curation.hashSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val b = Curation.hashSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(a == b) // re-run stable
+    assert(a.size == 500)
+    assert(a.values.forall { case (bucket, split) =>
+      bucket >= 0 && bucket < 100 &&
+        ((bucket < 90) == (split == "train")) &&
+        ((bucket >= 90 && bucket < 95) == (split == "val")) &&
+        ((bucket >= 95) == (split == "test"))
+    })
+    // growth-stable: the assignment of the first 100 ids is unchanged
+    // when 400 more rows exist (hash depends on the id alone)
+    val small = Curation.hashSplit((0L until 100L).toDF("doc_id"), "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(small.forall { case (k, v) => a(k) == v })
+    // 90/5/5 within tolerance on 500 ids
+    val trainFrac = a.values.count(_._2 == "train") / 500.0
+    assert(trainFrac > 0.84 && trainFrac < 0.96, s"train frac $trainFrac")
+  }
+
+  test("stratifiedSample respects per-stratum rates deterministically") {
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val sampled = Curation.stratifiedSample(docs, "doc_id", "source",
+      Map("src0" -> 500, "src1" -> 0), defaultPerMille = 100)
+    val bySrc = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("src1", 0L) == 0L)          // rate 0 -> nothing
+    val src0 = bySrc.getOrElse("src0", 0L) / 500.0      // ~50% of 500
+    assert(src0 > 0.38 && src0 < 0.62, s"src0 frac $src0")
+    val rest = (bySrc.getOrElse("src2", 0L) + bySrc.getOrElse("src3", 0L)) / 1000.0
+    assert(rest > 0.05 && rest < 0.16, s"rest frac $rest")
+    assert(sampled.collect().toSet == sampled.collect().toSet) // deterministic
+  }
+
+  test("repetitionStats computes exact signals on a crafted doc") {
+    val docs = Seq((1L, "spam spam spam eggs and spam")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "text", "doc_id").collect()(0)
+    // toks: spam spam spam eggs and spam -> 6 words, 3 duplicates of 'spam'
+    assert(r.getAs[Long]("n_words") == 6)
+    assert(math.abs(r.getAs[Double]("dup_word_frac") - 3.0 / 6.0) < 1e-9)
+    // 2-grams: "spam spam" x2, others x1 -> top gram "spam spam", count 2
+    assert(r.getAs[String]("top2_gram") == "spam spam")
+    assert(r.getAs[Long]("top2_count") == 2)
+    // no repeated 3-gram
+    assert(r.getAs[Double]("dup3_char_frac") == 0.0)
+
+    val rep = Seq((2L, "go go go go go")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.repetitionStats(rep, "text", "doc_id").collect()(0)
+    assert(r2.getAs[Long]("top2_count") == 4)           // "go go" x4
+    // 3-grams: "go go go" x3 -> dup = 2 * len("go go go") = 16, tot = 24
+    assert(math.abs(r2.getAs[Double]("dup3_char_frac") - 16.0 / 24.0) < 1e-6) // output rounds to 6 digits
+  }
+
+  test("piiScrub counts and redacts emails, IPs, phone numbers") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 192.168.1.77 or +1-650-555-0199 thanks"),
+      (2L, "no sensitive content here at all")).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiScrub(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val p = rows(1L)
+    assert(p.getAs[Long]("n_emails") == 1)
+    assert(p.getAs[Long]("n_ipv4") == 1)
+    assert(p.getAs[Long]("n_phones") == 1)
+    assert(p.getAs[Boolean]("has_pii"))
+    val clean = rows(2L)
+    assert(!clean.getAs[Boolean]("has_pii"))
+    // redaction removes every match: scrubbing the already-scrubbed
+    // text is a fixpoint, and the redacted text of doc 1 differs
+    val redacted = docs.filter($"doc_id" === 1L).select(
+      regexp_replace(regexp_replace(regexp_replace($"text",
+        TextAnalysis.EmailPattern, "<EMAIL>"),
+        TextAnalysis.Ipv4Pattern, "<IP>"),
+        TextAnalysis.PhonePattern, "<PHONE>").as("t")).as[String].collect()(0)
+    assert(redacted == "reach me at <EMAIL> or <IP> or <PHONE> thanks")
+  }
+
+  test("semanticDedup drops the higher id of a near-identical pair, keeps distinct vectors") {
+    val base = Array.fill(64)(0.1f)
+    val nearA = base.clone(); val nearB = base.clone(); nearB(0) = 0.1001f
+    val other = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val emb = Seq((10L, nearA.toSeq), (20L, nearB.toSeq), (30L, other.toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val kept = Similarity.semanticDedup(emb, tau = 0.99, dim = 64)
+      .select("vec_id").as[Long].collect().sorted
+    // 10 and 20 are near-identical (cos ~ 1) and land in the same IVF
+    // list by construction; 20 (higher id) is dropped
+    assert(kept.sameElements(Array(10L, 30L)))
+  }
+}
