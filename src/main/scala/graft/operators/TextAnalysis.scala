@@ -89,56 +89,80 @@ object TextAnalysis {
     * boilerplate/spam — the single most effective heuristic family for
     * web-scale pretraining filters.
     *
-    * ZERO shuffle: every signal folds over the document's own (sorted)
-    * gram array inside one projection, so the per-gram counting that a
-    * naive implementation does with explode + groupBy(doc, gram) +
+    * ZERO shuffle: all per-gram counting happens inside ONE scalar UDF
+    * pass over the document's own token array, so the work a naive
+    * implementation does with explode + groupBy(doc, gram) +
     * window-argmax (three exchanges of ~|doc| rows per document) stays
-    * map-side. Determinism: top gram = highest count, ties broken by
-    * lexicographically smallest gram — on a sorted array that is
-    * exactly "first gram to reach the winning count", so a strict >
-    * comparison in the fold suffices.
+    * map-side. (A pure HOF-fold formulation over sorted gram arrays was
+    * tried first — semantically identical but it falls out of
+    * whole-stage codegen and ran ~7x slower than this UDF, the same
+    * pathology as the minhash HOF tree; see Dedup.nearDupPairs.)
+    * Determinism: top gram = highest count, ties broken by
+    * lexicographically smallest gram; corpus text is ASCII so Java
+    * UTF-16 ordering, Spark UTF-8 binary ordering, and the DuckDB
+    * oracle's string ordering agree. Fractions/rounding stay in column
+    * algebra so oracle parity is exactly the division semantics Spark
+    * and DuckDB already share.
     */
   def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
-    val nW = size(toks)
-    val dupWordFrac = round(
-      (nW - size(array_distinct(toks))).cast("double") / greatest(nW, lit(1)).cast("double"), 6)
+    docs
+      .select(col(idCol).as("doc_id"), length(col(textCol)).as("__nc"),
+        size(toks).as("__nw"), repCountsUdf(toks).as("rc"))
+      .select(
+        col("doc_id"),
+        col("__nw").cast("long").as("n_words"),
+        round((col("__nw") - col("rc.nDistinct")).cast("double")
+          / greatest(col("__nw"), lit(1)).cast("double"), 6).as("dup_word_frac"),
+        col("rc.top2Gram").as("top2_gram"),
+        col("rc.top2Count").cast("long").as("top2_count"),
+        round(col("rc.top2Count").cast("double") * length(col("rc.top2Gram")).cast("double")
+          / greatest(col("__nc"), lit(1)).cast("double"), 6).as("top2_char_frac"),
+        round(col("rc.dup3Dup").cast("double")
+          / greatest(col("rc.dup3Tot"), lit(1)).cast("double"), 6).as("dup3_char_frac"))
+  }
 
-    // single pass over the sorted 2-gram array: track the current run
-    // length and keep the best (count, gram) seen
-    val grams2 = array_sort(Dedup.shinglesRaw(col(textCol), 2))
-    val top2 = aggregate(grams2,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best_cnt"), lit("").as("best_gram")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          when(run > acc.getField("best_cnt"), run)
-            .otherwise(acc.getField("best_cnt")).as("best_cnt"),
-          when(run > acc.getField("best_cnt"), x)
-            .otherwise(acc.getField("best_gram")).as("best_gram"))
-      })
-
-    // chars in occurrences beyond the first of each distinct 3-gram,
-    // over total 3-gram chars — same fold, sorted adjacency makes
-    // "beyond the first" = "equal to predecessor"
-    val grams3 = array_sort(Dedup.shinglesRaw(col(textCol), 3))
-    val dup3 = aggregate(grams3,
-      struct(lit("").as("prev"), lit(0L).as("dup"), lit(0L).as("tot")),
-      (acc, x) => struct(x.as("prev"),
-        (acc.getField("dup") +
-          when(x === acc.getField("prev"), length(x).cast("long")).otherwise(lit(0L))).as("dup"),
-        (acc.getField("tot") + length(x).cast("long")).as("tot")))
-
-    docs.select(
-      col(idCol).as("doc_id"),
-      nW.cast("long").as("n_words"),
-      dupWordFrac.as("dup_word_frac"),
-      top2.getField("best_gram").as("top2_gram"),
-      top2.getField("best_cnt").cast("long").as("top2_count"),
-      round(top2.getField("best_cnt").cast("double") * length(top2.getField("best_gram")).cast("double")
-        / greatest(length(col(textCol)), lit(1)).cast("double"), 6).as("top2_char_frac"),
-      round(dup3.getField("dup").cast("double")
-        / greatest(dup3.getField("tot"), lit(1)).cast("double"), 6).as("dup3_char_frac"))
+  /** Per-document gram-count kernel of [[repetitionStats]]: distinct
+    * word count, the (count DESC, gram ASC)-best 2-gram, and the
+    * repeated-3-gram char numerator/denominator — one imperative pass,
+    * two small hash maps, no array materialization beyond the tokens
+    * the projection already built.
+    */
+  private case class RepCounts(nDistinct: Int, top2Gram: String, top2Count: Long,
+                               dup3Dup: Long, dup3Tot: Long)
+  private val repCountsUdf = udf { (toksIn: Seq[String]) =>
+    val arr = toksIn.toArray
+    val n = arr.length
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { distinct.add(arr(i)); i += 1 }
+    val m2 = new java.util.HashMap[String, Long]()
+    i = 0
+    while (i + 1 < n) { m2.merge(arr(i) + " " + arr(i + 1), 1L, (a, b) => a + b); i += 1 }
+    var bestCnt = 0L
+    var bestGram = ""
+    val it2 = m2.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      val c = e.getValue
+      if (c > bestCnt || (c == bestCnt && c > 0 && e.getKey.compareTo(bestGram) < 0)) {
+        bestCnt = c; bestGram = e.getKey
+      }
+    }
+    val m3 = new java.util.HashMap[String, Long]()
+    i = 0
+    while (i + 2 < n) { m3.merge(arr(i) + " " + arr(i + 1) + " " + arr(i + 2), 1L, (a, b) => a + b); i += 1 }
+    var dup = 0L
+    var tot = 0L
+    val it3 = m3.entrySet().iterator()
+    while (it3.hasNext) {
+      val e = it3.next()
+      val c = e.getValue
+      val len = e.getKey.length.toLong
+      dup += (c - 1) * len
+      tot += c * len
+    }
+    RepCounts(distinct.size, bestGram, bestCnt, dup, tot)
   }
 
   /** PII regexes in the Java/RE2 common subset (no lookaround, no
