@@ -197,6 +197,12 @@ object SparkEntry {
       Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3, bands = 6, rows = 2, threshold = 0.4)),
 
+    // duplicate CLUSTERS: connected components (star contraction) over
+    // the near-dup pair graph, one canonical survivor per component
+    "q_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, bands = 6, rows = 2, threshold = 0.4)),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = docs.filter(col("doc_id") % 50 === 0)
@@ -551,6 +557,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_neardup_minhash" -> neardupOracle,
+    "q_dup_clusters" -> dupClustersOracle,
 
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,
@@ -907,6 +914,29 @@ object SparkEntry {
        |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
        |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.4""".stripMargin
   }
+
+  /** DuckDB mirror of q_dup_clusters: the near-dup pair algebra
+    * verbatim (nested CTE), then component = min reachable id via a
+    * recursive reachability CTE (fine at oracle scale; the Spark side
+    * uses O(log n) star contraction instead of transitive closure).
+    */
+  private def dupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$neardupOracle
+       |),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+       |),
+       |cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT id AS doc_id, comp AS cluster_id,
+       |  count(*) OVER (PARTITION BY comp) AS cluster_size,
+       |  id = comp AS keep
+       |FROM cc""".stripMargin
 
   /** DuckDB mirror of the 64-bit SimHash (md5 leading bits, +-count
     * votes, sign bit string).

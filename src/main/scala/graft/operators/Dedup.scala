@@ -297,4 +297,31 @@ object Dedup {
         size(col("fps")).cast("long").as("n_fingerprints"),
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"))
+
+  /** Duplicate CLUSTERS: near-dup pairs are only half of web-scale
+    * dedup — similarity links chain (A~B, B~C without A~C), so the
+    * keep/drop decision needs the connected components of the pair
+    * graph, not the pairs. Returns `(doc_id, cluster_id, cluster_size,
+    * keep)` for every document in at least one near-dup pair, where
+    * `cluster_id` is the smallest doc id in the component and `keep`
+    * marks that one canonical survivor per cluster.
+    *
+    * Scale shape: [[nearDupPairs]] is banded/bucketed/capped (never
+    * all-pairs), and [[graft.plans.GraphOps.connectedComponents]] is
+    * O(log n)-round star contraction over an edge list that only ever
+    * shrinks — both halves hold at 100 TB. The pair graph itself is
+    * tiny relative to the corpus (only documents with a near-duplicate
+    * appear), so the CC rounds run on a sliver of the data.
+    */
+  def dupClusters(docs: DataFrame, textCol: String, idCol: String,
+                  shingleN: Int = 3, bands: Int = 4, rows: Int = 3,
+                  threshold: Double = 0.4, bucketCap: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDupPairs(docs, textCol, idCol, shingleN, bands, rows, threshold, bucketCap)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = graft.plans.GraphOps.connectedComponents(pairs)
+    cc.select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        count(lit(1)).over(Window.partitionBy(col("comp"))).as("cluster_size"),
+        (col("id") === col("comp")).as("keep"))
+  }
 }

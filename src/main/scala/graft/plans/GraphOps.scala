@@ -236,4 +236,71 @@ object GraphOps {
     val cond: Column = payloadCols.map(c => col(c) =!= col(c + "_b")).reduce(_ || _)
     a.join(bb, hashCol).filter(cond)
   }
+
+  /** Connected components of an undirected edge list `(a, b)`: returns
+    * `(id, comp)` where `comp` is the smallest member id of the node's
+    * component — the canonical cluster representative for web-scale
+    * dedup (near-dup PAIRS are only half the job; transitively-linked
+    * duplicate GROUPS must collapse to one survivor, and the link
+    * relation is not transitive so groups can chain far beyond any
+    * single pair).
+    *
+    * Algorithm: star contraction — per outer round (1) min-hook every
+    * current component node to the smallest of itself and its
+    * neighbors, (2) flatten the resulting parent forest to its roots by
+    * pointer doubling (each inner step composes the parent map with
+    * itself, so a depth-d tree flattens in ceil(log2 d) joins), then
+    * (3) contract: relabel the edge list by root and drop self-loops.
+    * Components shrink to a point in O(log n) outer rounds — the
+    * MapReduce CC bound (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — vs O(diameter) for naive min-label
+    * propagation, which matters when duplicate groups chain (mirror
+    * farms produce exactly such chains). Every intermediate is
+    * localCheckpoint'd and freed; the edge table shrinks monotonically
+    * under contraction, so late rounds are cheap.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val sym = edges.toDF("a", "b")
+      .union(edges.toDF("b", "a").select(col("a"), col("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    var labels = sym.select(col("a").as("id"))
+      .distinct().withColumn("comp", col("id")).localCheckpoint()
+    var e = sym.localCheckpoint()
+    var round = 0
+    while (round < maxRounds && !e.isEmpty) {
+      // (1) min-hook: parent(c) = min(c, min neighbor) on the contracted graph
+      var parent = e.groupBy(col("a").as("c")).agg(min(col("b")).as("p"))
+        .select(col("c"), least(col("c"), col("p")).as("p"))
+        .localCheckpoint()
+      // (2) pointer-double the parent forest flat: p := p o p until fixpoint
+      var flat = false
+      while (!flat) {
+        val hop = parent.as("x")
+          .join(parent.as("y"), col("x.p") === col("y.c"), "left")
+          .select(col("x.c").as("c"), coalesce(col("y.p"), col("x.p")).as("p"))
+          .localCheckpoint()
+        flat = hop.as("h").join(parent.as("o"), col("h.c") === col("o.c"))
+          .filter(col("h.p") =!= col("o.p")).isEmpty
+        CheckpointHygiene.free(parent)
+        parent = hop
+      }
+      // (3) contract: relabel components and edges by root, drop self-loops
+      val newLabels = labels.as("l")
+        .join(parent.as("r"), col("l.comp") === col("r.c"), "left")
+        .select(col("l.id").as("id"), coalesce(col("r.p"), col("l.comp")).as("comp"))
+        .localCheckpoint()
+      val newE = e.as("e")
+        .join(parent.as("pa"), col("e.a") === col("pa.c"))
+        .join(parent.as("pb"), col("e.b") === col("pb.c"))
+        .select(col("pa.p").as("a"), col("pb.p").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      CheckpointHygiene.free(labels, e, parent)
+      labels = newLabels
+      e = newE
+      round += 1
+    }
+    CheckpointHygiene.free(e)
+    labels
+  }
 }

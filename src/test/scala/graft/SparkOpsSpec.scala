@@ -88,6 +88,36 @@ class GraphOpsSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.getString(0)).toSet
     assert(got == Set("h2"))
   }
+
+  test("connectedComponents: chain, star, singleton-pair, random graph vs union-find") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (worst case for naive min propagation), star
+    // 10-{11,12,13}, isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (11L, 10L), (12L, 10L), (13L, 10L), (20L, 21L)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 11)
+
+    // random graph vs a driver-side union-find
+    val rnd = new scala.util.Random(42)
+    val re = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (x, y) => x != y }
+    val parent = Array.tabulate(80)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    re.foreach { case (x, y) =>
+      val (rx, ry) = (find(x.toInt), find(y.toInt))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val want = re.flatMap { case (x, y) => Seq(x, y) }.distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    val got2 = GraphOps.connectedComponents(re.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == want)
+  }
 }
 
 /** The column-level exvc engine must agree with the driver-side
