@@ -291,6 +291,13 @@ object SparkEntry {
       Similarity.semanticDedup(t(s, dir, "embeddings"), tau = 0.3, dim = 64)
         .select(col("vec_id"), col("list_id").cast("long").as("list_id"))),
 
+    // distributed Lloyd's k-means (3 rounds, fixed-point integer mean
+    // sums for bit-reproducible distributed aggregation)
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(t(s, dir, "embeddings"), k = 8, iters = 3, dim = 64)
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          col("score"))),
+
     // OP-21 sear + OP-16 substitute as text operators
     "q_substitute" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -704,6 +711,7 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 WHEN 'src2' THEN 50 ELSE 100 END""".stripMargin,
 
     "q_semantic_dedup" -> semanticDedupOracle,
+    "q_kmeans" -> kmeansOracle(k = 8, iters = 3, dim = 64),
 
     "q_substitute" ->
       "SELECT doc_id, replace(replace(text, 'spark', 'SPARK'), 'data', 'DATA') AS text FROM documents",
@@ -937,6 +945,51 @@ object SparkEntry {
        |  count(*) OVER (PARTITION BY comp) AS cluster_size,
        |  id = comp AS keep
        |FROM cc""".stripMargin
+
+  /** DuckDB mirror of q_kmeans, iterations unrolled as CTE chains:
+    * cent0 from the md5 'km' salt, each round = argmax assignment
+    * (score DESC, c — identical tie-break to the UDF's strict >),
+    * fixed-point BIGINT mean sums (exact, so distributed vs
+    * single-node summation order cannot diverge), per-dimension
+    * coalesce to the previous centroid for empty clusters.
+    */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),
+         |dims AS (SELECT unnest(range($dim)) AS d),
+         |cent0 AS (SELECT c.c, list(
+         |    ('0x' || substr(md5('km|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+         |    ORDER BY d.d) AS cv
+         |  FROM (SELECT unnest(range($k)) AS c) c CROSS JOIN dims d GROUP BY c.c)""".stripMargin)
+    def scoreAsg(i: Int): String =
+      s""",
+         |sc$i AS (SELECT q.vec_id, cent$i.c,
+         |    list_sum(list_transform(range(1, ${dim + 1}), i -> q.v[i] * cent$i.cv[i]))
+         |      - 0.5 * list_sum(list_transform(cent$i.cv, x -> x * x)) AS score
+         |  FROM q CROSS JOIN cent$i),
+         |asg$i AS (SELECT vec_id, c AS cl, score FROM sc$i
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1)""".stripMargin
+    sb.append(scoreAsg(0))
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+           |sum$i AS (SELECT a.cl AS c, d.d, CAST(sum(q.qv[d.d + 1]) AS BIGINT) AS s, count(*) AS n
+           |  FROM asg${i - 1} a JOIN q USING (vec_id) CROSS JOIN dims d GROUP BY a.cl, d.d),
+           |cent$i AS (SELECT p.c, list(
+           |    coalesce(CAST(s.s AS DOUBLE) / (s.n * 1048576.0), p.cv[d.d + 1]) ORDER BY d.d) AS cv
+           |  FROM cent${i - 1} p CROSS JOIN dims d
+           |  LEFT JOIN sum$i s ON s.c = p.c AND s.d = d.d
+           |  GROUP BY p.c)""".stripMargin)
+      sb.append(scoreAsg(i))
+    }
+    sb.append(
+      s"""
+         |SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id, round(score, 6) AS score
+         |FROM asg$iters""".stripMargin)
+    sb.toString
+  }
 
   /** DuckDB mirror of the 64-bit SimHash (md5 leading bits, +-count
     * votes, sign bit string).

