@@ -241,6 +241,10 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")),
 
+    // top-3 TF-IDF terms per document (corpus DF reuses the TF table)
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(t(s, dir, "documents"), "text", "doc_id", topK = 3)),
+
     // PII scrub over deterministically augmented text (the corpus is
     // synthetic word soup with no PII, so the query plants emails/IPs/
     // phone numbers on a doc_id grid — the SAME augmentation runs in
@@ -659,6 +663,23 @@ object SparkEntry {
         |  round(CAST(coalesce(top2.cnt, 0) AS DOUBLE) * len(coalesce(top2.g, '')) / greatest(len(t.text), 1), 6) AS top2_char_frac,
         |  round(CAST(coalesce(d3.dup, 0) AS DOUBLE) / greatest(coalesce(d3.tot, 0), 1), 6) AS dup3_char_frac
         |FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)""".stripMargin,
+
+    // mirrors TextAnalysis.tfidf: tf -> df-from-tf -> ln score, ranked
+    // by the RAW double (ties = equal (tf, df) pairs, identical within
+    // each engine) with term ASC tie-break
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS raw
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, round(raw, 6) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
 
     // mirrors q_pii: identical augmentation grid, identical RE2/Java
     // common-subset regexes, identical email -> IP -> phone redaction

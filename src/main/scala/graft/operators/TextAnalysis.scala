@@ -166,6 +166,36 @@ object TextAnalysis {
     (distinct.size, bestGram, bestCnt, dup, tot)
   }
 
+  /** Top-`topK` terms per document by TF-IDF — the classic relevance /
+    * keyword-extraction primitive (and the scoring core of DSIR-style
+    * importance weighting). Returns `(doc_id, rank, term, tf, score)`.
+    *
+    * Scale shape: term frequencies are one map-side-combined aggregate
+    * on (doc, term); document frequencies REUSE that table (a second
+    * tiny vocab-sized aggregate — no second scan of the corpus); the
+    * corpus size joins in as a broadcast 1-row aggregate, never a
+    * driver-side count. Ranking orders by the RAW score with term as
+    * tie-break: exact ties come from equal (tf, df) pairs, which are
+    * bitwise-equal doubles within each engine, so cross-engine ln()
+    * rounding cannot reorder them.
+    */
+  def tfidf(docs: DataFrame, textCol: String, idCol: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val raw = col("tf").cast("double") * log(col("__n").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(raw.desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), round(raw, 6).as("score"))
+  }
+
   /** PII regexes in the Java/RE2 common subset (no lookaround, no
     * backreferences) so Spark and the DuckDB oracle match identically.
     */

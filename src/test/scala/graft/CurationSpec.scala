@@ -109,6 +109,22 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(redacted == "reach me at <EMAIL> or <IP> or <PHONE> thanks")
   }
 
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common words here"),
+      (3L, "common words there")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidf(docs, "text", "doc_id", topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(4))).toMap
+    // doc 1: 'zebra' (df=1) outranks 'common' (df=3, idf=ln(1)=0)
+    assert(rows((1L, 1L))._1 == "zebra")
+    assert(math.abs(rows((1L, 1L))._2 - math.log(3.0)) < 1e-6)
+    // 'common' appears in every doc -> score exactly 0, ranked below
+    // df=2 'words'/'here' in doc 2
+    assert(rows((2L, 1L))._1 == "here" || rows((2L, 1L))._1 == "words")
+    assert(rows.forall { case ((_, _), (_, s)) => s >= 0.0 })
+  }
+
   test("semanticDedup drops the higher id of a near-identical pair, keeps distinct vectors") {
     val base = Array.fill(64)(0.1f)
     val nearA = base.clone(); val nearB = base.clone(); nearB(0) = 0.1001f
