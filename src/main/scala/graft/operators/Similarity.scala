@@ -298,11 +298,13 @@ object Similarity {
       .select(col("id").as(idCol), col("list_id"))
   }
 
-  /** Nearest-centroid assignment UDF shared by [[annIvf]] and
-    * [[semanticDedup]]: argmax over `lists` of (v . c_i - ||c_i||^2/2)
-    * — exact L2 argmin — with ties to the smaller list id.
+  /** Nearest-centroid assignment UDF shared by [[annIvf]],
+    * [[semanticDedup]], and the streaming index maintainer
+    * ([[graft.streaming.StreamingIvf]]): argmax over `lists` of
+    * (v . c_i - ||c_i||^2/2) — exact L2 argmin — with ties to the
+    * smaller list id.
     */
-  private def ivfAssignUdf(dim: Int, lists: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  def ivfAssignUdf(dim: Int, lists: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val cents: Array[Array[Double]] = Array.tabulate(lists)(c => ivfCentroidSql(c, dim))
     val normHalf: Array[Double] = cents.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
     udf { (v: Seq[Float]) =>

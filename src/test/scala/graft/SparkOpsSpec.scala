@@ -677,6 +677,52 @@ class StreamingDedupSpec extends AnyFunSuite with SharedSpark {
   }
 }
 
+/** Streaming IVF maintenance: final per-list state after N micro-batches
+  * must equal the batch index build — same counts, same bounded member
+  * sample — regardless of how the stream was sliced into batches.
+  */
+class StreamingIvfSpec extends AnyFunSuite with SharedSpark {
+  test("maintained index state across 2 batches == batch IVF build") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+      .as[graft.streaming.StreamingIvf.EmbRecord].collect().sortBy(_.vec_id)
+    val (b1, b2) = all.splitAt(all.length / 2)
+
+    val stream = MemoryStream[graft.streaming.StreamingIvf.EmbRecord]
+    val out = graft.streaming.StreamingIvf.maintain(stream.toDS(), dim = 64, cap = 16)
+    val query = out.toDF().writeStream.format("memory").queryName("ivf_state")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // last emitted row per list is the final state
+    val finalState = spark.sql(
+      """SELECT list_id, n, members FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY list_id ORDER BY n DESC) AS rn
+        |  FROM ivf_state) WHERE rn = 1""".stripMargin)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1),
+        r.getAs[scala.collection.Seq[Long]](2).toVector)).toMap
+
+    val batch = graft.streaming.StreamingIvf.assignments(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), dim = 64)
+      .groupBy("list_id").agg(count(lit(1)).as("n"),
+        slice(sort_array(collect_list(col("vec_id"))), 1, 16).as("members"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1),
+        r.getAs[scala.collection.Seq[Long]](2).toVector)).toMap
+
+    assert(finalState == batch)
+    assert(finalState.values.forall(_._2.length <= 16))
+  }
+}
+
 /** Full streaming ingest: staged file source -> flatMapGroupsWithState
   * -> durable parquet sink, one file per micro-batch via AvailableNow.
   * Stream-final state must equal the batch replay exactly (the
