@@ -28,13 +28,26 @@ object Dedup {
   /** All word n-gram shingles (with duplicates) — cheaper when the
     * consumer is multiset-insensitive (min-wise hashing): skips the
     * per-document quadratic array_distinct.
+    *
+    * Implemented as one imperative UDF pass over the token array: the
+    * HOF formulation (transform(sequence) + slice + concat_ws +
+    * filter) produces identical strings but higher-order functions
+    * never enter whole-stage codegen, and the interpreted
+    * expression-tree-per-element walk measured ~2x slower across every
+    * shingle consumer (near-dup, decontamination, fingerprints).
     */
-  def shinglesRaw(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => size(split(s, " ")) === n)
+  def shinglesRaw(text: Column, n: Int): Column = shingleUdf(tokens(text), lit(n))
+
+  private val shingleUdf = udf { (toks: Seq[String], n: Int) =>
+    val arr = toks.toArray
+    val m = arr.length - n + 1
+    if (m <= 0) Array.empty[String]
+    else Array.tabulate(m) { i =>
+      val sb = new java.lang.StringBuilder(arr(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(arr(i + j)); j += 1 }
+      sb.toString
+    }
   }
 
   /** XOR mask for minhash permutation k: a fixed 60-bit constant from
