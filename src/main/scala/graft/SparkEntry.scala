@@ -340,8 +340,12 @@ object SparkEntry {
       // fused single-scan gate (lang + quality in one projection)
       val eligible = TextAnalysis.curationGate(docs, "text", "doc_id",
         minMarkers = 3, minWords = 30, maxStopRatio = 0.3)
+      // winners feeds BOTH the near-dup candidate generation and the
+      // final anti-join — checkpoint once or the gate + exact-dedup
+      // subtree runs twice
       val winners = Dedup.exact(eligible, "text", "doc_id")
         .select(col("keep_id").as("doc_id"), col("content_hash"))
+        .localCheckpoint()
       val winnerDocs = docs.join(winners.select("doc_id"), "doc_id")
       val drop = Dedup.nearDupPairs(winnerDocs, "text", "doc_id",
           shingleN = 3, bands = 6, rows = 2, threshold = 0.4)

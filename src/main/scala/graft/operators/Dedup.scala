@@ -286,18 +286,48 @@ object Dedup {
 
   /** Per-document distinct winnowing fingerprint set as an array column
     * `fps` — the map-side core of [[winnowFingerprints]]. No shuffle,
-    * no explode; each row is computed independently.
+    * no explode; each row is computed independently. One imperative UDF
+    * pass (hash every k-gram, take w-window minima, distinct) — the
+    * array-HOF formulation produced identical values but ran ~5x
+    * slower outside whole-stage codegen (same pathology as
+    * [[shinglesRaw]]).
     */
   def winnowFpSets(docs: DataFrame, textCol: String, idCol: String,
                    k: Int = 8, w: Int = 4): DataFrame =
     docs
       .filter(length(col(textCol)) >= k + w - 1) // too short -> no full window
       .select(col(idCol).as("doc_id"),
-        transform(sequence(lit(1), length(col(textCol)) - k + 1),
-          p => md5(col(textCol).substr(p, lit(k)))).as("hs"))
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("hs")) - w + 1),
-          i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
+        winnowUdf(col(textCol), lit(k), lit(w)).as("fps"))
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+  private val winnowUdf = udf { (text: String, k: Int, w: Int) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = text.length - k + 1
+    val hs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val dig = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      val cs = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        cs(2 * b) = HexDigits((dig(b) >> 4) & 0xf)
+        cs(2 * b + 1) = HexDigits(dig(b) & 0xf)
+        b += 1
+      }
+      hs(i) = new String(cs)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i + w <= n) {
+      var m = hs(i)
+      var j = 1
+      while (j < w) { if (hs(i + j).compareTo(m) < 0) m = hs(i + j); j += 1 }
+      out.add(m)
+      i += 1
+    }
+    out.toArray(new Array[String](out.size)).toSeq
+  }
 
   /** Per-document fingerprint summary (count/min/max) straight off the
     * array — the aggregate never leaves the row, so the whole query is

