@@ -245,6 +245,11 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidf(t(s, dir, "documents"), "text", "doc_id", topK = 3)),
 
+    // BPE vocabulary learning: 10 merge rounds over the word-frequency
+    // vocab (corpus scanned once; rounds run on the distinct-word table)
+    "q_bpe" -> ((s, dir) =>
+      Bpe.learn(t(s, dir, "documents"), "text", merges = 10)),
+
     // PII scrub over deterministically augmented text (the corpus is
     // synthetic word soup with no PII, so the query plants emails/IPs/
     // phone numbers on a doc_id grid — the SAME augmentation runs in
@@ -288,6 +293,12 @@ object SparkEntry {
       Curation.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
           Map("src0" -> 500, "src1" -> 250, "src2" -> 50), defaultPerMille = 100)
         .select(col("doc_id"), col("source"))),
+
+    // token-budget mixing: per-source token budgets, docs taken in
+    // deterministic hash order until the stratum budget is exhausted
+    "q_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(t(s, dir, "documents"), "text", "doc_id", "source",
+        Map("src0" -> 3000L, "src1" -> 1500L), defaultBudget = 800L)),
 
     // SemDeDup-shape semantic dedup over embeddings: IVF-clustered
     // candidates, exact-cosine verify, keep lowest id per near-pair
@@ -735,8 +746,23 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5('sample|' || doc_id), 1, 15))::BIGINT % 1000 <
         |  CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 WHEN 'src2' THEN 50 ELSE 100 END""".stripMargin,
 
+    // mirrors Curation.tokenBudget (salt 'budget', hash-order prefix
+    // sums per stratum, budget 3000/1500/800 tokens)
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5('budget|' || doc_id), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 1500 ELSE 800 END""".stripMargin,
+
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_kmeans" -> kmeansOracle(k = 8, iters = 3, dim = 64),
+    "q_bpe" -> Bpe.learnOracle(merges = 10),
 
     "q_substitute" ->
       "SELECT doc_id, replace(replace(text, 'spark', 'SPARK'), 'data', 'DATA') AS text FROM documents",

@@ -78,6 +78,40 @@ object Curation {
         .otherwise(lit("test")).as("split"))
   }
 
+  /** Token-budget corpus mixing: per-stratum token budgets (the "N
+    * billion tokens of source X" lever every pretraining mixture is
+    * specified in). Documents are taken in deterministic md5-hash
+    * order within their stratum — an arrival-order-free shuffle — and
+    * kept while the stratum's running token total stays within budget.
+    * Returns `(doc_id, source, n_tokens, cum_tokens)` for the kept
+    * rows.
+    *
+    * Scale shape: one scan + one window (partitioned by stratum,
+    * ordered by hash) — the running sum is the standard prefix-sum
+    * shuffle; no collect, no iteration. Skewed strata (one giant
+    * source) are exactly the window's partition, which Spark
+    * range-splits within a partition spec at execution; budgets a
+    * whale stratum to its prefix without touching other strata.
+    */
+  def tokenBudget(docs: DataFrame, textCol: String, idCol: String,
+                  strataCol: String, budgets: Map[String, Long],
+                  defaultBudget: Long, salt: String = "budget"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) => when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol).as("doc_id"), col(strataCol).as("source"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"),
+        idHash(salt, col(idCol)).as("__h"), budget.as("__b"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("__b"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * md5(salt|id) mod 1000 < rate‰ for its stratum (per-mille rates
     * in `ratesPerMille`, `defaultPerMille` otherwise). One projection

@@ -109,6 +109,42 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(redacted == "reach me at <EMAIL> or <IP> or <PHONE> thanks")
   }
 
+  test("tokenBudget keeps a hash-order prefix within each stratum's budget") {
+    val docs = (0L until 100L).map(i => (i, ("w " * (i % 5 + 1).toInt).trim, s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val kept = Curation.tokenBudget(docs, "text", "doc_id", "source",
+      Map("src0" -> 30L), defaultBudget = 15L).collect()
+    val bySrc = kept.groupBy(_.getString(1))
+    // budget respected: max cumulative total within each stratum
+    assert(bySrc("src0").map(_.getLong(3)).max <= 30L)
+    assert(bySrc("src1").map(_.getLong(3)).max <= 15L)
+    // cum_tokens is consistent: per stratum, sorted cum = running sum of n_tokens
+    bySrc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(2)).scanLeft(0L)(_ + _).tail.sameElements(sorted.map(_.getLong(3))))
+    }
+    // deterministic
+    val again = Curation.tokenBudget(docs, "text", "doc_id", "source",
+      Map("src0" -> 30L), defaultBudget = 15L).collect()
+    assert(again.map(_.toString).sorted.sameElements(kept.map(_.toString).sorted))
+  }
+
+  test("BPE learns the obvious merge first on a crafted corpus") {
+    val docs = Seq((1L, "aaab aaab aaab xy"), (2L, "aaab xy xy")).toDF("doc_id", "text")
+    val m = Bpe.learn(docs, "text", merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // 'aaab' x4: 'a a' counts twice per word -> freq 8; merge 1 = a+a
+    assert(m(0) == ((1L, "a", "a", "aa", 8L)))
+    // 'a a a b' -> 'aa a b' (left-to-right non-overlapping); round 2
+    // ties 'aa a' (4) with 'a b' (4) and the pair-ASC tie-break picks
+    // 'a b' (space sorts below 'a'); round 3 merges 'aa ab'
+    assert(m(1) == ((2L, "a", "b", "ab", 4L)))
+    assert(m(2) == ((3L, "aa", "ab", "aaab", 4L)))
+    assert(m.length == 3)
+    // merged symbol concatenation is consistent
+    assert(m.forall { case (_, l, r, merged, _) => merged == l + r })
+  }
+
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common common zebra"),
