@@ -300,6 +300,11 @@ object SparkEntry {
       Curation.tokenBudget(t(s, dir, "documents"), "text", "doc_id", "source",
         Map("src0" -> 3000L, "src1" -> 1500L), defaultBudget = 800L)),
 
+    // output shard manifest: deterministic shard assignment + the
+    // per-shard stats (counts, token totals, order-free checksum)
+    "q_shards" -> ((s, dir) =>
+      Curation.shardManifest(t(s, dir, "documents"), "text", "doc_id", shards = 16)),
+
     // SemDeDup-shape semantic dedup over embeddings: IVF-clustered
     // candidates, exact-cosine verify, keep lowest id per near-pair
     "q_semantic_dedup" -> ((s, dir) =>
@@ -745,6 +750,16 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(md5('sample|' || doc_id), 1, 15))::BIGINT % 1000 <
         |  CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 WHEN 'src2' THEN 50 ELSE 100 END""".stripMargin,
+
+    // mirrors Curation.shardManifest (salts 'shard'/'cksum', 16 shards,
+    // XOR checksum — order-free on both engines)
+    "q_shards" ->
+      """SELECT ('0x' || substr(md5('shard|' || doc_id), 1, 15))::BIGINT % 16 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  bit_xor(('0x' || substr(md5('cksum|' || doc_id), 1, 15))::BIGINT) AS checksum
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // mirrors Curation.tokenBudget (salt 'budget', hash-order prefix
     // sums per stratum, budget 3000/1500/800 tokens)

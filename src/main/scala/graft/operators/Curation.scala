@@ -112,6 +112,31 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Output shard manifest: assign every document a deterministic
+    * shard (md5(salt|id) mod `shards` — the training-output writer's
+    * partitioning key) and aggregate the per-shard manifest a
+    * dataloader needs: document count, token total, id range, content
+    * checksum (XOR of doc-level hashes — order-independent and
+    * overflow-free, so the checksum is reproducible under any
+    * partitioning and cheap to compare between two materializations
+    * of the same shard). In production the same assignment feeds
+    * `df.repartitionByRange`/`partitionBy(shard)` at write time; the
+    * manifest is one map-side-combined aggregate.
+    */
+  def shardManifest(docs: DataFrame, textCol: String, idCol: String,
+                    shards: Int, salt: String = "shard"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"),
+        pmod(idHash(salt, col(idCol)), lit(shards.toLong)).as("shard"),
+        idHash("cksum", col(idCol)).as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(__h)").as("checksum"))
+
   /** Deterministic stratified sampling: keep a row iff
     * md5(salt|id) mod 1000 < rate‰ for its stratum (per-mille rates
     * in `ratesPerMille`, `defaultPerMille` otherwise). One projection
