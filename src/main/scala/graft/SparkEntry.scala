@@ -305,6 +305,12 @@ object SparkEntry {
     "q_shards" -> ((s, dir) =>
       Curation.shardManifest(t(s, dir, "documents"), "text", "doc_id", shards = 16)),
 
+    // DSIR importance scores: target LM = src0 documents, background =
+    // whole corpus; fixed-point per-term contributions
+    "q_dsir" -> ((s, dir) =>
+      Curation.dsirScores(t(s, dir, "documents"), "text", "doc_id",
+        col("source") === "src0")),
+
     // SemDeDup-shape semantic dedup over embeddings: IVF-clustered
     // candidates, exact-cosine verify, keep lowest id per near-pair
     "q_semantic_dedup" -> ((s, dir) =>
@@ -760,6 +766,27 @@ object SparkEntry {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
         |  bit_xor(('0x' || substr(md5('cksum|' || doc_id), 1, 15))::BIGINT) AS checksum
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // mirrors Curation.dsirScores: identical smoothing algebra (exact
+    // integer products, one double division, one ln) and identical
+    // fixed-point floor(x*1e9) per-term contributions, so the BIGINT
+    // sums agree exactly under any partitioning
+    "q_dsir" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS is_t,
+        |    unnest(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |per_doc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT term, count(*) AS cb,
+        |    count(CASE WHEN is_t THEN 1 END) AS ct FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS totB, CAST(sum(ct) AS BIGINT) AS totT,
+        |    count(*) AS v FROM ts),
+        |contrib AS (SELECT p.doc_id,
+        |    p.c * CAST(floor(ln(CAST((ts.ct + 1) * (tot.totB + tot.v) AS DOUBLE)
+        |      / CAST((ts.cb + 1) * (tot.totT + tot.v) AS DOUBLE)) * 1e9) AS BIGINT) AS fp
+        |  FROM per_doc p JOIN ts USING (term) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(fp) AS BIGINT) AS score_fp,
+        |  round(CAST(sum(fp) AS BIGINT) / 1e9, 6) AS score
+        |FROM contrib GROUP BY doc_id""".stripMargin,
 
     // mirrors Curation.tokenBudget (salt 'budget', hash-order prefix
     // sums per stratum, budget 3000/1500/800 tokens)

@@ -112,6 +112,46 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** DSIR-style importance scores: per-document log-likelihood ratio
+    * of a TARGET unigram language model (documents matching
+    * `isTarget`) against the BACKGROUND corpus model, add-one
+    * smoothed over the shared vocabulary. High scores mark documents
+    * that look like the target domain — the data-selection signal of
+    * importance resampling (Xie et al., DSIR), reduced to its
+    * hashed-n-gram/unigram core.
+    *
+    * Scale + determinism: two vocab-sized aggregates (term counts
+    * overall and in-target — ONE pass, the target count is a
+    * conditional aggregate) + a 1-row totals broadcast; the per-doc
+    * score sums FIXED-POINT contributions (floor(lnratio x 1e9) longs,
+    * weighted by in-doc term count), so the distributed sum is exact
+    * and partitioning-independent — a double sum here would be
+    * merge-order-dependent. Returns (doc_id, score_fp, score).
+    */
+  def dsirScores(docs: DataFrame, textCol: String, idCol: String,
+                 isTarget: Column): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+    val perDoc = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val termStats = tok.groupBy("term").agg(
+      count(lit(1)).as("cb"),
+      count(when(col("is_t"), 1)).as("ct"))
+    val totals = termStats.agg(
+      sum(col("cb")).as("totB"), sum(col("ct")).as("totT"), count(lit(1)).as("v"))
+    // exact integer products (far below 2^53), one double division, one ln
+    val lnr = log(
+      ((col("ct") + 1) * (col("totB") + col("v"))).cast("double") /
+        ((col("cb") + 1) * (col("totT") + col("v"))).cast("double"))
+    perDoc
+      .join(termStats, "term")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * floor(lnr * lit(1e9)).cast("long")).as("score_fp"))
+      .select(col("doc_id"), col("score_fp"),
+        round(col("score_fp") / lit(1e9), 6).as("score"))
+  }
+
   /** Output shard manifest: assign every document a deterministic
     * shard (md5(salt|id) mod `shards` — the training-output writer's
     * partitioning key) and aggregate the per-shard manifest a

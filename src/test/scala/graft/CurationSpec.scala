@@ -145,6 +145,23 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(m.forall { case (_, l, r, merged, _) => merged == l + r })
   }
 
+  test("dsirScores rank target-domain-looking docs above background docs") {
+    val docs = Seq(
+      (1L, "alpha alpha gamma", "tgt"),   // target domain
+      (2L, "alpha gamma alpha", "tgt"),
+      (3L, "beta beta gamma", "web"),     // background-only vocabulary
+      (4L, "beta gamma beta", "web"),
+      (5L, "alpha alpha alpha", "web")    // background doc that LOOKS like the target
+    ).toDF("doc_id", "text", "source")
+    val scores = Curation.dsirScores(docs, "text", "doc_id", $"source" === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size == 5)
+    // alpha is target-heavy, beta never appears in target: every
+    // alpha-doc outranks every beta-doc, including the background
+    // doc 5 (that's the point of importance weighting)
+    assert(Seq(1L, 2L, 5L).map(scores).min > Seq(3L, 4L).map(scores).max)
+  }
+
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common common zebra"),
