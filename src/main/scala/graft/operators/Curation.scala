@@ -134,9 +134,14 @@ object Curation {
       .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
         explode(Dedup.tokens(col(textCol))).as("term"))
     val perDoc = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    // vocab-sized; checkpointed so the totals aggregate reads it
+    // instead of re-scanning the corpus (Catalyst does not share
+    // subtrees). perDoc deliberately re-scans: materializing the raw
+    // exploded token stream would cost more than the second scan.
     val termStats = tok.groupBy("term").agg(
       count(lit(1)).as("cb"),
       count(when(col("is_t"), 1)).as("ct"))
+      .localCheckpoint()
     val totals = termStats.agg(
       sum(col("cb")).as("totB"), sum(col("ct")).as("totT"), count(lit(1)).as("v"))
     // exact integer products (far below 2^53), one double division, one ln

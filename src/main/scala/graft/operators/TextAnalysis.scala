@@ -171,13 +171,15 @@ object TextAnalysis {
     * importance weighting). Returns `(doc_id, rank, term, tf, score)`.
     *
     * Scale shape: term frequencies are one map-side-combined aggregate
-    * on (doc, term); document frequencies REUSE that table (a second
-    * tiny vocab-sized aggregate — no second scan of the corpus); the
-    * corpus size joins in as a broadcast 1-row aggregate, never a
-    * driver-side count. Ranking orders by the RAW score with term as
-    * tie-break: exact ties come from equal (tf, df) pairs, which are
-    * bitwise-equal doubles within each engine, so cross-engine ln()
-    * rounding cannot reorder them.
+    * on (doc, term), CHECKPOINTED — document frequencies derive from
+    * that materialized table (Catalyst does not share subtrees, so
+    * without the checkpoint the corpus is scanned and the TF aggregate
+    * recomputed once per consumer — verified in the formatted plan);
+    * the corpus size joins in as a broadcast 1-row aggregate over a
+    * column-pruned scan, never a driver-side count. Ranking orders by
+    * the RAW score with term as tie-break: exact ties come from equal
+    * (tf, df) pairs, which are bitwise-equal doubles within each
+    * engine, so cross-engine ln() rounding cannot reorder them.
     */
   def tfidf(docs: DataFrame, textCol: String, idCol: String, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -185,6 +187,7 @@ object TextAnalysis {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds both the score join and the DF aggregate
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val raw = col("tf").cast("double") * log(col("__n").cast("double") / col("df").cast("double"))
     val w = Window.partitionBy("doc_id").orderBy(raw.desc, col("term"))
