@@ -311,6 +311,19 @@ object SparkEntry {
       Curation.dsirScores(t(s, dir, "documents"), "text", "doc_id",
         col("source") === "src0")),
 
+    // cross-doc duplication coverage via shared winnow fingerprints
+    "q_dup_coverage" -> ((s, dir) =>
+      Dedup.dupCoverage(t(s, dir, "documents"), "text", "doc_id")),
+
+    // exact corpus length quantiles per source (linear interpolation —
+    // the same type-7 definition DuckDB's quantile_cont uses)
+    "q_length_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))),
+
     // SemDeDup-shape semantic dedup over embeddings: IVF-clustered
     // candidates, exact-cosine verify, keep lowest id per near-pair
     "q_semantic_dedup" -> ((s, dir) =>
@@ -756,6 +769,34 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(md5('sample|' || doc_id), 1, 15))::BIGINT % 1000 <
         |  CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 WHEN 'src2' THEN 50 ELSE 100 END""".stripMargin,
+
+    // mirrors Dedup.dupCoverage: the q_winnow fingerprint algebra, then
+    // multi-doc fingerprints counted back per doc
+    "q_dup_coverage" ->
+      """WITH d AS (SELECT doc_id, text, len(text) - 8 + 1 AS maxpos
+        |  FROM documents WHERE len(text) >= 11),
+        |p AS (SELECT doc_id, maxpos, text, unnest(range(1, maxpos + 1)) AS pos FROM d),
+        |g AS (SELECT doc_id, maxpos, pos, md5(substr(text, CAST(pos AS INT), 8)) AS h FROM p),
+        |w AS (SELECT doc_id, maxpos, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= maxpos - 3),
+        |shared AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_shared FROM fps JOIN shared USING (fp) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM fps GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_fps, CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+        |  round(CAST(coalesce(p.n_shared, 0) AS DOUBLE) / greatest(t.n_fps, 1), 6) AS dup_coverage
+        |FROM tot t LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // mirrors q_length_quantiles (quantile_cont == percentile: both
+    // linear-interpolate at (n-1)*p)
+    "q_length_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 6) AS p99
+        |FROM documents GROUP BY source""".stripMargin,
 
     // mirrors Curation.shardManifest (salts 'shard'/'cksum', 16 shards,
     // XOR checksum — order-free on both engines)

@@ -341,6 +341,36 @@ object Dedup {
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"))
 
+  /** Cross-document duplication coverage: for each document, the
+    * fraction of its winnowing fingerprints that also occur in at
+    * least one OTHER document — the "how much of this doc is copied
+    * text" signal (the per-doc aggregate view of exact-substring
+    * dedup a la Lee et al., with winnowing's shared-substring
+    * guarantee standing in for suffix arrays at corpus scale).
+    * Returns (doc_id, n_fps, n_shared, dup_coverage).
+    *
+    * Scale shape: fingerprints are map-side per doc ([[winnowFpSets]]),
+    * one shuffle groups them by fingerprint to find multi-doc ones,
+    * one join back counts them per doc. No pairwise anything.
+    */
+  def dupCoverage(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = winnowFpSets(docs, textCol, idCol, k, w)
+      .localCheckpoint() // feeds both the multi-doc aggregate and the per-doc count
+    val ex = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val shared = ex.groupBy("fp")
+      .agg(count(lit(1)).as("nd")) // fps are distinct within a doc
+      .filter(col("nd") >= 2).select("fp")
+    ex.join(shared, Seq("fp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(fps.select(col("doc_id"), size(col("fps")).cast("long").as("n_fps")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_fps"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double")
+          / greatest(col("n_fps"), lit(1)).cast("double"), 6).as("dup_coverage"))
+  }
+
   /** Duplicate CLUSTERS: near-dup pairs are only half of web-scale
     * dedup — similarity links chain (A~B, B~C without A~C), so the
     * keep/drop decision needs the connected components of the pair
