@@ -315,6 +315,25 @@ object SparkEntry {
     "q_dup_coverage" -> ((s, dir) =>
       Dedup.dupCoverage(t(s, dir, "documents"), "text", "doc_id")),
 
+    // C4-style chunk-level exact dedup: tumbling 10-word chunks,
+    // corpus-wide keep-first, documents reassembled from survivors
+    "q_chunk_dedup" -> ((s, dir) =>
+      Curation.chunkDedup(t(s, dir, "documents"), "text", "doc_id", chunkWords = 10)),
+
+    // Bloom-filter incremental dedup: the "already ingested" batch is
+    // doc_id % 3 != 0 PLUS the % 9 == 0 slice of the probe set, so true
+    // hits (re-ingested docs), misses, and — at larger sf — false
+    // positives are all exercised (m=2^16, k=3)
+    "q_bloom_dedup" -> ((s, dir) =>
+      Curation.bloomDedup(t(s, dir, "documents"), "text", "doc_id",
+        priorPred = (col("doc_id") % 3 =!= 0) || (col("doc_id") % 9 === 0),
+        probePred = col("doc_id") % 3 === 0,
+        mBits = 1 << 16, k = 3)),
+
+    // fixed-weight linear quality classifier (logit + keep decision)
+    "q_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "text", "doc_id")),
+
     // exact corpus length quantiles per source (linear interpolation —
     // the same type-7 definition DuckDB's quantile_cont uses)
     "q_length_quantiles" -> ((s, dir) =>
@@ -788,6 +807,70 @@ object SparkEntry {
         |SELECT t.doc_id, t.n_fps, CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
         |  round(CAST(coalesce(p.n_shared, 0) AS DOUBLE) / greatest(t.n_fps, 1), 6) AS dup_coverage
         |FROM tot t LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // mirrors Curation.chunkDedup: tumbling 10-word chunks, global
+    // keep-first per distinct chunk text, per-doc reassembly
+    "q_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |ch AS (SELECT doc_id, toks, unnest(range(0, (len(toks) + 9) // 10)) AS chunk_idx FROM t),
+        |c2 AS (SELECT doc_id, chunk_idx,
+        |    array_to_string(toks[CAST(chunk_idx*10+1 AS INT) : CAST(chunk_idx*10+10 AS INT)], ' ') AS chunk
+        |  FROM ch),
+        |win AS (SELECT doc_id, chunk_idx, chunk FROM c2
+        |  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text
+        |  FROM win GROUP BY doc_id)
+        |SELECT t.doc_id, CAST((len(toks) + 9) // 10 AS BIGINT) AS n_chunks,
+        |  coalesce(pd.n_kept, 0) AS n_kept, coalesce(pd.kept_text, '') AS kept_text
+        |FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin,
+
+    // mirrors Curation.bloomDedup: same md5 bit positions, same 60-bit
+    // words, same bit_or bitmap + bool_and probe
+    "q_bloom_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |prior AS (SELECT h FROM d WHERE doc_id % 3 <> 0 OR doc_id % 9 = 0),
+        |probe AS (SELECT doc_id, h FROM d WHERE doc_id % 3 = 0),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |pp AS (SELECT ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || h), 1, 15))::BIGINT % 65536 AS p
+        |  FROM prior CROSS JOIN js),
+        |words AS (SELECT p // 60 AS w, bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS bits
+        |  FROM pp GROUP BY 1),
+        |pj AS (SELECT doc_id, h,
+        |    ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || h), 1, 15))::BIGINT % 65536 AS p
+        |  FROM probe CROSS JOIN js),
+        |hits AS (SELECT doc_id, h,
+        |    bool_and(w.bits IS NOT NULL AND (w.bits & (1::BIGINT << CAST(pj.p % 60 AS INT))) <> 0) AS hit
+        |  FROM pj LEFT JOIN words w ON pj.p // 60 = w.w GROUP BY 1, 2),
+        |ex AS (SELECT DISTINCT h FROM prior)
+        |SELECT hits.doc_id,
+        |  CAST(CASE WHEN hit THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+        |  CAST(CASE WHEN ex.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+        |  CAST(CASE WHEN hit AND ex.h IS NULL THEN 1 ELSE 0 END AS BIGINT) AS false_pos
+        |FROM hits LEFT JOIN ex ON hits.h = ex.h""".stripMargin,
+
+    // mirrors TextAnalysis.qualityScore: identical IEEE evaluation
+    // order (+,*,/ and least only), keep thresholds the raw double
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, len(toks) AS n_words,
+        |    (-0.65)
+        |      + 0.02 * CAST(least(len(toks), 500) AS DOUBLE)
+        |      + 2.0 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+        |          / CAST(greatest(len(toks), 1) AS DOUBLE))
+        |      + 1.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+        |          / CAST(greatest(len(toks), 1) AS DOUBLE))
+        |      - 0.3 * (CAST(len(array_to_string(toks, '')) AS DOUBLE)
+        |          / CAST(greatest(len(toks), 1) AS DOUBLE)) AS logit
+        |  FROM t)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(logit, 6) AS quality_logit,
+        |  CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f""".stripMargin,
 
     // mirrors q_length_quantiles (quantile_cont == percentile: both
     // linear-interpolate at (n-1)*p)

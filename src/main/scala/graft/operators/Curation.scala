@@ -182,6 +182,107 @@ object Curation {
         max(col("doc_id")).as("max_doc"),
         expr("bit_xor(__h)").as("checksum"))
 
+  /** C4-style exact chunk-level dedup: split every document into
+    * tumbling `chunkWords`-word chunks, drop every chunk occurrence
+    * except the globally-first one (lowest `(doc_id, chunk_idx)` per
+    * distinct chunk text), and reassemble the surviving chunks per
+    * document. This is the "paragraph dedup" stage of C4/Dolma-class
+    * pipelines, expressed at fixed word granularity because the
+    * synthetic corpus has no paragraph breaks — the distributed shape
+    * (explode → global keep-first → regroup) is identical.
+    *
+    * Scale shape: TWO shuffles total. The keep-first winner per chunk
+    * is `row_number() = 1` over a window partitioned by the chunk
+    * hash — Catalyst rewrites the post-filter into a map-side
+    * WindowGroupLimit, so each partition forwards at most one row per
+    * chunk before the shuffle; hot chunks (boilerplate repeated
+    * millions of times) never concentrate on one reducer. The regroup
+    * shuffles only surviving chunk text. `n_chunks` is recomputed
+    * arithmetically from the original row rather than carried through
+    * the pipeline.
+    */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+                 chunkWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.tokens(col(textCol))
+    val nChunks = floor((size(toks).cast("long") + lit(chunkWords - 1).cast("long"))
+      / lit(chunkWords.toLong)).cast("long")
+    val chunkArr = when(size(toks) > 0,
+      transform(sequence(lit(0L), nChunks - 1),
+        g => array_join(slice(toks, (g * chunkWords + 1).cast("int"), lit(chunkWords)), " ")))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    val chunked = docs.select(col(idCol).as("doc_id"),
+      posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+    val w = Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("chunk_idx"))
+    val winners = chunked
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val perDoc = winners.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        x => x.getField("chunk")), " ").as("kept_text"))
+    docs.select(col(idCol).as("doc_id"), nChunks.as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Bloom-filter incremental dedup (the Dolma-style cross-batch
+    * membership test): documents matching `priorPred` form the
+    * already-ingested batch whose content hashes populate a Bloom
+    * filter of `mBits` bits with `k` md5-derived hash functions; every
+    * other document is probed against it. Output per probed document:
+    * `bloom_hit` (all k bits set), `exact_dup` (ground truth via hash
+    * join), `false_pos` (bloom said yes, exact says no) — 0/1 BIGINTs.
+    *
+    * Scale shape: the filter itself is the aggregated bitmap table —
+    * `mBits/60` rows of `(word_idx, 60-bit word)` built with one
+    * map-side-combined `bit_or` aggregate — small enough to BROADCAST
+    * at any corpus size (mBits is chosen for the target false-positive
+    * rate, not the corpus size... a 4-billion-bit filter is still only
+    * ~70M rows / ~1 GB). Probing is a broadcast join + one thin
+    * `bool_and` groupBy of k rows per doc; the corpus text never
+    * shuffles. In a real incremental pipeline the words table is built
+    * once per ingested batch and persisted; the exact join here is the
+    * false-positive accounting a pipeline runs on samples.
+    *
+    * Bits use 60-bit words (not 64) so `1L << bit` stays positive —
+    * DuckDB's `<<` and Spark's `shiftleft` then agree without
+    * sign-overflow edge cases.
+    */
+  def bloomDedup(docs: DataFrame, textCol: String, idCol: String,
+                 priorPred: Column, probePred: Column,
+                 mBits: Int = 1 << 16, k: Int = 3,
+                 salt: String = "bloom"): DataFrame = {
+    val h = md5(col(textCol))
+    def pos(j: Int, hc: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"$salt$j|"), hc)), 1, 15), 16, 10).cast("long"),
+        lit(mBits.toLong))
+    val prior = docs.filter(priorPred).select(h.as("h"))
+    val probe = docs.filter(probePred).select(col(idCol).as("doc_id"), h.as("h"))
+    val words = prior
+      .select(explode(array((0 until k).map(j => pos(j, col("h"))): _*)).as("p"))
+      .select(expr("p div 60").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+    val probed = probe
+      .select(col("doc_id"), col("h"),
+        explode(array((0 until k).map(j => pos(j, col("h"))): _*)).as("p"))
+      .select(col("doc_id"), col("h"), expr("p div 60").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT))").as("m"))
+      .join(broadcast(words), Seq("w"), "left")
+      .groupBy("doc_id", "h")
+      .agg(expr("bool_and(bits IS NOT NULL AND (bits & m) <> 0)").as("__hit"))
+    val priorH = prior.distinct().withColumn("__ex", lit(1L))
+    probed.join(priorH, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("__hit"), lit(1L)).otherwise(lit(0L)).as("bloom_hit"),
+        coalesce(col("__ex"), lit(0L)).as("exact_dup"),
+        when(col("__hit") && col("__ex").isNull, lit(1L)).otherwise(lit(0L)).as("false_pos"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * md5(salt|id) mod 1000 < rate‰ for its stratum (per-mille rates
     * in `ratesPerMille`, `defaultPerMille` otherwise). One projection

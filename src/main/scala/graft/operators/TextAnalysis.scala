@@ -46,6 +46,38 @@ object TextAnalysis {
       size(filter(regexp_extract_all(col(textCol), lit(BpeTokenPattern), lit(0)), t => length(t) > 0))
         .cast("long").as("n_bpe_tokens"))
 
+  /** Fixed-weight linear quality classifier (fastText / FineWeb-Edu
+    * classifier shape): a logit over cheap text features — capped word
+    * count, stopword ratio, vocabulary diversity, mean word length —
+    * with frozen weights, thresholded into a keep decision. A real
+    * pipeline loads trained weights; the *operator* — a wide frozen
+    * linear layer evaluated corpus-wide in one codegen'd projection,
+    * zero shuffles — is identical at any weight count.
+    *
+    * The logit uses only +, *, / and min (no transcendentals), so with
+    * an identical evaluation order IEEE-754 makes it bit-reproducible
+    * across engines — `keep` thresholds the RAW double safely.
+    */
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val nWords = size(toks)
+    val nWordsD = greatest(nWords, lit(1)).cast("double")
+    val stopRatio = size(filter(toks, t => array_contains(lit(Stopwords.toArray), t)))
+      .cast("double") / nWordsD
+    val uniqueRatio = size(array_distinct(toks)).cast("double") / nWordsD
+    val meanWordLen = length(concat_ws("", toks)).cast("double") / nWordsD
+    val logit = lit(-0.65) +
+      lit(0.02) * least(nWords, lit(500)).cast("double") +
+      lit(2.0) * stopRatio +
+      lit(1.5) * uniqueRatio -
+      lit(0.3) * meanWordLen
+    docs.select(
+      col(idCol).as("doc_id"),
+      nWords.cast("long").as("n_words"),
+      round(logit, 6).as("quality_logit"),
+      when(logit > 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
   /** Language-marker profiles: tiny function-word lists per language.
     * A real system ships n-gram profiles; the *operator shape* — score
     * per (doc, lang), argmax with deterministic tie-break — is what

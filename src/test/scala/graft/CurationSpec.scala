@@ -191,4 +191,58 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     // list by construction; 20 (higher id) is dropped
     assert(kept.sameElements(Array(10L, 30L)))
   }
+
+  test("chunkDedup keeps the globally-first occurrence of each chunk and reassembles") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // chunks: "a b c", "d e"
+      (2L, "a b c x y z"),      // "a b c" already seen in doc 1 -> dropped
+      (3L, "d e"),              // whole doc is doc 1's second chunk -> dropped
+      (4L, "")).toDF("doc_id", "text")
+    val out = Curation.chunkDedup(docs, "text", "doc_id", chunkWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e")))
+    assert(out(2L) == ((2L, 1L, "x y z")))
+    assert(out(3L) == ((1L, 0L, "")))
+    assert(out(4L) == ((0L, 0L, "")))
+  }
+
+  test("bloomDedup: hits match exact dups at ample m; tiny m forces false positives") {
+    val docs = (0L until 30L).map { i =>
+      // 20..22 re-ingest the text of 0..2; 23..29 are unique
+      val text = if (i >= 20 && i <= 22) s"shared text ${i - 20}" else s"shared text $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val prior = col("doc_id") < 20
+    val probe = col("doc_id") >= 20
+    val ample = Curation.bloomDedup(docs, "text", "doc_id", prior, probe, mBits = 1 << 16, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ample.size == 10)
+    (20L to 22L).foreach(i => assert(ample(i) == ((1L, 1L, 0L)), s"doc $i"))
+    (23L to 29L).foreach(i => assert(ample(i) == ((0L, 0L, 0L)), s"doc $i"))
+    // 60-bit filter over 20 prior docs (~60 bit insertions) is saturated:
+    // unique probes collide -> bloom_hit with exact_dup = 0
+    val tiny = Curation.bloomDedup(docs, "text", "doc_id", prior, probe, mBits = 60, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (20L to 22L).foreach(i => assert(tiny(i)._1 == 1L && tiny(i)._2 == 1L, s"doc $i"))
+    assert((23L to 29L).count(i => tiny(i)._3 == 1L) > 0, "expected false positives at m=60")
+    // a false positive is always also a hit, never an exact dup
+    tiny.values.foreach { case (hit, ex, fp) => if (fp == 1L) assert(hit == 1L && ex == 0L) }
+  }
+
+  test("qualityScore computes the hand-derived logit and keep decision") {
+    val docs = Seq(
+      (1L, "the cat sat"),                          // stopRatio 1/3, unique 1, mwl 3
+      (2L, "abcdefghij abcdefghij abcdefghij"),     // no stopwords, unique 1/3, mwl 10
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val logit1 = -0.65 + 0.02 * 3 + 2.0 * (1.0 / 3) + 1.5 * 1.0 - 0.3 * 3.0
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - logit1) < 1e-6)
+    assert(out(1L)._3 == 1L)
+    val logit2 = -0.65 + 0.02 * 3 + 0.0 + 1.5 * (1.0 / 3) - 0.3 * 10.0
+    assert(math.abs(out(2L)._2 - logit2) < 1e-6)
+    assert(out(2L)._3 == 0L)
+    assert(out(3L) == ((0L, -0.65, 0L)))
+  }
 }
