@@ -250,6 +250,11 @@ object SparkEntry {
     "q_bpe" -> ((s, dir) =>
       Bpe.learn(t(s, dir, "documents"), "text", merges = 10)),
 
+    // BPE tokenizer APPLY: the 10 learned merges applied to the vocab,
+    // corpus scored by a word -> symbol-count join
+    "q_bpe_encode" -> ((s, dir) =>
+      Bpe.encode(t(s, dir, "documents"), "text", "doc_id", merges = 10)),
+
     // PII scrub over deterministically augmented text (the corpus is
     // synthetic word soup with no PII, so the query plants emails/IPs/
     // phone numbers on a doc_id grid — the SAME augmentation runs in
@@ -333,6 +338,18 @@ object SparkEntry {
     // fixed-weight linear quality classifier (logit + keep decision)
     "q_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "text", "doc_id")),
+
+    // GPT-style sequence packing: per-shard hash-order token stream
+    // cut into 512-token blocks; per-doc placement map
+    "q_pack" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), "text", "doc_id",
+        seqLen = 512, shards = 8)),
+
+    // CCNet-style perplexity filter: bigram LM trained on src0,
+    // add-one smoothed, keep iff cross-entropy <= 7 nats/token
+    "q_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexityFilter(t(s, dir, "documents"), "text", "doc_id",
+        isTrain = col("source") === "src0", thresholdNats = 7.0)),
 
     // exact corpus length quantiles per source (linear interpolation —
     // the same type-7 definition DuckDB's quantile_cont uses)
@@ -851,6 +868,50 @@ object SparkEntry {
         |  CAST(CASE WHEN hit AND ex.h IS NULL THEN 1 ELSE 0 END AS BIGINT) AS false_pos
         |FROM hits LEFT JOIN ex ON hits.h = ex.h""".stripMargin,
 
+    // mirrors Curation.packSequences: same shard/order hashes, same
+    // per-shard prefix sum, same integer block division
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5('pack|' || doc_id), 1, 15))::BIGINT % 8 AS shard,
+        |    ('0x' || substr(md5('pack-ord|' || doc_id), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  start_offset // 512 AS first_block,
+        |  (start_offset + greatest(n_tokens, 1) - 1) // 512 AS last_block,
+        |  (start_offset + greatest(n_tokens, 1) - 1) // 512 - start_offset // 512 + 1 AS n_blocks
+        |FROM c""".stripMargin,
+
+    // mirrors TextAnalysis.perplexityFilter: same bigram algebra,
+    // same fixed-point floor(ln P x 1e9) contributions, long-compare keep
+    "q_perplexity" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bgs AS (SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j + 1])) AS bg
+        |  FROM toks),
+        |lm AS (SELECT bg, CAST(count(*) AS BIGINT) AS cab FROM bgs WHERE source = 'src0' GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS ctx, CAST(sum(cab) AS BIGINT) AS ca FROM lm GROUP BY 1),
+        |vt AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')),
+        |pd AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bgs GROUP BY doc_id, bg),
+        |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(c * CAST(floor(ln(CAST(coalesce(l.cab, 0) + 1 AS DOUBLE)
+        |      / CAST(coalesce(x.ca, 0) + vt.v AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS score_fp
+        |  FROM pd LEFT JOIN lm l USING (bg)
+        |    LEFT JOIN ctx x ON split_part(pd.bg, ' ', 1) = x.ctx
+        |    CROSS JOIN vt GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  round(CAST(-coalesce(sc.score_fp, 0) AS DOUBLE)
+        |    / CAST(greatest(coalesce(sc.n_bigrams, 0), 1) * 1000000000 AS BIGINT), 6) AS cross_entropy,
+        |  CAST(CASE WHEN -coalesce(sc.score_fp, 0) <= 7000000000 * coalesce(sc.n_bigrams, 0)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+
     // mirrors TextAnalysis.qualityScore: identical IEEE evaluation
     // order (+,*,/ and least only), keep thresholds the raw double
     "q_quality_score" ->
@@ -929,6 +990,7 @@ object SparkEntry {
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_kmeans" -> kmeansOracle(k = 8, iters = 3, dim = 64),
     "q_bpe" -> Bpe.learnOracle(merges = 10),
+    "q_bpe_encode" -> Bpe.encodeOracle(merges = 10),
 
     "q_substitute" ->
       "SELECT doc_id, replace(replace(text, 'spark', 'SPARK'), 'data', 'DATA') AS text FROM documents",

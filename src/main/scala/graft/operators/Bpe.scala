@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   *    the DuckDB oracle implement identically.
   */
 object Bpe {
-  /** Learn `merges` BPE merges from the corpus. */
-  def learn(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** The learn loop shared by [[learn]] and [[encode]]: returns the
+    * merge table rows AND the final vocab frame `(word, freq, seq)`
+    * with all merges applied (checkpointed — caller frees it).
+    */
+  private def learnLoop(docs: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var vocab = docs
       .select(explode(Dedup.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -60,6 +63,13 @@ object Bpe {
         vocab = next
       }
     }
+    (learned.toSeq, vocab)
+  }
+
+  /** Learn `merges` BPE merges from the corpus. */
+  def learn(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (learned, vocab) = learnLoop(docs, textCol, merges)
     graft.plans.CheckpointHygiene.free(vocab)
     val schema = StructType(Seq(
       StructField("rank", LongType, nullable = false),
@@ -71,12 +81,40 @@ object Bpe {
       spark.sparkContext.parallelize(learned.toSeq.map(Row.fromTuple), 1), schema)
   }
 
-  /** DuckDB mirror of [[learn]] with the merge rounds unrolled as CTE
-    * chains — identical char-split, pair algebra, argmax tie-break,
-    * and doubled-space rewrite, so the merge table matches
-    * bit-for-bit.
+  /** BPE encode: apply `merges` learned merges to the corpus and
+    * report the per-document symbol count — the tokenizer-APPLY half
+    * (the number a token-budget / packing stage actually consumes).
+    *
+    * Scale shape: the merges are applied to the distinct-word VOCAB
+    * (the same Zipf lever as [[learn]] — the corpus text is never
+    * rewritten); the corpus is then scored by joining its exploded
+    * tokens against the `word -> n_syms` table, a plain shuffle join
+    * that AQE broadcasts whenever the vocab fits (it is ~sqrt of
+    * corpus). Per-doc totals are one map-side-combined aggregate.
     */
-  def learnOracle(merges: Int): String = {
+  def encode(docs: DataFrame, textCol: String, idCol: String, merges: Int): DataFrame = {
+    val (_, vocab) = learnLoop(docs, textCol, merges)
+    val wordSyms = vocab.select(col("word"),
+      size(split(col("seq"), " ")).cast("long").as("n_syms"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("word"))
+      .join(wordSyms, "word") // vocab covers every corpus word by construction
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_syms"))
+    val out = docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_syms"), lit(0L)).as("n_bpe_syms"))
+    // the join above consumes the checkpointed vocab lazily; freeing it
+    // here would truncate lineage before the query runs, so hand the
+    // blocks to the caller's between-query hygiene instead
+    out
+  }
+
+  /** The shared learn-chain SQL: `WITH v0 ..., p_i/b_i/v_i` per round,
+    * ending at vocab table `v<merges>`.
+    */
+  private def vocabChainSql(merges: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH v0 AS (SELECT word, count(*) AS freq,
@@ -98,12 +136,36 @@ object Bpe {
            |      ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS seq
            |  FROM v${i - 1} CROSS JOIN b$i b)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** DuckDB mirror of [[learn]] with the merge rounds unrolled as CTE
+    * chains — identical char-split, pair algebra, argmax tie-break,
+    * and doubled-space rewrite, so the merge table matches
+    * bit-for-bit.
+    */
+  def learnOracle(merges: Int): String = {
     val union = (1 to merges).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS rank, split_part(pair, ' ', 1) AS l_sym,
          |  split_part(pair, ' ', 2) AS r_sym, replace(pair, ' ', '') AS merged, pfreq AS freq
          |FROM b$i""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "")
-    sb.append(union)
-    sb.toString
+    vocabChainSql(merges) + union
   }
+
+  /** DuckDB mirror of [[encode]]: the same learn chain, then the
+    * per-doc token join against the final vocab's symbol counts.
+    */
+  def encodeOracle(merges: Int): String =
+    vocabChainSql(merges) +
+      s""",
+         |enc AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_syms FROM v$merges),
+         |dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+         |    x -> len(x) > 0)) AS word FROM documents),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(n_syms) AS BIGINT) AS n_bpe_syms
+         |  FROM dt JOIN enc USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_words, 0) AS n_words,
+         |  coalesce(pd.n_bpe_syms, 0) AS n_bpe_syms
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
 }

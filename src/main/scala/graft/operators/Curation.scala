@@ -298,4 +298,43 @@ object Curation {
     }
     docs.filter(pmod(idHash(salt, col(idCol)), lit(1000L)) < rate)
   }
+
+  /** Sequence packing (GPT-style "concat then chunk"): lay the corpus
+    * out as one deterministic token stream per shard and cut it into
+    * fixed `seqLen`-token training sequences. Each document gets its
+    * shard, its start offset in the shard's stream, and the
+    * first/last sequence (block) it lands in — exactly the placement
+    * map a dataloader needs to pack documents into training batches.
+    *
+    * Scale shape: the only non-map work is ONE window prefix-sum per
+    * shard (hash-order within shard) — shards are independent, so the
+    * window parallelizes across `shards` partitions; there is no
+    * global ordering bottleneck, which is why real packers shard
+    * first. Doc order within a shard is md5-hash order: deterministic,
+    * stable under corpus growth of other shards, and uncorrelated
+    * with ingest order (the packer's shuffle).
+    *
+    * Empty documents occupy zero tokens: their start offset is
+    * well-defined and `first_block = last_block` = the block at that
+    * offset (via `greatest(n,1)` so the arithmetic stays total).
+    */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+                    seqLen: Int, shards: Int, salt: String = "pack"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = sum(col("n_tokens")).over(w) - col("n_tokens")
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"),
+        pmod(idHash(salt, col(idCol)), lit(shards.toLong)).as("shard"),
+        idHash(salt + "-ord", col(idCol)).as("__h"))
+      .withColumn("start_offset", start)
+      // integer `div`, not double `/`: offsets at 100 TB exceed 2^53
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $seqLen").as("first_block"),
+        expr(s"(start_offset + greatest(n_tokens, 1) - 1) div $seqLen").as("last_block"))
+      .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
+  }
 }

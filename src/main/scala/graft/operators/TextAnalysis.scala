@@ -292,4 +292,66 @@ object TextAnalysis {
       when(col("best_score") > 0, col("lang_guess")).otherwise(lit("und")).as("lang_guess"),
       col("best_score").cast("long").as("marker_hits"))
   }
+
+  /** CCNet-style perplexity filtering: score every document by the
+    * cross-entropy of an add-one-smoothed word-BIGRAM language model
+    * trained on the in-domain slice (`isTrain`), keep documents whose
+    * per-token cross-entropy stays under `thresholdNats`. CCNet uses a
+    * KenLM 5-gram; the *operator* — train an n-gram LM in one
+    * aggregate, score the corpus with LM-table joins, threshold — is
+    * order-independent, and bigrams keep the oracle exact.
+    *
+    * Model: P(b|a) = (c(a,b)+1) / (c(a,*)+V), with c(a,*) derived from
+    * the bigram table itself (so contexts and totals are consistent by
+    * construction) and V = distinct train-token count.
+    *
+    * Scale + determinism: the LM is two vocab-scale tables — bigram
+    * counts (one map-side-combined aggregate over the train slice,
+    * checkpointed) and context totals derived FROM that aggregate (no
+    * second corpus scan) — plus a 1-row V broadcast. Scoring joins
+    * per-doc bigram counts against the LM on the bigram key: a plain
+    * shuffle join that AQE broadcasts whenever the LM fits. Per-doc
+    * sums add FIXED-POINT contributions (floor(ln P x 1e9) longs, exact
+    * integer smoothing inputs), so the distributed sum is exact under
+    * any partitioning and the keep decision compares LONGS — no float
+    * threshold ambiguity at the boundary ([[Curation.dsirScores]]
+    * recipe).
+    */
+  def perplexityFilter(docs: DataFrame, textCol: String, idCol: String,
+                       isTrain: Column, thresholdNats: Double): DataFrame = {
+    val thresholdFp = math.floor(thresholdNats * 1e9).toLong
+    val train = docs.filter(isTrain)
+    val bgStats = train
+      .select(explode(Dedup.shinglesRaw(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cab"))
+      .localCheckpoint() // vocab-scale; ctx totals derive from it
+    val ctxStats = bgStats
+      .groupBy(substring_index(col("bg"), " ", 1).as("ctx"))
+      .agg(sum("cab").as("ca"))
+    val vTot = train
+      .select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.shinglesRaw(col(textCol), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val lnp = log(
+      (coalesce(col("cab"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("ca"), lit(0L)) + col("v")).cast("double"))
+    val scored = perDoc
+      .join(bgStats, Seq("bg"), "left")
+      .join(ctxStats, substring_index(col("bg"), " ", 1) === col("ctx"), "left")
+      .crossJoin(broadcast(vTot))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * floor(lnp * lit(1e9)).cast("long")).as("score_fp"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round((-coalesce(col("score_fp"), lit(0L))).cast("double") /
+          (greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)) * lit(1000000000L)).cast("double"), 6)
+          .as("cross_entropy"),
+        when(-coalesce(col("score_fp"), lit(0L)) <=
+          lit(thresholdFp) * coalesce(col("n_bigrams"), lit(0L)), lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+  }
 }

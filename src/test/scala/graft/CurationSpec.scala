@@ -229,6 +229,70 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     tiny.values.foreach { case (hit, ex, fp) => if (fp == 1L) assert(hit == 1L && ex == 0L) }
   }
 
+  test("packSequences lays out a contiguous per-shard token stream with exact block spans") {
+    val docs = (0L until 200L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")
+    val rows = Curation.packSequences(docs, "text", "doc_id", seqLen = 16, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 200)
+    // per shard: offsets tile the stream exactly (sorted by start,
+    // each doc starts where the previous ended)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      sorted.foldLeft(0L) { case (expected, (_, _, n, start, fb, lb, nb)) =>
+        assert(start == expected)
+        assert(fb == start / 16)
+        assert(lb == (start + math.max(n, 1) - 1) / 16)
+        assert(nb == lb - fb + 1)
+        start + n
+      }
+    }
+    // deterministic across runs
+    val again = Curation.packSequences(docs, "text", "doc_id", seqLen = 16, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("perplexityFilter scores in-domain text lower than out-of-domain") {
+    // train slice: docs 0-9 repeat a tight phrase; doc 10 is the same
+    // domain, docs 11-12 are unseen-word soup
+    val docs = ((0L until 10L).map(i => (i, "the cat sat on the mat")) ++ Seq(
+      (10L, "the cat sat on the mat again"),
+      (11L, "zq xv wk jy pf gd bn"),
+      (12L, "the mat sat"))).toDF("doc_id", "text")
+    // V = 5 distinct train tokens, so a fully-unseen bigram costs
+    // ln 5 ~ 1.61 nats; threshold 1.0 splits in-domain from soup
+    val out = TextAnalysis.perplexityFilter(docs, "text", "doc_id",
+      isTrain = col("doc_id") < 10, thresholdNats = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(0L)._1 == 5)
+    assert(out(0L)._2 < out(11L)._2, "train text must score below unseen-word soup")
+    assert(out(10L)._2 < out(11L)._2)
+    assert(out(0L)._3 == 1L)
+    assert(out(11L)._3 == 0L)
+    // hand-check doc 0's exact ce: 10x each train bigram, context
+    // "the" seen 20x, others 10x, V = 5
+    val ce0 = -(math.log(11.0 / 25) * 2 + math.log(11.0 / 15) * 3) / 5
+    assert(math.abs(out(0L)._2 - ce0) < 1e-5)
+    // doc 11's bigrams are fully unseen: ce = ln(V) exactly
+    assert(math.abs(out(11L)._2 - math.log(5.0)) < 1e-5)
+  }
+
+  test("Bpe.encode applies learned merges: symbol counts shrink and match the vocab") {
+    // corpus where "ab" merges first: every word contains the pair
+    val docs = Seq((1L, "abc abd abc"), (2L, "abe abc"), (3L, "")).toDF("doc_id", "text")
+    val enc1 = Bpe.encode(docs, "text", "doc_id", merges = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // after merging 'a b': every 3-char word is 2 symbols
+    assert(enc1(1L) == ((3L, 6L)))
+    assert(enc1(2L) == ((2L, 4L)))
+    assert(enc1(3L) == ((0L, 0L)))
+    val enc0 = Bpe.encode(docs, "text", "doc_id", merges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(enc0(1L) == 9L) // unmerged chars
+  }
+
   test("qualityScore computes the hand-derived logit and keep decision") {
     val docs = Seq(
       (1L, "the cat sat"),                          // stopRatio 1/3, unique 1, mwl 3
