@@ -351,6 +351,44 @@ object SparkEntry {
       TextAnalysis.perplexityFilter(t(s, dir, "documents"), "text", "doc_id",
         isTrain = col("source") === "src0", thresholdNats = 7.0)),
 
+    // URL blocklist filter over a deterministic URL grid (the corpus
+    // has no url column; the SAME augmentation runs in the oracle)
+    "q_url_filter" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, "www").when(col("doc_id") % 4 === 1, "blog")
+          .when(col("doc_id") % 4 === 2, "cdn").otherwise("shop"),
+        lit("."),
+        when(col("doc_id") % 5 === 0, "spamsite.com").when(col("doc_id") % 5 === 1, "example.org")
+          .when(col("doc_id") % 5 === 2, "adfarm.net").when(col("doc_id") % 5 === 3, "news.io")
+          .otherwise("example.com"),
+        lit("/p/"), col("doc_id").cast("string")))
+      Curation.urlFilter(aug, "url", "doc_id",
+        Seq("spamsite.com", "adfarm.net", "cdn.example.com"))
+    }),
+
+    // HTML text extraction over deterministically wrapped documents
+    "q_html_extract" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("html", concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><p class=\"intro\">"), col("text"), lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a href=\"https://example.com/p/"), col("doc_id").cast("string"),
+            lit("\">more &amp; more</a>"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("<script>var x = 1;</script>")).otherwise(lit("")),
+        lit("<p>tail &lt;ok&gt;</p></body></html>")))
+      TextAnalysis.htmlExtract(aug, "html", "doc_id")
+    }),
+
+    // corpus snapshot diff: old = %11 slice with edits on %7, new = %13 slice
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val old = d.filter(col("doc_id") % 11 =!= 0).withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" OLD"))).otherwise(col("text")))
+      val nw = d.filter(col("doc_id") % 13 =!= 0)
+      Curation.snapshotDiff(old, nw, "text", "doc_id")
+    }),
+
     // exact corpus length quantiles per source (linear interpolation —
     // the same type-7 definition DuckDB's quantile_cont uses)
     "q_length_quantiles" -> ((s, dir) =>
@@ -885,6 +923,58 @@ object SparkEntry {
         |  (start_offset + greatest(n_tokens, 1) - 1) // 512 AS last_block,
         |  (start_offset + greatest(n_tokens, 1) - 1) // 512 - start_offset // 512 + 1 AS n_blocks
         |FROM c""".stripMargin,
+
+    // mirrors Curation.urlFilter: same URL grid, host/domain regexes,
+    // and blocklist join
+    "q_url_filter" ->
+      """WITH aug AS (SELECT doc_id, 'https://' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'blog' WHEN 2 THEN 'cdn' ELSE 'shop' END || '.' ||
+        |    CASE doc_id % 5 WHEN 0 THEN 'spamsite.com' WHEN 1 THEN 'example.org'
+        |      WHEN 2 THEN 'adfarm.net' WHEN 3 THEN 'news.io' ELSE 'example.com' END ||
+        |    '/p/' || doc_id AS url
+        |  FROM documents),
+        |d AS (SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM aug),
+        |d2 AS (SELECT doc_id, host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM d),
+        |b AS (SELECT unnest(['spamsite.com', 'adfarm.net', 'cdn.example.com']) AS blocked_entry)
+        |SELECT doc_id, host, domain,
+        |  CAST(CASE WHEN blocked_entry IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+        |  coalesce(blocked_entry, '') AS matched
+        |FROM d2 LEFT JOIN b ON host = blocked_entry OR domain = blocked_entry""".stripMargin,
+
+    // mirrors TextAnalysis.htmlExtract: same wrapper grid, same
+    // script-strip -> tag-strip -> entity-decode -> collapse order
+    "q_html_extract" ->
+      """WITH aug AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title></head><body><p class="intro">'
+        |      || text || '</p>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '<a href="https://example.com/p/' || doc_id || '">more &amp; more</a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '<script>var x = 1;</script>' ELSE '' END ||
+        |    '<p>tail &lt;ok&gt;</p></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html,
+        |    regexp_replace(html, '<script>[^<]*</script>', ' ', 'g') AS t FROM aug),
+        |s2 AS (SELECT doc_id, html, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, html,
+        |    replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+        |  FROM s2)
+        |SELECT doc_id,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |  trim(regexp_replace(t, ' +', ' ', 'g')) AS body_text,
+        |  CAST(len(regexp_extract_all(html, '<a href="[^"]*"')) AS BIGINT) AS n_links
+        |FROM s3""".stripMargin,
+
+    // mirrors Curation.snapshotDiff: same slices, same md5 compare
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |    md5(text || CASE WHEN doc_id % 7 = 0 THEN ' OLD' ELSE '' END) AS oh
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |n AS (SELECT doc_id, md5(text) AS nh FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // mirrors TextAnalysis.perplexityFilter: same bigram algebra,
     // same fixed-point floor(ln P x 1e9) contributions, long-compare keep

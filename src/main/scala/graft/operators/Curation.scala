@@ -299,6 +299,57 @@ object Curation {
     docs.filter(pmod(idHash(salt, col(idCol)), lit(1000L)) < rate)
   }
 
+  /** URL/domain filtering (the C4/Dolma source-blocklist stage):
+    * extract the host from each document's URL, derive its registered
+    * domain (last two dot-labels), and mark documents whose host or
+    * registered domain appears in the blocklist.
+    *
+    * Scale shape: host/domain extraction is a codegen'd projection;
+    * the blocklist (thousands of rows in practice) joins BROADCAST on
+    * both keys — the corpus never shuffles. Output: per-doc host,
+    * domain, blocked flag, and the matched blocklist entry.
+    */
+  def urlFilter(docs: DataFrame, urlCol: String, idCol: String,
+                blockedDomains: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val host = regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1)
+    val block = blockedDomains.toDF("blocked_entry")
+    val extracted = docs.select(col(idCol).as("doc_id"), host.as("host"))
+      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+    extracted
+      .join(broadcast(block),
+        col("host") === col("blocked_entry") || col("domain") === col("blocked_entry"),
+        "left")
+      .select(col("doc_id"), col("host"), col("domain"),
+        when(col("blocked_entry").isNotNull, lit(1L)).otherwise(lit(0L)).as("blocked"),
+        coalesce(col("blocked_entry"), lit("")).as("matched"))
+  }
+
+  /** Corpus snapshot diff (dataset versioning): align two corpus
+    * versions on the document id and classify every id as `added`
+    * (new only), `removed` (old only), `changed` (both, different
+    * content hash) or `unchanged`. The per-release audit a 100 TB
+    * corpus pipeline runs between snapshots.
+    *
+    * Scale shape: each side reduces to `(id, md5(text))` at scan time
+    * — the full-outer join shuffles 2 slim columns, never the text.
+    * (Production pipelines persist exactly this manifest per snapshot
+    * so the next diff reads manifests, not the corpus; the operator
+    * is the same join either way.)
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   textCol: String, idCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("oh"))
+    val n = newDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("oh").isNull, lit("added"))
+          .when(col("nh").isNull, lit("removed"))
+          .when(col("oh") =!= col("nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Sequence packing (GPT-style "concat then chunk"): lay the corpus
     * out as one deterministic token stream per shard and cut it into
     * fixed `seqLen`-token training sequences. Each document gets its

@@ -293,6 +293,30 @@ object TextAnalysis {
       col("best_score").cast("long").as("marker_hits"))
   }
 
+  /** HTML text extraction (the first stage of every web-corpus
+    * pipeline): pull the title, strip script blocks and tags, decode
+    * the common entities, collapse whitespace, and count links. A
+    * production extractor (trafilatura-class) adds boilerplate
+    * heuristics; the *operator* — pure per-row string surgery in one
+    * codegen'd projection, zero shuffle, scan-speed — is the same.
+    *
+    * Regexes stay in the Java/RE2 common subset (`[^>]*` character
+    * classes, no backrefs or lookaround) so Spark and the DuckDB
+    * oracle transform identically.
+    */
+  def htmlExtract(docs: DataFrame, htmlCol: String, idCol: String): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol), "<script>[^<]*</script>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_extract(col(htmlCol), "<title>([^<]*)</title>", 1).as("title"),
+      trim(regexp_replace(decoded, " +", " ")).as("body_text"),
+      size(regexp_extract_all(col(htmlCol), lit("<a href=\"[^\"]*\""), lit(0)))
+        .cast("long").as("n_links"))
+  }
+
   /** CCNet-style perplexity filtering: score every document by the
     * cross-entropy of an add-one-smoothed word-BIGRAM language model
     * trained on the in-domain slice (`isTrain`), keep documents whose

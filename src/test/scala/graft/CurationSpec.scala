@@ -293,6 +293,41 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(enc0(1L) == 9L) // unmerged chars
   }
 
+  test("urlFilter blocks by registered domain and by full host") {
+    val docs = Seq(
+      (1L, "https://www.spamsite.com/p/1"),   // domain block
+      (2L, "https://blog.example.org/p/2"),   // clean
+      (3L, "https://cdn.example.com/p/3"),    // host block (domain example.com is clean)
+      (4L, "https://shop.example.com/p/4")    // clean (same domain, different host)
+    ).toDF("doc_id", "url")
+    val out = Curation.urlFilter(docs, "url", "doc_id",
+      Seq("spamsite.com", "cdn.example.com"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == (("www.spamsite.com", "spamsite.com", 1L, "spamsite.com")))
+    assert(out(2L) == (("blog.example.org", "example.org", 0L, "")))
+    assert(out(3L) == (("cdn.example.com", "example.com", 1L, "cdn.example.com")))
+    assert(out(4L) == (("shop.example.com", "example.com", 0L, "")))
+  }
+
+  test("htmlExtract strips tags/scripts, decodes entities, counts links") {
+    val docs = Seq(
+      (1L, "<html><head><title>T1</title></head><body><p>hello &amp; bye</p>" +
+        "<script>var x = 1;</script><a href=\"https://x.io/a\">go</a></body></html>"),
+      (2L, "plain no tags")).toDF("doc_id", "html")
+    val out = TextAnalysis.htmlExtract(docs, "html", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("T1", "T1 hello & bye go", 1L)))
+    assert(out(2L) == (("", "plain no tags", 0L)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("doc_id", "text")
+    val nw = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = Curation.snapshotDiff(old, nw, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("qualityScore computes the hand-derived logit and keep decision") {
     val docs = Seq(
       (1L, "the cat sat"),                          // stopRatio 1/3, unique 1, mwl 3
