@@ -30,13 +30,3 @@ case class Blake2b512Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object GraftFunctions {
-  /** Register `blake2b512(binary) -> binary` with the session so SQL
-    * and `expr(...)` can use it; the reference text form is then
-    * `concat('blake2b512:', <base64url no-pad>)`.
-    */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "blake2b512", (exprs: Seq[Expression]) => Blake2b512Expr(exprs.head), "built-in")
-  }
-}

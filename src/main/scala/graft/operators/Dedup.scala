@@ -38,7 +38,7 @@ object Dedup {
     */
   def shinglesRaw(text: Column, n: Int): Column = shingleUdf(tokens(text), lit(n))
 
-  private val shingleUdf = udf { (toks: Seq[String], n: Int) =>
+  private[graft] def shingleArr(toks: Seq[String], n: Int): Array[String] = {
     val arr = toks.toArray
     val m = arr.length - n + 1
     if (m <= 0) Array.empty[String]
@@ -49,6 +49,8 @@ object Dedup {
       sb.toString
     }
   }
+
+  private[graft] val shingleUdf = udf(shingleArr _)
 
   /** XOR mask for minhash permutation k: a fixed 60-bit constant from
     * md5("mask|k") — the same value the oracle inlines.
@@ -300,7 +302,7 @@ object Dedup {
         winnowUdf(col(textCol), lit(k), lit(w)).as("fps"))
 
   private val HexDigits = "0123456789abcdef".toCharArray
-  private val winnowUdf = udf { (text: String, k: Int, w: Int) =>
+  private[graft] val winnowUdf = udf { (text: String, k: Int, w: Int) =>
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = text.length - k + 1
     val hs = new Array[String](n)

@@ -100,7 +100,16 @@ object TextAnalysis {
     * <= maxStopRatio)`.
     */
   def curationGate(docs: DataFrame, textCol: String, idCol: String,
-                   minMarkers: Int, minWords: Int, maxStopRatio: Double): DataFrame = {
+                   minMarkers: Int, minWords: Int, maxStopRatio: Double): DataFrame =
+    curationGateAll(docs, textCol, minMarkers, minWords, maxStopRatio)
+      .select(col(idCol), col(textCol))
+
+  /** [[curationGate]] preserving every input column — the stateless
+    * form the streaming pipeline composes under a watermark (a
+    * trailing select would drop the event-time column).
+    */
+  def curationGateAll(docs: DataFrame, textCol: String,
+                      minMarkers: Int, minWords: Int, maxStopRatio: Double): DataFrame = {
     docs
       .withColumn("__toks", Dedup.tokens(col(textCol)))
       .withColumn("__hits", greatest(LangProfiles.map { case (_, words) =>
@@ -111,7 +120,7 @@ object TextAnalysis {
         size(filter(col("__toks"), t => array_contains(lit(Stopwords.toArray), t))).cast("double")
           / greatest(col("__nw"), lit(1)).cast("double"), 6))
       .filter(col("__hits") >= minMarkers && col("__nw") >= minWords && col("__stop") <= maxStopRatio)
-      .select(col(idCol), col(textCol))
+      .drop("__toks", "__hits", "__nw", "__stop")
   }
 
   /** Repetition-based quality signals (the Gopher/MassiveText rules

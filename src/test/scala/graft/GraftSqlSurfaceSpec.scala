@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL registration surface: every registered function must agree
+  * with its column-API twin.
+  */
+class GraftSqlSurfaceSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("registered SQL functions match the column API") {
+    GraftFunctions.registerAll(spark)
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "the quick  brown fox"),
+      (3L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gf_docs")
+
+    val sqlSim = spark.sql("SELECT doc_id, graft_simhash64(text) AS s FROM gf_docs")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val colSim = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sqlSim == colSim)
+
+    val sqlSh = spark.sql("SELECT graft_shingles(text, 2) AS sh FROM gf_docs WHERE doc_id = 1")
+      .collect()(0).getSeq[String](0)
+    val colSh = docs.filter($"doc_id" === 1)
+      .select(Dedup.shinglesRaw($"text", 2)).collect()(0).getSeq[String](0)
+    assert(sqlSh == colSh)
+
+    val ham = spark.sql("SELECT graft_hamming('10110', '10011') AS h").collect()(0).getInt(0)
+    assert(ham == 2)
+
+    val sqlW = spark.sql("SELECT graft_winnow_fps(text, 4, 3) AS w FROM gf_docs WHERE doc_id = 1")
+      .collect()(0).getSeq[String](0)
+    val colW = Dedup.winnowFpSets(docs.filter($"doc_id" === 1), "text", "doc_id", k = 4, w = 3)
+      .select($"fps").collect()(0).getSeq[String](0)
+    assert(sqlW == colW)
+  }
+}
