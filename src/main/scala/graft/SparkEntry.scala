@@ -380,6 +380,24 @@ object SparkEntry {
       TextAnalysis.htmlExtract(aug, "html", "doc_id")
     }),
 
+    // mixture planning: weights 500/300/150/50 permille, 1M-token budget
+    "q_mixture" -> ((s, dir) =>
+      Curation.mixtureWeights(t(s, dir, "documents"), "text", "doc_id", "source",
+        Map("src0" -> 500L, "src1" -> 300L, "src2" -> 150L, "src3" -> 50L),
+        totalBudget = 1000000L)),
+
+    // corpus-wide top-20 word bigrams with deterministic ties
+    "q_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 20)),
+
+    // exactly 25 hash-order docs per source
+    "q_sample_k" -> ((s, dir) =>
+      Curation.sampleK(t(s, dir, "documents"), "doc_id", "source", k = 25)),
+
+    // vocab-id encoding: top-100 word vocab, OOV = 0, space-joined ids
+    "q_token_ids" -> ((s, dir) =>
+      TextAnalysis.tokenIds(t(s, dir, "documents"), "text", "doc_id", vocabSize = 100)),
+
     // corpus snapshot diff: old = %11 slice with edits on %7, new = %13 slice
     "q_corpus_diff" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -964,6 +982,64 @@ object SparkEntry {
         |  trim(regexp_replace(t, ' +', ' ', 'g')) AS body_text,
         |  CAST(len(regexp_extract_all(html, '<a href="[^"]*"')) AS BIGINT) AS n_links
         |FROM s3""".stripMargin,
+
+    // mirrors Curation.mixtureWeights: integer div algebra end to end
+    "q_mixture" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 300
+        |    WHEN 'src2' THEN 150 WHEN 'src3' THEN 50 ELSE 0 END AS BIGINT) AS weight_pm,
+        |  (1000000 * CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 300
+        |    WHEN 'src2' THEN 150 WHEN 'src3' THEN 50 ELSE 0 END) // 1000 AS target_tokens,
+        |  least(1000, ((1000000 * CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 300
+        |    WHEN 'src2' THEN 150 WHEN 'src3' THEN 50 ELSE 0 END) // 1000 * 1000)
+        |    // greatest(n_tokens, 1)) AS rate_pm
+        |FROM a""".stripMargin,
+
+    // mirrors TextAnalysis.topNgrams: same shingle algebra + tie-break
+    "q_top_ngrams" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    j -> toks[j] || ' ' || toks[j + 1])) AS gram FROM t)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences FROM g
+        |GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+
+    // mirrors Curation.sampleK: same hash order, same rank filter
+    "q_sample_k" ->
+      """SELECT doc_id, source, rank_in_source FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('samplek|' || doc_id), 1, 15))::BIGINT, doc_id) AS BIGINT)
+        |      AS rank_in_source
+        |  FROM documents)
+        |WHERE rank_in_source <= 25""".stripMargin,
+
+    // mirrors TextAnalysis.tokenIds: same top-100 vocab (count DESC,
+    // word ASC), OOV = 0, position-ordered id join
+    "q_token_ids" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |wc AS (SELECT unnest(toks) AS word FROM t),
+        |v AS (SELECT word, CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS BIGINT) AS token_id
+        |  FROM wc GROUP BY word ORDER BY count(*) DESC, word LIMIT 100),
+        |e AS (SELECT doc_id, unnest(toks) AS word,
+        |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos FROM t),
+        |j AS (SELECT e.doc_id, e.pos, coalesce(v.token_id, 0) AS tid,
+        |    CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM e LEFT JOIN v USING (word)),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(oov) AS BIGINT) AS n_oov,
+        |    string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+        |  coalesce(pd.n_oov, 0) AS n_oov, coalesce(pd.ids, '') AS ids
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
 
     // mirrors Curation.snapshotDiff: same slices, same md5 compare
     "q_corpus_diff" ->

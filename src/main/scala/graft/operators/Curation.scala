@@ -350,6 +350,53 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Mixture-weight planning: given per-source mixture weights in
+    * per-mille (the tempered mixture spec — alpha-tempering of raw
+    * weights is driver-side arithmetic on a handful of sources) and a
+    * total token budget, derive per-source token targets and the
+    * per-mille sampling rate that hits them. The planning step that
+    * feeds [[stratifiedSample]]/[[tokenBudget]] in a Llama/GPT-style
+    * data-mixture pipeline.
+    *
+    * One map-side-combined aggregate over the corpus; everything else
+    * is per-source integer algebra (BIGINT div — deterministic, no
+    * float summation-order hazards across engines).
+    */
+  def mixtureWeights(docs: DataFrame, textCol: String, idCol: String,
+                     strataCol: String, weightsPerMille: Map[String, Long],
+                     totalBudget: Long): DataFrame = {
+    val w = weightsPerMille.foldLeft(lit(0L)) {
+      case (acc, (stratum, wt)) => when(col(strataCol) === stratum, lit(wt)).otherwise(acc)
+    }
+    docs
+      .select(col(strataCol).as("source"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("weight_pm", w)
+      .withColumn("target_tokens", expr(s"($totalBudget * weight_pm) div 1000"))
+      .withColumn("rate_pm",
+        least(lit(1000L), expr("(target_tokens * 1000) div greatest(n_tokens, 1)")))
+  }
+
+  /** Exact-k deterministic sample per stratum: the k lowest
+    * md5-hash-order documents of each source — "give me exactly 1000
+    * inspection docs per domain", reproducibly. Catalyst runs the
+    * rank-filter as a partial map-side WindowGroupLimit, so each task
+    * forwards at most k rows per stratum before the shuffle.
+    */
+  def sampleK(docs: DataFrame, idCol: String, strataCol: String,
+              k: Int, salt: String = "samplek"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"), col(strataCol).as("source"),
+        idHash(salt, col(idCol)).as("__h"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .filter(col("rank_in_source") <= k)
+      .select(col("doc_id"), col("source"), col("rank_in_source"))
+  }
+
   /** Sequence packing (GPT-style "concat then chunk"): lay the corpus
     * out as one deterministic token stream per shard and cut it into
     * fixed `seqLen`-token training sequences. Each document gets its

@@ -326,6 +326,61 @@ object TextAnalysis {
         .cast("long").as("n_links"))
   }
 
+  /** Corpus-wide top-k word n-grams (boilerplate detection / vocab
+    * seeding): one explode + map-side-combined count + a k-row
+    * total-order take with deterministic ties (count DESC, gram ASC).
+    * The global top-k never materializes the full ordered set —
+    * Spark's `orderBy.limit(k)` runs as TakeOrderedAndProject
+    * (per-partition top-k, then a k-row driver merge).
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs
+      .select(explode(Dedup.shinglesRaw(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+
+  /** Vocabulary id encoding (the materialization step before
+    * training): build the top-`vocabSize` word vocabulary (count DESC,
+    * word ASC; ids 1..vocabSize, OOV = 0) and encode every document as
+    * its space-joined id sequence.
+    *
+    * Scale shape: the vocab is a k-row broadcast; encoding explodes
+    * tokens WITH position, broadcast-joins ids, and reassembles with
+    * one groupBy — the same two-shuffle explode/regroup contract as
+    * [[Curation.chunkDedup]]. Output ids ride in one string column so
+    * the row stays flat for the writer (and the oracle hash).
+    */
+  def tokenIds(docs: DataFrame, textCol: String, idCol: String,
+               vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // top-k FIRST (TakeOrderedAndProject — distributed per-partition
+    // top-k + k-row merge), THEN the id-assignment window over only k
+    // rows; a row_number over the full distinct-word vocab would be a
+    // single-partition window on hundreds of millions of rows
+    val vocab = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(vocabSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+      .select("word", "token_id")
+    val encoded = docs
+      .select(col(idCol).as("doc_id"), posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "word")))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), coalesce(col("token_id"), lit(0L)).as("tid")))),
+          x => x.getField("tid").cast("string")), " ").as("ids"))
+    docs.select(col(idCol).as("doc_id")).join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("ids"), lit("")).as("ids"))
+  }
+
   /** CCNet-style perplexity filtering: score every document by the
     * cross-entropy of an add-one-smoothed word-BIGRAM language model
     * trained on the in-domain slice (`isTrain`), keep documents whose

@@ -328,6 +328,51 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("mixtureWeights derives exact integer targets and rates") {
+    val docs = Seq.tabulate(100)(i =>
+      (i.toLong, s"src${i % 2}", ("w " * 10).trim)).toDF("doc_id", "source", "text")
+    // each source: 50 docs x 10 tokens = 500 tokens
+    val out = Curation.mixtureWeights(docs, "text", "doc_id", "source",
+      Map("src0" -> 800L, "src1" -> 200L), totalBudget = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("src0") == ((50L, 500L, 800L, 800L, 1000L))) // wants 800 of 500 -> capped at 1000pm
+    assert(out("src1") == ((50L, 500L, 200L, 200L, 400L)))  // 200 of 500 -> 400pm
+  }
+
+  test("sampleK returns exactly k per stratum, deterministic and prefix-stable") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = Curation.sampleK(docs, "doc_id", "source", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 30)
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).sorted.sameElements(1L to 10L)))
+    // k=5 selects a prefix of the k=10 sample (hash order is fixed)
+    val small = Curation.sampleK(docs, "doc_id", "source", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(small.subsetOf(out.map(r => (r._1, r._2)).toSet))
+  }
+
+  test("topNgrams counts and tie-breaks deterministically") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(docs, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b" x3; then count-1 grams in lexical order: "b a", "b c", "b x", "x y"
+    assert(out.sameElements(Array(("a b", 3L), ("b a", 1L), ("b c", 1L))))
+  }
+
+  test("tokenIds encodes with the top-k vocab, OOV as 0, order preserved") {
+    val docs = Seq(
+      (1L, "the cat the dog"),
+      (2L, "the unicorn"),
+      (3L, "")).toDF("doc_id", "text")
+    // counts: the=3, cat=1, dog=1, unicorn=1; vocab top-3 by (c desc,
+    // word asc): the=1, cat=2, dog=3; unicorn is OOV
+    val out = TextAnalysis.tokenIds(docs, "text", "doc_id", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 0L, "1 2 1 3")))
+    assert(out(2L) == ((2L, 1L, "1 0")))
+    assert(out(3L) == ((0L, 0L, "")))
+  }
+
   test("qualityScore computes the hand-derived logit and keep decision") {
     val docs = Seq(
       (1L, "the cat sat"),                          // stopRatio 1/3, unique 1, mwl 3
