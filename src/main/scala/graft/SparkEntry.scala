@@ -520,6 +520,11 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
     }),
 
+    // per-dim embedding moments over int8 codes (whitening/PCA prep);
+    // integer sums -> partitioning-independent exactness
+    "q_embed_moments" -> ((s, dir) =>
+      Similarity.embedMoments(t(s, dir, "embeddings"))),
+
     // int8-quantized cosine top-k: the memory/SIMD scale lever; the
     // quantization algebra (floor scaling, integer dots) is exact, so
     // the oracle checks it bit-for-bit
@@ -1242,6 +1247,26 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
+
+    // mirrors Similarity.embedMoments: identical int8 codes, pure
+    // integer moment sums (order-independent -> exact both engines)
+    "q_embed_moments" ->
+      """WITH q0 AS (SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, CASE WHEN ma = 0 THEN 1.0 ELSE ma END AS s FROM q0),
+        |qv AS (SELECT e.vec_id,
+        |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc.s) AS BIGINT)) AS qv
+        |  FROM embeddings e JOIN sc ON sc.vec_id = e.vec_id),
+        |ex AS (SELECT CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS dim,
+        |    unnest(qv) AS c,
+        |    coalesce(qv[CAST(generate_subscripts(qv, 1) + 1 AS INT)], 0) AS cn
+        |  FROM qv)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(sum(c * c) AS BIGINT) AS sum_c2,
+        |  CAST(sum(c * cn) AS BIGINT) AS sum_c_next
+        |FROM ex GROUP BY dim""".stripMargin,
 
     // mirrors Similarity.quantizeInt8/topKQuantized: floor-scaled int8
     // codes, integer dot products, double division only at the end

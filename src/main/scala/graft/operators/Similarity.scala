@@ -136,6 +136,34 @@ object Similarity {
         col("scale"))
   }
 
+  /** Per-dimension embedding moment statistics over the int8 codes —
+    * the aggregate a whitening/PCA-prep stage needs (means, variances,
+    * adjacent-dim covariances), computed as INTEGER sums so the
+    * distributed aggregation is bit-reproducible under any
+    * partitioning (float moment sums are summation-order-dependent —
+    * the same trap [[kmeans]] avoids with fixed-point means).
+    *
+    * Scale shape: one posexplode (dim x n rows of 3 small ints) + one
+    * map-side-combined groupBy(dim) — 64 output rows regardless of
+    * corpus size. The full 64x64 covariance would follow the same
+    * pattern with a dim-pair explode; adjacent-dim products cover the
+    * oracle-checked exactness contract without the 64x row blowup.
+    */
+  def embedMoments(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val q = quantizeInt8(embeddings, idCol, vecCol)
+    q.select(col("qv"), posexplode(col("qv")).as(Seq("dim", "c")))
+      // code of the NEXT dim (0 past the end) for the adjacent-dim
+      // cross moment; try_element_at is 1-based and null past the end
+      .withColumn("cn", coalesce(expr("try_element_at(qv, dim + 2)"), lit(0L)))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sum_c"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        sum(col("c") * col("cn")).as("sum_c_next"))
+      .withColumn("dim", col("dim").cast("long"))
+  }
+
   /** Exact top-k by QUANTIZED cosine: integer dot products over the
     * int8 codes (the arithmetic a SIMD kernel would run), ranked
     * per query. Scores are reported at quantized precision — the

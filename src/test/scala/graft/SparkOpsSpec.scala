@@ -429,6 +429,19 @@ class HotBucketSpec extends AnyFunSuite with SharedSpark {
   * the data-appropriate one, not a general claim).
   */
 class SimilaritySpec extends AnyFunSuite with SharedSpark {
+  test("embedMoments computes exact integer moments on crafted vectors") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, -2.0f, 4.0f)),  // scale 4 -> codes 31, -64, 127
+      (2L, Seq(0.0f, 0.0f, 0.0f)))   // scale 1 -> codes 0, 0, 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embedMoments(emb)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((2L, 31L, 961L, 31L * -64)))
+    assert(out(1L) == ((2L, -64L, 4096L, -64L * 127)))
+    assert(out(2L) == ((2L, 127L, 16129L, 0L))) // no next dim -> 0
+  }
+
   test("annLsh recall@5 >= 0.4 vs brute force on sf0.001") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 8)
