@@ -380,6 +380,12 @@ object SparkEntry {
       TextAnalysis.htmlExtract(aug, "html", "doc_id")
     }),
 
+    // quality-classifier TRAINING: 3 GD rounds, labels = src0 docs,
+    // rational-sigmoid logistic model, fixed-point gradient sums
+    "q_lr_train" -> ((s, dir) =>
+      Curation.trainQualityLr(t(s, dir, "documents"), "text", "doc_id",
+        isPositive = col("source") === "src0", iters = 3, lr = 0.5)),
+
     // mixture planning: weights 500/300/150/50 permille, 1M-token budget
     "q_mixture" -> ((s, dir) =>
       Curation.mixtureWeights(t(s, dir, "documents"), "text", "doc_id", "source",
@@ -988,6 +994,10 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(html, '<a href="[^"]*"')) AS BIGINT) AS n_links
         |FROM s3""".stripMargin,
 
+    // mirrors Curation.trainQualityLr: identical features, rational
+    // sigmoid, fixed-point gradients, unrolled GD rounds
+    "q_lr_train" -> lrTrainOracle(iters = 3, lr = 0.5),
+
     // mirrors Curation.mixtureWeights: integer div algebra end to end
     "q_mixture" ->
       """WITH d AS (SELECT source,
@@ -1423,6 +1433,56 @@ object SparkEntry {
     * single-node summation order cannot diverge), per-dimension
     * coalesce to the previous centroid for empty clusters.
     */
+  /** DuckDB mirror of [[Curation.trainQualityLr]]: feature CTE, then
+    * each GD round unrolled as (z -> fixed-point gradient sums -> new
+    * single-row weight CTE), replaying the identical IEEE arithmetic.
+    */
+  private def lrTrainOracle(iters: Int, lr: Double): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |f AS (SELECT
+        |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 AS f0,
+        |    CAST(least(len(toks), 500) AS DOUBLE) / 500.0 AS f1,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+        |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS f2,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS f3,
+        |    CAST(len(array_to_string(toks, '')) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) / 10.0 AS f4
+        |  FROM t),
+        |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)""".stripMargin)
+    for (i <- 1 to iters) {
+      val sums = (0 to 4).map(j =>
+        s"sum(CAST(floor((y - (0.5 + z / (2.0 * (1.0 + abs(z))))) * f$j * 1e9) AS BIGINT)) AS s$j")
+        .mkString(",\n|    ")
+      val ws = (0 to 4).map(j =>
+        s"w.w$j + $lr * (CAST(g.s$j AS DOUBLE) / 1e9 / g.n) AS w$j").mkString(", ")
+      sb.append(
+        s""",
+           |z$i AS (SELECT y, f0, f1, f2, f3, f4,
+           |    w.w0 * f0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 AS z
+           |  FROM f CROSS JOIN w${i - 1} w),
+           |g$i AS (SELECT count(*) AS n,
+           |    $sums
+           |  FROM z$i),
+           |w$i AS (SELECT $ws FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin)
+    }
+    val rows = (0 to 4).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS feature, w$j AS weight FROM w$iters")
+      .mkString("\n  UNION ALL ")
+    sb.append(
+      s""",
+         |acc AS (SELECT CAST(sum(CASE WHEN (z > 0.0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS a
+         |  FROM (SELECT y, w.w0 * f0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 AS z
+         |    FROM f CROSS JOIN w$iters w))
+         |SELECT feature, round(weight, 6) AS weight, round(a, 6) AS train_acc FROM (
+         |  $rows) CROSS JOIN acc""".stripMargin)
+    sb.toString
+  }
+
   private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb.append(

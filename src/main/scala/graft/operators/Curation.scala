@@ -350,6 +350,67 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Distributed quality-classifier TRAINING (the trainer half of
+    * [[TextAnalysis.qualityScore]]): batch gradient descent on a
+    * logistic model over the same cheap text features, labels from
+    * `isPositive` (e.g. "docs from the curated source"). Per round:
+    * ONE map-side-combined aggregate over the corpus (5 gradient sums
+    * + count) and a driver-side weight update — the same
+    * driver-holds-the-model contract as [[Similarity.kmeans]] and
+    * [[Bpe.learn]], which is how every distributed trainer works.
+    *
+    * Cross-engine exactness: the sigmoid is the RATIONAL surrogate
+    * `0.5 + z / (2*(1+|z|))` — only +,*,/,abs, so per-row doubles are
+    * bit-identical in Spark and DuckDB (no exp() correctness-of-
+    * rounding gamble); gradient contributions aggregate as FIXED-POINT
+    * longs (floor(e*f x 1e9)), so the distributed sum is exact under
+    * any partitioning; weight updates replay the identical IEEE ops on
+    * both sides. Output: the learned weights + training accuracy.
+    */
+  def trainQualityLr(docs: DataFrame, textCol: String, idCol: String,
+                     isPositive: Column, iters: Int, lr: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = Dedup.tokens(col(textCol))
+    val nw = size(toks)
+    val nwD = greatest(nw, lit(1)).cast("double")
+    val feats = docs.select(
+      when(isPositive, lit(1.0d)).otherwise(lit(0.0d)).as("y"),
+      lit(1.0d).as("f0"),
+      (least(nw, lit(500)).cast("double") / lit(500.0)).as("f1"),
+      (size(filter(toks, t => array_contains(lit(TextAnalysis.Stopwords.toArray), t)))
+        .cast("double") / nwD).as("f2"),
+      (size(array_distinct(toks)).cast("double") / nwD).as("f3"),
+      (length(concat_ws("", toks)).cast("double") / nwD / lit(10.0)).as("f4"))
+      .localCheckpoint() // one corpus scan; every GD round reads this
+    val n = feats.count()
+    var w = Array.fill(5)(0.0d)
+    def z: Column =
+      lit(w(0)) * col("f0") + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+        lit(w(3)) * col("f3") + lit(w(4)) * col("f4")
+    for (_ <- 1 to iters) {
+      val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+      val e = col("y") - p
+      val sums = feats.agg(
+        sum(floor(e * col("f0") * lit(1e9)).cast("long")),
+        sum(floor(e * col("f1") * lit(1e9)).cast("long")),
+        sum(floor(e * col("f2") * lit(1e9)).cast("long")),
+        sum(floor(e * col("f3") * lit(1e9)).cast("long")),
+        sum(floor(e * col("f4") * lit(1e9)).cast("long"))).collect()(0)
+      w = Array.tabulate(5)(j => w(j) + lr * (sums.getLong(j) / 1e9 / n))
+    }
+    val correct = feats.agg(
+      sum(when((z > 0.0d) === (col("y") === 1.0d), 1L).otherwise(0L))).collect()(0).getLong(0)
+    graft.plans.CheckpointHygiene.free(feats)
+    import spark.implicits._
+    // rounding happens IN the plan (Spark round == oracle round; a
+    // driver-side math.rint would be half-even vs SQL half-up)
+    w.toSeq.zipWithIndex
+      .map { case (wj, j) => (j.toLong, wj, correct.toDouble / n) }
+      .toDF("feature", "weight", "train_acc")
+      .select(col("feature"), round(col("weight"), 6).as("weight"),
+        round(col("train_acc"), 6).as("train_acc"))
+  }
+
   /** Mixture-weight planning: given per-source mixture weights in
     * per-mille (the tempered mixture spec — alpha-tempering of raw
     * weights is driver-side arithmetic on a handful of sources) and a

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * codegen, no UDFs, no shuffles beyond the caller's).
   */
 object TextAnalysis {
-  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private[graft] val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** BPE-ish tokenizer pattern: letter runs, digit runs, or single
     * non-space symbols — the standard pre-tokenization shape (ASCII

@@ -206,6 +206,23 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out(4L) == ((0L, 0L, "")))
   }
 
+  test("chunkDedup invariants on a boilerplate-heavy corpus: partition + exactly-once") {
+    // 500 docs sharing one boilerplate chunk + a unique chunk each —
+    // the hot-chunk shape (shared header repeated corpus-wide)
+    val docs = (0L until 500L).map(i =>
+      (i, s"shared header boilerplate line unique$i tail words here")).toDF("doc_id", "text")
+    val out = Curation.chunkDedup(docs, "text", "doc_id", chunkWords = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // every doc: 2 chunks; the shared first chunk survives ONLY in doc 0
+    assert(out.forall(_._2 == 2L))
+    val kept = out.map(r => r._1 -> r._4).toMap
+    assert(kept(0L) == "shared header boilerplate line unique0 tail words here")
+    assert((1L until 500L).forall(i => kept(i) == s"unique$i tail words here"))
+    // exactly-once: total kept chunks = distinct chunks in the corpus
+    val totalKept = out.map(_._3).sum
+    assert(totalKept == 1 + 500) // 1 shared + 500 unique
+  }
+
   test("bloomDedup: hits match exact dups at ample m; tiny m forces false positives") {
     val docs = (0L until 30L).map { i =>
       // 20..22 re-ingest the text of 0..2; 23..29 are unique
@@ -326,6 +343,28 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     val out = Curation.snapshotDiff(old, nw, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("trainQualityLr separates a separable corpus and is deterministic") {
+    val pos = (0L until 40L).map(i =>
+      (i, "pos", "the cat and the dog of the house is in it and the bird is of the tree"))
+    val neg = (40L until 80L).map(i =>
+      (i, "neg", "zxqwv zxqwv zxqwv zxqwv"))
+    val docs = (pos ++ neg).toDF("doc_id", "source", "text")
+    val out = Curation.trainQualityLr(docs, "text", "doc_id",
+      isPositive = col("source") === "pos", iters = 10, lr = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 5)
+    assert(out.forall(_._3 == 1.0), s"expected perfect separation, got acc ${out.head._3}")
+    // stopword-ratio weight must be positive (positives are stopword-rich),
+    // word-length weight negative (negatives are long-word repetitive)
+    val w = out.map(r => r._1 -> r._2).toMap
+    assert(w(2) > 0, s"stopword weight ${w(2)}")
+    assert(w(4) < 0, s"word-length weight ${w(4)}")
+    val again = Curation.trainQualityLr(docs, "text", "doc_id",
+      isPositive = col("source") === "pos", iters = 10, lr = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.sameElements(again))
   }
 
   test("mixtureWeights derives exact integer targets and rates") {
