@@ -345,6 +345,49 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("chunkDedup == independent Scala model on 30 random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 30) {
+      val words = Vector("aa", "bb", "cc", "dd")
+      val nDocs = 1 + rnd.nextInt(8)
+      val corpus = (0 until nDocs).map { i =>
+        val n = rnd.nextInt(9) // 0..8 words -> hits empty + partial-chunk cases
+        (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val cw = 1 + rnd.nextInt(3)
+      // reference model: global first-occurrence per chunk text in
+      // (doc_id, chunk_idx) order
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = corpus.map { case (id, text) =>
+        val toks = text.split(" +").filter(_.nonEmpty)
+        val chunks = toks.grouped(cw).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter(c => seen.add(c))
+        (id, chunks.length.toLong, kept.length.toLong, kept.mkString(" "))
+      }
+      val got = Curation.chunkDedup(corpus.toDF("doc_id", "text"), "text", "doc_id", cw)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1)
+      assert(got.sameElements(expect), s"round $round cw=$cw corpus=$corpus")
+    }
+  }
+
+  test("bloomDedup never false-negatives (bloom guarantee) on random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 10) {
+      val n = 20 + rnd.nextInt(30)
+      val docs = (0L until n.toLong).map(i =>
+        (i, s"doc ${rnd.nextInt(15)} body")) // forced collisions across batches
+        .toDF("doc_id", "text")
+      val m = 64 + rnd.nextInt(256)
+      val out = Curation.bloomDedup(docs, "text", "doc_id",
+        priorPred = col("doc_id") % 2 === 0, probePred = col("doc_id") % 2 =!= 0,
+        mBits = m, k = 2)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      // exact_dup = 1 (text present in prior batch) MUST imply bloom_hit = 1
+      assert(out.forall { case (hit, ex) => ex == 0L || hit == 1L }, s"m=$m")
+    }
+  }
+
   test("trainQualityLr separates a separable corpus and is deterministic") {
     val pos = (0L until 40L).map(i =>
       (i, "pos", "the cat and the dog of the house is in it and the bird is of the tree"))
