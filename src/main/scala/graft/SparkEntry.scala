@@ -526,6 +526,13 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
     }),
 
+    // hard-negative mining: top-5 similar vectors OUTSIDE the query's
+    // IVF list, for the 8 query vectors
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
     // per-dim embedding moments over int8 codes (whitening/PCA prep);
     // integer sums -> partitioning-independent exactness
     "q_embed_moments" -> ((s, dir) =>
@@ -1257,6 +1264,36 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
+
+    // mirrors Similarity.hardNegatives: identical IVF assignment
+    // algebra (annIvf centroids), different-list exclusion, exact
+    // cosine with sequential-fold parity
+    "q_hard_negatives" ->
+      """WITH cent AS (
+        |  SELECT c.c, list(
+        |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+        |      ORDER BY d.d) AS cv
+        |  FROM (SELECT unnest(range(16)) AS c) c, (SELECT unnest(range(64)) AS d) d
+        |  GROUP BY c.c),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sc AS (SELECT v.vec_id, cent.c,
+        |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))
+        |      - 0.5 * list_sum(list_transform(cent.cv, x -> x * x)) AS score
+        |  FROM v, cent),
+        |assign AS (SELECT vec_id, c AS list_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
+        |s AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * bb.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> bb.v[i] * bb.v[i])))) AS score
+        |  FROM assign q JOIN assign b ON q.list_id <> b.list_id AND q.vec_id <> b.vec_id
+        |  JOIN v a ON a.vec_id = q.vec_id JOIN v bb ON bb.vec_id = b.vec_id
+        |  WHERE q.vec_id < 8),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // mirrors Similarity.embedMoments: identical int8 codes, pure
     // integer moment sums (order-independent -> exact both engines)

@@ -326,6 +326,40 @@ object Similarity {
       .select(col("id").as(idCol), col("list_id"))
   }
 
+  /** Hard-negative mining for contrastive training data: for each
+    * query vector, the top-k most cosine-similar vectors OUTSIDE the
+    * query's own IVF coarse cluster — semantically close enough to be
+    * hard, but from a different coarse region, the standard
+    * in-batch-negatives upgrade for embedding-model training sets.
+    *
+    * Scale shape: queries broadcast with precomputed norms + list
+    * assignments; candidates keep per-vector norms computed once; the
+    * per-query ranking is a distributed window rank. This is the
+    * exhaustive-scan contract (same as [[topKCosine]]); at index
+    * scale the [[annIvf]] probe path composes identically with the
+    * `nlist != qlist` exclusion.
+    */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame, k: Int,
+                    dim: Int = 64, lists: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assign = ivfAssignUdf(dim, lists)
+    val base = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .withColumn("nlist", assign(col("v")))
+      .withColumn("vn", norm(col("v")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qlist", assign(col("qv")))
+      .withColumn("qn", norm(col("qv"))))
+    val scored = base
+      .join(q, col("query_id") =!= col("neighbor_id") && col("nlist") =!= col("qlist"))
+      .withColumn("score", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Nearest-centroid assignment UDF shared by [[annIvf]],
     * [[semanticDedup]], and the streaming index maintainer
     * ([[graft.streaming.StreamingIvf]]): argmax over `lists` of

@@ -442,6 +442,25 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out(2L) == ((2L, 127L, 16129L, 0L))) // no next dim -> 0
   }
 
+  test("hardNegatives excludes the query's own IVF list and ranks by cosine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+    val out = Similarity.hardNegatives(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 20)
+    val assign = Similarity.ivfAssignUdf(64, 16)
+    val lists = emb.select(col("vec_id"), assign(col("embedding")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every mined negative comes from a different coarse list
+    assert(out.forall { case (qid, _, nid, _) => lists(qid) != lists(nid) })
+    // ranks are 1..5 per query with non-increasing scores
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to 5L))
+      assert(sorted.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+    }
+  }
+
   test("annLsh recall@5 >= 0.4 vs brute force on sf0.001") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 8)
