@@ -392,6 +392,17 @@ object SparkEntry {
         Map("src0" -> 500L, "src1" -> 300L, "src2" -> 150L, "src3" -> 50L),
         totalBudget = 1000000L)),
 
+    // mergeable histogram quantiles (the at-scale percentile): 8-wide
+    // bins over token counts, p25/p50/p75/p90 per source
+    "q_hist_quantiles" -> ((s, dir) =>
+      TextAnalysis.histQuantiles(t(s, dir, "documents"), "text", "doc_id", "source",
+        binWidth = 8, quantilesPermille = Seq(250, 500, 750, 900))),
+
+    // linear-counting distinct sketch per source (deterministic
+    // cardinality estimation) + the exact count as accuracy report
+    "q_distinct_sketch" -> ((s, dir) =>
+      TextAnalysis.distinctSketch(t(s, dir, "documents"), "text", "source", m = 65536)),
+
     // corpus-wide top-20 word bigrams with deterministic ties
     "q_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 20)),
@@ -1021,6 +1032,42 @@ object SparkEntry {
         |    WHEN 'src2' THEN 150 WHEN 'src3' THEN 50 ELSE 0 END) // 1000 * 1000)
         |    // greatest(n_tokens, 1)) AS rate_pm
         |FROM a""".stripMargin,
+
+    // mirrors TextAnalysis.histQuantiles: same integer bin/threshold
+    // algebra
+    "q_hist_quantiles" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS BIGINT) // 8 AS bin
+        |  FROM documents),
+        |h AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY source, bin),
+        |cm AS (SELECT source, bin,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS total
+        |  FROM h),
+        |ps AS (SELECT unnest([250, 500, 750, 900]) AS p)
+        |SELECT source, CAST(p AS BIGINT) AS p_permille, CAST(min(bin) * 8 AS BIGINT) AS bin_lo
+        |FROM cm CROSS JOIN ps
+        |WHERE cum >= (total * p + 999) // 1000
+        |GROUP BY source, p""".stripMargin,
+
+    // mirrors TextAnalysis.distinctSketch: same md5 buckets, bitmap
+    // words, bit_count, and ln estimate
+    "q_distinct_sketch" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |p AS (SELECT source,
+        |    ('0x' || substr(md5('lc|' || word), 1, 15))::BIGINT % 65536 AS p
+        |  FROM tok),
+        |wd AS (SELECT source, p // 60 AS w,
+        |    bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS bits
+        |  FROM p GROUP BY source, p // 60),
+        |sb AS (SELECT source, CAST(sum(bit_count(bits)) AS BIGINT) AS b FROM wd GROUP BY source),
+        |ex AS (SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact FROM tok GROUP BY source)
+        |SELECT sb.source, b AS buckets_set,
+        |  round(65536.0 * ln(65536.0 / CAST(65536 - b AS DOUBLE)), 6) AS estimate,
+        |  n_exact
+        |FROM sb JOIN ex ON sb.source = ex.source""".stripMargin,
 
     // mirrors TextAnalysis.topNgrams: same shingle algebra + tie-break
     "q_top_ngrams" ->

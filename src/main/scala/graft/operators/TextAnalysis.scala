@@ -326,6 +326,78 @@ object TextAnalysis {
         .cast("long").as("n_links"))
   }
 
+  /** Histogram quantiles — the mergeable at-scale alternative to exact
+    * percentiles (`q_length_quantiles` is exact type-7; an exact
+    * percentile at 100 TB sorts or multi-passes the column, while a
+    * fixed-width histogram is ONE map-side-combined aggregate of
+    * bounded size, mergeable across partitions/batches by
+    * construction). Returns, per stratum and requested per-mille
+    * quantile, the lower edge of the bin containing that quantile —
+    * deterministic, so the oracle reproduces it bit-for-bit (which no
+    * t-digest/GK sketch can promise).
+    *
+    * Integer algebra end to end: bin = value div binWidth; the rank
+    * threshold is ceil(n * p / 1000) in BIGINT.
+    */
+  def histQuantiles(docs: DataFrame, textCol: String, idCol: String,
+                    strataCol: String, binWidth: Int,
+                    quantilesPermille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = docs
+      .select(col(strataCol).as("source"),
+        expr(s"CAST(size(filter(split(lower(${textCol}), ' +'), t -> length(t) > 0)) AS BIGINT) div $binWidth").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the histogram is tiny (max_value/binWidth rows) — checkpoint it
+    // so the per-quantile selects below don't re-run the corpus scan
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .localCheckpoint()
+    val qs = quantilesPermille.map { p =>
+      cum.filter(col("cum") >= expr(s"(total * $p + 999) div 1000"))
+        .groupBy("source").agg(min(col("bin")).as("bin"))
+        .select(col("source"), lit(p.toLong).as("p_permille"),
+          (col("bin") * binWidth).as("bin_lo"))
+    }
+    qs.reduce(_.union(_))
+  }
+
+  /** Linear-counting distinct sketch — deterministic cardinality
+    * estimation (the fixed-size-state answer to COUNT(DISTINCT) at
+    * 100 TB, where the exact aggregate shuffles every distinct value).
+    * Hash each value into one of `m` buckets, OR the bucket bitmap
+    * (one map-side-combined `bit_or` aggregate over m/60 words —
+    * mergeable state, like every sketch), count occupied buckets b,
+    * estimate = m * ln(m / (m - b)).
+    *
+    * md5 bucketing + integer bitmap means — unlike HLL with its
+    * engine-specific hash — the DuckDB oracle reproduces the sketch
+    * AND the estimate bit-for-bit. The exact distinct count rides
+    * along as the accuracy report.
+    */
+  def distinctSketch(docs: DataFrame, textCol: String, strataCol: String,
+                     m: Int = 4096): DataFrame = {
+    val tok = docs.select(col(strataCol).as("source"),
+      explode(Dedup.tokens(col(textCol))).as("word"))
+    val words = tok
+      .select(col("source"),
+        pmod(conv(substring(md5(concat(lit("lc|"), col("word"))), 1, 15), 16, 10).cast("long"),
+          lit(m.toLong)).as("p"))
+      .select(col("source"), expr("p div 60").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT))").as("bm"))
+      .groupBy("source", "w").agg(expr("bit_or(bm)").as("bits"))
+    val setBits = words
+      .groupBy("source").agg(sum(expr("bit_count(bits)")).as("b"))
+    val exact = tok.groupBy("source").agg(count_distinct(col("word")).as("n_exact"))
+    setBits.join(exact, "source")
+      .select(col("source"), col("b").as("buckets_set"),
+        round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("b")).cast("double")), 6)
+          .as("estimate"),
+        col("n_exact"))
+  }
+
   /** Corpus-wide top-k word n-grams (boilerplate detection / vocab
     * seeding): one explode + map-side-combined count + a k-row
     * total-order take with deterministic ties (count DESC, gram ASC).
