@@ -984,9 +984,10 @@ object SparkEntry {
         |d2 AS (SELECT doc_id, host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM d),
         |b AS (SELECT unnest(['spamsite.com', 'adfarm.net', 'cdn.example.com']) AS blocked_entry)
         |SELECT doc_id, host, domain,
-        |  CAST(CASE WHEN blocked_entry IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS blocked,
-        |  coalesce(blocked_entry, '') AS matched
-        |FROM d2 LEFT JOIN b ON host = blocked_entry OR domain = blocked_entry""".stripMargin,
+        |  CAST(max(CASE WHEN blocked_entry IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS blocked,
+        |  coalesce(min(blocked_entry), '') AS matched
+        |FROM d2 LEFT JOIN b ON host = blocked_entry OR domain = blocked_entry
+        |GROUP BY doc_id, host, domain""".stripMargin,
 
     // mirrors TextAnalysis.htmlExtract: same wrapper grid, same
     // script-strip -> tag-strip -> entity-decode -> collapse order
@@ -1065,7 +1066,7 @@ object SparkEntry {
         |sb AS (SELECT source, CAST(sum(bit_count(bits)) AS BIGINT) AS b FROM wd GROUP BY source),
         |ex AS (SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact FROM tok GROUP BY source)
         |SELECT sb.source, b AS buckets_set,
-        |  round(65536.0 * ln(65536.0 / CAST(65536 - b AS DOUBLE)), 6) AS estimate,
+        |  round(65536.0 * ln(65536.0 / CAST(greatest(65536 - b, 1) AS DOUBLE)), 6) AS estimate,
         |  n_exact
         |FROM sb JOIN ex ON sb.source = ex.source""".stripMargin,
 

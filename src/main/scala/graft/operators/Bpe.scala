@@ -54,10 +54,15 @@ object Bpe {
         val pfreq = best(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         learned += ((r.toLong, a, b, a + b, pfreq))
-        // doubled-space rewrite: ' a  b ' -> ' ab ', then collapse
+        // doubled-space rewrite: ' a  b ' -> ' ab ', then collapse.
+        // Symbols are data-derived — they go in via lit(), never
+        // spliced into an expr string (a corpus token containing a
+        // quote or backslash must not change the plan).
         val next = vocab.withColumn("seq",
-          expr(s"trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' '," +
-            s" ' $a  $b ', ' $a$b '), '  ', ' '))"))
+          trim(replace(replace(
+            concat(lit(" "), replace(col("seq"), lit(" "), lit("  ")), lit(" ")),
+            lit(s" $a  $b "), lit(s" $a$b ")),
+            lit("  "), lit(" "))))
           .localCheckpoint()
         graft.plans.CheckpointHygiene.free(vocab)
         vocab = next

@@ -317,13 +317,18 @@ object Curation {
     val block = blockedDomains.toDF("blocked_entry")
     val extracted = docs.select(col(idCol).as("doc_id"), host.as("host"))
       .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+    // Aggregate after the join: when BOTH the host and the registered
+    // domain match (different) blocklist entries, the left join fans
+    // out to two rows — collapse back to the one-row-per-doc contract
+    // (matched = lexicographic min of the matching entries).
     extracted
       .join(broadcast(block),
         col("host") === col("blocked_entry") || col("domain") === col("blocked_entry"),
         "left")
-      .select(col("doc_id"), col("host"), col("domain"),
-        when(col("blocked_entry").isNotNull, lit(1L)).otherwise(lit(0L)).as("blocked"),
-        coalesce(col("blocked_entry"), lit("")).as("matched"))
+      .groupBy("doc_id", "host", "domain")
+      .agg(
+        max(when(col("blocked_entry").isNotNull, lit(1L)).otherwise(lit(0L))).as("blocked"),
+        coalesce(min(col("blocked_entry")), lit("")).as("matched"))
   }
 
   /** Corpus snapshot diff (dataset versioning): align two corpus
@@ -383,6 +388,12 @@ object Curation {
       (length(concat_ws("", toks)).cast("double") / nwD / lit(10.0)).as("f4"))
       .localCheckpoint() // one corpus scan; every GD round reads this
     val n = feats.count()
+    if (n == 0L) { // empty input: zero weights, 0 accuracy (no div-by-0 / null sums)
+      graft.plans.CheckpointHygiene.free(feats)
+      import spark.implicits._
+      return (0 until 5).map(j => (j.toLong, 0.0d, 0.0d))
+        .toDF("feature", "weight", "train_acc")
+    }
     var w = Array.fill(5)(0.0d)
     def z: Column =
       lit(w(0)) * col("f0") + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +

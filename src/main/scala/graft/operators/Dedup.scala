@@ -302,7 +302,12 @@ object Dedup {
         winnowUdf(col(textCol), lit(k), lit(w)).as("fps"))
 
   private val HexDigits = "0123456789abcdef".toCharArray
+  // Total over all inputs: null or shorter-than-k text yields an empty
+  // set (the function is also registered as SQL `graft_winnow_fps`, so
+  // it must not assume the caller pre-filtered on length).
   private[graft] val winnowUdf = udf { (text: String, k: Int, w: Int) =>
+    if (text == null || text.length < k) Seq.empty[String]
+    else {
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = text.length - k + 1
     val hs = new Array[String](n)
@@ -329,6 +334,7 @@ object Dedup {
       i += 1
     }
     out.toArray(new Array[String](out.size)).toSeq
+    }
   }
 
   /** Per-document fingerprint summary (count/min/max) straight off the

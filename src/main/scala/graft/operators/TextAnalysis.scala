@@ -391,9 +391,12 @@ object TextAnalysis {
     val setBits = words
       .groupBy("source").agg(sum(expr("bit_count(bits)")).as("b"))
     val exact = tok.groupBy("source").agg(count_distinct(col("word")).as("n_exact"))
+    // greatest(m - b, 1): linear-counting saturation fallback — with
+    // every bucket occupied (b == m) the raw estimate divides by zero.
     setBits.join(exact, "source")
       .select(col("source"), col("b").as("buckets_set"),
-        round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("b")).cast("double")), 6)
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / greatest(lit(m.toLong) - col("b"), lit(1L)).cast("double")), 6)
           .as("estimate"),
         col("n_exact"))
   }

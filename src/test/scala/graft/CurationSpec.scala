@@ -471,4 +471,54 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out(2L)._3 == 0L)
     assert(out(3L) == ((0L, -0.65, 0L)))
   }
+
+  test("BPE handles tokens containing quotes and backslashes") {
+    // symbols reach the rewrite via lit(), never an expr string — a
+    // corpus with ' or \ in its tokens must learn cleanly
+    val docs = Seq((1L, "a'b a'b a'b"), (2L, "c\\d c\\d")).toDF("doc_id", "text")
+    val m = Bpe.learn(docs, "text", merges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // round 1: pairs "a '" and "' b" tie at 3; pair-ASC picks "' b"
+    assert(m(0) == ((1L, "'", "b", "'b", 3L)))
+    // round 2: "a 'b" (3) beats the backslash pairs (2)
+    assert(m(1) == ((2L, "a", "'b", "a'b", 3L)))
+    val enc = Bpe.encode(docs, "text", "doc_id", merges = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(enc(1L) == 3L) // each a'b is one merged token
+  }
+
+  test("urlFilter stays one-row-per-doc when host and domain match different entries") {
+    val docs = Seq(
+      (1L, "https://cdn.example.com/p/1"),  // host AND domain both blocked
+      (2L, "https://www.example.com/p/2"),  // domain blocked only
+      (3L, "https://blog.other.org/p/3")    // clean
+    ).toDF("doc_id", "url")
+    val out = Curation.urlFilter(docs, "url", "doc_id",
+      Seq("cdn.example.com", "example.com"))
+    assert(out.count() == 3) // no fan-out
+    val m = out.collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(m(1L) == ((1L, "cdn.example.com"))) // lexicographic min of the two matches
+    assert(m(2L) == ((1L, "example.com")))
+    assert(m(3L) == ((0L, "")))
+  }
+
+  test("distinctSketch saturates finitely when every bucket is occupied") {
+    val docs = Seq((1L, "s0", (0 until 2000).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.distinctSketch(docs, "text", "source", m = 60).collect()(0)
+    assert(r.getLong(1) == 60L) // all buckets set
+    // greatest(m-b,1) clamp: estimate = 60*ln(60), not Infinity
+    assert(r.getDouble(2) == math.floor(60.0 * math.log(60.0) * 1e6 + 0.5) / 1e6)
+    assert(r.getLong(3) == 2000L)
+  }
+
+  test("trainQualityLr on empty input returns zero weights, not a crash") {
+    val docs = Seq((1L, "src0", "text here")).toDF("doc_id", "source", "text")
+      .filter(col("doc_id") < 0)
+    val out = Curation.trainQualityLr(docs, "text", "doc_id",
+      isPositive = col("source") === "pos", iters = 3, lr = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 5)
+    assert(out.forall(r => r._2 == 0.0 && r._3 == 0.0))
+  }
 }

@@ -40,4 +40,15 @@ class GraftSqlSurfaceSpec extends AnyFunSuite with SharedSpark {
       .select($"fps").collect()(0).getSeq[String](0)
     assert(sqlW == colW)
   }
+
+  test("graft_winnow_fps is total: empty / short / null text yields an empty set") {
+    GraftFunctions.registerAll(spark)
+    val rows = spark.sql(
+      """SELECT graft_winnow_fps('', 4, 3) AS a,
+        |       graft_winnow_fps('abc', 4, 3) AS b,
+        |       graft_winnow_fps(CAST(NULL AS STRING), 4, 3) AS c""".stripMargin).collect()(0)
+    assert(rows.getSeq[String](0).isEmpty)
+    assert(rows.getSeq[String](1).isEmpty)
+    assert(rows.getSeq[String](2).isEmpty)
+  }
 }
