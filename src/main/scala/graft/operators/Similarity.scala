@@ -121,19 +121,39 @@ object Similarity {
   /** Symmetric int8 quantization of an embedding column — the memory
     * lever at 100 TB (4x smaller vectors, integer SIMD dot products):
     * per-vector scale s = max(|v_i|), q_i = floor(v_i * 127 / s).
-    * Pure codegen'd column algebra (no UDF); `floor` so Spark and
-    * DuckDB agree exactly (their CAST rounding modes differ).
+    * One imperative UDF pass per row — the HOF formulation
+    * (transform + aggregate) produced identical values but never
+    * enters whole-stage codegen (same pathology as shinglesRaw /
+    * winnowUdf); the double ops here are the exact IEEE sequence the
+    * DuckDB oracle runs, and `floor` keeps the engines' differing CAST
+    * rounding modes out of the contract.
     */
+  private[graft] val quantizeUdf = udf { (v: Seq[Double]) =>
+    if (v == null) null
+    else {
+      var s = 0.0d
+      var i = 0
+      while (i < v.length) { val a = math.abs(v(i)); if (a > s) s = a; i += 1 }
+      if (s == 0.0d) s = 1.0d
+      val q = new Array[Long](v.length)
+      i = 0
+      while (i < v.length) { q(i) = math.floor(v(i) * 127.0 / s).toLong; i += 1 }
+      (q, s)
+    }
+  }
+
   def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val maxAbs = aggregate(col(vecCol), lit(0.0d),
-      (acc, x) => greatest(acc, abs(x.cast("double"))))
+                   vecCol: String = "embedding"): DataFrame =
     embeddings
-      .withColumn("scale", when(maxAbs === 0.0d, lit(1.0d)).otherwise(maxAbs))
-      .select(col(idCol),
-        transform(col(vecCol),
-          x => floor(x.cast("double") * lit(127.0) / col("scale")).cast("long")).as("qv"),
-        col("scale"))
+      .select(col(idCol), quantizeUdf(col(vecCol).cast("array<double>")).as("qs"))
+      .select(col(idCol), col("qs._1").as("qv"), col("qs._2").as("scale"))
+
+  private[graft] val qdotUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var acc = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
   }
 
   /** Per-dimension embedding moment statistics over the int8 codes —
@@ -172,8 +192,10 @@ object Similarity {
     */
   def topKQuantized(embeddings: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def qdot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    // integer dot product: sums are order-independent, so the
+    // imperative UDF is exact; the HOF zip_with/aggregate version ran
+    // interpreted outside codegen on every candidate pair
+    def qdot(a: Column, b: Column): Column = qdotUdf(a, b)
     val base = quantizeInt8(embeddings, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("qv").as("v"))
       .withColumn("vn", sqrt(qdot(col("v"), col("v")).cast("double")))
