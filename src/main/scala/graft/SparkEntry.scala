@@ -245,6 +245,13 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidf(t(s, dir, "documents"), "text", "doc_id", topK = 3)),
 
+    // BM25 keyword retrieval: top-10 docs per query, fixed-point
+    // per-term contributions (exact distributed sums)
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        queries = Seq((0L, "spark join window"), (1L, "hash merge batch"),
+          (2L, "stream filter sort value"), (3L, "table scan agg")), k = 10)),
+
     // BPE vocabulary learning: 10 merge rounds over the word-frequency
     // vocab (corpus scanned once; rounds run on the distinct-word table)
     "q_bpe" -> ((s, dir) =>
@@ -324,6 +331,18 @@ object SparkEntry {
     // corpus-wide keep-first, documents reassembled from survivors
     "q_chunk_dedup" -> ((s, dir) =>
       Curation.chunkDedup(t(s, dir, "documents"), "text", "doc_id", chunkWords = 10)),
+
+    // boilerplate chunk strip: a planted 10-word banner on the
+    // doc_id % 3 grid exceeds the doc-frequency cap and is deleted
+    // from EVERY copy (same augmentation in the oracle)
+    "q_boilerplate" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("subscribe to our newsletter today for updates and special offers "),
+            col("text")))
+          .otherwise(col("text")))
+      Curation.boilerplateStrip(aug, "text", "doc_id", chunkWords = 10, maxDocFreq = 5L)
+    }),
 
     // Bloom-filter incremental dedup: the "already ingested" batch is
     // doc_id % 3 != 0 PLUS the % 9 == 0 slice of the probe set, so true
@@ -824,6 +843,39 @@ object SparkEntry {
         |  round(CAST(coalesce(d3.dup, 0) AS DOUBLE) / greatest(coalesce(d3.tot, 0), 1), 6) AS dup3_char_frac
         |FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)""".stripMargin,
 
+    // mirrors TextAnalysis.bm25TopK: same tf/df/avgdl algebra, exact
+    // binary-fraction constants (k1=1.5, b=0.75), per-term floor-e9
+    // fixed-point contributions summed as BIGINTs
+    "q_bm25" ->
+      """WITH q AS (SELECT * FROM (VALUES (0, 'spark join window'), (1, 'hash merge batch'),
+        |    (2, 'stream filter sort value'), (3, 'table scan agg')) AS q(query_id, qtext)),
+        |terms AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+        |    unnest(string_split(qtext, ' ')) AS term FROM q),
+        |tl AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tl2 AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM tl),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM tl2),
+        |tok AS (SELECT doc_id, dl, unnest(t) AS term FROM tl2),
+        |tf AS (SELECT query_id, term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok JOIN terms USING (term) GROUP BY 1, 2, 3, 4),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
+        |sc AS (SELECT query_id, doc_id,
+        |    CAST(sum(CAST(floor(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.5
+        |        / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * 1e9) AS BIGINT)) AS BIGINT) AS score_e9
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_e9,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_e9
+        |FROM r WHERE rank <= 10""".stripMargin,
+
     // mirrors TextAnalysis.tfidf: tf -> df-from-tf -> ln score, ranked
     // by the RAW double (ties = equal (tf, df) pairs, identical within
     // each engine) with term ASC tie-break
@@ -927,6 +979,34 @@ object SparkEntry {
         |  FROM win GROUP BY doc_id)
         |SELECT t.doc_id, CAST((len(toks) + 9) // 10 AS BIGINT) AS n_chunks,
         |  coalesce(pd.n_kept, 0) AS n_kept, coalesce(pd.kept_text, '') AS kept_text
+        |FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin,
+
+    // mirrors Curation.boilerplateStrip: same planted banner, same
+    // chunking, doc-frequency cap 5, per-doc reassembly
+    "q_boilerplate" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'subscribe to our newsletter today for updates and special offers ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM aug),
+        |ch AS (SELECT doc_id, toks, unnest(range(0, (len(toks) + 9) // 10)) AS chunk_idx FROM t),
+        |c2 AS (SELECT doc_id, chunk_idx,
+        |    array_to_string(toks[CAST(chunk_idx*10+1 AS INT) : CAST(chunk_idx*10+10 AS INT)], ' ') AS chunk
+        |  FROM ch),
+        |fr AS (SELECT chunk, CAST(count(*) AS BIGINT) AS chunk_df
+        |  FROM (SELECT DISTINCT chunk, doc_id FROM c2) GROUP BY chunk),
+        |kept AS (SELECT doc_id, chunk_idx, chunk FROM c2 JOIN fr USING (chunk)
+        |  WHERE chunk_df <= 5),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST((len(toks) + 9) // 10 AS BIGINT) AS n_chunks,
+        |  coalesce(pd.n_kept, 0) AS n_kept,
+        |  CAST((len(toks) + 9) // 10 AS BIGINT) - coalesce(pd.n_kept, 0) AS n_dropped,
+        |  coalesce(pd.kept_text, '') AS kept_text
         |FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin,
 
     // mirrors Curation.bloomDedup: same md5 bit positions, same 60-bit

@@ -201,9 +201,11 @@ object Curation {
     * arithmetically from the original row rather than carried through
     * the pipeline.
     */
-  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
-                 chunkWords: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Tumbling word-chunk explode shared by [[chunkDedup]] and
+    * [[boilerplateStrip]]: `(doc_id, chunk_idx, chunk)` rows.
+    */
+  private def chunkRows(docs: DataFrame, textCol: String, idCol: String,
+                        chunkWords: Int): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
     val nChunks = floor((size(toks).cast("long") + lit(chunkWords - 1).cast("long"))
       / lit(chunkWords.toLong)).cast("long")
@@ -211,8 +213,21 @@ object Curation {
       transform(sequence(lit(0L), nChunks - 1),
         g => array_join(slice(toks, (g * chunkWords + 1).cast("int"), lit(chunkWords)), " ")))
       .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-    val chunked = docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
       posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+  }
+
+  private def nChunksCol(textCol: String, chunkWords: Int) = {
+    val toks = Dedup.tokens(col(textCol))
+    floor((size(toks).cast("long") + lit(chunkWords - 1).cast("long"))
+      / lit(chunkWords.toLong)).cast("long")
+  }
+
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+                 chunkWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nChunks = nChunksCol(textCol, chunkWords)
+    val chunked = chunkRows(docs, textCol, idCol, chunkWords)
     val w = Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("chunk_idx"))
     val winners = chunked
       .withColumn("__rn", row_number().over(w))
@@ -226,6 +241,41 @@ object Curation {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Boilerplate chunk removal (the C4/RefinedWeb "remove lines that
+    * repeat across many pages" stage, word-chunk flavored): drop every
+    * tumbling chunk whose corpus-wide DOCUMENT frequency exceeds
+    * `maxDocFreq` (navigation bars, cookie banners, license footers),
+    * then reassemble each document from its surviving chunks in order.
+    * Unlike [[chunkDedup]] (keep FIRST occurrence) this deletes the
+    * chunk text everywhere — boilerplate carries no training signal in
+    * any copy.
+    *
+    * Scale shape: chunk doc-frequency is distinct (chunk, doc) pairs
+    * then one map-side-combined count per chunk — the classic
+    * two-level exact distinct; the frequency table joins back on the
+    * chunk hash. No windows over hot keys: a chunk shared by a million
+    * docs is one frequency row, and the reassembly groups by doc_id
+    * (bounded by document size).
+    */
+  def boilerplateStrip(docs: DataFrame, textCol: String, idCol: String,
+                       chunkWords: Int = 10, maxDocFreq: Long = 5L): DataFrame = {
+    val chunked = chunkRows(docs, textCol, idCol, chunkWords)
+    val freq = chunked.select(col("chunk"), col("doc_id")).distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("chunk_df"))
+    val kept = chunked.join(freq, "chunk").filter(col("chunk_df") <= maxDocFreq)
+    val perDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        x => x.getField("chunk")), " ").as("kept_text"))
+    docs.select(col(idCol).as("doc_id"), nChunksCol(textCol, chunkWords).as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 

@@ -517,4 +517,61 @@ object TextAnalysis {
           lit(thresholdFp) * coalesce(col("n_bigrams"), lit(0L)), lit(1L))
           .otherwise(lit(0L)).as("keep"))
   }
+
+  /** BM25 keyword retrieval over the corpus — the lexical-search half
+    * of a retrieval/decontamination stage (quality-by-query mining,
+    * targeted corpus probes, RAG-index ground truth). Scores the
+    * Okapi BM25 of each query against every document and returns the
+    * top `k` per query.
+    *
+    * Constants `k1`/`b` must be exact binary fractions (defaults 1.5,
+    * 0.75) so Spark and the oracle parse identical doubles. The
+    * per-term contribution idf*tfn is floored to FIXED-POINT e9 longs
+    * and summed — the per-(query,doc) score is exact and
+    * partitioning-independent (the [[perplexityFilter]]/DSIR sum
+    * pattern); `score_e9` is that long.
+    *
+    * Scale shape: the query-term table is tiny and broadcast; the
+    * corpus explodes its tokens ONCE and the broadcast semi-join
+    * discards every non-query term before any shuffle, so the tf
+    * aggregate carries only (query-term x containing-doc) rows. df
+    * derives from the tf table (no second corpus scan — the
+    * [[tfidf]] trick), N/avgdl from one 1-row aggregate. Ranking is a
+    * distributed window over per-query candidate sets.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(Long, String)], k: Int,
+               k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val terms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("query_id", "term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    // df per TERM (a term shared by two queries counts its docs once)
+    val df = tf.select(col("term"), col("doc_id")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfn = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("c_e9", floor(idf * tfn * lit(1e9)).cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum(col("c_e9")).as("score_e9"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_e9").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_e9"))
+  }
 }

@@ -512,6 +512,45 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(r.getLong(3) == 2000L)
   }
 
+  test("boilerplateStrip deletes high-frequency chunks from every copy, keeps the rest") {
+    // 4-word chunks; the banner "one two three four" appears in 3 docs
+    // (> maxDocFreq=2) and must vanish everywhere; unique chunks stay
+    val docs = Seq(
+      (1L, "one two three four alpha beta gamma delta"),
+      (2L, "one two three four epsilon zeta eta theta"),
+      (3L, "one two three four iota kappa lambda mu"),
+      (4L, "nu xi omicron pi")).toDF("doc_id", "text")
+    val out = Curation.boilerplateStrip(docs, "text", "doc_id",
+      chunkWords = 4, maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 1L, "alpha beta gamma delta")))
+    assert(out(2L) == ((2L, 1L, 1L, "epsilon zeta eta theta")))
+    assert(out(3L) == ((2L, 1L, 1L, "iota kappa lambda mu")))
+    assert(out(4L) == ((1L, 1L, 0L, "nu xi omicron pi")))
+  }
+
+  test("bm25TopK ranks term-dense short docs first and respects df weighting") {
+    val docs = Seq(
+      (1L, "apple apple apple banana"),          // tf(apple)=3, short
+      (2L, "apple cherry cherry cherry cherry cherry cherry cherry"), // tf=1, long
+      (3L, "banana banana banana banana"),       // no apple
+      (4L, "apple date date date")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      queries = Seq((0L, "apple")), k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 1/2/4 contain apple; doc 1 highest tf -> rank 1; doc 3 absent
+    assert(out.length == 3)
+    assert(out.head._2 == 1L)
+    assert(out.map(_._2).toSet == Set(1L, 2L, 4L))
+    // scores strictly ordered by construction (rank follows score desc)
+    val scores = out.sortBy(_._1).map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // doc 4 (tf=1, short) outranks doc 2 (tf=1, long): length norm
+    val rankOf = out.map(r => r._2 -> r._1).toMap
+    assert(rankOf(4L) < rankOf(2L))
+  }
+
   test("trainQualityLr on empty input returns zero weights, not a crash") {
     val docs = Seq((1L, "src0", "text here")).toDF("doc_id", "source", "text")
       .filter(col("doc_id") < 0)
