@@ -35,6 +35,12 @@ object Bench {
       .config("spark.speculation.efficiency.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // releasing locally-checkpointed blocks between queries emits one
+    // WARN per RDD ("lineage has been truncated..."); those lines land
+    // directly before the final JSON line and eat the driver's stdout
+    // tail capture — silence just that logger
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -81,11 +87,16 @@ object Bench {
       graft.plans.CheckpointHygiene.releaseAll(spark)
       (name, dt, err)
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // 3-decimal seconds: with 70+ queries a full-precision Double per
+    // entry pushed the one-line JSON past the driver's stdout tail
+    // capture (BENCH_r04 recorded parsed:null). ~1ms resolution is
+    // ample for per-query wall times; keep the line compact.
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""$k":"${esc(e)}"""" }
     val errsJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
