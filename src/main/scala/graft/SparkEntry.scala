@@ -598,7 +598,80 @@ object SparkEntry {
       Multimodal.extractFeatures(
         Multimodal.transformMedia(
           Multimodal.withMediaPayload(t(s, dir, "documents"), "text", "doc_id"), "doc_id"), "doc_id")
-        .select("doc_id", "kind", "width", "height", "channels", "sample_rate", "bit_depth"))
+        .select("doc_id", "kind", "width", "height", "channels", "sample_rate", "bit_depth")),
+
+    // ---- temporal joins (operators Spark lacks, in 100 TB shapes) ----
+    // as-of join: each purchase gets the user's latest at-or-before
+    // click value — union + running last_value, ONE shuffle, no range
+    // explosion (the point-in-time feature join)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = EventReplay.loadEvents(s, dir).withColumn("tsu", expr("ts DIV 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("tsu")).agg(max(col("value")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsu"))
+      Temporal.asofJoin(purchases, clicks, "user_id", "tsu", "click_value", "asof_click")
+        .select(col("event_id"), col("user_id"), col("asof_click"))
+    }),
+
+    // bounded range join: clicks within 7 days after each signup.
+    // Bucketed by floor(t/width): every probe hits exactly 2 buckets,
+    // every click lands in 1 — an equi-join Catalyst can shuffle-hash,
+    // never the BroadcastNestedLoop a raw BETWEEN predicate degrades to
+    "q_range_join" -> ((s, dir) => {
+      val ev = EventReplay.loadEvents(s, dir).withColumn("tsu", expr("ts DIV 1000"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("tsu"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val pairs = Temporal.rangeJoinBucketed(signups, clicks, "user_id", "tsu", "tsu",
+        width = 604800000000L)
+      val agg = pairs.groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"), sum(col("r_cents")).as("click_cents"))
+      signups.join(agg, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("click_cents"), lit(0L)).as("click_cents"))
+    }),
+
+    // rolling point-in-time features: per event, the user's purchase
+    // count + cents over the strictly-preceding 7 days (RANGE frame —
+    // one shuffle + sort, single pass; integer sums for bit parity)
+    "q_rolling_features" -> ((s, dir) => {
+      val ev = EventReplay.loadEvents(s, dir)
+        .withColumn("tsu", expr("ts DIV 1000"))
+        .withColumn("is_p", when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)))
+        .withColumn("p_cents", when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L)))
+      Temporal.rollingFeatures(ev, "user_id", "tsu", span = 604800000000L,
+        aggs = Map(
+          "n_recent_purchases" -> sum(col("is_p")),
+          "recent_purchase_cents" -> sum(col("p_cents"))))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_recent_purchases"), lit(0L)).as("n_recent_purchases"),
+          coalesce(col("recent_purchase_cents"), lit(0L)).as("recent_purchase_cents"))
+    }),
+
+    // blocked fuzzy entity matching over part names: distinct-first,
+    // block on the noun token, capped blocks, levenshtein verify on
+    // survivors only — entity resolution without the all-pairs quadratic
+    "q_fuzzy_match" -> ((s, dir) =>
+      FuzzyJoin.fuzzyNamePairs(t(s, dir, "part"), "p_name",
+        blockExpr = "split(name, ' ')[1]", maxDist = 2)
+        .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+          col("n_a"), col("n_b"))),
+
+    // fixed-point integer PageRank over the functional event dep graph
+    // (id -> id DIV 2): 3 Pregel rounds, each ONE message aggregate +
+    // one join; BIGINT ranks make the distributed sums exact, so the
+    // oracle checks every node bit-for-bit
+    "q_pagerank" -> ((s, dir) => {
+      val ids = EventReplay.loadEvents(s, dir).select(col("event_id").as("id"))
+      val edges = ids.filter(col("id") > 0)
+        .select(col("id").as("src"), expr("id DIV 2").as("dst"))
+      graft.plans.PageRank.pageRankFixed(ids, edges, iters = 3)
+    })
   )
 
   /** DuckDB equivalents, run by the driver on the same parquet tables.
@@ -1518,12 +1591,90 @@ object SparkEntry {
         |  CAST(CASE f WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS INT) AS channels,
         |  CAST(CASE f WHEN 2 THEN (8000 + n % 8000) // 2 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE f WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // as-of via the same union + running-last algebra (DuckDB's native
+    // ASOF JOIN breaks ties arbitrarily; the union form is exact)
+    "q_asof_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, max(value) AS cv
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, tsu, 1 AS side, event_id, CAST(NULL AS DOUBLE) AS rv FROM p
+        |  UNION ALL
+        |  SELECT user_id, tsu, 0 AS side, NULL, cv FROM c),
+        |w AS (SELECT user_id, tsu, side, event_id,
+        |    last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tsu, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click
+        |  FROM u)
+        |SELECT event_id, user_id, asof_click FROM w WHERE side = 1""".stripMargin,
+
+    "q_range_join" ->
+      """WITH st AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'signup'),
+        |c AS (SELECT user_id, epoch_us(ts) AS tsu, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'click')
+        |SELECT st.event_id, st.user_id,
+        |  count(c.tsu) AS n_clicks,
+        |  CAST(coalesce(sum(c.cents), 0) AS BIGINT) AS click_cents
+        |FROM st LEFT JOIN c ON st.user_id = c.user_id
+        |  AND c.tsu >= st.tsu AND c.tsu < st.tsu + 604800000000
+        |GROUP BY st.event_id, st.user_id""".stripMargin,
+
+    "q_rolling_features" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT)
+        |      ELSE 0 END AS p_cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(coalesce(sum(is_p) OVER w, 0) AS BIGINT) AS n_recent_purchases,
+        |  CAST(coalesce(sum(p_cents) OVER w, 0) AS BIGINT) AS recent_purchase_cents
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |  RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH names AS (SELECT p_name AS name, count(*) AS n,
+        |    split_part(p_name, ' ', 2) AS block
+        |  FROM part GROUP BY p_name),
+        |capped AS (SELECT * FROM (
+        |    SELECT name, n, block,
+        |      row_number() OVER (PARTITION BY block ORDER BY name) AS rn
+        |    FROM names) WHERE rn <= 1024)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM capped a JOIN capped b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+
+    "q_pagerank" -> pageRankOracle(3)
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally
     // asserted in SimilaritySpec.
   )
+
+  /** DuckDB mirror of PageRank.pageRankFixed over the id -> id DIV 2
+    * event graph: the damped rounds unroll as CTE pairs (message
+    * aggregate, rank update) — integer algebra, bit-for-bit.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.dst AS id, CAST(sum(r${i - 1}.rank // e.deg) AS BIGINT) AS msg
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.id, CAST(150000000 + 85 * coalesce(m$i.msg, 0) // 100 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN m$i ON n.id = m$i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT event_id AS id FROM events),
+       |e0 AS (SELECT event_id AS src, event_id // 2 AS dst FROM events WHERE event_id > 0),
+       |d AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, d.deg FROM e0 JOIN d ON e0.src = d.src),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
+       |$rounds
+       |SELECT id, rank FROM r$iters""".stripMargin
+  }
 
   /** DuckDB mirror of the banded MinHash-LSH algebra (salts 0..11,
     * 6 bands x 2 rows) — misses below the LSH detection curve match on
