@@ -671,7 +671,47 @@ object SparkEntry {
       val edges = ids.filter(col("id") > 0)
         .select(col("id").as("src"), expr("id DIV 2").as("dst"))
       graft.plans.PageRank.pageRankFixed(ids, edges, iters = 3)
-    })
+    }),
+
+    // ---- warehouse modeling + storage layout ----
+    // SCD2 dimension history from the signup change stream: validity
+    // intervals via one lead() window, open version keeps null;
+    // changes pre-deduped per (user, instant) so ordering is total
+    "q_scd2" -> ((s, dir) => {
+      val changes = EventReplay.loadEvents(s, dir)
+        .filter(col("event_type") === "signup")
+        .withColumn("tsu", expr("ts DIV 1000"))
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(expr("max(CAST(round(value * 100) AS BIGINT))").as("cents"))
+      Dimensions.scd2(changes, "user_id", "tsu")
+        .select(col("user_id"), col("version"), col("valid_from"), col("valid_to"), col("cents"))
+    }),
+
+    // ordered funnel view -> click -> purchase: each stage is the
+    // first occurrence STRICTLY AFTER the previous stage's time; all
+    // stages co-partition on user_id
+    "q_funnel" -> ((s, dir) => {
+      val ev = EventReplay.loadEvents(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000").as("tsu"), col("event_type"))
+      Dimensions.funnel(ev, "user_id", "tsu", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // ANALYZE analog: per-column n/nulls/NDV/min/max in ONE scan
+    // (posexplode melt) + one aggregate — the stats every optimizer
+    // decision (join order, broadcast, skipping) feeds on
+    "q_column_stats" -> ((s, dir) =>
+      TableStats.columnStats(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))),
+
+    // Z-order (Morton) layout key over (partkey, suppkey): pure column
+    // bit-algebra inside whole-stage codegen; sorting files by this key
+    // gives tight min/max on BOTH dimensions -> parquet skipping for
+    // predicates on either (the lakehouse OPTIMIZE ZORDER primitive)
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zvalue(col("l_partkey"), col("l_suppkey")).as("zval")))
   )
 
   /** DuckDB equivalents, run by the driver on the same parquet tables.
@@ -1649,7 +1689,56 @@ object SparkEntry {
         |FROM capped a JOIN capped b ON a.block = b.block AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
 
-    "q_pagerank" -> pageRankOracle(3)
+    "q_pagerank" -> pageRankOracle(3),
+
+    "q_scd2" ->
+      """WITH ch AS (SELECT user_id, epoch_us(ts) AS tsu,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  tsu AS valid_from,
+        |  lead(tsu) OVER w AS valid_to,
+        |  cents
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY tsu)""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |s1 AS (SELECT user_id, min(tsu) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.tsu) AS t2 FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.tsu > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.tsu) AS t3 FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.tsu > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    "q_column_stats" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS DOUBLE) FROM lineitem)
+        |SELECT column_name, count(*) AS n,
+        |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+        |  count(DISTINCT v) AS ndv, min(v) AS min_v, max(v) AS max_v
+        |FROM m GROUP BY column_name""".stripMargin,
+
+    "q_zorder" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+        |    l_partkey & 65535 AS p0, l_suppkey & 65535 AS s0 FROM lineitem),
+        |a AS (SELECT l_orderkey, l_linenumber,
+        |    (p0 | (p0 << 8)) & 16711935 AS p1, (s0 | (s0 << 8)) & 16711935 AS s1 FROM s),
+        |b AS (SELECT l_orderkey, l_linenumber,
+        |    (p1 | (p1 << 4)) & 252645135 AS p2, (s1 | (s1 << 4)) & 252645135 AS s2 FROM a),
+        |c AS (SELECT l_orderkey, l_linenumber,
+        |    (p2 | (p2 << 2)) & 858993459 AS p3, (s2 | (s2 << 2)) & 858993459 AS s3 FROM b),
+        |d AS (SELECT l_orderkey, l_linenumber,
+        |    (p3 | (p3 << 1)) & 1431655765 AS p4, (s3 | (s3 << 1)) & 1431655765 AS s4 FROM c)
+        |SELECT l_orderkey, l_linenumber, CAST(p4 | (s4 << 1) AS BIGINT) AS zval
+        |FROM d""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal dimension modeling over an event log: SCD2 history build
+  * and ordered funnel progression.
+  *
+  * Reference analog: the event graph IS a versioned state history —
+  * `fold_state` (/root/reference/crates/esvc-core/src/graph.rs) walks
+  * it event-by-event; these operators materialize the standard
+  * warehouse views of the same timeline (validity intervals, ordered
+  * milestone progression) declaratively, in one window/aggregate pass
+  * per step.
+  */
+object Dimensions {
+
+  /** SCD2 (type-2 slowly-changing dimension) build: version rows with
+    * `[valid_from, valid_to)` intervals from a change-event stream.
+    * One window over (key, time) — lead() closes each interval, the
+    * open version keeps valid_to = null. ONE shuffle; no self-join.
+    */
+  def scd2(changes: DataFrame, key: String, time: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(time))
+      .withColumn("valid_to", lead(col(time), 1).over(w))
+      .drop(time)
+  }
+
+  /** Ordered funnel: for each key, the first `stages(0)` time, then the
+    * first `stages(1)` STRICTLY AFTER it, and so on. Each stage is one
+    * filtered aggregate joined on the key — all stages co-partition on
+    * the same key, so after the first shuffle the rest are cheap; no
+    * per-key collect, no UDAF holding the whole timeline.
+    *
+    * Input: (key, time, stage). Output: key, t1..tN (BIGINT-friendly
+    * `time`s; later stages null once progression stops).
+    */
+  def funnel(events: DataFrame, key: String, time: String, stage: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val first = events.filter(col(stage) === stages.head)
+      .groupBy(col(key)).agg(min(col(time)).as("t1"))
+    stages.zipWithIndex.drop(1).foldLeft(first) { case (acc, (st, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val next = events.filter(col(stage) === st)
+        .join(acc.select(col(key), col(prev)), key)
+        .filter(col(time) > col(prev))
+        .groupBy(col(key)).agg(min(col(time)).as(cur))
+        .select(col(key), col(cur))
+      acc.join(next, Seq(key), "left")
+    }
+  }
+}

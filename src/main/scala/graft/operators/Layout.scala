@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout keys: Z-order (Morton) interleaving for
+  * multi-dimension data clustering.
+  *
+  * Why this is a 100 TB operator: parquet file skipping prunes on
+  * per-file min/max ranges, which only helps on the ordering key.
+  * Sorting by the Morton interleave of TWO keys keeps both roughly
+  * range-clustered, so predicates on either dimension skip most
+  * files — the standard lakehouse layout trick (Delta/Iceberg
+  * OPTIMIZE ZORDER). Implemented as pure column bit-algebra
+  * (shiftleft/and/or folds) so it runs inside whole-stage codegen and
+  * is mirror-able in the oracle SQL bit-for-bit.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `x` so bit i lands at bit 2i
+    * (the classic mask-shift doubling chain, 64-bit safe).
+    */
+  def spread16(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit keys: x at even bits, y at odd. */
+  def zvalue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Rewrite `df` clustered by the Morton code of (xCol, yCol):
+    * range-partition + in-partition sort on the z-value, so each
+    * output file covers a compact z-range (tight min/max on BOTH
+    * dimensions). The sort is the shuffle; nothing else moves.
+    */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+                  partitions: Int = 0): DataFrame = {
+    val withZ = df.withColumn("__z", zvalue(col(xCol), col(yCol)))
+    val sorted =
+      (if (partitions > 0) withZ.repartitionByRange(partitions, col("__z"))
+       else withZ.repartitionByRange(col("__z")))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    sorted.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}
