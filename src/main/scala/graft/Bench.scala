@@ -68,10 +68,46 @@ object Bench {
         spark.read.parquet(s"$sfDir/documents.parquet").limit(64), "text", "doc_id")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // ...and the iterative-rounds family (BPE merge loop): each round
+    // compiles fresh codegen classes, so a cold first iterative query
+    // gets charged several seconds of JIT (q_bpe spiked 11 s in a full
+    // alphabetical run vs 2.3 s isolated); two tiny merge rounds warm
+    // the loop's aggregate/join/rewrite shapes
+    try graft.operators.Bpe.learn(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(64), "text", merges = 2)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     graft.plans.CheckpointHygiene.releaseAll(spark)
 
-    // dev iteration: SPARK_GRAFT_ONLY=q_a,q_b restricts the run
+    // Headline set (the bench contract: headline queries, one JSON
+    // line). The FULL query surface runs under Verify/the correctness
+    // gate; the bench reports this fixed representative set — a strict
+    // superset of the round-3 38-query set (cross-round comparability)
+    // plus the heavy/new operator families — because 80+ per-query
+    // entries push the one-line JSON past the caller's 2000-char
+    // stdout tail capture (BENCH_r04: parsed=null).
+    // SPARK_GRAFT_ALL=1 benches everything; SPARK_GRAFT_ONLY=a,b
+    // restricts (dev iteration).
+    val headline: Set[String] = Set(
+      "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+      "q_ann_ivf", "q_ann_lsh", "q_closure", "q_corpus_stats",
+      "q_curation_full", "q_curation_pipeline", "q_dedup_exact",
+      "q_dedup_insert", "q_edit_script", "q_embed_neardup", "q_fingerprint",
+      "q_frontier", "q_hourly_rollup", "q_json_props", "q_langid",
+      "q_linearize", "q_media_decode", "q_media_transform", "q_multimodal",
+      "q_neardup_minhash", "q_ngram_jaccard", "q_replay_affine",
+      "q_replay_incremental", "q_replay_per_user", "q_sessionize",
+      "q_simhash", "q_simhash_neardup", "q_substitute", "q_text_stats",
+      "q_token_count", "q_top_customers", "q_topk_cosine",
+      "q_topk_quantized", "q_toposort", "q_winnow",
+      // round-4/5 families
+      "q_bpe", "q_bpe_encode", "q_chunk_dedup", "q_dup_clusters",
+      "q_kmeans", "q_lr_train", "q_perplexity", "q_tfidf", "q_pagerank",
+      "q_asof_join", "q_range_join", "q_rolling_features", "q_scd2",
+      "q_column_stats", "q_zorder", "q_pack", "q_decontaminate",
+      "q_embed_moments", "q_semantic_dedup", "q_token_ids")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      .orElse(if (sys.env.contains("SPARK_GRAFT_ALL")) None else Some(headline))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) =>
