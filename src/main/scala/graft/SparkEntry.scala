@@ -711,7 +711,22 @@ object SparkEntry {
     "q_zorder" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          Layout.zvalue(col("l_partkey"), col("l_suppkey")).as("zval")))
+          Layout.zvalue(col("l_partkey"), col("l_suppkey")).as("zval"))),
+
+    // count-min sketch heavy hitters: fixed-memory 4x1024 counter
+    // table (pure SUMs -> mergeable across shards/days by addition,
+    // deterministic), point-queried for the exact top-20 tokens; the
+    // oracle rebuilds every counter, so est_n is checked bit-for-bit
+    // (and est >= exact by construction)
+    "q_heavy_hitters" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("word"))
+      val sketch = Sketches.cmsBuild(tok, d = 4, w = 1024)
+      val exact = tok.groupBy("word").agg(count(lit(1)).as("exact_n"))
+      val cand = exact.orderBy(col("exact_n").desc, col("word")).limit(20)
+      cand.join(Sketches.cmsEstimate(sketch, cand.select("word"), d = 4, w = 1024), "word")
+        .select(col("word"), col("exact_n"), col("est_n"))
+    })
   )
 
   /** DuckDB equivalents, run by the driver on the same parquet tables.
@@ -1738,7 +1753,24 @@ object SparkEntry {
         |d AS (SELECT l_orderkey, l_linenumber,
         |    (p3 | (p3 << 1)) & 1431655765 AS p4, (s3 | (s3 << 1)) & 1431655765 AS s4 FROM c)
         |SELECT l_orderkey, l_linenumber, CAST(p4 | (s4 << 1) AS BIGINT) AS zval
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), ' +'),
+        |    x -> len(x) > 0)) AS word FROM documents),
+        |dims AS (SELECT unnest(range(4)) AS i),
+        |cells AS (SELECT i AS row,
+        |    ('0x' || substr(md5('cms' || i || '|' || word), 1, 15))::BIGINT % 1024 AS col
+        |  FROM tok, dims),
+        |sk AS (SELECT row, col, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2),
+        |ex AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY word),
+        |cand AS (SELECT word, exact_n FROM ex ORDER BY exact_n DESC, word LIMIT 20),
+        |cc AS (SELECT cand.word, cand.exact_n, i AS row,
+        |    ('0x' || substr(md5('cms' || i || '|' || cand.word), 1, 15))::BIGINT % 1024 AS col
+        |  FROM cand, dims)
+        |SELECT cc.word, cc.exact_n, CAST(min(sk.c) AS BIGINT) AS est_n
+        |FROM cc JOIN sk ON cc.row = sk.row AND cc.col = sk.col
+        |GROUP BY cc.word, cc.exact_n""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches. Companion to the linear-counting
+  * distinct sketch (TextAnalysis.distinctSketch): where that estimates
+  * set cardinality, the count-min sketch estimates per-item frequency
+  * in fixed memory — the heavy-hitter primitive for corpus token
+  * monitoring at 100 TB.
+  *
+  * Scale properties that make CMS the right sketch here:
+  *  - The counter table is (row, col, c) with c a plain SUM — built by
+  *    one map-side-combined aggregate, mergeable across partitions,
+  *    shards, days or streams by ADDITION, and deterministic (no
+  *    reduction-order sensitivity, unlike Misra-Gries merges).
+  *  - Size is d*w counters regardless of corpus size; estimates are
+  *    one-sided (est >= exact always; over-count bounded by eN/w with
+  *    probability 1 - exp(-d)).
+  *  - Hashes are the repo's md5 parity algebra, so the DuckDB oracle
+  *    reproduces every counter bit-for-bit.
+  */
+object Sketches {
+  private def cell(i: Int, w: Int) = struct(
+    lit(i).as("row"),
+    pmod(conv(substring(md5(concat(lit(s"cms$i|"), col("word"))), 1, 15), 16, 10)
+      .cast("long"), lit(w.toLong)).as("col"))
+
+  /** Build the d x w counter table from a (word) column: one explode
+    * (d cells per token) + one aggregate. Output (row, col, c).
+    */
+  def cmsBuild(tok: DataFrame, d: Int, w: Int): DataFrame =
+    tok.select(explode(array((0 until d).map(cell(_, w)): _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-query the sketch for each candidate word: est = min over
+    * the word's d cells. The sketch is tiny (d*w rows) — the join
+    * broadcasts.
+    */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame, d: Int, w: Int): DataFrame =
+    candidates.select(col("word"), explode(array((0 until d).map(cell(_, w)): _*)).as("rc"))
+      .select(col("word"), col("rc.row").as("row"), col("rc.col").as("col"))
+      .join(broadcast(sketch), Seq("row", "col"))
+      .groupBy("word").agg(min(col("c")).as("est_n"))
+}

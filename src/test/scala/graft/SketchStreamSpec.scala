@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.Sketches
+import graft.streaming.StreamingSessionize
+import graft.streaming.StreamingSessionize.SessEvent
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-min sketch invariants and streaming sessionization vs an
+  * independent driver-side model.
+  */
+class SketchStreamSpec extends AnyFunSuite with SharedSpark {
+
+  test("CMS: est >= exact for every token; exact when w is ample") {
+    import spark.implicits._
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(10)("gamma") ++ Seq("delta")
+    val tok = words.toDF("word")
+    // tiny sketch: collisions likely -> one-sided error only
+    val skSmall = Sketches.cmsBuild(tok, d = 2, w = 4)
+    val cand = tok.distinct()
+    val estSmall = Sketches.cmsEstimate(skSmall, cand, d = 2, w = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+    exact.foreach { case (w, n) => assert(estSmall(w) >= n, s"CMS undercounted $w") }
+    // ample sketch: no collisions among 4 words in 4096 columns (md5-spread)
+    val skBig = Sketches.cmsBuild(tok, d = 4, w = 4096)
+    val estBig = Sketches.cmsEstimate(skBig, cand, d = 4, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, n) => assert(estBig(w) === n) }
+  }
+
+  test("CMS merges by addition: sketch(A ++ B) == sketch(A) + sketch(B)") {
+    import spark.implicits._
+    val a = Seq("x", "y", "x", "z").toDF("word")
+    val b = Seq("x", "w", "w").toDF("word")
+    val merged = Sketches.cmsBuild(a, 3, 64)
+      .unionByName(Sketches.cmsBuild(b, 3, 64))
+      .groupBy("row", "col").agg(sum("c").as("c"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val whole = Sketches.cmsBuild(a.unionByName(b), 3, 64)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(merged === whole)
+  }
+
+  test("streaming sessionization: closed sessions across 3 micro-batches " +
+    "== independent driver model") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val raw = graft.operators.EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 6)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .as[SessEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val gap = 1800000000L
+    // sentinels one gap past the end close every user's last session
+    val flushTs = raw.map(_.ts_us).max + 2 * gap
+    val sentinels = raw.map(_.user_id).distinct
+      .map(u => SessEvent(event_id = -1L, user_id = u, ts_us = flushTs))
+    val batches = raw.grouped((raw.length + 2) / 3).map(_.toSeq).toSeq :+ sentinels.toSeq
+
+    val stream = MemoryStream[SessEvent]
+    val query = StreamingSessionize.sessionize(stream.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b.toIndexedSeq); query.processAllAvailable() }
+    } finally query.stop()
+    val streamed = spark.sql("SELECT * FROM sess_out").as[(Long, Long, Long, Long)]
+      .collect().toSet
+
+    // independent model: per-user linear scan over the ordered log
+    val want = raw.groupBy(_.user_id).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e.ts_us, e.event_id))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var (sid, start, last, n) = (0L, 0L, 0L, 0L)
+      sorted.foreach { e =>
+        if (n == 0L) { sid = 1L; start = e.ts_us; last = e.ts_us; n = 1L }
+        else if (e.ts_us - last > gap) {
+          sessions += ((u, sid, n, last - start))
+          sid += 1; start = e.ts_us; last = e.ts_us; n = 1L
+        } else { last = e.ts_us; n += 1 }
+      }
+      if (n > 0) sessions += ((u, sid, n, last - start)) // closed by sentinel
+      sessions
+    }.toSet
+    assert(streamed === want)
+    // and the numbering matches the batch window algebra (q_sessionize)
+    val batchQ = SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 6)
+      .select("user_id", "session_id", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batchQ)
+  }
+}
