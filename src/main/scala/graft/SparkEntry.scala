@@ -726,6 +726,54 @@ object SparkEntry {
       val cand = exact.orderBy(col("exact_n").desc, col("word")).limit(20)
       cand.join(Sketches.cmsEstimate(sketch, cand.select("word"), d = 4, w = 1024), "word")
         .select(col("word"), col("exact_n"), col("est_n"))
+    }),
+
+    // declarative data-quality suite: uniqueness, referential
+    // integrity, domain/range rules — each ONE aggregate or anti-join,
+    // unioned into a tiny violations summary (the publish gate)
+    "q_data_quality" -> ((s, dir) => {
+      import QualityChecks._
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val cust = t(s, dir, "customer")
+      val ev = EventReplay.loadEvents(s, dir)
+      suite(Seq(
+        uniqueCheck(orders, "unique:orders.o_orderkey", Seq("o_orderkey")),
+        uniqueCheck(li, "unique:lineitem.pk", Seq("l_orderkey", "l_linenumber")),
+        fkCheck(orders, "o_custkey", cust, "c_custkey", "fk:orders->customer"),
+        fkCheck(li, "l_orderkey", orders, "o_orderkey", "fk:lineitem->orders"),
+        predicateCheck(li, "range:l_quantity[1,50]",
+          col("l_quantity").between(1.0, 50.0)),
+        predicateCheck(li, "range:l_discount[0,0.1]",
+          col("l_discount").between(0.0, 0.1)),
+        predicateCheck(ev, "domain:event_type",
+          col("event_type").isin("signup", "click", "purchase", "view", "error")),
+        predicateCheck(cust, "notnull:c_acctbal", col("c_acctbal").isNotNull)))
+    }),
+
+    // daily gap-filled per-user activity series: dense bucket grid via
+    // sequence+explode (grid = output, never on the driver), zero-fill
+    // + running cumulative — the resampling step before any
+    // time-series featurization
+    "q_gap_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val actual = EventReplay.loadEvents(s, dir)
+        .groupBy(col("user_id"), expr("ts DIV 86400000000000").as("day_bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Dimensions.gapFill(actual, "user_id", "day_bucket")
+        .withColumn("n_events", coalesce(col("n"), lit(0L)))
+        .withColumn("cum_events", sum(col("n_events")).over(w))
+        .select("user_id", "day_bucket", "n_events", "cum_events")
+    }),
+
+    // cohort retention: users active k days after their first-activity
+    // day — two aggregates + one co-partitioned join over (user, day)
+    "q_retention" -> ((s, dir) => {
+      val act = EventReplay.loadEvents(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      Dimensions.retention(act, "user_id", "day", horizon = 13)
     })
   )
 
@@ -1770,7 +1818,64 @@ object SparkEntry {
         |  FROM cand, dims)
         |SELECT cc.word, cc.exact_n, CAST(min(sk.c) AS BIGINT) AS est_n
         |FROM cc JOIN sk ON cc.row = sk.row AND cc.col = sk.col
-        |GROUP BY cc.word, cc.exact_n""".stripMargin
+        |GROUP BY cc.word, cc.exact_n""".stripMargin,
+
+    "q_data_quality" ->
+      """SELECT 'unique:orders.o_orderkey' AS check_name,
+        |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_violations
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'unique:lineitem.pk',
+        |  CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'fk:orders->customer', CAST(count(*) AS BIGINT)
+        |  FROM orders o WHERE o.o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'fk:lineitem->orders', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'range:l_quantity[1,50]',
+        |  CAST(coalesce(sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 0 ELSE 1 END), 0) AS BIGINT)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'range:l_discount[0,0.1]',
+        |  CAST(coalesce(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END), 0) AS BIGINT)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'domain:event_type',
+        |  CAST(coalesce(sum(CASE WHEN event_type IN ('signup','click','purchase','view','error') THEN 0 ELSE 1 END), 0) AS BIGINT)
+        |  FROM events
+        |UNION ALL
+        |SELECT 'notnull:c_acctbal',
+        |  CAST(coalesce(sum(CASE WHEN c_acctbal IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT)
+        |  FROM customer""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH a AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day_bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(day_bucket) AS lo, max(day_bucket) AS hi
+        |  FROM a GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day_bucket FROM sp),
+        |f AS (SELECT g.user_id, g.day_bucket, coalesce(a.n, 0) AS n_events
+        |  FROM grid g LEFT JOIN a ON g.user_id = a.user_id AND g.day_bucket = a.day_bucket)
+        |SELECT user_id, day_bucket, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day_bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+        |FROM f""".stripMargin,
+
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN coh c ON a.user_id = c.user_id
+        |WHERE a.day - c.cohort_day BETWEEN 0 AND 13
+        |GROUP BY 1, 2""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally

@@ -30,6 +30,37 @@ object Dimensions {
       .drop(time)
   }
 
+  /** Time-series gap filling: expand each key's bucket range
+    * [min, max] into a dense grid (sequence + explode — the grid never
+    * exists on the driver) and left-join the actuals back; missing
+    * buckets surface as nulls for the caller to zero-fill or
+    * carry-forward. Grid size is span-bounded per key, so the explode
+    * fan-out is the resampled series itself, nothing bigger.
+    */
+  def gapFill(actual: DataFrame, key: String, bucket: String): DataFrame = {
+    val span = actual.groupBy(col(key))
+      .agg(min(col(bucket)).as("__lo"), max(col(bucket)).as("__hi"))
+    val grid = span.select(col(key),
+      explode(sequence(col("__lo"), col("__hi"))).as(bucket))
+    grid.join(actual, Seq(key, bucket), "left")
+  }
+
+  /** Cohort retention: day-grain activity joined to each key's first
+    * activity day (the cohort); output (cohort_day, day_offset,
+    * n_users) for offsets within `horizon`. Two aggregates + one
+    * co-partitioned join — the activity table carries (key, day) only.
+    */
+  def retention(events: DataFrame, key: String, day: String,
+                horizon: Int): DataFrame = {
+    val act = events.select(col(key), col(day)).distinct()
+    val cohort = act.groupBy(col(key)).agg(min(col(day)).as("cohort_day"))
+    act.join(cohort, key)
+      .withColumn("day_offset", col(day) - col("cohort_day"))
+      .filter(col("day_offset").between(0, horizon))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col(key)).as("n_users"))
+  }
+
   /** Ordered funnel: for each key, the first `stages(0)` time, then the
     * first `stages(1)` STRICTLY AFTER it, and so on. Each stage is one
     * filtered aggregate joined on the key — all stages co-partition on
