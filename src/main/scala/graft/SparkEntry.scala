@@ -774,7 +774,15 @@ object SparkEntry {
       val act = EventReplay.loadEvents(s, dir)
         .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
       Dimensions.retention(act, "user_id", "day", horizon = 13)
-    })
+    }),
+
+    // EXACT Jaccard >= 4/5 self-join via prefix filtering (PPJoin
+    // family): rarest-first prefixes prune 99% of the brute-force
+    // pairs, every surviving test is integer cross-multiplication —
+    // the exact counterpart to the MinHash approximation
+    "q_setsim_join" -> ((s, dir) =>
+      SetSimJoin.jaccardJoin(t(s, dir, "documents"), "text", "doc_id",
+        tauNum = 4, tauDen = 5))
   )
 
   /** DuckDB equivalents, run by the driver on the same parquet tables.
@@ -1875,7 +1883,32 @@ object SparkEntry {
         |  count(DISTINCT a.user_id) AS n_users
         |FROM act a JOIN coh c ON a.user_id = c.user_id
         |WHERE a.day - c.cohort_day BETWEEN 0 AND 13
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_setsim_join" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+        |fr AS (SELECT word, count(*) AS f FROM tok GROUP BY 1),
+        |rk AS (SELECT t.doc_id, t.word,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY fr.f, t.word) AS rn
+        |  FROM tok t JOIN fr ON t.word = fr.word),
+        |pf AS (SELECT rk.doc_id, rk.word FROM rk JOIN sz ON rk.doc_id = sz.doc_id
+        |  WHERE rk.rn <= sz.s - (4 * sz.s + 4) // 5 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM pf a JOIN pf b ON a.word = b.word AND a.doc_id < b.doc_id),
+        |sized AS (SELECT da, db, sa.s AS sa, sb.s AS sb FROM cand
+        |  JOIN sz sa ON cand.da = sa.doc_id JOIN sz sb ON cand.db = sb.doc_id
+        |  WHERE 4 * sa.s <= 5 * sb.s AND 4 * sb.s <= 5 * sa.s),
+        |inter AS (SELECT c.da, c.db, count(*) AS i FROM sized c
+        |  JOIN tok ta ON ta.doc_id = c.da
+        |  JOIN tok tb ON tb.doc_id = c.db AND ta.word = tb.word
+        |  GROUP BY 1, 2)
+        |SELECT i2.da AS doc_a, i2.db AS doc_b, CAST(i2.i AS BIGINT) AS inter_n,
+        |  CAST(sa.s + sb.s - i2.i AS BIGINT) AS union_n
+        |FROM inter i2 JOIN sz sa ON i2.da = sa.doc_id JOIN sz sb ON i2.db = sb.doc_id
+        |WHERE 9 * i2.i >= 4 * (sa.s + sb.s)""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally
