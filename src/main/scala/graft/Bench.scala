@@ -105,7 +105,9 @@ object Bench {
       "q_kmeans", "q_lr_train", "q_perplexity", "q_tfidf", "q_pagerank",
       "q_asof_join", "q_range_join", "q_rolling_features", "q_scd2",
       "q_column_stats", "q_zorder", "q_pack", "q_decontaminate",
-      "q_embed_moments", "q_semantic_dedup", "q_token_ids")
+      "q_embed_moments", "q_semantic_dedup", "q_token_ids",
+      "q_heavy_hitters", "q_data_quality", "q_gap_fill", "q_retention",
+      "q_funnel", "q_fuzzy_match")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
       .orElse(if (sys.env.contains("SPARK_GRAFT_ALL")) None else Some(headline))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -776,13 +776,16 @@ object SparkEntry {
       Dimensions.retention(act, "user_id", "day", horizon = 13)
     }),
 
-    // EXACT Jaccard >= 4/5 self-join via prefix filtering (PPJoin
-    // family): rarest-first prefixes prune 99% of the brute-force
-    // pairs, every surviving test is integer cross-multiplication —
-    // the exact counterpart to the MinHash approximation
+    // EXACT Jaccard >= 19/20 self-join via prefix filtering (PPJoin
+    // family): rarest-first prefixes prune the brute-force quadratic,
+    // every surviving test is integer cross-multiplication — the
+    // exact counterpart to the MinHash approximation. tau=0.95: on
+    // this template-heavy corpus lower thresholds make the RESULT
+    // itself quadratic (tau=0.8 admits ~3M true pairs at sf0.1 —
+    // that's the answer, not a blow-up; DuckDB needs 56 s for it too)
     "q_setsim_join" -> ((s, dir) =>
       SetSimJoin.jaccardJoin(t(s, dir, "documents"), "text", "doc_id",
-        tauNum = 4, tauDen = 5))
+        tauNum = 19, tauDen = 20))
   )
 
   /** DuckDB equivalents, run by the driver on the same parquet tables.
@@ -1895,12 +1898,12 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY t.doc_id ORDER BY fr.f, t.word) AS rn
         |  FROM tok t JOIN fr ON t.word = fr.word),
         |pf AS (SELECT rk.doc_id, rk.word FROM rk JOIN sz ON rk.doc_id = sz.doc_id
-        |  WHERE rk.rn <= sz.s - (4 * sz.s + 4) // 5 + 1),
+        |  WHERE rk.rn <= sz.s - (19 * sz.s + 19) // 20 + 1),
         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM pf a JOIN pf b ON a.word = b.word AND a.doc_id < b.doc_id),
         |sized AS (SELECT da, db, sa.s AS sa, sb.s AS sb FROM cand
         |  JOIN sz sa ON cand.da = sa.doc_id JOIN sz sb ON cand.db = sb.doc_id
-        |  WHERE 4 * sa.s <= 5 * sb.s AND 4 * sb.s <= 5 * sa.s),
+        |  WHERE 19 * sa.s <= 20 * sb.s AND 19 * sb.s <= 20 * sa.s),
         |inter AS (SELECT c.da, c.db, count(*) AS i FROM sized c
         |  JOIN tok ta ON ta.doc_id = c.da
         |  JOIN tok tb ON tb.doc_id = c.db AND ta.word = tb.word
@@ -1908,7 +1911,7 @@ object SparkEntry {
         |SELECT i2.da AS doc_a, i2.db AS doc_b, CAST(i2.i AS BIGINT) AS inter_n,
         |  CAST(sa.s + sb.s - i2.i AS BIGINT) AS union_n
         |FROM inter i2 JOIN sz sa ON i2.da = sa.doc_id JOIN sz sb ON i2.db = sb.doc_id
-        |WHERE 9 * i2.i >= 4 * (sa.s + sb.s)""".stripMargin
+        |WHERE 39 * i2.i >= 19 * (sa.s + sb.s)""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally
