@@ -776,6 +776,27 @@ object SparkEntry {
       Dimensions.retention(act, "user_id", "day", horizon = 13)
     }),
 
+    // Markov next-event transition matrix per user timeline: one
+    // lead() window + one count aggregate
+    "q_transitions" -> ((s, dir) => {
+      val ev = EventReplay.loadEvents(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000").as("tsu"),
+          col("event_id"), col("event_type"))
+      Drift.transitions(ev, "user_id", "tsu", "event_id", "event_type")
+    }),
+
+    // PSI distribution drift between the even/odd doc_id snapshot
+    // halves, over word-count deciles per source; per-bin fixed-point
+    // contributions summed as BIGINT (partitioning-independent)
+    "q_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("wc", size(Dedup.tokens(col("text"))).cast("long"))
+        .withColumn("bin", least(expr("wc DIV 20"), lit(9L)))
+      Drift.psi(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "source", "bin", nBins = 10)
+    }),
+
     // EXACT Jaccard >= 19/20 self-join via prefix filtering (PPJoin
     // family): rarest-first prefixes prune the brute-force quadratic,
     // every surviving test is integer cross-multiplication — the
@@ -1887,6 +1908,40 @@ object SparkEntry {
         |FROM act a JOIN coh c ON a.user_id = c.user_id
         |WHERE a.day - c.cohort_day BETWEEN 0 AND 13
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events),
+        |nx AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS to_state
+        |  FROM e)
+        |SELECT from_state, to_state, count(*) AS n
+        |FROM nx WHERE to_state IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_psi" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    least(len(list_filter(string_split_regex(lower(text), ' +'),
+        |      x -> len(x) > 0)) // 20, 9) AS bin
+        |  FROM documents),
+        |a AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS na FROM d
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |b AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS nb FROM d
+        |  WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |grid AS (SELECT source, unnest(range(10)) AS bin FROM (SELECT DISTINCT source FROM d)),
+        |j AS (SELECT g.source, g.bin, coalesce(a.na, 0) AS na, coalesce(b.nb, 0) AS nb
+        |  FROM grid g
+        |  LEFT JOIN a ON g.source = a.source AND g.bin = a.bin
+        |  LEFT JOIN b ON g.source = b.source AND g.bin = b.bin),
+        |t AS (SELECT source, bin, na, nb,
+        |    sum(na) OVER (PARTITION BY source) AS ta,
+        |    sum(nb) OVER (PARTITION BY source) AS tb FROM j),
+        |p AS (SELECT source, ta, tb,
+        |    CAST(na + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE) AS pa,
+        |    CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE) AS pb FROM t),
+        |c AS (SELECT source, ta, tb,
+        |    CAST(floor((pa - pb) * ln(pa / pb) * 1e9) AS BIGINT) AS cf FROM p)
+        |SELECT source, CAST(sum(cf) AS BIGINT) AS psi_fp,
+        |  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
+        |FROM c GROUP BY source""".stripMargin,
 
     "q_setsim_join" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
