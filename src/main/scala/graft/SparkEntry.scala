@@ -18,6 +18,8 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c * c
+
   /** Flagship: the SURVEY §7.2-step-4 vertical slice — per-user causal
     * replay (linearize + ordered non-commutative fold) on sf0.001.
     */
@@ -774,6 +776,54 @@ object SparkEntry {
       val act = EventReplay.loadEvents(s, dir)
         .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
       Dimensions.retention(act, "user_id", "day", horizon = 13)
+    }),
+
+    // incremental aggregate maintenance: the hourly rollup REBUILT by
+    // merging two independently-aggregated snapshot halves (partial
+    // states re-aggregated — the nightly-delta-into-running-state
+    // pattern); the oracle computes the rollup directly, so the hash
+    // match PROVES the merge is lossless bit-for-bit (BIGINT algebra)
+    "q_rollup_merge" -> ((s, dir) => {
+      def half(parity: Int) = EventReplay.loadEvents(s, dir)
+        .filter(col("event_id") % 2 === parity)
+        .groupBy(expr("ts DIV 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+      half(0).unionByName(half(1))
+        .groupBy("hour_bucket", "event_type")
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+    }),
+
+    // dynamic pivot: per-user event-type counts to wide columns (the
+    // DataFrame pivot surface, with a FIXED value list so the output
+    // schema is deterministic and plan-time known)
+    "q_pivot" -> ((s, dir) =>
+      EventReplay.loadEvents(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("signup", "click", "purchase", "view", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("signup").as("n_signup"), col("click").as("n_click"),
+          col("purchase").as("n_purchase"), col("view").as("n_view"),
+          col("error").as("n_error"))),
+
+    // integer-exact anomaly flags: hourly counts per event type whose
+    // squared deviation exceeds 9 sigma^2, tested as
+    // (n*x - S)^2 > 9*(n*Q - S^2) — pure BIGINT cross-multiplication,
+    // no float mean/std (a float variance is summation-order-sensitive)
+    "q_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = EventReplay.loadEvents(s, dir)
+        .groupBy(expr("ts DIV 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("event_type"))
+      hourly
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("x")).over(w))
+        .withColumn("q", sum(col("x") * col("x")).over(w))
+        .filter(pow2(col("n") * col("x") - col("s")) > lit(9L) *
+          (col("n") * col("q") - col("s") * col("s")))
+        .select(col("hour_bucket"), col("event_type"), col("x"))
     }),
 
     // Markov next-event transition matrix per user timeline: one
@@ -1908,6 +1958,33 @@ object SparkEntry {
         |FROM act a JOIN coh c ON a.user_id = c.user_id
         |WHERE a.day - c.cohort_day BETWEEN 0 AND 13
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_rollup_merge" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT hour_bucket, event_type, x,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(x) OVER w AS BIGINT) AS s,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS q
+        |  FROM h WINDOW w AS (PARTITION BY event_type))
+        |SELECT hour_bucket, event_type, x FROM st
+        |WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)""".stripMargin,
 
     "q_transitions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events),

@@ -43,6 +43,26 @@ class SketchStreamSpec extends AnyFunSuite with SharedSpark {
     assert(merged === whole)
   }
 
+  test("CMS over a stream (update-mode aggregate state) == batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq("x", "y", "x", "z"); val b2 = Seq("x", "w", "w", "y")
+    val stream = MemoryStream[String]
+    val query = Sketches.cmsBuild(stream.toDS().toDF("word"), 3, 64)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.sql("SELECT * FROM cms_out")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val batch = Sketches.cmsBuild((b1 ++ b2).toDF("word"), 3, 64)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming sessionization: closed sessions across 3 micro-batches " +
     "== independent driver model") {
     import spark.implicits._
