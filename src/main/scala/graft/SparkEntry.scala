@@ -778,6 +778,17 @@ object SparkEntry {
       Dimensions.retention(act, "user_id", "day", horizon = 13)
     }),
 
+    // TPC-H q6 shape: tight-filter scan aggregate — every predicate
+    // reaches the parquet scan (PushedFilters), two columns read for
+    // the product, zero joins; the purest pushdown/pruning probe
+    "q6_revenue_delta" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(expr("CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)")
+          .as("revenue"))),
+
     // incremental aggregate maintenance: the hourly rollup REBUILT by
     // merging two independently-aggregated snapshot halves (partial
     // states re-aggregated — the nightly-delta-into-running-state
@@ -1958,6 +1969,12 @@ object SparkEntry {
         |FROM act a JOIN coh c ON a.user_id = c.user_id
         |WHERE a.day - c.cohort_day BETWEEN 0 AND 13
         |GROUP BY 1, 2""".stripMargin,
+
+    "q6_revenue_delta" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q_rollup_merge" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,

@@ -63,6 +63,39 @@ class SketchStreamSpec extends AnyFunSuite with SharedSpark {
     assert(streamed === batch)
   }
 
+  test("event-time sessionization closes sessions by WATERMARK timeout " +
+    "(no sentinels) and equals the batch algebra") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = graft.operators.EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 4)
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .as[SessEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val gap = 1800000000L
+    // one far-future tick (user 999) advances the global watermark far
+    // past every open session's (last + gap) -> all of them time out
+    val tick = SessEvent(-1L, 999L, raw.map(_.ts_us).max + 100L * gap)
+    val stream = MemoryStream[SessEvent]
+    val query = StreamingSessionize.sessionizeEventTime(stream.toDS(), gap, "1 minute")
+      .writeStream.format("memory").queryName("sess_et")
+      .outputMode("append").start()
+    try {
+      val half = raw.length / 2
+      stream.addData(raw.take(half).toIndexedSeq); query.processAllAvailable()
+      stream.addData(raw.drop(half).toIndexedSeq); query.processAllAvailable()
+      stream.addData(Seq(tick)); query.processAllAvailable()
+      stream.addData(Seq.empty[SessEvent]); query.processAllAvailable() // timeout batch
+    } finally query.stop()
+    val streamed = spark.sql("SELECT * FROM sess_et WHERE user_id < 4")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchQ = SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 4)
+      .select("user_id", "session_id", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batchQ)
+  }
+
   test("streaming sessionization: closed sessions across 3 micro-batches " +
     "== independent driver model") {
     import spark.implicits._
