@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("blake2b512"),
       new ExpressionInfo(classOf[Blake2b512Expr].getName, "blake2b512"),
       (exprs: Seq[Expression]) => Blake2b512Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int_dot"),
+      new ExpressionInfo(classOf[IntDotExpr].getName, "graft_int_dot"),
+      (exprs: Seq[Expression]) => IntDotExpr(exprs.head, exprs(1))))
   }
 }

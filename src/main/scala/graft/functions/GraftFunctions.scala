@@ -30,6 +30,12 @@ object GraftFunctions {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Blake2b512Expr(exprs.head),
       "built-in")
+    // integer dot product over two ARRAY<BIGINT> — native, codegen'd
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_int_dot",
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntDotExpr(exprs.head, exprs(1)),
+      "built-in")
   }
 
   /** Register every scalar primitive (including blake2b512). */

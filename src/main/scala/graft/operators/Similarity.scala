@@ -148,13 +148,13 @@ object Similarity {
       .select(col(idCol), quantizeUdf(col(vecCol).cast("array<double>")).as("qs"))
       .select(col(idCol), col("qs._1").as("qv"), col("qs._2").as("scale"))
 
-  private[graft] val qdotUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var acc = 0L
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    acc
-  }
+  /** Integer dot product as a NATIVE Catalyst expression
+    * (graft.functions.IntDotExpr): stays inside whole-stage codegen,
+    * reads ArrayData primitives in place — supersedes both the
+    * interpreted HOF tree and the boxing Scala UDF it replaced.
+    */
+  private[graft] def qdotNative(a: Column, b: Column): Column =
+    graft.functions.IntDotCol(a, b)
 
   /** Per-dimension embedding moment statistics over the int8 codes —
     * the aggregate a whitening/PCA-prep stage needs (means, variances,
@@ -192,10 +192,9 @@ object Similarity {
     */
   def topKQuantized(embeddings: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // integer dot product: sums are order-independent, so the
-    // imperative UDF is exact; the HOF zip_with/aggregate version ran
-    // interpreted outside codegen on every candidate pair
-    def qdot(a: Column, b: Column): Column = qdotUdf(a, b)
+    // integer dot product: order-independent sums -> exact; native
+    // expression keeps the scoring projection in one codegen span
+    def qdot(a: Column, b: Column): Column = qdotNative(a, b)
     val base = quantizeInt8(embeddings, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("qv").as("v"))
       .withColumn("vn", sqrt(qdot(col("v"), col("v")).cast("double")))

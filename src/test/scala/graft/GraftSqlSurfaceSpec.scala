@@ -34,6 +34,18 @@ class GraftSqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     val ham = spark.sql("SELECT graft_hamming('10110', '10011') AS h").collect()(0).getInt(0)
     assert(ham == 2)
 
+    // native codegen expression: SQL path == Column path == hand result
+    val dotSql = spark.sql(
+      "SELECT graft_int_dot(array(1L, 2L, 3L), array(4L, -5L, 6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(dotSql == 4L - 10L + 18L)
+    val dotCol = Seq((Seq(2L, 2L), Seq(7L, -3L))).toDF("a", "b")
+      .select(graft.functions.IntDotCol($"a", $"b").as("d")).collect()(0).getLong(0)
+    assert(dotCol == 8L)
+    // null-safe: null array -> null
+    assert(spark.sql("SELECT graft_int_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d")
+      .collect()(0).isNullAt(0))
+
     val sqlW = spark.sql("SELECT graft_winnow_fps(text, 4, 3) AS w FROM gf_docs WHERE doc_id = 1")
       .collect()(0).getSeq[String](0)
     val colW = Dedup.winnowFpSets(docs.filter($"doc_id" === 1), "text", "doc_id", k = 4, w = 3)
