@@ -778,6 +778,13 @@ object SparkEntry {
       Dimensions.retention(act, "user_id", "day", horizon = 13)
     }),
 
+    // weighted exact-k sample per source (A-ES): inclusion chance
+    // proportional to n_chars, zero RNG state, reproducible — ranking
+    // key is ln(u)/w on md5-uniforms, identical IEEE in both engines
+    "q_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSampleK(t(s, dir, "documents"), "doc_id", "source",
+        "n_chars", k = 10)),
+
     // TPC-H q6 shape: tight-filter scan aggregate — every predicate
     // reaches the parquet scan (PushedFilters), two columns read for
     // the product, zero joins; the purest pushdown/pruning probe
@@ -1969,6 +1976,17 @@ object SparkEntry {
         |FROM act a JOIN coh c ON a.user_id = c.user_id
         |WHERE a.day - c.cohort_day BETWEEN 0 AND 13
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source, n_chars AS weight,
+        |    ln((CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+        |        / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, source, weight,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS BIGINT) AS rank_in_source
+        |  FROM d)
+        |SELECT doc_id, source, weight, rank_in_source FROM r
+        |WHERE rank_in_source <= 10""".stripMargin,
 
     "q6_revenue_delta" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue

@@ -519,6 +519,33 @@ object Curation {
       .select(col("doc_id"), col("source"), col("rank_in_source"))
   }
 
+  /** Weighted exact-k sample per stratum (Efraimidis-Spirakis A-ES):
+    * rank by `ln(u) / weight` descending with u an md5-derived uniform
+    * in (0,1] — inclusion probability proportional to weight, no RNG
+    * state across executors, reproducible under re-runs and corpus
+    * growth like [[hashSplit]]. The only float ops are one ln and one
+    * division on identical operands in any engine, so the oracle
+    * reproduces the ORDER (the keys never leave the plan).
+    * Rank-filter runs as map-side WindowGroupLimit like [[sampleK]].
+    */
+  def weightedSampleK(docs: DataFrame, idCol: String, strataCol: String,
+                      weightCol: String, k: Int,
+                      salt: String = "wsample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 60-bit md5 hash (idHash = 15 hex chars) -> uniform (h+1)/2^60 in
+    // (0, 1]; the double rounding is IEEE-identical in either engine
+    val u = (idHash(salt, col("doc_id")).cast("double") + 1.0) / lit(1152921504606846976.0)
+    val w = Window.partitionBy(col("source")).orderBy(col("__key").desc, col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"), col(strataCol).as("source"),
+        col(weightCol).as("weight"))
+      .filter(col("weight") > 0) // before the key: ln(u)/0 trips ANSI
+      .withColumn("__key", log(u) / col("weight").cast("double"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .filter(col("rank_in_source") <= k)
+      .select(col("doc_id"), col("source"), col("weight"), col("rank_in_source"))
+  }
+
   /** Sequence packing (GPT-style "concat then chunk"): lay the corpus
     * out as one deterministic token stream per shard and cut it into
     * fixed `seqLen`-token training sequences. Each document gets its
