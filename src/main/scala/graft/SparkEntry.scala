@@ -778,6 +778,35 @@ object SparkEntry {
       Dimensions.retention(act, "user_id", "day", horizon = 13)
     }),
 
+    // interval-interval overlap join: which even/odd user session
+    // pairs overlap in time — both sides bucket-exploded, each pair
+    // reported ONCE at the later interval's start bucket (spatial-join
+    // dedup: no distinct pass over the candidate set)
+    "q_interval_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val sess = EventReplay.loadEvents(s, dir)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn("boundary",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("boundary")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts_us")).as("s0"), (max(col("ts_us")) + 1).as("e0"))
+      val a = sess.filter(col("user_id") % 2 === 0)
+        .select(lit(0L).as("k"), col("user_id").as("user_a"),
+          col("s0").as("a_start"), col("e0").as("a_end"))
+      val b = sess.filter(col("user_id") % 2 === 1)
+        .select(lit(0L).as("k"), col("user_id").as("user_b"),
+          col("s0").as("b_start"), col("e0").as("b_end"))
+      Temporal.intervalJoinBucketed(a, b, "k", "a_start", "a_end",
+        "b_start", "b_end", width = 86400000000L)
+        .groupBy(col("user_a"), col("r_user_b").as("user_b"))
+        .agg(count(lit(1)).as("n_overlaps"))
+    }),
+
     // weighted exact-k sample per source (A-ES): inclusion chance
     // proportional to n_chars, zero RNG state, reproducible — ranking
     // key is ln(u)/w on md5-uniforms, identical IEEE in both engines
@@ -1975,6 +2004,26 @@ object SparkEntry {
         |  count(DISTINCT a.user_id) AS n_users
         |FROM act a JOIN coh c ON a.user_id = c.user_id
         |WHERE a.day - c.cohort_day BETWEEN 0 AND 13
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |bd AS (SELECT user_id, tsu, event_id,
+        |    CASE WHEN prev_ts IS NULL OR tsu - prev_ts > 1800000000 THEN 1 ELSE 0 END AS boundary
+        |  FROM e),
+        |sr AS (SELECT user_id, tsu,
+        |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM bd),
+        |sess AS (SELECT user_id, session_id, min(tsu) AS s0, max(tsu) + 1 AS e0
+        |  FROM sr GROUP BY user_id, session_id),
+        |a AS (SELECT * FROM sess WHERE user_id % 2 = 0),
+        |b AS (SELECT * FROM sess WHERE user_id % 2 = 1)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_overlaps
+        |FROM a JOIN b ON a.s0 < b.e0 AND b.s0 < a.e0
         |GROUP BY 1, 2""".stripMargin,
 
     "q_weighted_sample" ->

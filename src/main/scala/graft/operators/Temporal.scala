@@ -77,6 +77,41 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Interval-interval overlap join: pairs (l, r) with l.key == r.key
+    * and [lStart, lEnd) overlapping [rStart, rEnd). Both sides explode
+    * over the width-`width` buckets they span; a candidate pair can
+    * share MANY buckets, so instead of a distinct pass each pair is
+    * reported exactly once — at the bucket where the LATER interval
+    * starts (`bucket == greatest(floor(lStart/w), floor(rStart/w))`,
+    * the standard spatial-join dedup trick: that bucket provably
+    * exists for every overlapping pair and is unique).
+    *
+    * Fan-out = interval length / width per row — pick `width` near the
+    * typical interval length so each row lands in O(1) buckets.
+    */
+  def intervalJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                           lStart: String, lEnd: String,
+                           rStart: String, rEnd: String, width: Long,
+                           rPrefix: String = "r_"): DataFrame = {
+    require(width > 0, "width must be positive")
+    val r = right.columns.foldLeft(right)((df, c) =>
+      if (c == key) df else df.withColumnRenamed(c, rPrefix + c))
+    val rs = rPrefix + rStart
+    val re = rPrefix + rEnd
+    def buckets(s: String, e: String) =
+      sequence(expr(s"`$s` DIV ${width}L"),
+        expr(s"(`$e` - 1) DIV ${width}L")) // end exclusive
+    val lb = left.filter(col(lEnd) > col(lStart))
+      .withColumn("__b", explode(buckets(lStart, lEnd)))
+    val rb = r.filter(col(re) > col(rs))
+      .withColumn("__b", explode(buckets(rs, re)))
+    lb.join(rb, Seq(key, "__b"))
+      .filter(col(lStart) < col(re) && col(rs) < col(lEnd))
+      .filter(col("__b") === greatest(expr(s"`$lStart` DIV ${width}L"),
+        expr(s"`$rs` DIV ${width}L")))
+      .drop("__b")
+  }
+
   /** Rolling point-in-time aggregates: for every row, aggregates of
     * the same key's rows with time in `[time - span, time)` (strictly
     * before — no self/future leakage). `aggs` maps output column name

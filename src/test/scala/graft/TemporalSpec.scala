@@ -49,6 +49,31 @@ class TemporalSpec extends AnyFunSuite with SharedSpark {
     assert(want.contains((1L, 80L)) && want.contains((2L, 81L))) // sanity: non-trivial
   }
 
+  test("intervalJoinBucketed == naive overlap join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val mk = (n: Int) => Seq.fill(n) {
+      val s = rnd.nextInt(200).toLong
+      (1L + rnd.nextInt(2), s, s + 1 + rnd.nextInt(60)) // key 1..2
+    }
+    val ls = mk(40); val rs = mk(40)
+    val l = ls.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+      .toDF("k", "ls", "le", "lid")
+    val r = rs.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+      .toDF("k", "rs", "re", "rid")
+    // width much smaller than interval length -> heavy bucket overlap,
+    // the dedup-at-later-start rule must still yield each pair once
+    val got = Temporal.intervalJoinBucketed(l, r, "k", "ls", "le", "rs", "re", width = 16L)
+      .select("lid", "r_rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length === got.distinct.length, "pair reported more than once")
+    val want = (for {
+      ((lk, lss, le), li) <- ls.zipWithIndex
+      ((rk, rss, re), ri) <- rs.zipWithIndex
+      if lk == rk && lss < re && rss < le
+    } yield (li.toLong, ri.toLong)).toSet
+    assert(got.toSet === want)
+  }
+
   test("rollingFeatures sums the strictly-preceding range frame") {
     import spark.implicits._
     val df = Seq(
