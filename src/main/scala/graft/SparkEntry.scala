@@ -903,7 +903,66 @@ object SparkEntry {
     // that's the answer, not a blow-up; DuckDB needs 56 s for it too)
     "q_setsim_join" -> ((s, dir) =>
       SetSimJoin.jaccardJoin(t(s, dir, "documents"), "text", "doc_id",
-        tauNum = 19, tauDen = 20))
+        tauNum = 19, tauDen = 20)),
+
+    // CUBE rollup with grouping_id: all four aggregation grains of
+    // (returnflag, linestatus) in one pass — Spark plans cube as ONE
+    // scan + Expand (4 rows per input) + a single hash aggregate, the
+    // multi-grain report a 100 TB fact table wants instead of 4 scans
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          grouping_id().cast("long").as("gid"))),
+
+    // CDC MERGE apply: the events table read as a change log
+    // (error = delete tombstone, everything else upserts `value`);
+    // final snapshot = last writer per user, trailing deletes drop
+    // the row — one max_by aggregate, no window sort (Dimensions)
+    "q_cdc_apply" -> ((s, dir) => {
+      val changes = EventReplay.loadEvents(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          col("value"))
+      Dimensions.cdcApply(changes, "user_id", "ts", "event_id", "op", "value")
+    }),
+
+    // overlapping sliding-window chunk split (RAG/long-context prep):
+    // 16-token chunks every 8 tokens with source offsets; the grid is
+    // generated in-plan, zero shuffle (Curation.chunkSplit)
+    "q_chunk_split" -> ((s, dir) =>
+      Curation.chunkSplit(t(s, dir, "documents"), "text", "doc_id",
+        window = 16, stride = 8)),
+
+    // triangle participation counts over a deterministic co-occurrence
+    // graph derived from events (user ~ hashed props key); the
+    // degree-ordered orientation bounds wedge enumeration by the
+    // arboricity — hubs never go quadratic (plans/Triangles)
+    "q_triangles" -> ((s, dir) => {
+      val edges = EventReplay.loadEvents(s, dir)
+        .select(col("user_id").as("a"),
+          ((col("user_id") + get_json_object(col("props"), "$.k").cast("long") + 1L)
+            % 150L).as("b"))
+      graft.plans.Triangles.triangleCorners(edges)
+    }),
+
+    // join-key skew diagnostics: per-key row counts, share and
+    // key-vs-uniform skew ratio for the orders->customer join key —
+    // the report that decides salting/AQE-skew-split thresholds; one
+    // map-side-combined count + a broadcast 1-row total + TakeOrdered
+    "q_skew" -> ((s, dir) => {
+      val cnt = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_rows"))
+      val tot = cnt.agg(sum(col("n_rows")).as("total"), count(lit(1)).as("n_keys"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("key"), col("n_rows"),
+          expr("n_rows * 1000 DIV total").as("permille"),
+          expr("n_rows * n_keys * 1000 DIV total").as("skew_x1000"))
+        .orderBy(col("n_rows").desc, col("key"))
+        .limit(20)
+    })
   )
 
   /** DuckDB equivalents, run by the driver on the same parquet tables.
@@ -2127,7 +2186,66 @@ object SparkEntry {
         |SELECT i2.da AS doc_a, i2.db AS doc_b, CAST(i2.i AS BIGINT) AS inter_n,
         |  CAST(sa.s + sb.s - i2.i AS BIGINT) AS union_n
         |FROM inter i2 JOIN sz sa ON i2.da = sa.doc_id JOIN sz sb ON i2.db = sb.doc_id
-        |WHERE 39 * i2.i >= 19 * (sa.s + sb.s)""".stripMargin
+        |WHERE 39 * i2.i >= 19 * (sa.s + sb.s)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM c)
+        |SELECT user_id, value AS last_value, CAST(n_changes AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin,
+
+    "q_chunk_split" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    1 + (greatest(CAST(len(toks) AS BIGINT) - 16, 0) + 7) // 8 AS nch
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, n_tokens, toks,
+        |    unnest(range(0, nch)) AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx, chunk_idx * 8 AS start_tok,
+        |  least(16, n_tokens - chunk_idx * 8) AS n_chunk_tokens,
+        |  array_to_string(toks[CAST(chunk_idx*8+1 AS INT) : CAST(chunk_idx*8+16 AS INT)], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    "q_triangles" ->
+      """WITH raw AS (SELECT user_id AS a,
+        |    (user_id + CAST(json_extract(props, '$.k') AS BIGINT) + 1) % 150 AS b
+        |  FROM events),
+        |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM raw WHERE a <> b),
+        |deg AS (SELECT x, count(*) AS deg
+        |  FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) s GROUP BY x),
+        |orient AS (SELECT
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v) THEN u ELSE v END AS src,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v) THEN v ELSE u END AS dst
+        |  FROM und JOIN deg d1 ON d1.x = und.u JOIN deg d2 ON d2.x = und.v),
+        |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM orient e1
+        |  JOIN orient e2 ON e1.dst = e2.src
+        |  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT vertex, count(*) AS n_triangles
+        |FROM (SELECT x AS vertex FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) c
+        |GROUP BY vertex""".stripMargin,
+
+    "q_skew" ->
+      """WITH c AS (SELECT o_custkey AS key, count(*) AS n_rows FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+        |SELECT key, n_rows, n_rows * 1000 // total AS permille,
+        |  n_rows * n_keys * 1000 // total AS skew_x1000
+        |FROM c, t ORDER BY n_rows DESC, key LIMIT 20""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally

@@ -244,6 +244,42 @@ object Curation {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Overlapping sliding-window chunk split (the RAG-indexing /
+    * long-context training prep step): cut each document into
+    * `window`-token chunks every `stride` tokens, keeping token
+    * offsets so downstream stages can map chunks back into the
+    * source. The last chunk is the first whose end reaches the
+    * document end (a trailing fully-contained chunk is never
+    * emitted): n_chunks = 1 + ceil(max(n - window, 0) / stride).
+    *
+    * Scale shape: the chunk grid is generated IN the plan
+    * (sequence + explode per doc — fan-out is the output itself);
+    * zero shuffle, zero driver involvement. Token-less documents
+    * produce no rows.
+    */
+  def chunkSplit(docs: DataFrame, textCol: String, idCol: String,
+                 window: Int = 16, stride: Int = 8): DataFrame = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
+    val toks = Dedup.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val nch = lit(1L) + floor(
+      (greatest(n - window, lit(0L)) + lit(stride - 1).cast("long"))
+        / lit(stride.toLong)).cast("long")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"), n.as("n_tokens"),
+        nch.as("__nch"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("__toks"),
+        explode(sequence(lit(0L), col("__nch") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(window.toLong), col("n_tokens") - col("start_tok"))
+          .as("n_chunk_tokens"),
+        array_join(
+          slice(col("__toks"), (col("start_tok") + 1).cast("int"), lit(window)),
+          " ").as("chunk_text"))
+  }
+
   /** Boilerplate chunk removal (the C4/RefinedWeb "remove lines that
     * repeat across many pages" stage, word-chunk flavored): drop every
     * tumbling chunk whose corpus-wide DOCUMENT frequency exceeds

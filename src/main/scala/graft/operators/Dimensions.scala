@@ -61,6 +61,30 @@ object Dimensions {
       .agg(countDistinct(col(key)).as("n_users"))
   }
 
+  /** CDC upsert/delete apply (MERGE-INTO compaction): collapse an
+    * ordered change log to final table state — last writer wins per
+    * key, a trailing delete (`op = "D"`) removes the row entirely.
+    * The pattern every warehouse runs to turn a Debezium/binlog-style
+    * change stream back into a queryable snapshot.
+    *
+    * Scale shape: ONE map-side-combined aggregate on the key —
+    * `max_by` over the (time, seq) struct picks the winning change
+    * without sorting the log (partial buffers merge commutatively
+    * because (time, seq) is a total order), so a key with a million
+    * updates costs one combiner slot, not a window sort. No self-join
+    * against the prior snapshot is needed: applying to a base table is
+    * the same operator with the base unioned in as seq -infinity
+    * upserts.
+    */
+  def cdcApply(changes: DataFrame, key: String, time: String, seq: String,
+               op: String, valueCol: String): DataFrame =
+    changes.groupBy(col(key))
+      .agg(count(lit(1)).as("n_changes"),
+        max_by(col(op), struct(col(time), col(seq))).as("__op"),
+        max_by(col(valueCol), struct(col(time), col(seq))).as("last_value"))
+      .filter(col("__op") === "U")
+      .select(col(key), col("last_value"), col("n_changes"))
+
   /** Ordered funnel: for each key, the first `stages(0)` time, then the
     * first `stages(1)` STRICTLY AFTER it, and so on. Each stage is one
     * filtered aggregate joined on the key — all stages co-partition on

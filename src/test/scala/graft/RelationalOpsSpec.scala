@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Curation, Dimensions}
+import graft.plans.Triangles
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDC apply, sliding-window chunk split and triangle counting vs
+  * hand-computed results and brute-force formulations.
+  */
+class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
+
+  test("cdcApply: last writer wins, trailing delete drops the row") {
+    import spark.implicits._
+    val changes = Seq(
+      // key 1: two upserts, last (by ts) wins
+      (1L, 10L, 1L, "U", 1.0),
+      (1L, 20L, 2L, "U", 2.5),
+      // key 2: upsert then delete -> absent
+      (2L, 10L, 3L, "U", 9.0),
+      (2L, 30L, 4L, "D", 0.0),
+      // key 3: delete then re-insert -> present with the re-insert
+      (3L, 10L, 5L, "D", 0.0),
+      (3L, 15L, 6L, "U", 7.0),
+      // key 4: same ts, seq breaks the tie (seq 8 wins)
+      (4L, 50L, 7L, "U", 1.0),
+      (4L, 50L, 8L, "U", 4.0)
+    ).toDF("k", "t", "seq", "op", "v")
+    val out = Dimensions.cdcApply(changes, "k", "t", "seq", "op", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((2.5, 2L)), 3L -> ((7.0, 2L)), 4L -> ((4.0, 2L))))
+  }
+
+  test("chunkSplit: window/stride tiling with offsets, short docs, empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, w=4 s=2 -> starts 0,2,4,6
+      (2L, "x y"),                 // shorter than the window -> one chunk
+      (3L, "  "),                  // no tokens -> no rows
+      (4L, "p q r s t")            // 5 tokens -> starts 0,2 (chunk at 2 reaches the end)
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkSplit(docs, "text", "doc_id", window = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet.map(_._1) === Set(1L, 2L, 4L))
+    assert(out((1L, 0L)) === ((0L, 4L, "a b c d")))
+    assert(out((1L, 1L)) === ((2L, 4L, "c d e f")))
+    assert(out((1L, 3L)) === ((6L, 4L, "g h i j")))
+    assert(out.count(_._1._1 == 1L) === 4) // no trailing contained chunk
+    assert(out((2L, 0L)) === ((0L, 2L, "x y")))
+    assert(out((4L, 1L)) === ((2L, 3L, "r s t")))
+    assert(out.count(_._1._1 == 4L) === 2)
+  }
+
+  test("triangleCorners: K4, a triangle-free star, and duplicate/self edges") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, each vertex in 3 of them.
+    // Vertex 9 hangs off vertex 1 (star spoke, no triangle). Self-loop
+    // and reversed-duplicate edges must not change anything.
+    val edges = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)) ++ Seq((9L, 1L), (1L, 9L), (2L, 2L), (3L, 2L))
+    val out = Triangles.triangleCorners(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCorners equals brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (1 to 400).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // brute force: count distinct vertex triples with all three edges
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triples = for {
+      i <- verts.indices; j <- (i + 1) until verts.size; k <- (j + 1) until verts.size
+      x = verts(i); y = verts(j); z = verts(k)
+      if und((x, y)) && und((y, z)) && und((x, z))
+    } yield Seq(x, y, z)
+    val expected = triples.flatten.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val got = Triangles.triangleCorners(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+}
