@@ -107,7 +107,10 @@ object Bench {
       "q_column_stats", "q_zorder", "q_pack", "q_decontaminate",
       "q_embed_moments", "q_semantic_dedup", "q_token_ids",
       "q_heavy_hitters", "q_data_quality", "q_gap_fill", "q_retention",
-      "q_funnel", "q_fuzzy_match")
+      "q_funnel", "q_fuzzy_match",
+      // round-5 families
+      "q_cube", "q_cdc_apply", "q_chunk_split", "q_triangles", "q_skew",
+      "q_winsorize", "q_entropy")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
       .orElse(if (sys.env.contains("SPARK_GRAFT_ALL")) None else Some(headline))
     // min of N passes (default 2): this host shows rare 10-40 s

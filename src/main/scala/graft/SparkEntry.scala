@@ -962,7 +962,20 @@ object SparkEntry {
           expr("n_rows * n_keys * 1000 DIV total").as("skew_x1000"))
         .orderBy(col("n_rows").desc, col("key"))
         .limit(20)
-    })
+    }),
+
+    // per-stratum winsorization: clamp event values to exact rank-k
+    // [p5, p95] order statistics in INTEGER cents (interpolated
+    // percentiles are engine-specific float formulas — rank cutoffs
+    // are not); outlier counts + clamped totals (QualityChecks)
+    "q_winsorize" -> ((s, dir) =>
+      QualityChecks.winsorizedStats(EventReplay.loadEvents(s, dir),
+        "event_type", "value", "event_id")),
+
+    // per-doc token Shannon entropy (lexical-diversity signal);
+    // fixed-point ln contributions summed as BIGINT (TextAnalysis)
+    "q_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "text", "doc_id"))
   )
 
   /** DuckDB equivalents, run by the driver on the same parquet tables.
@@ -2245,7 +2258,43 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys FROM c)
         |SELECT key, n_rows, n_rows * 1000 // total AS permille,
         |  n_rows * n_keys * 1000 // total AS skew_x1000
-        |FROM c, t ORDER BY n_rows DESC, key LIMIT 20""".stripMargin
+        |FROM c, t ORDER BY n_rows DESC, key LIMIT 20""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM r),
+        |b AS (SELECT *,
+        |    max(CASE WHEN rn = greatest(1, n * 50 // 1000) THEN c END)
+        |      OVER (PARTITION BY event_type) AS lo,
+        |    max(CASE WHEN rn = least(n, n * 950 // 1000 + 1) THEN c END)
+        |      OVER (PARTITION BY event_type) AS hi
+        |  FROM rk)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(sum(greatest(least(c, hi), lo)) AS BIGINT) AS clamped_cents,
+        |  CAST(max(lo) AS BIGINT) AS lo_cents, CAST(max(hi) AS BIGINT) AS hi_cents
+        |FROM b GROUP BY event_type""".stripMargin,
+
+    "q_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+        |w2 AS (SELECT doc_id, c,
+        |    sum(c) OVER (PARTITION BY doc_id) AS n,
+        |    count(*) OVER (PARTITION BY doc_id) AS nd
+        |  FROM wc)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(max(nd) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS entropy_fp
+        |FROM w2 GROUP BY doc_id""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally

@@ -48,4 +48,43 @@ object QualityChecks {
   /** Union a batch of checks into the summary frame. */
   def suite(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_))
+
+  /** Per-stratum winsorization report: clamp a metric to its
+    * [loPermille, hiPermille] order statistics and report the outlier
+    * counts plus the clamped total — the robust-statistics sibling of
+    * the anomaly flags (a fat-tailed metric otherwise lets one whale
+    * dominate every mean).
+    *
+    * Cross-engine exactness by construction: the metric is quantized
+    * to integer cents FIRST, and the cutoffs are exact rank-k order
+    * statistics over (cents, seq) — max(1, n*lo DIV 1000) and
+    * min(n, n*hi DIV 1000 + 1) — never interpolated percentiles,
+    * whose float formula (and hence the clamp boundary) is
+    * engine-specific. One shuffle: ranks, per-stratum totals and the
+    * cutoff broadcast all ride the same window partitioning, then one
+    * co-partitioned aggregate.
+    */
+  def winsorizedStats(rows: DataFrame, strataCol: String, valueCol: String,
+                      seqCol: String, loPermille: Int = 50,
+                      hiPermille: Int = 950): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(strataCol))
+      .orderBy(col("__c"), col(seqCol))
+    val wAll = Window.partitionBy(col(strataCol))
+    val loRk = greatest(lit(1L), expr(s"__n * $loPermille DIV 1000"))
+    val hiRk = least(col("__n"), expr(s"__n * $hiPermille DIV 1000") + lit(1L))
+    rows
+      .withColumn("__c", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__lo", max(when(col("__rn") === loRk, col("__c"))).over(wAll))
+      .withColumn("__hi", max(when(col("__rn") === hiRk, col("__c"))).over(wAll))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__c") < col("__lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("__c") > col("__hi"), 1L).otherwise(0L)).as("n_above"),
+        sum(greatest(least(col("__c"), col("__hi")), col("__lo"))).as("clamped_cents"),
+        max(col("__lo")).as("lo_cents"),
+        max(col("__hi")).as("hi_cents"))
+  }
 }

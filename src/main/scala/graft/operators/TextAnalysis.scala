@@ -574,4 +574,34 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_e9"))
   }
+
+  /** Per-document token Shannon entropy (lexical-diversity quality
+    * signal: near-zero entropy = keyword stuffing / repeated
+    * boilerplate, the complement of [[repetitionStats]]'s gram rules).
+    * Per-term contributions -(c/n) ln(c/n) are floored to 1e-9 fixed
+    * point and summed as BIGINT, so the distributed per-doc sum is
+    * exact and partitioning-independent (the dsir/perplexity ln-parity
+    * precedent). Token-less documents produce no rows.
+    *
+    * Scale shape: one (doc, word) count aggregate, then the per-doc
+    * totals ride a window over the SAME doc partitioning as the final
+    * aggregate — two shuffles total, no joins, state bounded by
+    * per-doc distinct words.
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ratio = col("c").cast("double") / col("__n").cast("double")
+    wc
+      .withColumn("__n", sum(col("c")).over(wDoc))
+      .withColumn("__nd", count(lit(1)).over(wDoc))
+      .withColumn("__fp", floor(-ratio * log(ratio) * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(col("__n")).as("n_tokens"),
+        max(col("__nd")).as("n_distinct"),
+        sum(col("__fp")).as("entropy_fp"))
+  }
 }

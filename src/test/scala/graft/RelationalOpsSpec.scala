@@ -66,6 +66,33 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("winsorizedStats: exact rank cutoffs, outlier counts, clamped total") {
+    import spark.implicits._
+    // stratum "a": cents 10..80; lo rank = max(1, 8*250 DIV 1000) = 2 -> 20,
+    // hi rank = min(8, 8*750 DIV 1000 + 1) = 7 -> 70
+    val rows = (1 to 8).map(i => ("a", i / 10.0, i.toLong)) :+ (("b", 5.0, 99L))
+    val out = graft.operators.QualityChecks.winsorizedStats(
+      rows.toDF("et", "value", "seq"), "et", "value", "seq",
+      loPermille = 250, hiPermille = 750)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out("a") === ((8L, 1L, 1L, 360L, 20L, 70L)))
+    // single-row stratum: lo = hi = the row itself, nothing clamped
+    assert(out("b") === ((1L, 0L, 0L, 500L, 500L, 500L)))
+  }
+
+  test("tokenEntropy: hand-computed fixed-point entropy") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "x x x"), (3L, " ")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fp(c: Long, n: Long): Long =
+      math.floor(-(c.toDouble / n) * math.log(c.toDouble / n) * 1e9).toLong
+    assert(out(1L) === ((3L, 2L, fp(2, 3) + fp(1, 3))))
+    assert(out(2L) === ((3L, 1L, fp(3, 3)))) // uniform doc: zero entropy
+    assert(!out.contains(3L))                // token-less doc absent
+  }
+
   test("triangleCorners equals brute force on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
