@@ -32,10 +32,16 @@ object Triangles {
     * absent from the output.
     */
   def triangleCorners(edges: DataFrame): DataFrame = {
+    // the deduped edge list feeds the degree count AND two joins; the
+    // oriented list feeds three join sides — materialize each ONCE
+    // (slim id pairs) instead of re-deriving the upstream pipeline per
+    // consumer (un-checkpointed, the physical plan re-scans the source
+    // 30x). Blocks are freed by the session owner (CheckpointHygiene).
     val und = edges
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -47,6 +53,7 @@ object Triangles {
     val oriented = withDeg.select(
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
     // wedge at the lowest corner: src -> mid -> far, closed by src -> far
     val wedges = oriented.select(col("src"), col("dst").as("mid"))
       .join(oriented.select(col("src").as("mid"), col("dst").as("far")), "mid")
