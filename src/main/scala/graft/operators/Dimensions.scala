@@ -67,11 +67,13 @@ object Dimensions {
     * The pattern every warehouse runs to turn a Debezium/binlog-style
     * change stream back into a queryable snapshot.
     *
-    * Scale shape: ONE map-side-combined aggregate on the key —
-    * `max_by` over the (time, seq) struct picks the winning change
-    * without sorting the log (partial buffers merge commutatively
-    * because (time, seq) is a total order), so a key with a million
-    * updates costs one combiner slot, not a window sort. No self-join
+    * Scale shape: ONE aggregate on the key — `max_by` over the
+    * (time, seq) struct picks the winning change (partial buffers
+    * merge commutatively because (time, seq) is a total order). The
+    * struct ordering makes Spark plan a partial SortAggregate rather
+    * than hash, but the property that matters at scale holds: the
+    * shuffle carries one partial row per key per map task, never the
+    * change log, and no global window sort exists. No self-join
     * against the prior snapshot is needed: applying to a base table is
     * the same operator with the base unioned in as seq -infinity
     * upserts.

@@ -26,6 +26,19 @@ object Formats {
     }).load(path)
   }
 
+  /** Raw-media file ingestion: `binaryFile` reads each file as one row
+    * (path, modificationTime, length, content) — the entry path for
+    * image/audio corpora that arrive as FILES on a store rather than
+    * as rows in a table. Downstream decode is the same per-partition
+    * MediaCodec parser the parquet-payload path uses
+    * ([[graft.operators.Multimodal.extractFeatures]]); at scale
+    * `spark.sql.files.maxPartitionBytes` packs many small files per
+    * task, so a billion-file corpus does not mean a billion tasks.
+    */
+  def readBinary(spark: SparkSession, dir: String,
+                 glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
   /** Write the event log partitioned by a low-cardinality column so
     * per-partition predicates prune whole directories at the scan
     * (PartitionFilters — asserted in FormatsSpec).

@@ -975,6 +975,30 @@ class FormatsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("binaryFile ingests staged media files through the real decoder") {
+    import graft.operators.MediaCodec
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"), bytes)
+    put("a.png", MediaCodec.png("hello png".getBytes("UTF-8"), 3, 3))
+    put("b.png", MediaCodec.png("x".getBytes("UTF-8"), 1, 1))
+    put("c.bmp", MediaCodec.bmp24("bmp body".getBytes("UTF-8"), 2, 2))
+    put("d.wav", MediaCodec.wav8("wav samples".getBytes("UTF-8"), 8000))
+    put("skip.txt", "not media".getBytes("UTF-8"))
+
+    val files = Formats.readBinary(spark, dir, glob = "*.{png,bmp,wav}")
+    import spark.implicits._
+    val metas = files.select("path", "content").as[(String, Array[Byte])]
+      .collect().map { case (p, bytes) =>
+        val m = MediaCodec.decode(bytes)
+        p.split('/').last -> ((m.kind, m.width, m.height))
+      }.toMap
+    assert(metas.keySet === Set("a.png", "b.png", "c.bmp", "d.wav"))
+    assert(metas("a.png") === (("png", 3, 3)))
+    assert(metas("c.bmp") === (("bmp", 2, 2)))
+    assert(metas("d.wav")._1 === "wav")
+  }
+
   test("partitioned event log prunes partitions and pushes filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = graft.operators.EventReplay.loadEvents(spark, "/root/testdata/sf0.001")
@@ -1015,6 +1039,29 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(300)}")
     }
+  }
+
+  test("q_cube: one Expand, partial agg before the single grouping shuffle") {
+    val p = plan("q_cube")
+    assert("Expand".r.findAllIn(p).size == 1, p.take(400))
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx, p.take(400))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+  }
+
+  test("q_cdc_apply: partial map-side max_by, one aggregate shuffle, no window") {
+    val p = plan("q_cdc_apply")
+    assert(!p.contains("Window"), p.take(400))
+    // struct-ordered max_by plans as SortAggregate; the scale property
+    // is the PARTIAL pass — the shuffle carries one row per key per
+    // map task, not the change log
+    assert(p.contains("partial_max_by"), p.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+  }
+
+  test("q_winsorize: ranks, totals, cutoffs and final agg share ONE shuffle") {
+    val p = plan("q_winsorize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
   }
 
   test("q1: aggregation is partial (map-side combine) before the shuffle") {
