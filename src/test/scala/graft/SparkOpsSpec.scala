@@ -896,6 +896,44 @@ class ScalePatternSpec extends AnyFunSuite with SharedSpark {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    // the posture a 1000-executor job runs with: one whale key must be
+    // split by AQE's skew handler, not serialize on one reducer
+    val keys = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val pad = "x" * 100
+      val left = spark.range(0, 40000)
+        .select((when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 997)).as("k"),
+          concat(lit(pad), col("id")).as("lv"))
+      val right = (0L until 997L).map(i => (i, s"r$i")).toDF("k", "rv")
+      val j = left.join(right, "k")
+      assert(j.count() == 40000L) // every left key is in [0, 997) -> all match
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE did not mark the skew split: " + p.take(800))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("streaming hourly rollup with watermark == batch rollup (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
