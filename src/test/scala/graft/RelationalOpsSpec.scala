@@ -66,6 +66,23 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("cdcApply onto a base snapshot == base unioned as earliest upserts") {
+    import spark.implicits._
+    // documented composition: applying changes to an existing table is
+    // the same operator with the base rows unioned in as upserts that
+    // predate every change (t = Long.MinValue)
+    val base = Seq((1L, 10.0), (2L, 20.0), (5L, 50.0))
+      .map { case (k, v) => (k, Long.MinValue, Long.MinValue, "U", v) }
+    val changes = Seq(
+      (1L, 10L, 1L, "U", 11.0), // overwrites base
+      (2L, 10L, 2L, "D", 0.0),  // deletes a base row
+      (9L, 10L, 3L, "U", 90.0)) // inserts a new key
+    val out = Dimensions.cdcApply(
+      (base ++ changes).toDF("k", "t", "seq", "op", "v"), "k", "t", "seq", "op", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 11.0, 5L -> 50.0, 9L -> 90.0))
+  }
+
   test("winsorizedStats: exact rank cutoffs, outlier counts, clamped total") {
     import spark.implicits._
     // stratum "a": cents 10..80; lo rank = max(1, 8*250 DIV 1000) = 2 -> 20,
