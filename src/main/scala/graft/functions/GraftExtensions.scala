@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_int_dot"),
       new ExpressionInfo(classOf[IntDotExpr].getName, "graft_int_dot"),
       (exprs: Seq[Expression]) => IntDotExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming_native"),
+      new ExpressionInfo(classOf[HammingExpr].getName, "graft_hamming_native"),
+      (exprs: Seq[Expression]) => HammingExpr(exprs.head, exprs(1))))
   }
 }

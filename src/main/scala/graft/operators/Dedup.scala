@@ -233,13 +233,17 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
-      .withColumn("hamming", hammingFast(col("sim_a"), col("sim_b")).cast("long"))
+      .withColumn("hamming",
+        graft.functions.HammingCol(col("sim_a"), col("sim_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Tight scalar hamming for the verify hot path (the HOF variant
-    * below allocates two 64-element arrays per pair).
+  /** Scalar hamming UDF — the `graft_hamming` SQL-registry surface for
+    * sessions without GraftExtensions. The library verify hot path
+    * uses the native codegen'd [[graft.functions.HammingExpr]] instead
+    * (no String boxing, stays in the fused stage); the HOF variant
+    * below additionally allocates two 64-element arrays per pair.
     */
   val hammingFast: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: String, b: String) =>

@@ -1102,6 +1102,25 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
   }
 
+  test("simhash near-dup verify: native hamming runs inside whole-stage codegen") {
+    import spark.implicits._
+    // equivalence vs the scalar UDF on assorted strings first
+    val cases = Seq(("0101", "0110"), ("1111", "1111"), ("10", "1011"), ("", "111"))
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.HammingCol(col("a"), col("b")).as("d"),
+        graft.operators.Dedup.hammingFast(col("a"), col("b")).as("u"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+
+    val df = SparkEntry.queries("q_simhash_neardup")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val idx = p.indexOf("graft_hamming")
+    assert(idx >= 0, "graft_hamming not in the executed plan: " + p.take(400))
+    val line = p.lastIndexOf("\n", idx) match { case -1 => p.take(idx); case s => p.substring(s + 1, idx) }
+    assert(line.contains("*("), s"hamming outside codegen: $line")
+  }
+
   test("q1: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q1_pricing_summary")
     val aggIdx = p.indexOf("HashAggregate")
