@@ -975,7 +975,18 @@ object SparkEntry {
     // per-doc token Shannon entropy (lexical-diversity signal);
     // fixed-point ln contributions summed as BIGINT (TextAnalysis)
     "q_entropy" -> ((s, dir) =>
-      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "text", "doc_id"))
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "text", "doc_id")),
+
+    // INCREMENTAL near-dup: the doc_id % 3 == 0 slice arrives as a new
+    // batch and probes the rest (the "historical index") — candidates
+    // are prior x probe band collisions only, the MinHash sibling of
+    // q_bloom_dedup's exact incremental membership (Dedup)
+    "q_neardup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupAgainst(
+        docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
+    })
   )
 
   /** DuckDB equivalents, run by the driver on the same parquet tables.
@@ -2294,7 +2305,9 @@ object SparkEntry {
         |  CAST(max(nd) AS BIGINT) AS n_distinct,
         |  CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
         |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS entropy_fp
-        |FROM w2 GROUP BY doc_id""".stripMargin
+        |FROM w2 GROUP BY doc_id""".stripMargin,
+
+    "q_neardup_incremental" -> incNeardupOracle
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally
@@ -2325,6 +2338,51 @@ object SparkEntry {
     * 6 bands x 2 rows) — misses below the LSH detection curve match on
     * both sides because the oracle replicates candidate generation.
     */
+  /** DuckDB mirror of Dedup.nearDupAgainst over the % 3 prior/probe
+    * split: the [[neardupOracle]] banding algebra with per-side band
+    * tables (each capped independently, as the operator does) and
+    * prior x probe candidate generation only.
+    */
+  private def incNeardupOracle: String = {
+    """WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |shr AS (SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shr),
+       |m AS (SELECT doc_id,
+       |    min(xor(h, 209447588586780011)) AS h0,
+    min(xor(h, 936341403301489455)) AS h1,
+    min(xor(h, 295277263637340404)) AS h2,
+    min(xor(h, 563676826287926931)) AS h3,
+    min(xor(h, 422759062283486138)) AS h4,
+    min(xor(h, 787458769371879955)) AS h5,
+    min(xor(h, 276480797554209527)) AS h6,
+    min(xor(h, 940242011891231416)) AS h7,
+    min(xor(h, 17226769401980447)) AS h8,
+    min(xor(h, 462358560736444671)) AS h9,
+    min(xor(h, 914886181343869267)) AS h10,
+    min(xor(h, 639468835962388899)) AS h11
+       |  FROM hs GROUP BY doc_id),
+       |b0 AS (SELECT doc_id, unnest([md5(h0 || '|' || h1), md5(h2 || '|' || h3), md5(h4 || '|' || h5), md5(h6 || '|' || h7), md5(h8 || '|' || h9), md5(h10 || '|' || h11)]) AS band_key FROM m),
+       |bp AS (SELECT doc_id, band_key FROM b0 WHERE doc_id % 3 <> 0
+       |  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= 128),
+       |bq AS (SELECT doc_id, band_key FROM b0 WHERE doc_id % 3 = 0
+       |  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= 128),
+       |cand AS (SELECT DISTINCT p.doc_id AS doc_prior, q.doc_id AS doc_new
+       |  FROM bp p JOIN bq q USING (band_key)),
+       |s2 AS (SELECT t.doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+       |j AS (SELECT doc_new, doc_prior,
+       |    len(list_intersect(sn.sh, sp.sh)) AS inter, len(sn.sh) AS ln2, len(sp.sh) AS lp
+       |  FROM cand JOIN s2 sp ON sp.doc_id = doc_prior JOIN s2 sn ON sn.doc_id = doc_new)
+       |SELECT doc_new, doc_prior,
+       |  round(CAST(inter AS DOUBLE) / (ln2 + lp - inter), 6) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / (ln2 + lp - inter) >= 0.4""".stripMargin
+  }
+
   private def neardupOracle: String = {
     // XOR masks inlined from Dedup.minhashMask (md5("mask|k") hex15)
     """WITH t AS (SELECT doc_id,

@@ -102,6 +102,31 @@ object Dedup {
     * transform/array_min trees in one projection — falls out of
     * whole-stage codegen and ran ~50x slower.)
     */
+  /** The LSH band table (doc_id, band_key) for a normalized
+    * `(doc_id, __text)` frame — min-wise hashing is multiset-
+    * insensitive, so RAW shingles explode once, each shingle is md5'd
+    * ONCE into a 60-bit int, and the `bands*rows` permutations are XOR
+    * masks aggregated as flat LONG mins (map-side combine, one shuffle
+    * on doc_id). This is the table a production pipeline PERSISTS as
+    * its near-dup index: [[nearDupPairs]] self-joins it,
+    * [[nearDupAgainst]] probes a new batch against it.
+    */
+  private[graft] def bandKeys(norm: DataFrame, shingleN: Int,
+                              bands: Int, rows: Int): DataFrame = {
+    val nHashes = bands * rows
+    val explodedH = norm
+      .select(col("doc_id"), explode(shinglesRaw(col("__text"), shingleN)).as("s"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val minhashes = explodedH.groupBy("doc_id").agg(
+      min(col("h").bitwiseXOR(lit(minhashMask(0)))).as("h0"),
+      (1 until nHashes).map(k => min(col("h").bitwiseXOR(lit(minhashMask(k)))).as(s"h$k")): _*)
+    minhashes.select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
+        md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+      }: _*)).as("band_key"))
+  }
+
   def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 4, rows: Int = 3,
                    threshold: Double = 0.4, bucketCap: Int = 128): DataFrame = {
@@ -114,20 +139,7 @@ object Dedup {
     // XOR masks (a bijective min-wise family), so the aggregate is k
     // LONG mins over one hash instead of k string mins over k md5s —
     // and still bit-reproducible in the DuckDB oracle.
-    val nHashes = bands * rows
-    val explodedH = spreadDocs
-      .select(col("doc_id"), explode(shinglesRaw(col("__text"), shingleN)).as("s"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    val minhashes = explodedH.groupBy("doc_id").agg(
-      min(col("h").bitwiseXOR(lit(minhashMask(0)))).as("h0"),
-      (1 until nHashes).map(k => min(col("h").bitwiseXOR(lit(minhashMask(k)))).as(s"h$k")): _*)
-
-    val banded = capBucket(
-      minhashes.select(col("doc_id"), explode(array(
-        (0 until bands).map { b =>
-          md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
-        }: _*)).as("band_key")),
+    val banded = capBucket(bandKeys(spreadDocs, shingleN, bands, rows),
       "band_key", "doc_id", bucketCap)
       .localCheckpoint() // tiny (docs x bands); feeds both self-join sides
 
@@ -152,6 +164,51 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** INCREMENTAL near-dup: probe a NEW document batch against a PRIOR
+    * corpus — the daily-crawl-vs-historical-index shape (the MinHash
+    * sibling of [[Curation.bloomDedup]]'s exact incremental check).
+    * Candidates are prior x probe band collisions only (never
+    * prior x prior — the historical index is already deduped, and at
+    * 100 TB re-pairing it every batch is the cost that matters);
+    * verification touches only colliding docs from either side.
+    *
+    * In production the prior side's band table ([[bandKeys]]) is
+    * persisted once and re-read per batch; this entry recomputes it
+    * from the prior frame so the operator is self-contained.
+    */
+  def nearDupAgainst(prior: DataFrame, probe: DataFrame,
+                     textCol: String, idCol: String,
+                     shingleN: Int = 3, bands: Int = 4, rows: Int = 3,
+                     threshold: Double = 0.4, bucketCap: Int = 128): DataFrame = {
+    def norm(df: DataFrame) =
+      Par.spread(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+        .localCheckpoint()
+    val pn = norm(prior)
+    val qn = norm(probe)
+    val bp = capBucket(bandKeys(pn, shingleN, bands, rows),
+      "band_key", "doc_id", bucketCap)
+    val bq = capBucket(bandKeys(qn, shingleN, bands, rows),
+      "band_key", "doc_id", bucketCap)
+    val candidates = bp.as("l").join(bq.as("r"), Seq("band_key"))
+      .select(col("l.doc_id").as("doc_prior"), col("r.doc_id").as("doc_new"))
+      .distinct()
+    val priorSh = pn
+      .join(candidates.select(col("doc_prior").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_prior"), shingles(col("__text"), shingleN).as("sh_p"))
+    val newSh = qn
+      .join(candidates.select(col("doc_new").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_new"), shingles(col("__text"), shingleN).as("sh_n"))
+    candidates
+      .join(priorSh, "doc_prior")
+      .join(newSh, "doc_new")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_p"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_n")) + size(col("sh_p")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_prior"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard similarity for an explicit pair list (the

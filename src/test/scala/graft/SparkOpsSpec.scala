@@ -414,6 +414,36 @@ class HotBucketSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.forall(_.getAs[Long]("hamming") == 0L))
   }
 
+  test("nearDupAgainst == cross-side slice of the full pair set (no saturation)") {
+    import spark.implicits._
+    // templates with word-level noise: near-dups within each template
+    // family, cross-family pairs dissimilar
+    val tmplA = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val tmplB = "colorless green ideas sleep furiously beneath the bright cold winter moon tonight"
+    val docs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) tmplA else tmplB
+      (i.toLong, if (i % 5 == 0) base.replace("the", "a") else base)
+    }.toDF("doc_id", "text")
+    val prior = docs.filter(col("doc_id") % 3 =!= 0)
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+    val inc = Dedup.nearDupAgainst(prior, probe, "text", "doc_id",
+      bands = 6, rows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: the full self-join pair set, restricted to pairs that
+    // straddle the prior/probe split (no bucket is near the cap here,
+    // so per-side capping cannot diverge from combined capping)
+    val full = Dedup.nearDupPairs(docs, "text", "doc_id", bands = 6, rows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        val (pr, nw) =
+          if (a % 3 != 0 && b % 3 == 0) (a, b)
+          else if (b % 3 != 0 && a % 3 == 0) (b, a)
+          else (-1L, -1L)
+        if (pr >= 0) Some((nw, pr, j)) else None
+      }.toSet
+    assert(inc.nonEmpty && inc === full)
+  }
+
   test("1k identical vectors: embed near-dup capped") {
     import spark.implicits._
     val v = Array.tabulate(64)(i => (math.sin(i + 1)).toFloat)
