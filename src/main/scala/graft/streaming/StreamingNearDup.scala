@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental near-dup: arriving documents probe the PRIOR
+  * corpus's persisted LSH band index as a STREAM-STATIC join — the
+  * streaming face of [[graft.operators.Dedup.nearDupAgainst]].
+  *
+  * Everything stateless rides the stream unchanged: shingling, the 12
+  * XOR-mask minhash aggregate (per-document, inside the micro-batch)
+  * and band derivation reuse the batch `bandKeys` algebra via the
+  * shared mask/shingle functions; the join against the static index
+  * needs NO streaming state at all (Spark broadcasts or re-reads the
+  * static side per micro-batch), so there is no watermark to tune and
+  * no state store to bound — the index is the state, maintained by the
+  * batch pipeline that owns it.
+  */
+object StreamingNearDup {
+  final case class DocRecord(doc_id: Long, text: String)
+
+  /** Band keys for one arriving document batch — the same
+    * minhash/band algebra as the batch index build, computed per
+    * micro-batch (documents are independent, so a per-batch groupBy
+    * on doc_id is safe in a streaming plan only via flatMap-per-row;
+    * instead we compute the minima as a scalar fold over the shingle
+    * array, which needs no aggregate at all).
+    */
+  def probeBands(docs: Dataset[DocRecord], shingleN: Int = 3,
+                 bands: Int = 6, rows: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nHashes = bands * rows
+    val masks = (0 until nHashes).map(Dedup.minhashMask)
+    docs.flatMap { d =>
+      val toks = Option(d.text).getOrElse("").toLowerCase
+        .split(" +").filter(_.nonEmpty)
+      if (toks.length < shingleN) Iterator.empty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val mins = Array.fill(nHashes)(Long.MaxValue)
+        var i = 0
+        while (i + shingleN <= toks.length) {
+          val s = toks.slice(i, i + shingleN).mkString(" ")
+          val dig = md.digest(s.getBytes("UTF-8"))
+          var h = 0L
+          var b = 0
+          // first 15 hex chars = high 60 bits, matching
+          // CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT)
+          while (b < 8) {
+            val v = dig(b) & 0xff
+            h = if (b < 7) (h << 8) | v else (h << 4) | (v >> 4)
+            b += 1
+          }
+          var k = 0
+          while (k < nHashes) {
+            val x = h ^ masks(k)
+            if (x < mins(k)) mins(k) = x
+            k += 1
+          }
+          i += 1
+        }
+        val md2 = java.security.MessageDigest.getInstance("MD5")
+        (0 until bands).iterator.map { b =>
+          val key = (0 until rows).map(r => mins(b * rows + r)).mkString("|")
+          val hex = md2.digest(key.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (d.doc_id, hex)
+        }
+      }
+    }.toDF("doc_id", "band_key")
+  }
+
+  /** Candidate (doc_new, doc_prior) pairs: arriving docs' bands
+    * stream-static-joined against the prior index. A pair surfaces
+    * once per colliding band (no streaming dedup state — keeping the
+    * plan fully stateless); the downstream batch verifier collapses
+    * multiplicity exactly as [[graft.operators.Dedup.nearDupAgainst]]
+    * does with its candidate `distinct()` before the Jaccard check.
+    */
+  def candidates(docs: Dataset[DocRecord], priorIndex: DataFrame,
+                 shingleN: Int = 3, bands: Int = 6, rows: Int = 2): DataFrame =
+    probeBands(docs, shingleN, bands, rows)
+      .join(priorIndex.select(col("band_key"),
+        col("doc_id").as("doc_prior")), "band_key")
+      .select(col("doc_id").as("doc_new"), col("doc_prior"))
+}

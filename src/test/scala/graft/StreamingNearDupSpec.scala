@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming incremental near-dup: the stateless per-row minhash/band
+  * probe must reproduce the batch band algebra bit-for-bit, and the
+  * stream-static join against the prior index must surface exactly
+  * the batch nearDupAgainst candidate set across micro-batches.
+  */
+class StreamingNearDupSpec extends AnyFunSuite with SharedSpark {
+
+  test("probeBands == batch bandKeys on real documents") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val batch = graft.operators.Dedup.bandKeys(
+      docs.select(col("doc_id"), col("text").as("__text")),
+      shingleN = 3, bands = 6, rows = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamedAlgebra = StreamingNearDup.probeBands(
+      docs.as[StreamingNearDup.DocRecord], shingleN = 3, bands = 6, rows = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamedAlgebra === batch)
+  }
+
+  test("2-batch stream-static probe == batch nearDupAgainst candidates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val prior = docs.filter(col("doc_id") % 3 =!= 0)
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+      .as[StreamingNearDup.DocRecord].collect().sortBy(_.doc_id)
+    val priorIndex = graft.operators.Dedup.capBucket(
+      graft.operators.Dedup.bandKeys(
+        prior.select(col("doc_id"), col("text").as("__text")),
+        shingleN = 3, bands = 6, rows = 2),
+      "band_key", "doc_id", 128).localCheckpoint()
+
+    val stream = MemoryStream[StreamingNearDup.DocRecord]
+    val out = StreamingNearDup.candidates(stream.toDS(), priorIndex)
+    val q = out.writeStream.format("memory").queryName("nd_cand")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = probe.splitAt(probe.length / 2)
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql("SELECT DISTINCT doc_new, doc_prior FROM nd_cand")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch reference: the candidate set inside nearDupAgainst (band
+    // collision, prior x probe, pre-verify) — rebuilt here from the
+    // same algebra (probe side uncapped to match the stateless stream,
+    // which cannot cap across documents; at probe-batch scale the cap
+    // only binds on pathological corpora)
+    val probeBands = graft.operators.Dedup.bandKeys(
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text").as("__text")),
+      shingleN = 3, bands = 6, rows = 2)
+    val batchCand = priorIndex.select(col("band_key"), col("doc_id").as("doc_prior"))
+      .join(probeBands.select(col("band_key"), col("doc_id").as("doc_new")), "band_key")
+      .select("doc_new", "doc_prior").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed === batchCand)
+  }
+}
