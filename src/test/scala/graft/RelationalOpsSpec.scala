@@ -53,6 +53,58 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out.count(_._1._1 == 4L) === 2)
   }
 
+  test("cdcApply == driver-side fold on 200 random change logs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val changes = (1 to 200).map { seq =>
+      (rnd.nextInt(12).toLong,            // key
+        rnd.nextInt(20).toLong,           // time (collisions likely)
+        seq.toLong,                       // unique seq
+        if (rnd.nextInt(4) == 0) "D" else "U",
+        rnd.nextInt(1000) / 10.0)
+    }
+    // model: winner = max by (t, seq); survivors are U-winners
+    val expected = changes.groupBy(_._1).flatMap { case (k, rows) =>
+      val w = rows.maxBy(r => (r._2, r._3))
+      if (w._4 == "U") Some(k -> ((w._5, rows.size.toLong))) else None
+    }
+    val got = Dimensions.cdcApply(
+      changes.toDF("k", "t", "seq", "op", "v"), "k", "t", "seq", "op", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === expected)
+  }
+
+  test("chunkSplit tiling invariants on random documents") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (1 to rnd.nextInt(40)).map(j => s"w${rnd.nextInt(50)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val w = 7; val s = 3
+    val rows = Curation.chunkSplit(docs, "text", "doc_id", window = w, stride = s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1)
+    val nTokens = docs.select(col("doc_id"),
+      size(split(trim(col("text")), " +")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val n = nTokens(id)
+      val sorted = chunks.sortBy(_._2)
+      // indices are dense 0..k-1, starts at stride multiples
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong).toSeq)
+      sorted.foreach { case (_, idx, start, len, text) =>
+        assert(start === idx * s)
+        assert(len === math.min(w, n - start))
+        assert(text.split(" ").count(_.nonEmpty) === len)
+      }
+      // full coverage: last chunk reaches the document end; every
+      // earlier chunk is full-width (so consecutive chunks overlap by
+      // exactly window - stride tokens)
+      assert(sorted.last._3 + sorted.last._4 === n)
+      assert(sorted.init.forall(_._4 === w.toLong))
+    }
+  }
+
   test("triangleCorners: K4, a triangle-free star, and duplicate/self edges") {
     import spark.implicits._
     // K4 on {1,2,3,4}: C(4,3)=4 triangles, each vertex in 3 of them.

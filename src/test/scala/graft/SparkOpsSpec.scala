@@ -926,6 +926,28 @@ class ScalePatternSpec extends AnyFunSuite with SharedSpark {
     assert(salted == plain)
   }
 
+  test("global sort = range partition + local sort, partition ranges disjoint") {
+    import spark.implicits._
+    // the 100 TB total-order pattern: repartitionByRange samples key
+    // quantiles so no single reducer owns the whole ordering
+    val df = spark.range(0, 20000)
+      .select((col("id") * 2654435761L % 100003L).as("k"))
+    val parts = df.repartitionByRange(4, col("k"))
+      .sortWithinPartitions("k")
+      .rdd.glom().collect()
+      .filter(_.nonEmpty)
+      .map(rows => (rows.head.getLong(0), rows.last.getLong(0), rows.map(_.getLong(0))))
+    parts.foreach { case (_, _, ks) => assert(ks.sameElements(ks.sorted)) }
+    val spans = parts.map(p => (p._1, p._2)).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ => ()
+    }
+    // and the union is the full sorted set
+    assert(parts.flatMap(_._3).sorted.toSeq ===
+      df.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     // the posture a 1000-executor job runs with: one whale key must be
