@@ -977,6 +977,32 @@ object SparkEntry {
     "q_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(t(s, dir, "documents"), "text", "doc_id")),
 
+    // per-group top-k (largest docs per source): the rank filter runs
+    // as a partial map-side WindowGroupLimit, so each map task forwards
+    // at most k rows per group — a hot source never floods one reducer
+    "q_group_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+    }),
+
+    // k-anonymity small-cell suppression: publish an (hour, type) cell
+    // only when >= 5 distinct users back it; suppressed cells survive
+    // as -1 so the publication schema is total (the privacy gate every
+    // shared analytics export runs)
+    "q_kanon" -> ((s, dir) =>
+      EventReplay.loadEvents(s, dir)
+        .groupBy(expr("ts DIV 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("hour_bucket"), col("event_type"),
+          when(col("n_users") >= 5, col("n_events")).otherwise(lit(-1L)).as("n_published"),
+          when(col("n_users") >= 5, lit(1L)).otherwise(lit(0L)).as("published"))),
+
     // INCREMENTAL near-dup: the doc_id % 3 == 0 slice arrives as a new
     // batch and probes the rest (the "historical index") — candidates
     // are prior x probe band collisions only, the MinHash sibling of
@@ -2306,6 +2332,18 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
         |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS entropy_fp
         |FROM w2 GROUP BY doc_id""".stripMargin,
+
+    "q_group_topk" ->
+      """SELECT source, doc_id, n_chars, rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t WHERE rk <= 5""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  CAST(CASE WHEN count(DISTINCT user_id) >= 5 THEN count(*) ELSE -1 END AS BIGINT) AS n_published,
+        |  CAST(CASE WHEN count(DISTINCT user_id) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS published
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_neardup_incremental" -> incNeardupOracle
     // Every query above carries an oracle — including q_ann_lsh, whose

@@ -1149,6 +1149,11 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
   }
 
+  test("q_group_topk: rank filter runs as a partial map-side WindowGroupLimit") {
+    val p = plan("q_group_topk")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(600)) // Partial + Final
+  }
+
   test("q_winsorize: ranks, totals, cutoffs and final agg share ONE shuffle") {
     val p = plan("q_winsorize")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
