@@ -36,6 +36,13 @@ object GraftFunctions {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntDotExpr(exprs.head, exprs(1)),
       "built-in")
+    // hamming distance — native, codegen'd (the UDF twin below keeps
+    // the original graft_hamming name)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hamming_native",
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HammingExpr(exprs.head, exprs(1)),
+      "built-in")
   }
 
   /** Register every scalar primitive (including blake2b512). */
@@ -46,10 +53,12 @@ object GraftFunctions {
     // hamming distance between two equal-length bit strings
     spark.udf.register("graft_hamming", Dedup.hammingFast)
     // word n-gram shingles of text (array<string>) — same algebra as
-    // the column-API path (shared shingleArr core)
+    // the column-API path (shared shingleArr core); total on null
+    // (empty set, matching graft_winnow_fps's convention)
     spark.udf.register("graft_shingles",
       (text: String, n: Int) =>
-        Dedup.shingleArr(text.toLowerCase.split(" +").filter(_.nonEmpty).toSeq, n))
+        if (text == null) Array.empty[String]
+        else Dedup.shingleArr(text.toLowerCase.split(" +").filter(_.nonEmpty).toSeq, n))
     // winnowing fingerprint set (MOSS): k-char grams, w-window minima
     spark.udf.register("graft_winnow_fps", Dedup.winnowUdf)
   }

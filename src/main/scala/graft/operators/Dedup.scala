@@ -304,10 +304,13 @@ object Dedup {
     */
   val hammingFast: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: String, b: String) =>
-      var i = 0; var d = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
-      d + math.abs(a.length - b.length)
+      if (a == null || b == null) None // null in -> null out, matching HammingExpr
+      else {
+        var i = 0; var d = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+        Some(d + math.abs(a.length - b.length))
+      }
     }
 
   /** Hamming distance between two same-length simhash bit strings. */

@@ -33,6 +33,20 @@ class GraftSqlSurfaceSpec extends AnyFunSuite with SharedSpark {
 
     val ham = spark.sql("SELECT graft_hamming('10110', '10011') AS h").collect()(0).getInt(0)
     assert(ham == 2)
+    val hamN = spark.sql(
+      "SELECT graft_hamming_native('10110', '10011') AS h").collect()(0).getInt(0)
+    assert(hamN == 2)
+
+    // the registered surface is TOTAL: null inputs never throw
+    val nulls = spark.sql(
+      """SELECT graft_simhash64(CAST(NULL AS STRING)) AS a,
+        |  graft_hamming(CAST(NULL AS STRING), '01') AS b,
+        |  graft_hamming_native(CAST(NULL AS STRING), '01') AS c,
+        |  graft_shingles(CAST(NULL AS STRING), 3) AS d,
+        |  graft_winnow_fps(CAST(NULL AS STRING), 4, 3) AS e""".stripMargin)
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+    assert(nulls.getSeq[String](3).isEmpty && nulls.getSeq[String](4).isEmpty)
 
     // native codegen expression: SQL path == Column path == hand result
     val dotSql = spark.sql(
