@@ -977,6 +977,22 @@ object SparkEntry {
     "q_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(t(s, dir, "documents"), "text", "doc_id")),
 
+    // sketch-based join-size estimation (the optimizer cardinality
+    // primitive): |events JOIN orders ON user_id = custkey| estimated
+    // from two tiny CMS counter tables alone — never a scan; the exact
+    // count rides along as the accuracy report (Sketches.cmsJoinSize)
+    "q_join_size" -> ((s, dir) => {
+      val d = 4; val w = 512
+      val sa = Sketches.cmsBuild(EventReplay.loadEvents(s, dir)
+        .select(col("user_id").cast("string").as("word")), d, w)
+      val sb = Sketches.cmsBuild(t(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("word")), d, w)
+      val exact = EventReplay.loadEvents(s, dir).select(col("user_id"))
+        .join(t(s, dir, "orders").select(col("o_custkey").as("user_id")), "user_id")
+        .agg(count(lit(1)).as("exact_join_n"))
+      Sketches.cmsJoinSize(sa, sb).crossJoin(broadcast(exact))
+    }),
+
     // per-group top-k (largest docs per source): the rank filter runs
     // as a partial map-side WindowGroupLimit, so each map task forwards
     // at most k rows per group — a hot source never floods one reducer
@@ -2332,6 +2348,25 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
         |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS entropy_fp
         |FROM w2 GROUP BY doc_id""".stripMargin,
+
+    "q_join_size" ->
+      """WITH dims AS (SELECT unnest(range(4)) AS i),
+        |ta AS (SELECT CAST(user_id AS VARCHAR) AS word FROM events),
+        |tb AS (SELECT CAST(o_custkey AS VARCHAR) AS word FROM orders),
+        |sa AS (SELECT i AS row,
+        |    ('0x' || substr(md5('cms' || i || '|' || word), 1, 15))::BIGINT % 512 AS col,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM ta, dims GROUP BY 1, 2),
+        |sb AS (SELECT i AS row,
+        |    ('0x' || substr(md5('cms' || i || '|' || word), 1, 15))::BIGINT % 512 AS col,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM tb, dims GROUP BY 1, 2),
+        |ip AS (SELECT sa.row, CAST(sum(ca * cb) AS BIGINT) AS ip
+        |  FROM sa JOIN sb ON sa.row = sb.row AND sa.col = sb.col GROUP BY 1),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_n
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+        |SELECT CAST(min(ip) AS BIGINT) AS est_join_n, max(exact_join_n) AS exact_join_n
+        |FROM ip, ex""".stripMargin,
 
     "q_group_topk" ->
       """SELECT source, doc_id, n_chars, rk FROM (

@@ -43,4 +43,21 @@ object Sketches {
       .select(col("word"), col("rc.row").as("row"), col("rc.col").as("col"))
       .join(broadcast(sketch), Seq("row", "col"))
       .groupBy("word").agg(min(col("c")).as("est_n"))
+
+  /** Join-size estimation from two sketches (the optimizer's
+    * cardinality primitive): |A JOIN B on k| = sum_k fA(k)*fB(k),
+    * estimated as min over hash rows of the per-row counter inner
+    * product (AMS/CMS inner-product estimate — one-sided, est >=
+    * exact). Computed FROM THE SKETCHES ALONE: deciding join order /
+    * broadcast eligibility for two 100 TB inputs costs d*w integers
+    * per side, not a scan. Both sketches must share (d, w) — enforced
+    * by construction when both come from [[cmsBuild]] with the same
+    * parameters.
+    */
+  def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA.select(col("row"), col("col"), col("c").as("ca"))
+      .join(sketchB.select(col("row"), col("col"), col("c").as("cb")),
+        Seq("row", "col"))
+      .groupBy("row").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_n"))
 }

@@ -30,6 +30,25 @@ class SketchStreamSpec extends AnyFunSuite with SharedSpark {
     exact.foreach { case (w, n) => assert(estBig(w) === n) }
   }
 
+  test("CMS join-size estimate: exact at ample w, one-sided under collisions") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // A: key k appears k times (k=1..6); B: key k appears 7-k times.
+    // true join size = sum k*(7-k) for shared keys 1..6 = 56
+    val a = (1 to 6).flatMap(k => Seq.fill(k)(k.toString)).toDF("word")
+    val b = (1 to 6).flatMap(k => Seq.fill(7 - k)(k.toString)).toDF("word")
+    val exact = (1 to 6).map(k => k * (7 - k)).sum.toLong
+    val ample = Sketches.cmsJoinSize(
+      Sketches.cmsBuild(a, d = 4, w = 4096), Sketches.cmsBuild(b, d = 4, w = 4096))
+      .collect()(0).getLong(0)
+    assert(ample === exact)
+    // w = 2 forces collisions: the estimate stays an UPPER bound
+    val tiny = Sketches.cmsJoinSize(
+      Sketches.cmsBuild(a, d = 4, w = 2), Sketches.cmsBuild(b, d = 4, w = 2))
+      .collect()(0).getLong(0)
+    assert(tiny >= exact)
+  }
+
   test("CMS merges by addition: sketch(A ++ B) == sketch(A) + sketch(B)") {
     import spark.implicits._
     val a = Seq("x", "y", "x", "z").toDF("word")
