@@ -150,6 +150,28 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out("b") === ((1L, 0L, 0L, 500L, 500L, 500L)))
   }
 
+  test("winsorizedStats == driver-side model on random strata") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { seq =>
+      (s"s${rnd.nextInt(5)}", rnd.nextInt(4000) / 100.0 - 5.0, seq.toLong)
+    }
+    val got = graft.operators.QualityChecks.winsorizedStats(
+      rows.toDF("st", "v", "seq"), "st", "v", "seq")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val expected = rows.groupBy(_._1).map { case (st, rs) =>
+      val cents = rs.map(r => (math.round(r._2 * 100), r._3)).sortBy(identity)
+      val n = cents.size.toLong
+      val lo = cents((math.max(1L, n * 50 / 1000) - 1).toInt)._1
+      val hi = cents((math.min(n, n * 950 / 1000 + 1) - 1).toInt)._1
+      val clamped = cents.map(c => math.max(lo, math.min(hi, c._1))).sum
+      st -> ((n, cents.count(_._1 < lo).toLong, cents.count(_._1 > hi).toLong,
+        clamped, lo, hi))
+    }
+    assert(got === expected)
+  }
+
   test("tokenEntropy: hand-computed fixed-point entropy") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "x x x"), (3L, " ")).toDF("doc_id", "text")
