@@ -977,6 +977,16 @@ object SparkEntry {
     "q_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(t(s, dir, "documents"), "text", "doc_id")),
 
+    // the persistable LSH band index ITSELF (what production pipelines
+    // store and what q_neardup_incremental probes) — oracle-verifying
+    // the artifact, not just its consumers (Dedup.bandKeys + capBucket)
+    "q_band_index" -> ((s, dir) =>
+      Dedup.capBucket(
+        Dedup.bandKeys(
+          t(s, dir, "documents").select(col("doc_id"), col("text").as("__text")),
+          shingleN = 3, bands = 6, rows = 2),
+        "band_key", "doc_id", 128)),
+
     // sketch-based join-size estimation (the optimizer cardinality
     // primitive): |events JOIN orders ON user_id = custkey| estimated
     // from two tiny CMS counter tables alone — never a scan; the exact
@@ -2348,6 +2358,32 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
         |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS entropy_fp
         |FROM w2 GROUP BY doc_id""".stripMargin,
+
+    "q_band_index" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |shr AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+        |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM shr),
+        |m AS (SELECT doc_id,
+        |    min(xor(h, 209447588586780011)) AS h0,
+    min(xor(h, 936341403301489455)) AS h1,
+    min(xor(h, 295277263637340404)) AS h2,
+    min(xor(h, 563676826287926931)) AS h3,
+    min(xor(h, 422759062283486138)) AS h4,
+    min(xor(h, 787458769371879955)) AS h5,
+    min(xor(h, 276480797554209527)) AS h6,
+    min(xor(h, 940242011891231416)) AS h7,
+    min(xor(h, 17226769401980447)) AS h8,
+    min(xor(h, 462358560736444671)) AS h9,
+    min(xor(h, 914886181343869267)) AS h10,
+    min(xor(h, 639468835962388899)) AS h11
+        |  FROM hs GROUP BY doc_id),
+        |b0 AS (SELECT doc_id, unnest([md5(h0 || '|' || h1), md5(h2 || '|' || h3), md5(h4 || '|' || h5), md5(h6 || '|' || h7), md5(h8 || '|' || h9), md5(h10 || '|' || h11)]) AS band_key FROM m)
+        |SELECT doc_id, band_key FROM b0
+        |QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= 128""".stripMargin,
 
     "q_join_size" ->
       """WITH dims AS (SELECT unnest(range(4)) AS i),
