@@ -2401,8 +2401,8 @@ object SparkEntry {
         |  FROM sa JOIN sb ON sa.row = sb.row AND sa.col = sb.col GROUP BY 1),
         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_n
         |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
-        |SELECT CAST(min(ip) AS BIGINT) AS est_join_n, max(exact_join_n) AS exact_join_n
-        |FROM ip, ex""".stripMargin,
+        |SELECT CAST(min(coalesce(ip, 0)) AS BIGINT) AS est_join_n, max(exact_join_n) AS exact_join_n
+        |FROM dims LEFT JOIN ip ON dims.i = ip.row CROSS JOIN ex""".stripMargin,
 
     "q_group_topk" ->
       """SELECT source, doc_id, n_chars, rk FROM (

@@ -12,16 +12,38 @@ import org.apache.spark.unsafe.types.UTF8String
 object Hamming {
   /** Positional mismatch count over the common prefix plus the length
     * difference — for equal-length simhash bit strings this is the
-    * hamming distance; total on any input.
+    * hamming distance; total on any input. Positions are Unicode CODE
+    * POINTS (so this and the `graft_hamming` UDF agree on arbitrary
+    * strings); pure-ASCII inputs — the simhash '0'/'1' hot path — take
+    * an allocation-free byte scan, where byte == code point.
     */
   def dist(a: UTF8String, b: UTF8String): Int = {
     val ab = a.getBytes
     val bb = b.getBytes
-    val n = math.min(ab.length, bb.length)
+    var ascii = true
+    var i = 0
+    while (ascii && i < ab.length) { if (ab(i) < 0) ascii = false; i += 1 }
+    i = 0
+    while (ascii && i < bb.length) { if (bb(i) < 0) ascii = false; i += 1 }
+    if (!ascii) codePointDist(a.toString, b.toString)
+    else {
+      val n = math.min(ab.length, bb.length)
+      var d = 0
+      i = 0
+      while (i < n) { if (ab(i) != bb(i)) d += 1; i += 1 }
+      d + math.abs(ab.length - bb.length)
+    }
+  }
+
+  /** Code-point comparison path, shared with the UDF surface. */
+  def codePointDist(a: String, b: String): Int = {
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val n = math.min(ca.length, cb.length)
     var i = 0
     var d = 0
-    while (i < n) { if (ab(i) != bb(i)) d += 1; i += 1 }
-    d + math.abs(ab.length - bb.length)
+    while (i < n) { if (ca(i) != cb(i)) d += 1; i += 1 }
+    d + math.abs(ca.length - cb.length)
   }
 }
 

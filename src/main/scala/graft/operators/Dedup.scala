@@ -305,12 +305,9 @@ object Dedup {
   val hammingFast: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: String, b: String) =>
       if (a == null || b == null) None // null in -> null out, matching HammingExpr
-      else {
-        var i = 0; var d = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
-        Some(d + math.abs(a.length - b.length))
-      }
+      // same code-point kernel as HammingExpr, so the two SQL surfaces
+      // agree on arbitrary (non-ASCII included) inputs
+      else Some(graft.functions.Hamming.codePointDist(a, b))
     }
 
   /** Hamming distance between two same-length simhash bit strings. */

@@ -82,10 +82,14 @@ object Dimensions {
                op: String, valueCol: String): DataFrame =
     changes.groupBy(col(key))
       .agg(count(lit(1)).as("n_changes"),
-        max_by(col(op), struct(col(time), col(seq))).as("__op"),
-        max_by(col(valueCol), struct(col(time), col(seq))).as("last_value"))
-      .filter(col("__op") === "U")
-      .select(col(key), col("last_value"), col("n_changes"))
+        // ONE max_by over a packed (op, value) struct: even if (time,
+        // seq) ties (the total order is documented, not enforced), op
+        // and value always come from the SAME winning row — two
+        // independent max_by calls could split a tie across rows.
+        max_by(struct(col(op).as("o"), col(valueCol).as("v")),
+          struct(col(time), col(seq))).as("__win"))
+      .filter(col("__win.o") === "U")
+      .select(col(key), col("__win.v").as("last_value"), col("n_changes"))
 
   /** Ordered funnel: for each key, the first `stages(0)` time, then the
     * first `stages(1)` STRICTLY AFTER it, and so on. Each stage is one

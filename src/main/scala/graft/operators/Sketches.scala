@@ -54,10 +54,20 @@ object Sketches {
     * by construction when both come from [[cmsBuild]] with the same
     * parameters.
     */
-  def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
-    sketchA.select(col("row"), col("col"), col("c").as("ca"))
+  def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    // Hash rows where the two sketches share no populated cell have a
+    // true inner product of 0 and must participate in the min (a sketch
+    // built by cmsBuild from a non-empty input populates every row
+    // 0..d-1, so the union of observed rows IS the 0..d-1 spine).
+    // Without the spine, a disjoint-key pair would drop rows from the
+    // min — or return a single NULL when no cells overlap at all.
+    val overlap = sketchA.select(col("row"), col("col"), col("c").as("ca"))
       .join(sketchB.select(col("row"), col("col"), col("c").as("cb")),
         Seq("row", "col"))
       .groupBy("row").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est_join_n"))
+    val spine = sketchA.select(col("row"))
+      .union(sketchB.select(col("row"))).distinct()
+    spine.join(overlap, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_n"))
+  }
 }

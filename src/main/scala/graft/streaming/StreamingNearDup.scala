@@ -78,6 +78,12 @@ object StreamingNearDup {
     * plan fully stateless); the downstream batch verifier collapses
     * multiplicity exactly as [[graft.operators.Dedup.nearDupAgainst]]
     * does with its candidate `distinct()` before the Jaccard check.
+    *
+    * NOTE: this composable-plan surface cannot cap the probe side (a
+    * non-time window is illegal in a streaming plan), so a skewed
+    * micro-batch loses the hot-bucket guard the batch operator has.
+    * Production ingestion should use [[cappedCandidates]], which
+    * applies the cap per micro-batch through foreachBatch.
     */
   def candidates(docs: Dataset[DocRecord], priorIndex: DataFrame,
                  shingleN: Int = 3, bands: Int = 6, rows: Int = 2): DataFrame =
@@ -85,4 +91,31 @@ object StreamingNearDup {
       .join(priorIndex.select(col("band_key"),
         col("doc_id").as("doc_prior")), "band_key")
       .select(col("doc_id").as("doc_new"), col("doc_prior"))
+
+  /** [[candidates]] with the batch hot-bucket cap applied to the PROBE
+    * side of every micro-batch. Spark rejects non-time windows inside
+    * a streaming plan, so the cap runs through foreachBatch: each
+    * completed micro-batch is plain batch data, where
+    * [[graft.operators.Dedup.capBucket]] is legal — the query is still
+    * stateless across batches (no state store, no watermark). The cap
+    * is therefore PER MICRO-BATCH (each batch admits up to `bucketCap`
+    * probe docs per band bucket) rather than global like the batch
+    * operator's, but a skewed batch can no longer emit the quadratic
+    * candidate blow-up the Dedup scale contract guards against. The
+    * prior side arrives pre-capped (the persisted index is built
+    * through capBucket).
+    */
+  def cappedCandidates(docs: Dataset[DocRecord], priorIndex: DataFrame,
+                       sink: DataFrame => Unit,
+                       shingleN: Int = 3, bands: Int = 6, rows: Int = 2,
+                       bucketCap: Int = 128): org.apache.spark.sql.streaming.StreamingQuery =
+    probeBands(docs, shingleN, bands, rows).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(Dedup.capBucket(batch, "band_key", "doc_id", bucketCap)
+          .join(priorIndex.select(col("band_key"),
+            col("doc_id").as("doc_prior")), "band_key")
+          .select(col("doc_id").as("doc_new"), col("doc_prior")))
+      }
+      .start()
 }

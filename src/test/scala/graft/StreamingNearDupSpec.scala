@@ -69,4 +69,56 @@ class StreamingNearDupSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed.nonEmpty && streamed === batchCand)
   }
+
+  test("cappedCandidates applies the hot-bucket cap per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val prior = docs.filter(col("doc_id") % 3 =!= 0)
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+      .as[StreamingNearDup.DocRecord].collect().sortBy(_.doc_id)
+    val priorIndex = graft.operators.Dedup.capBucket(
+      graft.operators.Dedup.bandKeys(
+        prior.select(col("doc_id"), col("text").as("__text")),
+        shingleN = 3, bands = 6, rows = 2),
+      "band_key", "doc_id", 128).localCheckpoint()
+
+    // cap=1 so the guard actually binds on this corpus
+    val sunk = scala.collection.mutable.Set[(Long, Long)]()
+    val stream = MemoryStream[StreamingNearDup.DocRecord]
+    val q = StreamingNearDup.cappedCandidates(stream.toDS(), priorIndex,
+      batch => sunk ++= batch.collect().map(r => (r.getLong(0), r.getLong(1))),
+      bucketCap = 1)
+    val (b1, b2) = probe.splitAt(probe.length / 2)
+    try {
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // reference: the same cap applied batch-side to EACH micro-batch
+    // independently (the documented per-micro-batch semantics)
+    def ref(batch: Array[StreamingNearDup.DocRecord]): Set[(Long, Long)] = {
+      val bands = graft.operators.Dedup.capBucket(
+        graft.operators.Dedup.bandKeys(
+          batch.toSeq.toDF("doc_id", "text")
+            .select(col("doc_id"), col("text").as("__text")),
+          shingleN = 3, bands = 6, rows = 2),
+        "band_key", "doc_id", 1)
+      bands.join(priorIndex.select(col("band_key"), col("doc_id").as("doc_prior")),
+          "band_key")
+        .select(col("doc_id").as("doc_new"), col("doc_prior"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val expected = ref(b1) ++ ref(b2)
+    // binding check: cap=1 must actually have dropped something vs uncapped
+    val uncapped = StreamingNearDup.probeBands(
+      probe.toSeq.toDS(), 3, 6, 2)
+      .join(priorIndex.select(col("band_key"), col("doc_id").as("doc_prior")), "band_key")
+      .select(col("doc_id"), col("doc_prior")).distinct().count()
+    assert(sunk.nonEmpty && sunk.toSet === expected)
+    assert(sunk.size < uncapped, "cap=1 should drop candidates on this corpus")
+  }
 }
