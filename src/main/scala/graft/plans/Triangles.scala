@@ -54,12 +54,17 @@ object Triangles {
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint()
-    // wedge at the lowest corner: src -> mid -> far, closed by src -> far
+    // wedge at the lowest corner: src -> mid -> far, closed by src -> far.
+    // All three sides descend from the same checkpointed frame, so join
+    // on EXPLICIT string aliases — dataframe-column equality here would
+    // resolve by Spark's self-join disambiguation heuristic and spam
+    // "trivially true predicate 'src == src'" warnings.
     val wedges = oriented.select(col("src"), col("dst").as("mid"))
       .join(oriented.select(col("src").as("mid"), col("dst").as("far")), "mid")
-    val tri = wedges.join(oriented,
-      wedges("src") === oriented("src") && wedges("far") === oriented("dst"))
-      .select(wedges("src").as("x"), wedges("mid").as("y"), wedges("far").as("z"))
+      .as("w")
+    val tri = wedges.join(oriented.as("c"),
+      col("w.src") === col("c.src") && col("w.far") === col("c.dst"))
+      .select(col("w.src").as("x"), col("w.mid").as("y"), col("w.far").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
