@@ -45,26 +45,63 @@ object SetSimJoin {
     val rk = tok.join(fr, "word")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("f"), col("word"))))
-    // prefix length |s| - ceil(tau*|s|) + 1, all integer
+    // prefix length |s| - ceil(tau*|s|) + 1, all integer; keep (rn, s)
+    // so the candidate join can test positions and sizes in-place
     val pf = rk.join(sz, "doc_id")
       .filter(col("rn") <= col("s") - expr(s"($tauNum * s + ${tauDen - 1}) DIV $tauDen") + 1)
-      .select(col("doc_id"), col("word"))
-    val cand = pf.as("a").join(pf.as("b"),
-        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    val sa = sz.select(col("doc_id").as("da"), col("s").as("sa"))
-    val sb = sz.select(col("doc_id").as("db"), col("s").as("sb"))
-    // size filter: tau*|x| <= |y| both ways (J >= tau implies it)
-    val sized = cand.join(sa, "da").join(sb, "db")
-      .filter(lit(tauNum) * col("sa") <= lit(tauDen) * col("sb") &&
-        lit(tauNum) * col("sb") <= lit(tauDen) * col("sa"))
+      .select(col("doc_id"), col("word"), col("rn"), col("s"))
+
+    // PPJoin refinements, all inside the candidate join so pruned
+    // collisions never reach the pair-dedup shuffle:
+    //  - length filter (tau*|x| <= |y| both ways; J >= tau implies it)
+    //    moved from post-candidate to the join condition,
+    //  - pair-tight prefix: with alpha = ceil(tau/(1+tau)*(sa+sb)) the
+    //    shared token must sit within the first s - alpha + 1 tokens of
+    //    BOTH docs (tighter than each doc's standalone prefix),
+    //  - positional filter: a token shared at positions (pa, pb) bounds
+    //    the overlap by min(pa-1, pb-1) [tokens before it in the global
+    //    order] + 1 + min(sa-pa, sb-pb) [tokens after it]; a pair whose
+    //    BEST bound over all prefix collisions is < alpha cannot reach
+    //    J >= tau. (rn is a position in the same (f, word) total order
+    //    for every doc, so cross-doc position arithmetic is sound.)
+    // asymmetric index prefix (PPJoin's self-join refinement): order
+    // records by (size, id); the probing side `a` keeps the full
+    // prefix, but the indexed (smaller) side `b` only needs
+    // |s| - ceil(2*tau/(1+tau)*|s|) + 1 tokens, because any partner at
+    // least as large forces alpha >= ceil(2*tau/(1+tau)*|b|). At
+    // tau=0.95 that halves the indexed prefix — collision buckets
+    // shrink roughly quadratically in the hot templates.
+    val pfIdx = pf.filter(col("rn") <=
+      col("s") - expr(s"((2 * $tauNum) * s + ${tauNum + tauDen - 1}) DIV ${tauNum + tauDen}") + 1)
+    val sa = col("a.s"); val sb = col("b.s")
+    val pa = col("a.rn"); val pb = col("b.rn")
+    val aId = col("a.doc_id"); val bId = col("b.doc_id")
+    val alpha = expr(s"($tauNum * (a.s + b.s) + ${tauNum + tauDen - 1}) DIV ${tauNum + tauDen}")
+    val ub = least(pa, pb) + least(sa - pa, sb - pb)
+    val cand = pf.as("a").join(pfIdx.as("b"),
+        col("a.word") === col("b.word") &&
+        (sb < sa || (sb === sa && bId < aId)) &&
+        lit(tauNum) * sa <= lit(tauDen) * sb &&
+        lit(tauNum) * sb <= lit(tauDen) * sa &&
+        pa <= sa - alpha + 1 && pb <= sb - alpha + 1)
+      .select(
+        // output contract stays id-ordered regardless of size order
+        when(aId < bId, aId).otherwise(bId).as("da"),
+        when(aId < bId, bId).otherwise(aId).as("db"),
+        when(aId < bId, sa).otherwise(sb).as("sa"),
+        when(aId < bId, sb).otherwise(sa).as("sb"),
+        alpha.as("alpha"), ub.as("ub"))
+      // the bound holds for EVERY shared token, so the pair's tightest
+      // (minimum) bound is valid — prune when even it cannot reach alpha
+      .groupBy("da", "db", "sa", "sb", "alpha")
+      .agg(min(col("ub")).as("ub"))
+      .filter(col("ub") >= col("alpha"))
     // verify with per-row array_intersect over the two token arrays:
     // two slim joins (array payload = one doc's distinct tokens), no
     // candidate x token explode, no extra shuffle — ~4x faster than
     // the join-count formulation on a template-heavy corpus
     val sets = tok.groupBy("doc_id").agg(sort_array(collect_list(col("word"))).as("ws"))
-    sized
+    cand
       .join(sets.select(col("doc_id").as("da"), col("ws").as("wa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("ws").as("wb")), "db")
       .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
