@@ -118,4 +118,72 @@ object StreamingNearDup {
           .select(col("doc_id").as("doc_new"), col("doc_prior")))
       }
       .start()
+
+  /** Admit a batch of band rows `(doc_id, band_key)` into the persisted
+    * index at `indexPath` under the per-bucket cap, APPEND-ONLY: per
+    * bucket, if `n` rows are already indexed, the `bucketCap - n`
+    * lowest-doc_id newcomers enter and the rest are sacrificed — the
+    * same cap algebra as [[graft.operators.Dedup.capBucket]], applied
+    * incrementally. History is never rewritten, so the index grows by
+    * one parquet append per batch regardless of its size. With
+    * monotone-increasing doc ids (the normal ingest contract) the grown
+    * index is exactly `capBucket(bandKeys(corpus so far))`.
+    *
+    * @return number of admitted rows
+    */
+  def appendToIndex(newBands: DataFrame, indexPath: String, bucketCap: Int = 128): Long = {
+    val spark = newBands.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val idx = readIndex(spark, indexPath)
+    val occ = idx.groupBy("band_key").agg(count(lit(1)).as("__n"))
+    // materialize before writing: `admitted` reads indexPath (via occ),
+    // and appending to a path mid-read is undefined
+    val admitted = newBands
+      .join(occ, Seq("band_key"), "left")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("band_key")).orderBy(col("doc_id"))))
+      .filter(coalesce(col("__n"), lit(0L)) + col("__rk") <= bucketCap)
+      .select(col("doc_id"), col("band_key"))
+      .localCheckpoint()
+    val n = admitted.count()
+    if (n > 0)
+      admitted.write.mode("append").option("compression", "zstd").parquet(indexPath)
+    graft.plans.CheckpointHygiene.free(admitted)
+    n
+  }
+
+  private def readIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
+    try spark.read.parquet(indexPath).select(col("doc_id"), col("band_key"))
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      import spark.implicits._
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "band_key")
+    }
+
+  /** End-to-end incremental ingest: per micro-batch, (1) probe the
+    * persisted band index for candidate pairs against ALL history —
+    * prior corpus and every earlier batch — and hand them to `sink`,
+    * then (2) grow the index with the batch's own bands via
+    * [[appendToIndex]]. Closes the incremental near-dup loop the
+    * batch pipeline starts with `Dedup.bandKeys`: the index artifact
+    * is both the probe target and the state, no streaming state store
+    * involved, and a crashed stream resumes from the index as written.
+    */
+  def indexedIngest(docs: Dataset[DocRecord], indexPath: String,
+                    sink: DataFrame => Unit,
+                    shingleN: Int = 3, bands: Int = 6, rows: Int = 2,
+                    bucketCap: Int = 128): org.apache.spark.sql.streaming.StreamingQuery =
+    probeBands(docs, shingleN, bands, rows).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = Dedup.capBucket(batch, "band_key", "doc_id", bucketCap)
+          .localCheckpoint() // feeds the probe join AND the index append
+        val idx = readIndex(spark, indexPath)
+        sink(b.join(idx.select(col("band_key"), col("doc_id").as("doc_prior")),
+            "band_key")
+          .select(col("doc_id").as("doc_new"), col("doc_prior")))
+        appendToIndex(b, indexPath, bucketCap)
+        graft.plans.CheckpointHygiene.free(b)
+      }
+      .start()
 }

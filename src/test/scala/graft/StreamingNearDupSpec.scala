@@ -121,4 +121,78 @@ class StreamingNearDupSpec extends AnyFunSuite with SharedSpark {
     assert(sunk.nonEmpty && sunk.toSet === expected)
     assert(sunk.size < uncapped, "cap=1 should drop candidates on this corpus")
   }
+
+  test("indexedIngest: 2-batch stream probes AND grows the persisted index == batch algebra on the grown corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val indexPath = s"$dir/band_index"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.capBucket(
+        graft.operators.Dedup.bandKeys(
+          df.select(col("doc_id"), col("text").as("__text")),
+          shingleN = 3, bands = 6, rows = 2),
+        "band_key", "doc_id", 128)
+
+    val prior = docs.filter(col("doc_id") % 3 =!= 0)
+    bandsOf(prior).select("doc_id", "band_key")
+      .write.option("compression", "zstd").parquet(indexPath)
+
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+      .as[StreamingNearDup.DocRecord].collect().sortBy(_.doc_id)
+    val (b1, b2) = probe.splitAt(probe.length / 2)
+
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    val stream = MemoryStream[StreamingNearDup.DocRecord]
+    val q = StreamingNearDup.indexedIngest(stream.toDS(), indexPath,
+      batch => perBatch += batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    try {
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size === 2)
+
+    // batch reference: batch 1 collides against the prior index; batch 2
+    // against the GROWN corpus (prior + batch 1) — the VERDICT-6 contract
+    def candRef(batch: Array[StreamingNearDup.DocRecord],
+                corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      bandsOf(batch.toSeq.toDF("doc_id", "text"))
+        .join(bandsOf(corpus).select(col("band_key"), col("doc_id").as("doc_prior")),
+          "band_key")
+        .select(col("doc_id").as("doc_new"), col("doc_prior"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1df = b1.toSeq.toDF("doc_id", "text")
+    assert(perBatch(0) === candRef(b1, prior))
+    assert(perBatch(1) === candRef(b2, prior.union(b1df)))
+    assert(perBatch(1).exists { case (_, p) => b1.exists(_.doc_id == p) },
+      "batch 2 must collide with batch 1 docs through the grown index")
+
+    // the index on disk now equals the batch index of the grown corpus
+    val onDisk = spark.read.parquet(indexPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchIdx = bandsOf(prior.union(b1df).union(b2.toSeq.toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(onDisk === batchIdx)
+  }
+
+  test("appendToIndex enforces the per-bucket cap incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshcap").toString
+    val path = s"$dir/idx"
+    Seq((1L, "X"), (2L, "X"), (3L, "X"))
+      .toDF("doc_id", "band_key").write.parquet(path)
+    val newcomers = Seq((10L, "X"), (11L, "X"), (10L, "Y")).toDF("doc_id", "band_key")
+    // bucket X is full at cap=3: only the fresh Y bucket admits
+    assert(StreamingNearDup.appendToIndex(newcomers, path, bucketCap = 3) === 1L)
+    // cap=4: one X slot left — the lowest newcomer id wins it
+    assert(StreamingNearDup.appendToIndex(
+      Seq((20L, "X"), (21L, "X")).toDF("doc_id", "band_key"), path, bucketCap = 4) === 1L)
+    val xs = spark.read.parquet(path).filter(col("band_key") === "X")
+      .collect().map(_.getLong(0)).toSet
+    assert(xs === Set(1L, 2L, 3L, 20L))
+  }
 }
