@@ -191,6 +191,39 @@ object SparkEntry {
       GraphOps.topoDepthFunctional(nodes, edges).select(col("id"), col("round").cast("long").as("round"))
     }),
 
+    // OP-9/OP-11 at bench scale: shelve-based dependency inference and
+    // the O(n^2)-by-design merge (the reference's headline feature,
+    // README.md:5-6; workcache.rs:419-479) as a MEASURED surface, not
+    // just a ScalaTest one. 48 divergent single-edit branches are
+    // re-shelved onto a growing common frontier; each round's
+    // commutation tests fan out over executors as ONE batch job
+    // (plans/ShelveSpark.tester), so what this times is the real
+    // orchestration shape: driver-sequential shelve, distributed
+    // independence testing. Everything is content-addressed and the
+    // engine is pure, so the merged datum is bit-deterministic — the
+    // oracle pins it exactly.
+    "q_shelve_merge" -> ((s, dir) => {
+      import s.implicits._
+      import scala.collection.immutable.{SortedMap, SortedSet}
+      val k = 48
+      val base = (0 until k).map(i => f"a$i%02d").mkString("|")
+      val g = new graft.core.EventGraph[graft.core.SearArg](graft.core.SearEngine)
+      val w = new graft.core.WorkCache[graft.core.SearArg, String](
+        graft.core.SearEngine, base,
+        Some(graft.plans.ShelveSpark.tester(s, graft.core.SearEngine)))
+      var states = SortedSet.empty[String]
+      (0 until k).foreach { i =>
+        states += w.shelveEvent(g, SortedSet.empty[String], 0,
+          graft.core.SearArg(f"a$i%02d", f"b$i%02d")).get
+      }
+      w.tryMerge(g, states)
+      val minimized = SortedSet.from(g.foldState(
+        SortedMap.from(states.iterator.map(_ -> false)), expand = false).keysIterator)
+      val (dat, tt) = w.materialize(g, minimized)
+      Seq((dat, g.events.size.toLong, tt.size.toLong))
+        .toDF("final_datum", "n_events", "n_applied")
+    }),
+
     // ---- LLM-pipeline: dedup family over documents ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
@@ -1180,6 +1213,17 @@ object SparkEntry {
         |  SELECT e.event_id, d.round + 1 FROM events e JOIN d ON e.event_id // 2 = d.id
         |  WHERE e.event_id > 0 AND e.event_id < 3000)
         |SELECT id, round FROM d""".stripMargin,
+
+    // shelve/merge is pure + content-addressed, so its outcome on the
+    // fixed 48-branch fixture is bit-deterministic: every branch's
+    // token gets substituted, no re-shelve changes a hash (deps stay
+    // empty), the frontier is the full antichain. The oracle pins that
+    // algebraic result — any drift in hashing, no-op detection,
+    // independence classification or merge ordering breaks the match.
+    "q_shelve_merge" ->
+      """SELECT string_agg('b' || lpad(CAST(i AS VARCHAR), 2, '0'), '|' ORDER BY i) AS final_datum,
+        |  CAST(48 AS BIGINT) AS n_events, CAST(48 AS BIGINT) AS n_applied
+        |FROM range(48) t(i)""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS keep_id,
