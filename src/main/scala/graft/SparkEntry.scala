@@ -617,7 +617,7 @@ object SparkEntry {
       Multimodal.extractFeatures(
         Multimodal.withPayload(t(s, dir, "documents"), "text"), "doc_id")),
 
-    // construct a VALID PNG/BMP/WAV per doc (by doc_id mod 3), then
+    // construct a VALID PNG/BMP/WAV/JPEG per doc (by doc_id mod 4), then
     // recover the dimensions by actually parsing the container bytes;
     // the oracle predicts the same values from the construction
     // algebra, so the check proves the construct -> parse round-trip
@@ -626,8 +626,9 @@ object SparkEntry {
         Multimodal.withMediaPayload(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
         .select("doc_id", "kind", "width", "height", "channels", "sample_rate", "bit_depth")),
 
-    // decode -> transform -> re-decode: BMPs half-resized (real pixel
-    // sampling), WAVs 2x sample-decimated, PNGs untouched; the oracle
+    // decode -> transform -> re-decode: PNGs/BMPs/JPEGs half-resized
+    // (real pixel sampling; JPEG through a full baseline entropy
+    // decode -> re-encode), WAVs 2x sample-decimated; the oracle
     // predicts the re-parsed metadata from the construction formulas
     "q_media_transform" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -1963,19 +1964,21 @@ object SparkEntry {
     // Spark side recovers these values by parsing the container bytes
     "q_media_decode" ->
       """WITH d AS (SELECT doc_id, greatest(octet_length(encode(text)), 1) AS n FROM documents),
-        |w AS (SELECT doc_id, n, CAST(doc_id % 3 AS INT) AS f,
-        |    CASE CAST(doc_id % 3 AS INT)
+        |w AS (SELECT doc_id, n, CAST(doc_id % 4 AS INT) AS f,
+        |    CASE CAST(doc_id % 4 AS INT)
         |      WHEN 0 THEN (n - 1) % 512 + 1
         |      WHEN 1 THEN (n - 1) % 256 + 1
+        |      WHEN 3 THEN (n - 1) % 192 + 1
         |      ELSE 0 END AS wid
         |  FROM d)
         |SELECT doc_id,
-        |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
+        |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav' ELSE 'jpeg' END AS kind,
         |  CAST(wid AS INT) AS width,
         |  CAST(CASE f WHEN 0 THEN (n + wid - 1) // wid
         |    WHEN 1 THEN (n + 3 * wid - 1) // (3 * wid)
+        |    WHEN 3 THEN (n + wid - 1) // wid
         |    ELSE 0 END AS INT) AS height,
-        |  CAST(CASE f WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE f WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 1 END AS INT) AS channels,
         |  CAST(CASE f WHEN 2 THEN 8000 + n % 8000 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE f WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth
         |FROM w""".stripMargin,
@@ -1984,22 +1987,24 @@ object SparkEntry {
     // dims ceil-halved, wav sample rate floor-halved
     "q_media_transform" ->
       """WITH d AS (SELECT doc_id, greatest(octet_length(encode(text)), 1) AS n FROM documents),
-        |w AS (SELECT doc_id, n, CAST(doc_id % 3 AS INT) AS f,
-        |    CASE CAST(doc_id % 3 AS INT)
+        |w AS (SELECT doc_id, n, CAST(doc_id % 4 AS INT) AS f,
+        |    CASE CAST(doc_id % 4 AS INT)
         |      WHEN 0 THEN (n - 1) % 512 + 1
         |      WHEN 1 THEN (n - 1) % 256 + 1
+        |      WHEN 3 THEN (n - 1) % 192 + 1
         |      ELSE 0 END AS wid
         |  FROM d),
         |h AS (SELECT doc_id, n, f, wid,
         |    CASE f WHEN 0 THEN (n + wid - 1) // wid
         |      WHEN 1 THEN (n + 3 * wid - 1) // (3 * wid)
+        |      WHEN 3 THEN (n + wid - 1) // wid
         |      ELSE 0 END AS hgt
         |  FROM w)
         |SELECT doc_id,
-        |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
-        |  CAST(CASE WHEN f IN (0, 1) THEN (wid + 1) // 2 ELSE 0 END AS INT) AS width,
-        |  CAST(CASE WHEN f IN (0, 1) THEN (hgt + 1) // 2 ELSE 0 END AS INT) AS height,
-        |  CAST(CASE f WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS INT) AS channels,
+        |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav' ELSE 'jpeg' END AS kind,
+        |  CAST(CASE WHEN f IN (0, 1, 3) THEN (wid + 1) // 2 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN f IN (0, 1, 3) THEN (hgt + 1) // 2 ELSE 0 END AS INT) AS height,
+        |  CAST(CASE f WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 1 END AS INT) AS channels,
         |  CAST(CASE f WHEN 2 THEN (8000 + n % 8000) // 2 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE f WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth
         |FROM h""".stripMargin,

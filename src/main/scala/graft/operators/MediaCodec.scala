@@ -43,7 +43,14 @@ object MediaCodec {
     else if (isPng(p)) decodePng(p)
     else if (isBmp(p)) decodeBmp(p)
     else if (isWav(p)) decodeWav(p)
+    else if (Jpeg.isJpeg(p)) decodeJpeg(p)
     else Unknown
+
+  private def decodeJpeg(p: Array[Byte]): Meta =
+    Jpeg.frameHeader(p) match {
+      case Some((prec, h, w, nc)) => Meta("jpeg", w, h, nc, 0, prec)
+      case None => Unknown
+    }
 
   private def isPng(p: Array[Byte]): Boolean =
     p.length >= 33 && (0 until 8).forall(i => p(i) == PngSig(i))

@@ -39,7 +39,7 @@ object Multimodal {
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
 
   /** Attach a VALID media payload per document — the text bytes packed
-    * into a PNG, BMP or WAV container (by doc_id mod 3) with
+    * into a PNG, BMP, WAV or JPEG container (by doc_id mod 4) with
     * dimensions derived from the byte length. Exercises the real
     * [[MediaCodec]] writers; the derivation formulas are plain integer
     * algebra so a SQL oracle can predict exactly what the parser must
@@ -49,24 +49,28 @@ object Multimodal {
     val mk = udf { (id: Long, text: String) =>
       val content = Option(text).getOrElse("").getBytes("UTF-8")
       val n = math.max(content.length, 1)
-      (id % 3) match {
+      (id % 4) match {
         case 0 =>
           val w = (n - 1) % 512 + 1
           MediaCodec.png(content, w, (n + w - 1) / w)
         case 1 =>
           val w = (n - 1) % 256 + 1
           MediaCodec.bmp24(content, w, (n + 3 * w - 1) / (3 * w))
-        case _ =>
+        case 2 =>
           MediaCodec.wav8(content, 8000 + n % 8000)
+        case _ =>
+          val w = (n - 1) % 192 + 1
+          Jpeg.jpeg(content, w, (n + w - 1) / w)
       }
     }
     docs.withColumn("payload", mk(col(idCol).cast("long"), col(textCol)))
   }
 
   /** Media transform stage: REAL pixel/sample manipulation per payload
-    * kind — BMP half-resize (nearest neighbor), WAV 2x sample
-    * decimation; PNG/unknown pass through. Per-partition streaming,
-    * same constant-memory shape as [[extractFeatures]].
+    * kind — PNG/BMP/JPEG half-resize (nearest neighbor; JPEG via full
+    * entropy decode -> sample -> re-encode), WAV 2x sample decimation;
+    * unknown passes through. Per-partition streaming, same
+    * constant-memory shape as [[extractFeatures]].
     */
   def transformMedia(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -77,6 +81,7 @@ object Multimodal {
           case "png" => MediaCodec.pngResizeHalf(payload)
           case "bmp" => MediaCodec.bmpResizeHalf(payload)
           case "wav" => MediaCodec.wavDownsample(payload, 2)
+          case "jpeg" => Jpeg.resizeHalf(payload)
           case _ => payload
         }
         (id, out)

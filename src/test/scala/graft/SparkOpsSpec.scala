@@ -233,10 +233,10 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
 
   test("media payloads are valid containers and parse back to constructed dims") {
     import spark.implicits._
-    // ids 0,1,2 -> png, bmp, wav; text of 700 bytes crosses the
-    // png width modulus (w = 699%512+1 = 188, h = ceil(700/188) = 4)
+    // ids 0,1,2,3 -> png, bmp, wav, jpeg; text of 700 bytes crosses
+    // the png width modulus (w = 699%512+1 = 188, h = ceil(700/188) = 4)
     val txt = "x" * 700
-    val df = Seq((0L, txt), (1L, txt), (2L, txt)).toDF("doc_id", "text")
+    val df = Seq((0L, txt), (1L, txt), (2L, txt), (3L, txt)).toDF("doc_id", "text")
     val rows = Multimodal.extractFeatures(
         Multimodal.withMediaPayload(df, "text", "doc_id"), "doc_id")
       .collect().map(r => r.getLong(0) ->
@@ -244,6 +244,7 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(rows(0L) == (("png", 188, 4, 1, 0, 8)))
     assert(rows(1L) == (("bmp", 188, 2, 3, 0, 24))) // w = 699%256+1 = 188, h = ceil(700/564) = 2
     assert(rows(2L) == (("wav", 0, 0, 1, 8000 + 700 % 8000, 8)))
+    assert(rows(3L) == (("jpeg", 124, 6, 1, 0, 8))) // w = 699%192+1 = 124, h = ceil(700/124) = 6
   }
 }
 
@@ -1329,5 +1330,87 @@ class CheckpointHygieneSpec extends AnyFunSuite with SharedSpark {
     // must survive; superseded remaining/remEdges/jump levels must not
     assert(live <= 50, s"leaked $live persistent RDD blocks")
     CheckpointHygiene.releaseAll(spark)
+  }
+}
+
+/** Baseline JPEG codec (T.81 sequential DCT): the encoder must emit a
+  * spec-valid stream the generic decoder reconstructs within the
+  * quantization error bound; corruption must degrade to None/Unknown,
+  * never an exception.
+  */
+class JpegSpec extends AnyFunSuite {
+  import graft.operators.{Jpeg, MediaCodec}
+
+  test("encode -> decode round-trips pixels within the quant error bound") {
+    // smooth gradient + a sharp step: both DCT-friendly and -hostile
+    val w = 21; val h = 13 // non-multiple-of-8 exercises edge padding
+    val px = Array.tabulate[Byte](w * h) { i =>
+      val x = i % w; val y = i / w
+      if (x < w / 2) (8 * x + 5 * y).toByte else 200.toByte
+    }
+    val enc = Jpeg.jpeg(px, w, h)
+    assert(MediaCodec.decode(enc) == MediaCodec.Meta("jpeg", w, h, 1, 0, 8))
+    val Some((dw, dh, out)) = Jpeg.decodePixels(enc)
+    assert(dw == w && dh == h)
+    val maxErr = px.indices.map(i => math.abs((px(i) & 0xff) - (out(i) & 0xff))).max
+    // near-flat quant table (1..4): reconstruction error stays small
+    assert(maxErr <= 24, s"max pixel error $maxErr exceeds quantization bound")
+    val meanErr = px.indices.map(i => math.abs((px(i) & 0xff) - (out(i) & 0xff))).sum.toDouble / px.length
+    assert(meanErr <= 3.0, s"mean pixel error $meanErr")
+  }
+
+  test("flat blocks survive exactly; multi-MCU DC prediction chains") {
+    // 3x2 MCUs of constant 77: every block is DC-only; DC diff coding
+    // must chain across all 6 MCUs without drift
+    val w = 24; val h = 16
+    val px = Array.fill[Byte](w * h)(77.toByte)
+    val Some((_, _, out)) = Jpeg.decodePixels(Jpeg.jpeg(px, w, h))
+    assert(out.forall(b => math.abs((b & 0xff) - 77) <= 1))
+  }
+
+  test("half-resize keeps even pixels and re-encodes a valid jpeg") {
+    val w = 16; val h = 10
+    val px = Array.tabulate[Byte](w * h)(i => ((i % w) * 10).toByte)
+    val enc = Jpeg.jpeg(px, w, h)
+    val half = Jpeg.resizeHalf(enc)
+    assert(MediaCodec.decode(half) == MediaCodec.Meta("jpeg", 8, 5, 1, 0, 8))
+    // resize again: dims keep ceil-halving (idempotence of the contract)
+    assert(MediaCodec.decode(Jpeg.resizeHalf(half)) == MediaCodec.Meta("jpeg", 4, 3, 1, 0, 8))
+    // non-jpeg passes through untouched
+    val junk = "not a jpeg".getBytes
+    assert(Jpeg.resizeHalf(junk).sameElements(junk))
+  }
+
+  test("frame header parses any SOFn; pixel decode rejects non-baseline gracefully") {
+    val enc = Jpeg.jpeg(Array.fill[Byte](64)(1), 8, 8)
+    // flip SOF0 (0xc0) to SOF2 (0xc2, progressive): metadata still
+    // parses, pixel decode refuses instead of mis-decoding
+    val prog = enc.clone()
+    val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(MediaCodec.decode(prog) == MediaCodec.Meta("jpeg", 8, 8, 1, 0, 8))
+    assert(Jpeg.decodePixels(prog).isEmpty)
+  }
+
+  test("fuzz: random bytes, byte flips, truncations — decode never throws") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 300).foreach { _ =>
+      val p = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(p)
+      if (p.length >= 2) { p(0) = 0xff.toByte; p(1) = 0xd8.toByte } // force the magic
+      MediaCodec.decode(p)
+      Jpeg.decodePixels(p)
+      Jpeg.resizeHalf(p)
+    }
+    val valid = Jpeg.jpeg(Array.tabulate[Byte](300)(_.toByte), 20, 15)
+    (1 to 500).foreach { _ =>
+      val m = valid.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      MediaCodec.decode(m)
+      Jpeg.decodePixels(m)
+      val t = m.take(rnd.nextInt(m.length + 1))
+      MediaCodec.decode(t)
+      Jpeg.decodePixels(t)
+    }
   }
 }
