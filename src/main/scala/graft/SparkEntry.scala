@@ -138,6 +138,15 @@ object SparkEntry {
     "q_linearize" -> ((s, dir) => EventReplay.linearize(s, dir)
       .select(col("event_id"), col("user_id"), col("seq").cast("long").as("seq"))),
 
+    // SQL front end (GraftSqlParser via spark.sql.extensions): the
+    // MATERIALIZE STATE / LINEARIZE EVENTS statements parse to the
+    // SAME logical plans as the DataFrame API — oracle-gating them
+    // proves the parser round-trip, not just the operator
+    "q_sql_materialize" -> ((s, dir) => s.sql(s"MATERIALIZE STATE FROM '$dir'")),
+    "q_sql_linearize" -> ((s, dir) =>
+      s.sql(s"LINEARIZE EVENTS FROM '$dir'")
+        .select(col("event_id"), col("user_id"), col("seq").cast("long").as("seq"))),
+
     // OP-3: content-addressed dedup insert (ensure_event in bulk).
     // Addressing runs through the native blake2b512 Catalyst
     // expression (the reference's event hash, hash.rs:77-85) inside
@@ -1175,6 +1184,25 @@ object SparkEntry {
         |GROUP BY e.user_id""".stripMargin,
 
     "q_linearize" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+        |FROM events""".stripMargin,
+
+    // the SQL-syntax surfaces must produce bit-identical results to
+    // their DataFrame twins, so they share those oracles verbatim
+    "q_sql_materialize" ->
+      """WITH ls AS (
+        |  SELECT user_id, max(ts) AS sts FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT e.user_id,
+        |  CAST(CAST(sum(CASE
+        |    WHEN e.event_type = 'signup' AND e.ts = ls.sts THEN e.value
+        |    WHEN e.event_type = 'purchase' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN e.value
+        |    WHEN e.event_type = 'click' AND (ls.sts IS NULL OR e.ts > ls.sts) THEN 1.0
+        |    ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS state
+        |FROM events e LEFT JOIN ls ON e.user_id = ls.user_id
+        |GROUP BY e.user_id""".stripMargin,
+
+    "q_sql_linearize" ->
       """SELECT event_id, user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
         |FROM events""".stripMargin,

@@ -12,6 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL front end: MATERIALIZE STATE / LINEARIZE EVENTS (delegating
+    // parser — non-graft statements hit Spark's parser untouched)
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     ext.injectFunction((
       FunctionIdentifier("blake2b512"),
       new ExpressionInfo(classOf[Blake2b512Expr].getName, "blake2b512"),

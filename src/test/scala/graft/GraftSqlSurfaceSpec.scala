@@ -78,3 +78,47 @@ class GraftSqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(rows.getSeq[String](2).isEmpty)
   }
 }
+
+/** The SQL statement front end (GraftSqlParser via injectParser):
+  * graft syntax must build the SAME plans as the DataFrame API, and
+  * every non-graft statement must reach Spark's parser untouched.
+  */
+class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("MATERIALIZE STATE equals EventReplay.replayPerUser") {
+    val viaSql = spark.sql(s"MATERIALIZE STATE FROM '$sf'")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaApi = graft.operators.EventReplay.replayPerUser(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
+  test("FOR USER scopes to one entity; case and trailing semicolon tolerated") {
+    val all = spark.sql(s"MATERIALIZE STATE FROM '$sf'").collect()
+    val uid = all.head.getLong(0)
+    val one = spark.sql(s"materialize state from '$sf' for user $uid;").collect()
+    assert(one.length == 1 && one.head.getLong(0) == uid)
+    assert(one.head.getDouble(1) == all.find(_.getLong(0) == uid).get.getDouble(1))
+  }
+
+  test("LINEARIZE EVENTS equals EventReplay.linearize") {
+    val viaSql = spark.sql(s"LINEARIZE EVENTS FROM '$sf'")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaApi = graft.operators.EventReplay.linearize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
+  test("non-graft SQL still parses; malformed graft syntax fails as plain SQL") {
+    assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
+    // missing FROM clause: falls through to Spark's parser -> ParseException
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("MATERIALIZE STATE")
+    }
+    // graft statements compose with spark.sql's lazy contract: the
+    // plan analyzes but nothing executes until an action
+    val df = spark.sql(s"MATERIALIZE STATE FROM '$sf'")
+    assert(df.columns.toSeq == Seq("user_id", "state"))
+  }
+}
