@@ -113,7 +113,7 @@ object Bench {
       "q_winsorize", "q_entropy", "q_neardup_incremental",
       "q_group_topk", "q_kanon", "q_join_size",
       // round-6 families
-      "q_shelve_merge")
+      "q_shelve_merge", "q_substring_dedup", "q_sql_materialize")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
       .orElse(if (sys.env.contains("SPARK_GRAFT_ALL")) None else Some(headline))
     // min of N passes (default 2): this host shows rare 10-40 s

@@ -376,6 +376,12 @@ object SparkEntry {
     "q_chunk_dedup" -> ((s, dir) =>
       Curation.chunkDedup(t(s, dir, "documents"), "text", "doc_id", chunkWords = 10)),
 
+    // ExactSubstr-style duplicated-SPAN removal (Lee et al. 2022):
+    // sliding 8-token windows, global keep-first, overlapping dup
+    // windows merged to maximal spans, docs reassembled
+    "q_substring_dedup" -> ((s, dir) =>
+      Curation.substringDedup(t(s, dir, "documents"), "text", "doc_id", k = 8)),
+
     // boilerplate chunk strip: a planted 10-word banner on the
     // doc_id % 3 grid exceeds the doc-frequency cap and is deleted
     // from EVERY copy (same augmentation in the oracle)
@@ -1493,6 +1499,41 @@ object SparkEntry {
         |SELECT t.doc_id, CAST((len(toks) + 9) // 10 AS BIGINT) AS n_chunks,
         |  coalesce(pd.n_kept, 0) AS n_kept, coalesce(pd.kept_text, '') AS kept_text
         |FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin,
+
+    // mirrors Curation.substringDedup: sliding 8-grams, keep-first by
+    // (doc_id, pos), gaps-and-islands span merge, positional token
+    // anti-join, ordered reassembly
+    "q_substring_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |g AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 7)) AS pos FROM b WHERE n_tokens >= 8),
+        |g2 AS (SELECT doc_id, pos,
+        |    array_to_string(toks[CAST(pos + 1 AS INT) : CAST(pos + 8 AS INT)], ' ') AS gram
+        |  FROM g),
+        |dups AS (SELECT doc_id, pos AS start, pos + 8 AS stop FROM g2
+        |  QUALIFY row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) > 1),
+        |isl AS (SELECT doc_id, start, stop,
+        |    CASE WHEN start > coalesce(max(stop) OVER (PARTITION BY doc_id ORDER BY start, stop
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM dups),
+        |isl2 AS (SELECT doc_id, start, stop,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start, stop) AS grp
+        |  FROM isl),
+        |mrg AS (SELECT doc_id, min(start) AS start, max(stop) AS stop FROM isl2 GROUP BY doc_id, grp),
+        |cov AS (SELECT doc_id, unnest(range(start, stop)) AS pos FROM mrg),
+        |tp AS (SELECT doc_id, unnest(range(0, n_tokens)) AS pos, toks FROM b WHERE n_tokens > 0),
+        |tp2 AS (SELECT doc_id, pos, toks[CAST(pos + 1 AS INT)] AS tok FROM tp),
+        |kept AS (SELECT tp2.doc_id, tp2.pos, tp2.tok FROM tp2
+        |  ANTI JOIN cov ON tp2.doc_id = cov.doc_id AND tp2.pos = cov.pos),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  b.n_tokens - coalesce(pd.n_kept, 0) AS n_removed,
+        |  coalesce(pd.kept_text, '') AS kept_text
+        |FROM b LEFT JOIN pd ON b.doc_id = pd.doc_id""".stripMargin,
 
     // mirrors Curation.boilerplateStrip: same planted banner, same
     // chunking, doc-frequency cap 5, per-doc reassembly

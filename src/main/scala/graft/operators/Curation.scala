@@ -280,6 +280,78 @@ object Curation {
           " ").as("chunk_text"))
   }
 
+  /** Substring-level duplicated-span removal — the "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2022)
+    * ExactSubstr operator at word granularity: any window of `k`
+    * consecutive tokens that occurs more than once in the corpus is a
+    * duplicate; every occurrence except the globally-first (by
+    * (doc_id, pos)) is removed, overlapping duplicate windows merged
+    * into maximal spans, and each document reassembled from its
+    * surviving tokens. Finer-grained than [[chunkDedup]] (tumbling
+    * chunks miss duplicates that straddle a chunk boundary; sliding
+    * windows cannot).
+    *
+    * Scale shape: one sliding-gram explode (O(corpus tokens) rows —
+    * the algorithm's intrinsic cost; the suffix-array formulation
+    * reads the same data), first-occurrence via a map-side-combined
+    * min(struct) aggregate (NO window over the gram key — a million-
+    * occurrence boilerplate gram is one aggregate row, and the
+    * mark-duplicates join fans out only to the occurrences that must
+    * be marked anyway). Span merging is a per-document window
+    * (document-bounded). Coverage is exploded to (doc_id, pos) rows so
+    * token removal is an EQUI anti-join, never a range-predicate
+    * nested loop. Cheaper screens (winnowing, chunk, MinHash) are the
+    * recall path; this is the precision path.
+    */
+  def substringDedup(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "substringDedup: need k >= 2")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    val grams = base.filter(col("n_tokens") >= k)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0L), col("n_tokens") - k)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("__toks"), (col("pos") + 1).cast("int"), lit(k)), " "))
+          .as("h"))
+    val firsts = grams.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("n_occ") > 1)
+      .select(col("h"), col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
+    val dupSpans = grams.join(firsts, "h")
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .select(col("doc_id"), col("pos").as("start"), (col("pos") + k).as("stop"))
+    // gaps-and-islands merge of overlapping/adjacent spans per doc
+    val wOrd = Window.partitionBy("doc_id").orderBy("start", "stop")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = dupSpans
+      .withColumn("brk",
+        when(col("start") > coalesce(max(col("stop")).over(wPrev), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wOrd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("start").as("start"), max("stop").as("stop"))
+    val covered = islands.select(col("doc_id"),
+      explode(sequence(col("start"), col("stop") - 1)).as("pos"))
+    val keptToks = base
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val perDoc = keptToks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("kept_text"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Boilerplate chunk removal (the C4/RefinedWeb "remove lines that
     * repeat across many pages" stage, word-chunk flavored): drop every
     * tumbling chunk whose corpus-wide DOCUMENT frequency exceeds

@@ -560,4 +560,30 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     assert(out.length == 5)
     assert(out.forall(r => r._2 == 0.0 && r._3 == 0.0))
   }
+
+  test("substringDedup removes duplicated spans keep-first, merges overlaps") {
+    val docs = Seq(
+      // first occurrence of the 8-gram "a b c d e f g h": untouched
+      (1L, "a b c d e f g h x y"),
+      // same 8-gram embedded at pos 2: span [2,10) removed -> "p q r"
+      (2L, "p q a b c d e f g h r"),
+      // self-repetition: 16 tokens = the same 8 twice; the second
+      // window (pos 8) duplicates pos 0 -> back half removed
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 t1 t2 t3 t4 t5 t6 t7 t8"),
+      // shorter than k: no grams, passes through reassembled
+      (4L, "too short to have grams"),
+      // overlapping duplicate windows (pos 2 copies doc1 pos 0, pos 3
+      // copies doc1 pos 1): spans [2,10) and [3,11) merge to [2,11)
+      (5L, "u v a b c d e f g h x w")).toDF("doc_id", "text")
+    val out = Curation.substringDedup(docs, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((10L, 0L, "a b c d e f g h x y")))
+    assert(out(2L) == ((11L, 8L, "p q r")))
+    assert(out(3L) == ((16L, 8L, "t1 t2 t3 t4 t5 t6 t7 t8")))
+    assert(out(4L) == ((5L, 0L, "too short to have grams")))
+    assert(out(5L) == ((12L, 9L, "u v w")))
+    // doc1's "x" at pos 8 gives doc5 the gram at pos 2 AND the gram
+    // "b c d e f g h x" at pos 3 — both duplicates, merged: removed
+    // count 9 = [2,11), not 8 + 8
+  }
 }
