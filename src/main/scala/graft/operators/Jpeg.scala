@@ -8,19 +8,23 @@ import java.io.ByteArrayOutputStream
   * column until a typed decode step (the reference's byte-opaque module
   * contract, /root/reference/crates/esvc-wasm/src/lib.rs:11-15).
   *
-  * Encoder: 8-bit greyscale, one 8x8-block component, self-describing
-  * canonical Huffman tables written into DHT (12 DC symbols at code
-  * length 4; all 162 run/size AC symbols at code length 8 — valid
-  * canonical codes, no all-ones code, so any compliant decoder reads
-  * the stream; compression is mildly worse than the Annex K tables,
-  * which is irrelevant here).
+  * Encoders: 8-bit greyscale ([[jpeg]]) and 4:2:0 YCbCr color
+  * ([[jpegColor420]]) — both with self-describing canonical Huffman
+  * tables written into DHT (12 DC symbols at code length 4; all 162
+  * run/size AC symbols at code length 8 — valid canonical codes, no
+  * all-ones code, so any compliant decoder reads the stream;
+  * compression is mildly worse than the Annex K tables, which is
+  * irrelevant here).
   *
-  * Decoder: generic baseline — parses DQT (8/16-bit), DHT (spec F.2.2.3
-  * MINCODE/MAXCODE/VALPTR decode), SOF0/SOF1, DRI + RSTn restart
-  * markers, byte-stuffed entropy data; full pixel reconstruction for
-  * single-component non-subsampled scans (the flavor the encoder
-  * emits), header-only metadata for everything else. Corrupted or
-  * truncated input returns None / Unknown — never throws.
+  * Decoder: generic baseline — parses DQT (8/16-bit), DHT (spec
+  * F.2.2.3 MINCODE/MAXCODE/VALPTR decode), SOF0/SOF1 with 1..3
+  * components at sampling factors 1..2 (4:4:4, 4:2:2, 4:2:0 and
+  * greyscale — the flavors that cover real web corpora), DRI + RSTn
+  * restart markers, byte-stuffed entropy data, interleaved MCU walk
+  * with per-component planes and box upsampling. [[decodePixels]]
+  * returns the luma plane (what downstream feature extraction wants);
+  * [[decodeRgb]] the full color rollout. Corrupted or truncated input
+  * returns None / Unknown — never throws.
   */
 object Jpeg {
 
@@ -35,7 +39,7 @@ object Jpeg {
     58, 59, 52, 45, 38, 31, 39, 46,
     53, 60, 61, 54, 47, 55, 62, 63)
 
-  /** Flat-ish luminance quantization table (natural order): DC and low
+  /** Flat-ish quantization table (natural order): DC and low
     * frequencies at 1 (near-exact round trip for the oracle's pixel
     * checks), mild high-frequency rounding. Kept deliberately gentle so
     * the encode->decode error bound stays small and testable.
@@ -53,7 +57,7 @@ object Jpeg {
   }
   private val InvSqrt2 = 1.0 / math.sqrt(2.0)
 
-  // ---- canonical Huffman tables the encoder writes ------------------
+  // ---- canonical Huffman tables the encoders write -------------------
 
   // DC: symbols 0..11 (magnitude categories), all at code length 4
   private val DcSymbols: Array[Int] = (0 to 11).toArray
@@ -92,107 +96,203 @@ object Jpeg {
     n
   }
 
-  /** Encode `content` bytes as the pixels of a width x height 8-bit
-    * greyscale baseline JPEG (row-major, zero-padded/truncated —
-    * mirrors [[MediaCodec.png]]'s packing contract).
+  /** Load an 8x8 block from `plane` (pw x ph, values 0..255) at origin
+    * (x0, y0), T.81 recommended edge replication, level-shifted.
     */
-  def jpeg(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    require(width > 0 && height > 0, "jpeg: non-positive dimensions")
-    val out = new ByteArrayOutputStream()
+  private def loadBlock(plane: Array[Int], pw: Int, ph: Int, x0: Int, y0: Int): Array[Double] = {
+    val block = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(y0 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(x0 + x, pw - 1)
+        block(y * 8 + x) = plane(sy * pw + sx) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    block
+  }
+
+  /** FDCT + quantize + Huffman-encode one block; returns the new DC
+    * predictor for this component.
+    */
+  private def encodeBlock(bw: BitWriter, block: Array[Double], pred: Int): Int = {
+    val coef = new Array[Int](64)
+    var zi = 0
+    while (zi < 64) {
+      val nat = Zigzag(zi)
+      val u = nat & 7; val v = nat >> 3
+      var sum = 0.0
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          sum += block(yy * 8 + xx) * Cos(xx)(u) * Cos(yy)(v)
+          xx += 1
+        }
+        yy += 1
+      }
+      val cu = if (u == 0) InvSqrt2 else 1.0
+      val cv = if (v == 0) InvSqrt2 else 1.0
+      coef(zi) = math.round(sum * cu * cv / (4.0 * Quant(nat))).toInt
+      zi += 1
+    }
+    val diff = coef(0) - pred
+    val dsz = magnitude(diff)
+    bw.put(DcCode(dsz), 4)
+    if (dsz > 0) bw.put(if (diff < 0) diff + (1 << dsz) - 1 else diff, dsz)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      if (coef(k) == 0) run += 1
+      else {
+        while (run > 15) { bw.put(AcCode(0xf0), 8); run -= 16 }
+        val sz = magnitude(coef(k))
+        bw.put(AcCode((run << 4) | sz), 8)
+        bw.put(if (coef(k) < 0) coef(k) + (1 << sz) - 1 else coef(k), sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(AcCode(0x00), 8) // EOB
+    coef(0)
+  }
+
+  private def writeHeaders(out: ByteArrayOutputStream, width: Int, height: Int,
+                           comps: Seq[(Int, Int)]): Unit = { // (id, HiVi byte)
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, body: Array[Byte]): Unit = {
       marker(m); val n = body.length + 2
       out.write((n >> 8) & 0xff); out.write(n & 0xff); out.write(body, 0, body.length)
     }
     marker(0xd8) // SOI
-    // DQT: Pq=0 (8-bit), Tq=0, 64 values in zigzag order
+    // DQT: Pq=0 (8-bit), Tq=0, 64 values in zigzag order (all
+    // components share table 0 — legal and exact for our flat table)
     seg(0xdb, Array[Byte](0) ++ Array.tabulate(64)(i => Quant(Zigzag(i)).toByte))
-    // SOF0: precision 8, 1 component id=1, sampling 1x1, quant table 0
-    seg(0xc0, Array[Byte](8,
+    val sof = Array[Byte](8,
       ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
       ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
-      1, 1, 0x11, 0))
-    // DHT: DC class 0 id 0 (12 symbols at length 4), AC class 1 id 0
-    // (162 symbols at length 8)
+      comps.size.toByte) ++
+      comps.flatMap { case (id, hv) => Seq(id.toByte, hv.toByte, 0.toByte) }
+    seg(0xc0, sof)
     val dcBits = new Array[Byte](16); dcBits(3) = 12
     seg(0xc4, Array[Byte](0x00) ++ dcBits ++ DcSymbols.map(_.toByte))
     val acBits = new Array[Byte](16); acBits(7) = 162.toByte
     seg(0xc4, Array[Byte](0x10) ++ acBits ++ AcSymbols.map(_.toByte))
-    // SOS: 1 component, DC/AC table 0, full spectral selection
-    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // SOS: all components use DC/AC table 0, full spectral selection
+    seg(0xda, Array[Byte](comps.size.toByte) ++
+      comps.flatMap { case (id, _) => Seq(id.toByte, 0x00.toByte) } ++
+      Array[Byte](0, 63, 0))
+  }
 
+  /** Encode `content` bytes as the pixels of a width x height 8-bit
+    * greyscale baseline JPEG (row-major, zero-padded/truncated —
+    * mirrors [[MediaCodec.png]]'s packing contract).
+    */
+  def jpeg(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg: non-positive dimensions")
+    val plane = new Array[Int](width * height)
+    var i = 0
+    while (i < plane.length) { plane(i) = if (i < content.length) content(i) & 0xff else 0; i += 1 }
+    val out = new ByteArrayOutputStream()
+    writeHeaders(out, width, height, Seq((1, 0x11)))
     val bw = new BitWriter(out)
     val bw8 = (width + 7) / 8
     val bh8 = (height + 7) / 8
-    val block = new Array[Double](64)
-    val coef = new Array[Int](64)
     var pred = 0
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
-        // load block with edge replication (T.81 recommended padding:
-        // repeat last sample so padding adds no high-frequency energy)
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(by * 8 + y, height - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx * 8 + x, width - 1)
-            val i = sy * width + sx
-            val s = if (i < content.length) content(i) & 0xff else 0
-            block(y * 8 + x) = s - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // FDCT + quantize, directly into zigzag order
-        var zi = 0
-        while (zi < 64) {
-          val nat = Zigzag(zi)
-          val u = nat & 7; val v = nat >> 3
-          var sum = 0.0
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              sum += block(yy * 8 + xx) * Cos(xx)(u) * Cos(yy)(v)
-              xx += 1
-            }
-            yy += 1
-          }
-          val cu = if (u == 0) InvSqrt2 else 1.0
-          val cv = if (v == 0) InvSqrt2 else 1.0
-          coef(zi) = math.round(sum * cu * cv / (4.0 * Quant(nat))).toInt
-          zi += 1
-        }
-        // DC difference
-        val diff = coef(0) - pred
-        pred = coef(0)
-        val dsz = magnitude(diff)
-        bw.put(DcCode(dsz), 4)
-        if (dsz > 0) bw.put(if (diff < 0) diff + (1 << dsz) - 1 else diff, dsz)
-        // AC run-length
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          if (coef(k) == 0) run += 1
-          else {
-            while (run > 15) { bw.put(AcCode(0xf0), 8); run -= 16 }
-            val sz = magnitude(coef(k))
-            bw.put(AcCode((run << 4) | sz), 8)
-            bw.put(if (coef(k) < 0) coef(k) + (1 << sz) - 1 else coef(k), sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) bw.put(AcCode(0x00), 8) // EOB
+        pred = encodeBlock(bw, loadBlock(plane, width, height, bx * 8, by * 8), pred)
         bx += 1
       }
       by += 1
     }
     bw.flush()
-    marker(0xd9) // EOI
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode RGB triples (row-major, 3 bytes/pixel) as a 4:2:0 YCbCr
+    * baseline JPEG — the dominant web-corpus flavor: Y at full
+    * resolution (sampling 2x2), chroma box-averaged 2x2 (sampling
+    * 1x1), interleaved 16x16 MCUs of 4 Y + 1 Cb + 1 Cr blocks.
+    */
+  def jpegColor420(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpegColor420: non-positive dimensions")
+    val yP = new Array[Int](width * height)
+    val cw = (width + 1) / 2; val ch = (height + 1) / 2
+    val cbP = new Array[Int](cw * ch)
+    val crP = new Array[Int](cw * ch)
+    // full-res YCbCr (JFIF), then 2x2 box average for chroma
+    val cbF = new Array[Double](width * height)
+    val crF = new Array[Double](width * height)
+    var i = 0
+    while (i < width * height) {
+      val r = if (3 * i < rgb.length) rgb(3 * i) & 0xff else 0
+      val g = if (3 * i + 1 < rgb.length) rgb(3 * i + 1) & 0xff else 0
+      val b = if (3 * i + 2 < rgb.length) rgb(3 * i + 2) & 0xff else 0
+      val y = 0.299 * r + 0.587 * g + 0.114 * b
+      yP(i) = math.max(0, math.min(255, math.round(y).toInt))
+      cbF(i) = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+      crF(i) = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+      i += 1
+    }
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        var sb = 0.0; var sr = 0.0; var n = 0
+        var dy = 0
+        while (dy < 2) {
+          val py = 2 * cy + dy
+          if (py < height) {
+            var dx = 0
+            while (dx < 2) {
+              val px = 2 * cx + dx
+              if (px < width) { sb += cbF(py * width + px); sr += crF(py * width + px); n += 1 }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        cbP(cy * cw + cx) = math.max(0, math.min(255, math.round(sb / n).toInt))
+        crP(cy * cw + cx) = math.max(0, math.min(255, math.round(sr / n).toInt))
+        cx += 1
+      }
+      cy += 1
+    }
+    val out = new ByteArrayOutputStream()
+    writeHeaders(out, width, height, Seq((1, 0x22), (2, 0x11), (3, 0x11)))
+    val bw = new BitWriter(out)
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    var predY = 0; var predCb = 0; var predCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v = 0
+        while (v < 2) {
+          var h = 0
+          while (h < 2) {
+            predY = encodeBlock(bw,
+              loadBlock(yP, width, height, mx * 16 + h * 8, my * 16 + v * 8), predY)
+            h += 1
+          }
+          v += 1
+        }
+        predCb = encodeBlock(bw, loadBlock(cbP, cw, ch, mx * 8, my * 8), predCb)
+        predCr = encodeBlock(bw, loadBlock(crP, cw, ch, mx * 8, my * 8), predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 
@@ -294,25 +394,33 @@ object Jpeg {
   private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-  /** Full baseline pixel decode for single-component non-subsampled
-    * scans (the encoder's flavor). Returns (width, height, greyscale
-    * row-major pixels); None for other flavors or corrupted input.
-    */
-  def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (!isJpeg(p)) return None
-    try decodePixelsUnsafe(p) catch { case _: RuntimeException => None }
+  // one decoded frame component: sampling, tables, padded pixel plane
+  private final class Comp(val id: Int, val h: Int, val v: Int, val tq: Int) {
+    var dcSel = 0
+    var acSel = 0
+    var pred = 0
+    var plane: Array[Int] = null
+    var planeW = 0
+    var planeH = 0
   }
 
-  private def decodePixelsUnsafe(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  private final class Decoded(val width: Int, val height: Int,
+                              val hmax: Int, val vmax: Int, val comps: Array[Comp])
+
+  /** Full baseline decode into per-component planes. Supports 1..3
+    * components at sampling factors 1..2 in a single interleaved scan
+    * (greyscale, 4:4:4, 4:2:2, 4:2:0). None for other flavors or
+    * corrupted input.
+    */
+  private def decodeFrame(p: Array[Byte]): Option[Decoded] = {
     val quant = new Array[Array[Int]](4) // natural order
     val dcTabs = new Array[HuffTable](4)
     val acTabs = new Array[HuffTable](4)
     var width = 0; var height = 0
-    var compQuant = 0
+    var comps: Array[Comp] = null
     var restartInterval = 0
     var o = 2
     var sos = -1
-    var dcSel = 0; var acSel = 0
     while (sos < 0 && o + 4 <= p.length) {
       if ((p(o) & 0xff) != 0xff) return None
       val m = p(o + 1) & 0xff
@@ -361,115 +469,193 @@ object Jpeg {
             height = ((p(b + 1) & 0xff) << 8) | (p(b + 2) & 0xff)
             width = ((p(b + 3) & 0xff) << 8) | (p(b + 4) & 0xff)
             val nc = p(b + 5) & 0xff
-            if (nc != 1) return None // pixel path: greyscale only
-            if (b + 9 > end) return None
-            if ((p(b + 7) & 0xff) != 0x11) return None // 1x1 sampling
-            compQuant = p(b + 8) & 0x0f
+            if (nc < 1 || nc > 3 || b + 6 + 3 * nc > end) return None
+            comps = Array.tabulate(nc) { i =>
+              val cb = b + 6 + 3 * i
+              val hv = p(cb + 1) & 0xff
+              new Comp(p(cb) & 0xff, (hv >> 4) & 0x0f, hv & 0x0f, p(cb + 2) & 0x0f)
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)) return None
           case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // progressive / hierarchical: metadata-only flavors
           case 0xdd => // DRI
             if (len != 4) return None
             restartInterval = ((p(b) & 0xff) << 8) | (p(b + 1) & 0xff)
-          case 0xda => // SOS
+          case 0xda => // SOS: single interleaved scan over all comps
+            if (comps == null) return None
             val ns = p(b) & 0xff
-            if (ns != 1 || b + 2 > end) return None
-            dcSel = (p(b + 2) & 0xf0) >> 4
-            acSel = p(b + 2) & 0x0f
+            if (ns != comps.length || b + 1 + 2 * ns > end) return None
+            var i = 0
+            while (i < ns) {
+              val cid = p(b + 1 + 2 * i) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcSel = (p(b + 2 + 2 * i) & 0xf0) >> 4
+              c.acSel = p(b + 2 + 2 * i) & 0x0f
+              i += 1
+            }
             sos = end // entropy data starts after the header
           case _ => () // APPn, COM, others: skip
         }
         o = end
       }
     }
-    if (sos < 0 || width <= 0 || height <= 0) return None
+    if (sos < 0 || width <= 0 || height <= 0 || comps == null) return None
     // allocation guard: refuse pathological header dims (corrupted or
-    // adversarial input) before touching a width*height buffer
+    // adversarial input) before touching width*height buffers
     if (width.toLong * height > (1L << 26)) return None
-    val qtab = quant(compQuant)
-    val dc = dcTabs(dcSel); val ac = acTabs(acSel)
-    if (qtab == null || dc == null || ac == null) return None
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      if (quant(c.tq) == null || dcTabs(c.dcSel) == null || acTabs(c.acSel) == null) return None
+      c.planeW = mcusX * 8 * c.h
+      c.planeH = mcusY * 8 * c.v
+      c.plane = new Array[Int](c.planeW * c.planeH)
+    }
 
     val br = new BitReader(p, sos)
-    val bw8 = (width + 7) / 8
-    val bh8 = (height + 7) / 8
-    val pixels = new Array[Byte](width * height)
     val coef = new Array[Int](64)
-    var pred = 0
     var mcu = 0
-    val totalMcus = bw8.toLong * bh8
+    val totalMcus = mcusX.toLong * mcusY
     while (mcu < totalMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // expect an RSTn; tolerate its absence (some encoders omit the last)
         if (!br.hitMarker) { while (!br.hitMarker && br.bit() >= 0) () }
         if (br.restartMarker < 0) return None
         br.align()
-        pred = 0
+        comps.foreach(_.pred = 0)
       }
-      java.util.Arrays.fill(coef, 0)
-      val t = br.decode(dc)
-      if (t < 0 || t > 11) return None
-      val diffBits = if (t == 0) 0 else br.bits(t)
-      if (diffBits < 0) return None
-      pred += extend(diffBits, t)
-      coef(0) = pred * qtab(0)
-      var k = 1
-      var eob = false
-      while (k < 64 && !eob) {
-        val rs = br.decode(ac)
-        if (rs < 0) return None
-        val r = rs >> 4; val s = rs & 0x0f
-        if (s == 0) {
-          if (r == 15) k += 16 // ZRL
-          else eob = true // EOB
-        } else {
-          k += r
-          if (k > 63) return None
-          val v = br.bits(s)
-          if (v < 0) return None
-          coef(Zigzag(k)) = extend(v, s) * qtab(Zigzag(k))
-          k += 1
-        }
-      }
-      // IDCT + level shift + clamp into the image (clip block overhang)
-      val bx = (mcu % bw8) * 8
-      val by = (mcu / bw8) * 8
-      var y = 0
-      while (y < 8) {
-        val py = by + y
-        if (py < height) {
-          var x = 0
-          while (x < 8) {
-            val px = bx + x
-            if (px < width) {
-              var sum = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  val cu = if (u == 0) InvSqrt2 else 1.0
-                  val cv = if (v == 0) InvSqrt2 else 1.0
-                  val c = coef(v * 8 + u)
-                  if (c != 0) sum += cu * cv * c * Cos(x)(u) * Cos(y)(v)
-                  u += 1
-                }
-                v += 1
+      val mx = (mcu % mcusX).toInt
+      val my = (mcu / mcusX).toInt
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val qtab = quant(c.tq); val dc = dcTabs(c.dcSel); val ac = acTabs(c.acSel)
+        var v = 0
+        while (v < c.v) {
+          var h = 0
+          while (h < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            val t = br.decode(dc)
+            if (t < 0 || t > 11) return None
+            val diffBits = if (t == 0) 0 else br.bits(t)
+            if (diffBits < 0) return None
+            c.pred += extend(diffBits, t)
+            coef(0) = c.pred * qtab(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = br.decode(ac)
+              if (rs < 0) return None
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true // EOB
+              } else {
+                k += r
+                if (k > 63) return None
+                val vv = br.bits(s)
+                if (vv < 0) return None
+                coef(Zigzag(k)) = extend(vv, s) * qtab(Zigzag(k))
+                k += 1
               }
-              val s = math.round(sum / 4.0 + 128.0).toInt
-              pixels(py * width + px) = (if (s < 0) 0 else if (s > 255) 255 else s).toByte
             }
-            x += 1
+            idctInto(coef, c.plane, c.planeW, (mx * c.h + h) * 8, (my * c.v + v) * 8)
+            h += 1
           }
+          v += 1
         }
-        y += 1
+        ci += 1
       }
       mcu += 1
     }
-    Some((width, height, pixels))
+    Some(new Decoded(width, height, hmax, vmax, comps))
   }
 
-  /** Nearest-neighbor half-resize: full decode, keep even pixels/rows,
-    * re-encode. Non-decodable input passes through unchanged (the
-    * transform-stage contract shared with the other codecs).
+  private def idctInto(coef: Array[Int], plane: Array[Int], planeW: Int,
+                       x0: Int, y0: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) InvSqrt2 else 1.0
+              val cv = if (v == 0) InvSqrt2 else 1.0
+              sum += cu * cv * c * Cos(x)(u) * Cos(y)(v)
+            }
+            u += 1
+          }
+          v += 1
+        }
+        val s = math.round(sum / 4.0 + 128.0).toInt
+        plane((y0 + y) * planeW + x0 + x) = if (s < 0) 0 else if (s > 255) 255 else s
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // sample component c at image pixel (x, y) with box upsampling
+  private def sample(d: Decoded, c: Comp, x: Int, y: Int): Int =
+    c.plane((y * c.v / d.vmax) * c.planeW + (x * c.h / d.hmax))
+
+  /** Luma-plane decode (greyscale view of any supported flavor): the
+    * first component upsampled to image resolution. Returns (width,
+    * height, row-major pixels); None for unsupported/corrupted input.
+    */
+  def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!isJpeg(p)) return None
+    try decodeFrame(p).map { d =>
+      val out = new Array[Byte](d.width * d.height)
+      val c0 = d.comps(0)
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        while (x < d.width) { out(y * d.width + x) = sample(d, c0, x, y).toByte; x += 1 }
+        y += 1
+      }
+      (d.width, d.height, out)
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Full color rollout for 3-component scans: YCbCr -> RGB triples
+    * (JFIF matrix), chroma box-upsampled. None for non-color input.
+    */
+  def decodeRgb(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!isJpeg(p)) return None
+    try decodeFrame(p).filter(_.comps.length == 3).map { d =>
+      val out = new Array[Byte](d.width * d.height * 3)
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        while (x < d.width) {
+          val yy = sample(d, d.comps(0), x, y)
+          val cb = sample(d, d.comps(1), x, y) - 128
+          val cr = sample(d, d.comps(2), x, y) - 128
+          val i = (y * d.width + x) * 3
+          out(i) = clamp8(math.round(yy + 1.402 * cr).toInt)
+          out(i + 1) = clamp8(math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt)
+          out(i + 2) = clamp8(math.round(yy + 1.772 * cb).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      (d.width, d.height, out)
+    } catch { case _: RuntimeException => None }
+  }
+
+  private def clamp8(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  /** Nearest-neighbor half-resize: full decode, keep even pixels/rows
+    * of the luma plane, re-encode greyscale. Non-decodable input passes
+    * through unchanged (the transform-stage contract shared with the
+    * other codecs).
     */
   def resizeHalf(p: Array[Byte]): Array[Byte] =
     decodePixels(p) match {

@@ -1393,6 +1393,35 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodePixels(prog).isEmpty)
   }
 
+  test("4:2:0 color round-trip: luma and RGB within subsampling error bounds") {
+    // smooth color gradient (box-averaged chroma loses little on it)
+    val w = 37; val h = 22 // non-multiple-of-16 exercises MCU clipping
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (4 * x + 2 * y).toByte
+      rgb(i + 1) = (200 - 3 * x).toByte
+      rgb(i + 2) = (3 * x + 4 * y).toByte
+    }
+    val enc = Jpeg.jpegColor420(rgb, w, h)
+    assert(MediaCodec.decode(enc) == MediaCodec.Meta("jpeg", w, h, 3, 0, 8))
+    // luma view matches the JFIF Y formula
+    val Some((dw, dh, luma)) = Jpeg.decodePixels(enc)
+    assert(dw == w && dh == h)
+    val lumaErr = (0 until w * h).map { i =>
+      val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val b = rgb(3 * i + 2) & 0xff
+      math.abs((luma(i) & 0xff) - math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt)
+    }
+    assert(lumaErr.max <= 16, s"max luma error ${lumaErr.max}")
+    // full RGB rollout within the chroma-subsampling bound
+    val Some((_, _, out)) = Jpeg.decodeRgb(enc)
+    val rgbErr = rgb.indices.map(i => math.abs((rgb(i) & 0xff) - (out(i) & 0xff)))
+    assert(rgbErr.max <= 24, s"max rgb error ${rgbErr.max}")
+    assert(rgbErr.sum.toDouble / rgbErr.size <= 4.0, "mean rgb error")
+    // greyscale input has no color rollout
+    assert(Jpeg.decodeRgb(Jpeg.jpeg(Array.fill[Byte](64)(9), 8, 8)).isEmpty)
+  }
+
   test("fuzz: random bytes, byte flips, truncations — decode never throws") {
     val rnd = new scala.util.Random(20260813L)
     (1 to 300).foreach { _ =>
@@ -1403,15 +1432,19 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.decodePixels(p)
       Jpeg.resizeHalf(p)
     }
-    val valid = Jpeg.jpeg(Array.tabulate[Byte](300)(_.toByte), 20, 15)
-    (1 to 500).foreach { _ =>
-      val m = valid.clone()
-      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
-      MediaCodec.decode(m)
-      Jpeg.decodePixels(m)
-      val t = m.take(rnd.nextInt(m.length + 1))
-      MediaCodec.decode(t)
-      Jpeg.decodePixels(t)
+    val grey = Jpeg.jpeg(Array.tabulate[Byte](300)(_.toByte), 20, 15)
+    val color = Jpeg.jpegColor420(Array.tabulate[Byte](20 * 15 * 3)(i => (i % 251).toByte), 20, 15)
+    Seq(grey, color).foreach { valid =>
+      (1 to 400).foreach { _ =>
+        val m = valid.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        MediaCodec.decode(m)
+        Jpeg.decodePixels(m)
+        Jpeg.decodeRgb(m)
+        val t = m.take(rnd.nextInt(m.length + 1))
+        MediaCodec.decode(t)
+        Jpeg.decodePixels(t)
+      }
     }
   }
 }
