@@ -651,6 +651,14 @@ object SparkEntry {
           Multimodal.withMediaPayload(t(s, dir, "documents"), "text", "doc_id"), "doc_id"), "doc_id")
         .select("doc_id", "kind", "width", "height", "channels", "sample_rate", "bit_depth")),
 
+    // image near-dup over DECODED PIXELS: a planted 32-image corpus
+    // (16 jittered pairs) runs the full 4:2:0 color encode -> entropy
+    // decode -> luma dHash -> Manku band-join -> hamming verify
+    // pipeline; the planted pair structure is an integer-algebra fact
+    // the oracle states directly, the engine must earn it end-to-end
+    "q_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDup(Multimodal.plantedImages(s, 32), "payload", "doc_id")),
+
     // ---- temporal joins (operators Spark lacks, in 100 TB shapes) ----
     // as-of join: each purchase gets the user's latest at-or-before
     // click value — union + running last_value, ONE shuffle, no range
@@ -2077,6 +2085,12 @@ object SparkEntry {
         |  CAST(CASE f WHEN 2 THEN (8000 + n % 8000) // 2 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(CASE f WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth
         |FROM h""".stripMargin,
+
+    // the planted image corpus's TRUE near-dup structure: every even
+    // id pairs with id+1 (jittered copy), nothing else is near
+    "q_image_neardup" ->
+      """SELECT CAST(2 * i AS BIGINT) AS doc_a, CAST(2 * i + 1 AS BIGINT) AS doc_b
+        |FROM range(16) t(i)""".stripMargin,
 
     // as-of via the same union + running-last algebra (DuckDB's native
     // ASOF JOIN breaks ties arbitrarily; the union form is exact)

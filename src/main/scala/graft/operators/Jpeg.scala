@@ -51,9 +51,11 @@ object Jpeg {
     q
   }
 
-  // cosine basis c(x)(u) = cos((2x+1) u pi / 16), shared by FDCT/IDCT
+  // cosine basis c(x)(u) = cos((2x+1) u pi / 16), shared by FDCT/IDCT.
+  // StrictMath: bit-identical tables on every JVM/platform, so encode/
+  // decode results are reproducible enough to pin in oracles
   private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
-    math.cos((2 * x + 1) * u * math.Pi / 16)
+    StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16)
   }
   private val InvSqrt2 = 1.0 / math.sqrt(2.0)
 

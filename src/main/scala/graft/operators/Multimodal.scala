@@ -12,13 +12,11 @@ import org.apache.spark.sql.types._
   * (/root/reference/crates/esvc-wasm/src/lib.rs:11-15).
   *
   * Decoding is REAL from-spec container parsing ([[MediaCodec]]:
-  * PNG IHDR, BMP BITMAPINFOHEADER, WAV RIFF/fmt — pure-JVM byte
-  * parsing, since the container ships no codec libraries). Payloads
-  * the parser does not recognize surface as kind `unknown` with
-  * sentinel-0 metadata rather than failing the pipeline. Full
-  * pixel/sample decode of compressed codecs (JPEG/MP3/H.264) would
-  * slot into the same per-partition decoder via JNI/FFI or a Python
-  * `mapInPandas` stage.
+  * PNG IHDR, BMP BITMAPINFOHEADER, WAV RIFF/fmt, and full baseline
+  * [[Jpeg]] entropy decode — pure-JVM byte parsing, since the
+  * container ships no codec libraries). Payloads the parser does not
+  * recognize surface as kind `unknown` with sentinel-0 metadata
+  * rather than failing the pipeline.
   */
 object Multimodal {
   val featureSchema: StructType = StructType(Seq(
@@ -107,5 +105,174 @@ object Multimodal {
       }
     }.toDF("doc_id", "n_bytes", "payload_sha256", "kind",
       "width", "height", "channels", "sample_rate", "bit_depth")
+  }
+
+  /** Perceptual difference hash (dHash) of an image payload: decode the
+    * luma plane (PNG greyscale via [[MediaCodec]] plumbing is not
+    * needed here — JPEG/BMP luma suffices for the payload kinds that
+    * carry pixels; non-image payloads hash to null), box-resize to a
+    * 9x8 grid, emit 64 bits = "is cell brighter than its right
+    * neighbor" per row. Robust to re-encoding, scaling and small
+    * edits — the standard image near-dup fingerprint.
+    */
+  private[operators] def dhashOf(payload: Array[Byte]): Option[String] = {
+    val luma: Option[(Int, Int, Array[Byte])] = MediaCodec.decode(payload).kind match {
+      case "jpeg" => Jpeg.decodePixels(payload)
+      case "bmp" => bmpLuma(payload)
+      case _ => None
+    }
+    luma.filter { case (w, h, _) => w >= 9 && h >= 8 }.map { case (w, h, px) =>
+      // 9x8 box means (integer arithmetic — deterministic everywhere)
+      val cells = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * 9 / w, 8)
+          cells(cy)(cx) += px(y * w + x) & 0xff
+          cnts(cy)(cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val sb = new StringBuilder(64)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          // compare mean brightness via cross-multiplication (exact)
+          val l = cells(r)(c) * cnts(r)(c + 1)
+          val rt = cells(r)(c + 1) * cnts(r)(c)
+          sb.append(if (l > rt) '1' else '0')
+          c += 1
+        }
+        r += 1
+      }
+      sb.result()
+    }
+  }
+
+  // 24bpp bottom-up BMP -> luma plane (BT.601 on B,G,R byte order)
+  private def bmpLuma(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val m = MediaCodec.decode(p)
+    if (m.kind != "bmp" || m.bitDepth != 24 || m.width <= 0 || m.height <= 0) return None
+    val w = m.width; val h = m.height
+    val rowSize = (w * 3 + 3) / 4 * 4
+    if (54 + rowSize.toLong * h > p.length) return None
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = 54 + (h - 1 - y) * rowSize + 3 * x // bottom-up rows
+        val b = p(o) & 0xff; val g = p(o + 1) & 0xff; val r = p(o + 2) & 0xff
+        out(y * w + x) = math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt
+          .min(255).max(0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  val dhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) => if (payload == null) None else dhashOf(payload) }
+
+  /** Image near-duplicate pairs over a binary payload column: dHash
+    * fingerprints, Manku-banded into `chunks` substrings (a pair with
+    * hamming < chunks is guaranteed a candidate), hot buckets capped,
+    * codegen'd hamming verify. The image analog of
+    * [[Dedup.simhashNearDup]] — candidates exist only inside a band
+    * bucket, never all-pairs.
+    */
+  def imageNearDup(docs: DataFrame, payloadCol: String, idCol: String,
+                   chunks: Int = 4, maxHamming: Int = 10,
+                   bucketCap: Int = 128): DataFrame = {
+    val width = 64 / chunks
+    val dh = docs.select(col(idCol).cast("long").as("doc_id"),
+        dhash64(col(payloadCol)).as("dh"))
+      .filter(col("dh").isNotNull)
+      .localCheckpoint()
+    val banded = Dedup.capBucket(
+      dh.select(col("doc_id"), explode(array(
+        (0 until chunks).map(c =>
+          concat(lit(s"$c:"), substring(col("dh"), c * width + 1, width))): _*)).as("chunk")),
+      "chunk", "doc_id", bucketCap)
+    val cand = banded.as("l").join(banded.as("r"), Seq("chunk"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(dh.select(col("doc_id").as("doc_a"), col("dh").as("dh_a")), "doc_a")
+      .join(dh.select(col("doc_id").as("doc_b"), col("dh").as("dh_b")), "doc_b")
+      .withColumn("hamming",
+        graft.functions.HammingCol(col("dh_a"), col("dh_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Deterministic planted image corpus for the oracle-gated image
+    * near-dup pipeline: `n` images in `n/2` pairs. Each even id is a
+    * 9x8 grid of 8x8-pixel blocks with LCG-derived intensities
+    * (horizontal neighbors forced >= 30 levels apart); id+1 is the
+    * same image with +-3 jitter on an LCG-chosen block subset. By
+    * construction (i, i+1) are dHash-identical-or-near and distinct
+    * bases are ~32 bits apart, so the TRUE near-dup pairs are exactly
+    * the planted ones — an integer-algebra fact a SQL oracle states
+    * directly, while the engine must earn it through the full
+    * encode -> decode -> dhash -> band-join pipeline.
+    */
+  def plantedImages(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val base = id / 2
+      val jittered = id % 2 == 1
+      def mix(a: Long, b: Long, c: Long): Long = {
+        var x = a * 6364136223846793005L + b * 1442695040888963407L + c + 0x9e3779b97f4a7c15L
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+        x & Long.MaxValue
+      }
+      val w = 72; val h = 64
+      val vals = Array.ofDim[Int](8, 9)
+      var cy = 0
+      // pass 1: base grid + equal-neighbor fixup — IDENTICAL for both
+      // members of a pair, so the pair differs only by the jitter
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 9) {
+          var v = (30 * (1 + (mix(base, cx, cy * 131) % 7))).toInt // 30..210
+          if (cx > 0 && v == vals(cy)(cx - 1)) v = if (v + 30 <= 210) v + 30 else v - 30
+          vals(cy)(cx) = v
+          cx += 1
+        }
+        cy += 1
+      }
+      if (jittered) {
+        cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 9) {
+            if (mix(base, cx * 17, cy * 257 + 1) % 3 == 0) vals(cy)(cx) += 3
+            cx += 1
+          }
+          cy += 1
+        }
+      }
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = vals(y / 8)(x / 8).toByte
+          val i = (y * w + x) * 3
+          rgb(i) = v; rgb(i + 1) = v; rgb(i + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      Jpeg.jpegColor420(rgb, w, h)
+    }
+    spark.range(n).select(col("id").as("doc_id"), mk(col("id")).as("payload"))
   }
 }

@@ -247,6 +247,23 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(rows(2L) == (("wav", 0, 0, 1, 8000 + 700 % 8000, 8)))
     assert(rows(3L) == (("jpeg", 124, 6, 1, 0, 8))) // w = 699%192+1 = 124, h = ceil(700/124) = 6
   }
+
+  test("image near-dup recovers exactly the planted jittered pairs") {
+    val imgs = Multimodal.plantedImages(spark, 12)
+    // dHash survives the jpeg round trip: pair hamming small, distinct
+    // bases far apart
+    val dh = imgs.select(col("doc_id"), Multimodal.dhash64(col("payload")).as("dh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dh.values.forall(v => v != null && v.length == 64))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    (0 until 12 by 2).foreach { i =>
+      assert(ham(dh(i.toLong), dh(i + 1L)) <= 6, s"pair ($i,${i + 1}) too far")
+    }
+    assert(ham(dh(0L), dh(2L)) > 10 && ham(dh(4L), dh(8L)) > 10)
+    val pairs = Multimodal.imageNearDup(imgs, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 12 by 2).map(i => (i.toLong, i + 1L)).toSet)
+  }
 }
 
 /** From-spec container codecs: writers must emit valid files byte-wise
