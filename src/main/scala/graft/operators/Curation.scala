@@ -280,6 +280,61 @@ object Curation {
           " ").as("chunk_text"))
   }
 
+  /** One sliding k-gram key per window position. */
+  case class GramPos(pos: Long, h: Long)
+
+  /** splitmix64 finalizer — avalanches the linear structure of the
+    * polynomial rolling hash (and of the 32+32-bit token hash pair)
+    * so the band/partition assignment downstream sees uniform bits.
+    * Equality-preserving, so gram-key semantics are unchanged.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** All sliding k-gram 64-bit keys of a token array in ONE imperative
+    * pass: each token is hashed once (two MurmurHash3 seeds packed
+    * into a Long, avalanched), then a degree-(k-1) polynomial in an
+    * odd 64-bit base rolls across positions with one multiply-add and
+    * one subtract per step — O(n) total versus the O(n·k) string
+    * rebuild + md5 of the per-position slice formulation. Total on
+    * null/short input (also usable standalone).
+    */
+  private[graft] val gramHashUdf = udf { (toks: Seq[String], k: Int) =>
+    val n = if (toks == null) 0 else toks.length
+    if (n < k) Seq.empty[GramPos]
+    else {
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val t = toks(i)
+        th(i) = mix64(
+          (scala.util.hashing.MurmurHash3.stringHash(t, 0xc0ffee).toLong << 32) |
+            (scala.util.hashing.MurmurHash3.stringHash(t, 0x5eed).toLong & 0xffffffffL))
+        i += 1
+      }
+      val B = 0x9e3779b97f4a7c15L // odd => invertible mod 2^64, full period
+      var powK = 1L
+      i = 1
+      while (i < k) { powK *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + th(i); i += 1 }
+      val out = new Array[GramPos](n - k + 1)
+      out(0) = GramPos(0L, mix64(h))
+      i = 1
+      while (i <= n - k) {
+        h = (h - th(i - 1) * powK) * B + th(i + k - 1)
+        out(i) = GramPos(i.toLong, mix64(h))
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
   /** Substring-level duplicated-span removal — the "Deduplicating
     * Training Data Makes Language Models Better" (Lee et al. 2022)
     * ExactSubstr operator at word granularity: any window of `k`
@@ -302,6 +357,19 @@ object Curation {
     * token removal is an EQUI anti-join, never a range-predicate
     * nested loop. Cheaper screens (winnowing, chunk, MinHash) are the
     * recall path; this is the precision path.
+    *
+    * Gram keys come from [[gramHashUdf]] — a single imperative pass
+    * per document (hash each token once, then O(1) rolling updates),
+    * the same ~5x-over-array-HOFs trade [[Dedup.winnowFpSets]]
+    * documents. The per-position `slice`+`array_join`+`md5`
+    * formulation this replaced rebuilt and re-hashed ~k tokens of
+    * string per position through Catalyst's generic array paths and
+    * was the single most expensive step of the whole bench. Equal
+    * grams always collide (hash of content), so correctness needs
+    * only "distinct grams don't": at 64 bits the birthday bound is
+    * ~n²/2⁶⁵ — negligible to ~100M grams; at 100 TB (~10¹³ grams)
+    * widen [[GramPos.h]] to a pair of independent 64-bit polynomials
+    * and key on the struct.
     */
   def substringDedup(docs: DataFrame, textCol: String, idCol: String,
                      k: Int = 8): DataFrame = {
@@ -311,11 +379,8 @@ object Curation {
         Dedup.tokens(col(textCol)).as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
     val grams = base.filter(col("n_tokens") >= k)
-      .select(col("doc_id"), col("__toks"),
-        explode(sequence(lit(0L), col("n_tokens") - k)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(array_join(slice(col("__toks"), (col("pos") + 1).cast("int"), lit(k)), " "))
-          .as("h"))
+      .select(col("doc_id"), explode(gramHashUdf(col("__toks"), lit(k))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
     val firsts = grams.groupBy("h")
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
