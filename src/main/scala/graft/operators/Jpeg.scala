@@ -9,20 +9,27 @@ import java.io.ByteArrayOutputStream
   * contract, /root/reference/crates/esvc-wasm/src/lib.rs:11-15).
   *
   * Encoders: 8-bit greyscale ([[jpeg]]) and 4:2:0 YCbCr color
-  * ([[jpegColor420]]) — both with self-describing canonical Huffman
-  * tables written into DHT (12 DC symbols at code length 4; all 162
-  * run/size AC symbols at code length 8 — valid canonical codes, no
-  * all-ones code, so any compliant decoder reads the stream;
+  * ([[jpegColor420]]), plus progressive (SOF2) twins
+  * ([[jpegProgressive]] with successive approximation on both bands,
+  * [[jpegProgressiveColor420]] with an interleaved DC scan and
+  * per-component AC scans) — all with self-describing canonical
+  * Huffman tables written into DHT (12 DC symbols at code length 4;
+  * all 162 run/size AC symbols at code length 8 — valid canonical
+  * codes, no all-ones code, so any compliant decoder reads the stream;
   * compression is mildly worse than the Annex K tables, which is
   * irrelevant here).
   *
-  * Decoder: generic baseline — parses DQT (8/16-bit), DHT (spec
-  * F.2.2.3 MINCODE/MAXCODE/VALPTR decode), SOF0/SOF1 with 1..3
-  * components at sampling factors 1..2 (4:4:4, 4:2:2, 4:2:0 and
-  * greyscale — the flavors that cover real web corpora), DRI + RSTn
-  * restart markers, byte-stuffed entropy data, interleaved MCU walk
-  * with per-component planes and box upsampling. [[decodePixels]]
-  * returns the luma plane (what downstream feature extraction wants);
+  * Decoder: generic — parses DQT (8/16-bit), DHT (spec F.2.2.3
+  * MINCODE/MAXCODE/VALPTR decode), SOF0/SOF1 baseline AND SOF2
+  * progressive (spectral selection + successive approximation, G.2:
+  * DC first/refine interleaved or not, AC first with EOB runs, AC
+  * refinement with correction bits) with 1..3 components at sampling
+  * factors 1..2 (4:4:4, 4:2:2, 4:2:0 and greyscale — the flavors that
+  * cover real web corpora; ~10% of real web JPEGs are progressive),
+  * DRI + RSTn restart markers, 0xff fill bytes before markers
+  * (B.1.1.2), byte-stuffed entropy data, interleaved MCU walk with
+  * per-component planes and box upsampling. [[decodePixels]] returns
+  * the luma plane (what downstream feature extraction wants);
   * [[decodeRgb]] the full color rollout. Corrupted or truncated input
   * returns None / Unknown — never throws.
   */
@@ -117,10 +124,11 @@ object Jpeg {
     block
   }
 
-  /** FDCT + quantize + Huffman-encode one block; returns the new DC
-    * predictor for this component.
+  /** FDCT + quantize one level-shifted block; coefficients returned in
+    * ZIGZAG order (index = zigzag position, the order entropy coding
+    * walks).
     */
-  private def encodeBlock(bw: BitWriter, block: Array[Double], pred: Int): Int = {
+  private def fdctQuant(block: Array[Double]): Array[Int] = {
     val coef = new Array[Int](64)
     var zi = 0
     while (zi < 64) {
@@ -141,6 +149,14 @@ object Jpeg {
       coef(zi) = math.round(sum * cu * cv / (4.0 * Quant(nat))).toInt
       zi += 1
     }
+    coef
+  }
+
+  /** FDCT + quantize + Huffman-encode one block; returns the new DC
+    * predictor for this component.
+    */
+  private def encodeBlock(bw: BitWriter, block: Array[Double], pred: Int): Int = {
+    val coef = fdctQuant(block)
     val diff = coef(0) - pred
     val dsz = magnitude(diff)
     bw.put(DcCode(dsz), 4)
@@ -163,7 +179,8 @@ object Jpeg {
   }
 
   private def writeHeaders(out: ByteArrayOutputStream, width: Int, height: Int,
-                           comps: Seq[(Int, Int)]): Unit = { // (id, HiVi byte)
+                           comps: Seq[(Int, Int)], // (id, HiVi byte)
+                           sofMarker: Int = 0xc0, withSos: Boolean = true): Unit = {
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, body: Array[Byte]): Unit = {
       marker(m); val n = body.length + 2
@@ -178,15 +195,194 @@ object Jpeg {
       ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
       comps.size.toByte) ++
       comps.flatMap { case (id, hv) => Seq(id.toByte, hv.toByte, 0.toByte) }
-    seg(0xc0, sof)
+    seg(sofMarker, sof)
     val dcBits = new Array[Byte](16); dcBits(3) = 12
     seg(0xc4, Array[Byte](0x00) ++ dcBits ++ DcSymbols.map(_.toByte))
     val acBits = new Array[Byte](16); acBits(7) = 162.toByte
     seg(0xc4, Array[Byte](0x10) ++ acBits ++ AcSymbols.map(_.toByte))
     // SOS: all components use DC/AC table 0, full spectral selection
-    seg(0xda, Array[Byte](comps.size.toByte) ++
-      comps.flatMap { case (id, _) => Seq(id.toByte, 0x00.toByte) } ++
-      Array[Byte](0, 63, 0))
+    if (withSos)
+      seg(0xda, Array[Byte](comps.size.toByte) ++
+        comps.flatMap { case (id, _) => Seq(id.toByte, 0x00.toByte) } ++
+        Array[Byte](0, 63, 0))
+  }
+
+  /** One progressive SOS header: component ids (all on DC/AC table 0),
+    * spectral band [ss, se], successive approximation ah -> al.
+    */
+  private def sosSegment(out: ByteArrayOutputStream, ids: Seq[Int],
+                         ss: Int, se: Int, ah: Int, al: Int): Unit = {
+    out.write(0xff); out.write(0xda)
+    val n = 2 + 1 + 2 * ids.size + 3
+    out.write((n >> 8) & 0xff); out.write(n & 0xff)
+    out.write(ids.size)
+    ids.foreach { id => out.write(id); out.write(0x00) }
+    out.write(ss); out.write(se); out.write((ah << 4) | al)
+  }
+
+  /** DC diff coding of one point-transformed DC value; returns it as
+    * the next predictor.
+    */
+  private def putDcDiff(bw: BitWriter, dcv: Int, pred: Int): Int = {
+    val diff = dcv - pred
+    val dsz = magnitude(diff)
+    bw.put(DcCode(dsz), 4)
+    if (dsz > 0) bw.put(if (diff < 0) diff + (1 << dsz) - 1 else diff, dsz)
+    dcv
+  }
+
+  /** AC-first progressive coding of one block's band [1, 63] at point
+    * transform `al` (G.1.2.2): sign-magnitude shift toward zero, runs +
+    * per-block EOB (an EOB run of 1 — legal, mildly suboptimal).
+    */
+  private def putAcFirst(bw: BitWriter, coef: Array[Int], al: Int): Unit = {
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = coef(k)
+      val t = if (v < 0) -((-v) >> al) else v >> al
+      if (t == 0) run += 1
+      else {
+        while (run > 15) { bw.put(AcCode(0xf0), 8); run -= 16 }
+        val sz = magnitude(t)
+        bw.put(AcCode((run << 4) | sz), 8)
+        bw.put(if (t < 0) t + (1 << sz) - 1 else t, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(AcCode(0x00), 8)
+  }
+
+  /** AC refinement coding of one block (G.1.2.3, the libjpeg shape):
+    * already-nonzero coefficients get a buffered correction bit (bit
+    * `al` of the magnitude), newly nonzero ones are coded as run/1 +
+    * sign; buffered bits flush after each symbol; trailing run and
+    * corrections fold into a per-block EOB.
+    */
+  private def putAcRefine(bw: BitWriter, coef: Array[Int], al: Int): Unit = {
+    var eobIdx = 0
+    var k = 1
+    while (k < 64) { if (math.abs(coef(k)) >> al == 1) eobIdx = k; k += 1 }
+    val brBits = new scala.collection.mutable.ArrayBuffer[Int]()
+    def flushBr(): Unit = { brBits.foreach(b => bw.put(b, 1)); brBits.clear() }
+    var run = 0
+    k = 1
+    while (k < 64) {
+      val t = math.abs(coef(k)) >> al
+      if (t == 0) run += 1
+      else {
+        while (run > 15 && k <= eobIdx) { // ZRL, unless foldable into EOB
+          bw.put(AcCode(0xf0), 8); run -= 16; flushBr()
+        }
+        if (t > 1) brBits += (t & 1) // nonzero history: correction bit
+        else { // newly nonzero: run/1 + sign, then the buffered bits
+          bw.put(AcCode((run << 4) | 1), 8)
+          bw.put(if (coef(k) < 0) 0 else 1, 1)
+          flushBr()
+          run = 0
+        }
+      }
+      k += 1
+    }
+    if (run > 0 || brBits.nonEmpty) { bw.put(AcCode(0x00), 8); flushBr() }
+  }
+
+  /** Progressive (SOF2) greyscale twin of [[jpeg]]: same pixels, four
+    * scans exercising the full G.2 decode surface — DC first at Al=1,
+    * AC first [1,63] at Al=1, then DC and AC refinement to Al=0
+    * (successive approximation on both bands).
+    */
+  def jpegProgressive(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpegProgressive: non-positive dimensions")
+    val plane = new Array[Int](width * height)
+    var i = 0
+    while (i < plane.length) { plane(i) = if (i < content.length) content(i) & 0xff else 0; i += 1 }
+    val bw8 = (width + 7) / 8
+    val bh8 = (height + 7) / 8
+    val blocks = Array.tabulate(bh8 * bw8)(b =>
+      fdctQuant(loadBlock(plane, width, height, (b % bw8) * 8, (b / bw8) * 8)))
+    val out = new ByteArrayOutputStream()
+    writeHeaders(out, width, height, Seq((1, 0x11)), sofMarker = 0xc2, withSos = false)
+    sosSegment(out, Seq(1), 0, 0, 0, 1) // DC first, reduced precision
+    locally {
+      val w = new BitWriter(out)
+      var pred = 0
+      blocks.foreach { c => pred = putDcDiff(w, c(0) >> 1, pred) }
+      w.flush()
+    }
+    sosSegment(out, Seq(1), 1, 63, 0, 1) // AC first, reduced precision
+    locally { val w = new BitWriter(out); blocks.foreach(putAcFirst(w, _, 1)); w.flush() }
+    sosSegment(out, Seq(1), 0, 0, 1, 0) // DC refinement: one raw bit per block
+    locally { val w = new BitWriter(out); blocks.foreach(c => w.put(c(0) & 1, 1)); w.flush() }
+    sosSegment(out, Seq(1), 1, 63, 1, 0) // AC refinement
+    locally { val w = new BitWriter(out); blocks.foreach(putAcRefine(w, _, 0)); w.flush() }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Progressive (SOF2) 4:2:0 color twin of [[jpegColor420]]: an
+    * interleaved DC scan over all three components (the multi-component
+    * MCU walk of G.2) followed by one full-band AC scan per component
+    * (the non-interleaved per-component block raster, including the
+    * subsampled chroma grids).
+    */
+  def jpegProgressiveColor420(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpegProgressiveColor420: non-positive dimensions")
+    val (yP, cbP, crP, cw, ch) = rgbToPlanes420(rgb, width, height)
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    def grid(plane: Array[Int], pw: Int, ph: Int, gw: Int, gh: Int): Array[Array[Int]] =
+      Array.tabulate(gh * gw)(b =>
+        fdctQuant(loadBlock(plane, pw, ph, (b % gw) * 8, (b / gw) * 8)))
+    // DC scans cover the PADDED MCU grid; AC scans only the real blocks
+    val yB = grid(yP, width, height, 2 * mcusX, 2 * mcusY)
+    val cbB = grid(cbP, cw, ch, mcusX, mcusY)
+    val crB = grid(crP, cw, ch, mcusX, mcusY)
+    val out = new ByteArrayOutputStream()
+    writeHeaders(out, width, height, Seq((1, 0x22), (2, 0x11), (3, 0x11)),
+      sofMarker = 0xc2, withSos = false)
+    sosSegment(out, Seq(1, 2, 3), 0, 0, 0, 0) // interleaved DC, full precision
+    locally {
+      val w = new BitWriter(out)
+      var pY = 0; var pCb = 0; var pCr = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var v = 0
+          while (v < 2) {
+            var h = 0
+            while (h < 2) {
+              pY = putDcDiff(w, yB((2 * my + v) * (2 * mcusX) + 2 * mx + h)(0), pY)
+              h += 1
+            }
+            v += 1
+          }
+          pCb = putDcDiff(w, cbB(my * mcusX + mx)(0), pCb)
+          pCr = putDcDiff(w, crB(my * mcusX + mx)(0), pCr)
+          mx += 1
+        }
+        my += 1
+      }
+      w.flush()
+    }
+    def acScan(id: Int, blocks: Array[Array[Int]], gw: Int, bwReal: Int, bhReal: Int): Unit = {
+      sosSegment(out, Seq(id), 1, 63, 0, 0)
+      val w = new BitWriter(out)
+      var by = 0
+      while (by < bhReal) {
+        var bx = 0
+        while (bx < bwReal) { putAcFirst(w, blocks(by * gw + bx), 0); bx += 1 }
+        by += 1
+      }
+      w.flush()
+    }
+    acScan(1, yB, 2 * mcusX, (width + 7) / 8, (height + 7) / 8)
+    acScan(2, cbB, mcusX, (cw + 7) / 8, (ch + 7) / 8)
+    acScan(3, crB, mcusX, (cw + 7) / 8, (ch + 7) / 8)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Encode `content` bytes as the pixels of a width x height 8-bit
@@ -225,6 +421,43 @@ object Jpeg {
     */
   def jpegColor420(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
     require(width > 0 && height > 0, "jpegColor420: non-positive dimensions")
+    val (yP, cbP, crP, cw, ch) = rgbToPlanes420(rgb, width, height)
+    val out = new ByteArrayOutputStream()
+    writeHeaders(out, width, height, Seq((1, 0x22), (2, 0x11), (3, 0x11)))
+    val bw = new BitWriter(out)
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    var predY = 0; var predCb = 0; var predCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v = 0
+        while (v < 2) {
+          var h = 0
+          while (h < 2) {
+            predY = encodeBlock(bw,
+              loadBlock(yP, width, height, mx * 16 + h * 8, my * 16 + v * 8), predY)
+            h += 1
+          }
+          v += 1
+        }
+        predCb = encodeBlock(bw, loadBlock(cbP, cw, ch, mx * 8, my * 8), predCb)
+        predCr = encodeBlock(bw, loadBlock(crP, cw, ch, mx * 8, my * 8), predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** JFIF RGB -> (Y, Cb, Cr) planes with 2x2 box-averaged chroma; the
+    * shared front half of the 4:2:0 encoders.
+    */
+  private def rgbToPlanes420(rgb: Array[Byte], width: Int, height: Int)
+      : (Array[Int], Array[Int], Array[Int], Int, Int) = {
     val yP = new Array[Int](width * height)
     val cw = (width + 1) / 2; val ch = (height + 1) / 2
     val cbP = new Array[Int](cw * ch)
@@ -267,35 +500,7 @@ object Jpeg {
       }
       cy += 1
     }
-    val out = new ByteArrayOutputStream()
-    writeHeaders(out, width, height, Seq((1, 0x22), (2, 0x11), (3, 0x11)))
-    val bw = new BitWriter(out)
-    val mcusX = (width + 15) / 16
-    val mcusY = (height + 15) / 16
-    var predY = 0; var predCb = 0; var predCr = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        var v = 0
-        while (v < 2) {
-          var h = 0
-          while (h < 2) {
-            predY = encodeBlock(bw,
-              loadBlock(yP, width, height, mx * 16 + h * 8, my * 16 + v * 8), predY)
-            h += 1
-          }
-          v += 1
-        }
-        predCb = encodeBlock(bw, loadBlock(cbP, cw, ch, mx * 8, my * 8), predCb)
-        predCr = encodeBlock(bw, loadBlock(crP, cw, ch, mx * 8, my * 8), predCr)
-        mx += 1
-      }
-      my += 1
-    }
-    bw.flush()
-    out.write(0xff); out.write(0xd9) // EOI
-    out.toByteArray
+    (yP, cbP, crP, cw, ch)
   }
 
   // ---- decoder -------------------------------------------------------
@@ -311,6 +516,8 @@ object Jpeg {
     var o = 2
     while (o + 4 <= p.length) {
       if ((p(o) & 0xff) != 0xff) return None
+      // optional 0xff fill bytes before any marker (T.81 B.1.1.2)
+      while (o + 4 <= p.length && (p(o + 1) & 0xff) == 0xff) o += 1
       val m = p(o + 1) & 0xff
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { o += 2 } // standalone
       else if (m == 0xd9) return None // EOI before a frame
@@ -404,6 +611,13 @@ object Jpeg {
     var plane: Array[Int] = null
     var planeW = 0
     var planeH = 0
+    // progressive only: raw (unquantized, Al-scaled) DCT coefficients
+    // accumulated across scans — one 64-int block per padded block
+    var coefs: Array[Int] = null
+    var bwPad = 0 // padded block grid (mcusX*h x mcusY*v)
+    var bhPad = 0
+    var bw = 0 // real block dims (non-interleaved scans code only these)
+    var bh = 0
   }
 
   private final class Decoded(val width: Int, val height: Int,
@@ -423,11 +637,19 @@ object Jpeg {
     var restartInterval = 0
     var o = 2
     var sos = -1
-    while (sos < 0 && o + 4 <= p.length) {
+    var progressive = false
+    var progScans = 0
+    var finished = false
+    while (sos < 0 && !finished && o + 4 <= p.length) {
       if ((p(o) & 0xff) != 0xff) return None
+      // optional 0xff fill bytes before any marker (T.81 B.1.1.2)
+      while (o + 4 <= p.length && (p(o + 1) & 0xff) == 0xff) o += 1
       val m = p(o + 1) & 0xff
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { o += 2 }
-      else if (m == 0xd9) return None
+      else if (m == 0xd9) {
+        // EOI: legal end for a progressive stream with >=1 decoded scan
+        if (progressive && progScans > 0) finished = true else return None
+      }
       else {
         val len = ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
         if (len < 2 || o + 2 + len > p.length) return None
@@ -465,9 +687,10 @@ object Jpeg {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               q += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0/1 baseline
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline, SOF2 progressive
             if (len < 8) return None
             if ((p(b) & 0xff) != 8) return None // 8-bit precision only
+            progressive = m == 0xc2
             height = ((p(b + 1) & 0xff) << 8) | (p(b + 2) & 0xff)
             width = ((p(b + 3) & 0xff) << 8) | (p(b + 4) & 0xff)
             val nc = p(b + 5) & 0xff
@@ -478,12 +701,12 @@ object Jpeg {
               new Comp(p(cb) & 0xff, (hv >> 4) & 0x0f, hv & 0x0f, p(cb + 2) & 0x0f)
             }
             if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)) return None
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive / hierarchical: metadata-only flavors
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless / arithmetic / hierarchical: metadata-only
           case 0xdd => // DRI
             if (len != 4) return None
             restartInterval = ((p(b) & 0xff) << 8) | (p(b + 1) & 0xff)
-          case 0xda => // SOS: single interleaved scan over all comps
+          case 0xda if !progressive => // SOS: single interleaved scan
             if (comps == null) return None
             val ns = p(b) & 0xff
             if (ns != comps.length || b + 1 + 2 * ns > end) return None
@@ -496,10 +719,55 @@ object Jpeg {
               i += 1
             }
             sos = end // entropy data starts after the header
+          case 0xda => // SOS, progressive: one of many band/precision scans
+            if (comps == null || width <= 0 || height <= 0) return None
+            if (width.toLong * height > (1L << 26)) return None
+            if (comps.exists(c => c.coefs == null)) {
+              val hmax0 = comps.map(_.h).max
+              val vmax0 = comps.map(_.v).max
+              val mx0 = (width + 8 * hmax0 - 1) / (8 * hmax0)
+              val my0 = (height + 8 * vmax0 - 1) / (8 * vmax0)
+              comps.foreach { c =>
+                c.bwPad = mx0 * c.h
+                c.bhPad = my0 * c.v
+                c.bw = ((width * c.h + hmax0 - 1) / hmax0 + 7) / 8
+                c.bh = ((height * c.v + vmax0 - 1) / vmax0 + 7) / 8
+                c.coefs = new Array[Int](c.bwPad * c.bhPad * 64)
+              }
+            }
+            val ns = p(b) & 0xff
+            if (ns < 1 || ns > comps.length || b + 4 + 2 * ns > end) return None
+            val scanComps = new Array[Comp](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = p(b + 1 + 2 * i) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcSel = (p(b + 2 + 2 * i) & 0xf0) >> 4
+              c.acSel = p(b + 2 + 2 * i) & 0x0f
+              scanComps(i) = c
+              i += 1
+            }
+            val ss = p(b + 1 + 2 * ns) & 0xff
+            val se = p(b + 2 + 2 * ns) & 0xff
+            val ah = (p(b + 3 + 2 * ns) & 0xf0) >> 4
+            val al = p(b + 3 + 2 * ns) & 0x0f
+            val endPos = decodeProgScan(p, end, scanComps, ss, se, ah, al,
+              restartInterval, dcTabs, acTabs)
+            if (endPos < 0) return None
+            progScans += 1
+            // resume the marker walk at the next true marker (skipping
+            // entropy padding, stuffed bytes and RSTn); -1 = stream end
+            val nm = nextMarker(p, (endPos - 2).max(end))
+            if (nm < 0) finished = true else o = nm
           case _ => () // APPn, COM, others: skip
         }
-        o = end
+        if (!finished && m != 0xda) o = end
       }
+    }
+    if (progressive) {
+      if (progScans == 0 || comps == null) return None
+      comps.foreach { c => if (quant(c.tq) == null) return None }
+      return Some(reconstructProgressive(width, height, quant, comps))
     }
     if (sos < 0 || width <= 0 || height <= 0 || comps == null) return None
     // allocation guard: refuse pathological header dims (corrupted or
@@ -572,6 +840,241 @@ object Jpeg {
       mcu += 1
     }
     Some(new Decoded(width, height, hmax, vmax, comps))
+  }
+
+  /** Position of the next true marker at/after `from`: skips entropy
+    * padding, stuffed 0xff00 pairs, 0xff fill bytes and RSTn. -1 when
+    * the stream ends first.
+    */
+  private def nextMarker(p: Array[Byte], from: Int): Int = {
+    var i = from.max(0)
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xff) == 0xff) {
+        val b2 = p(i + 1) & 0xff
+        if (b2 == 0xff) i += 1 // fill byte
+        else if (b2 == 0x00 || (b2 >= 0xd0 && b2 <= 0xd7)) i += 2
+        else return i
+      } else i += 1
+    }
+    -1
+  }
+
+  /** Decode ONE progressive scan (T.81 G.2) into the components'
+    * coefficient buffers: DC first/refinement (interleaved or not), AC
+    * first with EOB-run coding, AC refinement per G.1.2.3 (correction
+    * bits on already-nonzero coefficients, new coefficients at +-2^Al).
+    * Returns the position after the scan's entropy data, or -1 on any
+    * corruption (callers degrade to None, never throw).
+    */
+  private def decodeProgScan(p: Array[Byte], start: Int, scanComps: Array[Comp],
+                             ss: Int, se: Int, ah: Int, al: Int,
+                             restartInterval: Int,
+                             dcTabs: Array[HuffTable], acTabs: Array[HuffTable]): Int = {
+    val ns = scanComps.length
+    if (ss == 0 && se != 0) return -1 // DC band is exactly [0,0]
+    if (ss > 0 && (ns != 1 || se < ss || se > 63)) return -1 // AC: one comp
+    if (al > 13 || ah > 13) return -1
+    val dcScan = ss == 0
+    if (dcScan && ah == 0 && scanComps.exists(c => dcTabs(c.dcSel) == null)) return -1
+    if (!dcScan && acTabs(scanComps(0).acSel) == null) return -1
+    scanComps.foreach(_.pred = 0)
+    val br = new BitReader(p, start)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    // correction bit for a history-nonzero coefficient (two's-complement
+    // OR/add trick works for negatives — matches the encoder's
+    // (|v| >> Al) & 1 emission)
+    def refineNonzero(c: Comp, z: Int): Boolean = {
+      val b = br.bit(); if (b < 0) return false
+      if (b == 1 && (c.coefs(z) & p1) == 0)
+        c.coefs(z) += (if (c.coefs(z) >= 0) p1 else m1)
+      true
+    }
+
+    def dcUnit(c: Comp, off: Int): Boolean =
+      if (ah == 0) {
+        val t = br.decode(dcTabs(c.dcSel))
+        if (t < 0 || t > 11) false
+        else {
+          var diff = 0
+          if (t > 0) { val v = br.bits(t); if (v < 0) return false; diff = extend(v, t) }
+          c.pred += diff
+          c.coefs(off) = c.pred << al
+          true
+        }
+      } else {
+        val b = br.bit()
+        if (b < 0) false
+        else { if (b == 1) c.coefs(off) |= p1; true }
+      }
+
+    def acFirstUnit(c: Comp, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val ac = acTabs(c.acSel)
+      var k = ss
+      while (k <= se) {
+        val rs = br.decode(ac); if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r < 15) { // EOBn: run of 2^r + appended bits (this block included)
+            eobrun = (1 << r) - 1
+            if (r > 0) { val eb = br.bits(r); if (eb < 0) return false; eobrun += eb }
+            return true
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) return false
+          val v = br.bits(s); if (v < 0) return false
+          c.coefs(off + Zigzag(k)) = extend(v, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefineUnit(c: Comp, off: Int): Boolean = {
+      val ac = acTabs(c.acSel)
+      var k = ss
+      var eobHit = eobrun > 0
+      if (!eobHit) {
+        var stop = false
+        while (k <= se && !stop) {
+          val rs = br.decode(ac); if (rs < 0) return false
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var newval = 0
+          if (s != 0) {
+            if (s != 1) return false // new coefficients are +-1 by construction
+            val b = br.bit(); if (b < 0) return false
+            newval = if (b == 1) p1 else m1
+          } else if (r < 15) {
+            eobrun = 1 << r
+            if (r > 0) { val eb = br.bits(r); if (eb < 0) return false; eobrun += eb }
+            eobHit = true; stop = true
+          }
+          if (!stop) {
+            // advance over r zero-history slots (refining nonzero ones en
+            // route), then place the new value; ZRL is the newval == 0,
+            // r == 15 flavor (skips exactly 16 zero-history slots)
+            var placed = false
+            while (k <= se && !placed) {
+              val z = off + Zigzag(k)
+              if (c.coefs(z) != 0) {
+                if (!refineNonzero(c, z)) return false
+              } else if (r == 0) {
+                if (newval != 0) c.coefs(z) = newval
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobHit) {
+        // EOB region: every remaining history-nonzero coefficient still
+        // carries one correction bit; then count this block off the run
+        while (k <= se) {
+          val z = off + Zigzag(k)
+          if (c.coefs(z) != 0 && !refineNonzero(c, z)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    def unit(c: Comp, off: Int): Boolean =
+      if (dcScan) dcUnit(c, off)
+      else if (ah == 0) acFirstUnit(c, off)
+      else acRefineUnit(c, off)
+
+    def restart(u: Long): Boolean = {
+      if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+        if (!br.hitMarker) { while (!br.hitMarker && br.bit() >= 0) () }
+        if (br.restartMarker < 0) return false
+        br.align()
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    if (ns > 1) {
+      // interleaved (DC-band only, per the guards above): frame MCU walk
+      val c0 = scanComps(0)
+      val mcusX = c0.bwPad / c0.h
+      val mcusY = c0.bhPad / c0.v
+      var mcu = 0L
+      val total = mcusX.toLong * mcusY
+      while (mcu < total) {
+        if (!restart(mcu)) return -1
+        val mx = (mcu % mcusX).toInt
+        val my = (mcu / mcusX).toInt
+        var ci = 0
+        while (ci < ns) {
+          val c = scanComps(ci)
+          var v = 0
+          while (v < c.v) {
+            var h = 0
+            while (h < c.h) {
+              if (!unit(c, ((my * c.v + v) * c.bwPad + mx * c.h + h) * 64)) return -1
+              h += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: the single component's REAL block grid in
+      // raster order (padding blocks are not coded, T.81 A.2.2)
+      val c = scanComps(0)
+      var u = 0L
+      val total = c.bw.toLong * c.bh
+      while (u < total) {
+        if (!restart(u)) return -1
+        val bx = (u % c.bw).toInt
+        val by = (u / c.bw).toInt
+        if (!unit(c, (by * c.bwPad + bx) * 64)) return -1
+        u += 1
+      }
+    }
+    br.pos
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients into
+    * per-component pixel planes (the same contract the baseline scan
+    * loop fills in-place).
+    */
+  private def reconstructProgressive(width: Int, height: Int,
+                                     quant: Array[Array[Int]],
+                                     comps: Array[Comp]): Decoded = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val tmp = new Array[Int](64)
+    comps.foreach { c =>
+      c.planeW = c.bwPad * 8
+      c.planeH = c.bhPad * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      val qtab = quant(c.tq)
+      var by = 0
+      while (by < c.bhPad) {
+        var bx = 0
+        while (bx < c.bwPad) {
+          val off = (by * c.bwPad + bx) * 64
+          var i = 0
+          while (i < 64) { tmp(i) = c.coefs(off + i) * qtab(i); i += 1 }
+          idctInto(tmp, c.plane, c.planeW, bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    new Decoded(width, height, hmax, vmax, comps)
   }
 
   private def idctInto(coef: Array[Int], plane: Array[Int], planeW: Int,

@@ -58,7 +58,14 @@ object Multimodal {
           MediaCodec.wav8(content, 8000 + n % 8000)
         case _ =>
           val w = (n - 1) % 192 + 1
-          Jpeg.jpeg(content, w, (n + w - 1) / w)
+          // half the JPEG docs are baseline, half progressive (SOF2) —
+          // the ~10%-of-the-web flavor; identical dimension formulas,
+          // so the oracle's metadata algebra covers both sub-cases and
+          // the progressive ones exercise the full G.2 decode path in
+          // q_media_decode (frameHeader) AND q_media_transform
+          // (entropy decode -> resample -> re-encode)
+          if (id % 8 == 7) Jpeg.jpegProgressive(content, w, (n + w - 1) / w)
+          else Jpeg.jpeg(content, w, (n + w - 1) / w)
       }
     }
     docs.withColumn("payload", mk(col(idCol).cast("long"), col(textCol)))

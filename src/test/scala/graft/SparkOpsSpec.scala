@@ -1399,15 +1399,70 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.resizeHalf(junk).sameElements(junk))
   }
 
-  test("frame header parses any SOFn; pixel decode rejects non-baseline gracefully") {
+  test("frame header parses any SOFn; malformed progressive rejects gracefully") {
     val enc = Jpeg.jpeg(Array.fill[Byte](64)(1), 8, 8)
-    // flip SOF0 (0xc0) to SOF2 (0xc2, progressive): metadata still
-    // parses, pixel decode refuses instead of mis-decoding
+    // flip SOF0 (0xc0) to SOF2 (0xc2): metadata still parses, but the
+    // baseline scan header (Ss=0, Se=63) is an ILLEGAL progressive band
+    // — decode must refuse rather than mis-decode
     val prog = enc.clone()
     val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(MediaCodec.decode(prog) == MediaCodec.Meta("jpeg", 8, 8, 1, 0, 8))
     assert(Jpeg.decodePixels(prog).isEmpty)
+    // lossless (SOF3) stays a metadata-only reject
+    val lossless = enc.clone()
+    lossless(sofAt + 1) = 0xc3.toByte
+    assert(Jpeg.decodePixels(lossless).isEmpty)
+  }
+
+  test("progressive greyscale decodes bit-identically to its baseline twin") {
+    // same pixels through both encoders: the SA scan chain (DC/AC at
+    // Al=1, refinement to Al=0) reconstructs the exact quantized
+    // coefficients, so the decodes must agree bit-for-bit
+    val w = 21; val h = 13
+    val px = Array.tabulate[Byte](w * h) { i =>
+      val x = i % w; val y = i / w
+      if (x < w / 2) (8 * x + 5 * y).toByte else 200.toByte
+    }
+    val prog = Jpeg.jpegProgressive(px, w, h)
+    assert(MediaCodec.decode(prog) == MediaCodec.Meta("jpeg", w, h, 1, 0, 8))
+    val Some((dw, dh, out)) = Jpeg.decodePixels(prog)
+    assert(dw == w && dh == h)
+    val Some((_, _, base)) = Jpeg.decodePixels(Jpeg.jpeg(px, w, h))
+    assert(out.sameElements(base), "progressive decode differs from baseline decode")
+    val maxErr = px.indices.map(i => math.abs((px(i) & 0xff) - (out(i) & 0xff))).max
+    assert(maxErr <= 24, s"max pixel error $maxErr")
+  }
+
+  test("progressive 4:2:0 color decodes bit-identically to its baseline twin") {
+    val w = 37; val h = 22 // non-multiple-of-16: padded DC blocks + clipped AC grid
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (4 * x + 2 * y).toByte
+      rgb(i + 1) = (200 - 3 * x).toByte
+      rgb(i + 2) = (3 * x + 4 * y).toByte
+    }
+    val prog = Jpeg.jpegProgressiveColor420(rgb, w, h)
+    assert(MediaCodec.decode(prog) == MediaCodec.Meta("jpeg", w, h, 3, 0, 8))
+    val Some((dw, dh, luma)) = Jpeg.decodePixels(prog)
+    assert(dw == w && dh == h)
+    val Some((_, _, baseLuma)) = Jpeg.decodePixels(Jpeg.jpegColor420(rgb, w, h))
+    assert(luma.sameElements(baseLuma), "progressive luma differs from baseline")
+    val Some((_, _, rgbOut)) = Jpeg.decodeRgb(prog)
+    val Some((_, _, baseRgb)) = Jpeg.decodeRgb(Jpeg.jpegColor420(rgb, w, h))
+    assert(rgbOut.sameElements(baseRgb), "progressive rgb differs from baseline")
+  }
+
+  test("0xff fill bytes before markers are tolerated (T.81 B.1.1.2)") {
+    val enc = Jpeg.jpeg(Array.tabulate[Byte](64)(_.toByte), 8, 8)
+    // insert two fill bytes before the SOF marker
+    val sofAt = enc.indices.find(i => (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0).get
+    val padded = enc.take(sofAt) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++ enc.drop(sofAt)
+    assert(MediaCodec.decode(padded) == MediaCodec.Meta("jpeg", 8, 8, 1, 0, 8))
+    assert(Jpeg.decodePixels(padded).nonEmpty)
+    assert(Jpeg.decodePixels(padded).get._3
+      .sameElements(Jpeg.decodePixels(enc).get._3))
   }
 
   test("4:2:0 color round-trip: luma and RGB within subsampling error bounds") {
@@ -1451,7 +1506,10 @@ class JpegSpec extends AnyFunSuite {
     }
     val grey = Jpeg.jpeg(Array.tabulate[Byte](300)(_.toByte), 20, 15)
     val color = Jpeg.jpegColor420(Array.tabulate[Byte](20 * 15 * 3)(i => (i % 251).toByte), 20, 15)
-    Seq(grey, color).foreach { valid =>
+    val prog = Jpeg.jpegProgressive(Array.tabulate[Byte](300)(_.toByte), 20, 15)
+    val progColor = Jpeg.jpegProgressiveColor420(
+      Array.tabulate[Byte](20 * 15 * 3)(i => (i % 251).toByte), 20, 15)
+    Seq(grey, color, prog, progColor).foreach { valid =>
       (1 to 400).foreach { _ =>
         val m = valid.clone()
         m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
