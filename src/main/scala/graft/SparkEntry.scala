@@ -147,6 +147,26 @@ object SparkEntry {
       s.sql(s"LINEARIZE EVENTS FROM '$dir'")
         .select(col("event_id"), col("user_id"), col("seq").cast("long").as("seq"))),
 
+    // write-path SQL verbs (GraftSqlParser): shelve 16 substitution
+    // events onto a 16-token base datum. The oracle RECOMPUTES the
+    // substitution algebra (each event's single-token rewrite, zero
+    // minimized deps on an empty frontier) — not a pinned fixture.
+    "q_sql_shelve" -> ((s, dir) => {
+      val base = (0 until 16).map(i => f"a$i%02d").mkString("|")
+      val evs = (0 until 16).map(i => f"a$i%02d->b$i%02d").mkString(",")
+      s.sql(s"SHELVE EVENTS '$evs' ONTO '$base'")
+    }),
+
+    // MERGE STATES twin of q_shelve_merge at 16 branches. PINNED
+    // oracle (fixture-outcome check, like q_shelve_merge): DuckDB
+    // cannot run shelve/merge, but the engine is pure and content-
+    // addressed, so the merged datum is bit-deterministic.
+    "q_sql_merge" -> ((s, dir) => {
+      val base = (0 until 16).map(i => f"a$i%02d").mkString("|")
+      val evs = (0 until 16).map(i => f"a$i%02d->b$i%02d").mkString(",")
+      s.sql(s"MERGE STATES '$evs' ONTO '$base'")
+    }),
+
     // OP-3: content-addressed dedup insert (ensure_event in bulk).
     // Addressing runs through the native blake2b512 Catalyst
     // expression (the reference's event hash, hash.rs:77-85) inside
@@ -1220,6 +1240,27 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
         |FROM events""".stripMargin,
+
+    // RECOMPUTING oracle: per shelved event, the substitution algebra
+    // (token i rewritten, everything else untouched) and the empty
+    // minimized dep set — DuckDB independently rebuilds each datum
+    "q_sql_shelve" ->
+      """SELECT CAST(i.i AS BIGINT) AS event_idx,
+        |  'a' || lpad(CAST(i.i AS VARCHAR), 2, '0') AS search,
+        |  'b' || lpad(CAST(i.i AS VARCHAR), 2, '0') AS replacement,
+        |  (SELECT string_agg(
+        |     CASE WHEN j.j = i.i THEN 'b' ELSE 'a' END || lpad(CAST(j.j AS VARCHAR), 2, '0'),
+        |     '|' ORDER BY j.j) FROM range(16) j(j)) AS new_datum,
+        |  CAST(0 AS BIGINT) AS n_deps
+        |FROM range(16) i(i)""".stripMargin,
+
+    // PINNED oracle (fixture-outcome check, like q_shelve_merge):
+    // states the algebraically-predicted merged datum rather than
+    // recomputing shelve/merge, which DuckDB cannot run
+    "q_sql_merge" ->
+      """SELECT string_agg('b' || lpad(CAST(i AS VARCHAR), 2, '0'), '|' ORDER BY i) AS final_datum,
+        |  CAST(16 AS BIGINT) AS n_events, CAST(16 AS BIGINT) AS n_applied
+        |FROM range(16) t(i)""".stripMargin,
 
     "q_dedup_insert" ->
       """WITH ev AS (

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -25,29 +25,128 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     -> per-user replay order (calculate_dependencies linearization,
   *        reference workcache.rs topological order analog)
   *
+  * Write-path verbs (reference workcache.rs:121-417 shelve,
+  * :419-479 try_merge; exvc main.rs:54-111 session commands). Events
+  * are sear substitutions `FROM->TO`, comma-separated; the base datum
+  * is the initial state:
+  *
+  *   SHELVE EVENTS '<f1->t1,f2->t2,...>' ONTO '<base datum>'
+  *     -> one row per event: (event_idx, search, replacement,
+  *        new_datum, n_deps) — each event shelved onto the empty
+  *        frontier with dep minimization + no-op elimination
+  *        (n_deps = -1 marks an eliminated no-op), new_datum the
+  *        materialized single-event state
+  *   MERGE STATES '<f1->t1,...>' ONTO '<base datum>'
+  *     -> (final_datum, n_events, n_applied): shelve all events as
+  *        divergent single-event branches, try_merge the state set,
+  *        compress to the frontier, materialize — the SQL twin of
+  *        q_shelve_merge's orchestration, commutation tests fanned
+  *        out as Spark batch jobs (plans/ShelveSpark.tester)
+  *
   * The plan is BUILT at parse time but executed lazily by the caller
   * (`spark.sql(...)` analyzes/executes the returned plan) — identical
-  * contract to Spark's own parser.
+  * contract to Spark's own parser. (The shelve/merge engine runs AT
+  * parse time — it is driver-side orchestration with Spark-distributed
+  * commutation tests, and its result is a literal frame.) Any failure
+  * inside a graft statement (bad substitution spec, unreadable event
+  * dir) is rethrown as a ParseException, never a raw engine exception.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
+  // user id bounded to 18 digits so .toLong cannot overflow (a longer
+  // literal falls through to Spark's parser and fails as plain syntax)
   private val Materialize =
-    """(?is)\s*MATERIALIZE\s+STATE\s+FROM\s+'([^']+)'(?:\s+FOR\s+USER\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*MATERIALIZE\s+STATE\s+FROM\s+'([^']+)'(?:\s+FOR\s+USER\s+(\d{1,18}))?\s*;?\s*""".r
   private val Linearize =
     """(?is)\s*LINEARIZE\s+EVENTS\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  private val ShelveEvents =
+    """(?is)\s*SHELVE\s+EVENTS\s+'([^']+)'\s+ONTO\s+'([^']*)'\s*;?\s*""".r
+  private val MergeStates =
+    """(?is)\s*MERGE\s+STATES\s+'([^']+)'\s+ONTO\s+'([^']*)'\s*;?\s*""".r
+
+  private def parseError(sqlText: String, msg: String): ParseException =
+    new ParseException(Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
+      "PARSE_SYNTAX_ERROR", Map("error" -> msg, "hint" -> ""))
+
+  /** Graft statements run engine/IO code while parsing — surface any
+    * failure as a ParseException (the contract of this interface), not
+    * a raw NumberFormatException/IOException from inside the parser.
+    */
+  private def wrapGraft[T](sqlText: String)(body: => T): T =
+    try body
+    catch {
+      case e: ParseException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw parseError(sqlText,
+          s"graft statement failed: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse(""))
+    }
+
+  private def parseSubs(sqlText: String, spec: String): Seq[(String, String)] =
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
+      val i = s.indexOf("->")
+      if (i < 0) throw parseError(sqlText, s"bad substitution '$s': expected FROM->TO")
+      (s.substring(0, i).trim, s.substring(i + 2).trim)
+    }
+
+  // shared fixture plumbing: a fresh pure engine over the base datum
+  // with Spark-distributed commutation testing
+  private def newCache(base: String) = {
+    val g = new graft.core.EventGraph[graft.core.SearArg](graft.core.SearEngine)
+    val w = new graft.core.WorkCache[graft.core.SearArg, String](
+      graft.core.SearEngine, base,
+      Some(graft.plans.ShelveSpark.tester(session, graft.core.SearEngine)))
+    (g, w)
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Materialize(dir, user) =>
+    case Materialize(dir, user) => wrapGraft(sqlText) {
       val df = graft.operators.EventReplay.replayPerUser(session, dir)
       val scoped = if (user == null) df else df.filter(col("user_id") === user.toLong)
       scoped.queryExecution.logical
-    case Linearize(dir) =>
+    }
+    case Linearize(dir) => wrapGraft(sqlText) {
       graft.operators.EventReplay.linearize(session, dir).queryExecution.logical
+    }
+    case ShelveEvents(spec, base) => wrapGraft(sqlText) {
+      import session.implicits._
+      import scala.collection.immutable.SortedSet
+      val subs = parseSubs(sqlText, spec)
+      val (g, w) = newCache(base)
+      val rows = subs.zipWithIndex.map { case ((from, to), i) =>
+        w.shelveEvent(g, SortedSet.empty[String], 0, graft.core.SearArg(from, to)) match {
+          case Some(h) =>
+            (i.toLong, from, to, w.materialize(g, SortedSet(h))._1,
+              g.events(h).deps.size.toLong)
+          case None => (i.toLong, from, to, base, -1L) // no-op eliminated
+        }
+      }
+      rows.toDF("event_idx", "search", "replacement", "new_datum", "n_deps")
+        .queryExecution.logical
+    }
+    case MergeStates(spec, base) => wrapGraft(sqlText) {
+      import session.implicits._
+      import scala.collection.immutable.{SortedMap, SortedSet}
+      val subs = parseSubs(sqlText, spec)
+      val (g, w) = newCache(base)
+      var states = SortedSet.empty[String]
+      subs.foreach { case (from, to) =>
+        w.shelveEvent(g, SortedSet.empty[String], 0, graft.core.SearArg(from, to))
+          .foreach(states += _)
+      }
+      w.tryMerge(g, states)
+      val minimized = SortedSet.from(g.foldState(
+        SortedMap.from(states.iterator.map(_ -> false)), expand = false).keysIterator)
+      val (dat, tt) = w.materialize(g, minimized)
+      Seq((dat, g.events.size.toLong, tt.size.toLong))
+        .toDF("final_datum", "n_events", "n_applied").queryExecution.logical
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
-    case Materialize(_, _) | Linearize(_) => parsePlan(sqlText)
+    case Materialize(_, _) | Linearize(_) | ShelveEvents(_, _) | MergeStates(_, _) =>
+      parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
 

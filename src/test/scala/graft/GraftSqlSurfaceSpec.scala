@@ -121,4 +121,40 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
     val df = spark.sql(s"MATERIALIZE STATE FROM '$sf'")
     assert(df.columns.toSeq == Seq("user_id", "state"))
   }
+
+  test("graft failures surface as ParseException, never raw engine errors") {
+    // >18-digit user id: regex no longer matches, so Spark's own parser
+    // rejects it — a NumberFormatException must never escape parsePlan
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"MATERIALIZE STATE FROM '$sf' FOR USER 123456789012345678901234")
+    }
+    // unreadable event dir: the parse-time parquet read is rethrown as
+    // ParseException (not a raw filesystem AnalysisException)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("MATERIALIZE STATE FROM '/nonexistent/graft/dir'")
+    }
+    // bad substitution spec in a write-path verb
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("SHELVE EVENTS 'a00=>b00' ONTO 'a00'")
+    }
+  }
+
+  test("SHELVE EVENTS shelves each substitution with dep minimization") {
+    val rows = spark.sql("SHELVE EVENTS 'a0->b0, a1->b1, zz->yy' ONTO 'a0|a1'")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows(0) == ((0L, "a0", "b0", "b0|a1", 0L)))
+    assert(rows(1) == ((1L, "a1", "b1", "a0|b1", 0L)))
+    // substitution that matches nothing is a no-op: eliminated (n_deps = -1)
+    assert(rows(2) == ((2L, "zz", "yy", "a0|a1", -1L)))
+  }
+
+  test("MERGE STATES equals the WorkCache orchestration (q_shelve_merge twin)") {
+    val base = (0 until 6).map(i => f"a$i%02d").mkString("|")
+    val evs = (0 until 6).map(i => f"a$i%02d->b$i%02d").mkString(",")
+    val row = spark.sql(s"MERGE STATES '$evs' ONTO '$base'").collect().head
+    assert(row.getString(0) == (0 until 6).map(i => f"b$i%02d").mkString("|"))
+    assert(row.getLong(1) == 6L && row.getLong(2) == 6L)
+  }
 }
