@@ -192,7 +192,6 @@ object Bench {
     val headlineResults =
       if (sys.env.contains("SPARK_GRAFT_ONLY")) results
       else results.filter(r => headline.contains(r._1))
-    val qs = headlineResults.map { case (k, vs, _) => s""""$k":${sec(vs.min)}""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""$k":"${esc(e)}"""" }
     val errsJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
     // per-query pass spread >3x = a transient stall absorbed by min-of-N;
@@ -202,6 +201,19 @@ object Bench {
     val spreadJson = if (spread.isEmpty) "" else s""","spread":${spread.mkString("{", ",", "}")}"""
     val total = headlineResults.map(_._2.min).sum
     val totalAll = results.map(_._2.min).sum
+    // the caller's stdout tail capture is ~2000 chars (BENCH_r04
+    // overflowed it: parsed=null). Budget the per-query object HARD:
+    // 2-decimal values, and if the assembled line would still run past
+    // ~1900 chars (errors/spread eat headroom), drop the CHEAPEST
+    // entries first — the expensive queries are the regression signal,
+    // and every dropped value is still in bench_diag.json
+    def sec2(v: Double): String = f"$v%.2f"
+    val fixedOverhead = 260 + errsJson.length + spreadJson.length + sfDir.length
+    var entries = headlineResults.sortBy(-_._2.min)
+      .map { case (k, vs, _) => s""""$k":${sec2(vs.min)}""" }
+    while (entries.map(_.length + 1).sum + fixedOverhead > 1900 && entries.nonEmpty)
+      entries = entries.init
+    val qs = entries.mkString("{", ",", "}")
 
     // full per-pass detail is too wide for the one-line contract (the
     // caller's stdout tail capture is ~2000 chars) — write it beside
