@@ -298,7 +298,12 @@ object Multimodal {
         }
         y += 1
       }
-      Jpeg.jpegColor420(rgb, w, h)
+      // jittered copies are PROGRESSIVE (SOF2) encodes: each pair mixes
+      // container flavors, so the near-dup pipeline proves the two
+      // decode paths reconstruct the same pixels (they are bit-identical
+      // by construction — same quantized coefficients)
+      if (jittered) Jpeg.jpegProgressiveColor420(rgb, w, h)
+      else Jpeg.jpegColor420(rgb, w, h)
     }
     spark.range(n).select(col("id").as("doc_id"), mk(col("id")).as("payload"))
   }

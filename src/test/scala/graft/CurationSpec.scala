@@ -586,4 +586,33 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     // "b c d e f g h x" at pos 3 — both duplicates, merged: removed
     // count 9 = [2,11), not 8 + 8
   }
+
+  test("rolling gram hash: equal grams collide, distinct grams don't (property)") {
+    // the rolling-update recurrence must agree with itself across
+    // positions: equal token windows -> equal keys (the correctness
+    // contract), and on a small random sample distinct windows never
+    // collide (the 64-bit birthday argument at test scale)
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    (1 to 50).foreach { _ =>
+      val k = 2 + rnd.nextInt(4)
+      val toks = Vector.fill(10 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+      val row = spark.range(1).select(
+          Curation.gramHashUdf(
+            org.apache.spark.sql.functions.lit(toks.toArray),
+            org.apache.spark.sql.functions.lit(k)).as("g"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      val byPos = row.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byPos.size == toks.length - k + 1)
+      val grams = toks.sliding(k).toVector
+      grams.indices.foreach { i =>
+        grams.indices.foreach { j =>
+          if (grams(i) == grams(j)) assert(byPos(i.toLong) == byPos(j.toLong),
+            s"equal grams at $i/$j hash apart")
+          else assert(byPos(i.toLong) != byPos(j.toLong),
+            s"distinct grams at $i/$j collide")
+        }
+      }
+    }
+  }
 }
