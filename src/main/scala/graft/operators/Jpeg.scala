@@ -180,7 +180,8 @@ object Jpeg {
 
   private def writeHeaders(out: ByteArrayOutputStream, width: Int, height: Int,
                            comps: Seq[(Int, Int)], // (id, HiVi byte)
-                           sofMarker: Int = 0xc0, withSos: Boolean = true): Unit = {
+                           sofMarker: Int = 0xc0, withSos: Boolean = true,
+                           dri: Int = 0): Unit = {
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, body: Array[Byte]): Unit = {
       marker(m); val n = body.length + 2
@@ -200,6 +201,8 @@ object Jpeg {
     seg(0xc4, Array[Byte](0x00) ++ dcBits ++ DcSymbols.map(_.toByte))
     val acBits = new Array[Byte](16); acBits(7) = 162.toByte
     seg(0xc4, Array[Byte](0x10) ++ acBits ++ AcSymbols.map(_.toByte))
+    if (dri > 0) // DRI: restart every `dri` MCUs/blocks
+      seg(0xdd, Array[Byte](((dri >> 8) & 0xff).toByte, (dri & 0xff).toByte))
     // SOS: all components use DC/AC table 0, full spectral selection
     if (withSos)
       seg(0xda, Array[Byte](comps.size.toByte) ++
@@ -293,7 +296,8 @@ object Jpeg {
     * AC first [1,63] at Al=1, then DC and AC refinement to Al=0
     * (successive approximation on both bands).
     */
-  def jpegProgressive(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+  def jpegProgressive(content: Array[Byte], width: Int, height: Int,
+                      restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "jpegProgressive: non-positive dimensions")
     val plane = new Array[Int](width * height)
     var i = 0
@@ -303,20 +307,37 @@ object Jpeg {
     val blocks = Array.tabulate(bh8 * bw8)(b =>
       fdctQuant(loadBlock(plane, width, height, (b % bw8) * 8, (b / bw8) * 8)))
     val out = new ByteArrayOutputStream()
-    writeHeaders(out, width, height, Seq((1, 0x11)), sofMarker = 0xc2, withSos = false)
-    sosSegment(out, Seq(1), 0, 0, 0, 1) // DC first, reduced precision
-    locally {
+    writeHeaders(out, width, height, Seq((1, 0x11)), sofMarker = 0xc2, withSos = false,
+      dri = restartInterval)
+    // one scan body: per-block coding with RSTm every `restartInterval`
+    // blocks (non-interleaved scans restart on BLOCK counts, RST index
+    // cycling 0..7 and resetting per scan); `onRestart` resets whatever
+    // prediction state the scan carries
+    def scan(code: (BitWriter, Array[Int]) => Unit, onRestart: () => Unit = () => ()): Unit = {
       val w = new BitWriter(out)
-      var pred = 0
-      blocks.foreach { c => pred = putDcDiff(w, c(0) >> 1, pred) }
+      var u = 0
+      while (u < blocks.length) {
+        if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+          w.flush()
+          out.write(0xff); out.write(0xd0 + ((u / restartInterval - 1) % 8))
+          onRestart()
+        }
+        code(w, blocks(u))
+        u += 1
+      }
       w.flush()
     }
+    sosSegment(out, Seq(1), 0, 0, 0, 1) // DC first, reduced precision
+    locally {
+      var pred = 0
+      scan((w, c) => pred = putDcDiff(w, c(0) >> 1, pred), () => pred = 0)
+    }
     sosSegment(out, Seq(1), 1, 63, 0, 1) // AC first, reduced precision
-    locally { val w = new BitWriter(out); blocks.foreach(putAcFirst(w, _, 1)); w.flush() }
+    scan((w, c) => putAcFirst(w, c, 1))
     sosSegment(out, Seq(1), 0, 0, 1, 0) // DC refinement: one raw bit per block
-    locally { val w = new BitWriter(out); blocks.foreach(c => w.put(c(0) & 1, 1)); w.flush() }
+    scan((w, c) => w.put(c(0) & 1, 1))
     sosSegment(out, Seq(1), 1, 63, 1, 0) // AC refinement
-    locally { val w = new BitWriter(out); blocks.foreach(putAcRefine(w, _, 0)); w.flush() }
+    scan((w, c) => putAcRefine(w, c, 0))
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
@@ -389,22 +410,31 @@ object Jpeg {
     * greyscale baseline JPEG (row-major, zero-padded/truncated —
     * mirrors [[MediaCodec.png]]'s packing contract).
     */
-  def jpeg(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+  def jpeg(content: Array[Byte], width: Int, height: Int,
+           restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "jpeg: non-positive dimensions")
     val plane = new Array[Int](width * height)
     var i = 0
     while (i < plane.length) { plane(i) = if (i < content.length) content(i) & 0xff else 0; i += 1 }
     val out = new ByteArrayOutputStream()
-    writeHeaders(out, width, height, Seq((1, 0x11)))
+    writeHeaders(out, width, height, Seq((1, 0x11)), dri = restartInterval)
     val bw = new BitWriter(out)
     val bw8 = (width + 7) / 8
     val bh8 = (height + 7) / 8
     var pred = 0
+    var unit = 0
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          // byte-align, emit RSTm (m cycles 0..7), reset DC prediction
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + ((unit / restartInterval - 1) % 8))
+          pred = 0
+        }
         pred = encodeBlock(bw, loadBlock(plane, width, height, bx * 8, by * 8), pred)
+        unit += 1
         bx += 1
       }
       by += 1

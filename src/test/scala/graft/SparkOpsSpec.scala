@@ -1454,6 +1454,27 @@ class JpegSpec extends AnyFunSuite {
     assert(rgbOut.sameElements(baseRgb), "progressive rgb differs from baseline")
   }
 
+  test("restart intervals (DRI + RSTn) decode bit-identically, baseline and progressive") {
+    val w = 21; val h = 13 // 9 blocks: interval 2 -> 4 RST markers/scan
+    val px = Array.tabulate[Byte](w * h) { i =>
+      val x = i % w; val y = i / w
+      if (x < w / 2) (8 * x + 5 * y).toByte else 200.toByte
+    }
+    val plain = Jpeg.decodePixels(Jpeg.jpeg(px, w, h)).get._3
+    val baseRst = Jpeg.jpeg(px, w, h, restartInterval = 2)
+    assert(baseRst.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xd0),
+      "no RST0 emitted")
+    assert(MediaCodec.decode(baseRst) == MediaCodec.Meta("jpeg", w, h, 1, 0, 8))
+    assert(Jpeg.decodePixels(baseRst).get._3.sameElements(plain),
+      "baseline restart decode differs")
+    val progRst = Jpeg.jpegProgressive(px, w, h, restartInterval = 2)
+    assert(Jpeg.decodePixels(progRst).get._3.sameElements(plain),
+      "progressive restart decode differs")
+    // interval larger than the block count: DRI present, no RSTs — legal
+    assert(Jpeg.decodePixels(Jpeg.jpeg(px, w, h, restartInterval = 100)).get._3
+      .sameElements(plain))
+  }
+
   test("0xff fill bytes before markers are tolerated (T.81 B.1.1.2)") {
     val enc = Jpeg.jpeg(Array.tabulate[Byte](64)(_.toByte), 8, 8)
     // insert two fill bytes before the SOF marker
@@ -1509,7 +1530,11 @@ class JpegSpec extends AnyFunSuite {
     val prog = Jpeg.jpegProgressive(Array.tabulate[Byte](300)(_.toByte), 20, 15)
     val progColor = Jpeg.jpegProgressiveColor420(
       Array.tabulate[Byte](20 * 15 * 3)(i => (i % 251).toByte), 20, 15)
-    Seq(grey, color, prog, progColor).foreach { valid =>
+    // restart-bearing streams: corrupting RSTn/DRI is its own failure class
+    val greyRst = Jpeg.jpeg(Array.tabulate[Byte](300)(_.toByte), 20, 15, restartInterval = 2)
+    val progRst = Jpeg.jpegProgressive(Array.tabulate[Byte](300)(_.toByte), 20, 15,
+      restartInterval = 2)
+    Seq(grey, color, prog, progColor, greyRst, progRst).foreach { valid =>
       (1 to 400).foreach { _ =>
         val m = valid.clone()
         m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
