@@ -302,6 +302,17 @@ object SparkEntry {
     "q_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Unicode normalization gate: plant decomposed accents + a control
+    // char + double spaces on the doc_id % 7 grid (same augmentation in
+    // the oracle), then NFC + control strip + whitespace collapse; the
+    // oracle RECOMPUTES via DuckDB's independent nfc_normalize
+    "q_normalize" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("Cafe\u0301 \u0007 "), col("text"))).otherwise(col("text")))
+      TextAnalysis.normalizeText(aug, "text", "doc_id")
+    }),
+
     // Gopher-style repetition signals — zero-shuffle fold over sorted
     // per-doc gram arrays (see TextAnalysis.repetitionStats)
     "q_repetition" -> ((s, dir) =>
@@ -1388,6 +1399,26 @@ object SparkEntry {
         |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess,
         |  CAST(score AS BIGINT) AS marker_hits
         |FROM best WHERE rn = 1""".stripMargin,
+
+    // mirrors TextAnalysis.normalizeText with the same planted
+    // augmentation; nfc_normalize is DuckDB's OWN UAX #15
+    // implementation — a genuinely independent recomputation
+    "q_normalize" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'Cafe' || chr(769) || ' ' || chr(7) || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(nfc_normalize(text),
+        |        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |      '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+        |  FROM aug)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+        |  CAST(CASE WHEN norm_text <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+        |  norm_text
+        |FROM n""".stripMargin,
 
     // mirrors TextAnalysis.repetitionStats: per-gram counts via
     // group-by (the fold over the sorted array selects the identical

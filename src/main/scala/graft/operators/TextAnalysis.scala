@@ -604,4 +604,44 @@ object TextAnalysis {
         max(col("__nd")).as("n_distinct"),
         sum(col("__fp")).as("entropy_fp"))
   }
+
+  /** Unicode NFC normalization (UAX #15 canonical composition) as a
+    * scalar function — java.text.Normalizer under the hood, which
+    * implements the same normative algorithm DuckDB's `nfc_normalize`
+    * does, so the oracle recomputes it independently. Null-total.
+    */
+  private val nfcUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Text normalization gate — the stage every pretraining pipeline
+    * runs before hashing/dedup, because byte-distinct but canonically-
+    * equal strings (decomposed accents, stray control characters,
+    * run-on whitespace) otherwise defeat exact dedup and skew token
+    * counts. Order: NFC composition -> control-char strip (C0 minus
+    * \t\n\f\r, plus DEL) -> whitespace collapse ([ \t\n\r\f]+ -> one
+    * space; the class is the Java/RE2 common subset — never \s, whose
+    * definition differs between engines) -> trim. Returns per doc the
+    * raw/normalized code-point counts, the normalized text, and a
+    * changed flag.
+    *
+    * Scale shape: one codegen'd projection over the scan (the NFC UDF
+    * is the only non-codegen scalar; everything else is regexp_replace
+    * in the fused stage), zero shuffle — normalization is free at any
+    * corpus size relative to the scan it rides.
+    */
+  def normalizeText(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val stripped = regexp_replace(nfcUdf(col(textCol)),
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    val collapsed = trim(regexp_replace(stripped, "[ \\t\\n\\r\\f]+", " "))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__raw"),
+        collapsed.as("norm_text"))
+      .select(col("doc_id"),
+        length(col("__raw")).cast("long").as("n_chars_raw"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"),
+        (col("norm_text") =!= col("__raw")).cast("long").as("changed"),
+        col("norm_text"))
+  }
 }

@@ -587,6 +587,23 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     // count 9 = [2,11), not 8 + 8
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse") {
+    val docs = Seq(
+      (1L, "Cafe\u0301 au lait"), // decomposed e-acute -> composed
+      (2L, "a\u0007b\u0000c"), // BEL + NUL stripped, no space left behind
+      (3L, "  a \t b\n\nc  "), // collapse + trim
+      (4L, "already clean"), // unchanged -> changed = 0
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((13L, 12L, 1L, "Café au lait")))
+    assert(out(2L) == ((5L, 3L, 1L, "abc")))
+    assert(out(3L) == ((12L, 5L, 1L, "a b c")))
+    assert(out(4L) == ((13L, 13L, 0L, "already clean")))
+    assert(out(5L) == ((0L, 0L, 0L, "")))
+  }
+
   test("rolling gram hash: equal grams collide, distinct grams don't (property)") {
     // the rolling-update recurrence must agree with itself across
     // positions: equal token windows -> equal keys (the correctness
