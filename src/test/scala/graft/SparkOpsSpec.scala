@@ -1454,6 +1454,31 @@ class JpegSpec extends AnyFunSuite {
     assert(rgbOut.sameElements(baseRgb), "progressive rgb differs from baseline")
   }
 
+  test("progressive == baseline decode on random noise images (property)") {
+    // dense-AC noise stresses ZRL runs, EOB runs and the refinement
+    // correction-bit order far harder than the smooth fixtures; any
+    // divergence in the successive-approximation algebra shows up as a
+    // pixel mismatch
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 15).foreach { i =>
+      val w = 8 + rnd.nextInt(40); val h = 8 + rnd.nextInt(40)
+      val px = new Array[Byte](w * h)
+      rnd.nextBytes(px)
+      val base = Jpeg.decodePixels(Jpeg.jpeg(px, w, h)).get._3
+      val ri = rnd.nextInt(4) // 0 = no restarts
+      val prog = Jpeg.decodePixels(Jpeg.jpegProgressive(px, w, h, restartInterval = ri)).get._3
+      assert(prog.sameElements(base), s"case $i (${w}x$h, ri=$ri) diverged")
+    }
+    (1 to 8).foreach { i =>
+      val w = 16 + rnd.nextInt(33); val h = 16 + rnd.nextInt(33)
+      val rgb = new Array[Byte](w * h * 3)
+      rnd.nextBytes(rgb)
+      val base = Jpeg.decodeRgb(Jpeg.jpegColor420(rgb, w, h)).get._3
+      val prog = Jpeg.decodeRgb(Jpeg.jpegProgressiveColor420(rgb, w, h)).get._3
+      assert(prog.sameElements(base), s"color case $i (${w}x$h) diverged")
+    }
+  }
+
   test("restart intervals (DRI + RSTn) decode bit-identically, baseline and progressive") {
     val w = 21; val h = 13 // 9 blocks: interval 2 -> 4 RST markers/scan
     val px = Array.tabulate[Byte](w * h) { i =>
