@@ -263,6 +263,11 @@ object SparkEntry {
       Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3, bands = 6, rows = 2, threshold = 0.4)),
 
+    // SQL-verb twins of the two dedup headliners (GraftSqlParser
+    // curation verbs) — same parameters, same oracles, zero drift
+    "q_sql_dedup" -> ((s, dir) => s.sql(s"DEDUP DOCUMENTS FROM '$dir'")),
+    "q_sql_neardup" -> ((s, dir) => s.sql(s"NEARDUP DOCUMENTS FROM '$dir'")),
+
     // duplicate CLUSTERS: connected components (star contraction) over
     // the near-dup pair graph, one canonical survivor per component
     "q_dup_clusters" -> ((s, dir) =>
@@ -1332,6 +1337,13 @@ object SparkEntry {
 
     "q_neardup_minhash" -> neardupOracle,
     "q_dup_clusters" -> dupClustersOracle,
+
+    // SQL-verb twins share the DataFrame queries' oracles verbatim
+    "q_sql_dedup" ->
+      """SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_sql_neardup" -> neardupOracle,
 
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,

@@ -43,6 +43,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *        q_shelve_merge's orchestration, commutation tests fanned
   *        out as Spark batch jobs (plans/ShelveSpark.tester)
   *
+  * Curation verbs — the LLM-pipeline headliners as one-statement SQL
+  * (same parameters as their DataFrame-twin queries, so both surfaces
+  * share one oracle):
+  *
+  *   DEDUP DOCUMENTS FROM '<dir>'
+  *     -> exact dedup over <dir>/documents.parquet
+  *        (content_hash, keep_id, n_copies)
+  *   NEARDUP DOCUMENTS FROM '<dir>'
+  *     -> MinHash-LSH near-duplicate pairs with exact-Jaccard verify
+  *        (doc_a, doc_b, jaccard)
+  *
   * The plan is BUILT at parse time but executed lazily by the caller
   * (`spark.sql(...)` analyzes/executes the returned plan) — identical
   * contract to Spark's own parser. (The shelve/merge engine runs AT
@@ -63,6 +74,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*SHELVE\s+EVENTS\s+'([^']+)'\s+ONTO\s+'([^']*)'\s*;?\s*""".r
   private val MergeStates =
     """(?is)\s*MERGE\s+STATES\s+'([^']+)'\s+ONTO\s+'([^']*)'\s*;?\s*""".r
+  private val DedupDocs =
+    """(?is)\s*DEDUP\s+DOCUMENTS\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  private val NeardupDocs =
+    """(?is)\s*NEARDUP\s+DOCUMENTS\s+FROM\s+'([^']+)'\s*;?\s*""".r
 
   private def parseError(sqlText: String, msg: String): ParseException =
     new ParseException(Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
@@ -141,11 +156,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       Seq((dat, g.events.size.toLong, tt.size.toLong))
         .toDF("final_datum", "n_events", "n_applied").queryExecution.logical
     }
+    case DedupDocs(dir) => wrapGraft(sqlText) {
+      graft.operators.Dedup.exact(
+        session.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+        .queryExecution.logical
+    }
+    case NeardupDocs(dir) => wrapGraft(sqlText) {
+      // same banding parameters as q_neardup_minhash, so the two
+      // surfaces share one oracle and can never drift apart
+      graft.operators.Dedup.nearDupPairs(
+        session.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
+        .queryExecution.logical
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
-    case Materialize(_, _) | Linearize(_) | ShelveEvents(_, _) | MergeStates(_, _) =>
+    case Materialize(_, _) | Linearize(_) | ShelveEvents(_, _) | MergeStates(_, _) |
+         DedupDocs(_) | NeardupDocs(_) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }

@@ -150,6 +150,22 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
     assert(rows(2) == ((2L, "zz", "yy", "a0|a1", -1L)))
   }
 
+  test("DEDUP/NEARDUP DOCUMENTS verbs equal their DataFrame twins") {
+    val viaSql = spark.sql(s"DEDUP DOCUMENTS FROM '$sf'")
+      .collect().map(_.toString).sorted
+    val viaApi = graft.operators.Dedup.exact(
+        spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
+      .collect().map(_.toString).sorted
+    assert(viaSql.sameElements(viaApi) && viaSql.nonEmpty)
+    val nd = spark.sql(s"NEARDUP DOCUMENTS FROM '$sf'")
+    assert(nd.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+    val ndApi = graft.operators.Dedup.nearDupPairs(
+        spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id",
+        shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
+      .collect().map(_.toString).sorted
+    assert(nd.collect().map(_.toString).sorted.sameElements(ndApi))
+  }
+
   test("MERGE STATES equals the WorkCache orchestration (q_shelve_merge twin)") {
     val base = (0 until 6).map(i => f"a$i%02d").mkString("|")
     val evs = (0 until 6).map(i => f"a$i%02d->b$i%02d").mkString(",")
