@@ -420,6 +420,18 @@ object SparkEntry {
     "q_substring_dedup" -> ((s, dir) =>
       Curation.substringDedup(t(s, dir, "documents"), "text", "doc_id", k = 8)),
 
+    // incremental ExactSubstr: the doc_id % 5 == 0 batch deduped
+    // against the rest of the corpus's persistable gram index — prior
+    // owns every shared gram's first occurrence, batch keeps first
+    // within itself
+    "q_substring_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.substringDedupAgainst(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", k = 8)
+    }),
+
     // boilerplate chunk strip: a planted 10-word banner on the
     // doc_id % 3 grid exceeds the doc-frequency cap and is deleted
     // from EVERY copy (same augmentation in the oracle)
@@ -1631,6 +1643,50 @@ object SparkEntry {
         |  b.n_tokens - coalesce(pd.n_kept, 0) AS n_removed,
         |  coalesce(pd.kept_text, '') AS kept_text
         |FROM b LEFT JOIN pd ON b.doc_id = pd.doc_id""".stripMargin,
+
+    // mirrors Curation.substringDedupAgainst: prior = doc_id % 5 <> 0
+    // reduced to its distinct gram set; batch grams duplicate if
+    // present there or not-first within the batch; same islands/
+    // anti-join/reassembly algebra, batch docs only
+    "q_substring_incremental" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |b0 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |bb AS (SELECT * FROM b0 WHERE doc_id % 5 = 0),
+        |bp AS (SELECT * FROM b0 WHERE doc_id % 5 <> 0),
+        |gp AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 7)) AS pos FROM bp WHERE n_tokens >= 8),
+        |pg AS (SELECT DISTINCT
+        |    array_to_string(toks[CAST(pos + 1 AS INT) : CAST(pos + 8 AS INT)], ' ') AS gram
+        |  FROM gp),
+        |g AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 7)) AS pos FROM bb WHERE n_tokens >= 8),
+        |g2 AS (SELECT doc_id, pos,
+        |    array_to_string(toks[CAST(pos + 1 AS INT) : CAST(pos + 8 AS INT)], ' ') AS gram
+        |  FROM g),
+        |m AS (SELECT g2.doc_id, g2.pos, (pg.gram IS NOT NULL) AS in_prior,
+        |    row_number() OVER (PARTITION BY g2.gram ORDER BY g2.doc_id, g2.pos) AS rn
+        |  FROM g2 LEFT JOIN pg ON g2.gram = pg.gram),
+        |dups AS (SELECT doc_id, pos AS start, pos + 8 AS stop FROM m WHERE in_prior OR rn > 1),
+        |isl AS (SELECT doc_id, start, stop,
+        |    CASE WHEN start > coalesce(max(stop) OVER (PARTITION BY doc_id ORDER BY start, stop
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM dups),
+        |isl2 AS (SELECT doc_id, start, stop,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start, stop) AS grp
+        |  FROM isl),
+        |mrg AS (SELECT doc_id, min(start) AS start, max(stop) AS stop FROM isl2 GROUP BY doc_id, grp),
+        |cov AS (SELECT doc_id, unnest(range(start, stop)) AS pos FROM mrg),
+        |tp AS (SELECT doc_id, unnest(range(0, n_tokens)) AS pos, toks FROM bb WHERE n_tokens > 0),
+        |tp2 AS (SELECT doc_id, pos, toks[CAST(pos + 1 AS INT)] AS tok FROM tp),
+        |kept AS (SELECT tp2.doc_id, tp2.pos, tp2.tok FROM tp2
+        |  ANTI JOIN cov ON tp2.doc_id = cov.doc_id AND tp2.pos = cov.pos),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT bb.doc_id, bb.n_tokens,
+        |  bb.n_tokens - coalesce(pd.n_kept, 0) AS n_removed,
+        |  coalesce(pd.kept_text, '') AS kept_text
+        |FROM bb LEFT JOIN pd ON bb.doc_id = pd.doc_id""".stripMargin,
 
     // mirrors Curation.boilerplateStrip: same planted banner, same
     // chunking, doc-frequency cap 5, per-doc reassembly

@@ -389,7 +389,17 @@ object Curation {
     val dupSpans = grams.join(firsts, "h")
       .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
       .select(col("doc_id"), col("pos").as("start"), (col("pos") + k).as("stop"))
-    // gaps-and-islands merge of overlapping/adjacent spans per doc
+    removeCoveredSpans(base, dupSpans)
+  }
+
+  /** Shared back half of the substring-dedup family: merge duplicate
+    * token spans into maximal islands per document (gaps-and-islands
+    * window — document-bounded), explode coverage to (doc_id, pos)
+    * rows, remove covered tokens with an EQUI anti-join, reassemble.
+    * `base` carries (doc_id, __toks, n_tokens).
+    */
+  private def removeCoveredSpans(base: DataFrame, dupSpans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("doc_id").orderBy("start", "stop")
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
     val islands = dupSpans
@@ -415,6 +425,49 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Incremental substring-span removal — the ExactSubstr sibling of
+    * [[Dedup.nearDupAgainst]] / [[bloomDedup]]: a NEW batch is deduped
+    * against the PRIOR corpus's gram index without re-pairing history.
+    * A batch window of `k` tokens is a duplicate if the gram exists
+    * anywhere in the prior corpus (prior owns the first occurrence by
+    * construction) or earlier within the batch itself (keep-first by
+    * (doc_id, pos)); spans merge and documents reassemble exactly as
+    * in [[substringDedup]]. Only batch documents are returned.
+    *
+    * Scale shape: the prior side reduces to its DISTINCT gram-hash set
+    * — the persistable index artifact a production pipeline stores and
+    * appends to (grams only ever get added), exactly like the LSH band
+    * index. The probe is one hash-partitioned left join of batch grams
+    * against that index; 100 TB of history is never re-scanned, only
+    * its gram set is.
+    */
+  def substringDedupAgainst(prior: DataFrame, batch: DataFrame,
+                            textCol: String, idCol: String,
+                            k: Int = 8): DataFrame = {
+    require(k >= 2, "substringDedupAgainst: need k >= 2")
+    def gramsOf(docs: DataFrame) = {
+      val base = docs.select(col(idCol).cast("long").as("doc_id"),
+          Dedup.tokens(col(textCol)).as("__toks"))
+        .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      val g = base.filter(col("n_tokens") >= k)
+        .select(col("doc_id"), explode(gramHashUdf(col("__toks"), lit(k))).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      (base, g)
+    }
+    val (_, priorGrams) = gramsOf(prior)
+    val priorIdx = priorGrams.select("h").distinct()
+    val (base, grams) = gramsOf(batch)
+    val firsts = grams.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dupSpans = grams
+      .join(priorIdx.select(col("h"), lit(1L).as("__prior")), Seq("h"), "left")
+      .join(firsts, "h")
+      .filter(col("__prior").isNotNull ||
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos").as("start"), (col("pos") + k).as("stop"))
+    removeCoveredSpans(base, dupSpans)
   }
 
   /** Boilerplate chunk removal (the C4/RefinedWeb "remove lines that

@@ -587,6 +587,25 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     // count 9 = [2,11), not 8 + 8
   }
 
+  test("substringDedupAgainst: prior index owns shared grams, batch keeps first within itself") {
+    val prior = Seq(
+      (1L, "a b c d e f g h x y")).toDF("doc_id", "text")
+    val batch = Seq(
+      // embeds prior's 8-gram at pos 2: removed even though it is this
+      // batch's only occurrence (prior owns the first occurrence)
+      (10L, "p q a b c d e f g h r"),
+      // batch-internal repetition, no prior hit: keep-first applies
+      (11L, "t1 t2 t3 t4 t5 t6 t7 t8 t1 t2 t3 t4 t5 t6 t7 t8"),
+      // no overlap with anything: untouched
+      (12L, "u v w x1 x2 x3 x4 x5 x6 x7")).toDF("doc_id", "text")
+    val out = Curation.substringDedupAgainst(prior, batch, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // batch docs only
+    assert(out(10L) == ((11L, 8L, "p q r")))
+    assert(out(11L) == ((16L, 8L, "t1 t2 t3 t4 t5 t6 t7 t8")))
+    assert(out(12L) == ((10L, 0L, "u v w x1 x2 x3 x4 x5 x6 x7")))
+  }
+
   test("normalizeText: NFC composition, control strip, whitespace collapse") {
     val docs = Seq(
       (1L, "Cafe\u0301 au lait"), // decomposed e-acute -> composed
