@@ -447,22 +447,40 @@ object Curation {
                             textCol: String, idCol: String,
                             k: Int = 8): DataFrame = {
     require(k >= 2, "substringDedupAgainst: need k >= 2")
-    def gramsOf(docs: DataFrame) = {
-      val base = docs.select(col(idCol).cast("long").as("doc_id"),
-          Dedup.tokens(col(textCol)).as("__toks"))
-        .withColumn("n_tokens", size(col("__toks")).cast("long"))
-      val g = base.filter(col("n_tokens") >= k)
-        .select(col("doc_id"), explode(gramHashUdf(col("__toks"), lit(k))).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-      (base, g)
-    }
-    val (_, priorGrams) = gramsOf(prior)
-    val priorIdx = priorGrams.select("h").distinct()
-    val (base, grams) = gramsOf(batch)
+    val (_, priorGrams) = gramTable(prior, textCol, idCol, k)
+    substringDedupAgainstIndex(priorGrams.select("h").distinct(),
+      batch, textCol, idCol, k)
+  }
+
+  /** (base, grams) decomposition of a document frame: `base` carries
+    * (doc_id, __toks, n_tokens); `grams` one (doc_id, pos, h) row per
+    * sliding window via the rolling-hash UDF.
+    */
+  private[graft] def gramTable(docs: DataFrame, textCol: String, idCol: String,
+                               k: Int): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    val g = base.filter(col("n_tokens") >= k)
+      .select(col("doc_id"), explode(gramHashUdf(col("__toks"), lit(k))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    (base, g)
+  }
+
+  /** [[substringDedupAgainst]] with the prior corpus already reduced to
+    * its persisted gram-hash index `priorIdx` (one column `h`) — the
+    * form an incremental/streaming pipeline uses so history text is
+    * never re-tokenized.
+    */
+  def substringDedupAgainstIndex(priorIdx: DataFrame, batch: DataFrame,
+                                 textCol: String, idCol: String,
+                                 k: Int = 8): DataFrame = {
+    require(k >= 2, "substringDedupAgainstIndex: need k >= 2")
+    val (base, grams) = gramTable(batch, textCol, idCol, k)
     val firsts = grams.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     val dupSpans = grams
-      .join(priorIdx.select(col("h"), lit(1L).as("__prior")), Seq("h"), "left")
+      .join(priorIdx.select(col("h"), lit(1L).as("__prior")).distinct(), Seq("h"), "left")
       .join(firsts, "h")
       .filter(col("__prior").isNotNull ||
         !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.operators.Curation
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental substring-span dedup — the ExactSubstr face
+  * of the index-probe streaming family ([[StreamingNearDup]] is the
+  * MinHash face): arriving documents are deduplicated against the
+  * persisted gram-hash index of everything ingested before them, and
+  * the index grows APPEND-ONLY with each micro-batch's new grams.
+  *
+  * The whole computation runs through foreachBatch: substring dedup
+  * needs a global first-occurrence aggregate over the batch's grams,
+  * which is illegal inside an append-mode streaming plan — but each
+  * completed micro-batch is plain batch data, where the full
+  * [[Curation.substringDedupAgainstIndex]] algebra (keep-first
+  * aggregate, islands window, positional anti-join) is legal
+  * unchanged. No state store and no watermark: the index IS the
+  * state, and it only ever gains rows (grams are content-addressed,
+  * so admission is idempotent).
+  *
+  * Ordering contract: micro-batch boundaries define "prior". Two
+  * duplicated spans arriving in the SAME micro-batch resolve by the
+  * batch operator's (doc_id, pos) keep-first; across batches the
+  * earlier batch always owns the gram — the same semantics a daily
+  * incremental batch pipeline has, at micro-batch grain.
+  */
+object StreamingSubstringDedup {
+  final case class DocRecord(doc_id: Long, text: String)
+
+  /** Read the persisted gram index (one LONG column `h`); empty frame
+    * when nothing has been ingested yet.
+    */
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val p = new java.io.File(indexPath)
+    if (p.exists()) spark.read.parquet(indexPath)
+    else Seq.empty[Long].toDF("h")
+  }
+
+  /** Append a document batch's grams to the index, new hashes only —
+    * history is never rewritten, one parquet append per batch.
+    * Materialized (localCheckpoint) before the write: the anti-join
+    * reads indexPath, and appending to a path mid-read is undefined.
+    *
+    * @return number of admitted gram hashes
+    */
+  def appendToIndex(batch: DataFrame, textCol: String, idCol: String,
+                    indexPath: String, k: Int = 8): Long = {
+    val spark = batch.sparkSession
+    val (_, grams) = Curation.gramTable(batch, textCol, idCol, k)
+    val fresh = grams.select("h").distinct()
+      .join(readIndex(spark, indexPath), Seq("h"), "left_anti")
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(indexPath)
+    graft.plans.CheckpointHygiene.free(fresh)
+    n
+  }
+
+  /** Run the stream: per micro-batch, dedup arriving docs against the
+    * index (and batch-internally), hand the deduped frame to `sink`,
+    * then admit the batch's new grams. Index admission happens AFTER
+    * the dedup of the same batch, so a batch never dedups against its
+    * own grams twice.
+    */
+  def dedupStream(docs: Dataset[DocRecord], indexPath: String,
+                  sink: DataFrame => Unit,
+                  k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // snapshot the index once per batch: the dedup and the
+        // admission anti-join must see the same prior set
+        val idx = readIndex(spark, indexPath).localCheckpoint()
+        sink(Curation.substringDedupAgainstIndex(idx, batch, "text", "doc_id", k))
+        val (_, grams) = Curation.gramTable(batch, "text", "doc_id", k)
+        val fresh = grams.select("h").distinct()
+          .join(idx, Seq("h"), "left_anti")
+          .localCheckpoint()
+        if (fresh.count() > 0) fresh.write.mode("append").parquet(indexPath)
+        graft.plans.CheckpointHygiene.free(idx, fresh)
+      }
+      .start()
+}
