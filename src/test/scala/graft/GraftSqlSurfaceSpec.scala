@@ -150,6 +150,32 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
     assert(rows(2) == ((2L, "zz", "yy", "a0|a1", -1L)))
   }
 
+  test("fuzz: malformed graft-ish statements never leak raw engine exceptions") {
+    val rnd = new scala.util.Random(7L)
+    val verbs = Seq("MATERIALIZE STATE", "LINEARIZE EVENTS", "SHELVE EVENTS",
+      "MERGE STATES", "DEDUP DOCUMENTS", "NEARDUP DOCUMENTS")
+    val tails = Seq("", " FROM", " FROM ''", " FROM '/no/such/dir'", " ONTO",
+      " ONTO 'x'", " 'a->b' ONTO", " '->' ONTO 'x'", " 'a-b,c' ONTO 'x'",
+      " FROM '/etc' FOR USER 99999999999999999999999999", " FOR USER 1",
+      " FROM 'x' EXTRA junk", " '\n' ONTO '\n'")
+    (1 to 120).foreach { _ =>
+      val stmt = verbs(rnd.nextInt(verbs.size)) + tails(rnd.nextInt(tails.size))
+      // some combinations are legal and simply execute (e.g. a shelve
+      // of an empty substitution is a valid no-op event) — the
+      // property is that FAILURES are always a ParseException (graft
+      // or delegate) or Spark's own analysis error, never a raw
+      // NumberFormatException / IOException / MatchError
+      scala.util.Try(spark.sql(stmt).collect()) match {
+        case scala.util.Success(_) => ()
+        case scala.util.Failure(thrown) =>
+          assert(
+            thrown.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException] ||
+              thrown.isInstanceOf[org.apache.spark.sql.AnalysisException],
+            s"statement [$stmt] leaked ${thrown.getClass.getName}: ${thrown.getMessage}")
+      }
+    }
+  }
+
   test("DEDUP/NEARDUP DOCUMENTS verbs equal their DataFrame twins") {
     val viaSql = spark.sql(s"DEDUP DOCUMENTS FROM '$sf'")
       .collect().map(_.toString).sorted
