@@ -263,6 +263,12 @@ object SparkEntry {
       Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3, bands = 6, rows = 2, threshold = 0.4)),
 
+    // temperature (T=2) mixture weighting: sqrt token-mass weights in
+    // fixed-point, BIGINT target/rate algebra (oracle bit-exact)
+    "q_temp_mixture" -> ((s, dir) =>
+      Curation.temperatureMixture(t(s, dir, "documents"), "text", "doc_id",
+        "source", totalBudget = 100000L)),
+
     // SQL-verb twins of the two dedup headliners (GraftSqlParser
     // curation verbs) — same parameters, same oracles, zero drift
     "q_sql_dedup" -> ((s, dir) => s.sql(s"DEDUP DOCUMENTS FROM '$dir'")),
@@ -1349,6 +1355,21 @@ object SparkEntry {
 
     "q_neardup_minhash" -> neardupOracle,
     "q_dup_clusters" -> dupClustersOracle,
+
+    // mirrors Curation.temperatureMixture: sqrt is IEEE-correctly-
+    // rounded in both engines, then floored to fixed point — all
+    // downstream algebra is BIGINT
+    "q_temp_mixture" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp FROM s),
+        |t AS (SELECT sum(w_fp) AS w_tot FROM w)
+        |SELECT source, n_docs, n_tokens, w_fp,
+        |  CAST((100000 * w_fp) // greatest(w_tot, 1) AS BIGINT) AS target_tokens,
+        |  CAST(least(CAST(1000 AS HUGEINT),
+        |    (((100000 * w_fp) // greatest(w_tot, 1)) * 1000) // greatest(n_tokens, 1)) AS BIGINT) AS rate_pm
+        |FROM w, t""".stripMargin,
 
     // SQL-verb twins share the DataFrame queries' oracles verbatim
     "q_sql_dedup" ->

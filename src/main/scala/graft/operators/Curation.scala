@@ -745,6 +745,38 @@ object Curation {
         least(lit(1000L), expr("(target_tokens * 1000) div greatest(n_tokens, 1)")))
   }
 
+  /** Temperature-based mixture weighting — the multilingual/multi-
+    * source sampling rule `p_i proportional to n_i^(1/2)` (temperature
+    * T = 2, the standard up-weight-the-tail choice of mBERT/XLM-R-
+    * style pretraining): per-source token counts, square-root
+    * weighting, token targets from `totalBudget`, and the resulting
+    * per-mille sampling rate against what the source actually has.
+    *
+    * Exactness: sqrt is IEEE-754 correctly rounded, so both engines
+    * compute the identical double; it is immediately floored into a
+    * FIXED-POINT long (x 1e6) so every downstream sum/ratio is exact
+    * BIGINT algebra — no cross-source float summation whose result
+    * depends on aggregation order. One aggregate (source cardinality
+    * rows), one window-free broadcastable total: free at any scale.
+    */
+  def temperatureMixture(docs: DataFrame, textCol: String, idCol: String,
+                         strataCol: String, totalBudget: Long): DataFrame = {
+    val bySrc = docs
+      .select(col(strataCol).as("source"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("w_fp", floor(sqrt(col("n_tokens").cast("double")) * lit(1e6)).cast("long"))
+    val total = bySrc.agg(sum(col("w_fp")).as("w_tot"))
+    bySrc.crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        expr(s"($totalBudget * w_fp) div greatest(w_tot, 1)"))
+      .withColumn("rate_pm",
+        least(lit(1000L), expr("(target_tokens * 1000) div greatest(n_tokens, 1)")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_fp"),
+        col("target_tokens"), col("rate_pm"))
+  }
+
   /** Exact-k deterministic sample per stratum: the k lowest
     * md5-hash-order documents of each source — "give me exactly 1000
     * inspection docs per domain", reproducibly. Catalyst runs the

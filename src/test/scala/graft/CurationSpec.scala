@@ -587,6 +587,27 @@ class CurationSpec extends AnyFunSuite with SharedSpark {
     // count 9 = [2,11), not 8 + 8
   }
 
+  test("temperatureMixture up-weights small sources by the sqrt rule") {
+    // A: 100 docs x 100 tokens = 10000; B: 1 doc x 100 tokens = 100.
+    // Proportional share of B ~1%; sqrt share = 10/110 ~9.1%
+    val docs = ((0 until 100).map(i => (i.toLong, ("w " * 100).trim, "A")) :+
+      (1000L, ("w " * 100).trim, "B")).toDF("doc_id", "text", "source")
+    val out = Curation.temperatureMixture(docs, "text", "doc_id", "source", totalBudget = 11000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val (na, ta) = (out("A")._2, out("A")._3)
+    val (nb, tb) = (out("B")._2, out("B")._3)
+    assert(na == 10000L && nb == 100L)
+    // targets in the sqrt ratio: sqrt(10000)/sqrt(100) = 10
+    assert(math.abs(ta.toDouble / tb.toDouble - 10.0) < 0.01, s"ratio ${ta.toDouble / tb}")
+    // budget conserved (integer floor can undershoot, never overshoot)
+    assert(ta + tb <= 11000L && ta + tb > 10900L)
+    // B's target (1000) exceeds its 100 available tokens -> rate capped
+    assert(out("B")._4 == 1000L)
+    // A's target 10000 = its whole mass -> rate 1000 as well
+    assert(out("A")._4 == 1000L)
+  }
+
   test("substringDedupAgainst: prior index owns shared grams, batch keeps first within itself") {
     val prior = Seq(
       (1L, "a b c d e f g h x y")).toDF("doc_id", "text")
