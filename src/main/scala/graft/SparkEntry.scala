@@ -662,6 +662,15 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
     }),
 
+    // scale-path ANN (product quantization + ADC): base vectors
+    // reduced to 8 code bytes, queries score through a fixed-point
+    // lookup table — codebooks are md5-salted so the ENTIRE index
+    // algebra (encode, LUT, integer ADC sum) is oracle-checked
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
+    }),
+
     // hard-negative mining: top-5 similar vectors OUTSIDE the query's
     // IVF list, for the 8 query vectors
     "q_hard_negatives" -> ((s, dir) => {
@@ -2120,6 +2129,7 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_pq" -> annPqOracle,
 
     // mirrors Similarity.hardNegatives: identical IVF assignment
     // algebra (annIvf centroids), different-list exclusion, exact
@@ -3122,6 +3132,40 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
       |  FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of q_ann_pq: identical md5-salted per-subspace
+    * codebooks (salt `pq<s>`), identical sequential-order double
+    * arithmetic for code assignment (argmax of dot - ||c||^2/2, tie ->
+    * smaller code), micro-fixed-point LUT cells, and an exact BIGINT
+    * ADC sum — so the approximate index is verified bit-for-bit, not
+    * just shape-checked.
+    */
+  private def annPqOracle: String =
+    """WITH cb AS (
+      |  SELECT s.s, c.c, list(
+      |      ('0x' || substr(md5('pq' || s.s || '|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+      |      ORDER BY d.d) AS cv
+      |  FROM (SELECT unnest(range(8)) AS s) s, (SELECT unnest(range(16)) AS c) c,
+      |       (SELECT unnest(range(8)) AS d) d
+      |  GROUP BY s.s, c.c),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |sc AS (SELECT v.vec_id, cb.s, cb.c,
+      |    list_sum(list_transform(range(1, 9), i -> v.v[cb.s * 8 + i] * cb.cv[i]))
+      |      - 0.5 * list_sum(list_transform(cb.cv, x -> x * x)) AS score
+      |  FROM v, cb),
+      |code AS (SELECT vec_id, s, c FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) = 1),
+      |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.c,
+      |    CAST(floor(list_sum(list_transform(range(1, 9), i -> q.v[cb.s * 8 + i] * cb.cv[i])) * 1e6) AS BIGINT) AS f
+      |  FROM v q, cb WHERE q.vec_id < 8),
+      |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id, CAST(sum(l.f) AS BIGINT) AS score_e6
+      |  FROM code b JOIN lut l ON l.s = b.s AND l.c = b.c
+      |  WHERE l.query_id <> b.vec_id GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, score_e6,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
       |FROM r WHERE rank <= 5""".stripMargin
 
   /** DuckDB mirror of q_semantic_dedup: identical IVF assignment

@@ -524,4 +524,103 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6).as("score"))
   }
+
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    * the memory lever that makes billion-vector search feasible: each
+    * base vector is reduced to `m` sub-space code bytes (here 8 codes
+    * of 16 centroids = 8 x 4 bits ~ 4 bytes vs 256 bytes of floats, a
+    * 64x shrink), and queries score candidates through a per-query
+    * m x codes lookup table without ever touching the raw base
+    * vectors. This is the residual-free half of IVF-PQ (Jegou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011);
+    * compose with [[annIvf]]'s coarse lists for the full shape.
+    *
+    * Scale + determinism design:
+    *  - codebooks are the same md5-salted deterministic centroids as
+    *    the IVF index ([[saltedCentroid]] with salt `pq<s>`), so the
+    *    whole index algebra — encode, LUT, ADC — is SQL-derivable and
+    *    oracle-checked end-to-end, not just "returns k rows";
+    *  - encoding is ONE compiled pass per vector (m x codes x subDim
+    *    multiply-adds in a while loop), emitting a tiny int array; at
+    *    100 TB the coded table is what you persist and scan, which is
+    *    the entire point of PQ;
+    *  - ADC scores are fixed-point: each LUT cell is
+    *    floor(dot(q_sub, codeword) * 1e6) as a long, and a candidate's
+    *    score is an integer SUM of m cells — associative/commutative,
+    *    so ranking is bit-identical under any partitioning, AQE plan,
+    *    or speculative re-execution (a double sum here would tie the
+    *    ranking to partition merge order);
+    *  - queries are broadcast (one LUT row each); the base side never
+    *    shuffles — the rank window partitions by query_id only.
+    *
+    * Returns (query_id, rank, neighbor_id, score_e6) — `score_e6` is
+    * the micro-unit ADC approximation of the dot product.
+    */
+  def annPq(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
+            m: Int = 8, codes: Int = 16,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    val cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => Array.tabulate(codes)(c => saltedCentroid(s"pq$s", c, subDim)))
+    val normHalf: Array[Array[Double]] =
+      cbs.map(_.map(cv => 0.5 * cv.map(x => x * x).sum))
+    val mm = m; val kk = codes; val sd = subDim
+
+    // nearest codeword per subspace: argmax(dot - ||c||^2/2), strict >
+    // keeps the smaller code on ties (oracle: ORDER BY score DESC, c)
+    val encode = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      (0 until mm).map { s =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          val cv = cbs(s)(c)
+          var d = 0.0; var i = 0
+          while (i < sd) { d += arr(s * sd + i).toDouble * cv(i); i += 1 }
+          val sc = d - normHalf(s)(c)
+          if (sc > bestScore) { bestScore = sc; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    // per-query ADC lookup table, micro fixed point
+    val lut = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val out = new Array[Long](mm * kk)
+      var s = 0
+      while (s < mm) {
+        var c = 0
+        while (c < kk) {
+          val cv = cbs(s)(c)
+          var d = 0.0; var i = 0
+          while (i < sd) { d += arr(s * sd + i).toDouble * cv(i); i += 1 }
+          out(s * kk + c) = math.floor(d * 1e6).toLong
+          c += 1
+        }
+        s += 1
+      }
+      out
+    }
+    val adc = udf { (cs: Seq[Int], l: Seq[Long]) =>
+      var s = 0; var acc = 0L
+      while (s < mm) { acc += l(s * kk + cs(s)); s += 1 }
+      acc
+    }
+
+    val base = Par.spread(embeddings)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .withColumn("codes", encode(col("v"))).drop("v")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("lut", lut(col("qv"))).drop("qv")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_e6").desc, col("neighbor_id"))
+    base.join(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_e6", adc(col("codes"), col("lut")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score_e6"))
+  }
 }
