@@ -671,6 +671,34 @@ object SparkEntry {
       Similarity.annPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
     }),
 
+    // hybrid retrieval: BM25 top-20 fused with dense cosine top-20 by
+    // reciprocal-rank fusion (fixed-point contributions -> exact BIGINT
+    // fused score); keeps docs found by only one retriever
+    "q_rrf_fusion" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        queries = Seq((0L, "spark join window"), (1L, "hash merge batch"),
+          (2L, "stream filter sort value"), (3L, "table scan agg")), k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.topKCosine(emb, emb.filter(col("vec_id") < 4), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(lex, dense, k = 10)
+    }),
+
+    // offline index evaluation: recall@5 + harmonic-discount nDCG@5 of
+    // the IVF index against brute-force cosine ground truth — the
+    // recall/quality dial every ANN deployment tunes; all-integer
+    // gains/discounts so the metric itself is oracle-exact
+    "q_retrieval_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.topKCosine(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      val approx = Similarity.annIvf(emb, q, k = 5, dim = 64)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Retrieval.evalRanking(truth, approx, k = 5)
+    }),
+
     // hard-negative mining: top-5 similar vectors OUTSIDE the query's
     // IVF list, for the 8 query vectors
     "q_hard_negatives" -> ((s, dir) => {
@@ -2130,6 +2158,8 @@ object SparkEntry {
 
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_rrf_fusion" -> rrfFusionOracle,
+    "q_retrieval_eval" -> retrievalEvalOracle,
 
     // mirrors Similarity.hardNegatives: identical IVF assignment
     // algebra (annIvf centroids), different-list exclusion, exact
@@ -3167,6 +3197,110 @@ object SparkEntry {
       |  FROM adc)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of q_rrf_fusion: the full BM25 pipeline at k=20
+    * (identical fixed-point per-term contributions as the q_bm25
+    * oracle), brute-force cosine at k=20, then nano-fixed-point RRF
+    * contributions summed as BIGINT and re-ranked.
+    */
+  private def rrfFusionOracle: String =
+    """WITH q AS (SELECT * FROM (VALUES (0, 'spark join window'), (1, 'hash merge batch'),
+      |    (2, 'stream filter sort value'), (3, 'table scan agg')) AS q(query_id, qtext)),
+      |terms AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+      |    unnest(string_split(qtext, ' ')) AS term FROM q),
+      |tl AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |tl2 AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM tl),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM tl2),
+      |tok AS (SELECT doc_id, dl, unnest(t) AS term FROM tl2),
+      |tf AS (SELECT query_id, term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok JOIN terms USING (term) GROUP BY 1, 2, 3, 4),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |  FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
+      |sc AS (SELECT query_id, doc_id,
+      |    CAST(sum(CAST(floor(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |        / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * 2.5
+      |        / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+      |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |      * 1e9) AS BIGINT)) AS BIGINT) AS score_e9
+      |  FROM tf JOIN dft USING (term) CROSS JOIN st GROUP BY 1, 2),
+      |lexr AS (SELECT query_id, doc_id AS id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS rank
+      |  FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) <= 20),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+      |cs AS (SELECT cq.query_id, e.vec_id AS id,
+      |    list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))) AS score
+      |  FROM cq, e WHERE e.vec_id <> cq.query_id),
+      |denser AS (SELECT query_id, id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+      |  FROM cs QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) <= 20),
+      |lc AS (SELECT query_id, id, CAST(floor(1000000000.0 / (60.0 + rank)) AS BIGINT) AS lex_e9 FROM lexr),
+      |dc AS (SELECT query_id, id, CAST(floor(1000000000.0 / (60.0 + rank)) AS BIGINT) AS dense_e9 FROM denser),
+      |fused AS (SELECT COALESCE(lc.query_id, dc.query_id) AS query_id,
+      |    COALESCE(lc.id, dc.id) AS id,
+      |    COALESCE(lex_e9, 0) + COALESCE(dense_e9, 0) AS rrf_e9
+      |  FROM lc FULL JOIN dc ON lc.query_id = dc.query_id AND lc.id = dc.id),
+      |r AS (SELECT query_id, id, rrf_e9,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_e9 DESC, id) AS rank
+      |  FROM fused)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, CAST(rrf_e9 AS BIGINT) AS rrf_e9
+      |FROM r WHERE rank <= 10""".stripMargin
+
+  /** DuckDB mirror of q_retrieval_eval: the annIvf index algebra
+    * (identical salted centroids + probing) as the approx list,
+    * brute-force cosine as truth, then all-integer recall/nDCG —
+    * harmonic discount, gain (6 - truth_rank), idcg = 8_700_000_000
+    * (the k=5 closed form), final ndcg the only double division.
+    */
+  private def retrievalEvalOracle: String =
+    """WITH cent AS (
+      |  SELECT c.c, list(
+      |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+      |      ORDER BY d.d) AS cv
+      |  FROM (SELECT unnest(range(16)) AS c) c, (SELECT unnest(range(64)) AS d) d
+      |  GROUP BY c.c),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |sc AS (SELECT v.vec_id, cent.c,
+      |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))
+      |      - 0.5 * list_sum(list_transform(cent.cv, x -> x * x)) AS score
+      |  FROM v, cent),
+      |assign AS (SELECT vec_id, c AS list_id FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
+      |probe AS (SELECT vec_id, c AS list_id FROM sc WHERE vec_id < 8
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) <= 4),
+      |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS id
+      |  FROM probe p JOIN assign a USING (list_id) WHERE p.vec_id <> a.vec_id),
+      |s2 AS (SELECT query_id, id,
+      |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+      |  FROM cand JOIN v a ON a.vec_id = query_id JOIN v b ON b.vec_id = id),
+      |ar AS (SELECT query_id, id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS arank
+      |  FROM s2 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) <= 5),
+      |ts AS (SELECT q.vec_id AS query_id, e.vec_id AS id,
+      |    list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))) AS score
+      |  FROM v q, v e WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+      |tr AS (SELECT query_id, id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS trank
+      |  FROM ts QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) <= 5),
+      |j AS (SELECT ar.query_id, ar.id, ar.arank, tr.trank
+      |  FROM ar LEFT JOIN tr ON tr.query_id = ar.query_id AND tr.id = ar.id),
+      |per AS (SELECT query_id,
+      |    CAST(sum(CASE WHEN trank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |    CAST(sum((CASE WHEN trank IS NOT NULL THEN 6 - trank ELSE 0 END) * 1000000000 // arank) AS BIGINT) AS dcg_e9
+      |  FROM j GROUP BY query_id)
+      |SELECT query_id, hits, CAST(hits * 1000000 // 5 AS BIGINT) AS recall_e6,
+      |  round(CAST(dcg_e9 AS DOUBLE) / 8700000000.0, 6) AS ndcg
+      |FROM per""".stripMargin
 
   /** DuckDB mirror of q_semantic_dedup: identical IVF assignment
     * algebra as [[annIvfOracle]], capped within-list pair generation

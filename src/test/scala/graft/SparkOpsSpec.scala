@@ -614,6 +614,28 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     assert((exact & got).nonEmpty)
   }
+
+  test("rrfFuse and evalRanking: hand-checked rank algebra") {
+    import spark.implicits._
+    // lex finds docs 1,2,3; dense finds 2,3,4 — 2 and 3 get two contributions
+    val lex = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)).toDF("query_id", "id", "rank")
+    val dense = Seq((0L, 2L, 1L), (0L, 3L, 2L), (0L, 4L, 3L)).toDF("query_id", "id", "rank")
+    val fused = Retrieval.rrfFuse(lex, dense, k = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    def c(r: Long) = math.floor(1e9 / (60.0 + r)).toLong
+    assert(fused.map(_._2).toSeq == Seq(2L, 3L, 1L, 4L)) // double-hit docs first
+    assert(fused.head._3 == c(1) + c(2))
+
+    // truth = ids 1..5 at ranks 1..5; approx hits ids 1 (pos 1) and 2 (pos 3)
+    val truth = (1L to 5L).map(i => (0L, i, i)).toDF("query_id", "id", "rank")
+    val approx = Seq((0L, 1L, 1L), (0L, 9L, 2L), (0L, 2L, 3L), (0L, 8L, 4L), (0L, 7L, 5L))
+      .toDF("query_id", "id", "rank")
+    val ev = Retrieval.evalRanking(truth, approx, 5).collect().head
+    assert(ev.getAs[Long]("hits") == 2L)
+    assert(ev.getAs[Long]("recall_e6") == 400000L)
+    // dcg = 5e9/1 + 4e9/3 (integer div) = 6_333_333_333; idcg(5) = 8_700_000_000
+    assert(math.abs(ev.getAs[Double]("ndcg") - 6333333333L / 8.7e9) < 1e-6)
+  }
 }
 
 /** Graph persistence + merge-from-file (OP-19) and Dot export (OP-12). */
