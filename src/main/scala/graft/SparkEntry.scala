@@ -121,6 +121,23 @@ object SparkEntry {
           expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("cents"))
     }),
 
+    // materialized-view rewrite: the day-grain aggregate below is
+    // WRITTEN against the base events table, but the registered
+    // optimizer rule re-targets it onto the persisted hourly rollup
+    // (count -> sum(cnt), cents-sum -> sum(cents) — exact integer
+    // re-aggregation); the oracle recomputes from the base table, so
+    // the check proves the rewritten access path returns base-table
+    // truth. MvRewriteSpec asserts the plan actually switches.
+    "q_mv_rewrite" -> ((s, dir) => {
+      val base = EventReplay.loadEvents(s, dir)
+      graft.plans.MvRewrite.materializeHourlyMv(s, base, s"$dir/events.parquet",
+        s"/tmp/graft_mv_hourly_${math.abs(dir.hashCode)}",
+        rewriteGrains = Set(86400000000000L))
+      base.groupBy(expr("ts DIV 86400000000000").as("day_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+    }),
+
     // ---- esvc core operators over the events table ----
     // OP-5/6/7+13: content-addressed linearized ordered replay
     "q_replay_per_user" -> ((s, dir) => EventReplay.replayPerUser(s, dir)),
@@ -1252,6 +1269,12 @@ object SparkEntry {
 
     "q_hourly_rollup" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_mv_rewrite" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day_bucket, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2""".stripMargin,
