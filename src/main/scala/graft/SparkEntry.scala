@@ -688,6 +688,15 @@ object SparkEntry {
       Similarity.annPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
     }),
 
+    // the full IVF-PQ composition: coarse-list probe bounds the scan
+    // to nprobe/lists of the corpus, PQ codes bound the bytes touched
+    // to 4/vector — both salted-deterministic, so the composed index
+    // is oracle-checked end to end
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
+    }),
+
     // hybrid retrieval: BM25 top-20 fused with dense cosine top-20 by
     // reciprocal-rank fusion (fixed-point contributions -> exact BIGINT
     // fused score); keeps docs found by only one retriever
@@ -2181,6 +2190,7 @@ object SparkEntry {
 
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle,
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_retrieval_eval" -> retrievalEvalOracle,
 
@@ -3215,6 +3225,55 @@ object SparkEntry {
       |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id, CAST(sum(l.f) AS BIGINT) AS score_e6
       |  FROM code b JOIN lut l ON l.s = b.s AND l.c = b.c
       |  WHERE l.query_id <> b.vec_id GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, score_e6,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of q_ann_ivfpq: the annIvf coarse algebra
+    * (assignment + nprobe probing) composed with the annPq code/LUT
+    * algebra; candidates are probe x assignment on list_id, scored by
+    * the exact BIGINT ADC sum.
+    */
+  private def annIvfPqOracle: String =
+    """WITH cent AS (
+      |  SELECT c.c, list(
+      |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+      |      ORDER BY d.d) AS cv
+      |  FROM (SELECT unnest(range(16)) AS c) c, (SELECT unnest(range(64)) AS d) d
+      |  GROUP BY c.c),
+      |cb AS (
+      |  SELECT s.s, c.c, list(
+      |      ('0x' || substr(md5('pq' || s.s || '|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+      |      ORDER BY d.d) AS cv
+      |  FROM (SELECT unnest(range(8)) AS s) s, (SELECT unnest(range(16)) AS c) c,
+      |       (SELECT unnest(range(8)) AS d) d
+      |  GROUP BY s.s, c.c),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |ivfsc AS (SELECT v.vec_id, cent.c,
+      |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))
+      |      - 0.5 * list_sum(list_transform(cent.cv, x -> x * x)) AS score
+      |  FROM v, cent),
+      |assign AS (SELECT vec_id, c AS list_id FROM ivfsc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
+      |probe AS (SELECT vec_id, c AS list_id FROM ivfsc WHERE vec_id < 8
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) <= 4),
+      |pqsc AS (SELECT v.vec_id, cb.s, cb.c,
+      |    list_sum(list_transform(range(1, 9), i -> v.v[cb.s * 8 + i] * cb.cv[i]))
+      |      - 0.5 * list_sum(list_transform(cb.cv, x -> x * x)) AS score
+      |  FROM v, cb),
+      |code AS (SELECT vec_id, s, c FROM pqsc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) = 1),
+      |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.c,
+      |    CAST(floor(list_sum(list_transform(range(1, 9), i -> q.v[cb.s * 8 + i] * cb.cv[i])) * 1e6) AS BIGINT) AS f
+      |  FROM v q, cb WHERE q.vec_id < 8),
+      |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a USING (list_id) WHERE p.vec_id <> a.vec_id),
+      |adc AS (SELECT cand.query_id, cand.neighbor_id, CAST(sum(l.f) AS BIGINT) AS score_e6
+      |  FROM cand JOIN code b ON b.vec_id = cand.neighbor_id
+      |  JOIN lut l ON l.query_id = cand.query_id AND l.s = b.s AND l.c = b.c
+      |  GROUP BY 1, 2),
       |r AS (SELECT query_id, neighbor_id, score_e6,
       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id) AS rank
       |  FROM adc)

@@ -561,15 +561,37 @@ object Similarity {
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
-    val cbs: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(s => Array.tabulate(codes)(c => saltedCentroid(s"pq$s", c, subDim)))
+    val cbs = pqCodebooks(m, codes, subDim)
+    val encode = pqEncodeUdf(cbs, subDim)
+    val lut = pqLutUdf(cbs, subDim)
+    val adc = pqAdcUdf(m, codes)
+
+    val base = Par.spread(embeddings)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .withColumn("codes", encode(col("v"))).drop("v")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("lut", lut(col("qv"))).drop("qv")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_e6").desc, col("neighbor_id"))
+    base.join(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_e6", adc(col("codes"), col("lut")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score_e6"))
+  }
+
+  private def pqCodebooks(m: Int, codes: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m)(s => Array.tabulate(codes)(c => saltedCentroid(s"pq$s", c, subDim)))
+
+  /** Nearest codeword per subspace: argmax(dot - ||c||^2/2), strict >
+    * keeps the smaller code on ties (oracle: ORDER BY score DESC, c).
+    */
+  private def pqEncodeUdf(cbs: Array[Array[Array[Double]]], subDim: Int) = {
     val normHalf: Array[Array[Double]] =
       cbs.map(_.map(cv => 0.5 * cv.map(x => x * x).sum))
-    val mm = m; val kk = codes; val sd = subDim
-
-    // nearest codeword per subspace: argmax(dot - ||c||^2/2), strict >
-    // keeps the smaller code on ties (oracle: ORDER BY score DESC, c)
-    val encode = udf { (v: Seq[Float]) =>
+    val mm = cbs.length; val kk = cbs(0).length; val sd = subDim
+    udf { (v: Seq[Float]) =>
       val arr = v.toArray
       (0 until mm).map { s =>
         var best = 0; var bestScore = Double.NegativeInfinity
@@ -585,8 +607,12 @@ object Similarity {
         best
       }
     }
-    // per-query ADC lookup table, micro fixed point
-    val lut = udf { (v: Seq[Float]) =>
+  }
+
+  /** Per-query ADC lookup table, micro fixed point. */
+  private def pqLutUdf(cbs: Array[Array[Array[Double]]], subDim: Int) = {
+    val mm = cbs.length; val kk = cbs(0).length; val sd = subDim
+    udf { (v: Seq[Float]) =>
       val arr = v.toArray
       val out = new Array[Long](mm * kk)
       var s = 0
@@ -603,19 +629,70 @@ object Similarity {
       }
       out
     }
-    val adc = udf { (cs: Seq[Int], l: Seq[Long]) =>
+  }
+
+  private def pqAdcUdf(m: Int, codes: Int) = {
+    val mm = m; val kk = codes
+    udf { (cs: Seq[Int], l: Seq[Long]) =>
       var s = 0; var acc = 0L
       while (s < mm) { acc += l(s * kk + cs(s)); s += 1 }
       acc
     }
+  }
+
+  /** The full IVF-PQ composition — the architecture behind every
+    * billion-vector deployment (FAISS IVFPQ; Jegou et al. 2011,
+    * residual-free variant): a coarse IVF quantizer partitions the
+    * corpus into lists, each base vector is stored ONLY as (list_id,
+    * m code bytes), and a query probes nprobe lists scoring
+    * candidates through its ADC lookup table. The scan is bounded by
+    * nprobe/lists of the corpus AND touches 4-byte codes instead of
+    * 256-byte vectors — the two multipliers that make 1e9+ vectors
+    * searchable. Shares [[annIvf]]'s salted coarse centroids and
+    * [[annPq]]'s codebooks, so the whole composed index remains
+    * SQL-derivable and oracle-checked, fixed-point ADC included.
+    */
+  def annIvfPq(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
+               lists: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    val cbs = pqCodebooks(m, codes, subDim)
+    val encode = pqEncodeUdf(cbs, subDim)
+    val lut = pqLutUdf(cbs, subDim)
+    val adc = pqAdcUdf(m, codes)
+    val cents: Array[Array[Double]] = Array.tabulate(lists)(c => ivfCentroidSql(c, dim))
+    val normHalf: Array[Double] = cents.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
+    val nLists = lists; val nProbe = nprobe
+    def listScores(v: Seq[Float]): Array[Double] = {
+      val arr = v.toArray
+      Array.tabulate(nLists) { c =>
+        val cent = cents(c)
+        var dotv = 0.0
+        var i = 0
+        while (i < arr.length) { dotv += arr(i).toDouble * cent(i); i += 1 }
+        dotv - normHalf(c)
+      }
+    }
+    val assign = udf { (v: Seq[Float]) =>
+      val s = listScores(v)
+      var best = 0; var c = 1
+      while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 } // tie -> smaller c
+      best
+    }
+    val probe = udf { (v: Seq[Float]) =>
+      listScores(v).zipWithIndex.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2).toSeq
+    }
 
     val base = Par.spread(embeddings)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .withColumn("list_id", assign(col("v")))
       .withColumn("codes", encode(col("v"))).drop("v")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("lut", lut(col("qv"))).drop("qv")
+      .withColumn("lut", lut(col("qv")))
+      .withColumn("list_id", explode(probe(col("qv")))).drop("qv")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score_e6").desc, col("neighbor_id"))
-    base.join(broadcast(q))
+    base.join(broadcast(q), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score_e6", adc(col("codes"), col("lut")))
       .withColumn("rank", row_number().over(w))

@@ -615,6 +615,35 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert((exact & got).nonEmpty)
   }
 
+  test("annIvfPq: candidates stay within probed lists; full top-5 per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val rows = Similarity.annIvfPq(emb, q, 5, dim = 64).collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // every returned neighbor's coarse list must be one the query probed
+    // (recompute assignment/probe from the shared salted centroids)
+    val cents = Array.tabulate(16)(c => Similarity.ivfCentroidSql(c, 64))
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    def scores(v: Array[Float]): Array[Double] = Array.tabulate(16) { c =>
+      val cv = cents(c)
+      (0 until 64).map(i => v(i).toDouble * cv(i)).sum - 0.5 * cv.map(x => x * x).sum
+    }
+    def assign(v: Array[Float]): Int = scores(v).zipWithIndex.maxBy { case (s, c) => (s, -c) }._2
+    def probed(v: Array[Float]): Set[Int] =
+      scores(v).zipWithIndex.sortBy { case (s, c) => (-s, c) }.take(4).map(_._2).toSet
+    rows.foreach { r =>
+      assert(probed(vecs(r.getLong(0))).contains(assign(vecs(r.getLong(2)))),
+        s"query ${r.getLong(0)} neighbor ${r.getLong(2)} outside probed lists")
+    }
+    // PQ scoring inside the lists matches the flat annPq scores
+    val flat = Similarity.annPq(emb, q, 500, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      assert(flat((r.getLong(0), r.getLong(2))) == r.getLong(3))
+    }
+  }
+
   test("rrfFuse and evalRanking: hand-checked rank algebra") {
     import spark.implicits._
     // lex finds docs 1,2,3; dense finds 2,3,4 — 2 and 3 get two contributions
