@@ -64,11 +64,34 @@ object MvRewrite {
     */
   def materializeHourlyMv(spark: SparkSession, base: DataFrame, baseSuffix: String,
                           mvPath: String, rewriteGrains: Set[Long]): Unit = {
+    hourlyRollup(base).write.mode("overwrite").parquet(mvPath)
+    registerHourlyMv(spark, base, baseSuffix, mvPath, rewriteGrains)
+  }
+
+  /** The canonical hourly rollup of an events table — shared by the
+    * batch MV build above and the streaming delta maintainer
+    * ([[graft.streaming.StreamingMvMaintain]]), so the artifact schema
+    * and measure algebra cannot drift between the two writers.
+    */
+  def hourlyRollup(base: DataFrame): DataFrame = {
     val grain = 3600000000000L
-    val mv = base.groupBy(expr(s"ts DIV $grain").as("hour_bucket"), col("event_type"))
+    base.groupBy(expr(s"ts DIV $grain").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("cents"))
-    mv.write.mode("overwrite").parquet(mvPath)
+  }
+
+  /** Register an ALREADY-persisted hourly rollup at `mvPath` for
+    * rewriting — the path a streaming maintainer uses: it appends
+    * partial-aggregate delta rows to the artifact itself, then calls
+    * this (no rebuild, no base scan; `base` is only the calibration
+    * template for the measure matcher). Correct because the rewrite
+    * re-aggregates the artifact: sums of integer partials equal the
+    * total regardless of how many delta rows a bucket has.
+    */
+  def registerHourlyMv(spark: SparkSession, base: DataFrame, baseSuffix: String,
+                       mvPath: String, rewriteGrains: Set[Long]): Unit = {
+    val grain = 3600000000000L
+    val mv = hourlyRollup(base)
     var countCol = "cnt"
     var sums = Map.empty[String, String]
     mv.queryExecution.optimizedPlan.collectFirst { case a: Aggregate =>
