@@ -545,6 +545,12 @@ object SparkEntry {
     "q_distinct_sketch" -> ((s, dir) =>
       TextAnalysis.distinctSketch(t(s, dir, "documents"), "text", "source", m = 65536)),
 
+    // HyperLogLog distinct sketch per source + a `__union__` row
+    // max-merged from the per-source registers alone (the cross-shard
+    // merge path); exact counts ride along as the accuracy report
+    "q_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinct(t(s, dir, "documents"), "text", "source", b = 10)),
+
     // corpus-wide top-20 word bigrams with deterministic ties
     "q_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 20)),
@@ -1946,6 +1952,41 @@ object SparkEntry {
         |  round(65536.0 * ln(65536.0 / CAST(greatest(65536 - b, 1) AS DOUBLE)), 6) AS estimate,
         |  n_exact
         |FROM sb JOIN ex ON sb.source = ex.source""".stripMargin,
+
+    // mirrors Sketches.hllDistinct: same md5 hash, register index =
+    // low 10 bits, rank = trailing zeros of the upper 50 bits via the
+    // exact h&-h integer identity, merge-by-max union row, and the
+    // identical scaled-BIGINT harmonic sum; the numerator double
+    // literal is interpolated from the SAME Scala constant the
+    // DataFrame side folds in
+    "q_hll_distinct" ->
+      s"""WITH tok AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |h AS (SELECT source, ('0x' || substr(md5('hll|' || word), 1, 15))::BIGINT AS h FROM tok),
+        |jr AS (SELECT source, h % 1024 AS j,
+        |    CASE WHEN h // 1024 = 0 THEN 51
+        |         ELSE bit_count(((h // 1024) & -(h // 1024)) - 1) + 1 END AS rho
+        |  FROM h),
+        |regs AS (SELECT source, j, max(rho) AS r FROM jr GROUP BY source, j),
+        |allregs AS (SELECT source, j, r FROM regs UNION ALL
+        |  SELECT '__union__' AS source, j, max(r) AS r FROM regs GROUP BY j),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS nz,
+        |    sum(1::BIGINT << CAST(51 - r AS INT)) AS s_nz
+        |  FROM allregs GROUP BY source),
+        |est AS (SELECT source, nz AS registers_set,
+        |    s_nz + (1024 - nz) * (1::BIGINT << 51) AS z_scaled, 1024 - nz AS v
+        |  FROM agg),
+        |ex AS (SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact
+        |    FROM tok GROUP BY source
+        |  UNION ALL SELECT '__union__' AS source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact
+        |    FROM tok)
+        |SELECT est.source AS source, registers_set,
+        |  round(CASE WHEN v > 0 AND ${Sketches.hllNumerator(10)} / CAST(z_scaled AS DOUBLE) <= 2560.0
+        |        THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+        |        ELSE ${Sketches.hllNumerator(10)} / CAST(z_scaled AS DOUBLE) END, 6) AS estimate,
+        |  n_exact
+        |FROM est JOIN ex ON est.source = ex.source""".stripMargin,
 
     // mirrors TextAnalysis.topNgrams: same shingle algebra + tie-break
     "q_top_ngrams" ->

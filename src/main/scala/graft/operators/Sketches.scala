@@ -44,6 +44,99 @@ object Sketches {
       .join(broadcast(sketch), Seq("row", "col"))
       .groupBy("word").agg(min(col("c")).as("est_n"))
 
+  /** HyperLogLog registers of a token stream, per stratum: 2^b
+    * registers, register j = max over the bucket's items of
+    * rho(item) where rho = trailing-zero count + 1 of the hash's
+    * upper bits (the geometric observable; Flajolet et al. 2007 use
+    * leading zeros — trailing zeros of the same uniform bits is the
+    * identical geometric variable, and `h & -h` makes it EXACT
+    * integer algebra: no log2/double anywhere, so the DuckDB oracle
+    * reproduces every register bit-for-bit).
+    *
+    * Scale shape: one explode + one map-side-combined max aggregate;
+    * the register table is at most 2^b rows per stratum regardless of
+    * corpus size, and registers merge across partitions, shards, days
+    * or streams by MAX — the property linear counting
+    * (TextAnalysis.distinctSketch) lacks once its bitmap saturates.
+    * Output (source, j, r), sparse: absent j means r = 0.
+    */
+  def hllRegisters(tok: DataFrame, strataCol: String, b: Int): DataFrame = {
+    val m = 1L << b
+    tok.select(col(strataCol).as("source"),
+        conv(substring(md5(concat(lit("hll|"), col("word"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      // j = low b bits; w = the remaining 60-b uniform bits; rho is
+      // the rank of w's lowest set bit (all-zero w saturates at max)
+      .select(col("source"), pmod(col("h"), lit(m)).as("j"),
+        expr(s"h div $m").as("w"))
+      .select(col("source"), col("j"),
+        when(col("w") === 0L, lit(61 - b))
+          .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho"))
+      .groupBy("source", "j").agg(max(col("rho")).as("r"))
+  }
+
+  /** Cardinality estimate from a (source, j, r) register table: the
+    * harmonic-mean estimator with the standard small-range linear-
+    * counting fallback. The indicator sum Z = sum_j 2^(-r_j) is kept
+    * EXACT by scaling: 2^(R - r_j) as BIGINT with R = 61-b (the max
+    * rank), empty registers contributing 2^R each — the only floats
+    * are the two final constant-folded divisions, written identically
+    * in the oracle. Returns (source, registers_set, estimate,
+    * alpha-corrected raw) rows.
+    */
+  def hllEstimate(regs: DataFrame, b: Int): DataFrame = {
+    val m = 1L << b
+    val bigR = 61 - b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // the full numerator alpha * m^2 * 2^R as ONE Scala double — its
+    // shortest decimal form is pasted into the oracle SQL, so both
+    // engines divide the same constant by the same integer
+    val num = alpha * m.toDouble * m.toDouble * math.pow(2.0, bigR)
+    regs.groupBy("source")
+      .agg(count(lit(1)).as("nz"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($bigR - r AS INT))")).as("s_nz"))
+      .select(col("source"), col("nz").as("registers_set"),
+        (col("s_nz") + (lit(m) - col("nz")) * lit(1L << bigR)).as("z_scaled"),
+        (lit(m) - col("nz")).as("v"))
+      .select(col("source"), col("registers_set"),
+        round(
+          when(col("v") > 0L &&
+              lit(num) / col("z_scaled").cast("double") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+            .otherwise(lit(num) / col("z_scaled").cast("double")), 6)
+          .as("estimate"))
+  }
+
+  /** The numerator constant [[hllEstimate]] bakes in — exposed so the
+    * oracle SQL string interpolates the IDENTICAL double literal.
+    */
+  def hllNumerator(b: Int): Double = {
+    val m = 1L << b
+    (0.7213 / (1.0 + 1.079 / m)) * m.toDouble * m.toDouble * math.pow(2.0, 61 - b)
+  }
+
+  /** Per-source distinct-cardinality HLL over a text column, plus an
+    * `__union__` row estimated from the per-source registers ALONE
+    * (max-merge — no second corpus scan): the cross-shard merge path
+    * a 100 TB deployment runs nightly, made visible in one result.
+    * Exact per-source counts ride along as the accuracy report;
+    * the union row's exact count is over all strata.
+    */
+  def hllDistinct(docs: DataFrame, textCol: String, strataCol: String,
+                  b: Int = 10): DataFrame = {
+    val tok = docs.select(col(strataCol).as("source"),
+      explode(graft.operators.Dedup.tokens(col(textCol))).as("word"))
+    val regs = hllRegisters(tok, "source", b)
+    val union = regs.groupBy("j").agg(max(col("r")).as("r"))
+      .select(lit("__union__").as("source"), col("j"), col("r"))
+    val est = hllEstimate(regs.unionByName(union), b)
+    val exact = tok.select(col("source"), col("word"))
+      .union(tok.select(lit("__union__").as("source"), col("word")))
+      .groupBy("source").agg(count_distinct(col("word")).as("n_exact"))
+    est.join(exact, "source")
+      .select(col("source"), col("registers_set"), col("estimate"), col("n_exact"))
+  }
+
   /** Join-size estimation from two sketches (the optimizer's
     * cardinality primitive): |A JOIN B on k| = sum_k fA(k)*fB(k),
     * estimated as min over hash rows of the per-row counter inner
