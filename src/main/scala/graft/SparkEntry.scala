@@ -1223,6 +1223,31 @@ object SparkEntry {
       Dedup.nearDupAgainst(
         docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0),
         "text", "doc_id", shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
+    }),
+
+    // runtime bloom semi-join filter: a selective dim filter (one
+    // nation's suppliers) prunes the fact scan via a broadcast bit
+    // array BEFORE any join — the fact side sees a pure codegen
+    // projection, zero shuffle. The accounting row audits the
+    // contract: false negatives must be 0, revenue over survivors
+    // equals the plain join's
+    "q_bloom_join_prune" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").filter(col("s_nationkey") === 7)
+      val bits = Par.bloomBits(sup, "s_suppkey")
+      val dimKeys = sup.select(col("s_suppkey").as("k")).distinct()
+        .withColumn("__in", lit(1L))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("k"),
+          expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))").as("rev"))
+        .withColumn("__pass", Par.bloomMightContain(bits, col("k")))
+        .join(broadcast(dimKeys), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_fact"),
+          sum(when(col("__pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+          sum(when(col("__in").isNotNull, 1L).otherwise(0L)).as("n_true_match"),
+          sum(when(col("__pass") && col("__in").isNull, 1L).otherwise(0L)).as("n_false_pos"),
+          sum(when(!col("__pass") && col("__in").isNotNull, 1L).otherwise(0L)).as("n_false_neg"),
+          expr("CAST(CAST(sum(CASE WHEN __in IS NOT NULL THEN rev END) AS DECIMAL(18,4)) AS DOUBLE)")
+            .as("revenue"))
     })
   )
 
@@ -2828,7 +2853,34 @@ object SparkEntry {
         |  CAST(CASE WHEN count(DISTINCT user_id) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS published
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "q_neardup_incremental" -> incNeardupOracle
+    "q_neardup_incremental" -> incNeardupOracle,
+
+    // mirrors Par.bloomBits + bloomMightContain: same md5 positions,
+    // 60-bit words, per-distinct-key probe (pass is a function of the
+    // key alone), identical accounting + DECIMAL revenue algebra
+    "q_bloom_join_prune" ->
+      """WITH dim AS (SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey = 7),
+        |pb AS (SELECT ('0x' || substr(md5('bjp' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 65536 AS p
+        |  FROM dim CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+        |words AS (SELECT p // 60 AS w, bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS bits
+        |  FROM pb GROUP BY p // 60),
+        |fkeys AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+        |fp AS (SELECT k, ('0x' || substr(md5('bjp' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 65536 AS p
+        |  FROM fkeys CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+        |chk AS (SELECT fp.k,
+        |    bool_and(words.bits IS NOT NULL AND (words.bits & (1::BIGINT << CAST(fp.p % 60 AS INT))) <> 0) AS pass
+        |  FROM fp LEFT JOIN words ON fp.p // 60 = words.w GROUP BY fp.k),
+        |f AS (SELECT l_suppkey AS k, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem),
+        |joined AS (SELECT f.rev, chk.pass, dim.k IS NOT NULL AS inn
+        |  FROM f JOIN chk ON f.k = chk.k LEFT JOIN dim ON f.k = dim.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fact,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+        |  CAST(sum(CASE WHEN inn THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+        |  CAST(sum(CASE WHEN pass AND NOT inn THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+        |  CAST(sum(CASE WHEN NOT pass AND inn THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+        |  CAST(CAST(sum(CASE WHEN inn THEN rev END) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM joined""".stripMargin
     // Every query above carries an oracle — including q_ann_lsh, whose
     // bucket algebra is SQL-derivable (annLshOracle), so even the
     // approximation is value-checked; the recall bound is additionally

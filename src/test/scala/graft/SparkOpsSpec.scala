@@ -1033,6 +1033,30 @@ class ScalePatternSpec extends AnyFunSuite with SharedSpark {
     assert(salted == plain)
   }
 
+  test("bloom prune is lossless (pruned-then-joined == plain join) and the probe is shuffle-free") {
+    val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .filter(col("s_nationkey") === 7)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+    val bits = Par.bloomBits(sup, "s_suppkey")
+    val pruned = li.filter(Par.bloomMightContain(bits, col("l_suppkey")))
+    // the prefilter alone introduces no exchange and no join: the bit
+    // array rides as a literal, so the 100 TB side stays a scan+filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"), plan.take(500))
+
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dimKeys = sup.select(col("s_suppkey").as("l_suppkey"))
+    val plain = ids(li.join(dimKeys, Seq("l_suppkey")))
+    val viaBloom = ids(pruned.join(dimKeys, Seq("l_suppkey")))
+    assert(viaBloom == plain, "bloom prefilter changed the join result")
+    // and it actually prunes: the pass-through fraction is far below 1
+    val passFrac = pruned.count().toDouble / li.count().toDouble
+    assert(passFrac < 0.5, s"bloom passed $passFrac of the fact")
+  }
+
   test("global sort = range partition + local sort, partition ranges disjoint") {
     import spark.implicits._
     // the 100 TB total-order pattern: repartitionByRange samples key
