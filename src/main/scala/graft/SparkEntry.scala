@@ -787,6 +787,14 @@ object SparkEntry {
     "q_image_neardup" -> ((s, dir) =>
       Multimodal.imageNearDup(Multimodal.plantedImages(s, 32), "payload", "doc_id")),
 
+    // audio near-dup over the planted WAV corpus (16 amplitude-
+    // jittered pairs): 8-bit PCM encode -> decode -> energy-difference
+    // fingerprint -> Manku band-join -> hamming verify. PINNED oracle
+    // (fixture-outcome check; DuckDB cannot decode WAV) — see PLANS.md
+    // "Pinned oracles"
+    "q_audio_neardup" -> ((s, dir) =>
+      Multimodal.audioNearDup(Multimodal.plantedAudio(s, 32), "payload", "doc_id")),
+
     // ---- temporal joins (operators Spark lacks, in 100 TB shapes) ----
     // as-of join: each purchase gets the user's latest at-or-before
     // click value — union + running last_value, ONE shuffle, no range
@@ -2394,6 +2402,12 @@ object SparkEntry {
     // the planted image corpus's TRUE near-dup structure: every even
     // id pairs with id+1 (jittered copy), nothing else is near
     "q_image_neardup" ->
+      """SELECT CAST(2 * i AS BIGINT) AS doc_a, CAST(2 * i + 1 AS BIGINT) AS doc_b
+        |FROM range(16) t(i)""".stripMargin,
+
+    // the planted audio corpus's TRUE near-dup structure: every even
+    // id pairs with id+1 (amplitude-jittered copy), nothing else near
+    "q_audio_neardup" ->
       """SELECT CAST(2 * i AS BIGINT) AS doc_a, CAST(2 * i + 1 AS BIGINT) AS doc_b
         |FROM range(16) t(i)""".stripMargin,
 

@@ -208,12 +208,22 @@ object Multimodal {
     */
   def imageNearDup(docs: DataFrame, payloadCol: String, idCol: String,
                    chunks: Int = 4, maxHamming: Int = 10,
-                   bucketCap: Int = 128): DataFrame = {
+                   bucketCap: Int = 128): DataFrame =
+    bandedFingerprintPairs(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        dhash64(col(payloadCol)).as("dh")),
+      chunks, maxHamming, bucketCap)
+
+  /** Shared back half of the perceptual near-dup family (image dHash,
+    * audio energy fingerprint): Manku banding of a 64-bit fingerprint
+    * string with a second half-band-rotated grating, hot buckets
+    * capped, codegen'd hamming verify on candidates only. Input must
+    * carry (doc_id, dh); null fingerprints drop out of the band join.
+    */
+  private def bandedFingerprintPairs(fps: DataFrame, chunks: Int, maxHamming: Int,
+                                     bucketCap: Int): DataFrame = {
     val width = 64 / chunks
-    val dh = docs.select(col(idCol).cast("long").as("doc_id"),
-        dhash64(col(payloadCol)).as("dh"))
-      .filter(col("dh").isNotNull)
-      .localCheckpoint()
+    val dh = fps.filter(col("dh").isNotNull).localCheckpoint()
     // primary grating + half-band-rotated grating (distinct key spaces
     // via the "r" prefix); same shuffle key, one extra explode row set
     val rot = concat(substring(col("dh"), width / 2 + 1, 64 - width / 2),
@@ -238,6 +248,62 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** Energy-difference audio fingerprint of an 8-bit mono PCM WAV
+    * payload — the Haitsma-Kalker robust-hash shape reduced to one
+    * band: samples split into 65 equal frames, per-frame energy =
+    * integer sum of squared deviations from the 128 bias, 64 bits =
+    * "is frame i's energy > frame i+1's". Robust to uniform amplitude
+    * jitter and resampling; pure integer algebra (deterministic
+    * everywhere). None for non-WAV / non-8-bit / too-short payloads.
+    */
+  private[operators] def afpOf(payload: Array[Byte]): Option[String] = {
+    val m = MediaCodec.decode(payload)
+    if (m.kind != "wav" || m.channels != 1 || m.bitDepth != 8) return None
+    // our writer's layout: data chunk header at 36 — verify, don't trust
+    if (payload.length < 44 ||
+        !(payload(36) == 'd' && payload(37) == 'a' && payload(38) == 't' && payload(39) == 'a'))
+      return None
+    val len = ((payload(40) & 0xff) | ((payload(41) & 0xff) << 8) |
+      ((payload(42) & 0xff) << 16) | ((payload(43) & 0xff) << 24))
+    if (len < 65 || 44 + len > payload.length) return None
+    val frames = 65
+    val energies = new Array[Long](frames)
+    var f = 0
+    while (f < frames) {
+      // frame f covers samples [f*len/frames, (f+1)*len/frames)
+      var j = f * len / frames
+      val end = (f + 1) * len / frames
+      var e = 0L
+      while (j < end) {
+        val d = (payload(44 + j) & 0xff) - 128
+        e += d.toLong * d
+        j += 1
+      }
+      energies(f) = e
+      f += 1
+    }
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i < 64) { sb.append(if (energies(i) > energies(i + 1)) '1' else '0'); i += 1 }
+    Some(sb.result())
+  }
+
+  val audioFp64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) => if (payload == null) None else afpOf(payload) }
+
+  /** Audio near-duplicate pairs over a binary payload column: energy
+    * fingerprints through the same banded-hamming machinery as
+    * [[imageNearDup]] — candidates exist only inside a band bucket,
+    * never all-pairs, with the identical recall contract.
+    */
+  def audioNearDup(docs: DataFrame, payloadCol: String, idCol: String,
+                   chunks: Int = 4, maxHamming: Int = 10,
+                   bucketCap: Int = 128): DataFrame =
+    bandedFingerprintPairs(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        audioFp64(col(payloadCol)).as("dh")),
+      chunks, maxHamming, bucketCap)
+
   /** Deterministic planted image corpus for the oracle-gated image
     * near-dup pipeline: `n` images in `n/2` pairs. Each even id is a
     * 9x8 grid of 8x8-pixel blocks with LCG-derived intensities
@@ -251,6 +317,59 @@ object Multimodal {
     * directly, while the engine must earn it through the full
     * encode -> decode -> dhash -> band-join pipeline.
     */
+  /** Deterministic planted audio corpus for the oracle-gated audio
+    * near-dup pipeline: `n` WAVs in `n/2` pairs. Each even id is 65
+    * frames of 64 square-wave samples whose per-frame amplitude is an
+    * LCG-derived level in {20,40,60,80} (adjacent frames forced >= 20
+    * apart, so inter-frame energy gaps are >= 20*(A+A')*64 ~ 76k);
+    * id+1 is the same signal with +1 amplitude jitter on an LCG-chosen
+    * frame subset (energy delta <= 64*161 per frame — an order of
+    * magnitude under every gap, so no energy comparison flips). The
+    * TRUE near-dup pairs are exactly (2i, 2i+1) by integer algebra;
+    * the engine must earn them through encode -> decode -> fingerprint
+    * -> band join.
+    */
+  def plantedAudio(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val base = id / 2
+      val jittered = id % 2 == 1
+      def mix(a: Long, b: Long, c: Long): Long = {
+        var x = a * 6364136223846793005L + b * 1442695040888963407L + c + 0x9e3779b97f4a7c15L
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+        x & Long.MaxValue
+      }
+      val frames = 65; val perFrame = 64
+      val amps = new Array[Int](frames)
+      var i = 0
+      while (i < frames) {
+        var a = 20 * (1 + (mix(base, i, 11) % 4)).toInt // 20..80
+        if (i > 0 && a == amps(i - 1)) a = if (a + 20 <= 80) a + 20 else a - 20
+        amps(i) = a
+        i += 1
+      }
+      if (jittered) {
+        i = 0
+        while (i < frames) {
+          if (mix(base, i * 17L, 13) % 3 == 0) amps(i) += 1
+          i += 1
+        }
+      }
+      val content = new Array[Byte](frames * perFrame)
+      i = 0
+      while (i < frames) {
+        var j = 0
+        while (j < perFrame) {
+          content(i * perFrame + j) =
+            (if (j % 2 == 0) 128 + amps(i) else 128 - amps(i)).toByte
+          j += 1
+        }
+        i += 1
+      }
+      MediaCodec.wav8(content, 8000)
+    }
+    spark.range(n).select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+  }
+
   def plantedImages(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     val mk = udf { (id: Long) =>
       val base = id / 2

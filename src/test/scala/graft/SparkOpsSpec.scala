@@ -264,6 +264,28 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == (0 until 12 by 2).map(i => (i.toLong, i + 1L)).toSet)
   }
+
+  test("audio near-dup recovers exactly the planted jittered pairs") {
+    import spark.implicits._
+    val wavs = Multimodal.plantedAudio(spark, 12)
+    val fp = wavs.select(col("doc_id"), Multimodal.audioFp64(col("payload")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp.values.forall(v => v != null && v.length == 64))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    // jitter never flips an energy comparison: pair fingerprints are
+    // IDENTICAL; distinct bases land far apart
+    (0 until 12 by 2).foreach { i =>
+      assert(ham(fp(i.toLong), fp(i + 1L)) == 0, s"pair ($i,${i + 1}) differs")
+    }
+    assert(ham(fp(0L), fp(2L)) > 10 && ham(fp(4L), fp(8L)) > 10)
+    // non-WAV payloads drop out (None), and the banded join returns
+    // exactly the planted pairs
+    val notWav = Seq((99L, "not a wav".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(notWav.select(Multimodal.audioFp64(col("payload"))).head.isNullAt(0))
+    val pairs = Multimodal.audioNearDup(wavs, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 12 by 2).map(i => (i.toLong, i + 1L)).toSet)
+  }
 }
 
 /** From-spec container codecs: writers must emit valid files byte-wise
