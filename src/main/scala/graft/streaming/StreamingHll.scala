@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.operators.{Dedup, Sketches}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming maintenance of the HyperLogLog register artifact
+  * ([[graft.operators.Sketches.hllRegisters]]): each micro-batch
+  * appends its OWN batch-local registers as delta rows — the artifact
+  * is an append-only log of partial register tables, never rewritten
+  * in place (the same admission contract as the streaming LSH band
+  * index and the streaming MV delta log).
+  *
+  * Correct without compaction because HLL registers merge by MAX, and
+  * max is associative/commutative/idempotent: a reader taking
+  * max(r) per (source, j) over any number of delta rows gets exactly
+  * the registers a single batch build over the union would produce —
+  * bit-for-bit, so the estimate is too. Micro-batch boundaries,
+  * replays, and duplicate appends all vanish under max. Registers are
+  * bounded (2^b rows per source per batch), so the delta log grows by
+  * at most batches * strata * 2^b tiny rows; compacting it back to
+  * one row per (source, j) is an optional storage job, orthogonal to
+  * correctness.
+  */
+object StreamingHll {
+  final case class DocRecord(doc_id: Long, source: String, text: String)
+
+  def start(docs: Dataset[DocRecord], regPath: String, b: Int = 10): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[DocRecord], _: Long) =>
+        Sketches.hllRegisters(
+          batch.toDF().select(col("source"),
+            explode(Dedup.tokens(col("text"))).as("word")), "source", b)
+          .write.mode("append").parquet(regPath)
+        ()
+      }
+      .start()
+
+  /** Current registers: max-merge the delta log. */
+  def readRegisters(spark: SparkSession, regPath: String): DataFrame =
+    spark.read.parquet(regPath)
+      .groupBy("source", "j").agg(max(col("r")).as("r"))
+
+  /** Current cardinality estimate straight from the artifact. */
+  def estimate(spark: SparkSession, regPath: String, b: Int = 10): DataFrame =
+    Sketches.hllEstimate(readRegisters(spark, regPath), b)
+}

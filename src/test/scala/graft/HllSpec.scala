@@ -29,6 +29,45 @@ class HllSpec extends AnyFunSuite with SharedSpark {
     assert(rows.forall(_.getAs[Long]("n_exact") <= union))
   }
 
+  test("streaming delta log estimates bit-identically to the batch build") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingHll
+
+    val regPath = java.nio.file.Files.createTempDirectory("graft_hll_stream").toString + "/regs"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+    val all = docs.as[StreamingHll.DocRecord].collect()
+    val (b1, b2) = all.partition(_.doc_id % 2 == 0)
+
+    val stream = MemoryStream[StreamingHll.DocRecord]
+    val q = StreamingHll.start(stream.toDS(), regPath, b = 10)
+    try {
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // the artifact is a delta log: both batches appended their own
+    // batch-local registers (raw rows == sum of the per-half builds —
+    // the tiny per-source vocab here makes the two halves' register
+    // sets nearly disjoint, so a plain raw > distinct check is flaky)
+    def regsOf(rows: Array[StreamingHll.DocRecord]) = Sketches.hllRegisters(
+      spark.createDataFrame(rows.toIndexedSeq)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("word")),
+      "source", b = 10).count()
+    val raw = spark.read.parquet(regPath)
+    assert(raw.count() == regsOf(b1) + regsOf(b2), "expected per-batch delta rows")
+    def estMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val streamed = estMap(StreamingHll.estimate(spark, regPath, b = 10))
+    val batch = estMap(Sketches.hllEstimate(
+      Sketches.hllRegisters(
+        docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("word")),
+        "source", b = 10), b = 10))
+    assert(streamed == batch)
+  }
+
   test("shard registers max-merge to whole-corpus registers") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val tok = docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("word"))
