@@ -545,6 +545,15 @@ object SparkEntry {
     "q_distinct_sketch" -> ((s, dir) =>
       TextAnalysis.distinctSketch(t(s, dir, "documents"), "text", "source", m = 65536)),
 
+    // log-spaced (relative-error) quantile histogram over lineitem
+    // price cents per returnflag: 8 sub-buckets per octave, mergeable
+    // by addition, exact integer bucket algebra (HDR/DDSketch shape)
+    "q_loghist_quantiles" -> ((s, dir) =>
+      Sketches.logHistQuantiles(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        "cents", "l_returnflag", Seq(250, 500, 750, 990))),
+
     // HyperLogLog distinct sketch per source + a `__union__` row
     // max-merged from the per-source registers alone (the cross-shard
     // merge path); exact counts ride along as the accuracy report
@@ -1985,6 +1994,32 @@ object SparkEntry {
         |  round(65536.0 * ln(65536.0 / CAST(greatest(65536 - b, 1) AS DOUBLE)), 6) AS estimate,
         |  n_exact
         |FROM sb JOIN ex ON sb.source = ex.source""".stripMargin,
+
+    // mirrors Sketches.logHistQuantiles: same (binary-length, 3-bit
+    // sub-bucket) log bucket, same floor-div-by-power-of-two lower
+    // bound, same ceil rank threshold
+    "q_loghist_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS source,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE CAST(round(l_extendedprice * 100) AS BIGINT) >= 0),
+        |h AS (SELECT source,
+        |    CASE WHEN v < 8 THEN v
+        |      ELSE length(printf('%b', v)) * 8 +
+        |        CAST(floor(v / power(2, length(printf('%b', v)) - 4)) AS BIGINT) % 8 END AS bucket,
+        |    CASE WHEN v < 8 THEN v
+        |      ELSE (8 + CAST(floor(v / power(2, length(printf('%b', v)) - 4)) AS BIGINT) % 8)
+        |        * CAST(power(2, length(printf('%b', v)) - 4) AS BIGINT) END AS lo
+        |  FROM b),
+        |hist AS (SELECT source, bucket, lo, count(*) AS c FROM h GROUP BY 1, 2, 3),
+        |cm AS (SELECT source, lo, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS total
+        |  FROM hist),
+        |ps AS (SELECT unnest([250, 500, 750, 990]) AS p)
+        |SELECT source, CAST(p AS BIGINT) AS p_permille, min(lo) AS q_lo
+        |FROM cm CROSS JOIN ps WHERE cum >= (total * p + 999) // 1000
+        |GROUP BY source, p""".stripMargin,
 
     // mirrors Sketches.hllDistinct: same md5 hash, register index =
     // low 10 bits, rank = trailing zeros of the upper 50 bits via the

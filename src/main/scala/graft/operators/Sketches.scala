@@ -137,6 +137,56 @@ object Sketches {
       .select(col("source"), col("registers_set"), col("estimate"), col("n_exact"))
   }
 
+  /** Log-spaced quantile histogram — the RELATIVE-error sibling of
+    * [[TextAnalysis.histQuantiles]]'s fixed-width bins: bucket =
+    * (binary length of v, next 3 bits), i.e. 8 sub-buckets per octave,
+    * so bucket width is <= 12.5% of the value everywhere from 8 to
+    * 2^62 — a fixed-width histogram must choose between resolution at
+    * the head and coverage of the tail, a log histogram has both
+    * (HDR-histogram / DDSketch shape). Values 0..7 get exact unit
+    * buckets.
+    *
+    * Still one map-side-combined aggregate of bounded size (<= 8 + 59
+    * octaves * 8 buckets per stratum), mergeable by addition, and —
+    * unlike t-digest/GK — deterministic integer algebra end to end:
+    * the binary length is `length(bin(v))` in Spark and
+    * `length(printf('%b', v))` in DuckDB, the sub-bucket and lower
+    * bound use floor-division by an exact power of two, so the oracle
+    * reproduces every bucket and every reported quantile edge
+    * bit-for-bit. Returns, per stratum and requested per-mille
+    * quantile, the lower edge of the bucket holding that rank.
+    */
+  def logHistQuantiles(rows: DataFrame, valueCol: String, strataCol: String,
+                       quantilesPermille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.select(col(strataCol).as("source"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v") >= 0L)
+    val hist = base
+      .select(col("source"),
+        when(col("v") < 8L, col("v")).otherwise(expr(
+          "length(bin(v)) * 8 + CAST(floor(v / power(2, length(bin(v)) - 4)) AS BIGINT) % 8"))
+          .as("bucket"),
+        when(col("v") < 8L, col("v")).otherwise(expr(
+          "(8 + CAST(floor(v / power(2, length(bin(v)) - 4)) AS BIGINT) % 8)" +
+            " * CAST(power(2, length(bin(v)) - 4) AS BIGINT)"))
+          .as("lo"))
+      .groupBy("source", "bucket", "lo").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .localCheckpoint()
+    val qs = quantilesPermille.map { p =>
+      cum.filter(col("cum") >= expr(s"(total * $p + 999) div 1000"))
+        .groupBy("source").agg(min(struct(col("bucket"), col("lo"))).as("b"))
+        .select(col("source"), lit(p.toLong).as("p_permille"),
+          col("b.lo").as("q_lo"))
+    }
+    qs.reduce(_.union(_))
+  }
+
   /** Join-size estimation from two sketches (the optimizer's
     * cardinality primitive): |A JOIN B on k| = sum_k fA(k)*fB(k),
     * estimated as min over hash rows of the per-row counter inner

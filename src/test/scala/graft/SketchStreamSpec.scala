@@ -30,6 +30,26 @@ class SketchStreamSpec extends AnyFunSuite with SharedSpark {
     exact.foreach { case (w, n) => assert(estBig(w) === n) }
   }
 
+  test("log-histogram quantile edge brackets the exact rank value within one sub-bucket") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag").as("source"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val ps = Seq(250, 500, 750, 990)
+    val got = Sketches.logHistQuantiles(li, "cents", "source", ps)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byStratum = li.as[(String, Long)].collect().groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sorted }
+    for ((s, vals) <- byStratum; p <- ps) {
+      val rank = ((vals.length.toLong * p + 999) / 1000).toInt
+      val exact = vals(rank - 1)
+      val lo = got((s, p.toLong))
+      // exact lands inside the reported bucket: [lo, lo * 9/8) above 8
+      assert(lo <= exact, s"$s p$p: edge $lo above exact $exact")
+      assert(exact < math.max(lo + 1, lo * 9L / 8L + 1), s"$s p$p: exact $exact beyond bucket of $lo")
+    }
+  }
+
   test("CMS join-size estimate: exact at ample w, one-sided under collisions") {
     import spark.implicits._
     import graft.operators.Sketches
