@@ -1,0 +1,37 @@
+package graft.streaming
+
+import graft.operators.{Dedup, Sketches}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming maintenance of the count-min sketch artifact
+  * ([[graft.operators.Sketches.cmsBuild]]): each micro-batch appends
+  * its OWN batch-local (row, col, c) counter table as delta rows —
+  * append-only, never rewritten, like the HLL register log and the MV
+  * delta log. CMS counters merge by ADDITION (sum is associative and
+  * commutative), so a reader summing c per (row, col) over any number
+  * of delta rows gets exactly the counters one batch build over the
+  * union would produce — bit-for-bit, and so are all downstream
+  * estimates (point frequency, join size). The d x w shape bounds
+  * every batch's delta to d*w rows regardless of batch size.
+  */
+object StreamingCms {
+  final case class DocRecord(doc_id: Long, text: String)
+
+  def start(docs: Dataset[DocRecord], cmsPath: String,
+            d: Int = 4, w: Int = 4096): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[DocRecord], _: Long) =>
+        Sketches.cmsBuild(
+          batch.toDF().select(explode(Dedup.tokens(col("text"))).as("word")), d, w)
+          .write.mode("append").parquet(cmsPath)
+        ()
+      }
+      .start()
+
+  /** Current counters: sum-merge the delta log. */
+  def readSketch(spark: SparkSession, cmsPath: String): DataFrame =
+    spark.read.parquet(cmsPath)
+      .groupBy("row", "col").agg(sum(col("c")).as("c"))
+}
