@@ -192,15 +192,29 @@ object Bench {
     val headlineResults =
       if (sys.env.contains("SPARK_GRAFT_ONLY")) results
       else results.filter(r => headline.contains(r._1))
-    val errs = results.collect { case (k, _, Some(e)) => s""""$k":"${esc(e)}"""" }
-    val errsJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
+    val errsAll = results.collect { case (k, _, Some(e)) => (k, e) }
+    // full error text goes to bench_diag.json; the stdout line gets a
+    // HARD-capped digest (BENCH_r07 recorded parsed=null because 17
+    // uncapped error messages alone overran the ~2000-char tail capture
+    // and truncated the JSON mid-object) — at most 8 entries, 40 chars
+    // each, plus an honest n_errors count
+    val errsDiagJson = if (errsAll.isEmpty) "" else
+      s""","errors":${errsAll.map { case (k, e) => s""""$k":"${esc(e)}"""" }.mkString("{", ",", "}")}"""
+    val errsJson = if (errsAll.isEmpty) "" else {
+      val shown = errsAll.take(8).map { case (k, e) => s""""$k":"${esc(e.take(40))}"""" }
+      s""","n_errors":${errsAll.size},"errors":${shown.mkString("{", ",", "}")}"""
+    }
     // per-query pass spread >3x = a transient stall absorbed by min-of-N;
     // empty on a healthy run, so it costs nothing in the common case
     val spread = results.collect { case (k, vs, _)
       if vs.size > 1 && vs.max / vs.min.max(1e-9) > 3.0 => s""""$k":${sec(vs.max / vs.min)}""" }
+      .take(8)
     val spreadJson = if (spread.isEmpty) "" else s""","spread":${spread.mkString("{", ",", "}")}"""
-    val total = headlineResults.map(_._2.min).sum
-    val totalAll = results.map(_._2.min).sum
+    // totals cover only queries that RAN: an errored query's fast-fail
+    // wall time is not a throughput number, and mixing it in makes the
+    // headline incomparable across rounds (VERDICT r07)
+    val total = headlineResults.collect { case (_, vs, None) => vs.min }.sum
+    val totalAll = results.collect { case (_, vs, None) => vs.min }.sum
     // the caller's stdout tail capture is ~2000 chars (BENCH_r04
     // overflowed it: parsed=null). Budget the per-query object HARD:
     // 2-decimal values, and if the assembled line would still run past
@@ -209,7 +223,7 @@ object Bench {
     // and every dropped value is still in bench_diag.json
     def sec2(v: Double): String = f"$v%.2f"
     val fixedOverhead = 260 + errsJson.length + spreadJson.length + sfDir.length
-    var entries = headlineResults.sortBy(-_._2.min)
+    var entries = headlineResults.filter(_._3.isEmpty).sortBy(-_._2.min)
       .map { case (k, vs, _) => s""""$k":${sec2(vs.min)}""" }
     while (entries.map(_.length + 1).sum + fixedOverhead > 1900 && entries.nonEmpty)
       entries = entries.init
@@ -223,7 +237,7 @@ object Bench {
     val diagLine = s"""{"sha":"$sha","sf":"$sfDir","passes":$passes,""" +
       s""""calib":${arr(calib.toSeq)},"degraded":${if (degraded) 1 else 0},""" +
       s""""total_min":${sec(totalAll)},"n_queries":${results.size},""" +
-      s""""headline_total":${sec(total)},"passes_per_query":$diag$errsJson}"""
+      s""""headline_total":${sec(total)},"passes_per_query":$diag$errsDiagJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/bench_diag.json"),
       (diagLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -23,11 +23,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val declared = SparkEntry.queries.filter(kv => keep(kv._1))
+    declared.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors += name -> msg
+        // still materialize a sentinel so a failing query shows up RED in
+        // the driver's compare instead of silently vanishing from the
+        // round's correctness denominator
+        import spark.implicits._
+        try Seq((name, msg.take(500))).toDF("verify_error_query", "verify_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case _: Throwable => () }
       }
       graft.plans.CheckpointHygiene.releaseAll(spark)
     }
@@ -46,6 +57,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    println(s"[verify] declared=${declared.size} dumped=${declared.size - errors.size} failed=${errors.size}")
+    if (errors.nonEmpty)
+      println(s"[verify] failing: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

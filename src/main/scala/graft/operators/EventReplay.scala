@@ -31,11 +31,32 @@ object EventReplay {
   }
 
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.parquet carries nanosecond timestamps, which Spark's
-    // vectorized reader rejects; read them as raw nanos-since-epoch
-    // (ordering-equivalent, which is all replay needs)
+    // ts layout varies across driver testdata generations: timestamp[ns]
+    // parquet (which the vectorized reader would reject without the
+    // nanosAsLong escape hatch) vs timestamp[us]. Either way, downstream
+    // sites assume an int64 nanosecond epoch — normalize at this single
+    // load point.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Restore the int64-nanosecond-epoch `ts` contract regardless of the
+    * physical parquet layout. int64/timestamp[ns]-via-nanosAsLong pass
+    * through; timestamp[us] becomes `unix_micros(ts) * 1000`. NTZ
+    * timestamps are interpreted in the session time zone, which every
+    * entry point pins to UTC — matching the DuckDB oracles' epoch_us(ts).
+    */
+  def normalizeTs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    events.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case None | Some(LongType) => events
+      case Some(TimestampType) =>
+        events.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        events.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
   }
 
   /** Final replayed state per user over the full event log. One shuffle

@@ -16,8 +16,9 @@ import java.nio.charset.StandardCharsets.US_ASCII
   *   ( FRAME[ <params>]\n  <planar sample data> )*
   * }}}
   * Frame payload size is fixed by the header: `w*h` luma bytes plus
-  * chroma per colorspace — 2*(w/2)*(h/2) for 4:2:0 flavors,
-  * 2*(w/2)*h for 422, 2*w*h for 444, none for mono. Only the luma
+  * chroma per colorspace — 2*ceil(w/2)*ceil(h/2) for the 8-bit 4:2:0
+  * flavors, 2*ceil(w/2)*h for 422, 2*w*h for 444, none for mono
+  * (high-bit-depth C420p10/p12/p16 streams are rejected). Only the luma
   * plane is surfaced (the perceptual-fingerprint input); chroma is
   * skipped, not parsed. Anything malformed (bad magic, unparseable
   * tag, payload truncation) returns None — corruption degrades to
@@ -26,15 +27,24 @@ import java.nio.charset.StandardCharsets.US_ASCII
 object Y4m {
   final case class Header(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
                           colorspace: String, headerLen: Int) {
-    /** Bytes of one frame's planar payload under this header. */
+    /** Bytes of one frame's planar payload under this header. Chroma
+      * planes of subsampled colorspaces use ceil geometry
+      * ((w+1)/2, (h+1)/2) — ffmpeg's y4m sizing for odd dimensions;
+      * floor would undercount and desync every frame after the first.
+      * Only exact 8-bit colorspace names are accepted: a prefix match
+      * on "420" would also claim the high-bit-depth variants
+      * (C420p10/p12/p16) and surface interleaved byte garbage as a
+      * valid luma plane.
+      */
     def frameBytes: Long = {
       val y = width.toLong * height
+      val cw = (width + 1L) / 2
+      val ch = (height + 1L) / 2
       colorspace match {
         case "mono" => y
-        case "422" => y + 2L * (width / 2) * height
+        case "422" => y + 2L * cw * height
         case "444" => 3L * y
-        // 420, 420jpeg, 420mpeg2, 420paldv share the plane geometry
-        case cs if cs.startsWith("420") => y + 2L * (width / 2) * (height / 2)
+        case "420" | "420jpeg" | "420mpeg2" | "420paldv" => y + 2L * cw * ch
         case _ => -1L
       }
     }
@@ -150,7 +160,7 @@ object Y4m {
   def y4m420(frames: Seq[Array[Byte]], w: Int, h: Int,
              fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] =
     write(frames, w, h, fpsNum, fpsDen, "420jpeg",
-      chroma = 2 * (w / 2) * (h / 2))
+      chroma = 2 * ((w + 1) / 2) * ((h + 1) / 2))
 
   private def write(frames: Seq[Array[Byte]], w: Int, h: Int,
                     fpsNum: Int, fpsDen: Int, cs: String, chroma: Int): Array[Byte] = {

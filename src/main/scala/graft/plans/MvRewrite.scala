@@ -42,6 +42,7 @@ object MvRewrite {
       baseSuffix: String,
       mvPath: String,
       tsCol: String,
+      tsSql: Option[String],
       grain: Long,
       rewriteGrains: Set[Long],
       bucketCol: String,
@@ -94,6 +95,7 @@ object MvRewrite {
     val mv = hourlyRollup(base)
     var countCol = "cnt"
     var sums = Map.empty[String, String]
+    var tsSql = Option.empty[String]
     mv.queryExecution.optimizedPlan.collectFirst { case a: Aggregate =>
       a.aggregateExpressions.foreach {
         case Alias(child, name) => child.foreach {
@@ -106,8 +108,24 @@ object MvRewrite {
         }
         case _ => ()
       }
+      // self-calibrating ts matcher: when the base's `ts` is itself a
+      // derived expression (e.g. the timestamp[us] -> ns-long
+      // normalization in EventReplay.normalizeTs), the optimizer inlines
+      // it into the grouping Project — record its optimized SQL text so
+      // user queries arriving through the same pipeline compare equal.
+      a.child.foreach {
+        case Project(pl, _) => pl.foreach {
+          case Alias(idv: IntegralDivide, _) if tsSql.isEmpty => idv.right match {
+            case Literal(g: Long, LongType) if g == grain =>
+              tsSql = Some(norm(idv.left.sql))
+            case _ => ()
+          }
+          case _ => ()
+        }
+        case _ => ()
+      }
     }
-    val d = MvDef(baseSuffix, mvPath, tsCol = "ts", grain = grain,
+    val d = MvDef(baseSuffix, mvPath, tsCol = "ts", tsSql = tsSql, grain = grain,
       rewriteGrains = rewriteGrains, bucketCol = "hour_bucket",
       dims = Set("event_type"), countCol = countCol, sumBySql = sums)
     defs = d :: defs.filterNot(_.baseSuffix == d.baseSuffix)
@@ -159,13 +177,20 @@ object MvRewrite {
         val mvAttr: Map[String, Attribute] =
           mvPlan.output.map(at => norm(at.name) -> at).toMap
 
+        // the time expression matches either as the bare base column or
+        // as the recorded normalization template (SQL-text equality, the
+        // same discipline as the Sum matcher)
+        def isTs(e: Expression): Boolean = e match {
+          case ar: AttributeReference => norm(ar.name) == norm(d.tsCol)
+          case other => d.tsSql.contains(norm(other.sql))
+        }
+
         def mapGrouping(e: Expression): Option[Expression] = e match {
           case ar: AttributeReference if d.dims.contains(norm(ar.name)) =>
             mvAttr.get(norm(ar.name))
           case idv: IntegralDivide => (idv.left, idv.right) match {
-            case (ts: AttributeReference, Literal(n: Long, LongType))
-                if norm(ts.name) == norm(d.tsCol)
-                  && d.rewriteGrains.contains(n) && n % d.grain == 0 =>
+            case (ts, Literal(n: Long, LongType))
+                if isTs(ts) && d.rewriteGrains.contains(n) && n % d.grain == 0 =>
               val b = mvAttr(norm(d.bucketCol))
               Some(if (n == d.grain) b else IntegralDivide(b, Literal(n / d.grain)))
             case _ => None
