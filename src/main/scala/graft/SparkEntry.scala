@@ -804,6 +804,14 @@ object SparkEntry {
     "q_audio_neardup" -> ((s, dir) =>
       Multimodal.audioNearDup(Multimodal.plantedAudio(s, 32), "payload", "doc_id")),
 
+    // video near-dup over the planted y4m corpus (16 amplitude-
+    // jittered pairs, container flavors mixed C420jpeg/Cmono):
+    // from-spec y4m decode -> temporal-energy fingerprint -> Manku
+    // band-join -> hamming verify. PINNED oracle (fixture-outcome
+    // check; DuckDB cannot parse y4m) — see PLANS.md "Pinned oracles"
+    "q_video_neardup" -> ((s, dir) =>
+      Multimodal.videoNearDup(Multimodal.plantedVideo(s, 32), "payload", "doc_id")),
+
     // ---- temporal joins (operators Spark lacks, in 100 TB shapes) ----
     // as-of join: each purchase gets the user's latest at-or-before
     // click value — union + running last_value, ONE shuffle, no range
@@ -2443,6 +2451,12 @@ object SparkEntry {
     // the planted audio corpus's TRUE near-dup structure: every even
     // id pairs with id+1 (amplitude-jittered copy), nothing else near
     "q_audio_neardup" ->
+      """SELECT CAST(2 * i AS BIGINT) AS doc_a, CAST(2 * i + 1 AS BIGINT) AS doc_b
+        |FROM range(16) t(i)""".stripMargin,
+
+    // the planted video corpus's TRUE near-dup structure: every even
+    // id pairs with id+1 (amplitude-jittered copy), nothing else near
+    "q_video_neardup" ->
       """SELECT CAST(2 * i AS BIGINT) AS doc_a, CAST(2 * i + 1 AS BIGINT) AS doc_b
         |FROM range(16) t(i)""".stripMargin,
 

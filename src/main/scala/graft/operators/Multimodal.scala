@@ -304,6 +304,110 @@ object Multimodal {
         audioFp64(col(payloadCol)).as("dh")),
       chunks, maxHamming, bucketCap)
 
+  /** Temporal-energy video fingerprint of a y4m payload: the first 65
+    * frames' luma energy (integer sum of squared deviations from the
+    * 128 mid-level), 64 bits = "is frame i's energy > frame i+1's" —
+    * the Haitsma-Kalker shape of [[afpOf]] lifted from audio frames to
+    * video frames. Streams one luma plane at a time (constant memory
+    * regardless of clip length). None for non-y4m payloads or streams
+    * shorter than 65 frames.
+    */
+  private[operators] def vfpOf(payload: Array[Byte]): Option[String] =
+    Y4m.header(payload).flatMap { hdr =>
+      val energies = new Array[Long](65)
+      var n = 0
+      val it = Y4m.lumaFrames(payload, hdr)
+      while (it.hasNext && n < 65) {
+        val f = it.next()
+        var e = 0L
+        var i = 0
+        while (i < f.length) {
+          val d = (f(i) & 0xff) - 128
+          e += d.toLong * d
+          i += 1
+        }
+        energies(n) = e
+        n += 1
+      }
+      if (n < 65) None
+      else {
+        val sb = new StringBuilder(64)
+        var i = 0
+        while (i < 64) { sb.append(if (energies(i) > energies(i + 1)) '1' else '0'); i += 1 }
+        Some(sb.result())
+      }
+    }
+
+  val videoFp64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) => if (payload == null) None else vfpOf(payload) }
+
+  /** Video near-duplicate pairs over a binary y4m payload column:
+    * temporal-energy fingerprints through the same banded-hamming
+    * machinery as [[imageNearDup]]/[[audioNearDup]] — candidates exist
+    * only inside a band bucket, never all-pairs, identical recall
+    * contract.
+    */
+  def videoNearDup(docs: DataFrame, payloadCol: String, idCol: String,
+                   chunks: Int = 4, maxHamming: Int = 10,
+                   bucketCap: Int = 128): DataFrame =
+    bandedFingerprintPairs(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        videoFp64(col(payloadCol)).as("dh")),
+      chunks, maxHamming, bucketCap)
+
+  /** Deterministic planted video corpus for the oracle-gated video
+    * near-dup pipeline: `n` y4m clips in `n/2` pairs — the video analog
+    * of [[plantedAudio]], with the identical integer-energy algebra
+    * moved from audio frames to 8x8 luma frames. Each even id is 65
+    * frames whose alternate pixels sit at 128±amp with per-frame amp an
+    * LCG-derived level in {20,40,60,80} (adjacent frames forced >= 20
+    * apart, so inter-frame energy gaps are >= 64*(40^2-20^2) = 76800);
+    * id+1 is the same clip with +1 amplitude jitter on an LCG-chosen
+    * frame subset (energy delta <= 64*161 per frame — an order of
+    * magnitude under every gap, so no comparison flips). Pairs mix
+    * container flavors (even = C420jpeg with grey chroma, odd = Cmono),
+    * so the pipeline proves both colorspace decode paths reconstruct
+    * the same luma. TRUE pairs are exactly (2i, 2i+1) by construction.
+    */
+  def plantedVideo(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val base = id / 2
+      val jittered = id % 2 == 1
+      def mix(a: Long, b: Long, c: Long): Long = {
+        var x = a * 6364136223846793005L + b * 1442695040888963407L + c + 0x9e3779b97f4a7c15L
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+        x & Long.MaxValue
+      }
+      val frames = 65; val w = 8; val h = 8
+      val amps = new Array[Int](frames)
+      var i = 0
+      while (i < frames) {
+        var a = 20 * (1 + (mix(base, i, 19) % 4)).toInt // 20..80
+        if (i > 0 && a == amps(i - 1)) a = if (a + 20 <= 80) a + 20 else a - 20
+        amps(i) = a
+        i += 1
+      }
+      if (jittered) {
+        i = 0
+        while (i < frames) {
+          if (mix(base, i * 23L, 29) % 3 == 0) amps(i) += 1
+          i += 1
+        }
+      }
+      val planes = (0 until frames).map { f =>
+        val luma = new Array[Byte](w * h)
+        var j = 0
+        while (j < w * h) {
+          luma(j) = (if (j % 2 == 0) 128 + amps(f) else 128 - amps(f)).toByte
+          j += 1
+        }
+        luma
+      }
+      if (jittered) Y4m.y4mMono(planes, w, h) else Y4m.y4m420(planes, w, h)
+    }
+    spark.range(n).select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+  }
+
   /** Deterministic planted image corpus for the oracle-gated image
     * near-dup pipeline: `n` images in `n/2` pairs. Each even id is a
     * 9x8 grid of 8x8-pixel blocks with LCG-derived intensities
