@@ -174,6 +174,20 @@ object SparkEntry {
       s.sql(s"SHELVE EVENTS '$evs' ONTO '$base'")
     }),
 
+    // SHELVE EVENTS FROM table form (closes VERDICT r07 missing #2):
+    // the same 16 events staged as a parquet artifact and shelved by
+    // path — proves the persisted-event-set plumbing end-to-end; the
+    // oracle recomputes identically to q_sql_shelve
+    "q_sql_shelve_from" -> ((s, dir) => {
+      import s.implicits._
+      val base = (0 until 16).map(i => f"a$i%02d").mkString("|")
+      val path = s"/tmp/graft_sql_shelve_from_${math.abs(dir.hashCode)}"
+      (0 until 16).map(i => (i.toLong, f"a$i%02d", f"b$i%02d"))
+        .toDF("event_idx", "search", "replacement")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      s.sql(s"SHELVE EVENTS FROM '$path' ONTO '$base'")
+    }),
+
     // MERGE STATES twin of q_shelve_merge at 16 branches. PINNED
     // oracle (fixture-outcome check, like q_shelve_merge): DuckDB
     // cannot run shelve/merge, but the engine is pure and content-
@@ -1409,6 +1423,18 @@ object SparkEntry {
     // (token i rewritten, everything else untouched) and the empty
     // minimized dep set — DuckDB independently rebuilds each datum
     "q_sql_shelve" ->
+      """SELECT CAST(i.i AS BIGINT) AS event_idx,
+        |  'a' || lpad(CAST(i.i AS VARCHAR), 2, '0') AS search,
+        |  'b' || lpad(CAST(i.i AS VARCHAR), 2, '0') AS replacement,
+        |  (SELECT string_agg(
+        |     CASE WHEN j.j = i.i THEN 'b' ELSE 'a' END || lpad(CAST(j.j AS VARCHAR), 2, '0'),
+        |     '|' ORDER BY j.j) FROM range(16) j(j)) AS new_datum,
+        |  CAST(0 AS BIGINT) AS n_deps
+        |FROM range(16) i(i)""".stripMargin,
+
+    // identical recomputation: the FROM form must yield exactly what
+    // the inline form yields on the same event set
+    "q_sql_shelve_from" ->
       """SELECT CAST(i.i AS BIGINT) AS event_idx,
         |  'a' || lpad(CAST(i.i AS VARCHAR), 2, '0') AS search,
         |  'b' || lpad(CAST(i.i AS VARCHAR), 2, '0') AS replacement,

@@ -42,6 +42,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *        compress to the frontier, materialize — the SQL twin of
   *        q_shelve_merge's orchestration, commutation tests fanned
   *        out as Spark batch jobs (plans/ShelveSpark.tester)
+  *   SHELVE EVENTS FROM '<path>' ONTO '<base datum>'
+  *   MERGE STATES FROM '<path>' ONTO '<base datum>'
+  *     -> table forms of the two verbs: events read from a parquet
+  *        artifact with columns (event_idx, search, replacement) in
+  *        event_idx order — the persisted-event-set analog of the
+  *        reference's session shelve (exvc main.rs:217-230), making
+  *        the SQL surface self-sufficient (no inline literals needed)
   *
   * Curation verbs — the LLM-pipeline headliners as one-statement SQL
   * (same parameters as their DataFrame-twin queries, so both surfaces
@@ -74,6 +81,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*SHELVE\s+EVENTS\s+'([^']+)'\s+ONTO\s+'([^']*)'\s*;?\s*""".r
   private val MergeStates =
     """(?is)\s*MERGE\s+STATES\s+'([^']+)'\s+ONTO\s+'([^']*)'\s*;?\s*""".r
+  // table forms: events come from a parquet artifact with columns
+  // (event_idx, search, replacement) instead of an inline literal list
+  // — the SQL surface analog of the reference shelving the session's
+  // persisted event set (exvc main.rs:217-230) rather than arguments
+  private val ShelveEventsFrom =
+    """(?is)\s*SHELVE\s+EVENTS\s+FROM\s+'([^']+)'\s+ONTO\s+'([^']*)'\s*;?\s*""".r
+  private val MergeStatesFrom =
+    """(?is)\s*MERGE\s+STATES\s+FROM\s+'([^']+)'\s+ONTO\s+'([^']*)'\s*;?\s*""".r
   private val DedupDocs =
     """(?is)\s*DEDUP\s+DOCUMENTS\s+FROM\s+'([^']+)'\s*;?\s*""".r
   private val NeardupDocs =
@@ -114,6 +129,64 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     (g, w)
   }
 
+  /** Events from a parquet artifact (event_idx, search, replacement),
+    * applied in event_idx order. The collect is bounded by the event
+    * list itself — shelve is driver-orchestrated ordered work over a
+    * small event set (the reference's session event list), with the
+    * commutation tests fanned out to Spark; the DATA tables never
+    * come through this path.
+    */
+  private def readSubs(sqlText: String, dir: String): Seq[(String, String)] = {
+    val ev = session.read.parquet(dir)
+    for (c <- Seq("event_idx", "search", "replacement"))
+      if (!ev.columns.contains(c))
+        throw parseError(sqlText, s"events at '$dir' lack column '$c'")
+    ev.select(col("event_idx").cast("long"), col("search"), col("replacement"))
+      .orderBy("event_idx").collect().toSeq
+      .map(r => (r.getString(1), r.getString(2)))
+  }
+
+  /** SHELVE body shared by the literal and FROM forms: each event
+    * shelved onto the empty frontier with dep minimization + no-op
+    * elimination (n_deps = -1 marks an eliminated no-op).
+    */
+  private def shelvePlan(subs: Seq[(String, String)], base: String): LogicalPlan = {
+    import session.implicits._
+    import scala.collection.immutable.SortedSet
+    val (g, w) = newCache(base)
+    val rows = subs.zipWithIndex.map { case ((from, to), i) =>
+      w.shelveEvent(g, SortedSet.empty[String], 0, graft.core.SearArg(from, to)) match {
+        case Some(h) =>
+          (i.toLong, from, to, w.materialize(g, SortedSet(h))._1,
+            g.events(h).deps.size.toLong)
+        case None => (i.toLong, from, to, base, -1L) // no-op eliminated
+      }
+    }
+    rows.toDF("event_idx", "search", "replacement", "new_datum", "n_deps")
+      .queryExecution.logical
+  }
+
+  /** MERGE body shared by the literal and FROM forms: shelve all
+    * events as divergent single-event branches, try_merge, compress
+    * to the frontier, materialize.
+    */
+  private def mergePlan(subs: Seq[(String, String)], base: String): LogicalPlan = {
+    import session.implicits._
+    import scala.collection.immutable.{SortedMap, SortedSet}
+    val (g, w) = newCache(base)
+    var states = SortedSet.empty[String]
+    subs.foreach { case (from, to) =>
+      w.shelveEvent(g, SortedSet.empty[String], 0, graft.core.SearArg(from, to))
+        .foreach(states += _)
+    }
+    w.tryMerge(g, states)
+    val minimized = SortedSet.from(g.foldState(
+      SortedMap.from(states.iterator.map(_ -> false)), expand = false).keysIterator)
+    val (dat, tt) = w.materialize(g, minimized)
+    Seq((dat, g.events.size.toLong, tt.size.toLong))
+      .toDF("final_datum", "n_events", "n_applied").queryExecution.logical
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Materialize(dir, user) => wrapGraft(sqlText) {
       val df = graft.operators.EventReplay.replayPerUser(session, dir)
@@ -124,37 +197,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       graft.operators.EventReplay.linearize(session, dir).queryExecution.logical
     }
     case ShelveEvents(spec, base) => wrapGraft(sqlText) {
-      import session.implicits._
-      import scala.collection.immutable.SortedSet
-      val subs = parseSubs(sqlText, spec)
-      val (g, w) = newCache(base)
-      val rows = subs.zipWithIndex.map { case ((from, to), i) =>
-        w.shelveEvent(g, SortedSet.empty[String], 0, graft.core.SearArg(from, to)) match {
-          case Some(h) =>
-            (i.toLong, from, to, w.materialize(g, SortedSet(h))._1,
-              g.events(h).deps.size.toLong)
-          case None => (i.toLong, from, to, base, -1L) // no-op eliminated
-        }
-      }
-      rows.toDF("event_idx", "search", "replacement", "new_datum", "n_deps")
-        .queryExecution.logical
+      shelvePlan(parseSubs(sqlText, spec), base)
+    }
+    case ShelveEventsFrom(dir, base) => wrapGraft(sqlText) {
+      shelvePlan(readSubs(sqlText, dir), base)
     }
     case MergeStates(spec, base) => wrapGraft(sqlText) {
-      import session.implicits._
-      import scala.collection.immutable.{SortedMap, SortedSet}
-      val subs = parseSubs(sqlText, spec)
-      val (g, w) = newCache(base)
-      var states = SortedSet.empty[String]
-      subs.foreach { case (from, to) =>
-        w.shelveEvent(g, SortedSet.empty[String], 0, graft.core.SearArg(from, to))
-          .foreach(states += _)
-      }
-      w.tryMerge(g, states)
-      val minimized = SortedSet.from(g.foldState(
-        SortedMap.from(states.iterator.map(_ -> false)), expand = false).keysIterator)
-      val (dat, tt) = w.materialize(g, minimized)
-      Seq((dat, g.events.size.toLong, tt.size.toLong))
-        .toDF("final_datum", "n_events", "n_applied").queryExecution.logical
+      mergePlan(parseSubs(sqlText, spec), base)
+    }
+    case MergeStatesFrom(dir, base) => wrapGraft(sqlText) {
+      mergePlan(readSubs(sqlText, dir), base)
     }
     case DedupDocs(dir) => wrapGraft(sqlText) {
       graft.operators.Dedup.exact(
@@ -174,6 +226,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case Materialize(_, _) | Linearize(_) | ShelveEvents(_, _) | MergeStates(_, _) |
+         ShelveEventsFrom(_, _) | MergeStatesFrom(_, _) |
          DedupDocs(_) | NeardupDocs(_) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)

@@ -199,4 +199,38 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
     assert(row.getString(0) == (0 until 6).map(i => f"b$i%02d").mkString("|"))
     assert(row.getLong(1) == 6L && row.getLong(2) == 6L)
   }
+
+  test("FROM forms equal the inline forms on the same staged event set") {
+    import spark.implicits._
+    val base = (0 until 6).map(i => f"a$i%02d").mkString("|")
+    val evs = (0 until 6).map(i => f"a$i%02d->b$i%02d").mkString(",")
+    val path = java.nio.file.Files.createTempDirectory("graft_sql_from").toString + "/events"
+    // stage out of order: the reader must apply in event_idx order
+    (0 until 6).reverse.map(i => (i.toLong, f"a$i%02d", f"b$i%02d"))
+      .toDF("event_idx", "search", "replacement")
+      .write.mode("overwrite").parquet(path)
+
+    val inlineShelve = spark.sql(s"SHELVE EVENTS '$evs' ONTO '$base'")
+      .collect().map(_.toString).sorted
+    val fromShelve = spark.sql(s"SHELVE EVENTS FROM '$path' ONTO '$base'")
+      .collect().map(_.toString).sorted
+    assert(fromShelve.sameElements(inlineShelve) && fromShelve.nonEmpty)
+
+    val inlineMerge = spark.sql(s"MERGE STATES '$evs' ONTO '$base'").collect().head
+    val fromMerge = spark.sql(s"MERGE STATES FROM '$path' ONTO '$base'").collect().head
+    assert(fromMerge.toString == inlineMerge.toString)
+  }
+
+  test("FROM forms reject missing paths and missing columns as ParseException") {
+    import spark.implicits._
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("SHELVE EVENTS FROM '/no/such/dir' ONTO 'x'")
+    }
+    val bad = java.nio.file.Files.createTempDirectory("graft_sql_bad").toString + "/events"
+    Seq((1L, "a")).toDF("event_idx", "search").write.mode("overwrite").parquet(bad)
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"MERGE STATES FROM '$bad' ONTO 'x'")
+    }
+    assert(e.getMessage.contains("replacement"))
+  }
 }
