@@ -99,9 +99,27 @@ final class WasmInstance(mod: WasmModule,
           else if (br > 0) return br - 1
         case Br(d) => return d
         case BrIf(d) => if (stack.pop() != 0) return d
+        case BrTable(targets, default) =>
+          val sel = stack.pop()
+          return if (sel >= 0 && sel < targets.length) targets(sel) else default
         case Return => return Int.MaxValue // unwinds every frame below
         case Call(fidx) =>
           val callee = mod.funcs.lift(fidx).getOrElse(throw WasmTrap(s"bad function index $fidx"))
+          val args = new Array[Int](callee.tpe.params)
+          var k = callee.tpe.params - 1
+          while (k >= 0) { args(k) = stack.pop(); k -= 1 }
+          val r = callFunction(fidx, args)
+          if (callee.tpe.results == 1) stack.push(r)
+        case CallIndirect(ti) =>
+          val elem = stack.pop()
+          if (elem < 0 || elem >= mod.table.length)
+            throw WasmTrap(s"call_indirect: table index $elem out of bounds")
+          val fidx = mod.table(elem)
+          if (fidx < 0) throw WasmTrap(s"call_indirect: null table entry $elem")
+          val callee = mod.funcs.lift(fidx).getOrElse(throw WasmTrap(s"bad function index $fidx"))
+          val expected = mod.types.lift(ti).getOrElse(throw WasmTrap(s"bad type index $ti"))
+          if (callee.tpe != expected)
+            throw WasmTrap(s"call_indirect: type mismatch at table[$elem]")
           val args = new Array[Int](callee.tpe.params)
           var k = callee.tpe.params - 1
           while (k >= 0) { args(k) = stack.pop(); k -= 1 }
@@ -123,6 +141,9 @@ final class WasmInstance(mod: WasmModule,
           if (addr < 0 || addr + width > mem.length) throw WasmTrap(s"load out of bounds: $addr")
           stack.push(width match {
             case 1 => if (signed) mem(addr).toInt else mem(addr) & 0xff
+            case 2 =>
+              val raw = (mem(addr) & 0xff) | ((mem(addr + 1) & 0xff) << 8)
+              if (signed) (raw << 16) >> 16 else raw
             case 4 => (mem(addr) & 0xff) | ((mem(addr + 1) & 0xff) << 8) |
               ((mem(addr + 2) & 0xff) << 16) | ((mem(addr + 3) & 0xff) << 24)
           })
@@ -132,10 +153,25 @@ final class WasmInstance(mod: WasmModule,
           if (addr < 0 || addr + width > mem.length) throw WasmTrap(s"store out of bounds: $addr")
           width match {
             case 1 => mem(addr) = v.toByte
+            case 2 => mem(addr) = v.toByte; mem(addr + 1) = (v >>> 8).toByte
             case 4 =>
               mem(addr) = v.toByte; mem(addr + 1) = (v >>> 8).toByte
               mem(addr + 2) = (v >>> 16).toByte; mem(addr + 3) = (v >>> 24).toByte
           }
+        case MemoryCopy =>
+          val n = stack.pop(); val src = stack.pop(); val dst = stack.pop()
+          if (n < 0 || src < 0 || dst < 0 ||
+            src.toLong + n > mem.length || dst.toLong + n > mem.length)
+            throw WasmTrap(s"memory.copy out of bounds: dst=$dst src=$src n=$n")
+          System.arraycopy(mem, src, mem, dst, n) // overlap-safe, like the spec
+        case MemoryFill =>
+          val n = stack.pop(); val v = stack.pop(); val dst = stack.pop()
+          if (n < 0 || dst < 0 || dst.toLong + n > mem.length)
+            throw WasmTrap(s"memory.fill out of bounds: dst=$dst n=$n")
+          java.util.Arrays.fill(mem, dst, dst + n, v.toByte)
+        case SignExtend(width) =>
+          val v = stack.pop()
+          stack.push(if (width == 1) (v << 24) >> 24 else (v << 16) >> 16)
         case MemorySize => stack.push(mem.length / PageSize)
         case MemoryGrow =>
           val delta = stack.pop()

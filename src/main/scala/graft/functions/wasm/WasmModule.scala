@@ -3,10 +3,13 @@ package graft.functions.wasm
 import scala.collection.mutable.ArrayBuffer
 
 /** From-spec decoder for the WebAssembly binary format (W3C WebAssembly
-  * Core Specification 1.0, §5 "Binary Format") — the MVP subset needed
-  * to host the reference's byte-transform modules
+  * Core Specification, §5 "Binary Format") — the subset needed to host
+  * the reference's byte-transform modules
   * (/root/reference/crates/esvc-wasm/src/lib.rs:36-77): single linear
-  * memory, i32 value type, no imports/tables/element segments.
+  * memory, i32 value type, funcref tables + active element segments
+  * (rustc's function-pointer dispatch), bulk-memory `memory.copy`/
+  * `memory.fill`, and the sign-extension ops. Imports stay rejected —
+  * the sandbox is closed.
   *
   * Deliberately NOT a full validator: modules are decoded structurally
   * and trapped at runtime on anything out of bounds. The subset is
@@ -25,8 +28,17 @@ object Instr {
   final case class If(results: Int, thn: Vector[Instr], els: Vector[Instr]) extends Instr
   final case class Br(depth: Int) extends Instr
   final case class BrIf(depth: Int) extends Instr
+  /** spec §5.4.1 `br_table l* l_N`: pop selector, branch to
+    * `targets(sel)` or `default` when out of range.
+    */
+  final case class BrTable(targets: Vector[Int], default: Int) extends Instr
   case object Return extends Instr
   final case class Call(func: Int) extends Instr
+  /** spec §5.4.3 `call_indirect x y`: pop table element index, call
+    * the function found in the table, checking its type against
+    * `typeIdx` (rustc dispatches trait objects / fn pointers this way).
+    */
+  final case class CallIndirect(typeIdx: Int) extends Instr
   case object Drop extends Instr
   case object Select extends Instr
   final case class LocalGet(i: Int) extends Instr
@@ -34,12 +46,23 @@ object Instr {
   final case class LocalTee(i: Int) extends Instr
   final case class GlobalGet(i: Int) extends Instr
   final case class GlobalSet(i: Int) extends Instr
-  /** width: 4 = i32.load, 1 = i32.load8; signed only affects width 1 */
+  /** width: 4 = i32.load, 2 = i32.load16, 1 = i32.load8; signed
+    * affects widths 1 and 2.
+    */
   final case class Load(width: Int, signed: Boolean, offset: Int) extends Instr
   final case class Store(width: Int, offset: Int) extends Instr
   case object MemorySize extends Instr
   case object MemoryGrow extends Instr
+  /** Bulk-memory (spec §5.4.7, 0xFC prefix) — rustc emits these for
+    * memcpy/memset since LLVM enabled bulk-memory by default.
+    */
+  case object MemoryCopy extends Instr
+  case object MemoryFill extends Instr
   final case class I32Const(v: Int) extends Instr
+  /** i32.extend8_s / i32.extend16_s (sign-extension proposal, in core
+    * since 2.0; rustc emits them for i8/i16 widening).
+    */
+  final case class SignExtend(width: Int) extends Instr
   /** Numeric/comparison op by opcode (0x45-0x78 subset). */
   final case class NumOp(opcode: Int) extends Instr
 }
@@ -57,7 +80,11 @@ final case class WasmModule(
     globals: Vector[GlobalDef],
     /** export name -> ("func", idx) | ("memory", 0) */
     exports: Map[String, (String, Int)],
-    data: Vector[DataSeg])
+    data: Vector[DataSeg],
+    /** funcref table contents (element index -> func index, -1 = null
+      * entry); rustc's function-pointer table.
+      */
+    table: Vector[Int] = Vector.empty)
 
 object WasmModule {
   /** Decode a binary module. Throws [[WasmTrap]] on malformed input or
@@ -104,6 +131,8 @@ object WasmModule {
       var exports = Map.empty[String, (String, Int)]
       var bodies = Vector.empty[(Int, Vector[Instr])] // (locals, body)
       var data = Vector.empty[DataSeg]
+      var tableSize = 0
+      var elems = Vector.empty[(Int, Vector[Int])] // (offset, func indices)
       while (p < b.length) {
         val id = u8()
         val size = uleb()
@@ -124,6 +153,14 @@ object WasmModule {
           case 2 => throw WasmTrap("imports not supported (sandbox is closed)")
           case 3 => // function section
             val n = uleb(); funcTypeIdx = Vector.fill(n)(uleb())
+          case 4 => // table section (funcref only)
+            val n = uleb()
+            if (n > 1) throw WasmTrap("at most one table")
+            if (n == 1) {
+              if (u8() != 0x70) throw WasmTrap("only funcref tables supported")
+              val flags = u8(); tableSize = uleb()
+              if ((flags & 1) != 0) { val _ = uleb() } // max ignored (table is fixed here)
+            }
           case 5 => // memory section
             val n = uleb()
             if (n > 1) throw WasmTrap("at most one memory")
@@ -151,6 +188,15 @@ object WasmModule {
                 case 2 => exports += name -> (("memory", idx))
                 case _ => () // tables/globals exports ignored
               }
+            }
+          case 9 => // element section: active funcref segments, flags=0
+            val n = uleb()
+            elems = Vector.fill(n) {
+              if (uleb() != 0) throw WasmTrap("only active element segments in table 0")
+              if (u8() != 0x41) throw WasmTrap("element offset must be i32.const")
+              val off = sleb()
+              if (u8() != 0x0b) throw WasmTrap("element offset must end")
+              (off, Vector.fill(uleb())(uleb()))
             }
           case 10 => // code section
             val n = uleb()
@@ -185,7 +231,16 @@ object WasmModule {
       val funcs = funcTypeIdx.zip(bodies).map { case (ti, (locals, body)) =>
         FuncDef(types.lift(ti).getOrElse(throw WasmTrap("bad type index")), locals, body)
       }
-      WasmModule(types, funcs, memMin, memMax, globals, exports, data)
+      val table = {
+        val t = Array.fill(tableSize)(-1)
+        elems.foreach { case (off, fidx) =>
+          if (off < 0 || off + fidx.length > t.length)
+            throw WasmTrap("element segment out of table bounds")
+          fidx.zipWithIndex.foreach { case (f, k) => t(off + k) = f }
+        }
+        t.toVector
+      }
+      WasmModule(types, funcs, memMin, memMax, globals, exports, data, table)
     }
 
     /** 4 raw little-endian bytes (magic/version are not LEB). */
@@ -223,8 +278,16 @@ object WasmModule {
             out += If(bt, thn, els)
           case 0x0c => out += Br(uleb())
           case 0x0d => out += BrIf(uleb())
+          case 0x0e =>
+            val n = uleb()
+            val targets = Vector.fill(n)(uleb())
+            out += BrTable(targets, uleb())
           case 0x0f => out += Return
           case 0x10 => out += Call(uleb())
+          case 0x11 =>
+            val ti = uleb()
+            if (uleb() != 0) throw WasmTrap("call_indirect: only table 0")
+            out += CallIndirect(ti)
           case 0x1a => out += Drop
           case 0x1b => out += Select
           case 0x20 => out += LocalGet(uleb())
@@ -235,11 +298,25 @@ object WasmModule {
           case 0x28 => val _ = uleb(); out += Load(4, signed = false, uleb())
           case 0x2c => val _ = uleb(); out += Load(1, signed = true, uleb())
           case 0x2d => val _ = uleb(); out += Load(1, signed = false, uleb())
+          case 0x2e => val _ = uleb(); out += Load(2, signed = true, uleb())
+          case 0x2f => val _ = uleb(); out += Load(2, signed = false, uleb())
           case 0x36 => val _ = uleb(); out += Store(4, uleb())
           case 0x3a => val _ = uleb(); out += Store(1, uleb())
+          case 0x3b => val _ = uleb(); out += Store(2, uleb())
           case 0x3f => if (u8() != 0) throw WasmTrap("memory.size reserved byte"); out += MemorySize
           case 0x40 => if (u8() != 0) throw WasmTrap("memory.grow reserved byte"); out += MemoryGrow
           case 0x41 => out += I32Const(sleb())
+          case 0xc0 => out += SignExtend(1)
+          case 0xc1 => out += SignExtend(2)
+          case 0xfc => uleb() match {
+            case 10 => // memory.copy dst-mem src-mem reserved bytes
+              if (u8() != 0 || u8() != 0) throw WasmTrap("memory.copy reserved bytes")
+              out += MemoryCopy
+            case 11 =>
+              if (u8() != 0) throw WasmTrap("memory.fill reserved byte")
+              out += MemoryFill
+            case sub => throw WasmTrap(f"unsupported 0xFC subopcode $sub")
+          }
           case op if op >= 0x45 && op <= 0x78 => out += NumOp(op)
           case other => throw WasmTrap(f"unsupported opcode 0x$other%02x")
         }

@@ -5,6 +5,7 @@ import graft.functions.wasm._
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.collection.immutable.{ArraySeq, SortedSet}
+import scala.collection.mutable.ArrayBuffer
 
 /** The sandboxed WASM UDF engine: decoder + interpreter + host ABI.
   * Mirrors the reference's wasmtime hosting path
@@ -249,6 +250,137 @@ class WasmSpec extends AnyFunSuite {
       val expected = eval(tree, args._1, args._2)
       assert(got == expected, s"case $i: got $got expected $expected tree $tree")
     }
+  }
+
+  // ---- external fixtures: binaries NOT produced by WasmAssembler ----
+  // Generated by tools/make_wasm_fixture.py and checked in. They carry
+  // the opcode surface rustc/wasm-bindgen output uses and the assembler
+  // cannot emit: funcref table + call_indirect dispatch, br_table mode
+  // switch, bulk memory.copy/memory.fill, 16-bit loads/stores, and
+  // sign-extension — plus the full wbindgen export set including
+  // __wbindgen_free (esvc-wasm/src/lib.rs:47 keeps it commented-out on
+  // the host side, but every wbindgen module exports it).
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/wasm/$name")
+    assert(in != null, s"missing resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Scala model of the fixture's transform. */
+  private def searModel(arg: Array[Byte], dat: Array[Byte]): Array[Byte] = {
+    def u16(o: Int) = (arg(o) & 0xff) | ((arg(o + 1) & 0xff) << 8)
+    def matches(i: Int, s: Array[Byte]) =
+      i + s.length <= dat.length && s.indices.forall(j => dat(i + j) == s(j))
+    arg(0) match {
+      case 0 => dat.clone()
+      case 1 =>
+        val s = arg.slice(5, 5 + u16(1)); val r = arg.slice(5 + u16(1), 5 + u16(1) + u16(3))
+        val out = Array.newBuilder[Byte]; var i = 0
+        while (i < dat.length)
+          if (matches(i, s)) { out ++= r; i += s.length } else { out += dat(i); i += 1 }
+        out.result()
+      case 2 =>
+        val s = arg.slice(3, 3 + u16(1))
+        val out = dat.clone(); var i = 0
+        while (i < dat.length)
+          if (matches(i, s)) { (0 until s.length).foreach(j => out(i + j) = '*'); i += s.length }
+          else i += 1
+        out
+      case 3 => dat.map(b => (b + arg(1)).toByte)
+    }
+  }
+
+  private def searArg(mode: Int, s: String = "", r: String = ""): ArraySeq[Byte] = {
+    val sb = s.getBytes("UTF-8"); val rb = r.getBytes("UTF-8")
+    val out = ArrayBuffer[Byte](mode.toByte)
+    if (mode == 1) {
+      out += (sb.length & 0xff).toByte += ((sb.length >> 8) & 0xff).toByte
+      out += (rb.length & 0xff).toByte += ((rb.length >> 8) & 0xff).toByte
+      out ++= sb; out ++= rb
+    } else if (mode == 2) {
+      out += (sb.length & 0xff).toByte += ((sb.length >> 8) & 0xff).toByte
+      out ++= sb
+    }
+    ArraySeq.unsafeWrapArray(out.toArray)
+  }
+
+  test("external fixture decodes: table, element segments, wbindgen export set") {
+    val mod = WasmModule.decode(fixture("sear_bindgen.wasm"))
+    assert(mod.exports.keySet == Set("memory", "__wbindgen_malloc",
+      "__wbindgen_add_to_stack_pointer", "__wbindgen_free", "transform"))
+    assert(mod.table == Vector(-1, 3)) // slot 0 null, like rustc's table
+    assert(mod.memMinPages == 2 && mod.globals.length == 2)
+  }
+
+  test("external fixture: every transform mode matches the scala model") {
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_bindgen.wasm")))
+    val docs = Seq("", "a", "abcabc", "the cat sat on the mat, the end",
+      "aaaa", "xyxyxy", new String(Array.fill(300)('z')))
+    val args = Seq(
+      searArg(0),
+      searArg(1, "a", "x"), searArg(1, "ab", "QQQ"), searArg(1, "the", ""),
+      searArg(1, "aa", "b"), searArg(1, "zzz", "!"), searArg(1, "nope", "?"),
+      searArg(2, "cat"), searArg(2, "a"),
+      ArraySeq[Byte](3, 1), ArraySeq[Byte](3, -1), ArraySeq[Byte](3, -128))
+    for (d <- docs; a <- args) {
+      val got = en.runEvent(0, a, bytes(d))
+      val expected = searModel(a.toArray, d.getBytes("UTF-8"))
+      assert(got.toArray.toSeq == expected.toSeq, s"doc '$d' arg ${a.toList}")
+    }
+  }
+
+  test("external fixture: large payload grows memory; bad mode and empty arg trap") {
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_bindgen.wasm")))
+    val big = "ab" * 50000 // 100 KB > the module's 2 initial pages
+    val out = en.runEvent(0, searArg(1, "ab", "xyz"), bytes(big))
+    assert(out.length == 150000 && new String(out.toArray, "UTF-8").startsWith("xyzxyz"))
+    val t1 = intercept[EngineException](en.runEvent(0, ArraySeq[Byte](9), bytes("x")))
+    assert(t1.getMessage.contains("wasm trap")) // br_table default -> unreachable
+    intercept[EngineException](en.runEvent(0, ArraySeq.empty[Byte], bytes("x")))
+    intercept[EngineException](en.runEvent(0, searArg(1, "", "r"), bytes("x")))
+  }
+
+  test("probe fixture: sign-extension, 16-bit memory ops, br_table, call_indirect") {
+    val inst = new WasmInstance(WasmModule.decode(fixture("probe.wasm")))
+    assert(inst.invoke("sext8", 0x80) == -128)
+    assert(inst.invoke("sext8", 0x17f) == 127)
+    assert(inst.invoke("sext16", 0x8000) == -32768)
+    assert(inst.invoke("sext16", 0x17fff) == 32767)
+    assert(inst.invoke("ld16u", 16) == 0x1234) // from the data segment
+    assert(inst.invoke("ld16s", 18) == -2) // FF FE little-endian
+    assert(inst.invoke("ld16u", 18) == 65534)
+    assert(inst.invoke("st16", 32, 0x12345) == 0x2345) // store16 truncates
+    assert(Seq(0, 1, 2, 3, -1, 100).map(inst.invoke("pick", _)) ==
+      Seq(10, 20, 30, 99, 99, 99)) // br_table incl. default on negative
+    assert(inst.invoke("tcall", 1, 20, 22) == 42) // table[1] = add
+    assert(inst.invoke("tcall", 2, 6, 7) == 42) // table[2] = mul
+    assert(intercept[WasmTrap](inst.invoke("tcall", 0, 1, 1)).msg.contains("null"))
+    assert(intercept[WasmTrap](inst.invoke("tcall", 3, 1, 1)).msg.contains("mismatch"))
+    assert(intercept[WasmTrap](inst.invoke("tcall", 9, 1, 1)).msg.contains("out of bounds"))
+  }
+
+  test("full stack: shelve + merge through the external wbindgen fixture") {
+    val en = new WasmEngine
+    val (first, count) = en.addCommands(Seq(fixture("sear_bindgen.wasm")))
+    assert((first, count) == (0, 1))
+    val g = new EventGraph[ArraySeq[Byte]](en)
+    val w = new WorkCache[ArraySeq[Byte], ArraySeq[Byte]](en, bytes("the cat sat"))
+    var xs = SortedSet.empty[String]
+    xs += w.shelveEvent(g, xs, 0, searArg(1, "cat", "dog")).get
+    xs += w.shelveEvent(g, xs, 0, searArg(1, "sat", "ran")).get
+    w.tryMerge(g, xs)
+    val (dat, _) = w.materialize(g, xs)
+    assert(new String(dat.toArray, "UTF-8") == "the dog ran")
+    // opposite shelve order on a fresh cache converges to the same datum
+    val w2 = new WorkCache[ArraySeq[Byte], ArraySeq[Byte]](en, bytes("the cat sat"))
+    var ys = SortedSet.empty[String]
+    ys += w2.shelveEvent(g, ys, 0, searArg(1, "sat", "ran")).get
+    ys += w2.shelveEvent(g, ys, 0, searArg(1, "cat", "dog")).get
+    val (dat2, _) = w2.materialize(g, ys)
+    assert(new String(dat2.toArray, "UTF-8") == "the dog ran")
   }
 
   test("full stack: shelve + merge through the WASM engine (byte-sear)") {
