@@ -311,11 +311,26 @@ object SparkEntry {
       Dedup.dupClusters(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3, bands = 6, rows = 2, threshold = 0.4)),
 
+    // quality-aware survivorship: per cluster keep the highest-quality
+    // member, not the arbitrary min-id canonical
+    "q_canonical_pick" -> ((s, dir) =>
+      Dedup.canonicalPick(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, bands = 6, rows = 2, threshold = 0.4)),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
       Dedup.ngramJaccard(docs, pairs, "text", "doc_id", n = 2)
+    }),
+
+    // asymmetric containment |A∩B|/|A| over the same pair list: stays
+    // high when a short doc is quoted inside a long one (Jaccard ~0)
+    "q_ngram_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      Dedup.ngramContainment(docs, pairs, "text", "doc_id", n = 2)
     }),
 
     "q_simhash" -> ((s, dir) =>
@@ -690,6 +705,16 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embedNearDup(t(s, dir, "embeddings"), threshold = 0.3, dim = 64)),
 
+    // semantic decontamination: corpus vectors (98%) scored against a
+    // broadcast "benchmark" slice (vec_id % 50 == 3); flags best-match
+    // cosine >= 0.3 — catches paraphrased leakage n-grams miss
+    "q_sem_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 50 =!= 3),
+        emb.filter(col("vec_id") % 50 === 3), threshold = 0.3)
+    }),
+
     // scale-path ANN (bucketed sign-LSH) — approximate by
     // construction, but the bucket algebra is SQL-derivable so even the
     // approximation is oracle-checked
@@ -938,6 +963,13 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           Layout.zvalue(col("l_partkey"), col("l_suppkey")).as("zval"))),
+
+    // zone-map audit of the z-ordered layout: per-file min/max on both
+    // dimensions + which files a partkey range predicate would scan —
+    // the measurable half of the file-skipping story
+    "q_zone_map" -> ((s, dir) =>
+      Layout.zoneMap(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        nFiles = 64, pruneLo = 1000L, pruneHi = 2000L)),
 
     // count-min sketch heavy hitters: fixed-memory 4x1024 counter
     // table (pure SUMs -> mergeable across shards/days by addition,
@@ -1506,6 +1538,7 @@ object SparkEntry {
 
     "q_neardup_minhash" -> neardupOracle,
     "q_dup_clusters" -> dupClustersOracle,
+    "q_canonical_pick" -> canonicalPickOracle,
 
     // mirrors Curation.temperatureMixture: sqrt is IEEE-correctly-
     // rounded in both engines, then floored to fixed point — all
@@ -1540,6 +1573,19 @@ object SparkEntry {
         |SELECT p.doc_a, p.doc_b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        |FROM p JOIN s a ON a.doc_id = p.doc_a JOIN s b ON b.doc_id = p.doc_b""".stripMargin,
+
+    "q_ngram_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 1, 0) + 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS sh FROM t),
+        |p AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents WHERE doc_id % 50 = 0)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(greatest(len(a.sh), 1) AS DOUBLE), 6) AS containment
         |FROM p JOIN s a ON a.doc_id = p.doc_a JOIN s b ON b.doc_id = p.doc_b""".stripMargin,
 
     "q_simhash" -> simhashOracle,
@@ -2329,6 +2375,24 @@ object SparkEntry {
 
     "q_embed_neardup" -> embedNearDupOracle,
 
+    // mirrors Similarity.semanticContamination: same dot/norm algebra
+    // as q_topk_cosine; arg-max tie-break = highest bench_id (the
+    // struct-max order), threshold applied to the ROUNDED score
+    "q_sem_decontaminate" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 50 = 3),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 3),
+        |s AS (SELECT c.vec_id, b.bench_id,
+        |    list_sum(list_transform(range(1, 65), i -> c.v[i] * bv[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> bv[i] * bv[i])))) AS score
+        |  FROM c, b),
+        |r AS (SELECT vec_id, bench_id, score,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, bench_id DESC) AS rn
+        |  FROM s)
+        |SELECT vec_id, bench_id, round(score, 6) AS score
+        |FROM r WHERE rn = 1 AND round(score, 6) >= 0.3""".stripMargin,
+
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
@@ -2592,6 +2656,25 @@ object SparkEntry {
         |    (p3 | (p3 << 1)) & 1431655765 AS p4, (s3 | (s3 << 1)) & 1431655765 AS s4 FROM c)
         |SELECT l_orderkey, l_linenumber, CAST(p4 | (s4 << 1) AS BIGINT) AS zval
         |FROM d""".stripMargin,
+
+    // mirrors Layout.zoneMap: same Morton CTE chain, files = 64 equal
+    // z-ranges (z * 64 / (max_z + 1)), min/max zone stats + the
+    // orderkey-range scan decision
+    "q_zone_map" ->
+      """WITH s0 AS (SELECT CAST(l_orderkey AS BIGINT) AS x, CAST(l_partkey AS BIGINT) AS y,
+        |    l_orderkey & 65535 AS p0, l_partkey & 65535 AS s0 FROM lineitem),
+        |a AS (SELECT x, y, (p0 | (p0 << 8)) & 16711935 AS p1, (s0 | (s0 << 8)) & 16711935 AS s1 FROM s0),
+        |b AS (SELECT x, y, (p1 | (p1 << 4)) & 252645135 AS p2, (s1 | (s1 << 4)) & 252645135 AS s2 FROM a),
+        |c AS (SELECT x, y, (p2 | (p2 << 2)) & 858993459 AS p3, (s2 | (s2 << 2)) & 858993459 AS s3 FROM b),
+        |d AS (SELECT x, y, (p3 | (p3 << 1)) & 1431655765 AS p4, (s3 | (s3 << 1)) & 1431655765 AS s4 FROM c),
+        |z AS (SELECT x, y, CAST(p4 | (s4 << 1) AS BIGINT) AS z FROM d),
+        |g AS (SELECT CAST((z.z * 64) // (m.mz + 1) AS BIGINT) AS file_id,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |  FROM z, (SELECT max(z) AS mz FROM z) m GROUP BY 1)
+        |SELECT file_id, n_rows, min_x, max_x, min_y, max_y,
+        |  NOT (max_x < 1000 OR min_x > 2000) AS would_scan
+        |FROM g""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), ' +'),
@@ -3106,6 +3189,46 @@ object SparkEntry {
        |  count(*) OVER (PARTITION BY comp) AS cluster_size,
        |  id = comp AS keep
        |FROM cc""".stripMargin
+
+  /** DuckDB mirror of [[graft.operators.Dedup.canonicalPick]]: the
+    * [[dupClustersOracle]] CC, joined to the q_quality_score logit
+    * (rounded BEFORE ranking, as the Spark side compares rounded
+    * values), arg-max per cluster with doc_id ASC tie-break.
+    */
+  private def canonicalPickOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$neardupOracle
+       |),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+       |),
+       |cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |cs AS (SELECT id AS doc_id, comp AS cluster_id,
+       |    count(*) OVER (PARTITION BY comp) AS cluster_size FROM cc),
+       |t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, round((-0.65)
+       |      + 0.02 * CAST(least(len(toks), 500) AS DOUBLE)
+       |      + 2.0 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+       |          / CAST(greatest(len(toks), 1) AS DOUBLE))
+       |      + 1.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+       |          / CAST(greatest(len(toks), 1) AS DOUBLE))
+       |      - 0.3 * (CAST(len(array_to_string(toks, '')) AS DOUBLE)
+       |          / CAST(greatest(len(toks), 1) AS DOUBLE)), 6) AS quality_logit
+       |  FROM t),
+       |j AS (SELECT cs.cluster_id, cs.doc_id, cs.cluster_size, f.quality_logit
+       |  FROM cs JOIN f ON f.doc_id = cs.doc_id),
+       |r AS (SELECT cluster_id, doc_id, cluster_size, quality_logit,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_logit DESC, doc_id) AS rn FROM j)
+       |SELECT cluster_id, doc_id AS canonical_id, cluster_size, quality_logit
+       |FROM r WHERE rn = 1""".stripMargin
 
   /** DuckDB mirror of q_kmeans, iterations unrolled as CTE chains:
     * cent0 from the md5 'km' salt, each round = argmax assignment

@@ -229,6 +229,27 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6).as("jaccard"))
   }
 
+  /** Asymmetric n-gram containment |A∩B| / |A| for an explicit pair
+    * list — unlike Jaccard it stays high when a small document (a
+    * benchmark item, a quoted passage) is embedded inside a much
+    * larger one, which symmetric similarity dilutes to ~0. Same
+    * semi-join + pair-join shape as [[ngramJaccard]]: only paired
+    * documents are shingled, nothing else moves.
+    */
+  def ngramContainment(docs: DataFrame, pairs: DataFrame, textCol: String,
+                       idCol: String, n: Int): DataFrame = {
+    val ids = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val withSh = docs.join(ids, docs(idCol) === ids("id"), "left_semi")
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(col("sh_a")), lit(1)).cast("double"), 6).as("containment"))
+  }
+
   /** 64-bit SimHash over word tokens as a 64-char bit string: per
     * distinct token, md5; each of the 64 leading hash bits votes
     * +count/-count; the sign vector is the fingerprint.
@@ -465,5 +486,31 @@ object Dedup {
     cc.select(col("id").as("doc_id"), col("comp").as("cluster_id"),
         count(lit(1)).over(Window.partitionBy(col("comp"))).as("cluster_size"),
         (col("id") === col("comp")).as("keep"))
+  }
+
+  /** Quality-aware survivorship: per near-dup cluster keep the
+    * HIGHEST-quality member (tie-break: lowest doc_id), not the
+    * arbitrary min-id canonical [[dupClusters]] reports — the rule
+    * real curation pipelines apply ("of these 5 near-identical pages,
+    * keep the cleanest"). One extra map-side `max(struct)` aggregate
+    * over the cluster assignment; quality is computed only for
+    * clustered docs (a sliver of the corpus), via a semi-join first.
+    */
+  def canonicalPick(docs: DataFrame, textCol: String, idCol: String,
+                    shingleN: Int = 3, bands: Int = 4, rows: Int = 3,
+                    threshold: Double = 0.4): DataFrame = {
+    val clusters = dupClusters(docs, textCol, idCol, shingleN, bands, rows, threshold)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val scored = graft.operators.TextAnalysis.qualityScore(
+        docs.join(clusters, docs(idCol) === clusters("doc_id"), "left_semi"),
+        textCol, idCol)
+      .select(col("doc_id"), col("quality_logit"))
+    clusters.join(scored, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("quality_logit").as("q"), (-col("doc_id")).as("nid"))).as("m"),
+        max(col("cluster_size")).as("cluster_size"))
+      .select(col("cluster_id"), (-col("m.nid")).as("canonical_id"),
+        col("cluster_size"), col("m.q").as("quality_logit"))
   }
 }

@@ -48,4 +48,33 @@ object Layout {
     sorted.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** Zone-map audit of a z-ordered layout: bucket rows into `nFiles`
+    * equal z-ranges (`z * nFiles / (max_z + 1)` — the proportional
+    * range split a z-ordered write produces), compute each file's
+    * min/max on BOTH dimensions, and report which files a predicate
+    * `xCol BETWEEN pruneLo AND pruneHi` would actually scan.
+    *
+    * This is the query-side half of [[zOrderWrite]]'s 100 TB story:
+    * parquet footers keep exactly these min/max stats, and the scan
+    * planner skips any file whose range misses the predicate. The
+    * audit makes the skip rate measurable (and oracle-checkable) as
+    * pure BIGINT algebra — `n_rows`/`would_scan` per file. The only
+    * non-scan-local step is the max-z scalar (broadcast one-row join),
+    * then one shuffle for the per-file aggregate.
+    */
+  def zoneMap(df: DataFrame, xCol: String, yCol: String,
+              nFiles: Int = 64, pruneLo: Long = 0L, pruneHi: Long = 0L): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("z", zvalue(col("x"), col("y")))
+    val maxZ = base.agg(max(col("z")).as("max_z"))
+    base.join(broadcast(maxZ))
+      .withColumn("file_id", expr(s"(z * $nFiles) DIV (max_z + 1)"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("would_scan",
+        !(col("max_x") < pruneLo || col("min_x") > pruneHi))
+  }
 }

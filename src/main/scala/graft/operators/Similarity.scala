@@ -44,6 +44,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Semantic decontamination: flag corpus vectors whose best cosine
+    * against a (small, broadcast) benchmark set reaches `threshold` —
+    * the embedding-space complement of the n-gram
+    * [[graft.operators.Curation]] contamination check (paraphrased
+    * benchmark leakage that shares no 3-gram still lands next to the
+    * original in embedding space).
+    *
+    * 100 TB shape: benchmark sets are small by nature (thousands of
+    * eval items vs billions of train docs), so the bench side is
+    * broadcast and the corpus is read ONCE; the per-vector arg-max is
+    * a map-side partial `max(struct)` — the shuffle carries one row
+    * per corpus vector, never the pair matrix. Tie-break on the
+    * highest bench_id (struct max), mirrored in the oracle's
+    * `ORDER BY score DESC, bench_id DESC`.
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("vn", norm(col("v")))
+    val b = broadcast(bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+      .withColumn("bn", norm(col("bv"))))
+    base.join(b, col("vec_id") =!= col("bench_id"))
+      .withColumn("score", dot(col("v"), col("bv")) / (col("vn") * col("bn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score").as("s"), col("bench_id").as("b"))).as("m"))
+      .select(col("vec_id"), col("m.b").as("bench_id"), round(col("m.s"), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplane for sign-LSH, derived from
     * md5 so it is reproducible across executors/sessions with no RNG
     * state, and SQL-expressible for the oracle-checked operators:
