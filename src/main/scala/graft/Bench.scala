@@ -164,6 +164,13 @@ object Bench {
     probe()
     val results = todo.zipWithIndex.map { case ((name, fn), i) =>
       if (i == todo.size / 2) probe()
+      // periodic driver GC OUTSIDE the timed region: 130+ queries in
+      // one JVM accumulate broadcast/shuffle/accumulator state that
+      // the ContextCleaner only releases after a GC — without this,
+      // late-alphabet queries pay rising GC tax (r7's q_kmeans "2.3x
+      // regression" and r8's q_neardup_* run-level spikes, both
+      // vanishing when run isolated)
+      if (i % 12 == 0) System.gc()
       val runs = (1 to passes).map(_ => timeOne(fn))
       (name, runs.map(_._1), runs.flatMap(_._2).headOption)
     }

@@ -501,9 +501,12 @@ object Dedup {
                     threshold: Double = 0.4): DataFrame = {
     val clusters = dupClusters(docs, textCol, idCol, shingleN, bands, rows, threshold)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    val scored = graft.operators.TextAnalysis.qualityScore(
-        docs.join(clusters, docs(idCol) === clusters("doc_id"), "left_semi"),
-        textCol, idCol)
+    // quality is ONE codegen projection over the corpus scan; scoring
+    // everything and joining keeps the (expensive) cluster DAG
+    // single-evaluation — a semi-join of docs on clusters would embed
+    // that DAG twice in the plan and recompute the whole LSH+CC
+    // pipeline, which is far worse than a scan-speed projection
+    val scored = graft.operators.TextAnalysis.qualityScore(docs, textCol, idCol)
       .select(col("doc_id"), col("quality_logit"))
     clusters.join(scored, "doc_id")
       .groupBy(col("cluster_id"))
