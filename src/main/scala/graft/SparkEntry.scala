@@ -715,6 +715,16 @@ object SparkEntry {
         emb.filter(col("vec_id") % 50 === 3), threshold = 0.3)
     }),
 
+    // the scale path: LSH-bucketed candidates (corpus meets only
+    // same-bucket bench vectors — the brute-force form went 37x on the
+    // 10x soak); the bucket algebra is oracle-mirrored like q_ann_lsh
+    "q_sem_decontam_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticContaminationLsh(
+        emb.filter(col("vec_id") % 50 =!= 3),
+        emb.filter(col("vec_id") % 50 === 3), threshold = 0.3, dim = 64)
+    }),
+
     // scale-path ANN (bucketed sign-LSH) — approximate by
     // construction, but the bucket algebra is SQL-derivable so even the
     // approximation is oracle-checked
@@ -2393,6 +2403,8 @@ object SparkEntry {
         |SELECT vec_id, bench_id, round(score, 6) AS score
         |FROM r WHERE rn = 1 AND round(score, 6) >= 0.3""".stripMargin,
 
+    "q_sem_decontam_lsh" -> semDecontamLshOracle,
+
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
@@ -3368,7 +3380,42 @@ object SparkEntry {
       |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cosine
       |  FROM cand JOIN v a ON a.vec_id = vec_a JOIN v b ON b.vec_id = vec_b)
       |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM s WHERE cosine >= 0.3""".stripMargin
-/** DuckDB mirror of q_ann_lsh: same buckets as [[embedNearDupOracle]],
+  /** DuckDB mirror of q_sem_decontam_lsh: the [[embedNearDupOracle]]
+    * bucket algebra (48 salts = 8 tables x 6 planes) split into a
+    * capped bench side and a corpus side, bucket-joined candidates,
+    * exact cosine, arg-max per corpus vector (score DESC, bench_id
+    * DESC = the struct max), threshold on the rounded score.
+    */
+  private def semDecontamLshOracle: String =
+    """WITH hp AS (
+      |  SELECT k.k, d.d,
+      |    ('0x' || substr(md5(k.k || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS val
+      |  FROM (SELECT unnest(range(48)) AS k) k, (SELECT unnest(range(64)) AS d) d),
+      |e AS (SELECT vec_id, d.d, CAST(embedding[d.d + 1] AS DOUBLE) AS x
+      |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+      |proj AS (SELECT e.vec_id, hp.k, sum(e.x * hp.val) AS pr
+      |  FROM e JOIN hp ON e.d = hp.d GROUP BY 1, 2),
+      |bk AS (SELECT vec_id, (k // 6) AS tbl,
+      |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bits
+      |  FROM proj GROUP BY 1, 2),
+      |b0 AS (SELECT vec_id, tbl || ':' || bits AS bucket FROM bk),
+      |bb AS (SELECT vec_id AS bench_id, bucket FROM b0 WHERE vec_id % 50 = 3
+      |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 128),
+      |cb AS (SELECT vec_id, bucket FROM b0 WHERE vec_id % 50 <> 3),
+      |cand AS (SELECT DISTINCT cb.vec_id, bb.bench_id FROM cb JOIN bb USING (bucket)),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |s AS (SELECT cand.vec_id, cand.bench_id,
+      |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+      |  FROM cand JOIN v a ON a.vec_id = cand.vec_id JOIN v b ON b.vec_id = cand.bench_id),
+      |r AS (SELECT vec_id, bench_id, score,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, bench_id DESC) AS rn
+      |  FROM s)
+      |SELECT vec_id, bench_id, round(score, 6) AS score
+      |FROM r WHERE rn = 1 AND round(score, 6) >= 0.3""".stripMargin
+
+  /** DuckDB mirror of q_ann_lsh: same buckets as [[embedNearDupOracle]],
     * query side restricted to vec_id < 8, exact-cosine rank@5 within
     * the candidate set.
     */

@@ -73,6 +73,48 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** The scale path of [[semanticContamination]]: sign-LSH bucketed
+    * candidate generation (same multi-table hyperplane scheme as
+    * [[embedNearDup]]), so each corpus vector is scored only against
+    * same-bucket benchmark vectors instead of the whole benchmark —
+    * the brute-force variant is exact but O(corpus × bench), which the
+    * sf1 soak measured going quadratic (37× on 10× data).
+    *
+    * 100 TB shape: the bench bucket table (ids only, per-bucket cap)
+    * is BROADCAST, so candidate generation is a map-side hash join on
+    * the corpus bucket explode — zero shuffle until the candidate set
+    * exists; the corpus then re-joins by id ONCE for exact-cosine
+    * verification (vectors never ride through the bucket explode), and
+    * the per-vector arg-max is the same map-side `max(struct)`. Like
+    * every LSH operator here, the bucket algebra is SQL-derivable, so
+    * the approximation itself is oracle-checked.
+    */
+  def semanticContaminationLsh(corpus: DataFrame, bench: DataFrame, threshold: Double,
+                               dim: Int, planes: Int = 6, tables: Int = 8,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               bucketCap: Int = 128): DataFrame = {
+    val keys = lshBucketKeysUdf(planes, tables, dim)
+    val cv = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("vn", norm(col("v")))
+    val bv = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+      .withColumn("bn", norm(col("bv")))
+    val bb = Dedup.capBucket(
+      bv.withColumn("bucket", explode(keys(col("bv")))).select("bucket", "bench_id"),
+      "bucket", "bench_id", bucketCap)
+    val cb = cv.withColumn("bucket", explode(keys(col("v"))))
+      .select(col("bucket"), col("vec_id"))
+    val candidates = cb.join(broadcast(bb), "bucket")
+      .select(col("vec_id"), col("bench_id")).distinct()
+    candidates
+      .join(cv, "vec_id")
+      .join(broadcast(bv), "bench_id")
+      .withColumn("score", dot(col("v"), col("bv")) / (col("vn") * col("bn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score").as("s"), col("bench_id").as("b"))).as("m"))
+      .select(col("vec_id"), col("m.b").as("bench_id"), round(col("m.s"), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplane for sign-LSH, derived from
     * md5 so it is reproducible across executors/sessions with no RNG
     * state, and SQL-expressible for the oracle-checked operators:
@@ -101,14 +143,17 @@ object Similarity {
     * cos 0.52, so measured recall there is the worst case, mirrored by
     * the oracle either way.
     */
-  def embedNearDup(embeddings: DataFrame, threshold: Double,
-                   dim: Int, planes: Int = 6, tables: Int = 8,
-                   idCol: String = "vec_id", vecCol: String = "embedding",
-                   bucketCap: Int = 128): DataFrame = {
+  /** Sign-LSH bucket keys `"t:bits"` for `tables` tables of `planes`
+    * hyperplanes (salts `t*planes+p` through [[hyperplaneSql]]) — the
+    * shared candidate-generation kernel of [[embedNearDup]] and
+    * [[semanticContaminationLsh]].
+    */
+  private def lshBucketKeysUdf(planes: Int, tables: Int, dim: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val hps: Array[Array[Double]] = Array.tabulate(tables * planes)(k => hyperplaneSql(k, dim))
     val nPlanes = planes
     val nTables = tables
-    val bucketKeys = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       val arr = v.toArray
       (0 until nTables).map { t =>
         val sb = new StringBuilder(nPlanes + 4)
@@ -125,6 +170,13 @@ object Similarity {
         sb.result()
       }
     }
+  }
+
+  def embedNearDup(embeddings: DataFrame, threshold: Double,
+                   dim: Int, planes: Int = 6, tables: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   bucketCap: Int = 128): DataFrame = {
+    val bucketKeys = lshBucketKeysUdf(planes, tables, dim)
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("vn", norm(col("v"))).localCheckpoint()
     // bucket table carries ids only — candidate pairs must never

@@ -38,6 +38,24 @@ class Round8OpsSpec extends AnyFunSuite with SharedSpark {
     assert(out.length == 1 && out.head.getLong(1) == 201L)
   }
 
+  test("semanticContaminationLsh: near-copies recalled, scores equal brute force") {
+    import spark.implicits._
+    // 64-dim so the production hyperplanes apply; corpus vec 1 is a
+    // tiny perturbation of bench vec 100 (cos ~1 -> identical sign
+    // buckets in every table -> guaranteed candidate); vec 2 is far
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 1e-4f
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val corpus = Seq((1L, near.toSeq), (2L, far.toSeq)).toDF("vec_id", "embedding")
+    val bench = Seq((100L, base.toSeq)).toDF("vec_id", "embedding")
+    val lsh = Similarity.semanticContaminationLsh(corpus, bench, threshold = 0.9, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = Similarity.semanticContamination(corpus, bench, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(lsh == Seq((1L, 100L, 1.0)))
+    assert(lsh == brute) // on recalled pairs the verification is exact
+  }
+
   test("canonicalPick keeps the highest-quality cluster member, not the min id") {
     import spark.implicits._
     // docs 10/11/12 are near-identical (one cluster); 11 carries the
