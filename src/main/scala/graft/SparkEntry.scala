@@ -304,6 +304,7 @@ object SparkEntry {
     // curation verbs) — same parameters, same oracles, zero drift
     "q_sql_dedup" -> ((s, dir) => s.sql(s"DEDUP DOCUMENTS FROM '$dir'")),
     "q_sql_neardup" -> ((s, dir) => s.sql(s"NEARDUP DOCUMENTS FROM '$dir'")),
+    "q_sql_decontaminate" -> ((s, dir) => s.sql(s"DECONTAMINATE DOCUMENTS FROM '$dir'")),
 
     // duplicate CLUSTERS: connected components (star contraction) over
     // the near-dup pair graph, one canonical survivor per component
@@ -1571,6 +1572,22 @@ object SparkEntry {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "q_sql_neardup" -> neardupOracle,
+
+    // the q_decontaminate flag algebra inverted to survivors: corpus
+    // docs NOT reaching 3 shared test 3-grams, full document rows
+    "q_sql_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+        |test AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 3),
+        |corp AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 3),
+        |flagged AS (SELECT doc_id FROM corp JOIN test USING (g)
+        |  GROUP BY doc_id HAVING count(*) >= 3)
+        |SELECT d.* FROM documents d
+        |WHERE d.doc_id % 50 <> 3 AND d.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,

@@ -60,6 +60,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   NEARDUP DOCUMENTS FROM '<dir>'
   *     -> MinHash-LSH near-duplicate pairs with exact-Jaccard verify
   *        (doc_a, doc_b, jaccard)
+  *   DECONTAMINATE DOCUMENTS FROM '<dir>'
+  *     -> the corpus rows surviving the benchmark-overlap check
+  *        (q_decontaminate's slices/params; flagged docs anti-joined
+  *        away) — the write-side face of the contamination gate
   *
   * The plan is BUILT at parse time but executed lazily by the caller
   * (`spark.sql(...)` analyzes/executes the returned plan) — identical
@@ -93,6 +97,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*DEDUP\s+DOCUMENTS\s+FROM\s+'([^']+)'\s*;?\s*""".r
   private val NeardupDocs =
     """(?is)\s*NEARDUP\s+DOCUMENTS\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  private val DecontaminateDocs =
+    """(?is)\s*DECONTAMINATE\s+DOCUMENTS\s+FROM\s+'([^']+)'\s*;?\s*""".r
 
   private def parseError(sqlText: String, msg: String): ParseException =
     new ParseException(Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
@@ -221,13 +227,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
         .queryExecution.logical
     }
+    case DecontaminateDocs(dir) => wrapGraft(sqlText) {
+      // same slices/params as q_decontaminate (corpus = doc_id%50<>3,
+      // test = %50=3, 3-grams, minOverlap 3) — returns the SURVIVING
+      // corpus rows, the write-side face of the contamination check
+      val docs = session.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 3),
+        docs.filter(col("doc_id") % 50 === 3),
+        "text", "doc_id", n = 3, minOverlap = 3)
+        .queryExecution.logical
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case Materialize(_, _) | Linearize(_) | ShelveEvents(_, _) | MergeStates(_, _) |
          ShelveEventsFrom(_, _) | MergeStatesFrom(_, _) |
-         DedupDocs(_) | NeardupDocs(_) =>
+         DedupDocs(_) | NeardupDocs(_) | DecontaminateDocs(_) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }
