@@ -726,6 +726,17 @@ object SparkEntry {
         emb.filter(col("vec_id") % 50 === 3), threshold = 0.3, dim = 64)
     }),
 
+    // recall@5 of the LSH index against exact top-k — ANN quality as
+    // an oracle-checked number (exact list = denominator, so queries
+    // the index misses entirely still appear with recall 0)
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.annRecall(
+        Similarity.topKCosine(emb, q, k = 5),
+        Similarity.annLsh(emb, q, k = 5, dim = 64), k = 5)
+    }),
+
     // scale-path ANN (bucketed sign-LSH) — approximate by
     // construction, but the bucket algebra is SQL-derivable so even the
     // approximation is oracle-checked
@@ -2421,6 +2432,48 @@ object SparkEntry {
         |FROM r WHERE rn = 1 AND round(score, 6) >= 0.3""".stripMargin,
 
     "q_sem_decontam_lsh" -> semDecontamLshOracle,
+
+    // recall@5: exact top-k CTE (q_topk_cosine algebra) left-joined to
+    // the annLsh candidate/rank algebra (32 salts = 8 tables x 4
+    // planes, same as annLshOracle)
+    "q_ann_recall" ->
+      """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, v AS q FROM ev WHERE vec_id < 8),
+        |xs AS (SELECT qv.query_id, ev.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q[i] * v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))) AS score
+        |  FROM qv, ev WHERE ev.vec_id <> qv.query_id),
+        |xr AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM xs),
+        |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rk <= 5),
+        |hp AS (SELECT k.k, d.d,
+        |    ('0x' || substr(md5(k.k || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS val
+        |  FROM (SELECT unnest(range(32)) AS k) k, (SELECT unnest(range(64)) AS d) d),
+        |pe AS (SELECT vec_id, d.d, CAST(embedding[d.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+        |proj AS (SELECT pe.vec_id, hp.k, sum(pe.x * hp.val) AS pr
+        |  FROM pe JOIN hp ON pe.d = hp.d GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, (k // 4) AS tbl,
+        |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bits
+        |  FROM proj GROUP BY 1, 2),
+        |bb AS (SELECT vec_id, tbl || ':' || bits AS bucket FROM bk),
+        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+        |  FROM bb qb JOIN bb nb USING (bucket)
+        |  WHERE qb.vec_id < 8 AND qb.vec_id <> nb.vec_id),
+        |asc_ AS (SELECT cand.query_id, cand.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+        |  FROM cand JOIN ev a ON a.vec_id = cand.query_id JOIN ev b ON b.vec_id = cand.neighbor_id),
+        |ar AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM asc_),
+        |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rk <= 5)
+        |SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+        |  round(CAST(count(a.neighbor_id) AS DOUBLE) / 5, 6) AS recall
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id""".stripMargin,
 
     "q_ann_lsh" -> annLshOracle,
 

@@ -199,6 +199,25 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Recall@k of an approximate neighbor list against the exact one:
+    * per query, the fraction of exact top-k neighbors the index
+    * surfaced. The "measure, don't guess" companion of every ANN
+    * operator here — index quality (nprobe/lists, planes/tables)
+    * becomes an oracle-checkable number instead of a hope. Both inputs
+    * are (query_id, neighbor_id[, ...]) frames; exact drives the
+    * denominator, so queries the index missed entirely still appear
+    * with recall 0.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall"))
+
   /** Symmetric int8 quantization of an embedding column — the memory
     * lever at 100 TB (4x smaller vectors, integer SIMD dot products):
     * per-vector scale s = max(|v_i|), q_i = floor(v_i * 127 / s).

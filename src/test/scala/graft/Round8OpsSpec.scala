@@ -94,6 +94,24 @@ class Round8OpsSpec extends AnyFunSuite with SharedSpark {
     assert(out((2L, 1L)) < 0.3) // but not vice versa
   }
 
+  test("annRecall: identical lists = 1.0, disjoint = 0.0, partial counts hits") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L), (2L, 24L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L), // all hit
+      (2L, 20L), (2L, 21L), (2L, 99L), (2L, 98L), (2L, 97L)) // 2 of 5
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.annRecall(exact, approx, k = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((5L, 1.0)))
+    assert(out(2L) == ((2L, 0.4)))
+    // a query the index missed entirely still appears, recall 0
+    val none = Similarity.annRecall(exact, approx.filter($"query_id" =!= 2L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(none(2L) == 0.0)
+  }
+
   test("zoneMap: files partition the z-range, stats are exact, pruning is sound") {
     import spark.implicits._
     val rows = for (x <- 0L until 64L; y <- 0L until 4L) yield (x, y)
