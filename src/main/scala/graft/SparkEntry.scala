@@ -987,7 +987,7 @@ object SparkEntry {
           Layout.zvalue(col("l_partkey"), col("l_suppkey")).as("zval"))),
 
     // zone-map audit of the z-ordered layout: per-file min/max on both
-    // dimensions + which files a partkey range predicate would scan —
+    // dimensions + which files an orderkey range predicate would scan —
     // the measurable half of the file-skipping story
     "q_zone_map" -> ((s, dir) =>
       Layout.zoneMap(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",

@@ -236,7 +236,11 @@ object WasmModule {
         elems.foreach { case (off, fidx) =>
           if (off < 0 || off + fidx.length > t.length)
             throw WasmTrap("element segment out of table bounds")
-          fidx.zipWithIndex.foreach { case (f, k) => t(off + k) = f }
+          fidx.zipWithIndex.foreach { case (f, k) =>
+            if (f < 0 || f >= funcs.length)
+              throw WasmTrap(s"element func index $f out of range (${funcs.length} funcs)")
+            t(off + k) = f
+          }
         }
         t.toVector
       }

@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * buckets, never all-pairs).
   */
 object Similarity {
+  /** Bench-side row bound for the brute-force
+    * [[semanticContamination]] baseline — the largest public eval sets
+    * are tens of thousands of items; anything bigger must go through
+    * the LSH scale path.
+    */
+  val DefaultMaxBenchRows: Long = 100000L
+
   /** Sequential double-precision dot product of two float arrays via
     * codegen'd higher-order functions (zip_with + left-fold aggregate —
     * deterministic summation order, so the DuckDB oracle matches
@@ -60,7 +67,18 @@ object Similarity {
     * `ORDER BY score DESC, bench_id DESC`.
     */
   def semanticContamination(corpus: DataFrame, bench: DataFrame, threshold: Double,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            maxBenchRows: Long = DefaultMaxBenchRows): DataFrame = {
+    // Size contract, enforced: this is the EXACTNESS BASELINE and its
+    // plan is a broadcast nested-loop (corpus x bench). A large bench
+    // side turns it quadratic (measured 37x on the 10x sf1 soak), so
+    // refuse early instead of silently melting — the scale path is
+    // [[semanticContaminationLsh]]. The limit bounds the probe scan.
+    val benchRows = bench.limit((maxBenchRows + 1).toInt).count()
+    require(benchRows <= maxBenchRows,
+      s"semanticContamination is the brute-force exactness baseline: bench side has " +
+        s">$maxBenchRows rows (broadcast nested-loop would go quadratic); " +
+        s"use semanticContaminationLsh for large benchmark sets")
     val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("vn", norm(col("v")))
     val b = broadcast(bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))

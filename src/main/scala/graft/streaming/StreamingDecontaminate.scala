@@ -41,7 +41,8 @@ object StreamingDecontaminate {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.map { d =>
-      val toks = Option(d.text).getOrElse("").toLowerCase
+      val toks = Option(d.text).getOrElse("")
+        .toLowerCase(java.util.Locale.ROOT)
         .split(" +").filter(_.nonEmpty)
       val set = grams.value
       val seen = scala.collection.mutable.HashSet.empty[String]
