@@ -16,6 +16,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the generated-class cache (static conf) holds 100 entries by
+      // default; a 137-query surface cycles it completely each pass, so
+      // EVERY query in a full run recompiles + reloads + re-JITs its
+      // codegen classes on every pass while an isolated min-of-3 hits
+      // the cache from pass 2 — measured as the r8 "in-run inflation"
+      // (q_dedup_insert 2.73 s in-run vs 0.77 s isolated, same sha).
+      // Size it for the whole surface so full-run passes see the same
+      // warm cache an isolated probe does.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
