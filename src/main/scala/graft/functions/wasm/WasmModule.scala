@@ -46,10 +46,14 @@ object Instr {
   final case class LocalTee(i: Int) extends Instr
   final case class GlobalGet(i: Int) extends Instr
   final case class GlobalSet(i: Int) extends Instr
-  /** width: 4 = i32.load, 2 = i32.load16, 1 = i32.load8; signed
-    * affects widths 1 and 2.
+  /** width: 8 = i64.load, 4 = i32.load / i64.load32, 2 = load16,
+    * 1 = load8; signed affects widths below the value width. `wide`
+    * marks the i64-typed variants — only observable for width-4
+    * unsigned (i64.load32_u zero-extends where i32.load keeps the
+    * canonical sign-extended representation).
     */
-  final case class Load(width: Int, signed: Boolean, offset: Int) extends Instr
+  final case class Load(width: Int, signed: Boolean, offset: Int,
+                        wide: Boolean = false) extends Instr
   final case class Store(width: Int, offset: Int) extends Instr
   case object MemorySize extends Instr
   case object MemoryGrow extends Instr
@@ -59,11 +63,16 @@ object Instr {
   case object MemoryCopy extends Instr
   case object MemoryFill extends Instr
   final case class I32Const(v: Int) extends Instr
+  final case class I64Const(v: Long) extends Instr
   /** i32.extend8_s / i32.extend16_s (sign-extension proposal, in core
     * since 2.0; rustc emits them for i8/i16 widening).
     */
   final case class SignExtend(width: Int) extends Instr
-  /** Numeric/comparison op by opcode (0x45-0x78 subset). */
+  /** Numeric/comparison/conversion op by opcode — the i32 set
+    * (0x45-0x78), the i64 set (0x50-0x5a, 0x79-0x8a), and the int
+    * conversions (wrap 0xa7, extend 0xac/0xad, i64.extendN_s
+    * 0xc2-0xc4). Floats are not in the set.
+    */
   final case class NumOp(opcode: Int) extends Instr
 }
 
@@ -119,6 +128,14 @@ object WasmModule {
       }
       if (shift < 32 && (byte & 0x40) != 0) result | (-1 << shift) else result
     }
+    /** signed LEB128, 64-bit (for i64.const) */
+    private def sleb64(): Long = {
+      var result = 0L; var shift = 0; var byte = 0
+      while ({ byte = u8(); shift += 7; result |= (byte & 0x7f).toLong << (shift - 7); (byte & 0x80) != 0 }) {
+        if (shift > 70) throw WasmTrap("sleb64 overflow")
+      }
+      if (shift < 64 && (byte & 0x40) != 0) result | (-1L << shift) else result
+    }
 
     def module(): WasmModule = {
       if (uleb32raw() != 0x6d736100) throw WasmTrap("bad magic")
@@ -143,10 +160,10 @@ object WasmModule {
             types = Vector.fill(n) {
               if (u8() != 0x60) throw WasmTrap("expected functype")
               val np = uleb(); (0 until np).foreach { _ =>
-                if (u8() != 0x7f) throw WasmTrap("only i32 params supported")
+                if (!isIntType(u8())) throw WasmTrap("only i32/i64 params supported")
               }
               val nr = uleb(); (0 until nr).foreach { _ =>
-                if (u8() != 0x7f) throw WasmTrap("only i32 results supported")
+                if (!isIntType(u8())) throw WasmTrap("only i32/i64 results supported")
               }
               FuncType(np, nr)
             }
@@ -207,7 +224,7 @@ object WasmModule {
               val nGroups = uleb()
               (0 until nGroups).foreach { _ =>
                 val cnt = uleb()
-                if (u8() != 0x7f) throw WasmTrap("only i32 locals supported")
+                if (!isIntType(u8())) throw WasmTrap("only i32/i64 locals supported")
                 locals += cnt
               }
               val instrs = exprSeq()
@@ -251,9 +268,14 @@ object WasmModule {
     private def uleb32raw(): Int =
       u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
 
+    /** i32 (0x7f) or i64 (0x7e) — the two value types the Long-based
+      * interpreter carries (floats/refs stay unsupported).
+      */
+    private def isIntType(t: Int): Boolean = t == 0x7f || t == 0x7e
+
     private def blockType(): Int = u8() match {
       case 0x40 => -1 // empty
-      case 0x7f => 1 // [i32]
+      case 0x7f | 0x7e => 1 // [i32] / [i64]
       case other => throw WasmTrap(f"unsupported block type 0x$other%02x")
     }
 
@@ -300,16 +322,28 @@ object WasmModule {
           case 0x23 => out += GlobalGet(uleb())
           case 0x24 => out += GlobalSet(uleb())
           case 0x28 => val _ = uleb(); out += Load(4, signed = false, uleb())
+          case 0x29 => val _ = uleb(); out += Load(8, signed = false, uleb(), wide = true)
           case 0x2c => val _ = uleb(); out += Load(1, signed = true, uleb())
           case 0x2d => val _ = uleb(); out += Load(1, signed = false, uleb())
           case 0x2e => val _ = uleb(); out += Load(2, signed = true, uleb())
           case 0x2f => val _ = uleb(); out += Load(2, signed = false, uleb())
+          case 0x30 => val _ = uleb(); out += Load(1, signed = true, uleb(), wide = true)
+          case 0x31 => val _ = uleb(); out += Load(1, signed = false, uleb(), wide = true)
+          case 0x32 => val _ = uleb(); out += Load(2, signed = true, uleb(), wide = true)
+          case 0x33 => val _ = uleb(); out += Load(2, signed = false, uleb(), wide = true)
+          case 0x34 => val _ = uleb(); out += Load(4, signed = true, uleb(), wide = true)
+          case 0x35 => val _ = uleb(); out += Load(4, signed = false, uleb(), wide = true)
           case 0x36 => val _ = uleb(); out += Store(4, uleb())
+          case 0x37 => val _ = uleb(); out += Store(8, uleb())
           case 0x3a => val _ = uleb(); out += Store(1, uleb())
           case 0x3b => val _ = uleb(); out += Store(2, uleb())
+          case 0x3c => val _ = uleb(); out += Store(1, uleb())
+          case 0x3d => val _ = uleb(); out += Store(2, uleb())
+          case 0x3e => val _ = uleb(); out += Store(4, uleb())
           case 0x3f => if (u8() != 0) throw WasmTrap("memory.size reserved byte"); out += MemorySize
           case 0x40 => if (u8() != 0) throw WasmTrap("memory.grow reserved byte"); out += MemoryGrow
           case 0x41 => out += I32Const(sleb())
+          case 0x42 => out += I64Const(sleb64())
           case 0xc0 => out += SignExtend(1)
           case 0xc1 => out += SignExtend(2)
           case 0xfc => uleb() match {
@@ -321,7 +355,9 @@ object WasmModule {
               out += MemoryFill
             case sub => throw WasmTrap(f"unsupported 0xFC subopcode $sub")
           }
-          case op if op >= 0x45 && op <= 0x78 => out += NumOp(op)
+          case op if (op >= 0x45 && op <= 0x5a) || (op >= 0x67 && op <= 0x8a) ||
+            op == 0xa7 || op == 0xac || op == 0xad ||
+            (op >= 0xc2 && op <= 0xc4) => out += NumOp(op)
           case other => throw WasmTrap(f"unsupported opcode 0x$other%02x")
         }
       }

@@ -403,4 +403,109 @@ class WasmSpec extends AnyFunSuite {
     val (dat2, _) = w2.materialize(g, ys)
     assert(new String(dat2.toArray, "UTF-8") == "xycxyc")
   }
+
+  // ---- rustc-compiled fixture: ACTUAL compiler output ----
+  // src/test/resources/graft/wasm/sear_rustc.wasm is built by real
+  // rustc (nightly, wasm32-unknown-unknown, -Ctarget-cpu=mvp
+  // -Ctarget-feature=+bulk-memory,+sign-ext) from tools/sear_nocore.rs
+  // — a #![no_core] implementation of the same transform protocol, so
+  // the interpreter faces genuine LLVM-scheduled code (its block
+  // structure, register allocation, and opcode selection), not
+  // hand-assembled or python-emitted bodies. The reference's analog is
+  // the wasm-bindgen build of wasm-crates/example-sear.
+
+  test("rustc fixture decodes: wbindgen export set from real compiler output") {
+    val mod = WasmModule.decode(fixture("sear_rustc.wasm"))
+    assert(mod.exports.keySet == Set("memory", "__wbindgen_malloc",
+      "__wbindgen_add_to_stack_pointer", "__wbindgen_free", "transform"))
+    assert(mod.memMinPages == 17) // wasm-ld's 1 MiB shadow stack
+  }
+
+  test("rustc fixture: every transform mode matches the scala model") {
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_rustc.wasm")))
+    val docs = Seq("", "a", "abcabc", "the cat sat on the mat, the end",
+      "aaaa", "xyxyxy", new String(Array.fill(300)('z')))
+    val args = Seq(
+      searArg(0),
+      searArg(1, "a", "x"), searArg(1, "ab", "QQQ"), searArg(1, "the", ""),
+      searArg(1, "aa", "b"), searArg(1, "zzz", "!"), searArg(1, "nope", "?"),
+      searArg(2, "cat"), searArg(2, "a"),
+      ArraySeq[Byte](3, 1), ArraySeq[Byte](3, -1), ArraySeq[Byte](3, -128))
+    for (d <- docs; a <- args) {
+      val got = en.runEvent(0, a, bytes(d))
+      val expected = searModel(a.toArray, d.getBytes("UTF-8"))
+      assert(got.toArray.toSeq == expected.toSeq, s"doc '$d' arg ${a.toList}")
+    }
+  }
+
+  test("rustc fixture: large payload grows memory; bad mode and empty arg trap") {
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_rustc.wasm")))
+    val big = "ab" * 50000 // 100 KB, well past the module's initial pages
+    val out = en.runEvent(0, searArg(1, "ab", "xyz"), bytes(big))
+    assert(out.length == 150000 && new String(out.toArray, "UTF-8").startsWith("xyzxyz"))
+    intercept[EngineException](en.runEvent(0, ArraySeq[Byte](9), bytes("x")))
+    intercept[EngineException](en.runEvent(0, ArraySeq.empty[Byte], bytes("x")))
+    intercept[EngineException](en.runEvent(0, searArg(1, "", "r"), bytes("x")))
+  }
+
+  test("full stack: shelve + merge through the rustc-compiled module") {
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_rustc.wasm")))
+    val g = new EventGraph[ArraySeq[Byte]](en)
+    val w = new WorkCache[ArraySeq[Byte], ArraySeq[Byte]](en, bytes("the cat sat"))
+    var xs = SortedSet.empty[String]
+    xs += w.shelveEvent(g, xs, 0, searArg(1, "cat", "dog")).get
+    xs += w.shelveEvent(g, xs, 0, searArg(1, "sat", "ran")).get
+    w.tryMerge(g, xs)
+    val (dat, _) = w.materialize(g, xs)
+    assert(new String(dat.toArray, "UTF-8") == "the dog ran")
+  }
+
+  // ---- property: both external fixtures vs the scala model ----
+  // Random well-formed args over random byte documents (small alphabet
+  // so matches actually occur, occasional 30-60 KB payloads so the
+  // growth path runs under the interpreter) — the coverage the
+  // reference gets from its sear fuzz target, aimed at the external
+  // binaries instead of the in-repo assembler.
+
+  test("property: external fixtures match the model on 300 random cases") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val byteGen = Gen.oneOf[Byte]('a'.toByte, 'b'.toByte, 'c'.toByte, 0.toByte, 255.toByte)
+    val smallBytes = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, byteGen))
+    val needle = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, byteGen))
+    val datGen = Gen.frequency(
+      24 -> Gen.chooseNum(0, 400).flatMap(n => Gen.listOfN(n, byteGen)),
+      1 -> Gen.chooseNum(30000, 60000).flatMap(n => Gen.listOfN(n, byteGen)))
+    val argGen: Gen[List[Byte]] = Gen.oneOf(
+      Gen.const(List[Byte](0)),
+      for { s <- needle; r <- smallBytes } yield {
+        List[Byte](1, (s.length & 0xff).toByte, 0, (r.length & 0xff).toByte, 0) ++ s ++ r
+      },
+      needle.map(s => List[Byte](2, (s.length & 0xff).toByte, 0) ++ s),
+      Gen.chooseNum(-128, 127).map(d => List[Byte](3, d.toByte)))
+    val caseGen = for { a <- argGen; d <- datGen } yield (a, d)
+
+    val engines = Seq(
+      "sear_bindgen.wasm" -> new WasmEngine,
+      "sear_rustc.wasm" -> new WasmEngine)
+    engines.foreach { case (f, en) => en.addCommands(Seq(fixture(f))) }
+    val params = Gen.Parameters.default
+    var seed = Seed(907L)
+    var i = 0
+    while (i < 300) {
+      val (arg, dat) = caseGen.pureApply(params, seed)
+      val a = ArraySeq.from(arg)
+      val d = ArraySeq.from(dat)
+      val expected = searModel(a.toArray, d.toArray).toSeq
+      engines.foreach { case (f, en) =>
+        val got = en.runEvent(0, a, d)
+        assert(got.toArray.toSeq == expected, s"case #$i fixture=$f arg=$arg datlen=${d.length}")
+      }
+      seed = seed.next
+      i += 1
+    }
+  }
 }
