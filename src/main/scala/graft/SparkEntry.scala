@@ -737,6 +737,23 @@ object SparkEntry {
         Similarity.annLsh(emb, q, k = 5, dim = 64), k = 5)
     }),
 
+    // recall@5 of the composed IVF-PQ index as actually shipped
+    // (ADC top-32 + exact refine, Faiss's IndexRefine shape) — same
+    // exact-top-k denominator as q_ann_recall, so coarse-probe misses
+    // and PQ ranking drift both land in one oracle-checked number.
+    // Measured bound on the synthetic (unclustered) embeddings at
+    // sf0.01: mean recall 0.20 ~= 0.8x the nprobe/lists=0.25 probe
+    // ceiling — the refine stage recovers the PQ ranking loss (0.05
+    // without it), leaving the coarse probe as the knob this eval
+    // makes tunable-by-measurement
+    "q_ann_recall_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.annRecall(
+        Similarity.topKCosine(emb, q, k = 5),
+        Similarity.annIvfPqRefine(emb, q, k = 5, dim = 64), k = 5)
+    }),
+
     // scale-path ANN (bucketed sign-LSH) — approximate by
     // construction, but the bucket algebra is SQL-derivable so even the
     // approximation is oracle-checked
@@ -2475,6 +2492,34 @@ object SparkEntry {
         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         |GROUP BY e.query_id""".stripMargin,
 
+    // recall@5 of the composed IVF-PQ index: the same exact-top-k CTE
+    // drives the denominator; the approx side is the ENTIRE annIvfPq
+    // oracle (coarse assign/probe + PQ code/LUT/ADC) as a subquery
+    "q_ann_recall_ivfpq" ->
+      s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, v AS q FROM ev WHERE vec_id < 8),
+        |xs AS (SELECT qv.query_id, ev.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q[i] * v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))) AS score
+        |  FROM qv, ev WHERE ev.vec_id <> qv.query_id),
+        |xr AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM xs),
+        |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rk <= 5),
+        |cand32 AS (SELECT query_id, neighbor_id FROM (${annIvfPqOracleK(32)}) t),
+        |rr AS (SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+        |  FROM cand32 c JOIN ev a ON a.vec_id = c.query_id JOIN ev b ON b.vec_id = c.neighbor_id),
+        |approx AS (SELECT query_id, neighbor_id FROM rr
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5)
+        |SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+        |  round(CAST(count(a.neighbor_id) AS DOUBLE) / 5, 6) AS recall
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id""".stripMargin,
+
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
@@ -3658,8 +3703,10 @@ object SparkEntry {
     * algebra; candidates are probe x assignment on list_id, scored by
     * the exact BIGINT ADC sum.
     */
-  private def annIvfPqOracle: String =
-    """WITH cent AS (
+  private def annIvfPqOracle: String = annIvfPqOracleK(5)
+
+  private def annIvfPqOracleK(k: Int): String =
+    s"""WITH cent AS (
       |  SELECT c.c, list(
       |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
       |      ORDER BY d.d) AS cv
@@ -3700,7 +3747,7 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id) AS rank
       |  FROM adc)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
-      |FROM r WHERE rank <= 5""".stripMargin
+      |FROM r WHERE rank <= $k""".stripMargin
 
   /** DuckDB mirror of q_rrf_fusion: the full BM25 pipeline at k=20
     * (identical fixed-point per-term contributions as the q_bm25

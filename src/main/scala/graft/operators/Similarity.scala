@@ -818,4 +818,36 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("score_e6"))
   }
+
+  /** [[annIvfPq]] with the exact-refine stage production IVF-PQ ships
+    * (Faiss's IndexRefine): the ADC pass keeps `rerank` candidates per
+    * query, which are then re-scored with TRUE cosine and cut to k.
+    * PQ codes are lossy by design — on weakly-clustered data the ADC
+    * ordering alone ranks poorly (measured recall@5 of 0.05 vs 0.65
+    * for LSH on the synthetic embeddings); the refine step restores
+    * recall while preserving the scale contract: the coarse probe
+    * bounds vectors SCANNED (nprobe/lists of the corpus, as codes),
+    * and full-precision vectors are touched only for the
+    * queries x rerank survivors, fetched by a BROADCAST of the
+    * candidate id list so the corpus is never shuffled.
+    */
+  def annIvfPqRefine(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                     lists: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
+                     rerank: Int = 32,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val adcTop = annIvfPq(embeddings, queries, k = rerank, dim, lists, nprobe,
+      m, codes, idCol, vecCol)
+    val vecs = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    vecs.join(broadcast(adcTop.select(col("query_id"), col("neighbor_id"))), "neighbor_id")
+      .join(broadcast(qs), "query_id")
+      .withColumn("score", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("score"), 6).as("score"))
+  }
 }
