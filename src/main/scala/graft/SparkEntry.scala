@@ -1010,6 +1010,26 @@ object SparkEntry {
       Layout.zoneMap(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         nFiles = 64, pruneLo = 1000L, pruneHi = 2000L)),
 
+    // wide z-order: 31 bits/dimension (the 16-bit zvalue silently
+    // masked coordinates above 65,535 — colliding z-keys exactly at
+    // the scales the operator exists for). Inputs are Knuth-hashed
+    // into the full 31-bit domain to prove the wide path
+    "q_zorder64" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zvalue64(
+            (col("l_orderkey") * lit(2654435761L)).bitwiseAND(lit(0x7FFFFFFFL)),
+            (col("l_partkey") * lit(40503L)).bitwiseAND(lit(0x7FFFFFFFL))).as("zval64"))),
+
+    // zone-map audit over the 62-bit key with the overflow-free file
+    // split (z DIV (max_z DIV n + 1)) on the same hashed 31-bit domain
+    "q_zone_map64" -> ((s, dir) =>
+      Layout.zoneMap64(
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") * lit(2654435761L)).bitwiseAND(lit(0x7FFFFFFFL)).as("xw"),
+            (col("l_partkey") * lit(40503L)).bitwiseAND(lit(0x7FFFFFFFL)).as("yw")),
+        "xw", "yw", nFiles = 64, pruneLo = 100000000L, pruneHi = 400000000L)),
+
     // count-min sketch heavy hitters: fixed-memory 4x1024 counter
     // table (pure SUMs -> mergeable across shards/days by addition,
     // deterministic), point-queried for the exact top-20 tokens; the
@@ -2801,6 +2821,44 @@ object SparkEntry {
         |  FROM z, (SELECT max(z) AS mz FROM z) m GROUP BY 1)
         |SELECT file_id, n_rows, min_x, max_x, min_y, max_y,
         |  NOT (max_x < 1000 OR min_x > 2000) AS would_scan
+        |FROM g""".stripMargin,
+
+    // mirrors Layout.zvalue64: the 31-bit doubling chain (one more
+    // mask-shift level) over Knuth-hashed wide coordinates
+    "q_zorder64" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+        |    (l_orderkey * 2654435761) & 2147483647 AS p0,
+        |    (l_partkey * 40503) & 2147483647 AS s0 FROM lineitem),
+        |a AS (SELECT l_orderkey, l_linenumber,
+        |    (p0 | (p0 << 16)) & 281470681808895 AS p1, (s0 | (s0 << 16)) & 281470681808895 AS s1 FROM s),
+        |b AS (SELECT l_orderkey, l_linenumber,
+        |    (p1 | (p1 << 8)) & 71777214294589695 AS p2, (s1 | (s1 << 8)) & 71777214294589695 AS s2 FROM a),
+        |c AS (SELECT l_orderkey, l_linenumber,
+        |    (p2 | (p2 << 4)) & 1085102592571150095 AS p3, (s2 | (s2 << 4)) & 1085102592571150095 AS s3 FROM b),
+        |d AS (SELECT l_orderkey, l_linenumber,
+        |    (p3 | (p3 << 2)) & 3689348814741910323 AS p4, (s3 | (s3 << 2)) & 3689348814741910323 AS s4 FROM c),
+        |e AS (SELECT l_orderkey, l_linenumber,
+        |    (p4 | (p4 << 1)) & 6148914691236517205 AS p5, (s4 | (s4 << 1)) & 6148914691236517205 AS s5 FROM d)
+        |SELECT l_orderkey, l_linenumber, CAST(p5 | (s5 << 1) AS BIGINT) AS zval64
+        |FROM e""".stripMargin,
+
+    // mirrors Layout.zoneMap64: same wide Morton chain, overflow-free
+    // file split z // (mz // 64 + 1), x-range scan decision
+    "q_zone_map64" ->
+      """WITH s0 AS (SELECT (l_orderkey * 2654435761) & 2147483647 AS x,
+        |    (l_partkey * 40503) & 2147483647 AS y FROM lineitem),
+        |a AS (SELECT x, y, (x | (x << 16)) & 281470681808895 AS p1, (y | (y << 16)) & 281470681808895 AS s1 FROM s0),
+        |b AS (SELECT x, y, (p1 | (p1 << 8)) & 71777214294589695 AS p2, (s1 | (s1 << 8)) & 71777214294589695 AS s2 FROM a),
+        |c AS (SELECT x, y, (p2 | (p2 << 4)) & 1085102592571150095 AS p3, (s2 | (s2 << 4)) & 1085102592571150095 AS s3 FROM b),
+        |d AS (SELECT x, y, (p3 | (p3 << 2)) & 3689348814741910323 AS p4, (s3 | (s3 << 2)) & 3689348814741910323 AS s4 FROM c),
+        |e AS (SELECT x, y, (p4 | (p4 << 1)) & 6148914691236517205 AS p5, (s4 | (s4 << 1)) & 6148914691236517205 AS s5 FROM d),
+        |z AS (SELECT x, y, CAST(p5 | (s5 << 1) AS BIGINT) AS z FROM e),
+        |g AS (SELECT CAST(z.z // ((m.mz // 64) + 1) AS BIGINT) AS file_id,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |  FROM z, (SELECT max(z) AS mz FROM z) m GROUP BY 1)
+        |SELECT file_id, n_rows, min_x, max_x, min_y, max_y,
+        |  NOT (max_x < 100000000 OR min_x > 400000000) AS would_scan
         |FROM g""".stripMargin,
 
     "q_heavy_hitters" ->

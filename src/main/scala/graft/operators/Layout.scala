@@ -32,6 +32,33 @@ object Layout {
   def zvalue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Spread the low 31 bits of `x` so bit i lands at bit 2i — the
+    * 64-bit doubling chain (one more mask-shift level than
+    * [[spread16]]). 31 bits per dimension, not 32, so the interleaved
+    * key stays NON-NEGATIVE in a signed 64-bit BIGINT: range
+    * partitioning, min/max pruning and the proportional file split all
+    * compare signed in both engines, and a sign-flipped z would
+    * cluster the largest keys before the smallest.
+    */
+  def spread31(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0x7FFFFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val c = b.bitwiseOR(shiftleft(b, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val d = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x3333333333333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 62-bit Morton code of two 31-bit keys: x at even bits, y at odd.
+    * The wide variant of [[zvalue]] — coordinates above 2^31-1 are
+    * masked (16-bit [[zvalue]] masked at 65,535, which collided
+    * z-keys exactly at the scales z-ordering exists for: row ids,
+    * order keys and file offsets routinely exceed 16 bits at 100 TB;
+    * 2^31 covers them with the key still a plain positive BIGINT).
+    */
+  def zvalue64(x: Column, y: Column): Column =
+    spread31(x).bitwiseOR(shiftleft(spread31(y), 1))
+
   /** Rewrite `df` clustered by the Morton code of (xCol, yCol):
     * range-partition + in-partition sort on the z-value, so each
     * output file covers a compact z-range (tight min/max on BOTH
@@ -70,6 +97,28 @@ object Layout {
     val maxZ = base.agg(max(col("z")).as("max_z"))
     base.join(broadcast(maxZ))
       .withColumn("file_id", expr(s"(z * $nFiles) DIV (max_z + 1)"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("would_scan",
+        !(col("max_x") < pruneLo || col("min_x") > pruneHi))
+  }
+
+  /** [[zoneMap]] over the 62-bit [[zvalue64]] key (31-bit
+    * coordinates). The proportional split changes shape: `z * nFiles`
+    * overflows BIGINT once z exceeds 2^57, so the wide variant
+    * buckets by `z DIV (max_z DIV nFiles + 1)` — same equal-z-range
+    * intent, overflow-free at any key width, and still pure BIGINT
+    * algebra the oracle mirrors bit-for-bit.
+    */
+  def zoneMap64(df: DataFrame, xCol: String, yCol: String,
+                nFiles: Int = 64, pruneLo: Long = 0L, pruneHi: Long = 0L): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("z", zvalue64(col("x"), col("y")))
+    val maxZ = base.agg(max(col("z")).as("max_z"))
+    base.join(broadcast(maxZ))
+      .withColumn("file_id", expr(s"z DIV ((max_z DIV $nFiles) + 1)"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),

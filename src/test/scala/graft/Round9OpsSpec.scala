@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Layout, Similarity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -24,5 +24,23 @@ class Round9OpsSpec extends AnyFunSuite with SharedSpark {
     val ok = Similarity.semanticContamination(corpus, bigBench.limit(4),
       threshold = 0.5, maxBenchRows = 4L).collect()
     assert(ok.length == 1 && ok.head.getLong(0) == 1L)
+  }
+
+  test("zvalue64 interleaves 31-bit coordinates (where zvalue masks at 16)") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, 1L), // x bits {0,1} -> z bits {0,2}; y bit {0} -> z bit {1}
+      (1L << 20, 0L), // a >16-bit coordinate: x bit 20 -> z bit 40
+      (0L, 1L << 30), // y bit 30 -> z bit 61 (the widest in-domain bit)
+      ((1L << 31) | 5L, 0L), // bit 31 masked: same key as x=5
+      (65536L, 65536L)) // the 16-bit zvalue collides this with (0,0)
+      .toDF("x", "y")
+      .select(Layout.zvalue64($"x", $"y").as("z64"), Layout.zvalue($"x", $"y").as("z32"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(df(0) == ((7L, 7L)))
+    assert(df(1) == ((1L << 40, 0L))) // 16-bit path masked it to zero
+    assert(df(2)._1 == (1L << 61) && df(2)._1 > 0) // non-negative BIGINT
+    assert(df(3)._1 == 17L) // spread31(5): bits {0,2} -> {0,4}
+    assert(df(4)._1 == (3L << 32) && df(4)._2 == 0L) // wide keeps, narrow collides
   }
 }
