@@ -684,6 +684,42 @@ object SparkEntry {
       winners.join(drop, Seq("doc_id"), "left_anti")
     }),
 
+    // the curation pipeline a pretraining run actually ships: v1's
+    // gate -> exact-dedup -> near-dup chain EXTENDED with the two
+    // decontamination stages — n-gram overlap vs the held-out docs
+    // (broadcast gram set, one corpus pass) and the sign-LSH semantic
+    // pass (bucketed candidates, bench bucket table broadcast) — both
+    // at their measured sub-second cost. Held-out docs (% 50 == 3)
+    // that leak through the quality/dedup stages are dropped HERE,
+    // which is the pipeline's self-cleaning property
+    "q_curation_full2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eligible = TextAnalysis.curationGate(docs, "text", "doc_id",
+        minMarkers = 3, minWords = 30, maxStopRatio = 0.3)
+      val winners = Dedup.exact(eligible, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"), col("content_hash"))
+        .localCheckpoint()
+      val winnerDocs = docs.join(winners.select("doc_id"), "doc_id")
+      val nearDrop = Dedup.nearDupPairs(winnerDocs, "text", "doc_id",
+          shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val surv = winners.join(nearDrop, Seq("doc_id"), "left_anti")
+      val bench = docs.filter(col("doc_id") % 50 === 3)
+      val survDocs = docs.join(surv.select("doc_id"), "doc_id")
+      // n-gram decontamination of the survivors; the id list feeds
+      // BOTH the semantic corpus and the final cut — checkpoint once
+      val clean1 = Curation.decontaminate(survDocs, bench, "text", "doc_id",
+          n = 3, minOverlap = 3)
+        .select("doc_id").localCheckpoint()
+      val emb = t(s, dir, "embeddings")
+      val semFlag = Similarity.semanticContaminationLsh(
+          emb.join(clean1.withColumnRenamed("doc_id", "vec_id"), "vec_id"),
+          emb.filter(col("vec_id") % 50 === 3), threshold = 0.3, dim = 64)
+        .select(col("vec_id").as("doc_id"))
+      surv.join(clean1, Seq("doc_id"), "left_semi")
+        .join(semFlag, Seq("doc_id"), "left_anti")
+    }),
+
     "q_corpus_stats" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("source"), Dedup.tokens(col("text")).as("toks"), col("n_chars"))
@@ -2411,6 +2447,7 @@ object SparkEntry {
         |FROM eligible GROUP BY md5(lower(trim(text)))""".stripMargin,
 
     "q_curation_full" -> curationFullOracle,
+    "q_curation_full2" -> curationFull2Oracle,
 
     // mirrors Dedup.winnowFingerprints (k=8, w=4): per-position md5
     // grams, min over a 4-row following window, full windows only
@@ -3623,9 +3660,11 @@ object SparkEntry {
   /** DuckDB mirror of q_curation_full: the q_curation_pipeline winners
     * CTE chain, then the full banded-minhash near-dup algebra (same
     * masks/cap as [[neardupOracle]]) restricted to winners, then the
-    * greedy drop-doc_b anti-join.
+    * greedy drop-doc_b anti-join. Split as a CTE prefix so
+    * [[curationFull2Oracle]] can extend the same chain with the
+    * decontamination stages.
     */
-  private def curationFullOracle: String =
+  private def curationFullCtes: String =
     """WITH toks AS (SELECT doc_id, text,
       |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS t
       |  FROM documents),
@@ -3684,9 +3723,57 @@ object SparkEntry {
       |    len(list_intersect(sa.sh, sb.sh)) AS inter, len(sa.sh) AS la, len(sb.sh) AS lb
       |  FROM cand JOIN s2 sa ON sa.doc_id = doc_a JOIN s2 sb ON sb.doc_id = doc_b),
       |dropd AS (SELECT DISTINCT doc_b AS doc_id FROM j
-      |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.4)
+      |  WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.4)""".stripMargin
+
+  private def curationFullOracle: String = curationFullCtes +
+    """
       |SELECT w.doc_id, w.content_hash FROM winners w
       |ANTI JOIN dropd ON w.doc_id = dropd.doc_id""".stripMargin
+
+  /** DuckDB mirror of q_curation_full2: the [[curationFullCtes]] chain
+    * extended with the two decontamination stages — n-gram overlap vs
+    * the held-out docs (q_decontaminate algebra over the survivors)
+    * and the sign-LSH semantic pass ([[semDecontamLshOracle]] bucket
+    * algebra, corpus side = the n-gram survivors).
+    */
+  private def curationFull2Oracle: String = curationFullCtes +
+    """,
+      |surv AS (SELECT w.doc_id, w.content_hash FROM winners w
+      |  ANTI JOIN dropd ON w.doc_id = dropd.doc_id),
+      |sh3 AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
+      |bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh3 WHERE doc_id % 50 = 3),
+      |sg AS (SELECT s.doc_id, unnest(h.sh) AS g FROM surv s JOIN sh3 h ON h.doc_id = s.doc_id),
+      |ngflag AS (SELECT doc_id FROM (
+      |    SELECT doc_id, count(*) AS n FROM sg JOIN bg USING (g) GROUP BY doc_id)
+      |  WHERE n >= 3),
+      |c1 AS (SELECT s.doc_id, s.content_hash FROM surv s ANTI JOIN ngflag USING (doc_id)),
+      |shp AS (SELECT k.k, d.d,
+      |    ('0x' || substr(md5(k.k || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS val
+      |  FROM (SELECT unnest(range(48)) AS k) k, (SELECT unnest(range(64)) AS d) d),
+      |se AS (SELECT vec_id, d.d, CAST(embedding[d.d + 1] AS DOUBLE) AS x
+      |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+      |sproj AS (SELECT se.vec_id, shp.k, sum(se.x * shp.val) AS pr
+      |  FROM se JOIN shp ON se.d = shp.d GROUP BY 1, 2),
+      |sbk AS (SELECT vec_id, (k // 6) AS tbl,
+      |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bits
+      |  FROM sproj GROUP BY 1, 2),
+      |sb0 AS (SELECT vec_id, tbl || ':' || bits AS bucket FROM sbk),
+      |sbb AS (SELECT vec_id AS bench_id, bucket FROM sb0 WHERE vec_id % 50 = 3
+      |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 128),
+      |scb AS (SELECT sb0.vec_id, bucket FROM sb0 JOIN c1 ON c1.doc_id = sb0.vec_id),
+      |scand AS (SELECT DISTINCT scb.vec_id, sbb.bench_id FROM scb JOIN sbb USING (bucket)),
+      |sv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |ss AS (SELECT scand.vec_id, scand.bench_id,
+      |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+      |  FROM scand JOIN sv a ON a.vec_id = scand.vec_id JOIN sv b ON b.vec_id = scand.bench_id),
+      |semflag AS (SELECT vec_id AS doc_id FROM ss
+      |  GROUP BY vec_id HAVING round(max(score), 6) >= 0.3)
+      |SELECT c1.doc_id, c1.content_hash FROM c1
+      |ANTI JOIN semflag USING (doc_id)""".stripMargin
 
   /** DuckDB mirror of q_ann_ivf: identical md5-derived centroids,
     * identical sequential-order double arithmetic for assignment
