@@ -25,6 +25,17 @@ object Bench {
       // Size it for the whole surface so full-run passes see the same
       // warm cache an isolated probe does.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // AQE sizes every post-shuffle stage by coalescing DOWN from the
+      // initial partition count — but that initial count defaults to
+      // spark.sql.shuffle.partitions (32 here), so a 10x-scale soak
+      // shuffle gets 32 sort buffers and spills (measured: q_setsim_join
+      // 19x on 10x data at /tmp/sf10; ~1e9 candidate rows through
+      // 32 partitions). Start shuffles wide and let AQE coalesce small
+      // ones back to a few partitions — exactly how a production job
+      // sizes itself; small-query overhead is unchanged (coalesced),
+      // big shuffles stop spilling.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

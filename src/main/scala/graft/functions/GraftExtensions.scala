@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hamming_native"),
       new ExpressionInfo(classOf[HammingExpr].getName, "graft_hamming_native"),
       (exprs: Seq[Expression]) => HammingExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_n"),
+      new ExpressionInfo(classOf[SortedIntersectExpr].getName, "graft_sorted_intersect_n"),
+      (exprs: Seq[Expression]) => SortedIntersectExpr(exprs.head, exprs(1))))
   }
 }

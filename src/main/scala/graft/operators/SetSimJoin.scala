@@ -96,15 +96,19 @@ object SetSimJoin {
       .groupBy("da", "db", "sa", "sb", "alpha")
       .agg(min(col("ub")).as("ub"))
       .filter(col("ub") >= col("alpha"))
-    // verify with per-row array_intersect over the two token arrays:
-    // two slim joins (array payload = one doc's distinct tokens), no
+    // verify with a per-row intersect over the two token arrays: two
+    // slim joins (array payload = one doc's distinct tokens), no
     // candidate x token explode, no extra shuffle — ~4x faster than
-    // the join-count formulation on a template-heavy corpus
+    // the join-count formulation on a template-heavy corpus. The
+    // intersect itself is the native zero-allocation merge walk over
+    // the sorted arrays (SortedIntersectExpr) — array_intersect builds
+    // a hash set per candidate PAIR, which is the allocation bill the
+    // sf10 soak measured dominating the verify stage
     val sets = tok.groupBy("doc_id").agg(sort_array(collect_list(col("word"))).as("ws"))
     cand
       .join(sets.select(col("doc_id").as("da"), col("ws").as("wa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("ws").as("wb")), "db")
-      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("i", graft.functions.SortedIntersectCol(col("wa"), col("wb")))
       // J >= n/d  <=>  (d+n)*i >= n*(|x|+|y|)
       .filter(lit(tauDen + tauNum) * col("i") >= lit(tauNum) * (col("sa") + col("sb")))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),

@@ -259,7 +259,16 @@ object GraphOps {
     * localCheckpoint'd and freed; the edge table shrinks monotonically
     * under contraction, so late rounds are cheap.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame =
+    connectedComponentsWithRounds(edges, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of outer contraction
+    * rounds actually run. The O(log n) round bound is the property
+    * that makes star contraction viable at 100 TB (each round is a
+    * full shuffle of the shrinking pair table); exposing the count
+    * makes it soak-testable instead of assumed.
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     val sym = edges.toDF("a", "b")
       .union(edges.toDF("b", "a").select(col("a"), col("b")))
       .filter(col("a") =!= col("b")).distinct()
@@ -307,6 +316,6 @@ object GraphOps {
       round += 1
     }
     CheckpointHygiene.free(e)
-    labels
+    (labels, round)
   }
 }

@@ -26,6 +26,32 @@ class Round9OpsSpec extends AnyFunSuite with SharedSpark {
     assert(ok.length == 1 && ok.head.getLong(0) == 1L)
   }
 
+  test("graft_sorted_intersect_n == size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    // 200 random sorted-distinct pairs over a small alphabet (so
+    // overlaps actually occur), plus the edges: empty sides, full
+    // overlap, disjoint, and binary-order-sensitive tokens
+    val rnd = new scala.util.Random(907)
+    val alpha = Vector("a", "ab", "b", "ba", "c0x", "c10x", "c1x", "z", "zz", "é", "")
+    def randSet() = rnd.shuffle(alpha).take(rnd.nextInt(alpha.size + 1)).toSeq
+    val cases = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b"), Seq.empty[String]),
+      (alpha, alpha),
+      (Seq("a", "b"), Seq("c0x", "z"))) ++ (1 to 200).map(_ => (randSet(), randSet()))
+    val df = cases.toDF("ra", "rb")
+      .select(sort_array($"ra").as("wa"), sort_array($"rb").as("wb"))
+      .select(
+        graft.functions.SortedIntersectCol($"wa", $"wb").as("native"),
+        size(array_intersect($"wa", $"wb")).cast("long").as("builtin"))
+    assert(df.filter($"native" =!= $"builtin").count() == 0)
+    // SQL registration path + null safety
+    assert(spark.sql("SELECT graft_sorted_intersect_n(array('a','b','c'), array('b','c','d')) AS n")
+      .collect()(0).getLong(0) == 2L)
+    assert(spark.sql("SELECT graft_sorted_intersect_n(CAST(NULL AS ARRAY<STRING>), array('a')) AS n")
+      .collect()(0).isNullAt(0))
+  }
+
   test("zvalue64 interleaves 31-bit coordinates (where zvalue masks at 16)") {
     import spark.implicits._
     val df = Seq(

@@ -119,6 +119,23 @@ class GraphOpsSpec extends AnyFunSuite with SharedSpark {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == want)
   }
+
+  test("connectedComponents round count is O(log n): 512-node path in <= 11 rounds") {
+    import spark.implicits._
+    // a path graph is the adversarial depth case (naive min-label
+    // propagation needs n rounds); star contraction's min-hook +
+    // pointer-doubled flatten must stay within the O(log n) bound —
+    // the property that makes the operator viable at 100 TB, where
+    // each outer round is a full shuffle of the pair table. Bound: the
+    // Kiveris et al. analysis gives ~2 log2 n outer rounds worst-case;
+    // a 512-node path (log2 = 9) must land well under that — and far
+    // under the 511 rounds propagation would need.
+    val path = (0L until 511L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = GraphOps.connectedComponentsWithRounds(path)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 512 && got.values.forall(_ == 0L))
+    assert(rounds <= 11, s"star contraction took $rounds rounds on a 512-path")
+  }
 }
 
 /** The column-level exvc engine must agree with the driver-side
