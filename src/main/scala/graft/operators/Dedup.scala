@@ -153,12 +153,17 @@ object Dedup {
     // recompute them for that small set instead of materializing all
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b"))).distinct()
+    // shingle sets sorted ONCE per doc so the per-PAIR intersect is
+    // the zero-allocation native merge walk (SortedIntersectExpr) —
+    // docs are far fewer than candidate pairs, and array_intersect
+    // builds a hash set per pair
     val withSh = spreadDocs.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles(col("__text"), shingleN).as("sh"))
+      .select(col("doc_id"), sort_array(shingles(col("__text"), shingleN)).as("sh"))
     candidates
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCol(col("sh_a"), col("sh_b")).cast("int"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
@@ -194,16 +199,21 @@ object Dedup {
     val candidates = bp.as("l").join(bq.as("r"), Seq("band_key"))
       .select(col("l.doc_id").as("doc_prior"), col("r.doc_id").as("doc_new"))
       .distinct()
+    // sorted-once per doc -> native merge-walk intersect per pair
+    // (see nearDupPairs)
     val priorSh = pn
       .join(candidates.select(col("doc_prior").as("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("doc_prior"), shingles(col("__text"), shingleN).as("sh_p"))
+      .select(col("doc_id").as("doc_prior"),
+        sort_array(shingles(col("__text"), shingleN)).as("sh_p"))
     val newSh = qn
       .join(candidates.select(col("doc_new").as("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("doc_new"), shingles(col("__text"), shingleN).as("sh_n"))
+      .select(col("doc_id").as("doc_new"),
+        sort_array(shingles(col("__text"), shingleN)).as("sh_n"))
     candidates
       .join(priorSh, "doc_prior")
       .join(newSh, "doc_new")
-      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_p"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCol(col("sh_n"), col("sh_p")).cast("int"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_n")) + size(col("sh_p")) - col("inter")).cast("double"))
@@ -219,11 +229,12 @@ object Dedup {
     val ids = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
     val withSh = docs.join(ids, docs(idCol) === ids("id"), "left_semi")
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"), sort_array(shingles(col(textCol), n)).as("sh"))
     pairs
       .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCol(col("sh_a"), col("sh_b")).cast("int"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6).as("jaccard"))
@@ -241,12 +252,12 @@ object Dedup {
     val ids = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
     val withSh = docs.join(ids, docs(idCol) === ids("id"), "left_semi")
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"), sort_array(shingles(col(textCol), n)).as("sh"))
     pairs
       .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        round(graft.functions.SortedIntersectCol(col("sh_a"), col("sh_b")).cast("double") /
           greatest(size(col("sh_a")), lit(1)).cast("double"), 6).as("containment"))
   }
 

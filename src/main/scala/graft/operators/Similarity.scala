@@ -106,6 +106,21 @@ object Similarity {
     * the per-vector arg-max is the same map-side `max(struct)`. Like
     * every LSH operator here, the bucket algebra is SQL-derivable, so
     * the approximation itself is oracle-checked.
+    *
+    * PARAMETER CONTRACT AT SCALE — `planes` is sign-LSH's `nlist`:
+    * bucket count is FIXED at `2^planes x tables`, so if corpus and
+    * bench grow together, per-bucket occupancy grows on both sides and
+    * candidate pairs grow ~quadratically until the bench cap
+    * saturates. Scale `planes` with the data (≈ log2(corpus /
+    * target-bucket-occupancy)), exactly as IVF scales `lists`:
+    * measured at the 100x soak (PLANS.md round 9), planes=6 took
+    * 130 s where planes=10 took 15.6 s on identical data, sub-linear
+    * vs the 10x-smaller corpus. Statistics note: at a fixed
+    * `threshold`, a GROWING benchmark raises every corpus vector's
+    * max-over-bench cosine (max of n near-independent ~N(0, 1/sqrt d)
+    * draws), so the flagged fraction legitimately rises with bench
+    * size — set production thresholds from the near-duplicate regime
+    * (~0.8+), not the noise floor.
     */
   def semanticContaminationLsh(corpus: DataFrame, bench: DataFrame, threshold: Double,
                                dim: Int, planes: Int = 6, tables: Int = 8,
