@@ -1348,6 +1348,16 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     assert(line.contains("*("), s"hamming outside codegen: $line")
   }
 
+  test("setsim verify: native sorted-intersect runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_setsim_join")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val idx = p.indexOf("graft_sorted_intersect_n")
+    assert(idx >= 0, "graft_sorted_intersect_n not in the executed plan: " + p.take(400))
+    val line = p.lastIndexOf("\n", idx) match { case -1 => p.take(idx); case s => p.substring(s + 1, idx) }
+    assert(line.contains("*("), s"sorted-intersect outside codegen: $line")
+  }
+
   test("q1: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q1_pricing_summary")
     val aggIdx = p.indexOf("HashAggregate")
