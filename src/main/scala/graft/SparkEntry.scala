@@ -575,6 +575,18 @@ object SparkEntry {
     "q_distinct_sketch" -> ((s, dir) =>
       TextAnalysis.distinctSketch(t(s, dir, "documents"), "text", "source", m = 65536)),
 
+    // KMV set operations: per source-pair union/intersection/Jaccard
+    // estimates from k=256-row sketches ALONE (no corpus join) + the
+    // exact overlap as accuracy audit — "how many distinct shingles do
+    // two crawls share" answered from two tiny persisted artifacts.
+    // 3-gram shingles as the item domain (the corpus vocabulary is
+    // template-bounded; shingle cardinality exceeds k, so the
+    // (k-1)*M/h_k estimator branch — not the small-set fallback — is
+    // what the oracle gates)
+    "q_kmv_setops" -> ((s, dir) =>
+      Sketches.kmvSetOps(t(s, dir, "documents"), "text", "source",
+        k = 256, shingleN = 3)),
+
     // log-spaced (relative-error) quantile histogram over lineitem
     // price cents per returnflag: 8 sub-buckets per octave, mergeable
     // by addition, exact integer bucket algebra (HDR/DDSketch shape)
@@ -2185,6 +2197,68 @@ object SparkEntry {
         |  round(65536.0 * ln(65536.0 / CAST(greatest(65536 - b, 1) AS DOUBLE)), 6) AS estimate,
         |  n_exact
         |FROM sb JOIN ex ON sb.source = ex.source""".stripMargin,
+
+    // mirrors Sketches.kmvSketch/kmvSetOps bit-for-bit: same md5
+    // 60-bit hash, same k=256 rank cut (QUALIFY = the WindowGroupLimit
+    // filter), same (k-1)*2^60/h_k estimator with the n<k exact
+    // fallback, same tag-merge set algebra for union/intersection
+    "q_kmv_setops" ->
+      """WITH tt AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS word FROM tt),
+        |hv AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5('kmv|' || word), 1, 15))::BIGINT AS h FROM tok),
+        |sk AS (SELECT source, h FROM hv
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256),
+        |srcs AS (SELECT DISTINCT source FROM hv),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |per AS (SELECT source, count(*) AS n, max(h) AS hk FROM sk GROUP BY 1),
+        |pest AS (SELECT source,
+        |    CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |      ELSE 255 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS est
+        |  FROM per),
+        |tagged AS (
+        |  SELECT src_a, src_b, h, max(ia) AS ia, max(ib) AS ib FROM (
+        |    SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+        |      FROM pairs p JOIN sk s ON s.source = p.src_a
+        |    UNION ALL
+        |    SELECT p.src_a, p.src_b, s.h, 0 AS ia, 1 AS ib
+        |      FROM pairs p JOIN sk s ON s.source = p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |merged AS (SELECT src_a, src_b, h, ia, ib FROM tagged
+        |  QUALIFY row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) <= 256),
+        |est AS (SELECT src_a, src_b, count(*) AS n, max(h) AS hk,
+        |    CAST(sum(ia * ib) AS BIGINT) AS c
+        |  FROM merged GROUP BY 1, 2),
+        |uest AS (SELECT src_a, src_b, c, n,
+        |    CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |      ELSE 255 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS u
+        |  FROM est),
+        |etagged AS (
+        |  SELECT src_a, src_b, word, max(ia) AS ia, max(ib) AS ib FROM (
+        |    SELECT p.src_a, p.src_b, t.word, 1 AS ia, 0 AS ib
+        |      FROM pairs p JOIN tok t ON t.source = p.src_a
+        |    UNION ALL
+        |    SELECT p.src_a, p.src_b, t.word, 0 AS ia, 1 AS ib
+        |      FROM pairs p JOIN tok t ON t.source = p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |exact AS (SELECT src_a, src_b, CAST(sum(ia * ib) AS BIGINT) AS exact_inter,
+        |    count(*) AS exact_union FROM etagged GROUP BY 1, 2)
+        |SELECT u.src_a, u.src_b,
+        |  CAST(round(ea.est) AS BIGINT) AS est_a,
+        |  CAST(round(eb.est) AS BIGINT) AS est_b,
+        |  CAST(round(u.u) AS BIGINT) AS est_union,
+        |  CAST(round(u.c * u.u / u.n) AS BIGINT) AS est_inter,
+        |  round(CAST(u.c AS DOUBLE) / CAST(u.n AS DOUBLE), 6) AS jaccard_est,
+        |  exact_inter, exact_union
+        |FROM uest u
+        |JOIN pest ea ON u.src_a = ea.source
+        |JOIN pest eb ON u.src_b = eb.source
+        |JOIN exact e ON u.src_a = e.src_a AND u.src_b = e.src_b""".stripMargin,
 
     // mirrors Sketches.logHistQuantiles: same (binary-length, 3-bit
     // sub-bucket) log bucket, same floor-div-by-power-of-two lower

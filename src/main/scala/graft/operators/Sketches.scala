@@ -213,4 +213,113 @@ object Sketches {
     spine.join(overlap, Seq("row"), "left")
       .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_n"))
   }
+
+  /** 2^60, the KMV hash-space size — exactly representable in DOUBLE,
+    * so `(k-1) * M / h_k` is a single IEEE division both engines
+    * compute identically.
+    */
+  private val KmvM = 1152921504606846976.0
+
+  /** K-minimum-values distinct sketch per stratum: the k smallest
+    * md5-derived 60-bit hash values of the stratum's distinct tokens
+    * (Bar-Yossef et al. 2002; the theta-sketch family's base form).
+    * Where [[TextAnalysis.distinctSketch]] (linear counting) and
+    * [[hllRegisters]] estimate one set's cardinality, the KMV sketch
+    * additionally supports SET OPERATIONS between sketches
+    * ([[kmvSetOps]]) — k rows per stratum answer "how many distinct
+    * tokens do two crawls share" with NO join between the corpora.
+    *
+    * Scale shape: one explode + distinct, then the rank filter runs as
+    * a partial map-side WindowGroupLimit (each map task forwards at
+    * most k rows per stratum — the q_sample_k pattern), so the shuffle
+    * carries k x strata rows regardless of corpus size. Deterministic
+    * (md5, no RNG), so the DuckDB oracle rebuilds every sketch row.
+    */
+  private def kmvItems(docs: DataFrame, textCol: String, strataCol: String,
+                       shingleN: Int): DataFrame =
+    docs.select(col(strataCol).as("source"),
+      explode(if (shingleN > 0) Dedup.shingles(col(textCol), shingleN)
+              else Dedup.tokens(col(textCol))).as("word"))
+
+  def kmvSketch(docs: DataFrame, textCol: String, strataCol: String,
+                k: Int = 256, shingleN: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    kmvItems(docs, textCol, strataCol, shingleN)
+      .select(col("source"),
+        conv(substring(md5(concat(lit("kmv|"), col("word"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"), col("rn"))
+  }
+
+  /** Set-operation estimates for every unordered stratum pair from
+    * KMV sketches alone: union / intersection cardinality and Jaccard,
+    * via the k smallest values of the MERGED sketch (kth value ->
+    * union estimate `(k-1) * M / h_k`; the fraction of those k present
+    * in BOTH sketches -> Jaccard; their product -> intersection). When
+    * the merged sketch holds fewer than k values it IS the union hash
+    * set and the estimates are exact. Exact per-pair token overlap
+    * rides along as the accuracy audit (the cms/join-size convention);
+    * at 100 TB the exact columns are the expensive part — the sketch
+    * columns cost k rows per stratum, which is the point.
+    */
+  def kmvSetOps(docs: DataFrame, textCol: String, strataCol: String,
+                k: Int = 256, shingleN: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = kmvSketch(docs, textCol, strataCol, k, shingleN).localCheckpoint()
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .localCheckpoint()
+    // per-source estimate from each sketch's own kth value
+    val per = sk.groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(col("source"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * KmvM) / col("hk").cast("double")).as("est"))
+    // membership-tagged merge of the two sketches per pair, k smallest
+    val va = pairs.join(sk.select(col("source").as("src_a"), col("h")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+    val vb = pairs.join(sk.select(col("source").as("src_b"), col("h")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"), lit(0L).as("ia"), lit(1L).as("ib"))
+    val merged = va.union(vb)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val est = merged.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"),
+        sum(col("ia") * col("ib")).as("c"))
+      .select(col("src_a"), col("src_b"), col("c"), col("n"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * KmvM) / col("hk").cast("double")).as("u"))
+    // exact audit: same tag-merge-aggregate over the full item sets
+    val tok = kmvItems(docs, textCol, strataCol, shingleN).distinct()
+      .localCheckpoint()
+    val wa = pairs.join(tok.select(col("source").as("src_a"), col("word")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("word"), lit(1L).as("ia"), lit(0L).as("ib"))
+    val wb = pairs.join(tok.select(col("source").as("src_b"), col("word")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("word"), lit(0L).as("ia"), lit(1L).as("ib"))
+    val exact = wa.union(wb)
+      .groupBy("src_a", "src_b", "word")
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("ia") * col("ib")).as("exact_inter"),
+        count(lit(1)).as("exact_union"))
+    est
+      .join(per.select(col("source").as("src_a"), col("est").as("ea")), "src_a")
+      .join(per.select(col("source").as("src_b"), col("est").as("eb")), "src_b")
+      .join(exact, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("ea")).cast("long").as("est_a"),
+        round(col("eb")).cast("long").as("est_b"),
+        round(col("u")).cast("long").as("est_union"),
+        round(col("c") * col("u") / col("n")).cast("long").as("est_inter"),
+        round(col("c").cast("double") / col("n").cast("double"), 6).as("jaccard_est"),
+        col("exact_inter"), col("exact_union"))
+  }
 }

@@ -26,6 +26,38 @@ class Round9OpsSpec extends AnyFunSuite with SharedSpark {
     assert(ok.length == 1 && ok.head.getLong(0) == 1L)
   }
 
+  test("kmvSetOps: small sets exact, large sets estimate within KMV error") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // small strata (below k): the merged sketch IS the union set, so
+    // every column must be exact
+    val small = Seq(
+      (1L, "alpha beta gamma delta", "sa"),
+      (2L, "gamma delta epsilon zeta", "sb"))
+      .toDF("doc_id", "text", "source")
+    val r = Sketches.kmvSetOps(small, "text", "source", k = 256).collect()(0)
+    assert(r.getAs[Long]("est_a") == 4 && r.getAs[Long]("est_b") == 4)
+    assert(r.getAs[Long]("est_union") == 6 && r.getAs[Long]("est_inter") == 2)
+    assert(r.getAs[Long]("exact_inter") == 2 && r.getAs[Long]("exact_union") == 6)
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 2.0 / 6.0) < 1e-6)
+
+    // large strata (thousands of distinct tokens, k=64): estimator
+    // branch; KMV relative error ~1/sqrt(k-1) ≈ 13% at k=64 — assert
+    // a generous 3-sigma band and that the ranking is sane
+    val words = (0 until 3000).map(i => s"w$i")
+    val big = Seq(
+      (1L, words.take(2000).mkString(" "), "pa"),          // 2000 tokens
+      (2L, words.slice(1000, 3000).mkString(" "), "pb"))   // 2000, 1000 shared
+      .toDF("doc_id", "text", "source")
+    val b = Sketches.kmvSetOps(big, "text", "source", k = 64).collect()(0)
+    assert(b.getAs[Long]("exact_union") == 3000 && b.getAs[Long]("exact_inter") == 1000)
+    assert(math.abs(b.getAs[Long]("est_union") - 3000L) < 1200,
+      s"union est ${b.getAs[Long]("est_union")}")
+    assert(math.abs(b.getAs[Long]("est_inter") - 1000L) < 700,
+      s"inter est ${b.getAs[Long]("est_inter")}")
+    assert(math.abs(b.getAs[Long]("est_a") - 2000L) < 800)
+  }
+
   test("graft_sorted_intersect_n == size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     // 200 random sorted-distinct pairs over a small alphabet (so
