@@ -181,12 +181,18 @@ object Similarity {
     * shared candidate-generation kernel of [[embedNearDup]] and
     * [[semanticContaminationLsh]].
     */
-  private def lshBucketKeysUdf(planes: Int, tables: Int, dim: Int)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+  /** Scalar per-row twin of the sign-LSH bucket-key kernel — shared by
+    * the batch UDF and the streaming probe
+    * ([[graft.streaming.StreamingSemDecontaminate]]) so batch and
+    * stream bucket algebra cannot drift. Serializable closure: the
+    * hyperplane table is plain doubles.
+    */
+  private[graft] def bucketKeysScalar(planes: Int, tables: Int, dim: Int)
+      : Seq[Float] => Seq[String] = {
     val hps: Array[Array[Double]] = Array.tabulate(tables * planes)(k => hyperplaneSql(k, dim))
     val nPlanes = planes
     val nTables = tables
-    udf { (v: Seq[Float]) =>
+    (v: Seq[Float]) => {
       val arr = v.toArray
       (0 until nTables).map { t =>
         val sb = new StringBuilder(nPlanes + 4)
@@ -204,6 +210,22 @@ object Similarity {
       }
     }
   }
+
+  /** Scalar twin of the sequential [[dot]] fold: identical summation
+    * order and double ops, so stream-side cosine scores are
+    * bit-identical to the batch column algebra.
+    */
+  private[graft] def dotScalar(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def lshBucketKeysUdf(planes: Int, tables: Int, dim: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(bucketKeysScalar(planes, tables, dim))
 
   def embedNearDup(embeddings: DataFrame, threshold: Double,
                    dim: Int, planes: Int = 6, tables: Int = 8,
