@@ -645,6 +645,16 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
           col("score"))),
 
+    // cluster-balanced sampling: kmeans topic clusters + deterministic
+    // per-cluster hash-order quota — the diversification stage that
+    // stops dominant topics keeping their share through quality gates;
+    // re-run/growth-stable, quota prefixes nest
+    "q_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"),
+          k = 8, iters = 3, dim = 64, perCluster = 25)
+        .select(col("cluster_id").cast("long").as("cluster_id"),
+          col("vec_id"), col("pick_rank"))),
+
     // OP-21 sear + OP-16 substitute as text operators
     "q_substitute" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -2476,6 +2486,7 @@ object SparkEntry {
 
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_kmeans" -> kmeansOracle(k = 8, iters = 3, dim = 64),
+    "q_cluster_sample" -> clusterSampleOracle(k = 8, iters = 3, dim = 64, perCluster = 25),
     "q_bpe" -> Bpe.learnOracle(merges = 10),
     "q_bpe_encode" -> Bpe.encodeOracle(merges = 10),
 
@@ -3583,7 +3594,12 @@ object SparkEntry {
     sb.toString
   }
 
-  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+  /** The kmeans WITH-chain up to (and including) the final assignment
+    * CTE `asg<iters>` — reused verbatim by [[kmeansOracle]] and the
+    * cluster-balanced-sample oracle so the clustering algebra cannot
+    * drift between the two.
+    */
+  private def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3614,12 +3630,27 @@ object SparkEntry {
            |  GROUP BY p.c)""".stripMargin)
       sb.append(scoreAsg(i))
     }
-    sb.append(
-      s"""
-         |SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id, round(score, 6) AS score
-         |FROM asg$iters""".stripMargin)
     sb.toString
   }
+
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String =
+    kmeansOracleCtes(k, iters, dim) +
+      s"""
+         |SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id, round(score, 6) AS score
+         |FROM asg$iters""".stripMargin
+
+  /** kmeans assignment + per-cluster hash-order quota, mirroring
+    * `Similarity.clusterBalancedSample` (QUALIFY = the map-side
+    * WindowGroupLimit rank cut).
+    */
+  private def clusterSampleOracle(k: Int, iters: Int, dim: Int, perCluster: Int): String =
+    kmeansOracleCtes(k, iters, dim) +
+      s"""
+         |SELECT CAST(cl AS BIGINT) AS cluster_id, vec_id,
+         |  CAST(row_number() OVER (PARTITION BY cl
+         |    ORDER BY md5('cbs|' || vec_id), vec_id) AS BIGINT) AS pick_rank
+         |FROM asg$iters
+         |QUALIFY pick_rank <= $perCluster""".stripMargin
 
   /** DuckDB mirror of the 64-bit SimHash (md5 leading bits, +-count
     * votes, sign bit string).

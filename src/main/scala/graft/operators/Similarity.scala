@@ -440,6 +440,30 @@ object Similarity {
         round(col("a._2"), 6).as("score"))
   }
 
+  /** Cluster-balanced sampling: k-means topic clusters, then a
+    * deterministic per-cluster quota in md5-hash order — the
+    * "balance the corpus across semantic clusters" stage (SemDeDup /
+    * D4-style diversification): without it, dominant topics keep their
+    * share through every quality gate. Hash-order picks make the
+    * sample stable under re-runs AND corpus growth with zero RNG state
+    * across 1000 executors (the `hashSplit`/`sampleK` convention), and
+    * smaller quotas are prefixes of larger ones. The rank filter runs
+    * as a partial map-side WindowGroupLimit — each map task forwards
+    * at most `perCluster` rows per cluster.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                            dim: Int = 64, perCluster: Int = 25,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    kmeans(embeddings, k, iters, dim, idCol, vecCol)
+      .select(col(idCol), col("cluster_id"))
+      .withColumn("__h", md5(concat(lit("cbs|"), col(idCol).cast("string"))))
+      .withColumn("pick_rank", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("__h"), col(idCol))))
+      .filter(col("pick_rank") <= perCluster)
+      .select(col("cluster_id"), col(idCol), col("pick_rank").cast("long").as("pick_rank"))
+  }
+
   /** argmax_c (v . c - ||c||^2/2) with ties to the smaller cluster id —
     * sequential-order double folds so the oracle's list_sum agrees
     * bit-for-bit (the q_ann_ivf-proven pattern). Returns (cl, score) as

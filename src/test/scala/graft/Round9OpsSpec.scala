@@ -26,6 +26,25 @@ class Round9OpsSpec extends AnyFunSuite with SharedSpark {
     assert(ok.length == 1 && ok.head.getLong(0) == 1L)
   }
 
+  test("clusterBalancedSample: quota bound, prefix nesting, determinism") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s25 = Similarity.clusterBalancedSample(emb, k = 4, iters = 2, perCluster = 25)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // quota respected per cluster, ranks dense from 1
+    s25.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 25)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // smaller quota = exact prefix of the larger (hash-order stability)
+    val s10 = Similarity.clusterBalancedSample(emb, k = 4, iters = 2, perCluster = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s10 == s25.filter(_._3 <= 10).toSet)
+    // re-run bit-stable
+    val again = Similarity.clusterBalancedSample(emb, k = 4, iters = 2, perCluster = 25)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == s25.toSet)
+  }
+
   test("kmvSetOps: small sets exact, large sets estimate within KMV error") {
     import spark.implicits._
     import graft.operators.Sketches
