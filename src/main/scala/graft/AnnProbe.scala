@@ -1,0 +1,52 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Scale probe for the IVF index: times `annIvf` at a given
+  * lists/nprobe over SPARK_GRAFT_SF_DIR embeddings — the `lists`
+  * sibling of [[DecontamProbe]]'s `planes` probe. IVF work per query
+  * is corpus x nprobe/lists; with `lists` fixed, growing the corpus
+  * grows every probed list linearly, so `lists` must scale with the
+  * data (FAISS sizes nlist ~ sqrt(n)) to keep per-query work flat.
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt "runMain graft.AnnProbe 160 4"
+  */
+object AnnProbe {
+  def main(args: Array[String]): Unit = {
+    val lists = if (args.nonEmpty) args(0).toInt else 16
+    val nprobe = if (args.length > 1) args(1).toInt else 4
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // "learned" as 3rd arg: kmeans-trained centroids (the production
+    // posture) instead of the oracle-parity salted defaults
+    val learned = args.length > 2 && args(2) == "learned"
+    val t0 = System.nanoTime()
+    val cents =
+      if (learned) Some(Similarity.kmeansCentroids(emb, k = lists, iters = 2, dim = 64))
+      else None
+    val tTrain = System.nanoTime()
+    val n = Similarity.annIvf(emb, emb.filter(col("vec_id") < 8), k = 5,
+      dim = 64, lists = lists, nprobe = nprobe, centroids = cents).count()
+    val sec = (System.nanoTime() - tTrain) / 1e9
+    println(s"""{"dir":"$dir","lists":$lists,"nprobe":$nprobe,"learned":$learned,"rows":$n,"train_sec":${(tTrain - t0) / 1e9},"probe_sec":$sec}""")
+    if (sys.env.contains("SPARK_GRAFT_ANN_DIAG")) {
+      // stage decomposition: assignment-only scan vs candidate volume
+      val t1 = System.nanoTime()
+      val listCol =
+        if (learned) Similarity.assignClCol(cents.get)(col("embedding"))
+        else Similarity.ivfAssignUdf(dim = 64, lists = lists)(col("embedding"))
+      val hist = emb
+        .withColumn("list_id", listCol)
+        .groupBy("list_id").count().collect().map(r => r.getLong(1)).sorted.reverse
+      val t2 = System.nanoTime()
+      println(s"""{"assign_sec":${(t2 - t1) / 1e9},"top_lists":${hist.take(8).mkString("[", ",", "]")},"n_lists_used":${hist.length}}""")
+    }
+    spark.stop()
+  }
+}

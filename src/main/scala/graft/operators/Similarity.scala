@@ -410,13 +410,39 @@ object Similarity {
     */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3, dim: Int = 64,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qdf = kmQuantized(embeddings, idCol, vecCol)
+    val cents = kmeansCentroidsOf(qdf, k, iters, dim)
+    val assign = kmAssignUdf(cents)
+    qdf.select(col("id").as(idCol), assign(col("v")).as("a"))
+      .select(col(idCol), col("a._1").as("cluster_id"),
+        round(col("a._2"), 6).as("score"))
+  }
+
+  /** The learned centroids alone — for operators that consume them as
+    * an index parameter ([[annIvf]]'s `centroids` option). Same loop,
+    * same fixed-point algebra, bit-identical to what [[kmeans]]
+    * assigns against.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 3, dim: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val qdf = kmQuantized(embeddings, idCol, vecCol)
+    val cents = kmeansCentroidsOf(qdf, k, iters, dim)
+    graft.plans.CheckpointHygiene.free(qdf)
+    cents
+  }
+
+  private def kmQuantized(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val scale = 1048576.0 // 2^20
     val quantize = udf { (v: Seq[Float]) =>
       v.map(x => math.floor(x.toDouble * scale).toLong).toArray
     }
-    val qdf = Par.spread(embeddings)
+    Par.spread(embeddings)
       .select(col(idCol).as("id"), col(vecCol).as("v"), quantize(col(vecCol)).as("qv"))
       .localCheckpoint() // re-scanned every round; lineage cut once
+  }
+
+  private def kmeansCentroidsOf(qdf: DataFrame, k: Int, iters: Int, dim: Int): Array[Array[Double]] = {
+    val scale = 1048576.0
     var cents: Array[Array[Double]] = Array.tabulate(k)(c => saltedCentroid("km", c, dim))
     for (_ <- 1 to iters) {
       val assign = kmAssignUdf(cents)
@@ -434,10 +460,7 @@ object Similarity {
       }
       cents = next
     }
-    val assign = kmAssignUdf(cents)
-    qdf.select(col("id").as(idCol), assign(col("v")).as("a"))
-      .select(col(idCol), col("a._1").as("cluster_id"),
-        round(col("a._2"), 6).as("score"))
+    cents
   }
 
   /** Cluster-balanced sampling: k-means topic clusters, then a
@@ -463,6 +486,12 @@ object Similarity {
       .filter(col("pick_rank") <= perCluster)
       .select(col("cluster_id"), col(idCol), col("pick_rank").cast("long").as("pick_rank"))
   }
+
+  /** Cluster-id-only assignment over an explicit centroid table (the
+    * shared argmax rule) — diagnostics and learned-centroid reuse.
+    */
+  private[graft] def assignClCol(cents: Array[Array[Double]])(v: Column): Column =
+    kmAssignUdf(cents)(v).getField("_1")
 
   /** argmax_c (v . c - ||c||^2/2) with ties to the smaller cluster id —
     * sequential-order double folds so the oracle's list_sum agrees
@@ -602,8 +631,20 @@ object Similarity {
     */
   def annIvf(embeddings: DataFrame, queries: DataFrame, k: Int,
              dim: Int, lists: Int = 16, nprobe: Int = 4,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents: Array[Array[Double]] = Array.tabulate(lists)(c => ivfCentroidSql(c, dim))
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // Default: salted deterministic centroids (SQL-derivable, so the
+    // oracle mirrors the whole index algebra). SCALE CONTRACT: random
+    // centroids do not partition isotropic data — growing `lists`
+    // without learning makes the argmax winner-take-all (measured at
+    // the 100x soak: 160 salted centroids put 99.2% of 200k vectors in
+    // ONE list, so probing top-4 lists scanned the whole corpus).
+    // Production IVF passes `centroids = Some(kmeansCentroids(...))` —
+    // learned, periodically re-trained (the StreamingIvf posture) —
+    // and scales nlist ~ sqrt(n) with balanced lists.
+    val cents: Array[Array[Double]] =
+      centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
+    require(cents.length == lists, s"centroids.length ${cents.length} != lists $lists")
     val normHalf: Array[Double] = cents.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
     val nLists = lists
     val nProbe = nprobe

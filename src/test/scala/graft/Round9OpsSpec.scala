@@ -26,6 +26,31 @@ class Round9OpsSpec extends AnyFunSuite with SharedSpark {
     assert(ok.length == 1 && ok.head.getLong(0) == 1L)
   }
 
+  test("kmeansCentroids: faithful to kmeans; annIvf accepts learned centroids") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the exposed centroids must assign exactly like kmeans itself
+    val cents = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+    val viaCents = emb.select(col("vec_id"),
+        Similarity.assignClCol(cents)(col("embedding")).as("cl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaKmeans = Similarity.kmeans(emb, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaCents == viaKmeans)
+    // annIvf with learned centroids: same output contract (k ranked
+    // neighbors per query, ranks dense), centroid count enforced
+    val out = Similarity.annIvf(emb, emb.filter(col("vec_id") < 2), k = 3,
+      dim = 64, lists = 4, nprobe = 2, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq && rows.length <= 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.annIvf(emb, emb.limit(1), k = 1, dim = 64, lists = 8,
+        centroids = Some(cents)) // 4 centroids != 8 lists
+    }
+  }
+
   test("clusterBalancedSample: quota bound, prefix nesting, determinism") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val s25 = Similarity.clusterBalancedSample(emb, k = 4, iters = 2, perCluster = 25)
