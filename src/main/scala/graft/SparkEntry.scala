@@ -2248,16 +2248,17 @@ object SparkEntry {
         |    CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
         |      ELSE 255 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS u
         |  FROM est),
-        |etagged AS (
-        |  SELECT src_a, src_b, word, max(ia) AS ia, max(ib) AS ib FROM (
-        |    SELECT p.src_a, p.src_b, t.word, 1 AS ia, 0 AS ib
-        |      FROM pairs p JOIN tok t ON t.source = p.src_a
-        |    UNION ALL
-        |    SELECT p.src_a, p.src_b, t.word, 0 AS ia, 1 AS ib
-        |      FROM pairs p JOIN tok t ON t.source = p.src_b)
-        |  GROUP BY 1, 2, 3),
-        |exact AS (SELECT src_a, src_b, CAST(sum(ia * ib) AS BIGINT) AS exact_inter,
-        |    count(*) AS exact_union FROM etagged GROUP BY 1, 2)
+        |ex_inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS ei
+        |  FROM tok a JOIN tok b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+        |exact AS (SELECT p.src_a, p.src_b,
+        |    coalesce(ei.ei, 0) AS exact_inter,
+        |    na.n + nb.n - coalesce(ei.ei, 0) AS exact_union
+        |  FROM pairs p
+        |  JOIN ns na ON p.src_a = na.source
+        |  JOIN ns nb ON p.src_b = nb.source
+        |  LEFT JOIN ex_inter ei ON p.src_a = ei.src_a AND p.src_b = ei.src_b)
         |SELECT u.src_a, u.src_b,
         |  CAST(round(ea.est) AS BIGINT) AS est_a,
         |  CAST(round(eb.est) AS BIGINT) AS est_b,

@@ -297,19 +297,27 @@ object Sketches {
       .select(col("src_a"), col("src_b"), col("c"), col("n"),
         when(col("n") < k, col("n").cast("double"))
           .otherwise(lit((k - 1).toDouble * KmvM) / col("hk").cast("double")).as("u"))
-    // exact audit: same tag-merge-aggregate over the full item sets
+    // exact audit. NOT the per-pair tag-merge: that duplicates every
+    // stratum's full item set once per pair (s-1 copies each — at 20
+    // sources it 19x'ed the corpus and went quadratic in strata).
+    // Instead ONE self-equi-join on the item: per-item bucket size is
+    // bounded by the stratum count, so the join emits at most
+    // C(strata, 2) rows per item; union comes free by
+    // inclusion-exclusion from per-stratum counts.
     val tok = kmvItems(docs, textCol, strataCol, shingleN).distinct()
       .localCheckpoint()
-    val wa = pairs.join(tok.select(col("source").as("src_a"), col("word")), Seq("src_a"))
-      .select(col("src_a"), col("src_b"), col("word"), lit(1L).as("ia"), lit(0L).as("ib"))
-    val wb = pairs.join(tok.select(col("source").as("src_b"), col("word")), Seq("src_b"))
-      .select(col("src_a"), col("src_b"), col("word"), lit(0L).as("ia"), lit(1L).as("ib"))
-    val exact = wa.union(wb)
-      .groupBy("src_a", "src_b", "word")
-      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
-      .groupBy("src_a", "src_b")
-      .agg(sum(col("ia") * col("ib")).as("exact_inter"),
-        count(lit(1)).as("exact_union"))
+    val interEx = tok.as("a").join(tok.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("ei"))
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("n"))
+    val exact = pairs
+      .join(ns.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(ns.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .join(interEx, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("ei"), lit(0L)).as("exact_inter"),
+        (col("na") + col("nb") - coalesce(col("ei"), lit(0L))).as("exact_union"))
     est
       .join(per.select(col("source").as("src_a"), col("est").as("ea")), "src_a")
       .join(per.select(col("source").as("src_b"), col("est").as("eb")), "src_b")
