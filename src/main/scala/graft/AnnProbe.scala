@@ -13,6 +13,7 @@ import graft.operators.Similarity
   */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "pq") { pqRecall(); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -47,6 +48,34 @@ object AnnProbe {
       val t2 = System.nanoTime()
       println(s"""{"assign_sec":${(t2 - t1) / 1e9},"top_lists":${hist.take(8).mkString("[", ",", "]")},"n_lists_used":${hist.length}}""")
     }
+    spark.stop()
+  }
+
+  /** Recall@5 of flat PQ with salted vs learned codebooks against the
+    * exact top-k — the quantization-quality counterpart of the
+    * centroid probe. Run: sbt "runMain graft.AnnProbe pq"
+    */
+  private def pqRecall(): Unit = {
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val k = 5
+    val exact = Similarity.topKCosine(emb, q, k = k).localCheckpoint()
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.annRecall(exact, approx, k)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      math.rint(r * 1000) / 1000
+    }
+    val salted = meanRecall(Similarity.annPq(emb, q, k = k, dim = 64))
+    val learnedCbs = Similarity.pqLearnedCodebooks(emb, dim = 64)
+    val learned = meanRecall(Similarity.annPq(emb, q, k = k, dim = 64,
+      codebooks = Some(learnedCbs)))
+    println(s"""{"dir":"$dir","recall_salted":$salted,"recall_learned":$learned}""")
     spark.stop()
   }
 }

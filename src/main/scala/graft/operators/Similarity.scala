@@ -778,10 +778,20 @@ object Similarity {
     */
   def annPq(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
             m: Int = 8, codes: Int = 16,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
-    val cbs = pqCodebooks(m, codes, subDim)
+    // Salted deterministic codebooks by default (SQL-derivable -> the
+    // oracle mirrors encode/LUT/ADC end-to-end). Same scale contract
+    // as annIvf's centroids: random codewords quantize isotropic data
+    // poorly (the nearest-codeword argmax concentrates on few cells),
+    // which is most of the measured recall gap; production passes
+    // codebooks = Some(pqLearnedCodebooks(...)) — per-subspace k-means,
+    // re-trained with the data like any Faiss PQ index.
+    val cbs = codebooks.getOrElse(pqCodebooks(m, codes, subDim))
+    require(cbs.length == m && cbs.forall(_.length == codes),
+      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length).getOrElse(0)} != ${m}x$codes")
     val encode = pqEncodeUdf(cbs, subDim)
     val lut = pqLutUdf(cbs, subDim)
     val adc = pqAdcUdf(m, codes)
@@ -803,6 +813,27 @@ object Similarity {
 
   private def pqCodebooks(m: Int, codes: Int, subDim: Int): Array[Array[Array[Double]]] =
     Array.tabulate(m)(s => Array.tabulate(codes)(c => saltedCentroid(s"pq$s", c, subDim)))
+
+  /** Learned PQ codebooks: per-subspace k-means over the sliced
+    * vectors — the production counterpart of the salted defaults,
+    * exactly as [[kmeansCentroids]] is to [[annIvf]]'s salted
+    * centroids. m driver-looped trainings of `iters` rounds each (an
+    * index-build cost, amortized over the index lifetime); the same
+    * fixed-point mean algebra as [[kmeans]], so training is
+    * bit-reproducible under any partitioning.
+    */
+  def pqLearnedCodebooks(embeddings: DataFrame, dim: Int, m: Int = 8,
+                         codes: Int = 16, iters: Int = 2,
+                         vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      val slice = udf { (v: Seq[Float]) => v.slice(s * subDim, (s + 1) * subDim) }
+      kmeansCentroids(
+        embeddings.select(lit(0L).as("__id"), slice(col(vecCol)).as("__sub")),
+        k = codes, iters = iters, dim = subDim, idCol = "__id", vecCol = "__sub")
+    }
+  }
 
   /** Nearest codeword per subspace: argmax(dot - ||c||^2/2), strict >
     * keeps the smaller code on ties (oracle: ORDER BY score DESC, c).
@@ -874,14 +905,24 @@ object Similarity {
     */
   def annIvfPq(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
                lists: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               centroids: Option[Array[Array[Double]]] = None,
+               codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
-    val cbs = pqCodebooks(m, codes, subDim)
+    // learned-index options compose: coarse centroids from
+    // [[kmeansCentroids]], codebooks from [[pqLearnedCodebooks]] —
+    // salted SQL-derivable defaults otherwise (the oracle-mirrored
+    // algebra)
+    val cbs = codebooks.getOrElse(pqCodebooks(m, codes, subDim))
+    require(cbs.length == m && cbs.forall(_.length == codes),
+      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length).getOrElse(0)} != ${m}x$codes")
     val encode = pqEncodeUdf(cbs, subDim)
     val lut = pqLutUdf(cbs, subDim)
     val adc = pqAdcUdf(m, codes)
-    val cents: Array[Array[Double]] = Array.tabulate(lists)(c => ivfCentroidSql(c, dim))
+    val cents: Array[Array[Double]] =
+      centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
+    require(cents.length == lists, s"centroids.length ${cents.length} != lists $lists")
     val normHalf: Array[Double] = cents.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
     val nLists = lists; val nProbe = nprobe
     def listScores(v: Seq[Float]): Array[Double] = {

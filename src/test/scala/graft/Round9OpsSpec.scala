@@ -51,6 +51,52 @@ class Round9OpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("pqLearnedCodebooks beat salted codebooks on clustered vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 400 vectors in 8 well-separated blobs (deterministic noise):
+    // exact neighbors are same-blob; learned per-subspace codebooks
+    // capture the blob structure, salted random codewords cannot. On
+    // uniform-random data both recalls are noise-bound (probed at
+    // sf0.1: 0.025 == 0.025) — structure is where learning pays.
+    val rnd = new scala.util.Random(907)
+    val blobs = Array.fill(8)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val vecs = (0 until 400).map { i =>
+      val b = blobs(i % 8)
+      (i.toLong, b.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+    val k = 5
+    // metric: fraction of top-k neighbors from the QUERY'S OWN blob
+    // (vec_id % 8). Exact-neighbor recall is the wrong yardstick here:
+    // perfect quantization gives every same-blob vector IDENTICAL
+    // codes, so ranking within a blob is tie-broken arbitrarily — the
+    // refine stage's job (annIvfPqRefine), not PQ's. Blob-level
+    // identification is exactly what the coded index must get right.
+    val byId = vecs.toMap
+    // (blob identification + ADC quantization error) per codebook kind;
+    // ADC score_e6/1e6 approximates the true dot — learning must cut
+    // that error decisively even when ranking outcomes happen to agree
+    def probe(cbs: Option[Array[Array[Array[Double]]]]): (Double, Double) = {
+      val rows = Similarity.annPq(emb, q, k = k, dim = 64, codebooks = cbs)
+        .select(col("query_id"), col("neighbor_id"), col("score_e6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val blobFrac = rows.count { case (qi, ni, _) => qi % 8 == ni % 8 }.toDouble / rows.length
+      val meanErr = rows.map { case (qi, ni, s) =>
+        math.abs(s / 1e6 - Similarity.dotScalar(byId(qi), byId(ni)))
+      }.sum / rows.length
+      (blobFrac, meanErr)
+    }
+    val (saltedBlob, saltedErr) = probe(None)
+    val (learnedBlob, learnedErr) =
+      probe(Some(Similarity.pqLearnedCodebooks(emb, dim = 64)))
+    assert(learnedBlob > 0.9, s"learned blob identification $learnedBlob")
+    assert(learnedBlob >= saltedBlob)
+    assert(learnedErr < saltedErr * 0.5,
+      s"learned ADC err $learnedErr vs salted $saltedErr — learning should cut quantization error")
+  }
+
   test("clusterBalancedSample: quota bound, prefix nesting, determinism") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val s25 = Similarity.clusterBalancedSample(emb, k = 4, iters = 2, perCluster = 25)
