@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   * DECIMAL or fixed rounding so the value hash matches exactly).
   */
 object SparkEntry {
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // layout armor at the single load point (no-op on the contract
+    // schema) — the normalizeTs lesson applied to the other tables
+    name match {
+      case "documents" => graft.sources.TableArmor.documents(df)
+      case "embeddings" => graft.sources.TableArmor.embeddings(df)
+      case _ => df
+    }
+  }
 
   private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c * c
 

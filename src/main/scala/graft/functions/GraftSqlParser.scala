@@ -216,14 +216,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     }
     case DedupDocs(dir) => wrapGraft(sqlText) {
       graft.operators.Dedup.exact(
-        session.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+        graft.sources.TableArmor.documents(session.read.parquet(s"$dir/documents.parquet")), "text", "doc_id")
         .queryExecution.logical
     }
     case NeardupDocs(dir) => wrapGraft(sqlText) {
       // same banding parameters as q_neardup_minhash, so the two
       // surfaces share one oracle and can never drift apart
       graft.operators.Dedup.nearDupPairs(
-        session.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        graft.sources.TableArmor.documents(session.read.parquet(s"$dir/documents.parquet")), "text", "doc_id",
         shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
         .queryExecution.logical
     }
@@ -231,7 +231,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       // same slices/params as q_decontaminate (corpus = doc_id%50<>3,
       // test = %50=3, 3-grams, minOverlap 3) — returns the SURVIVING
       // corpus rows, the write-side face of the contamination check
-      val docs = session.read.parquet(s"$dir/documents.parquet")
+      val docs = graft.sources.TableArmor.documents(session.read.parquet(s"$dir/documents.parquet"))
       graft.operators.Curation.decontaminate(
         docs.filter(col("doc_id") % 50 =!= 3),
         docs.filter(col("doc_id") % 50 === 3),
