@@ -847,6 +847,17 @@ object SparkEntry {
       Similarity.annPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
     }),
 
+    // the LEARNED index path oracle-gated END TO END, training
+    // included: per-subspace k-means codebooks (pqLearnedCodebooks —
+    // fixed-point mean sums, so training is bit-reproducible under any
+    // partitioning) feed the same encode/LUT/ADC algebra; the oracle
+    // unrolls the 8 subspace trainings as CTE chains like q_kmeans
+    "q_ann_pq_learned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64,
+        codebooks = Some(Similarity.pqLearnedCodebooks(emb, dim = 64, iters = 2)))
+    }),
+
     // the full IVF-PQ composition: coarse-list probe bounds the scan
     // to nprobe/lists of the corpus, PQ codes bound the bytes touched
     // to 4/vector — both salted-deterministic, so the composed index
@@ -2675,6 +2686,7 @@ object SparkEntry {
 
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_pq_learned" -> annPqLearnedOracle(m = 8, codes = 16, subDim = 8, iters = 2, k = 5),
     "q_ann_ivfpq" -> annIvfPqOracle,
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_retrieval_eval" -> retrievalEvalOracle,
@@ -3956,6 +3968,86 @@ object SparkEntry {
       |  FROM adc)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of q_ann_pq_learned: per-subspace k-means codebook
+    * TRAINING (the [[graft.operators.Similarity.pqLearnedCodebooks]]
+    * loop — same salted seeds, fixed-point mean algebra, empty-cluster
+    * carry-over as the q_kmeans oracle, at dim=8 over sliced vectors)
+    * composed with the annPq encode/LUT/ADC mirror — the LEARNED index
+    * path oracle-gated end to end, training included.
+    */
+  private def annPqLearnedOracle(m: Int, codes: Int, subDim: Int, iters: Int, k: Int): String = {
+    val sb = new StringBuilder
+    // shared salted seeds: saltedCentroid("km", c, subDim) — identical
+    // for every subspace (the data slice differs)
+    sb.append(
+      s"""WITH centp0 AS (SELECT c.c, list(
+         |    ('0x' || substr(md5('km|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+         |    ORDER BY d.d) AS cv
+         |  FROM (SELECT unnest(range($codes)) AS c) c, (SELECT unnest(range($subDim)) AS d) d
+         |  GROUP BY c.c),
+         |dims AS (SELECT unnest(range($subDim)) AS d)""".stripMargin)
+    for (s <- 0 until m) {
+      // sliced + quantized sub-vectors (float -> double, floor * 2^20)
+      sb.append(
+        s""",
+           |q_$s AS (SELECT vec_id,
+           |    list_transform(range(1, ${subDim + 1}), i -> CAST(embedding[$s * $subDim + i] AS DOUBLE)) AS v,
+           |    list_transform(range(1, ${subDim + 1}), i -> CAST(floor(CAST(embedding[$s * $subDim + i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+           |  FROM embeddings)""".stripMargin)
+      def scoreAsg(i: Int): Unit = {
+        val cent = if (i == 0) "centp0" else s"cent${i}_$s"
+        sb.append(
+          s""",
+             |sc${i}_$s AS (SELECT q.vec_id, $cent.c,
+             |    list_sum(list_transform(range(1, ${subDim + 1}), i -> q.v[i] * $cent.cv[i]))
+             |      - 0.5 * list_sum(list_transform($cent.cv, x -> x * x)) AS score
+             |  FROM q_$s q CROSS JOIN $cent),
+             |asg${i}_$s AS (SELECT vec_id, c AS cl, score FROM sc${i}_$s
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1)""".stripMargin)
+      }
+      scoreAsg(0)
+      for (i <- 1 to iters) {
+        val prev = if (i == 1) "centp0" else s"cent${i - 1}_$s"
+        sb.append(
+          s""",
+             |sum${i}_$s AS (SELECT a.cl AS c, d.d, CAST(sum(q.qv[d.d + 1]) AS BIGINT) AS s, count(*) AS n
+             |  FROM asg${i - 1}_$s a JOIN q_$s q USING (vec_id) CROSS JOIN dims d GROUP BY a.cl, d.d),
+             |cent${i}_$s AS (SELECT p.c, list(
+             |    coalesce(CAST(s.s AS DOUBLE) / (s.n * 1048576.0), p.cv[d.d + 1]) ORDER BY d.d) AS cv
+             |  FROM $prev p CROSS JOIN dims d
+             |  LEFT JOIN sum${i}_$s s ON s.c = p.c AND s.d = d.d
+             |  GROUP BY p.c)""".stripMargin)
+        if (i < iters) scoreAsg(i)
+      }
+    }
+    // learned codebook table = the final per-subspace centroids
+    sb.append(
+      (0 until m).map(s => s"SELECT $s AS s, c, cv FROM cent${iters}_$s")
+        .mkString(",\ncb AS (\n", "\nUNION ALL\n", ")"))
+    // encode / LUT / ADC — the annPqOracle body over the learned cb
+    sb.append(
+      s""",
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |sc AS (SELECT v.vec_id, cb.s, cb.c,
+         |    list_sum(list_transform(range(1, ${subDim + 1}), i -> v.v[cb.s * $subDim + i] * cb.cv[i]))
+         |      - 0.5 * list_sum(list_transform(cb.cv, x -> x * x)) AS score
+         |  FROM v, cb),
+         |code AS (SELECT vec_id, s, c FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) = 1),
+         |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.c,
+         |    CAST(floor(list_sum(list_transform(range(1, ${subDim + 1}), i -> q.v[cb.s * $subDim + i] * cb.cv[i])) * 1e6) AS BIGINT) AS f
+         |  FROM v q, cb WHERE q.vec_id < 8),
+         |adc AS (SELECT l.query_id, b.vec_id AS neighbor_id, CAST(sum(l.f) AS BIGINT) AS score_e6
+         |  FROM code b JOIN lut l ON l.s = b.s AND l.c = b.c
+         |  WHERE l.query_id <> b.vec_id GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, score_e6,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
+         |FROM r WHERE rank <= $k""".stripMargin)
+    sb.toString
+  }
 
   /** DuckDB mirror of q_ann_ivfpq: the annIvf coarse algebra
     * (assignment + nprobe probing) composed with the annPq code/LUT
