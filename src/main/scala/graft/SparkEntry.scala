@@ -847,6 +847,18 @@ object SparkEntry {
       Similarity.annPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
     }),
 
+    // the learned COARSE index oracle-gated end to end: annIvf over
+    // kmeansCentroids (the production centroid contract from the 100x
+    // soak — see PLANS), oracle = the q_kmeans training chain composed
+    // with the IVF assignment/probe/verify algebra
+    "q_ann_ivf_learned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annIvf(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64,
+        centroids = Some(Similarity.kmeansCentroids(emb, k = 16, iters = 2, dim = 64)))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("score"))
+    }),
+
     // the LEARNED index path oracle-gated END TO END, training
     // included: per-subspace k-means codebooks (pqLearnedCodebooks —
     // fixed-point mean sums, so training is bit-reproducible under any
@@ -2685,6 +2697,7 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivf_learned" -> annIvfLearnedOracle(lists = 16, iters = 2, nprobe = 4, k = 5),
     "q_ann_pq" -> annPqOracle,
     "q_ann_pq_learned" -> annPqLearnedOracle(m = 8, codes = 16, subDim = 8, iters = 2, k = 5),
     "q_ann_ivfpq" -> annIvfPqOracle,
@@ -3934,6 +3947,31 @@ object SparkEntry {
       |  FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of q_ann_ivf_learned: the q_kmeans training chain
+    * (shared builder, so the learned centroids are recomputed
+    * bit-for-bit) composed with the annIvf assignment/probe/verify
+    * algebra — the learned coarse index oracle-gated end to end.
+    */
+  private def annIvfLearnedOracle(lists: Int, iters: Int, nprobe: Int, k: Int): String =
+    kmeansOracleCtes(lists, iters, 64) +
+      s""",
+         |assign AS (SELECT vec_id, c AS list_id FROM sc$iters
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
+         |probe AS (SELECT vec_id, c AS list_id FROM sc$iters WHERE vec_id < 8
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) <= $nprobe),
+         |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN assign a USING (list_id) WHERE p.vec_id <> a.vec_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+         |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+         |  FROM cand JOIN v a ON a.vec_id = query_id JOIN v b ON b.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
+         |FROM r WHERE rank <= $k""".stripMargin
 
   /** DuckDB mirror of q_ann_pq: identical md5-salted per-subspace
     * codebooks (salt `pq<s>`), identical sequential-order double
