@@ -1127,8 +1127,13 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(explode(Dedup.tokens(col("text"))).as("word"))
-      val sketch = Sketches.cmsBuild(tok, d = 4, w = 1024)
-      val exact = tok.groupBy("word").agg(count(lit(1)).as("exact_n"))
+      // ONE map-side-combined word histogram feeds BOTH the sketch
+      // (cell counts are sums over words — cmsBuildCounted bounds the
+      // cell explode by vocabulary, not corpus tokens) and the exact
+      // candidates; checkpointed so the token explode runs once
+      val exact = tok.groupBy("word").agg(count(lit(1)).as("exact_n")).localCheckpoint()
+      val sketch = Sketches.cmsBuildCounted(
+        exact.select(col("word"), col("exact_n").as("n")), d = 4, w = 1024)
       val cand = exact.orderBy(col("exact_n").desc, col("word")).limit(20)
       cand.join(Sketches.cmsEstimate(sketch, cand.select("word"), d = 4, w = 1024), "word")
         .select(col("word"), col("exact_n"), col("est_n"))
@@ -3022,13 +3027,13 @@ object SparkEntry {
         |    x -> len(x) > 0)) AS word FROM documents),
         |dims AS (SELECT unnest(range(4)) AS i),
         |cells AS (SELECT i AS row,
-        |    ('0x' || substr(md5('cms' || i || '|' || word), 1, 15))::BIGINT % 1024 AS col
+        |    ('0x' || substr(md5('cms|' || word), 1 + 7 * i, 7))::BIGINT % 1024 AS col
         |  FROM tok, dims),
         |sk AS (SELECT row, col, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2),
         |ex AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY word),
         |cand AS (SELECT word, exact_n FROM ex ORDER BY exact_n DESC, word LIMIT 20),
         |cc AS (SELECT cand.word, cand.exact_n, i AS row,
-        |    ('0x' || substr(md5('cms' || i || '|' || cand.word), 1, 15))::BIGINT % 1024 AS col
+        |    ('0x' || substr(md5('cms|' || cand.word), 1 + 7 * i, 7))::BIGINT % 1024 AS col
         |  FROM cand, dims)
         |SELECT cc.word, cc.exact_n, CAST(min(sk.c) AS BIGINT) AS est_n
         |FROM cc JOIN sk ON cc.row = sk.row AND cc.col = sk.col
@@ -3340,11 +3345,11 @@ object SparkEntry {
         |ta AS (SELECT CAST(user_id AS VARCHAR) AS word FROM events),
         |tb AS (SELECT CAST(o_custkey AS VARCHAR) AS word FROM orders),
         |sa AS (SELECT i AS row,
-        |    ('0x' || substr(md5('cms' || i || '|' || word), 1, 15))::BIGINT % 512 AS col,
+        |    ('0x' || substr(md5('cms|' || word), 1 + 7 * i, 7))::BIGINT % 512 AS col,
         |    CAST(count(*) AS BIGINT) AS ca
         |  FROM ta, dims GROUP BY 1, 2),
         |sb AS (SELECT i AS row,
-        |    ('0x' || substr(md5('cms' || i || '|' || word), 1, 15))::BIGINT % 512 AS col,
+        |    ('0x' || substr(md5('cms|' || word), 1 + 7 * i, 7))::BIGINT % 512 AS col,
         |    CAST(count(*) AS BIGINT) AS cb
         |  FROM tb, dims GROUP BY 1, 2),
         |ip AS (SELECT sa.row, CAST(sum(ca * cb) AS BIGINT) AS ip
