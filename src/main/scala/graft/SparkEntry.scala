@@ -595,6 +595,17 @@ object SparkEntry {
       Sketches.kmvSetOps(t(s, dir, "documents"), "text", "source",
         k = 256, shingleN = 3)),
 
+    // the ARTIFACT path: the same set-operation estimates computed
+    // from the persisted k-row sketch rows ALONE — kmvSketch builds
+    // the artifact (in production: yesterday's job), then
+    // kmvSetOpsFromSketches answers union/intersection/Jaccard with
+    // NO corpus access; at 100 TB this is the difference between a
+    // broadcast join over kilobytes and a re-scan of two crawls
+    "q_kmv_sketch_only" -> ((s, dir) =>
+      Sketches.kmvSetOpsFromSketches(
+        Sketches.kmvSketch(t(s, dir, "documents"), "text", "source",
+          k = 256, shingleN = 3), k = 256)),
+
     // log-spaced (relative-error) quantile histogram over lineitem
     // price cents per returnflag: 8 sub-buckets per octave, mergeable
     // by addition, exact integer bucket algebra (HDR/DDSketch shape)
@@ -706,7 +717,7 @@ object SparkEntry {
       // subtree runs twice
       val winners = Dedup.exact(eligible, "text", "doc_id")
         .select(col("keep_id").as("doc_id"), col("content_hash"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val winnerDocs = docs.join(winners.select("doc_id"), "doc_id")
       val drop = Dedup.nearDupPairs(winnerDocs, "text", "doc_id",
           shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
@@ -728,7 +739,7 @@ object SparkEntry {
         minMarkers = 3, minWords = 30, maxStopRatio = 0.3)
       val winners = Dedup.exact(eligible, "text", "doc_id")
         .select(col("keep_id").as("doc_id"), col("content_hash"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val winnerDocs = docs.join(winners.select("doc_id"), "doc_id")
       val nearDrop = Dedup.nearDupPairs(winnerDocs, "text", "doc_id",
           shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
@@ -740,7 +751,7 @@ object SparkEntry {
       // BOTH the semantic corpus and the final cut — checkpoint once
       val clean1 = Curation.decontaminate(survDocs, bench, "text", "doc_id",
           n = 3, minOverlap = 3)
-        .select("doc_id").localCheckpoint()
+        .select("doc_id").localCheckpoint(eager = false)
       val emb = t(s, dir, "embeddings")
       val semFlag = Similarity.semanticContaminationLsh(
           emb.join(clean1.withColumnRenamed("doc_id", "vec_id"), "vec_id"),
@@ -790,6 +801,25 @@ object SparkEntry {
       Similarity.semanticContaminationLsh(
         emb.filter(col("vec_id") % 50 =!= 3),
         emb.filter(col("vec_id") % 50 === 3), threshold = 0.3, dim = 64)
+    }),
+
+    // the 100 TB-SHAPED configuration of the same operator: planes is
+    // sign-LSH's nlist and must scale ~log2(corpus) — the 100x soak
+    // measured planes=6 at 130 s where planes=10 took 15.6 s on
+    // identical data (PLANS.md round 9). planes and tables scale
+    // JOINTLY: deeper buckets cut per-table recall at any fixed
+    // cosine (agreement^planes), so tables rises to hold detection —
+    // 8 -> 48 here keeps the LOW 0.3 threshold non-vacuously covered
+    // at sf0.01 (detection ~0.7%/table at 10 planes; the production
+    // near-dup regime >= 0.8 needs far fewer). Shipping both keeps
+    // the small-sf default AND the at-scale parameterization
+    // oracle-gated (same algebra, 480 salts, 10-bit buckets)
+    "q_sem_decontam_lsh10" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticContaminationLsh(
+        emb.filter(col("vec_id") % 50 =!= 3),
+        emb.filter(col("vec_id") % 50 === 3), threshold = 0.3, dim = 64,
+        planes = 10, tables = 48)
     }),
 
     // recall@5 of the LSH index against exact top-k — ANN quality as
@@ -1043,13 +1073,27 @@ object SparkEntry {
 
     // fixed-point integer PageRank over the functional event dep graph
     // (id -> id DIV 2): 3 Pregel rounds, each ONE message aggregate +
-    // one join; BIGINT ranks make the distributed sums exact, so the
-    // oracle checks every node bit-for-bit
+    // one join + two one-row broadcast scalars (dangling mass, node
+    // count — standard uniform redistribution); BIGINT ranks make the
+    // distributed sums exact, so the oracle checks every node
+    // bit-for-bit
     "q_pagerank" -> ((s, dir) => {
       val ids = EventReplay.loadEvents(s, dir).select(col("event_id").as("id"))
       val edges = ids.filter(col("id") > 0)
         .select(col("id").as("src"), expr("id DIV 2").as("dst"))
       graft.plans.PageRank.pageRankFixed(ids, edges, iters = 3)
+    }),
+
+    // the conservation audit: per-round total mass. With dangling
+    // redistribution every total stays at n * Scale minus only the
+    // deterministic division remainders — the oracle pins each round's
+    // sum, so silently dropped mass (the pre-round-10 formulation)
+    // cannot reappear
+    "q_pagerank_mass" -> ((s, dir) => {
+      val ids = EventReplay.loadEvents(s, dir).select(col("event_id").as("id"))
+      val edges = ids.filter(col("id") > 0)
+        .select(col("id").as("src"), expr("id DIV 2").as("dst"))
+      graft.plans.PageRank.pageRankMass(ids, edges, iters = 3)
     }),
 
     // ---- warehouse modeling + storage layout ----
@@ -1130,8 +1174,11 @@ object SparkEntry {
       // ONE map-side-combined word histogram feeds BOTH the sketch
       // (cell counts are sums over words — cmsBuildCounted bounds the
       // cell explode by vocabulary, not corpus tokens) and the exact
-      // candidates; checkpointed so the token explode runs once
-      val exact = tok.groupBy("word").agg(count(lit(1)).as("exact_n")).localCheckpoint()
+      // candidates; checkpointed so the token explode runs once —
+      // LAZILY, so merely building the frame (plan inspection, bench
+      // enumeration) runs no jobs and pins no blocks
+      val exact = tok.groupBy("word").agg(count(lit(1)).as("exact_n"))
+        .localCheckpoint(eager = false)
       val sketch = Sketches.cmsBuildCounted(
         exact.select(col("word"), col("exact_n").as("n")), d = 4, w = 1024)
       val cand = exact.orderBy(col("exact_n").desc, col("word")).limit(20)
@@ -2307,6 +2354,56 @@ object SparkEntry {
         |JOIN pest eb ON u.src_b = eb.source
         |JOIN exact e ON u.src_a = e.src_a AND u.src_b = e.src_b""".stripMargin,
 
+    // mirrors kmvSketch + kmvSetOpsFromSketches: the sketch CTE (sk)
+    // rebuilds the persisted artifact — everything DOWNSTREAM of sk
+    // consumes ONLY those k-row sketch rows (srcs included), proving
+    // the estimator needs no corpus access; no exact columns
+    "q_kmv_sketch_only" ->
+      """WITH tt AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS word FROM tt),
+        |hv AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5('kmv|' || word), 1, 15))::BIGINT AS h FROM tok),
+        |sk AS (SELECT source, h FROM hv
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |per AS (SELECT source, count(*) AS n, max(h) AS hk FROM sk GROUP BY 1),
+        |pest AS (SELECT source,
+        |    CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |      ELSE 255 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS est
+        |  FROM per),
+        |tagged AS (
+        |  SELECT src_a, src_b, h, max(ia) AS ia, max(ib) AS ib FROM (
+        |    SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+        |      FROM pairs p JOIN sk s ON s.source = p.src_a
+        |    UNION ALL
+        |    SELECT p.src_a, p.src_b, s.h, 0 AS ia, 1 AS ib
+        |      FROM pairs p JOIN sk s ON s.source = p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |merged AS (SELECT src_a, src_b, h, ia, ib FROM tagged
+        |  QUALIFY row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) <= 256),
+        |est AS (SELECT src_a, src_b, count(*) AS n, max(h) AS hk,
+        |    CAST(sum(ia * ib) AS BIGINT) AS c
+        |  FROM merged GROUP BY 1, 2),
+        |uest AS (SELECT src_a, src_b, c, n,
+        |    CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |      ELSE 255 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS u
+        |  FROM est)
+        |SELECT u.src_a, u.src_b,
+        |  CAST(round(ea.est) AS BIGINT) AS est_a,
+        |  CAST(round(eb.est) AS BIGINT) AS est_b,
+        |  CAST(round(u.u) AS BIGINT) AS est_union,
+        |  CAST(round(u.c * u.u / u.n) AS BIGINT) AS est_inter,
+        |  round(CAST(u.c AS DOUBLE) / CAST(u.n AS DOUBLE), 6) AS jaccard_est
+        |FROM uest u
+        |JOIN pest ea ON u.src_a = ea.source
+        |JOIN pest eb ON u.src_b = eb.source""".stripMargin,
+
     // mirrors Sketches.logHistQuantiles: same (binary-length, 3-bit
     // sub-bucket) log bucket, same floor-div-by-power-of-two lower
     // bound, same ceil rank threshold
@@ -2627,7 +2724,8 @@ object SparkEntry {
         |SELECT vec_id, bench_id, round(score, 6) AS score
         |FROM r WHERE rn = 1 AND round(score, 6) >= 0.3""".stripMargin,
 
-    "q_sem_decontam_lsh" -> semDecontamLshOracle,
+    "q_sem_decontam_lsh" -> semDecontamLshOracle(planes = 6, tables = 8),
+    "q_sem_decontam_lsh10" -> semDecontamLshOracle(planes = 10, tables = 48),
 
     // recall@5: exact top-k CTE (q_topk_cosine algebra) left-joined to
     // the annLsh candidate/rank algebra (32 salts = 8 tables x 4
@@ -2915,6 +3013,7 @@ object SparkEntry {
         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
 
     "q_pagerank" -> pageRankOracle(3),
+    "q_pagerank_mass" -> pageRankMassOracle(3),
 
     "q_scd2" ->
       """WITH ch AS (SELECT user_id, epoch_us(ts) AS tsu,
@@ -3405,24 +3504,46 @@ object SparkEntry {
     // asserted in SimilaritySpec.
   )
 
-  /** DuckDB mirror of PageRank.pageRankFixed over the id -> id DIV 2
-    * event graph: the damped rounds unroll as CTE pairs (message
-    * aggregate, rank update) — integer algebra, bit-for-bit.
+  /** DuckDB mirror of PageRank.pageRankRounds over the id -> id DIV 2
+    * event graph: the damped rounds unroll as CTE triples (dangling
+    * sum, message aggregate, rank update) — integer algebra,
+    * bit-for-bit, INCLUDING the uniform dangling-mass redistribution
+    * (g$i's summed rank of no-out-edge nodes, floor-shared per node).
     */
-  private def pageRankOracle(iters: Int): String = {
+  private def pageRankChain(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""m$i AS (SELECT e.dst AS id, CAST(sum(r${i - 1}.rank // e.deg) AS BIGINT) AS msg
+      s"""g$i AS (SELECT CAST(coalesce(sum(r${i - 1}.rank), 0) AS BIGINT) AS dang
+         |  FROM r${i - 1} LEFT JOIN d ON r${i - 1}.id = d.src WHERE d.src IS NULL),
+         |m$i AS (SELECT e.dst AS id, CAST(sum(r${i - 1}.rank // e.deg) AS BIGINT) AS msg
          |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src GROUP BY e.dst),
-         |r$i AS (SELECT n.id, CAST(150000000 + 85 * coalesce(m$i.msg, 0) // 100 AS BIGINT) AS rank
-         |  FROM n LEFT JOIN m$i ON n.id = m$i.id)""".stripMargin
+         |r$i AS (SELECT n.id,
+         |    CAST(150000000 + 85 * (coalesce(m$i.msg, 0) + g$i.dang // nn.n_nodes) // 100 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN m$i ON n.id = m$i.id CROSS JOIN g$i CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
     s"""WITH n AS (SELECT event_id AS id FROM events),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM n),
        |e0 AS (SELECT event_id AS src, event_id // 2 AS dst FROM events WHERE event_id > 0),
        |d AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
        |e AS (SELECT e0.src, e0.dst, d.deg FROM e0 JOIN d ON e0.src = d.src),
        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def pageRankOracle(iters: Int): String =
+    s"""${pageRankChain(iters)}
        |SELECT id, rank FROM r$iters""".stripMargin
+
+  /** Mass-conservation audit: every round's summed rank. With the
+    * dangling redistribution the totals stay pinned at n * Scale minus
+    * only the deterministic integer-division remainders — a dropped
+    * dangling term would show up here as a round-over-round decay.
+    */
+  private def pageRankMassOracle(iters: Int): String = {
+    val sums = (0 to iters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, CAST(sum(rank) AS BIGINT) AS total_rank FROM r$i")
+      .mkString("\n UNION ALL ")
+    s"""${pageRankChain(iters)}
+       |$sums""".stripMargin
   }
 
   /** DuckDB mirror of the banded MinHash-LSH algebra (salts 0..11,
@@ -3734,22 +3855,26 @@ object SparkEntry {
       |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cosine
       |  FROM cand JOIN v a ON a.vec_id = vec_a JOIN v b ON b.vec_id = vec_b)
       |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM s WHERE cosine >= 0.3""".stripMargin
-  /** DuckDB mirror of q_sem_decontam_lsh: the [[embedNearDupOracle]]
-    * bucket algebra (48 salts = 8 tables x 6 planes) split into a
-    * capped bench side and a corpus side, bucket-joined candidates,
-    * exact cosine, arg-max per corpus vector (score DESC, bench_id
-    * DESC = the struct max), threshold on the rounded score.
+  /** DuckDB mirror of q_sem_decontam_lsh / q_sem_decontam_lsh10: the
+    * [[embedNearDupOracle]] bucket algebra (`tables * planes` salts)
+    * split into a capped bench side and a corpus side, bucket-joined
+    * candidates, exact cosine, arg-max per corpus vector (score DESC,
+    * bench_id DESC = the struct max), threshold on the rounded score.
+    * Parametrized over `planes` because the shipped surface carries
+    * BOTH the small-sf default (6) and the 100 TB-shaped
+    * configuration (10) — the probe-measured 45x difference at the
+    * 100x soak (PLANS.md round 9).
     */
-  private def semDecontamLshOracle: String =
-    """WITH hp AS (
+  private def semDecontamLshOracle(planes: Int, tables: Int): String =
+    s"""WITH hp AS (
       |  SELECT k.k, d.d,
       |    ('0x' || substr(md5(k.k || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS val
-      |  FROM (SELECT unnest(range(48)) AS k) k, (SELECT unnest(range(64)) AS d) d),
+      |  FROM (SELECT unnest(range(${tables * planes})) AS k) k, (SELECT unnest(range(64)) AS d) d),
       |e AS (SELECT vec_id, d.d, CAST(embedding[d.d + 1] AS DOUBLE) AS x
       |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
       |proj AS (SELECT e.vec_id, hp.k, sum(e.x * hp.val) AS pr
       |  FROM e JOIN hp ON e.d = hp.d GROUP BY 1, 2),
-      |bk AS (SELECT vec_id, (k // 6) AS tbl,
+      |bk AS (SELECT vec_id, (k // $planes) AS tbl,
       |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bits
       |  FROM proj GROUP BY 1, 2),
       |b0 AS (SELECT vec_id, tbl || ':' || bits AS bucket FROM bk),

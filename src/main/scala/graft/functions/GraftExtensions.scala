@@ -29,7 +29,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => HammingExpr(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect_n"),
-      new ExpressionInfo(classOf[SortedIntersectExpr].getName, "graft_sorted_intersect_n"),
+      // the PRECONDITION is part of the SQL surface: a caller that
+      // skips sort_array gets a silent undercount, so the contract
+      // must be visible in DESCRIBE FUNCTION, not only in Scaladoc
+      new ExpressionInfo(classOf[SortedIntersectExpr].getName, null,
+        "graft_sorted_intersect_n",
+        "graft_sorted_intersect_n(a, b) - Intersection size of two ARRAY<STRING> " +
+          "columns. PRECONDITION: both arrays must be sorted ascending in Spark's " +
+          "binary string order with distinct elements (sort_array(collect_set(...)) " +
+          "or sort_array(collect_list(...)) over a distinct stream); unsorted input " +
+          "silently undercounts. Null elements are skipped.",
+        "> SELECT graft_sorted_intersect_n(array('a','b','c'), array('b','c','d'));\n   2"),
       (exprs: Seq[Expression]) => SortedIntersectExpr(exprs.head, exprs(1))))
   }
 }

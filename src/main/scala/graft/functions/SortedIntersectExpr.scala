@@ -11,13 +11,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 /** Static kernel shared by interpreted eval and generated code. */
 object SortedIntersect {
   /** |A ∩ B| of two arrays SORTED ascending by Spark's binary string
-    * order (`sort_array` output) with distinct, non-null elements — a
-    * single merge walk over in-place `UTF8String` views: zero
-    * allocation, no per-call hash set, O(|A| + |B|).
+    * order (`sort_array` output) with distinct elements — a single
+    * merge walk over in-place `UTF8String` views: zero allocation, no
+    * per-call hash set, O(|A| + |B|). Null ELEMENTS are skipped
+    * defensively (a null never matches anything, so skipping preserves
+    * the intersection count on otherwise-valid input and keeps a SQL
+    * caller's stray null from NPE-ing inside codegen); `sort_array`
+    * places nulls first, so the skip is a prefix walk.
     */
   def interSize(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var n = 0L
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
     while (i < na && j < nb) {
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { n += 1L; i += 1; j += 1 }

@@ -33,12 +33,32 @@ object SetSimJoin {
   /** All pairs (doc_a < doc_b) with |A n B| / |A u B| >= tauNum/tauDen
     * over distinct-token sets of `textCol`. Output: doc_a, doc_b,
     * inter_n, union_n.
+    *
+    * Composed from package-private stage builders ([[tokStage]] →
+    * [[prefixStage]] → [[candStage]] → [[setsStage]]/[[verifyStage]])
+    * so the stage-timing diagnostic ([[graft.SetsimProbe]]) times THE
+    * SAME DataFrames this operator ships — a probe that re-derived the
+    * algebra would silently drift when the operator changes.
     */
   def jaccardJoin(docs: DataFrame, textCol: String, idCol: String,
                   tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = tokStage(docs, textCol, idCol)
+    val pf = prefixStage(tok, tauNum, tauDen)
+    val cand = candStage(pf, tauNum, tauDen)
+    verifyStage(cand, setsStage(tok), tauNum, tauDen)
+  }
+
+  /** Distinct (doc_id, word) token stream. */
+  private[graft] def tokStage(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       explode(Dedup.tokens(col(textCol))).as("word")).distinct()
+
+  /** Prefix-token table (doc_id, word, rn, s): each doc's tokens in
+    * the global rarest-first order, kept only within the standalone
+    * prefix `|s| - ceil(tau*|s|) + 1`.
+    */
+  private[graft] def prefixStage(tok: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("s"))
     val fr = tok.groupBy("word").agg(count(lit(1)).as("f"))
     // global rarest-first total order (freq, then token) per doc
@@ -47,23 +67,30 @@ object SetSimJoin {
         Window.partitionBy(col("doc_id")).orderBy(col("f"), col("word"))))
     // prefix length |s| - ceil(tau*|s|) + 1, all integer; keep (rn, s)
     // so the candidate join can test positions and sizes in-place
-    val pf = rk.join(sz, "doc_id")
+    rk.join(sz, "doc_id")
       .filter(col("rn") <= col("s") - expr(s"($tauNum * s + ${tauDen - 1}) DIV $tauDen") + 1)
       .select(col("doc_id"), col("word"), col("rn"), col("s"))
+  }
 
-    // PPJoin refinements, all inside the candidate join so pruned
-    // collisions never reach the pair-dedup shuffle:
-    //  - length filter (tau*|x| <= |y| both ways; J >= tau implies it)
-    //    moved from post-candidate to the join condition,
-    //  - pair-tight prefix: with alpha = ceil(tau/(1+tau)*(sa+sb)) the
-    //    shared token must sit within the first s - alpha + 1 tokens of
-    //    BOTH docs (tighter than each doc's standalone prefix),
-    //  - positional filter: a token shared at positions (pa, pb) bounds
-    //    the overlap by min(pa-1, pb-1) [tokens before it in the global
-    //    order] + 1 + min(sa-pa, sb-pb) [tokens after it]; a pair whose
-    //    BEST bound over all prefix collisions is < alpha cannot reach
-    //    J >= tau. (rn is a position in the same (f, word) total order
-    //    for every doc, so cross-doc position arithmetic is sound.)
+  /** Surviving candidate pairs (da < db, sa, sb, alpha, ub) from the
+    * prefix table — the PPJoin candidate join plus the positional
+    * upper-bound prune.
+    *
+    * PPJoin refinements, all inside the candidate join so pruned
+    * collisions never reach the pair-dedup shuffle:
+    *  - length filter (tau*|x| <= |y| both ways; J >= tau implies it)
+    *    moved from post-candidate to the join condition,
+    *  - pair-tight prefix: with alpha = ceil(tau/(1+tau)*(sa+sb)) the
+    *    shared token must sit within the first s - alpha + 1 tokens of
+    *    BOTH docs (tighter than each doc's standalone prefix),
+    *  - positional filter: a token shared at positions (pa, pb) bounds
+    *    the overlap by min(pa-1, pb-1) [tokens before it in the global
+    *    order] + 1 + min(sa-pa, sb-pb) [tokens after it]; a pair whose
+    *    BEST bound over all prefix collisions is < alpha cannot reach
+    *    J >= tau. (rn is a position in the same (f, word) total order
+    *    for every doc, so cross-doc position arithmetic is sound.)
+    */
+  private[graft] def candStage(pf: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     // asymmetric index prefix (PPJoin's self-join refinement): order
     // records by (size, id); the probing side `a` keeps the full
     // prefix, but the indexed (smaller) side `b` only needs
@@ -78,7 +105,7 @@ object SetSimJoin {
     val aId = col("a.doc_id"); val bId = col("b.doc_id")
     val alpha = expr(s"($tauNum * (a.s + b.s) + ${tauNum + tauDen - 1}) DIV ${tauNum + tauDen}")
     val ub = least(pa, pb) + least(sa - pa, sb - pb)
-    val cand = pf.as("a").join(pfIdx.as("b"),
+    pf.as("a").join(pfIdx.as("b"),
         col("a.word") === col("b.word") &&
         (sb < sa || (sb === sa && bId < aId)) &&
         lit(tauNum) * sa <= lit(tauDen) * sb &&
@@ -96,15 +123,23 @@ object SetSimJoin {
       .groupBy("da", "db", "sa", "sb", "alpha")
       .agg(min(col("ub")).as("ub"))
       .filter(col("ub") >= col("alpha"))
-    // verify with a per-row intersect over the two token arrays: two
-    // slim joins (array payload = one doc's distinct tokens), no
-    // candidate x token explode, no extra shuffle — ~4x faster than
-    // the join-count formulation on a template-heavy corpus. The
-    // intersect itself is the native zero-allocation merge walk over
-    // the sorted arrays (SortedIntersectExpr) — array_intersect builds
-    // a hash set per candidate PAIR, which is the allocation bill the
-    // sf10 soak measured dominating the verify stage
-    val sets = tok.groupBy("doc_id").agg(sort_array(collect_list(col("word"))).as("ws"))
+  }
+
+  /** Per-doc sorted distinct-token arrays for the verify joins. */
+  private[graft] def setsStage(tok: DataFrame): DataFrame =
+    tok.groupBy("doc_id").agg(sort_array(collect_list(col("word"))).as("ws"))
+
+  /** Exact-Jaccard verification of the candidates: two slim joins
+    * (array payload = one doc's distinct tokens), no candidate x token
+    * explode, no extra shuffle — ~4x faster than the join-count
+    * formulation on a template-heavy corpus. The intersect itself is
+    * the native zero-allocation merge walk over the sorted arrays
+    * (SortedIntersectExpr) — array_intersect builds a hash set per
+    * candidate PAIR, which is the allocation bill the sf10 soak
+    * measured dominating the verify stage.
+    */
+  private[graft] def verifyStage(cand: DataFrame, sets: DataFrame,
+                                 tauNum: Int, tauDen: Int): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("da"), col("ws").as("wa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("ws").as("wb")), "db")
@@ -113,5 +148,4 @@ object SetSimJoin {
       .filter(lit(tauDen + tauNum) * col("i") >= lit(tauNum) * (col("sa") + col("sb")))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("i").as("inter_n"), (col("sa") + col("sb") - col("i")).as("union_n"))
-  }
 }

@@ -422,14 +422,36 @@ object Similarity {
     * an index parameter ([[annIvf]]'s `centroids` option). Same loop,
     * same fixed-point algebra, bit-identical to what [[kmeans]]
     * assigns against.
+    *
+    * `trainSample > 0` bounds TRAINING to that many vectors, picked in
+    * deterministic md5-hash order (the `sampleK`/`hashSplit`
+    * convention — stable under re-runs and partitioning, zero RNG
+    * state): at 100 TB an index build must not scan the corpus
+    * `iters` times, and k-means needs only a representative sample —
+    * Faiss's convention is ~max(10k, 256·k) training vectors
+    * regardless of corpus size. 0 (the default) trains on everything,
+    * preserving the oracle-gated bit-exact contract.
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 3, dim: Int = 64,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
-    val qdf = kmQuantized(embeddings, idCol, vecCol)
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      trainSample: Int = 0): Array[Array[Double]] = {
+    val qdf = kmQuantized(trainSampleOf(embeddings, idCol, trainSample), idCol, vecCol)
     val cents = kmeansCentroidsOf(qdf, k, iters, dim)
     graft.plans.CheckpointHygiene.free(qdf)
     cents
   }
+
+  /** Deterministic bounded training sample: the n vectors with the
+    * smallest md5("kmtrain|" + id) — a hash-order prefix, so samples
+    * are reproducible across runs/partitionings and a larger sample
+    * extends a smaller one (the `sampleK` rule). Runs as a map-side
+    * partial TakeOrderedAndProject: each task forwards at most n rows.
+    */
+  private def trainSampleOf(embeddings: DataFrame, idCol: String, n: Int): DataFrame =
+    if (n <= 0) embeddings
+    else embeddings
+      .orderBy(md5(concat(lit("kmtrain|"), col(idCol).cast("string"))), col(idCol))
+      .limit(n)
 
   private def kmQuantized(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val scale = 1048576.0 // 2^20
@@ -821,16 +843,27 @@ object Similarity {
     * index-build cost, amortized over the index lifetime); the same
     * fixed-point mean algebra as [[kmeans]], so training is
     * bit-reproducible under any partitioning.
+    *
+    * `trainSample > 0` bounds training to a deterministic hash-order
+    * sample (see [[kmeansCentroids]]) picked ONCE and shared by all m
+    * subspace trainings — at 100 TB the build cost drops from
+    * m·iters corpus scans to m·iters scans of a fixed-size sample.
     */
   def pqLearnedCodebooks(embeddings: DataFrame, dim: Int, m: Int = 8,
                          codes: Int = 16, iters: Int = 2,
-                         vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+                         vecCol: String = "embedding", idCol: String = "vec_id",
+                         trainSample: Int = 0): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
+    // one sample for every subspace: the slice UDFs all read the same
+    // (lazily checkpointed) bounded frame instead of m corpus scans
+    val train =
+      if (trainSample <= 0) embeddings
+      else trainSampleOf(embeddings, idCol, trainSample).localCheckpoint(eager = false)
     Array.tabulate(m) { s =>
       val slice = udf { (v: Seq[Float]) => v.slice(s * subDim, (s + 1) * subDim) }
       kmeansCentroids(
-        embeddings.select(lit(0L).as("__id"), slice(col(vecCol)).as("__sub")),
+        train.select(lit(0L).as("__id"), slice(col(vecCol)).as("__sub")),
         k = codes, iters = iters, dim = subDim, idCol = "__id", vecCol = "__sub")
     }
   }

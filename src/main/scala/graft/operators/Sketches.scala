@@ -32,6 +32,16 @@ object Sketches {
     pmod(conv(substring(md5(concat(lit("cms|"), col("word"))), 1 + 7 * i, 7), 16, 10)
       .cast("long"), lit(w.toLong)).as("col"))
 
+  // an md5 has 32 hex chars = four disjoint 7-char windows (+4 spare):
+  // row 4 would get a 16-bit window and rows >= 5 an EMPTY substring
+  // (conv -> null, rows silently vanish from estimate joins), so the
+  // public d parameter is hard-bounded rather than silently degraded
+  private def requireD(d: Int): Unit =
+    require(d >= 1 && d <= 4,
+      s"CMS depth d=$d out of range: the single-md5 cell slicing carries exactly " +
+        "four independent 28-bit windows (d in 1..4); deeper tables need per-row " +
+        "salted digests, which this builder deliberately avoids (one md5 per token)")
+
   /** Build the d x w counter table from a (word) column: one explode
     * (d cells per token) + one aggregate. Output (row, col, c).
     * Streaming-safe (a single aggregate). For BATCH builds prefer
@@ -40,30 +50,36 @@ object Sketches {
     * shrinks the cell explode from per-occurrence to per-distinct-word
     * — measured 25 s -> ~4 s on the 100x heavy-hitters soak.
     */
-  def cmsBuild(tok: DataFrame, d: Int, w: Int): DataFrame =
+  def cmsBuild(tok: DataFrame, d: Int, w: Int): DataFrame = {
+    requireD(d)
     tok.select(explode(array((0 until d).map(cell(_, w)): _*)).as("rc"))
       .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
       .agg(count(lit(1)).as("c"))
+  }
 
   /** [[cmsBuild]] from an already-aggregated (word, n) histogram —
     * identical counters (cell counts are sums over the cell's words),
     * with the explode bounded by VOCABULARY size instead of corpus
     * token count.
     */
-  def cmsBuildCounted(wordCounts: DataFrame, d: Int, w: Int): DataFrame =
+  def cmsBuildCounted(wordCounts: DataFrame, d: Int, w: Int): DataFrame = {
+    requireD(d)
     wordCounts.select(explode(array((0 until d).map(cell(_, w)): _*)).as("rc"), col("n"))
       .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
       .agg(sum(col("n")).as("c"))
+  }
 
   /** Point-query the sketch for each candidate word: est = min over
     * the word's d cells. The sketch is tiny (d*w rows) — the join
     * broadcasts.
     */
-  def cmsEstimate(sketch: DataFrame, candidates: DataFrame, d: Int, w: Int): DataFrame =
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame, d: Int, w: Int): DataFrame = {
+    requireD(d)
     candidates.select(col("word"), explode(array((0 until d).map(cell(_, w)): _*)).as("rc"))
       .select(col("word"), col("rc.row").as("row"), col("rc.col").as("col"))
       .join(broadcast(sketch), Seq("row", "col"))
       .groupBy("word").agg(min(col("c")).as("est_n"))
+  }
 
   /** HyperLogLog registers of a token stream, per stratum: 2^b
     * registers, register j = max over the bucket's items of
@@ -276,25 +292,27 @@ object Sketches {
       .select(col("source"), col("h"), col("rn"))
   }
 
-  /** Set-operation estimates for every unordered stratum pair from
-    * KMV sketches alone: union / intersection cardinality and Jaccard,
-    * via the k smallest values of the MERGED sketch (kth value ->
-    * union estimate `(k-1) * M / h_k`; the fraction of those k present
-    * in BOTH sketches -> Jaccard; their product -> intersection). When
-    * the merged sketch holds fewer than k values it IS the union hash
-    * set and the estimates are exact. Exact per-pair token overlap
-    * rides along as the accuracy audit (the cms/join-size convention);
-    * at 100 TB the exact columns are the expensive part — the sketch
-    * columns cost k rows per stratum, which is the point.
+  /** Set-operation ESTIMATES for every unordered stratum pair from
+    * persisted KMV sketch rows ALONE — the artifact path: input is the
+    * `(source, h[, rn])` table [[kmvSketch]] emits (persisted
+    * yesterday, read back today — the `nearDupAgainst` convention),
+    * and NOTHING here touches a corpus. Union cardinality comes from
+    * the kth smallest value of the MERGED sketch (`(k-1) * M / h_k`),
+    * Jaccard from the fraction of those k present in BOTH sketches,
+    * intersection from their product; a merged sketch under k values
+    * IS the union hash set and the estimates are exact.
+    *
+    * Scale shape: every frame here is at most k rows per stratum /
+    * per pair — at 100 TB cross-crawl overlap costs a broadcast join
+    * over kilobytes, not a corpus scan. Output: (src_a, src_b, est_a,
+    * est_b, est_union, est_inter, jaccard_est).
     */
-  def kmvSetOps(docs: DataFrame, textCol: String, strataCol: String,
-                k: Int = 256, shingleN: Int = 0): DataFrame = {
+  def kmvSetOpsFromSketches(sketches: DataFrame, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sk = kmvSketch(docs, textCol, strataCol, k, shingleN).localCheckpoint()
+    val sk = sketches.select(col("source"), col("h"))
     val srcs = sk.select(col("source")).distinct()
     val pairs = srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .localCheckpoint()
     // per-source estimate from each sketch's own kth value
     val per = sk.groupBy("source")
       .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
@@ -312,12 +330,34 @@ object Sketches {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
       .filter(col("rn") <= k)
-    val est = merged.groupBy("src_a", "src_b")
+    merged.groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n"), max(col("h")).as("hk"),
         sum(col("ia") * col("ib")).as("c"))
       .select(col("src_a"), col("src_b"), col("c"), col("n"),
         when(col("n") < k, col("n").cast("double"))
           .otherwise(lit((k - 1).toDouble * KmvM) / col("hk").cast("double")).as("u"))
+      .join(per.select(col("source").as("src_a"), col("est").as("ea")), "src_a")
+      .join(per.select(col("source").as("src_b"), col("est").as("eb")), "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("ea")).cast("long").as("est_a"),
+        round(col("eb")).cast("long").as("est_b"),
+        round(col("u")).cast("long").as("est_union"),
+        round(col("c") * col("u") / col("n")).cast("long").as("est_inter"),
+        round(col("c").cast("double") / col("n").cast("double"), 6).as("jaccard_est"))
+  }
+
+  /** The AUDITED form: [[kmvSetOpsFromSketches]] over a freshly built
+    * sketch, with the exact per-pair overlap joined on as the accuracy
+    * report (the cms/join-size convention). This is the calibration
+    * run — it scans the corpus BY DESIGN (exact columns cannot come
+    * from k rows); steady-state cross-corpus questions should persist
+    * [[kmvSketch]] output and use the estimate-only entry point.
+    */
+  def kmvSetOps(docs: DataFrame, textCol: String, strataCol: String,
+                k: Int = 256, shingleN: Int = 0): DataFrame = {
+    val sk = kmvSketch(docs, textCol, strataCol, k, shingleN)
+      .localCheckpoint(eager = false)
+    val est = kmvSetOpsFromSketches(sk, k)
     // exact audit. NOT the per-pair tag-merge: that duplicates every
     // stratum's full item set once per pair (s-1 copies each — at 20
     // sources it 19x'ed the corpus and went quadratic in strata).
@@ -326,7 +366,8 @@ object Sketches {
     // C(strata, 2) rows per item; union comes free by
     // inclusion-exclusion from per-stratum counts.
     val tok = kmvItems(docs, textCol, strataCol, shingleN).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    val pairs = est.select(col("src_a"), col("src_b"))
     val interEx = tok.as("a").join(tok.as("b"),
         col("a.word") === col("b.word") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
@@ -339,16 +380,6 @@ object Sketches {
       .select(col("src_a"), col("src_b"),
         coalesce(col("ei"), lit(0L)).as("exact_inter"),
         (col("na") + col("nb") - coalesce(col("ei"), lit(0L))).as("exact_union"))
-    est
-      .join(per.select(col("source").as("src_a"), col("est").as("ea")), "src_a")
-      .join(per.select(col("source").as("src_b"), col("est").as("eb")), "src_b")
-      .join(exact, Seq("src_a", "src_b"))
-      .select(col("src_a"), col("src_b"),
-        round(col("ea")).cast("long").as("est_a"),
-        round(col("eb")).cast("long").as("est_b"),
-        round(col("u")).cast("long").as("est_union"),
-        round(col("c") * col("u") / col("n")).cast("long").as("est_inter"),
-        round(col("c").cast("double") / col("n").cast("double"), 6).as("jaccard_est"),
-        col("exact_inter"), col("exact_union"))
+    est.join(exact, Seq("src_a", "src_b"))
   }
 }

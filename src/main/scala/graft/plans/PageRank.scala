@@ -22,10 +22,18 @@ import org.apache.spark.sql.functions._
   *    the reduction order. Contributions use integer division
   *    (`rank DIV deg`, remainder dropped deterministically), damping is
   *    `base + num * msg DIV den`.
-  *  - Dangling-node mass is dropped rather than redistributed (a global
-  *    scalar broadcast per round would be easy but is not needed for a
-  *    deterministic centrality ranking); documented divergence from
-  *    textbook PR.
+  *  - Dangling-node mass is redistributed UNIFORMLY (standard PR): per
+  *    round, the summed rank of nodes with no out-edge becomes a
+  *    per-node share `dang DIV n_nodes` added to every node's message.
+  *    Both scalars (the dangling sum and the node count) are ONE-ROW
+  *    broadcast aggregates cross-joined in — a BroadcastNestedLoopJoin
+  *    over a single row, the repo's scalar-join convention — so the
+  *    loop stays fully declarative with no driver collect. With
+  *    redistribution the total mass is conserved each round up to the
+  *    deterministic integer-division remainders (each node drops < deg
+  *    units at the contribution split, < den at damping, and the
+  *    dangling share drops < n_nodes units globally) — asserted
+  *    per-round by the q_pagerank_mass oracle.
   *
   * A fixed iteration count keeps the plan statically known (and the
   * oracle expressible as an unrolled CTE chain).
@@ -37,20 +45,54 @@ object PageRank {
     * after `iters` damped rounds, rank in 1e-9 units.
     */
   def pageRankFixed(nodes: DataFrame, edges: DataFrame, iters: Int,
-                    dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+                    dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    pageRankRounds(nodes, edges, iters, dampNum, dampDen).last
+
+  /** Every round's rank frame, r(0) = uniform through r(iters) — the
+    * building block shared by [[pageRankFixed]] (which keeps the last)
+    * and the mass-conservation audit (which sums each one).
+    */
+  def pageRankRounds(nodes: DataFrame, edges: DataFrame, iters: Int,
+                     dampNum: Long = 85, dampDen: Long = 100): Seq[DataFrame] = {
     val n = nodes.select(col("id"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, "src")
     val base = (dampDen - dampNum) * Scale / dampDen
+    // node count: one-row broadcast scalar, computed once outside the loop
+    val nn = broadcast(n.agg(count(lit(1)).as("n_nodes")))
     var ranks = n.withColumn("rank", lit(Scale))
+    val out = Seq.newBuilder[DataFrame]
+    out += ranks
     for (_ <- 1 to iters) {
       val msg = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank DIV deg").as("contrib"))
         .groupBy("id").agg(sum(col("contrib")).as("msg"))
-      ranks = n.join(msg, Seq("id"), "left")
+      // dangling mass = ranks of nodes that are no edge's src; its
+      // uniform share joins every node as a one-row broadcast scalar
+      val dang = broadcast(
+        ranks.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dang")))
+      ranks = n.join(msg, Seq("id"), "left").crossJoin(dang).crossJoin(nn)
         .select(col("id"),
-          expr(s"${base}L + ${dampNum}L * coalesce(msg, 0L) DIV ${dampDen}L").as("rank"))
+          expr(s"${base}L + ${dampNum}L * (coalesce(msg, 0L) + dang DIV n_nodes)" +
+            s" DIV ${dampDen}L").as("rank"))
+      out += ranks
     }
-    ranks
+    out.result()
   }
+
+  /** Per-round total mass (round, total_rank): with dangling
+    * redistribution each total stays within the deterministic
+    * remainder budget of n_nodes * Scale — the conservation audit the
+    * textbook formulation implies, exposed as an oracle-checkable
+    * frame.
+    */
+  def pageRankMass(nodes: DataFrame, edges: DataFrame, iters: Int,
+                   dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    pageRankRounds(nodes, edges, iters, dampNum, dampDen).zipWithIndex
+      .map { case (r, i) =>
+        r.agg(sum(col("rank")).as("total_rank"))
+          .select(lit(i.toLong).as("round"), col("total_rank"))
+      }
+      .reduce(_.unionByName(_))
 }

@@ -25,17 +25,35 @@ object StreamingSemDecontaminate {
   final case class VecRecord(vec_id: Long, embedding: Seq[Float])
 
   /** Driver-built bench index: per-bucket capped ascending bench ids
-    * (the `capBucket` rule) + the bench vectors themselves.
+    * (the `capBucket` rule) + the bench vectors WITH their norms —
+    * norms are a property of the index, computed once at build time,
+    * never per arriving row.
     */
   final case class BenchIndex(buckets: Map[String, Array[Long]],
-                              vecs: Map[Long, Array[Float]],
+                              vecs: Map[Long, (Array[Float], Double)],
                               planes: Int, tables: Int, dim: Int)
 
+  /** Size contract, enforced (the batch brute path's
+    * [[Similarity.semanticContamination]] guard, mirrored): the index
+    * is collected to the DRIVER and broadcast into the flatMap
+    * closure, so an unbounded bench side OOMs the driver silently.
+    * Benchmarks are small by nature; a "bench" table over the bound is
+    * a corpus, and corpus-vs-corpus questions belong to the batch LSH
+    * path ([[Similarity.semanticContaminationLsh]]) over persisted
+    * frames, not a driver-resident stream index. The limit bounds the
+    * probe scan.
+    */
   def benchIndex(bench: DataFrame, dim: Int, planes: Int = 6, tables: Int = 8,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 bucketCap: Int = 128): BenchIndex = {
+                 bucketCap: Int = 128,
+                 maxBenchRows: Long = Similarity.DefaultMaxBenchRows): BenchIndex = {
     val spark = bench.sparkSession
     import spark.implicits._
+    val benchRows = bench.limit((maxBenchRows + 1).toInt).count()
+    require(benchRows <= maxBenchRows,
+      s"StreamingSemDecontaminate.benchIndex collects the bench side to the driver: " +
+        s"bench has >$maxBenchRows rows; a set that size is a corpus, not a benchmark " +
+        s"— run batch semanticContaminationLsh over persisted frames instead")
     val rows = bench.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])].collect()
     val keysOf = Similarity.bucketKeysScalar(planes, tables, dim)
@@ -43,8 +61,11 @@ object StreamingSemDecontaminate {
       .flatMap { case (id, v) => keysOf(v).map(k => (k, id)) }
       .toSeq.groupBy(_._1)
       .map { case (k, xs) => k -> xs.map(_._2).sorted.take(bucketCap).toArray }
-    BenchIndex(buckets, rows.map { case (id, v) => id -> v.toArray }.toMap,
-      planes, tables, dim)
+    val vecs = rows.map { case (id, v) =>
+      val arr = v.toArray
+      id -> (arr, math.sqrt(Similarity.dotScalar(arr, arr)))
+    }.toMap
+    BenchIndex(buckets, vecs, planes, tables, dim)
   }
 
   /** Per-vector contamination flags (vec_id, bench_id, score) for
@@ -70,8 +91,7 @@ object StreamingSemDecontaminate {
         var bestS = Double.NegativeInfinity
         var bestB = Long.MinValue
         cands.foreach { b =>
-          val bv = idx.vecs(b).toSeq
-          val bn = math.sqrt(Similarity.dotScalar(bv, bv))
+          val (bv, bn) = idx.vecs(b)
           val s = Similarity.dotScalar(v, bv) / (vn * bn)
           if (s > bestS || (s == bestS && b > bestB)) { bestS = s; bestB = b }
         }

@@ -47,4 +47,28 @@ class StreamingSemDecontaminateSpec extends AnyFunSuite with SharedSpark {
         s"diff=${(streamed.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff streamed.toSet).take(3)}")
     assert(batch.nonEmpty, "no contamination flagged in fixture?")
   }
+
+  test("benchIndex refuses an unbounded bench side; index unchanged at the bound") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = all.filter(col("vec_id") % 50 === 3)
+    val n = bench.count()
+    // over the bound: refusal names the bound and the batch LSH path
+    // (the driver-collect mirror of Similarity.semanticContamination's
+    // guard — an unbounded "benchmark" is a corpus)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingSemDecontaminate.benchIndex(bench, dim = 64,
+        maxBenchRows = n - 1)
+    }
+    assert(ex.getMessage.contains(s">${n - 1} rows") &&
+      ex.getMessage.contains("semanticContaminationLsh"))
+    // exactly at the bound: same index as the default, bit-for-bit
+    // (so tightening the guard can never change flag output)
+    val idxDefault = graft.streaming.StreamingSemDecontaminate.benchIndex(bench, dim = 64)
+    val idxBounded = graft.streaming.StreamingSemDecontaminate.benchIndex(bench, dim = 64,
+      maxBenchRows = n)
+    assert(idxBounded.buckets.view.mapValues(_.toSeq).toMap ==
+      idxDefault.buckets.view.mapValues(_.toSeq).toMap)
+    assert(idxBounded.vecs.view.mapValues { case (v, nrm) => (v.toSeq, nrm) }.toMap ==
+      idxDefault.vecs.view.mapValues { case (v, nrm) => (v.toSeq, nrm) }.toMap)
+  }
 }
