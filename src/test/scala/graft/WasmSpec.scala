@@ -463,6 +463,178 @@ class WasmSpec extends AnyFunSuite {
     assert(new String(dat.toArray, "UTF-8") == "the dog ran")
   }
 
+  // ---- rustc-compiled JSON-protocol fixture: the reference's LITERAL
+  // UDF contract ----
+  // src/test/resources/graft/wasm/sear_json.wasm is built by real
+  // rustc (nightly, wasm32-unknown-unknown, same flags as sear_rustc)
+  // from tools/sear_json.rs: arg is JSON {"search": ..., "replacement":
+  // ...} — the exact protocol of wasm-crates/example-sear/src/lib.rs:
+  // 4-11 (serde_json parse, str::from_utf8 on both buffers,
+  // str::replace) — with every reference .unwrap() panic surfacing as
+  // a wasm trap. The container has no wasm32 std/registry (zero
+  // egress), so the serde_json subset the reference exercises (object
+  // values, full string escapes incl. surrogate pairs, strict
+  // trailing-garbage/control-char/UTF-8 rejection) is reimplemented
+  // in the same #![no_core] style and held to a byte-level model of
+  // Rust str::replace semantics here.
+
+  /** Rust `str::replace` on UTF-8 bytes: non-overlapping left-to-right
+    * byte matches (char-aligned for valid UTF-8 by the prefix
+    * property); the empty pattern inserts the replacement at every
+    * char boundary, both ends included.
+    */
+  private def rustReplace(dat: Array[Byte], s: Array[Byte], r: Array[Byte]): Array[Byte] = {
+    val out = ArrayBuffer[Byte]()
+    if (s.isEmpty) {
+      var i = 0
+      while (i < dat.length) {
+        if ((dat(i) & 0xC0) != 0x80) out ++= r
+        out += dat(i); i += 1
+      }
+      out ++= r
+    } else {
+      var i = 0
+      while (i < dat.length) {
+        if (i + s.length <= dat.length &&
+            java.util.Arrays.equals(dat, i, i + s.length, s, 0, s.length)) {
+          out ++= r; i += s.length
+        } else { out += dat(i); i += 1 }
+      }
+    }
+    out.toArray
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def jsonArg(search: String, repl: String): ArraySeq[Byte] =
+    bytes(s"""{"search": "${jsonEscape(search)}", "replacement": "${jsonEscape(repl)}"}""")
+
+  test("json fixture decodes: wbindgen export set from real compiler output") {
+    val mod = WasmModule.decode(fixture("sear_json.wasm"))
+    assert(mod.exports.keySet == Set("memory", "__wbindgen_malloc",
+      "__wbindgen_add_to_stack_pointer", "__wbindgen_free", "transform"))
+    assert(mod.memMinPages >= 17) // wasm-ld's 1 MiB shadow stack
+  }
+
+  test("json fixture: the reference's literal protocol (serde_json + str::replace)") {
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_json.wasm")))
+    def run(arg: ArraySeq[Byte], dat: String): String =
+      new String(en.runEvent(0, arg, bytes(dat)).toArray, "UTF-8")
+    // the reference's own flow, lib.rs:4-11
+    assert(run(jsonArg("cat", "dog"), "the cat sat") == "the dog sat")
+    // Java's String.replace agrees with Rust's on BMP text — use it as
+    // an independent second model for a few spots
+    assert(run(jsonArg("l", "LL"), "hello") == "hello".replace("l", "LL"))
+    // multibyte needles and docs (é = 2 bytes, 日 = 3 bytes)
+    assert(run(jsonArg("é", "e"), "héllo wörld é") == "hello wörld e")
+    assert(run(jsonArg("日本", "JP"), "日本語 and 日本") == "JP語 and JP")
+    // \uXXXX escapes: BMP and a surrogate pair (U+1F600)
+    assert(run(bytes("""{"search": "a", "replacement": "b"}"""), "banana") == "bbnbnb")
+    assert(run(bytes("""{"search": "😀", "replacement": ":)"}"""),
+      "hi 😀!") == "hi :)!")
+    // escape forms in both key values
+    assert(run(jsonArg("\n", " "), "a\nb\nc") == "a b c")
+    assert(run(jsonArg("\"q\"", "'q'"), """say "q" loud""") == "say 'q' loud")
+    // whitespace tolerance, nested skipped values, duplicate key
+    // last-wins (serde_json map semantics)
+    assert(run(bytes(
+      """ { "meta": {"a": [1, true, null, "s"], "b": -2.5e3}, """ +
+        """"search": "x", "replacement": "y", "search": "b" } """), "abxb") == "ayxy")
+    // no occurrences / identity
+    assert(run(jsonArg("zz", "q"), "abc") == "abc")
+    assert(run(jsonArg("abc", ""), "abcabc") == "")
+  }
+
+  test("json fixture: empty search inserts at every char boundary") {
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_json.wasm")))
+    def run(arg: ArraySeq[Byte], dat: String): String =
+      new String(en.runEvent(0, arg, bytes(dat)).toArray, "UTF-8")
+    // Rust: "ab".replace("", "-") == "-a-b-"; Java agrees on BMP input
+    assert(run(jsonArg("", "-"), "ab") == "ab".replace("", "-"))
+    assert(run(jsonArg("", "-"), "ab") == "-a-b-")
+    // boundaries are CHAR boundaries, not byte offsets (é is 2 bytes)
+    assert(run(jsonArg("", "."), "hé") == ".h.é.")
+    assert(run(jsonArg("", "xy"), "") == "xy")
+  }
+
+  test("json fixture: every reference unwrap() surfaces as a trap") {
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_json.wasm")))
+    def trap(arg: ArraySeq[Byte], dat: ArraySeq[Byte] = bytes("x")): Unit =
+      withClue(s"arg=${new String(arg.toArray, "ISO-8859-1")}: ") {
+        val e = intercept[EngineException](en.runEvent(0, arg, dat))
+        assert(e.getMessage.contains("wasm trap"), e.getMessage)
+      }
+    trap(bytes("""{search: "a", "replacement": "b"}""")) // unquoted key
+    trap(bytes("""{"search": "a"}""")) // missing replacement
+    trap(bytes("""{"replacement": "b"}""")) // missing search
+    trap(bytes("""{"search": 3, "replacement": "b"}""")) // non-string
+    trap(bytes("""{"search": "a", "replacement": null}""")) // non-string
+    trap(bytes("""{"search": "a", "replacement": "b"} x""")) // trailing garbage
+    trap(bytes("""{"search": "a", "replacement": "b"""")) // unterminated
+    // NB: written with an explicit double backslash — in Scala source a
+    // bare \ud800 is lexer-preprocessed into a real (lone) surrogate
+    // char before it ever reaches the string
+    trap(bytes("{\"search\": \"\\ud800\", \"replacement\": \"b\"}")) // lone surrogate
+    trap(bytes("""{"search": "\q", "replacement": "b"}""")) // bad escape
+    trap(bytes("[1, 2]")) // not an object
+    trap(bytes("")) // empty arg
+    // invalid UTF-8: in dat, and in the arg buffer itself
+    trap(jsonArg("a", "b"), ArraySeq[Byte](0x61, 0xC0.toByte, 0x61))
+    trap(ArraySeq.unsafeWrapArray(
+      Array[Byte]('{'.toByte, 0xFF.toByte, '}'.toByte)))
+    // control char raw in a string: serde_json rejects
+    trap(ArraySeq.unsafeWrapArray(
+      ("""{"search": "a""" + "\n" + """", "replacement": "b"}""").getBytes("UTF-8")))
+  }
+
+  test("full stack: shelve + merge through the JSON-protocol module") {
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_json.wasm")))
+    val g = new EventGraph[ArraySeq[Byte]](en)
+    val w = new WorkCache[ArraySeq[Byte], ArraySeq[Byte]](en, bytes("the cat sat"))
+    var xs = SortedSet.empty[String]
+    xs += w.shelveEvent(g, xs, 0, jsonArg("cat", "dog")).get
+    xs += w.shelveEvent(g, xs, 0, jsonArg("sat", "ran")).get
+    w.tryMerge(g, xs)
+    val (dat, _) = w.materialize(g, xs)
+    assert(new String(dat.toArray, "UTF-8") == "the dog ran")
+  }
+
+  test("property: json fixture matches rust str::replace on 300 random cases") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val en = new WasmEngine
+    en.addCommands(Seq(fixture("sear_json.wasm")))
+    // small alphabet (matches occur) + chars that force escapes +
+    // multibyte; docs occasionally large enough to grow memory
+    val ch = Gen.oneOf('a', 'b', '"', '\\', '\n', 'é', '日')
+    val strGen = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, ch).map(_.mkString))
+    val docGen = Gen.frequency(
+      24 -> Gen.chooseNum(0, 300).flatMap(n => Gen.listOfN(n, ch).map(_.mkString)),
+      1 -> Gen.chooseNum(8000, 15000).flatMap(n => Gen.listOfN(n, ch).map(_.mkString)))
+    val caseGen = for { s <- strGen; r <- strGen; d <- docGen } yield (s, r, d)
+    val params = Gen.Parameters.default
+    var seed = Seed(20260814L)
+    var i = 0
+    while (i < 300) {
+      val (s, r, d) = caseGen.pureApply(params, seed)
+      val got = en.runEvent(0, jsonArg(s, r), bytes(d)).toArray.toSeq
+      val expected = rustReplace(d.getBytes("UTF-8"),
+        s.getBytes("UTF-8"), r.getBytes("UTF-8")).toSeq
+      assert(got == expected, s"case #$i s=$s r=$r dlen=${d.length}")
+      seed = seed.next
+      i += 1
+    }
+  }
+
   // ---- property: both external fixtures vs the scala model ----
   // Random well-formed args over random byte documents (small alphabet
   // so matches actually occur, occasional 30-60 KB payloads so the
