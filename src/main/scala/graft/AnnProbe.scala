@@ -10,10 +10,13 @@ import graft.operators.Similarity
   * grows every probed list linearly, so `lists` must scale with the
   * data (FAISS sizes nlist ~ sqrt(n)) to keep per-query work flat.
   * Run: SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt "runMain graft.AnnProbe 160 4"
+  * A 4th arg bounds training to that many hash-order-sampled vectors
+  * (the kmeansCentroids trainSample path — Faiss's ~max(10k, 256*k)
+  * convention): "runMain graft.AnnProbe 160 4 learned 40960".
   */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
-    if (args.nonEmpty && args(0) == "pq") { pqRecall(); return }
+    if (args.nonEmpty && args(0) == "pq") { pqRecall(args.drop(1)); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -28,14 +31,17 @@ object AnnProbe {
     // posture) instead of the oracle-parity salted defaults
     val learned = args.length > 2 && args(2) == "learned"
     val t0 = System.nanoTime()
+    val trainSample = if (args.length > 3) args(3).toInt else 0
+    val iters = sys.env.getOrElse("SPARK_GRAFT_KM_ITERS", "2").toInt
     val cents =
-      if (learned) Some(Similarity.kmeansCentroids(emb, k = lists, iters = 2, dim = 64))
+      if (learned) Some(Similarity.kmeansCentroids(emb, k = lists, iters = iters, dim = 64,
+        trainSample = trainSample))
       else None
     val tTrain = System.nanoTime()
     val n = Similarity.annIvf(emb, emb.filter(col("vec_id") < 8), k = 5,
       dim = 64, lists = lists, nprobe = nprobe, centroids = cents).count()
     val sec = (System.nanoTime() - tTrain) / 1e9
-    println(s"""{"dir":"$dir","lists":$lists,"nprobe":$nprobe,"learned":$learned,"rows":$n,"train_sec":${(tTrain - t0) / 1e9},"probe_sec":$sec}""")
+    println(s"""{"dir":"$dir","lists":$lists,"nprobe":$nprobe,"learned":$learned,"iters":$iters,"train_sample":$trainSample,"rows":$n,"train_sec":${(tTrain - t0) / 1e9},"probe_sec":$sec}""")
     if (sys.env.contains("SPARK_GRAFT_ANN_DIAG")) {
       // stage decomposition: assignment-only scan vs candidate volume
       val t1 = System.nanoTime()
@@ -53,9 +59,11 @@ object AnnProbe {
 
   /** Recall@5 of flat PQ with salted vs learned codebooks against the
     * exact top-k — the quantization-quality counterpart of the
-    * centroid probe. Run: sbt "runMain graft.AnnProbe pq"
+    * centroid probe. Run: sbt "runMain graft.AnnProbe pq"; an optional
+    * arg bounds codebook training ("runMain graft.AnnProbe pq 10240").
     */
-  private def pqRecall(): Unit = {
+  private def pqRecall(args: Array[String]): Unit = {
+    val trainSample = if (args.nonEmpty) args(0).toInt else 0
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -72,10 +80,13 @@ object AnnProbe {
       math.rint(r * 1000) / 1000
     }
     val salted = meanRecall(Similarity.annPq(emb, q, k = k, dim = 64))
-    val learnedCbs = Similarity.pqLearnedCodebooks(emb, dim = 64)
+    val t0 = System.nanoTime()
+    val learnedCbs = Similarity.pqLearnedCodebooks(emb, dim = 64,
+      trainSample = trainSample)
+    val tTrain = (System.nanoTime() - t0) / 1e9
     val learned = meanRecall(Similarity.annPq(emb, q, k = k, dim = 64,
       codebooks = Some(learnedCbs)))
-    println(s"""{"dir":"$dir","recall_salted":$salted,"recall_learned":$learned}""")
+    println(s"""{"dir":"$dir","train_sample":$trainSample,"train_sec":$tTrain,"recall_salted":$salted,"recall_learned":$learned}""")
     spark.stop()
   }
 }

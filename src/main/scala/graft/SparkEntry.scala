@@ -889,6 +889,24 @@ object SparkEntry {
           col("neighbor_id"), col("score"))
     }),
 
+    // SAMPLE-BOUNDED training oracle-gated end to end: centroids
+    // train on the deterministic 25% hash-threshold sample
+    // (trainSample = count/4 -> threshold exactly 2^60/4, a static
+    // constant both engines share because every SF's embedding count
+    // divides by 4), then assign/probe/verify the FULL corpus — the
+    // 100 TB index-build posture (Faiss trains on ~max(10k, 256*k)
+    // vectors, never the corpus) with the training sample itself
+    // inside the correctness gate
+    "q_ann_ivf_sampled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = (emb.count() / 4).toInt
+      Similarity.annIvf(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64,
+        centroids = Some(Similarity.kmeansCentroids(emb, k = 16, iters = 2, dim = 64,
+          trainSample = n)))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("score"))
+    }),
+
     // the LEARNED index path oracle-gated END TO END, training
     // included: per-subspace k-means codebooks (pqLearnedCodebooks —
     // fixed-point mean sums, so training is bit-reproducible under any
@@ -2801,6 +2819,11 @@ object SparkEntry {
 
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_learned" -> annIvfLearnedOracle(lists = 16, iters = 2, nprobe = 4, k = 5),
+    // the sampled-training twin: training CTEs read only the 25%
+    // hash-threshold sample (2^60/4 — exact because every SF's
+    // embedding count divides by 4), assignment covers the corpus
+    "q_ann_ivf_sampled" -> annIvfLearnedOracle(lists = 16, iters = 2, nprobe = 4, k = 5,
+      trainThresh = Some(288230376151711744L)),
     "q_ann_pq" -> annPqOracle,
     "q_ann_pq_learned" -> annPqLearnedOracle(m = 8, codes = 16, subDim = 8, iters = 2, k = 5),
     "q_ann_ivfpq" -> annIvfPqOracle,
@@ -3759,7 +3782,16 @@ object SparkEntry {
     * cluster-balanced-sample oracle so the clustering algebra cannot
     * drift between the two.
     */
-  private def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
+  /** The kmeans training CTE chain. `trainThresh`, when set, bounds
+    * TRAINING to the hash-threshold sample (`qs`: 60-bit
+    * md5("kmtrain|" + id) below the threshold — the
+    * `Similarity.trainSampleOf` algebra verbatim): per-round
+    * assignments and mean recomputes read only `qs`, while the FINAL
+    * score table `sc<iters>` covers every vector, exactly as the
+    * operator trains on the sample and assigns the corpus.
+    */
+  private def kmeansOracleCtes(k: Int, iters: Int, dim: Int,
+                               trainThresh: Option[Long] = None): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3769,26 +3801,37 @@ object SparkEntry {
          |    ('0x' || substr(md5('km|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
          |    ORDER BY d.d) AS cv
          |  FROM (SELECT unnest(range($k)) AS c) c CROSS JOIN dims d GROUP BY c.c)""".stripMargin)
-    def scoreAsg(i: Int): String =
+    val trainTable = trainThresh match {
+      case Some(t) =>
+        sb.append(
+          s""",
+             |qs AS (SELECT * FROM q
+             |  WHERE ('0x' || substr(md5('kmtrain|' || vec_id), 1, 15))::BIGINT < $t)""".stripMargin)
+        "qs"
+      case None => "q"
+    }
+    // training rounds score only the training table; the final round's
+    // score table additionally covers the whole corpus for assignment
+    def scoreAsg(i: Int, table: String): String =
       s""",
-         |sc$i AS (SELECT q.vec_id, cent$i.c,
-         |    list_sum(list_transform(range(1, ${dim + 1}), i -> q.v[i] * cent$i.cv[i]))
+         |sc$i AS (SELECT $table.vec_id, cent$i.c,
+         |    list_sum(list_transform(range(1, ${dim + 1}), i -> $table.v[i] * cent$i.cv[i]))
          |      - 0.5 * list_sum(list_transform(cent$i.cv, x -> x * x)) AS score
-         |  FROM q CROSS JOIN cent$i),
+         |  FROM $table CROSS JOIN cent$i),
          |asg$i AS (SELECT vec_id, c AS cl, score FROM sc$i
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1)""".stripMargin
-    sb.append(scoreAsg(0))
+    sb.append(scoreAsg(0, trainTable))
     for (i <- 1 to iters) {
       sb.append(
         s""",
            |sum$i AS (SELECT a.cl AS c, d.d, CAST(sum(q.qv[d.d + 1]) AS BIGINT) AS s, count(*) AS n
-           |  FROM asg${i - 1} a JOIN q USING (vec_id) CROSS JOIN dims d GROUP BY a.cl, d.d),
+           |  FROM asg${i - 1} a JOIN $trainTable q USING (vec_id) CROSS JOIN dims d GROUP BY a.cl, d.d),
            |cent$i AS (SELECT p.c, list(
            |    coalesce(CAST(s.s AS DOUBLE) / (s.n * 1048576.0), p.cv[d.d + 1]) ORDER BY d.d) AS cv
            |  FROM cent${i - 1} p CROSS JOIN dims d
            |  LEFT JOIN sum$i s ON s.c = p.c AND s.d = d.d
            |  GROUP BY p.c)""".stripMargin)
-      sb.append(scoreAsg(i))
+      sb.append(scoreAsg(i, if (i == iters) "q" else trainTable))
     }
     sb.toString
   }
@@ -4083,8 +4126,9 @@ object SparkEntry {
     * bit-for-bit) composed with the annIvf assignment/probe/verify
     * algebra — the learned coarse index oracle-gated end to end.
     */
-  private def annIvfLearnedOracle(lists: Int, iters: Int, nprobe: Int, k: Int): String =
-    kmeansOracleCtes(lists, iters, 64) +
+  private def annIvfLearnedOracle(lists: Int, iters: Int, nprobe: Int, k: Int,
+                                  trainThresh: Option[Long] = None): String =
+    kmeansOracleCtes(lists, iters, 64, trainThresh) +
       s""",
          |assign AS (SELECT vec_id, c AS list_id FROM sc$iters
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),

@@ -441,17 +441,32 @@ object Similarity {
     cents
   }
 
-  /** Deterministic bounded training sample: the n vectors with the
-    * smallest md5("kmtrain|" + id) — a hash-order prefix, so samples
-    * are reproducible across runs/partitionings and a larger sample
-    * extends a smaller one (the `sampleK` rule). Runs as a map-side
-    * partial TakeOrderedAndProject: each task forwards at most n rows.
+  /** Deterministic bounded training sample: keep the vectors whose
+    * 60-bit md5("kmtrain|" + id) value falls below n/total of the hash
+    * space — a pure map-side FILTER (zero shuffle, zero sort). The
+    * first cut used a hash-order sort-limit, but a global limit
+    * funnels every partition's candidates through ONE task — at the
+    * 100x soak that moved ~400 MB of vectors through a single thread
+    * and cost MORE than the bounded training saved (probe: 8.1 s vs
+    * 6.4 s full). The threshold form is reproducible across
+    * runs/partitionings, a larger n strictly extends a smaller one
+    * (thresholds nest), and the size is ~Binomial(total, n/total) —
+    * exact-k is not a training requirement. Costs one count() of the
+    * input (parquet footer metadata at scale).
     */
   private def trainSampleOf(embeddings: DataFrame, idCol: String, n: Int): DataFrame =
     if (n <= 0) embeddings
-    else embeddings
-      .orderBy(md5(concat(lit("kmtrain|"), col(idCol).cast("string"))), col(idCol))
-      .limit(n)
+    else {
+      val total = embeddings.count()
+      if (total <= n) embeddings
+      else {
+        val thresh =
+          (BigDecimal(n) / BigDecimal(total) * BigDecimal(1152921504606846976L)).toLong
+        embeddings.filter(
+          conv(substring(md5(concat(lit("kmtrain|"), col(idCol).cast("string"))), 1, 15), 16, 10)
+            .cast("long") < thresh)
+      }
+    }
 
   private def kmQuantized(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val scale = 1048576.0 // 2^20

@@ -63,7 +63,11 @@ object PageRank {
     var ranks = n.withColumn("rank", lit(Scale))
     val out = Seq.newBuilder[DataFrame]
     out += ranks
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      // each round's frame is consumed by BOTH next-round aggregates
+      // (messages and the dangling sum) and, under pageRankMass, by a
+      // per-round total — checkpoint LAZILY so it computes once and
+      // the mass audit stays O(iters), not O(iters^2) re-execution
       val msg = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank DIV deg").as("contrib"))
         .groupBy("id").agg(sum(col("contrib")).as("msg"))
@@ -76,6 +80,7 @@ object PageRank {
         .select(col("id"),
           expr(s"${base}L + ${dampNum}L * (coalesce(msg, 0L) + dang DIV n_nodes)" +
             s" DIV ${dampDen}L").as("rank"))
+      if (i < iters) ranks = ranks.localCheckpoint(eager = false)
       out += ranks
     }
     out.result()

@@ -106,9 +106,14 @@ class Round10OpsSpec extends AnyFunSuite with SharedSpark {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       rows.count { case (qi, ni) => qi % 8 == ni % 8 }.toDouble / rows.length
     }
-    val full = blobFrac(Similarity.kmeansCentroids(emb, k = 8, iters = 2))
-    val sampled = blobFrac(Similarity.kmeansCentroids(emb, k = 8, iters = 2,
-      trainSample = 160))
+    val fullCents = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val sampledCents = Similarity.kmeansCentroids(emb, k = 8, iters = 2,
+      trainSample = 160)
+    // the sample is LIVE: training on 160-ish of 400 vectors moves the
+    // means (identical centroids would mean the filter is a no-op)
+    assert(fullCents.map(_.toSeq).toSeq != sampledCents.map(_.toSeq).toSeq)
+    val full = blobFrac(fullCents)
+    val sampled = blobFrac(sampledCents)
     assert(sampled >= full - 0.1,
       s"sampled-trained blob recall $sampled vs full-trained $full")
     assert(sampled > 0.85, s"sampled-trained blob recall $sampled")

@@ -118,7 +118,8 @@ class TemporalSpec extends AnyFunSuite with SharedSpark {
     val got = PageRank.pageRankFixed(nodes, edges, iters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
 
-    // independent simulation of the same integer algebra
+    // independent simulation of the same integer algebra, dangling
+    // mass (nodes 5 and 6 have no out-edge) redistributed uniformly
     val es = Seq((2L, 1L), (3L, 1L), (4L, 3L), (1L, 5L), (3L, 5L))
     val deg = es.groupBy(_._1).map { case (s, xs) => (s, xs.size.toLong) }
     var rank = (1L to 6L).map(_ -> PageRank.Scale).toMap
@@ -126,8 +127,10 @@ class TemporalSpec extends AnyFunSuite with SharedSpark {
       val msg = es.groupBy(_._2).map { case (d, xs) =>
         (d, xs.map { case (s, _) => rank(s) / deg(s) }.sum)
       }
+      val dang = rank.collect { case (id, r) if !deg.contains(id) => r }.sum
+      val share = dang / 6L
       rank = rank.map { case (id, _) =>
-        (id, 150000000L + 85L * msg.getOrElse(id, 0L) / 100L)
+        (id, 150000000L + 85L * (msg.getOrElse(id, 0L) + share) / 100L)
       }
     }
     assert(got === rank)
