@@ -918,6 +918,19 @@ object SparkEntry {
         codebooks = Some(Similarity.pqLearnedCodebooks(emb, dim = 64, iters = 2)))
     }),
 
+    // PQ training sample-bounded like q_ann_ivf_sampled: all 8
+    // subspace k-means runs share ONE deterministic 25% hash-threshold
+    // sample (a real index build trains on ~max(10k, 256*codes)
+    // vectors, not the corpus — measured 7.7 -> 5.8 s on the 200k-
+    // vector soak); encode/LUT/ADC still cover every vector
+    "q_ann_pq_sampled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = (emb.count() / 4).toInt
+      Similarity.annPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64,
+        codebooks = Some(Similarity.pqLearnedCodebooks(emb, dim = 64, iters = 2,
+          trainSample = n)))
+    }),
+
     // the full IVF-PQ composition: coarse-list probe bounds the scan
     // to nprobe/lists of the corpus, PQ codes bound the bytes touched
     // to 4/vector — both salted-deterministic, so the composed index
@@ -2826,6 +2839,11 @@ object SparkEntry {
       trainThresh = Some(288230376151711744L)),
     "q_ann_pq" -> annPqOracle,
     "q_ann_pq_learned" -> annPqLearnedOracle(m = 8, codes = 16, subDim = 8, iters = 2, k = 5),
+    // the sampled-training twin (same static 2^60/4 threshold as
+    // q_ann_ivf_sampled): all 8 subspace trainings read only the
+    // sampled rows; encode/LUT/ADC cover the corpus
+    "q_ann_pq_sampled" -> annPqLearnedOracle(m = 8, codes = 16, subDim = 8, iters = 2, k = 5,
+      trainThresh = Some(288230376151711744L)),
     "q_ann_ivfpq" -> annIvfPqOracle,
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_retrieval_eval" -> retrievalEvalOracle,
@@ -4188,7 +4206,8 @@ object SparkEntry {
     * composed with the annPq encode/LUT/ADC mirror — the LEARNED index
     * path oracle-gated end to end, training included.
     */
-  private def annPqLearnedOracle(m: Int, codes: Int, subDim: Int, iters: Int, k: Int): String = {
+  private def annPqLearnedOracle(m: Int, codes: Int, subDim: Int, iters: Int, k: Int,
+                                 trainThresh: Option[Long] = None): String = {
     val sb = new StringBuilder
     // shared salted seeds: saltedCentroid("km", c, subDim) — identical
     // for every subspace (the data slice differs)
@@ -4199,6 +4218,12 @@ object SparkEntry {
          |  FROM (SELECT unnest(range($codes)) AS c) c, (SELECT unnest(range($subDim)) AS d) d
          |  GROUP BY c.c),
          |dims AS (SELECT unnest(range($subDim)) AS d)""".stripMargin)
+    // the q_$s tables feed TRAINING ONLY (encode/LUT read the full
+    // corpus through v/cb), so the hash-threshold sample bounds them
+    // directly — the pqLearnedCodebooks trainSample algebra verbatim
+    val trainWhere = trainThresh
+      .map(t => s"\n  WHERE ('0x' || substr(md5('kmtrain|' || vec_id), 1, 15))::BIGINT < $t")
+      .getOrElse("")
     for (s <- 0 until m) {
       // sliced + quantized sub-vectors (float -> double, floor * 2^20)
       sb.append(
@@ -4206,7 +4231,7 @@ object SparkEntry {
            |q_$s AS (SELECT vec_id,
            |    list_transform(range(1, ${subDim + 1}), i -> CAST(embedding[$s * $subDim + i] AS DOUBLE)) AS v,
            |    list_transform(range(1, ${subDim + 1}), i -> CAST(floor(CAST(embedding[$s * $subDim + i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-           |  FROM embeddings)""".stripMargin)
+           |  FROM embeddings$trainWhere)""".stripMargin)
       def scoreAsg(i: Int): Unit = {
         val cent = if (i == 0) "centp0" else s"cent${i}_$s"
         sb.append(
