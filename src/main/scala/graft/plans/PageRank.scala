@@ -72,11 +72,14 @@ object PageRank {
         .select(col("dst").as("id"), expr("rank DIV deg").as("contrib"))
         .groupBy("id").agg(sum(col("contrib")).as("msg"))
       // dangling mass = ranks of nodes that are no edge's src; its
-      // uniform share joins every node as a one-row broadcast scalar
+      // uniform share joins every node as ONE one-row broadcast (the
+      // node count rides in the same frame — one exchange per round,
+      // not two)
       val dang = broadcast(
         ranks.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-          .agg(coalesce(sum(col("rank")), lit(0L)).as("dang")))
-      ranks = n.join(msg, Seq("id"), "left").crossJoin(dang).crossJoin(nn)
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dang"))
+          .crossJoin(nn))
+      ranks = n.join(msg, Seq("id"), "left").crossJoin(dang)
         .select(col("id"),
           expr(s"${base}L + ${dampNum}L * (coalesce(msg, 0L) + dang DIV n_nodes)" +
             s" DIV ${dampDen}L").as("rank"))
