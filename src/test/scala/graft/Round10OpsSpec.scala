@@ -43,6 +43,42 @@ class Round10OpsSpec extends AnyFunSuite with SharedSpark {
     assert(fromArtifact == audited)
   }
 
+  test("kmvSetOpsFromSketches: exact on every random below-k corpus (property)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // when every stratum's distinct-token set is below k, the merged
+    // sketch IS the union hash set and all five estimate columns must
+    // equal the exact set algebra — the estimator's exactness branch,
+    // held over random corpora instead of one crafted fixture
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = for {
+      nSrc <- Gen.chooseNum(2, 4)
+      docs <- Gen.listOfN(nSrc, docGen)
+    } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" "), s"s$i") }
+    val params = Gen.Parameters.default
+    var seed = Seed(1008L)
+    (0 until 25).foreach { i =>
+      val rows = corpusGen.pureApply(params, seed)
+      val df = rows.toDF("doc_id", "text", "source")
+      val sk = Sketches.kmvSketch(df, "text", "source", k = 256)
+      val got = Sketches.kmvSetOpsFromSketches(sk, k = 256).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+      val sets = rows.groupBy(_._3).view
+        .mapValues(_.flatMap(_._2.split(" ")).toSet).toMap
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        sa = sets(a); sb = sets(b)
+        inter = (sa & sb).size; uni = (sa | sb).size
+      } yield (a, b) -> (sa.size.toLong, sb.size.toLong, uni.toLong, inter.toLong,
+        BigDecimal(inter.toDouble / uni).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+      assert(got == expect, s"case #$i rows=$rows")
+      seed = seed.next
+    }
+  }
+
   test("CMS builders refuse depth beyond the 4-window md5 bound") {
     import spark.implicits._
     val tok = Seq("a", "b").toDF("word")
