@@ -52,5 +52,19 @@ class StreamingKmvSpec extends AnyFunSuite with SharedSpark {
       "SELECT CAST(conv(substring(md5('kmv|the'), 1, 15), 16, 10) AS BIGINT)")
       .collect()(0).getLong(0)
     assert(graft.streaming.StreamingKmv.hash60("the") == viaSql)
+
+    // the artifact loop closes: the streaming-maintained state feeds
+    // kmvSetOpsFromSketches directly and yields the SAME cross-source
+    // estimates as the batch sketch — "cross-corpus overlap answerable
+    // at any moment from the running states", end to end
+    def ests(sk: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketches.kmvSetOpsFromSketches(sk, k = k)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    val fromStream = ests(streamed.toSeq
+      .flatMap { case (s, mins) => mins.map(h => (s, h)) }.toDF("source", "h"))
+    val fromBatch = ests(graft.operators.Sketches.kmvSketch(docs, "text", "source",
+      k = k, shingleN = 3))
+    assert(fromStream == fromBatch && fromStream.nonEmpty)
   }
 }
