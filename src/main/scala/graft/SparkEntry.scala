@@ -891,18 +891,17 @@ object SparkEntry {
 
     // SAMPLE-BOUNDED training oracle-gated end to end: centroids
     // train on the deterministic 25% hash-threshold sample
-    // (trainSample = count/4 -> threshold exactly 2^60/4, a static
-    // constant both engines share because every SF's embedding count
-    // divides by 4), then assign/probe/verify the FULL corpus — the
-    // 100 TB index-build posture (Faiss trains on ~max(10k, 256*k)
-    // vectors, never the corpus) with the training sample itself
-    // inside the correctness gate
+    // (trainFraction = 0.25 -> threshold exactly 2^60/4, a STATIC
+    // constant the oracle embeds literally — equal by construction,
+    // no data-dependent counts on either engine), then
+    // assign/probe/verify the FULL corpus — the 100 TB index-build
+    // posture (Faiss trains on ~max(10k, 256*k) vectors, never the
+    // corpus) with the training sample itself inside the gate
     "q_ann_ivf_sampled" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val n = (emb.count() / 4).toInt
       Similarity.annIvf(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64,
         centroids = Some(Similarity.kmeansCentroids(emb, k = 16, iters = 2, dim = 64,
-          trainSample = n)))
+          trainFraction = 0.25)))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("score"))
     }),
@@ -920,15 +919,15 @@ object SparkEntry {
 
     // PQ training sample-bounded like q_ann_ivf_sampled: all 8
     // subspace k-means runs share ONE deterministic 25% hash-threshold
-    // sample (a real index build trains on ~max(10k, 256*codes)
-    // vectors, not the corpus — measured 7.7 -> 5.8 s on the 200k-
-    // vector soak); encode/LUT/ADC still cover every vector
+    // sample at the STATIC trainFraction = 0.25 (a real index build
+    // trains on ~max(10k, 256*codes) vectors, not the corpus —
+    // measured 7.7 -> 5.8 s on the 200k-vector soak); encode/LUT/ADC
+    // still cover every vector
     "q_ann_pq_sampled" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val n = (emb.count() / 4).toInt
       Similarity.annPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64,
         codebooks = Some(Similarity.pqLearnedCodebooks(emb, dim = 64, iters = 2,
-          trainSample = n)))
+          trainFraction = 0.25)))
     }),
 
     // the full IVF-PQ composition: coarse-list probe bounds the scan
@@ -2833,8 +2832,9 @@ object SparkEntry {
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_learned" -> annIvfLearnedOracle(lists = 16, iters = 2, nprobe = 4, k = 5),
     // the sampled-training twin: training CTEs read only the 25%
-    // hash-threshold sample (2^60/4 — exact because every SF's
-    // embedding count divides by 4), assignment covers the corpus
+    // hash-threshold sample (2^60/4 — the same STATIC constant the
+    // Spark side derives from trainFraction = 0.25, equal by
+    // construction), assignment covers the corpus
     "q_ann_ivf_sampled" -> annIvfLearnedOracle(lists = 16, iters = 2, nprobe = 4, k = 5,
       trainThresh = Some(288230376151711744L)),
     "q_ann_pq" -> annPqOracle,

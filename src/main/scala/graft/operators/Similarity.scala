@@ -74,7 +74,10 @@ object Similarity {
     // side turns it quadratic (measured 37x on the 10x sf1 soak), so
     // refuse early instead of silently melting — the scale path is
     // [[semanticContaminationLsh]]. The limit bounds the probe scan.
-    val benchRows = bench.limit((maxBenchRows + 1).toInt).count()
+    // clamp: maxBenchRows >= Int.MaxValue would overflow the limit()
+    // argument into a negative, failing confusingly instead of passing
+    val benchRows =
+      bench.limit(math.min(maxBenchRows, Int.MaxValue - 1L).toInt + 1).count()
     require(benchRows <= maxBenchRows,
       s"semanticContamination is the brute-force exactness baseline: bench side has " +
         s">$maxBenchRows rows (broadcast nested-loop would go quadratic); " +
@@ -434,39 +437,62 @@ object Similarity {
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 3, dim: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      trainSample: Int = 0): Array[Array[Double]] = {
-    val qdf = kmQuantized(trainSampleOf(embeddings, idCol, trainSample), idCol, vecCol)
+                      trainSample: Int = 0, trainFraction: Double = 0.0): Array[Array[Double]] = {
+    val qdf = kmQuantized(
+      trainFrameOf(embeddings, idCol, trainSample, trainFraction), idCol, vecCol)
     val cents = kmeansCentroidsOf(qdf, k, iters, dim)
     graft.plans.CheckpointHygiene.free(qdf)
     cents
   }
 
   /** Deterministic bounded training sample: keep the vectors whose
-    * 60-bit md5("kmtrain|" + id) value falls below n/total of the hash
-    * space — a pure map-side FILTER (zero shuffle, zero sort). The
-    * first cut used a hash-order sort-limit, but a global limit
-    * funnels every partition's candidates through ONE task — at the
-    * 100x soak that moved ~400 MB of vectors through a single thread
-    * and cost MORE than the bounded training saved (probe: 8.1 s vs
-    * 6.4 s full). The threshold form is reproducible across
-    * runs/partitionings, a larger n strictly extends a smaller one
-    * (thresholds nest), and the size is ~Binomial(total, n/total) —
-    * exact-k is not a training requirement. Costs one count() of the
-    * input (parquet footer metadata at scale).
+    * 60-bit md5("kmtrain|" + id) value falls below a threshold fraction
+    * of the hash space — a pure map-side FILTER (zero shuffle, zero
+    * sort). The first cut used a hash-order sort-limit, but a global
+    * limit funnels every partition's candidates through ONE task — at
+    * the 100x soak that moved ~400 MB of vectors through a single
+    * thread and cost MORE than the bounded training saved (probe:
+    * 8.1 s vs 6.4 s full). The threshold form is reproducible across
+    * runs/partitionings, a larger fraction strictly extends a smaller
+    * one (thresholds nest), and the size is ~Binomial(total, p) —
+    * exact-k is not a training requirement.
+    *
+    * Two entry forms: `trainFraction` (preferred) is a STATIC fraction
+    * — the threshold is a compile-time constant shared with the oracle
+    * by construction, and building the frame runs NO Spark job;
+    * `trainSample` is an absolute target count, which must derive the
+    * fraction from one eager count() of the input (kept for callers
+    * who genuinely think in rows; at scale the count is parquet footer
+    * metadata, but plan construction stops being lazy).
     */
-  private def trainSampleOf(embeddings: DataFrame, idCol: String, n: Int): DataFrame =
-    if (n <= 0) embeddings
+  private def trainFrameOf(embeddings: DataFrame, idCol: String,
+                           n: Int, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction < 1.0,
+      s"trainFraction $fraction must be in [0, 1): 1.0 means 'train on everything' — pass 0")
+    require(n <= 0 || fraction == 0.0,
+      "pass trainSample or trainFraction, not both")
+    if (fraction > 0.0) trainThreshOf(embeddings, idCol, fractionThresh(fraction))
+    else if (n <= 0) embeddings
     else {
       val total = embeddings.count()
       if (total <= n) embeddings
-      else {
-        val thresh =
-          (BigDecimal(n) / BigDecimal(total) * BigDecimal(1152921504606846976L)).toLong
-        embeddings.filter(
-          conv(substring(md5(concat(lit("kmtrain|"), col(idCol).cast("string"))), 1, 15), 16, 10)
-            .cast("long") < thresh)
-      }
+      else trainThreshOf(embeddings, idCol,
+        (BigDecimal(n) / BigDecimal(total) * BigDecimal(1152921504606846976L)).toLong)
     }
+  }
+
+  /** `fraction` of the 60-bit hash space as an exact threshold — the
+    * constant the DuckDB oracle embeds literally (0.25 ->
+    * 288230376151711744 = 2^60/4), equal on both engines by
+    * construction instead of via two data-dependent counts.
+    */
+  private[graft] def fractionThresh(fraction: Double): Long =
+    (BigDecimal(fraction) * BigDecimal(1152921504606846976L)).toLong
+
+  private def trainThreshOf(embeddings: DataFrame, idCol: String, thresh: Long): DataFrame =
+    embeddings.filter(
+      conv(substring(md5(concat(lit("kmtrain|"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long") < thresh)
 
   private def kmQuantized(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val scale = 1048576.0 // 2^20
@@ -867,14 +893,16 @@ object Similarity {
   def pqLearnedCodebooks(embeddings: DataFrame, dim: Int, m: Int = 8,
                          codes: Int = 16, iters: Int = 2,
                          vecCol: String = "embedding", idCol: String = "vec_id",
-                         trainSample: Int = 0): Array[Array[Array[Double]]] = {
+                         trainSample: Int = 0,
+                         trainFraction: Double = 0.0): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
     // one sample for every subspace: the slice UDFs all read the same
     // (lazily checkpointed) bounded frame instead of m corpus scans
     val train =
-      if (trainSample <= 0) embeddings
-      else trainSampleOf(embeddings, idCol, trainSample).localCheckpoint(eager = false)
+      if (trainSample <= 0 && trainFraction <= 0.0) embeddings
+      else trainFrameOf(embeddings, idCol, trainSample, trainFraction)
+        .localCheckpoint(eager = false)
     Array.tabulate(m) { s =>
       val slice = udf { (v: Seq[Float]) => v.slice(s * subDim, (s + 1) * subDim) }
       kmeansCentroids(

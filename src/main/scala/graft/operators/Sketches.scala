@@ -289,7 +289,12 @@ object Sketches {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("h"))))
       .filter(col("rn") <= k)
-      .select(col("source"), col("h"), col("rn"))
+      // the build-time k RIDES IN the artifact: a sketch's rows alone
+      // cannot reveal whether a stratum with n rows is complete (n
+      // distinct items) or truncated (n == build k < true cardinality),
+      // so a consumer handed only (source, h) must trust its caller —
+      // persisting k makes the estimator's precondition checkable
+      .select(col("source"), col("h"), col("rn"), lit(k).as("k"))
   }
 
   /** Set-operation ESTIMATES for every unordered stratum pair from
@@ -309,7 +314,38 @@ object Sketches {
     */
   def kmvSetOpsFromSketches(sketches: DataFrame, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sk = sketches.select(col("source"), col("h"))
+    // Artifact-k defenses (a k mismatch is SILENT otherwise: a sketch
+    // built with k_build < k has every truncated stratum land in the
+    // n < k 'exact' branch, reporting k_build as a cardinality):
+    //  - `rn` present: subset each stratum to its k smallest — the k
+    //    smallest of a (k_build >= k)-sketch ARE a valid k-sketch, so
+    //    a SMALLER caller k is exact-by-construction, never an error;
+    //  - `k` present (kmvSketch persists it): refuse at execution time
+    //    when the artifact's build k is smaller than the caller's (the
+    //    un-detectable-from-rows case) or mixed across rows. Bare
+    //    (source, h) frames keep the documented caller contract:
+    //    caller k must equal build k.
+    val trimmed =
+      if (sketches.columns.contains("rn")) sketches.filter(col("rn") <= k)
+      else sketches
+    val guarded =
+      if (sketches.columns.contains("k")) {
+        val kb = broadcast(trimmed.agg(
+          min(col("k")).as("kb_min"), max(col("k")).as("kb_max")))
+        trimmed.crossJoin(kb)
+          .filter(
+            when(col("kb_min") =!= col("kb_max"),
+              raise_error(concat(lit("kmvSetOpsFromSketches: mixed build-k artifact ("),
+                col("kb_min"), lit(".."), col("kb_max"), lit(")"))).cast("boolean"))
+            .when(col("kb_min") < k,
+              raise_error(concat(lit(s"kmvSetOpsFromSketches(k=$k) over an artifact built"
+                + " with k="), col("kb_min"),
+                lit(": truncated strata would report build-k as exact cardinalities;"
+                  + " pass the build-time k"))).cast("boolean"))
+            .otherwise(lit(true)))
+          .drop("kb_min", "kb_max")
+      } else trimmed
+    val sk = guarded.select(col("source"), col("h"))
     val srcs = sk.select(col("source")).distinct()
     val pairs = srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"))

@@ -43,10 +43,43 @@ object PageRank {
 
   /** nodes: single column `id`; edges: `src`, `dst`. Returns (id, rank)
     * after `iters` damped rounds, rank in 1e-9 units.
+    *
+    * Checkpoint hygiene: rounds 1..iters-2 exist only en route to the
+    * final frame — once it first materializes they are dead weight
+    * (O(iters x nodes) executor storage pinned for callers who never
+    * wanted the per-round frames). A self-unregistering
+    * QueryExecutionListener frees exactly those blocks after the first
+    * completed action over the returned frame; round iters-1's blocks
+    * are KEPT because re-running an action on the result recomputes
+    * the last round from them (its lineage is truncated — freeing it
+    * would break re-use). Construction stays fully lazy.
     */
   def pageRankFixed(nodes: DataFrame, edges: DataFrame, iters: Int,
-                    dampNum: Long = 85, dampDen: Long = 100): DataFrame =
-    pageRankRounds(nodes, edges, iters, dampNum, dampDen).last
+                    dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    val rounds = pageRankRounds(nodes, edges, iters, dampNum, dampDen)
+    val fin = rounds.last
+    val transients = rounds.slice(1, rounds.size - 2)
+    if (transients.nonEmpty) {
+      val spark = fin.sparkSession
+      val target = fin.queryExecution.analyzed
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        private def freeIfFinal(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (!done.get() && qe.analyzed.exists(_.sameResult(target)) &&
+              done.compareAndSet(false, true)) {
+            graft.plans.CheckpointHygiene.free(transients: _*)
+            spark.listenerManager.unregister(this)
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          freeIfFinal(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+    }
+    fin
+  }
 
   /** Every round's rank frame, r(0) = uniform through r(iters) — the
     * building block shared by [[pageRankFixed]] (which keeps the last)

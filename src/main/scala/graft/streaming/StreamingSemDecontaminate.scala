@@ -49,7 +49,10 @@ object StreamingSemDecontaminate {
                  maxBenchRows: Long = Similarity.DefaultMaxBenchRows): BenchIndex = {
     val spark = bench.sparkSession
     import spark.implicits._
-    val benchRows = bench.limit((maxBenchRows + 1).toInt).count()
+    // clamp: maxBenchRows >= Int.MaxValue would overflow the limit()
+    // argument into a negative, failing confusingly instead of passing
+    val benchRows =
+      bench.limit(math.min(maxBenchRows, Int.MaxValue - 1L).toInt + 1).count()
     require(benchRows <= maxBenchRows,
       s"StreamingSemDecontaminate.benchIndex collects the bench side to the driver: " +
         s"bench has >$maxBenchRows rows; a set that size is a corpus, not a benchmark " +

@@ -593,6 +593,30 @@ class WasmSpec extends AnyFunSuite {
     // control char raw in a string: serde_json rejects
     trap(ArraySeq.unsafeWrapArray(
       ("""{"search": "a""" + "\n" + """", "replacement": "b"}""").getBytes("UTF-8")))
+    // malformed NUMBERS under a skipped key: serde_json's number
+    // grammar is -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)? and
+    // the reference's from_str().unwrap() panics on each of these —
+    // a looser scanner would return a result instead of trapping
+    def trapNum(lit: String): Unit =
+      trap(bytes(s"""{"x": $lit, "search": "a", "replacement": "b"}"""))
+    trapNum("-") // bare sign
+    trapNum("1..2") // double fraction
+    trapNum("1.2.3") // second fraction after a complete number
+    trapNum("1e+-3") // signed twice
+    trapNum("01") // leading zero
+    trapNum("1.") // fraction needs a digit
+    trapNum("1e") // exponent needs a digit
+    trapNum("1e+") // signed exponent still needs a digit
+    trapNum(".5") // no integer part
+    trapNum("+1") // leading plus
+    // ...while every well-formed shape still parses
+    val en2 = en
+    def ok(lit: String): Unit =
+      assert(new String(en2.runEvent(0,
+        bytes(s"""{"x": $lit, "search": "a", "replacement": "b"}"""),
+        bytes("aha")).toArray, "UTF-8") == "bhb", lit)
+    Seq("0", "-0", "7", "-12", "0.5", "-0.25", "1e9", "1E+2", "6.02e-23",
+      "10.01").foreach(ok)
   }
 
   test("full stack: shelve + merge through the JSON-protocol module") {

@@ -370,12 +370,30 @@ unsafe fn skip_value() {
         if POS + 4 > END || ld(POS + 1) != 0x75 || ld(POS + 2) != 0x6C || ld(POS + 3) != 0x6C { abort() }
         POS = POS + 4;
     } else if c == 0x2D || (c >= 48 && c <= 57) { // number
-        POS = POS + 1;
-        while POS < END {
-            let d = ld(POS);
-            if (d >= 48 && d <= 57) || d == 0x2E || d == 0x65 || d == 0x45
-                || d == 0x2B || d == 0x2D { POS = POS + 1 }
-            else { break }
+        // serde_json's exact grammar -- -?(0|[1-9][0-9]*)(\.[0-9]+)?
+        // ([eE][+-]?[0-9]+)? -- so malformed numbers under SKIPPED keys
+        // (bare '-', '01', '1..2', '1e+-3') trap exactly where the
+        // reference's from_str().unwrap() panics
+        if c == 0x2D {
+            POS = POS + 1;
+            if POS >= END { abort() }
+        }
+        let d0 = ld(POS);
+        if d0 == 48 { POS = POS + 1 } // leading 0 takes no more digits
+        else if d0 >= 49 && d0 <= 57 {
+            POS = POS + 1;
+            while POS < END && ld(POS) >= 48 && ld(POS) <= 57 { POS = POS + 1 }
+        } else { abort() }
+        if POS < END && ld(POS) == 0x2E { // one fraction, >= 1 digit
+            POS = POS + 1;
+            if POS >= END || ld(POS) < 48 || ld(POS) > 57 { abort() }
+            while POS < END && ld(POS) >= 48 && ld(POS) <= 57 { POS = POS + 1 }
+        }
+        if POS < END && (ld(POS) == 0x65 || ld(POS) == 0x45) { // one exponent
+            POS = POS + 1;
+            if POS < END && (ld(POS) == 0x2B || ld(POS) == 0x2D) { POS = POS + 1 }
+            if POS >= END || ld(POS) < 48 || ld(POS) > 57 { abort() }
+            while POS < END && ld(POS) >= 48 && ld(POS) <= 57 { POS = POS + 1 }
         }
     } else { abort() }
 }
