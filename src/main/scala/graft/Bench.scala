@@ -137,7 +137,16 @@ object Bench {
       // round-6 families
       "q_shelve_merge", "q_substring_dedup", "q_sql_materialize",
       // round-7 families
-      "q_sql_shelve", "q_sql_merge", "q_setsim_join")
+      "q_sql_shelve", "q_sql_merge", "q_setsim_join",
+      // round-11 re-base (PLANS.md): rounds 8-10 grew a heavy tail the
+      // frozen headline never saw — seven of r10's top-10 most
+      // expensive queries were invisible to cross-round tracking. The
+      // pre-r11 rows above are UNCHANGED, so old headline totals still
+      // compare; diffs spanning the re-base compare shared keys only.
+      "q_kmv_setops", "q_kmv_sketch_only", "q_ann_pq_learned",
+      "q_ann_pq_sampled", "q_ann_ivf_learned", "q_ann_ivf_sampled",
+      "q_pagerank_mass", "q_curation_full2", "q_interval_overlap",
+      "q_bloom_join_prune", "q_sem_decontam_lsh10")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
       .orElse(if (sys.env.contains("SPARK_GRAFT_HEADLINE")) Some(headline) else None)
     // min of N passes (default 2): this host shows rare 10-40 s
@@ -163,17 +172,42 @@ object Bench {
       (dt, err)
     }
 
-    // Calibration probe: re-time one fixed cheap query at the start,
-    // middle and end of the run. This host's page-management stall
-    // window (PLANS.md) can span BOTH measurement passes, so min-of-N
-    // cannot detect it — but the probe can: a healthy run re-times the
-    // same warmed query within noise, a degraded run shows >3x drift
-    // between its fastest and slowest probe. BENCH_r05 (214 s recorded
-    // vs 46 s steady-state) would have carried degraded:1.
+    // Calibration probe: re-time one fixed cheap query at the START,
+    // EVERY ~12 QUERIES (piggybacking the GC point), and at the END.
+    // This host's page-management stall window (PLANS.md) can span
+    // BOTH measurement passes of a query, so min-of-N cannot detect
+    // it — but the probe can: a healthy run re-times the same warmed
+    // query within noise, a degraded run shows >3x drift between its
+    // fastest and slowest probe. The r10 lesson (BENCH_r10 recorded
+    // 12x on the q_se* block with degraded:0) is that THREE probes per
+    // run straddle a multi-minute window; one probe per ~12 queries
+    // lands on it.
     val calibQuery = "q_json_props"
     val calib = scala.collection.mutable.ArrayBuffer[Double]()
     def probe(): Unit =
       SparkEntry.queries.get(calibQuery).foreach(fn => calib += timeOne(fn)._1)
+
+    // second defense, per-query (BenchGuard): the COMMITTED diag's
+    // per-query mins are the cross-round reference — any query whose
+    // every pass lands >3x its committed min gets an end-of-run
+    // re-probe appended, so one stall window spanning a query's whole
+    // pass block cannot be its only observation. Read the reference
+    // from git HEAD (the working-tree copy is overwritten by every dev
+    // probe run); fall back to the file.
+    val refMins: Map[String, Double] = {
+      val viaGit =
+        try {
+          val p = new ProcessBuilder("git", "-C", "/root/repo", "show",
+            "HEAD:bench_diag.json").redirectErrorStream(false).start()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          if (p.waitFor() == 0) Some(out) else None
+        } catch { case _: Throwable => None }
+      val json = viaGit.getOrElse(
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/bench_diag.json")), "UTF-8")
+        catch { case _: Throwable => "" })
+      BenchGuard.parseRefMins(json, sfDir = Some(sfDir))
+    }
 
     val todo = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
@@ -182,15 +216,15 @@ object Bench {
     // the degraded threshold on a perfectly healthy run
     SparkEntry.queries.get(calibQuery).foreach(timeOne)
     probe()
-    val results = todo.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == todo.size / 2) probe()
+    val firstResults = todo.zipWithIndex.map { case ((name, fn), i) =>
       // periodic driver GC OUTSIDE the timed region: 130+ queries in
       // one JVM accumulate broadcast/shuffle/accumulator state that
       // the ContextCleaner only releases after a GC — without this,
       // late-alphabet queries pay rising GC tax (r7's q_kmeans "2.3x
       // regression" and r8's q_neardup_* run-level spikes, both
-      // vanishing when run isolated)
-      if (i % 12 == 0) System.gc()
+      // vanishing when run isolated). The calibration probe runs right
+      // after, so the probe series samples the whole run.
+      if (i % 12 == 0) { System.gc(); if (i > 0) probe() }
       val first = (1 to passes).map(_ => timeOne(fn))
       // spread-flagged (>3x between passes = a transient stall hit one
       // pass): take an automatic extra pass so the recorded min — and
@@ -206,6 +240,25 @@ object Bench {
       (name, runs.map(_._1), runs.flatMap(_._2).headOption)
     }
     probe()
+    // end-of-run re-probe of diag-flagged suspects: by now a transient
+    // window has usually passed, so the appended pass replaces the
+    // stalled min with a clean one; a genuine regression re-measures
+    // slow and stays visible (still >3x ref after the extra pass)
+    val reprobed = scala.collection.mutable.ArrayBuffer[String]()
+    val results = firstResults.map { case (name, vs, err) =>
+      if (err.isEmpty && BenchGuard.isSuspect(vs, refMins.get(name))) {
+        System.gc()
+        reprobed += name
+        val extra = SparkEntry.queries.get(name).map(timeOne)
+        (name, vs ++ extra.filter(_._2.isEmpty).map(_._1), err)
+      } else (name, vs, err)
+    }
+    // any query STILL >3x its committed min after the re-probe — the
+    // judge's cross-round read starts here
+    val suspects = results.collect { case (name, vs, None)
+      if BenchGuard.isSuspect(vs, refMins.get(name)) =>
+        name -> (vs.min / refMins(name)) }
+    if (reprobed.nonEmpty) probe()
 
     // 3-decimal seconds: with 70+ queries a full-precision Double per
     // entry pushed the one-line JSON past the driver's stdout tail
@@ -260,7 +313,10 @@ object Bench {
     // entries first — the expensive queries are the regression signal,
     // and every dropped value is still in bench_diag.json
     def sec2(v: Double): String = f"$v%.2f"
-    val fixedOverhead = 260 + errsJson.length + spreadJson.length + sfDir.length
+    // calib is ~14 entries now (one per 12 queries), and the
+    // n_reprobed/n_suspect fields ride the line too
+    val fixedOverhead = 300 + errsJson.length + spreadJson.length + sfDir.length +
+      arr(calib.toSeq).length
     var entries = headlineResults.filter(_._3.isEmpty).sortBy(-_._2.min)
       .map { case (k, vs, _) => s""""$k":${sec2(vs.min)}""" }
     while (entries.map(_.length + 1).sum + fixedOverhead > 1900 && entries.nonEmpty)
@@ -272,17 +328,32 @@ object Bench {
     // the repo for the judge: every pass of every query, the calibration
     // series, and the commit the numbers belong to
     val diag = results.map { case (k, vs, _) => s""""$k":${arr(vs.toSeq)}""" }.mkString("{", ",", "}")
+    // diag-reference defenses (BenchGuard): which queries earned an
+    // end-of-run re-probe, and which are STILL >3x their committed min
+    // afterwards (ratio vs the reference — a genuine regression or an
+    // unresolved host window; either way not a number to trust blind)
+    val reprobedJson = if (reprobed.isEmpty) "" else
+      s""","reprobed":${reprobed.map(n => s""""$n"""").mkString("[", ",", "]")}"""
+    val suspectJson = if (suspects.isEmpty) "" else
+      s""","suspect":${suspects.map { case (n, r) => s""""$n":${sec(r)}""" }.mkString("{", ",", "}")}"""
     val diagLine = s"""{"sha":"$sha","sf":"$sfDir","passes":$passes,""" +
       s""""calib":${arr(calib.toSeq)},"degraded":${if (degraded) 1 else 0},""" +
       s""""total_min":${sec(totalAll)},"n_queries":${results.size},""" +
-      s""""headline_total":${sec(total)},"passes_per_query":$diag$errsDiagJson}"""
+      s""""headline_total":${sec(total)}$reprobedJson$suspectJson,""" +
+      s""""passes_per_query":$diag$errsDiagJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/bench_diag.json"),
       (diagLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
 
+    // stdout carries the suspect COUNT (full detail in the diag): a
+    // nonzero n_suspect on the official artifact says "read the diag
+    // before trusting these numbers", which is exactly what BENCH_r10
+    // could not say about itself
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","value_all":${sec(totalAll)},""" +
       s""""n_all":${results.size},"queries":$qs$errsJson$spreadJson,""" +
-      s""""sf":"$sfDir","sha":"$sha","calib":${arr(calib.toSeq)},"degraded":${if (degraded) 1 else 0}}""")
+      s""""sf":"$sfDir","sha":"$sha","calib":${arr(calib.toSeq)},""" +
+      s""""n_reprobed":${reprobed.size},"n_suspect":${suspects.size},""" +
+      s""""degraded":${if (degraded) 1 else 0}}""")
     spark.stop()
   }
 }
