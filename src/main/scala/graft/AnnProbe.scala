@@ -17,6 +17,7 @@ import graft.operators.Similarity
 object AnnProbe {
   def main(args: Array[String]): Unit = {
     if (args.nonEmpty && args(0) == "pq") { pqRecall(args.drop(1)); return }
+    if (args.nonEmpty && args(0) == "index") { indexArtifact(args.drop(1)); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -54,6 +55,75 @@ object AnnProbe {
       val t2 = System.nanoTime()
       println(s"""{"assign_sec":${(t2 - t1) / 1e9},"top_lists":${hist.take(8).mkString("[", ",", "]")},"n_lists_used":${hist.length}}""")
     }
+    spark.stop()
+  }
+
+  /** The ARTIFACT-PATH soak (the KmvProbe convention for ANN): build
+    * the IVF-PQ index ONCE, persist it as parquet, then time answering
+    * new queries (a) from the persisted artifact alone
+    * ([[Similarity.annIvfPqProbe]] — codes + list ids, no corpus
+    * vectors, no training) vs (b) rebuilding the index inline per
+    * query batch ([[Similarity.annIvfPq]]). The artifact's on-disk
+    * size rides along: codes are the 64x-shrink form, so the probe
+    * scans ~4 bytes/vector of nprobe/lists of the corpus where the
+    * rebuild re-encodes every vector first.
+    * Run: SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt "runMain graft.AnnProbe index"
+    */
+  private def indexArtifact(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = java.nio.file.Files.createTempDirectory("ann_index_soak").toString
+    // "learned" arg: the production posture — sample-trained coarse
+    // centroids + PQ codebooks. The rebuild column then re-TRAINS per
+    // query batch (what life without the artifact actually costs); the
+    // probe consumes the persisted codes + the k x dim codebook
+    // sidecar (driver state, kilobytes)
+    val learned = args.nonEmpty && args(0) == "learned"
+    def train() =
+      if (!learned) (None, None)
+      else (Some(Similarity.kmeansCentroids(emb, k = 16, iters = 2, dim = 64,
+              trainFraction = 0.25)),
+            Some(Similarity.pqLearnedCodebooks(emb, dim = 64, iters = 2,
+              trainFraction = 0.25)))
+    // (a) the index build, paid once per index lifetime
+    val t0 = System.nanoTime()
+    val (cents, cbs) = train()
+    Similarity.ivfPqIndex(emb, dim = 64, centroids = cents, codebooks = cbs)
+      .write.mode("overwrite").parquet(out)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val artifactBytes = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet")).mapToLong(p => p.toFile.length).sum()
+    val corpusBytes = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+      .filter(p => p.toString.endsWith(".parquet")).mapToLong(p => p.toFile.length).sum()
+    // (b) new queries against the PERSISTED artifact: no training, no
+    // corpus vectors — min-of-2 (first pass carries plan/codegen)
+    val idx = spark.read.parquet(out)
+    val q = emb.filter(col("vec_id") < 8)
+    def time(f: => Long): (Double, Long) = {
+      val t = System.nanoTime(); val n = f; ((System.nanoTime() - t) / 1e9, n)
+    }
+    val probeRuns = (1 to 2).map(_ =>
+      time(Similarity.annIvfPqProbe(idx, q, k = 5, dim = 64,
+        centroids = cents, codebooks = cbs).count()))
+    // (c) the rebuild-per-batch posture the artifact replaces — in the
+    // learned case that includes re-training, every time
+    val rebuildRuns = (1 to 2).map { _ =>
+      time {
+        val (c2, b2) = train()
+        Similarity.annIvfPq(emb, q, k = 5, dim = 64,
+          centroids = c2, codebooks = b2).count()
+      }
+    }
+    println(s"""{"dir":"$dir","learned":$learned,"build_sec":$buildSec,""" +
+      s""""artifact_mb":${artifactBytes / 1048576.0},"corpus_mb":${corpusBytes / 1048576.0},""" +
+      s""""probe_sec":${probeRuns.map(_._1).min},"rebuild_sec":${rebuildRuns.map(_._1).min},""" +
+      s""""rows":${probeRuns.head._2}}""")
     spark.stop()
   }
 

@@ -939,6 +939,31 @@ object SparkEntry {
       Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
     }),
 
+    // the persisted IVF-PQ index ARTIFACT itself (what production
+    // stores: coarse list + m code bytes per vector, the 64x shrink),
+    // exploded to one row per (vector, subspace) so every stored byte
+    // is oracle-checked — the ANN sibling of q_band_index
+    "q_ann_index" -> ((s, dir) =>
+      Similarity.ivfPqIndex(t(s, dir, "embeddings"), dim = 64)
+        .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("list_id"),
+          col("pos").cast("long").as("s"), col("col").cast("long").as("code"))),
+
+    // INCREMENTAL ANN probe: the vec_id % 3 == 0 slice arrives as NEW
+    // query vectors and searches the PERSISTED index of the rest —
+    // annIvfPqProbe consumes ONLY the (vec_id, list_id, codes)
+    // artifact rows, never the historical corpus vectors (the
+    // q_neardup_incremental convention; reference analog: the
+    // append-only event log + derived state,
+    // crates/esvc-core/src/workcache.rs:60-108)
+    "q_ann_probe_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annIvfPqProbe(
+        Similarity.ivfPqIndex(emb.filter(col("vec_id") % 3 =!= 0), dim = 64),
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5, dim = 64)
+    }),
+
     // hybrid retrieval: BM25 top-20 fused with dense cosine top-20 by
     // reciprocal-rank fusion (fixed-point contributions -> exact BIGINT
     // fused score); keeps docs found by only one retriever
@@ -2845,6 +2870,13 @@ object SparkEntry {
     "q_ann_pq_sampled" -> annPqLearnedOracle(m = 8, codes = 16, subDim = 8, iters = 2, k = 5,
       trainThresh = Some(288230376151711744L)),
     "q_ann_ivfpq" -> annIvfPqOracle,
+    // the artifact rows themselves, and new-slice queries probing the
+    // persisted index of the % 3 != 0 history — the oracle recomputes
+    // assignment/codes/ADC from the same index CTEs
+    "q_ann_index" -> annIndexOracle,
+    "q_ann_probe_incremental" -> annIvfPqOracleK(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_retrieval_eval" -> retrievalEvalOracle,
 
@@ -4293,7 +4325,14 @@ object SparkEntry {
     */
   private def annIvfPqOracle: String = annIvfPqOracleK(5)
 
-  private def annIvfPqOracleK(k: Int): String =
+  /** The IVF-PQ ARTIFACT CTEs — salted centroids/codebooks, coarse
+    * assignment and per-subspace codes over `baseWhere`-restricted
+    * vectors. Exactly the rows [[graft.operators.Similarity.ivfPqIndex]]
+    * persists; shared by the composed-search, artifact and
+    * incremental-probe oracles so the index algebra is written once.
+    */
+  private def ivfPqIndexCtes(baseWhere: String = ""): String = {
+    val bw = if (baseWhere.isEmpty) "" else s" WHERE $baseWhere"
     s"""WITH cent AS (
       |  SELECT c.c, list(
       |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
@@ -4312,19 +4351,25 @@ object SparkEntry {
       |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))
       |      - 0.5 * list_sum(list_transform(cent.cv, x -> x * x)) AS score
       |  FROM v, cent),
-      |assign AS (SELECT vec_id, c AS list_id FROM ivfsc
+      |assign AS (SELECT vec_id, c AS list_id FROM ivfsc$bw
       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
-      |probe AS (SELECT vec_id, c AS list_id FROM ivfsc WHERE vec_id < 8
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) <= 4),
       |pqsc AS (SELECT v.vec_id, cb.s, cb.c,
       |    list_sum(list_transform(range(1, 9), i -> v.v[cb.s * 8 + i] * cb.cv[i]))
       |      - 0.5 * list_sum(list_transform(cb.cv, x -> x * x)) AS score
       |  FROM v, cb),
-      |code AS (SELECT vec_id, s, c FROM pqsc
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) = 1),
+      |code AS (SELECT vec_id, s, c FROM pqsc$bw
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) = 1)""".stripMargin
+  }
+
+  private def annIvfPqOracleK(k: Int, baseWhere: String = "",
+                              queryWhere: String = "vec_id < 8"): String =
+    ivfPqIndexCtes(baseWhere) +
+    s""",
+      |probe AS (SELECT vec_id, c AS list_id FROM ivfsc WHERE $queryWhere
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) <= 4),
       |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.c,
       |    CAST(floor(list_sum(list_transform(range(1, 9), i -> q.v[cb.s * 8 + i] * cb.cv[i])) * 1e6) AS BIGINT) AS f
-      |  FROM v q, cb WHERE q.vec_id < 8),
+      |  FROM v q, cb WHERE $queryWhere),
       |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
       |  FROM probe p JOIN assign a USING (list_id) WHERE p.vec_id <> a.vec_id),
       |adc AS (SELECT cand.query_id, cand.neighbor_id, CAST(sum(l.f) AS BIGINT) AS score_e6
@@ -4336,6 +4381,18 @@ object SparkEntry {
       |  FROM adc)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** DuckDB mirror of q_ann_index: the persisted artifact itself, one
+    * row per (vector, subspace) — coarse list + code — so every byte a
+    * production index stores is oracle-checked, not just the searches
+    * that consume it.
+    */
+  private def annIndexOracle: String =
+    ivfPqIndexCtes() +
+    """
+      |SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+      |  CAST(c.s AS BIGINT) AS s, CAST(c.c AS BIGINT) AS code
+      |FROM assign a JOIN code c USING (vec_id)""".stripMargin
 
   /** DuckDB mirror of q_rrf_fusion: the full BM25 pipeline at k=20
     * (identical fixed-point per-term contributions as the q_bm25

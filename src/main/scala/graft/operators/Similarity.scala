@@ -983,27 +983,22 @@ object Similarity {
                lists: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
                idCol: String = "vec_id", vecCol: String = "embedding",
                centroids: Option[Array[Array[Double]]] = None,
-               codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
-    val subDim = dim / m
-    // learned-index options compose: coarse centroids from
-    // [[kmeansCentroids]], codebooks from [[pqLearnedCodebooks]] —
-    // salted SQL-derivable defaults otherwise (the oracle-mirrored
-    // algebra)
-    val cbs = codebooks.getOrElse(pqCodebooks(m, codes, subDim))
-    require(cbs.length == m && cbs.forall(_.length == codes),
-      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length).getOrElse(0)} != ${m}x$codes")
-    val encode = pqEncodeUdf(cbs, subDim)
-    val lut = pqLutUdf(cbs, subDim)
-    val adc = pqAdcUdf(m, codes)
-    val cents: Array[Array[Double]] =
-      centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
-    require(cents.length == lists, s"centroids.length ${cents.length} != lists $lists")
+               codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame =
+    // composed from the SAME stage builders the artifact path exposes
+    // (the SetSimJoin shared-builder convention): building inline and
+    // probing a persisted artifact cannot drift
+    annIvfPqProbe(
+      ivfPqIndex(embeddings, dim, lists, m, codes, idCol, vecCol, centroids, codebooks),
+      queries, k, dim, lists, nprobe, m, codes, idCol, vecCol, centroids, codebooks)
+
+  /** Per-vector IVF list scores (dot - ||c||^2/2 per centroid), the
+    * shared kernel of assignment (argmax) and probing (top-nprobe).
+    */
+  private def ivfListScoresFn(cents: Array[Array[Double]]): Seq[Float] => Array[Double] = {
     val normHalf: Array[Double] = cents.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
-    val nLists = lists; val nProbe = nprobe
-    def listScores(v: Seq[Float]): Array[Double] = {
+    (v: Seq[Float]) => {
       val arr = v.toArray
-      Array.tabulate(nLists) { c =>
+      Array.tabulate(cents.length) { c =>
         val cent = cents(c)
         var dotv = 0.0
         var i = 0
@@ -1011,20 +1006,87 @@ object Similarity {
         dotv - normHalf(c)
       }
     }
+  }
+
+  /** The PERSISTED IVF-PQ index artifact — `(vec_id, list_id, codes)`,
+    * one row per corpus vector: its coarse list and its m sub-space
+    * code bytes. This is the billion-vector form the PQ memory math
+    * promises (4 bytes of codes standing in for 256 bytes of floats):
+    * at 100 TB this table — NOT the raw vectors — is what an index
+    * build persists and what every probe scans. Write it out once
+    * (parquet), then answer new queries with [[annIvfPqProbe]] and
+    * never touch the training corpus again; append-only growth is one
+    * [[ivfPqIndex]] pass over the new vectors unioned onto the stored
+    * artifact (same posture as the dedup family's band index / gram
+    * set / bloom bitmap / KMV sketch artifacts).
+    *
+    * Salted SQL-derivable defaults keep every artifact row
+    * oracle-checkable end to end; production passes learned
+    * `centroids`/`codebooks` exactly as [[annIvfPq]] does.
+    */
+  def ivfPqIndex(embeddings: DataFrame, dim: Int, lists: Int = 16,
+                 m: Int = 8, codes: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 centroids: Option[Array[Array[Double]]] = None,
+                 codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    val cbs = codebooks.getOrElse(pqCodebooks(m, codes, subDim))
+    require(cbs.length == m && cbs.forall(_.length == codes),
+      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length).getOrElse(0)} != ${m}x$codes")
+    val cents: Array[Array[Double]] =
+      centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
+    require(cents.length == lists, s"centroids.length ${cents.length} != lists $lists")
+    val listScores = ivfListScoresFn(cents)
     val assign = udf { (v: Seq[Float]) =>
       val s = listScores(v)
       var best = 0; var c = 1
       while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 } // tie -> smaller c
       best
     }
+    val encode = pqEncodeUdf(cbs, subDim)
+    Par.spread(embeddings)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("list_id", assign(col("v")))
+      .withColumn("codes", encode(col("v"))).drop("v")
+  }
+
+  /** ADC search over a PERSISTED [[ivfPqIndex]] artifact: `index` is
+    * the `(vec_id, list_id, codes)` table (read back from parquet in
+    * production — nothing here touches raw corpus vectors), `queries`
+    * carries the new query vectors. Each query builds its LUT and
+    * probes its `nprobe` nearest lists; candidates are scored through
+    * the exact BIGINT ADC sum and ranked per query. Probe cost is
+    * |index| * nprobe/lists rows of 4-byte codes — independent of how
+    * the index was built and paid WITHOUT the build's m x iters
+    * training scans, which is the entire point of persisting it.
+    *
+    * `centroids`/`codebooks` must be the ones the artifact was built
+    * with (salted defaults otherwise — the oracle-mirrored algebra).
+    */
+  def annIvfPqProbe(index: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                    lists: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroids: Option[Array[Array[Double]]] = None,
+                    codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    require(Seq("vec_id", "list_id", "codes").forall(index.columns.contains),
+      s"index must be an ivfPqIndex artifact (vec_id, list_id, codes); got ${index.columns.mkString(", ")}")
+    val subDim = dim / m
+    val cbs = codebooks.getOrElse(pqCodebooks(m, codes, subDim))
+    require(cbs.length == m && cbs.forall(_.length == codes),
+      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length).getOrElse(0)} != ${m}x$codes")
+    val cents: Array[Array[Double]] =
+      centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
+    require(cents.length == lists, s"centroids.length ${cents.length} != lists $lists")
+    val listScores = ivfListScoresFn(cents)
+    val nProbe = nprobe
     val probe = udf { (v: Seq[Float]) =>
       listScores(v).zipWithIndex.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2).toSeq
     }
-
-    val base = Par.spread(embeddings)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-      .withColumn("list_id", assign(col("v")))
-      .withColumn("codes", encode(col("v"))).drop("v")
+    val lut = pqLutUdf(cbs, subDim)
+    val adc = pqAdcUdf(m, codes)
+    val base = index.select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("lut", lut(col("qv")))
       .withColumn("list_id", explode(probe(col("qv")))).drop("qv")

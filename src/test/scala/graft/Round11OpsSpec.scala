@@ -98,6 +98,28 @@ class Round11OpsSpec extends AnyFunSuite with SharedSpark {
     assert(pqF.map(_.map(_.toSeq).toSeq).toSeq == pqC.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("annIvfPqProbe over a re-materialized artifact == inline composition") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val q = emb.filter(col("vec_id") < 8)
+    val inline = rows(Similarity.annIvfPq(emb, q, k = 5, dim = 64))
+    // the artifact path: index rows through a parquet round trip —
+    // DETACHED from any live corpus lineage — must reproduce the
+    // composed search bit-for-bit (shared stage builders, so this is
+    // by construction, and this test keeps it that way)
+    val dir = java.nio.file.Files.createTempDirectory("ann_index").toString
+    Similarity.ivfPqIndex(emb, dim = 64).write.mode("overwrite").parquet(dir)
+    val fromArtifact = rows(Similarity.annIvfPqProbe(
+      spark.read.parquet(dir), q, k = 5, dim = 64))
+    assert(fromArtifact == inline && inline.nonEmpty)
+    // a non-artifact frame is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqProbe(emb, q, k = 5, dim = 64)
+    }
+    assert(ex.getMessage.contains("ivfPqIndex artifact"))
+  }
+
   test("pageRankFixed frees transient round checkpoints after first action") {
     import spark.implicits._
     val sc = spark.sparkContext
