@@ -280,7 +280,9 @@ object SparkEntry {
       val g = new graft.core.EventGraph[graft.core.SearArg](graft.core.SearEngine)
       val w = new graft.core.WorkCache[graft.core.SearArg, String](
         graft.core.SearEngine, base,
-        Some(graft.plans.ShelveSpark.tester(s, graft.core.SearEngine)))
+        Some(graft.plans.ShelveSpark.tester(s, graft.core.SearEngine)),
+        Some(graft.plans.ShelveSpark.baseBuilder(s, graft.core.SearEngine)),
+        Some(graft.plans.ShelveSpark.fusedTester(s, graft.core.SearEngine)))
       var states = SortedSet.empty[String]
       (0 until k).foreach { i =>
         states += w.shelveEvent(g, SortedSet.empty[String], 0,

@@ -20,6 +20,27 @@ import scala.collection.mutable
   */
 final case class IndepCase[A, D](concEvid: String, concCmd: Int, concArg: A, concBase: D)
 
+/** One commutation-test BASE construction: the "everything except
+  * `concEvid`" state, expressed as a shared prefix datum plus the pure
+  * ordered suffix fold that completes it — the shippable form of the
+  * replay (no graph, no memo, just (cmd, arg) pairs and a start state).
+  */
+final case class BaseTask[A, D](concEvid: String, start: D, suffix: Vector[(Int, A)])
+
+/** One whole shelve ROUND in shippable form: the new event under test
+  * (`cmd`/`arg`/`curSt`), the full linearization's (cmd, arg) list and
+  * its prefix states (`prefixes(i)` = state before `order(i)`), and
+  * the fast-path conc events as (evid, position) pairs. Every entry's
+  * base replay and commutation test derive from the SHARED order +
+  * prefixes — a fan-out broadcasts them once instead of shipping a
+  * start datum and a suffix copy per entry (the 480-branch soak
+  * measured that per-entry shipping as the dominant remaining round
+  * cost).
+  */
+final case class ShelveRound[A, D](cmd: Int, arg: A, curSt: D,
+                                   order: Vector[(Int, A)], prefixes: Vector[D],
+                                   entries: Vector[(String, Int)])
+
 final class WorkCache[A, D](
     val engine: Engine[A, D], initData: D,
     /** Optional batch independence tester for the OP-9 commutation
@@ -29,6 +50,29 @@ final class WorkCache[A, D](
       * classification exactly (property-tested).
       */
     val indepTester: Option[(Int, A, D, Seq[IndepCase[A, D]]) => Map[String, Boolean]] = None,
+    /** Optional batch builder for the commutation-test BASE states —
+      * the other embarrassingly parallel half of a shelve round
+      * (round-11: the 480-branch soak measured these driver-side
+      * replays dwarfing the tests they feed). Each [[BaseTask]] is a
+      * pure fold; when set (e.g.
+      * [[graft.plans.ShelveSpark.baseBuilder]]) a round's bases build
+      * across executors. Must equal [[WorkCache.replayTask]] per task
+      * (property-tested).
+      */
+    val baseBuilder: Option[Seq[BaseTask[A, D]] => Map[String, D]] = None,
+    /** Optional FUSED round executor: base fold + commutation test in
+      * one task per conc event, all derived from ONE shared
+      * [[ShelveRound]] (order + prefix states broadcast once; entries
+      * are (evid, position) pairs). A base state is consumed by
+      * exactly one test, so fusing halves the per-round fan-outs,
+      * never ships folded states back to the driver, and never ships
+      * per-entry suffix copies out. Supersedes [[baseBuilder]] +
+      * [[indepTester]] for fast-path concs; the structural-fallback
+      * concs (non-delete-in-place linearizations) still materialize
+      * and flow through [[indepTester]]. Must equal
+      * [[WorkCache.roundVerdict]] per entry (property-tested).
+      */
+    val fusedTester: Option[ShelveRound[A, D] => Map[String, Boolean]] = None,
     /** Upper bound on memoized prefix states. The reference memoizes
       * every prefix forever (workcache.rs:12-15) — the classic
       * memory-for-time trade; at 100x session length that OOMs the
@@ -142,18 +186,85 @@ final class WorkCache[A, D](
       // conc itself" (IncludeOnlyDeps for conc, IncludeAll for the rest).
       // The replayed datum is carried alongside the event-set — it must
       // not be re-read from the memo, which may have evicted it by now.
+      //
+      // PREFIX-SHARED construction (round-11): a non-deferred conc is,
+      // by the deferral test itself, a dependency of nothing in the
+      // list, so removing it changes no other event's Kahn depth — the
+      // "except conc" linearization is the FULL linearization with conc
+      // deleted in place. Its replay therefore equals (full prefix
+      // before conc's position) + a pure fold of the suffix: ONE
+      // n-event prefix pass replaces ~n memoized replays of ~n events
+      // each, which the 480-branch soak measured as the dominant
+      // driver cost of a merge (the memo's set-keyed lookups included),
+      // and the suffix folds are shippable [[BaseTask]]s that
+      // [[baseBuilder]] fans out across executors. A structural
+      // surprise (except-order NOT a delete-in-place) falls back to
+      // the memoized path, so semantics cannot drift.
       val seedDeps2 = mutable.TreeMap.empty[String, D]
+      val fullOrder = graph.calculateDependencies(SortedSet.empty,
+        includeAll(seedDeps.iterator.concat(useDeps.iterator).to(Iterable)))
+      val posOf = fullOrder.iterator.zipWithIndex.toMap
+      val prefixStates = new Array[Any](fullOrder.length + 1)
+      locally {
+        var st: D = stGet(SortedSet.empty[String]).getOrElse(throw new DatasetNotFound)
+        prefixStates(0) = st
+        var i = 0
+        while (i < fullOrder.length) {
+          val ev = graph.events(fullOrder(i))
+          st = engine.runEvent(ev.cmd, ev.arg, st)
+          prefixStates(i + 1) = st
+          i += 1
+        }
+      }
+      val fastPath = Vector.newBuilder[(String, Int)]
       seedDeps.foreach { concEvid =>
         val incl = SortedMap.from(
           (seedDeps.iterator ++ useDeps.iterator).map { i =>
             i -> (if (i == concEvid) IncludeSpec.OnlyDeps else IncludeSpec.All: IncludeSpec)
           })
-        val (tmpSt, tmptt) = runForeachRecursively(graph, incl)
-        if (tmptt.contains(concEvid)) {
+        val exceptOrder = graph.calculateDependencies(SortedSet.empty, incl)
+        if (exceptOrder.contains(concEvid)) {
           // pulled in by another dependency — defer to the next seed round
           extraNewSeedDeps += concEvid
         } else {
-          seedDeps2.update(concEvid, tmpSt)
+          val p = posOf(concEvid)
+          val deleteInPlace = exceptOrder.length == fullOrder.length - 1 && {
+            var ok = true
+            var i = 0
+            while (ok && i < exceptOrder.length) {
+              ok = exceptOrder(i) == fullOrder(if (i < p) i else i + 1)
+              i += 1
+            }
+            ok
+          }
+          if (deleteInPlace) fastPath += ((concEvid, p))
+          else
+            seedDeps2.update(concEvid, runDeps(graph, SortedSet.empty, exceptOrder)._1)
+        }
+      }
+      // resolve fast-path concs: fused (fold + test in one fan-out off
+      // the round-shared order/prefixes) when available, else
+      // materialize bases (parallel or sequential) into seedDeps2
+      val fusedVerdicts: Map[String, Boolean] = {
+        val fp = fastPath.result()
+        fusedTester match {
+          case Some(ft) if fp.length > 1 =>
+            ft(ShelveRound(cmd, arg, curSt,
+              fullOrder.map { id => val e = graph.events(id); (e.cmd, e.arg) },
+              prefixStates.iterator.map(_.asInstanceOf[D]).toVector, fp))
+          case _ =>
+            val ts = fp.map { case (evid, p) =>
+              BaseTask(evid, prefixStates(p).asInstanceOf[D],
+                fullOrder.drop(p + 1).map { id =>
+                  val e = graph.events(id); (e.cmd, e.arg)
+                })
+            }
+            val built = baseBuilder match {
+              case Some(bb) if ts.length > 1 => bb(ts)
+              case _ => ts.iterator.map(t => t.concEvid -> WorkCache.replayTask(engine, t)).toMap
+            }
+            built.foreach { case (id, st) => seedDeps2.update(id, st) }
+            Map.empty
         }
       }
 
@@ -161,12 +272,16 @@ final class WorkCache[A, D](
         val concEv = graph.events(concEvid)
         IndepCase(concEvid, concEv.cmd, concEv.arg, base)
       }.toVector
-      val verdicts: Map[String, Boolean] = indepTester match {
+      val verdicts: Map[String, Boolean] = fusedVerdicts ++ (indepTester match {
         case Some(t) if cases.length > 1 => t(cmd, arg, curSt, cases)
         case _ => cases.iterator.map(c =>
           c.concEvid -> WorkCache.isIndependent(engine, cmd, arg, curSt, c)).toMap
-      }
-      seedDeps2.foreach { case (concEvid, _) =>
+      })
+      // every non-deferred conc, in evid order (the order curDeps
+      // updates were always applied in — seedDeps2 was the sorted
+      // superset before the fused path existed)
+      val nonDeferred = (seedDeps2.keySet ++ fusedVerdicts.keys).toVector.sorted
+      nonDeferred.foreach { concEvid =>
         val concEv = graph.events(concEvid)
         val isIndep = verdicts(concEvid)
         if (isIndep) {
@@ -261,6 +376,33 @@ object WorkCache {
     * independent iff applying the new event first changes state AND
     * conc still applies on top to reach the same result.
     */
+  /** The pure suffix fold a [[BaseTask]] denotes — shared by the
+    * driver fallback and every parallel base builder, so the two paths
+    * are equal by construction.
+    */
+  def replayTask[A, D](engine: Engine[A, D], t: BaseTask[A, D]): D = {
+    var st = t.start
+    t.suffix.foreach { case (c, a) => st = engine.runEvent(c, a, st) }
+    st
+  }
+
+  /** One fused round entry: fold the "except conc at position p" base
+    * off the round's shared prefixes/order, then run the commutation
+    * test — the kernel every [[WorkCache.fusedTester]] implementation
+    * and the sequential fallback share.
+    */
+  def roundVerdict[A, D](engine: Engine[A, D], r: ShelveRound[A, D],
+                         concEvid: String, p: Int): Boolean = {
+    var st = r.prefixes(p)
+    var i = p + 1
+    while (i < r.order.length) {
+      st = engine.runEvent(r.order(i)._1, r.order(i)._2, st)
+      i += 1
+    }
+    isIndependent(engine, r.cmd, r.arg, r.curSt,
+      IndepCase(concEvid, r.order(p)._1, r.order(p)._2, st))
+  }
+
   def isIndependent[A, D](engine: Engine[A, D], cmd: Int, arg: A, curSt: D,
                           c: IndepCase[A, D]): Boolean =
     if (curSt == c.concBase) false

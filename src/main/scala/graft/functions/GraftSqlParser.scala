@@ -131,7 +131,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     val g = new graft.core.EventGraph[graft.core.SearArg](graft.core.SearEngine)
     val w = new graft.core.WorkCache[graft.core.SearArg, String](
       graft.core.SearEngine, base,
-      Some(graft.plans.ShelveSpark.tester(session, graft.core.SearEngine)))
+      Some(graft.plans.ShelveSpark.tester(session, graft.core.SearEngine)),
+      Some(graft.plans.ShelveSpark.baseBuilder(session, graft.core.SearEngine)),
+      Some(graft.plans.ShelveSpark.fusedTester(session, graft.core.SearEngine)))
     (g, w)
   }
 

@@ -1003,31 +1003,39 @@ class StateCacheSpec extends AnyFunSuite with SharedSpark {
 class ShelveSparkSpec extends AnyFunSuite with SharedSpark {
   import graft.plans.ShelveSpark
 
-  private def runBoth(start: String, sears: Seq[(String, String)]): (String, String) = {
+  private def runAll(start: String, sears: Seq[(String, String)]): Seq[String] = {
     def shelveAll(w: WorkCache[SearArg, String], g: EventGraph[SearArg]): String = {
       var xs = SortedSet.empty[String]
       sears.foreach { case (s, r) => w.shelveEvent(g, xs, 0, SearArg(s, r)).foreach(h => xs += h) }
       val (dat, _) = w.materialize(g, xs)
       g.events.keysIterator.mkString(",") + "|" + dat
     }
-    val seqRes = shelveAll(new WorkCache[SearArg, String](SearEngine, start),
-      new EventGraph[SearArg](SearEngine))
-    val parRes = shelveAll(
+    Seq(
+      // fully sequential
+      new WorkCache[SearArg, String](SearEngine, start),
+      // parallel commutation tests
       new WorkCache[SearArg, String](SearEngine, start,
         indepTester = Some(ShelveSpark.tester(spark, SearEngine, minBatch = 1))),
-      new EventGraph[SearArg](SearEngine))
-    (seqRes, parRes)
+      // parallel base construction too
+      new WorkCache[SearArg, String](SearEngine, start,
+        indepTester = Some(ShelveSpark.tester(spark, SearEngine, minBatch = 1)),
+        baseBuilder = Some(ShelveSpark.baseBuilder(spark, SearEngine, minBatch = 1))),
+      // fused fold+test rounds (one fan-out per round)
+      new WorkCache[SearArg, String](SearEngine, start,
+        indepTester = Some(ShelveSpark.tester(spark, SearEngine, minBatch = 1)),
+        fusedTester = Some(ShelveSpark.fusedTester(spark, SearEngine, minBatch = 1)))
+    ).map(w => shelveAll(w, new EventGraph[SearArg](SearEngine)))
   }
 
-  test("parallel tester == sequential shelve (hashes + materialized state)") {
+  test("parallel tester/baseBuilder/fused == sequential shelve (hashes + state)") {
     val cases = Seq(
       ("Hi, what's up??", Seq(("Hi", "Hello UwU"), ("UwU", "World"), ("what", "wow"),
         ("s up", "sup"), ("??", "!"), ("sup!", "soap?"), ("p", "np"))),
       ("x", Seq(("x", "xx"), ("x", "xx"), ("x", "y"))),
       ("A|B|C", Seq(("B", "D"), ("A|D", "E|D"), ("D|C", "D|F"))))
     cases.foreach { case (start, sears) =>
-      val (s, p) = runBoth(start, sears)
-      assert(s == p, s"divergence for start=$start")
+      val rs = runAll(start, sears)
+      assert(rs.distinct.size == 1, s"divergence for start=$start: $rs")
     }
   }
 }
