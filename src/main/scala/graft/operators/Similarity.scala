@@ -903,12 +903,68 @@ object Similarity {
       if (trainSample <= 0 && trainFraction <= 0.0) embeddings
       else trainFrameOf(embeddings, idCol, trainSample, trainFraction)
         .localCheckpoint(eager = false)
-    Array.tabulate(m) { s =>
-      val slice = udf { (v: Seq[Float]) => v.slice(s * subDim, (s + 1) * subDim) }
-      kmeansCentroids(
-        train.select(lit(0L).as("__id"), slice(col(vecCol)).as("__sub")),
-        k = codes, iters = iters, dim = subDim, idCol = "__id", vecCol = "__sub")
+    // ALL m subspace trainings ride ONE aggregate per iteration
+    // (grouped by (subspace, cluster)) instead of m independent
+    // kmeans runs: iters corpus passes instead of m x iters, and
+    // 1 + iters Spark jobs instead of m x (1 + iters) — bit-identical
+    // per subspace (same salted seeds, same slice/quantize/argmax/
+    // fixed-point-mean algebra; grouping by s partitions the rows
+    // exactly as the per-subspace frames did), held by Round11OpsSpec
+    // against the per-subspace loop and by the q_ann_pq_learned /
+    // q_ann_pq_sampled oracles end to end.
+    val scale = 1048576.0
+    val explodeSlices = udf { (v: Seq[Float]) =>
+      (0 until m).map { s =>
+        val sl = v.slice(s * subDim, (s + 1) * subDim)
+        (s, sl, sl.map(x => math.floor(x.toDouble * scale).toLong))
+      }
     }
+    val qdf = Par.spread(train)
+      .select(explode(explodeSlices(col(vecCol))).as("e"))
+      .select(col("e._1").as("s"), col("e._2").as("v"), col("e._3").as("qv"))
+      .localCheckpoint()
+    var cents: Array[Array[Array[Double]]] =
+      Array.fill(m)(Array.tabulate(codes)(c => saltedCentroid("km", c, subDim)))
+    for (_ <- 1 to iters) {
+      val cur = cents
+      val normHalf: Array[Array[Double]] =
+        cur.map(_.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x)))
+      val assign = udf { (s: Int, v: Seq[Float]) =>
+        val arr = v.toArray
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < codes) {
+          val cent = cur(s)(c)
+          var dotv = 0.0
+          var i = 0
+          while (i < arr.length) { dotv += arr(i).toDouble * cent(i); i += 1 }
+          val sc = dotv - normHalf(s)(c)
+          if (sc > bestS) { bestS = sc; best = c }
+          c += 1
+        }
+        best
+      }
+      val sums = qdf
+        .select(col("s"), assign(col("s"), col("v")).as("cl"), col("qv"))
+        .groupBy("s", "cl")
+        .agg(count(lit(1)).as("n"),
+          (0 until subDim).map(d => sum(col("qv")(d)).as(s"s$d")): _*)
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach { row =>
+        val s = row.getAs[Int]("s")
+        val c = row.getAs[Int]("cl")
+        val n = row.getAs[Long]("n")
+        var d = 0
+        while (d < subDim) {
+          next(s)(c)(d) = row.getAs[Long](s"s$d").toDouble / (n * scale); d += 1
+        }
+      }
+      cents = next
+    }
+    graft.plans.CheckpointHygiene.free(qdf)
+    cents
   }
 
   /** Nearest codeword per subspace: argmax(dot - ||c||^2/2), strict >

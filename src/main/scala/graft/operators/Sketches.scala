@@ -328,33 +328,45 @@ object Sketches {
     val trimmed =
       if (sketches.columns.contains("rn")) sketches.filter(col("rn") <= k)
       else sketches
-    val guarded =
-      if (sketches.columns.contains("k")) {
-        val kb = broadcast(trimmed.agg(
-          min(col("k")).as("kb_min"), max(col("k")).as("kb_max")))
-        trimmed.crossJoin(kb)
-          .filter(
-            when(col("kb_min") =!= col("kb_max"),
-              raise_error(concat(lit("kmvSetOpsFromSketches: mixed build-k artifact ("),
-                col("kb_min"), lit(".."), col("kb_max"), lit(")"))).cast("boolean"))
-            .when(col("kb_min") < k,
-              raise_error(concat(lit(s"kmvSetOpsFromSketches(k=$k) over an artifact built"
-                + " with k="), col("kb_min"),
-                lit(": truncated strata would report build-k as exact cardinalities;"
-                  + " pass the build-time k"))).cast("boolean"))
-            .otherwise(lit(true)))
-          .drop("kb_min", "kb_max")
-      } else trimmed
-    val sk = guarded.select(col("source"), col("h"))
+    val hasK = sketches.columns.contains("k")
+    val sk = trimmed.select(col("source"), col("h"))
     val srcs = sk.select(col("source")).distinct()
     val pairs = srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
-    // per-source estimate from each sketch's own kth value
-    val per = sk.groupBy("source")
-      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
-      .select(col("source"),
-        when(col("n") < k, col("n").cast("double"))
-          .otherwise(lit((k - 1).toDouble * KmvM) / col("hk").cast("double")).as("est"))
+    // per-source estimate from each sketch's own kth value; the
+    // artifact-k columns ride THIS aggregate (one extra pass over an
+    // aggregate that exists anyway — a separate guard agg would
+    // re-evaluate the caller's whole sketch subtree, measured as
+    // ~0.4 s on q_kmv_sketch_only where the sketch derives live from
+    // the corpus scan)
+    val perAgg = (if (hasK) trimmed.select(col("source"), col("h"), col("k"))
+                  else trimmed.select(col("source"), col("h"), lit(k).as("k")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"),
+        min(col("k")).as("kb_min"), max(col("k")).as("kb_max"))
+    val per = perAgg.select(col("source"),
+      when(col("n") < k, col("n").cast("double"))
+        .otherwise(lit((k - 1).toDouble * KmvM) / col("hk").cast("double")).as("est"))
+    // one-row guard scalar: refuses a smaller or mixed build k at
+    // execution time (attached to the k-row output, not the input)
+    val guard =
+      if (!hasK) null
+      else broadcast(perAgg.agg(
+        min(col("kb_min")).as("kb_min"), max(col("kb_max")).as("kb_max")))
+    def withGuard(df: DataFrame): DataFrame =
+      if (!hasK) df
+      else df.crossJoin(guard)
+        .filter(
+          when(col("kb_min") =!= col("kb_max"),
+            raise_error(concat(lit("kmvSetOpsFromSketches: mixed build-k artifact ("),
+              col("kb_min"), lit(".."), col("kb_max"), lit(")"))).cast("boolean"))
+          .when(col("kb_min") < k,
+            raise_error(concat(lit(s"kmvSetOpsFromSketches(k=$k) over an artifact built"
+              + " with k="), col("kb_min"),
+              lit(": truncated strata would report build-k as exact cardinalities;"
+                + " pass the build-time k"))).cast("boolean"))
+          .otherwise(lit(true)))
+        .drop("kb_min", "kb_max")
     // membership-tagged merge of the two sketches per pair, k smallest
     val va = pairs.join(sk.select(col("source").as("src_a"), col("h")), Seq("src_a"))
       .select(col("src_a"), col("src_b"), col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
@@ -366,14 +378,14 @@ object Sketches {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
       .filter(col("rn") <= k)
-    merged.groupBy("src_a", "src_b")
+    withGuard(merged.groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n"), max(col("h")).as("hk"),
         sum(col("ia") * col("ib")).as("c"))
       .select(col("src_a"), col("src_b"), col("c"), col("n"),
         when(col("n") < k, col("n").cast("double"))
           .otherwise(lit((k - 1).toDouble * KmvM) / col("hk").cast("double")).as("u"))
       .join(per.select(col("source").as("src_a"), col("est").as("ea")), "src_a")
-      .join(per.select(col("source").as("src_b"), col("est").as("eb")), "src_b")
+      .join(per.select(col("source").as("src_b"), col("est").as("eb")), "src_b"))
       .select(col("src_a"), col("src_b"),
         round(col("ea")).cast("long").as("est_a"),
         round(col("eb")).cast("long").as("est_b"),

@@ -98,6 +98,26 @@ class Round11OpsSpec extends AnyFunSuite with SharedSpark {
     assert(pqF.map(_.map(_.toSeq).toSeq).toSeq == pqC.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("single-aggregate PQ training == per-subspace kmeans loop, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(412)
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat).toSeq))
+    val emb = vecs.toDF("vec_id", "embedding").localCheckpoint()
+    val subDim = 8
+    // the batched (one aggregate per iteration, all 8 subspaces) form
+    val batched = Similarity.pqLearnedCodebooks(emb, dim = 64, iters = 2)
+    // the original per-subspace composition it replaced
+    val perSubspace = Array.tabulate(8) { s =>
+      val slice = udf { (v: Seq[Float]) => v.slice(s * subDim, (s + 1) * subDim) }
+      Similarity.kmeansCentroids(
+        emb.select(lit(0L).as("__id"), slice(col("embedding")).as("__sub")),
+        k = 16, iters = 2, dim = subDim, idCol = "__id", vecCol = "__sub")
+    }
+    assert(batched.map(_.map(_.toSeq).toSeq).toSeq ==
+      perSubspace.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("annIvfPqProbe over a re-materialized artifact == inline composition") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
