@@ -608,6 +608,23 @@ object SparkEntry {
         Sketches.kmvSketch(t(s, dir, "documents"), "text", "source",
           k = 256, shingleN = 3), k = 256)),
 
+    // ARTIFACT MERGE: two half-corpus sketches (doc_id parity as two
+    // crawl days) min-merged into one — KMV mergeability is exact, so
+    // the oracle rebuilds the sketch from the WHOLE corpus and the
+    // merged artifact must match it bit for bit; at 100 TB this is
+    // how daily k-row artifacts roll up with zero history re-scan
+    "q_kmv_sketch_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sketches.kmvMergeSketches(
+        Sketches.kmvSketch(docs.filter(col("doc_id") % 2 === 0), "text", "source",
+          k = 256, shingleN = 3),
+        Sketches.kmvSketch(docs.filter(col("doc_id") % 2 =!= 0), "text", "source",
+          k = 256, shingleN = 3),
+        k = 256)
+        .select(col("source"), col("h"), col("rn").cast("long").as("rn"),
+          col("k").cast("long").as("k"))
+    }),
+
     // log-spaced (relative-error) quantile histogram over lineitem
     // price cents per returnflag: 8 sub-buckets per octave, mergeable
     // by addition, exact integer bucket algebra (HDR/DDSketch shape)
@@ -2410,6 +2427,24 @@ object SparkEntry {
         |JOIN pest ea ON u.src_a = ea.source
         |JOIN pest eb ON u.src_b = eb.source
         |JOIN exact e ON u.src_a = e.src_a AND u.src_b = e.src_b""".stripMargin,
+
+    // mirrors kmvMergeSketches by the STRONGEST available statement:
+    // the oracle rebuilds the sketch from the WHOLE corpus (ordinary
+    // kmvSketch algebra), while the Spark side merges two HALF-corpus
+    // artifacts — equality IS the KMV mergeability theorem, end to end
+    "q_kmv_sketch_merge" ->
+      """WITH tt AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 0) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS word FROM tt),
+        |hv AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5('kmv|' || word), 1, 15))::BIGINT AS h FROM tok)
+        |SELECT source, h, CAST(row_number() OVER (PARTITION BY source ORDER BY h) AS BIGINT) AS rn,
+        |  CAST(256 AS BIGINT) AS k
+        |FROM hv
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256""".stripMargin,
 
     // mirrors kmvSketch + kmvSetOpsFromSketches: the sketch CTE (sk)
     // rebuilds the persisted artifact — everything DOWNSTREAM of sk

@@ -394,6 +394,45 @@ object Sketches {
         round(col("c").cast("double") / col("n").cast("double"), 6).as("jaccard_est"))
   }
 
+  /** Merge two PERSISTED KMV sketch artifacts into one — the
+    * day-over-day path: yesterday's crawl sketch + today's, unioned
+    * per stratum, distinct, re-cut to the k smallest. KMV min-merge is
+    * exact mergeability (the k smallest of A ∪ B are contained in the
+    * union of each side's k smallest), so the merged artifact is
+    * BIT-IDENTICAL to a sketch built from the combined corpus — which
+    * is what the q_kmv_sketch_merge oracle gates: Spark merges two
+    * half-corpus artifacts, DuckDB rebuilds from the whole corpus.
+    * Same shape as the streaming state's min-merge
+    * ([[graft.streaming.StreamingKmv]]); this is its batch-artifact
+    * face. Inputs follow the estimator's artifact contract (rn-bearing
+    * frames re-cut; a persisted build k smaller than the caller's is
+    * refused at execution time through the same one-row guard the
+    * estimator uses).
+    */
+  def kmvMergeSketches(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame): DataFrame = {
+      val t = if (df.columns.contains("rn")) df.filter(col("rn") <= k) else df
+      if (df.columns.contains("k")) t.select(col("source"), col("h"), col("k"))
+      else t.select(col("source"), col("h"), lit(k).as("k"))
+    }
+    val u = prep(a).unionByName(prep(b))
+    val guard = broadcast(u.groupBy().agg(
+      min(col("k")).as("kb_min"), max(col("k")).as("kb_max")))
+    u.select(col("source"), col("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .crossJoin(guard)
+      .filter(
+        when(col("kb_min") < k,
+          raise_error(concat(lit(s"kmvMergeSketches(k=$k) over an artifact built with k="),
+            col("kb_min"),
+            lit(": a truncated input cannot yield a valid merged k-sketch"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col("source"), col("h"), col("rn"), lit(k).as("k"))
+  }
+
   /** The AUDITED form: [[kmvSetOpsFromSketches]] over a freshly built
     * sketch, with the exact per-pair overlap joined on as the accuracy
     * report (the cms/join-size convention). This is the calibration

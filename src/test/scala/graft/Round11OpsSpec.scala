@@ -43,6 +43,29 @@ class Round11OpsSpec extends AnyFunSuite with SharedSpark {
       sk.select("source", "h"), k = 64)).nonEmpty)
   }
 
+  test("kmvMergeSketches: merging half-corpus artifacts == direct full-corpus sketch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "h", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val merged = Sketches.kmvMergeSketches(
+      Sketches.kmvSketch(docs.filter(col("doc_id") % 2 === 0), "text", "source",
+        k = 64, shingleN = 3).localCheckpoint(),
+      Sketches.kmvSketch(docs.filter(col("doc_id") % 2 =!= 0), "text", "source",
+        k = 64, shingleN = 3).localCheckpoint(),
+      k = 64)
+    val direct = Sketches.kmvSketch(docs, "text", "source", k = 64, shingleN = 3)
+    assert(rows(merged) == rows(direct) && rows(direct).nonEmpty)
+    // a truncated input (build k below the caller's) is refused loudly
+    val small = Sketches.kmvSketch(docs, "text", "source", k = 16, shingleN = 3)
+    val ex = intercept[Exception] {
+      Sketches.kmvMergeSketches(small, small, k = 64).collect()
+    }
+    assert(ex.getMessage.contains("built with k=16"), ex.getMessage)
+    // merged artifacts feed the estimator like any other sketch
+    assert(Sketches.kmvSetOpsFromSketches(merged, k = 64).collect().nonEmpty)
+  }
+
   test("trainFraction: static threshold equals the oracle constant and the count path") {
     import spark.implicits._
     // the constant the DuckDB oracles embed literally (2^60 / 4)
