@@ -1038,6 +1038,30 @@ class ShelveSparkSpec extends AnyFunSuite with SharedSpark {
       assert(rs.distinct.size == 1, s"divergence for start=$start: $rs")
     }
   }
+
+  test("property: all 4 execution modes agree on 40 random shelve chains") {
+    // the round-11 fast path (prefix-shared bases, fused fold+test,
+    // broadcast round context) vs the pure sequential semantics, over
+    // random dependency structures — non-commuting replaces create
+    // real hard/soft dep graphs, deferrals and fallbacks
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val smallStr = Gen.chooseNum(0, 6).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val nonEmptyStr = Gen.chooseNum(1, 4).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val caseGen = for {
+      init <- Gen.chooseNum(1, 8).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+      n <- Gen.chooseNum(1, 6)
+      sears <- Gen.listOfN(n, for { s <- nonEmptyStr; r <- smallStr } yield (s, r))
+    } yield (init, sears)
+    val params = Gen.Parameters.default
+    var seed = Seed(1108L)
+    (0 until 40).foreach { i =>
+      val (init, sears) = caseGen.pureApply(params, seed)
+      val rs = runAll(init, sears)
+      assert(rs.distinct.size == 1, s"case #$i init=$init sears=$sears: $rs")
+      seed = seed.next
+    }
+  }
 }
 
 /** Scale patterns: bucketed co-located joins, skew salting, streaming
