@@ -147,7 +147,8 @@ object Bench {
       "q_ann_pq_sampled", "q_ann_ivf_learned", "q_ann_ivf_sampled",
       "q_pagerank_mass", "q_curation_full2", "q_interval_overlap",
       "q_bloom_join_prune", "q_sem_decontam_lsh10",
-      "q_ann_index", "q_ann_probe_incremental", "q_kmv_sketch_merge")
+      "q_ann_index", "q_ann_probe_incremental", "q_kmv_sketch_merge",
+      "q_ann_index_learned")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
       .orElse(if (sys.env.contains("SPARK_GRAFT_HEADLINE")) Some(headline) else None)
     // min of N passes (default 2): this host shows rare 10-40 s

@@ -969,6 +969,21 @@ object SparkEntry {
         .select(col("vec_id"), col("list_id"),
           col("pos").cast("long").as("s"), col("col").cast("long").as("code"))),
 
+    // the PRODUCTION artifact: learned coarse centroids + learned PQ
+    // codebooks, training inside the correctness gate — what a real
+    // index build persists, every stored byte recomputed by the oracle
+    // from raw embeddings through both training chains
+    "q_ann_index_learned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqIndex(emb, dim = 64,
+        centroids = Some(Similarity.kmeansCentroids(emb, k = 16, iters = 2, dim = 64)),
+        codebooks = Some(Similarity.pqLearnedCodebooks(emb, dim = 64, iters = 2)))
+        .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("list_id"),
+          col("pos").cast("long").as("s"), col("col").cast("long").as("code"))
+    }),
+
     // INCREMENTAL ANN probe: the vec_id % 3 == 0 slice arrives as NEW
     // query vectors and searches the PERSISTED index of the rest —
     // annIvfPqProbe consumes ONLY the (vec_id, list_id, codes)
@@ -2911,6 +2926,8 @@ object SparkEntry {
     // persisted index of the % 3 != 0 history — the oracle recomputes
     // assignment/codes/ADC from the same index CTEs
     "q_ann_index" -> annIndexOracle,
+    "q_ann_index_learned" -> annIndexLearnedOracle(lists = 16, kmIters = 2,
+      m = 8, codes = 16, subDim = 8, pqIters = 2),
     "q_ann_probe_incremental" -> annIvfPqOracleK(5,
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
@@ -4275,18 +4292,24 @@ object SparkEntry {
     * composed with the annPq encode/LUT/ADC mirror — the LEARNED index
     * path oracle-gated end to end, training included.
     */
-  private def annPqLearnedOracle(m: Int, codes: Int, subDim: Int, iters: Int, k: Int,
-                                 trainThresh: Option[Long] = None): String = {
+  /** The PQ codebook TRAINING chains — `centp0` through the learned
+    * `cb` table — without a leading WITH, so they compose into larger
+    * oracles (annPqLearnedOracle, the learned-artifact oracle). The
+    * dims CTE name is parameterized because the kmeans chain defines
+    * its own `dims` at the full dimension.
+    */
+  private def pqLearnedCbCtes(m: Int, codes: Int, subDim: Int, iters: Int,
+                              trainThresh: Option[Long], dimsName: String): String = {
     val sb = new StringBuilder
     // shared salted seeds: saltedCentroid("km", c, subDim) — identical
     // for every subspace (the data slice differs)
     sb.append(
-      s"""WITH centp0 AS (SELECT c.c, list(
+      s"""centp0 AS (SELECT c.c, list(
          |    ('0x' || substr(md5('km|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
          |    ORDER BY d.d) AS cv
          |  FROM (SELECT unnest(range($codes)) AS c) c, (SELECT unnest(range($subDim)) AS d) d
          |  GROUP BY c.c),
-         |dims AS (SELECT unnest(range($subDim)) AS d)""".stripMargin)
+         |$dimsName AS (SELECT unnest(range($subDim)) AS d)""".stripMargin)
     // the q_$s tables feed TRAINING ONLY (encode/LUT read the full
     // corpus through v/cb), so the hash-threshold sample bounds them
     // directly — the pqLearnedCodebooks trainSample algebra verbatim
@@ -4318,10 +4341,10 @@ object SparkEntry {
         sb.append(
           s""",
              |sum${i}_$s AS (SELECT a.cl AS c, d.d, CAST(sum(q.qv[d.d + 1]) AS BIGINT) AS s, count(*) AS n
-             |  FROM asg${i - 1}_$s a JOIN q_$s q USING (vec_id) CROSS JOIN dims d GROUP BY a.cl, d.d),
+             |  FROM asg${i - 1}_$s a JOIN q_$s q USING (vec_id) CROSS JOIN $dimsName d GROUP BY a.cl, d.d),
              |cent${i}_$s AS (SELECT p.c, list(
              |    coalesce(CAST(s.s AS DOUBLE) / (s.n * 1048576.0), p.cv[d.d + 1]) ORDER BY d.d) AS cv
-             |  FROM $prev p CROSS JOIN dims d
+             |  FROM $prev p CROSS JOIN $dimsName d
              |  LEFT JOIN sum${i}_$s s ON s.c = p.c AND s.d = d.d
              |  GROUP BY p.c)""".stripMargin)
         if (i < iters) scoreAsg(i)
@@ -4331,6 +4354,14 @@ object SparkEntry {
     sb.append(
       (0 until m).map(s => s"SELECT $s AS s, c, cv FROM cent${iters}_$s")
         .mkString(",\ncb AS (\n", "\nUNION ALL\n", ")"))
+    sb.toString
+  }
+
+  private def annPqLearnedOracle(m: Int, codes: Int, subDim: Int, iters: Int, k: Int,
+                                 trainThresh: Option[Long] = None): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ")
+    sb.append(pqLearnedCbCtes(m, codes, subDim, iters, trainThresh, "dims"))
     // encode / LUT / ADC — the annPqOracle body over the learned cb
     sb.append(
       s""",
@@ -4430,6 +4461,31 @@ object SparkEntry {
       |SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
       |  CAST(c.s AS BIGINT) AS s, CAST(c.c AS BIGINT) AS code
       |FROM assign a JOIN code c USING (vec_id)""".stripMargin
+
+  /** DuckDB mirror of q_ann_index_learned: the PRODUCTION artifact —
+    * kmeans-learned coarse centroids AND per-subspace learned PQ
+    * codebooks, trainings unrolled as CTE chains (the q_kmeans /
+    * q_ann_pq_learned builders composed), then assignment + codes per
+    * vector. Every byte the learned index stores is recomputed from
+    * raw embeddings, training included.
+    */
+  private def annIndexLearnedOracle(lists: Int, kmIters: Int,
+                                    m: Int, codes: Int, subDim: Int,
+                                    pqIters: Int): String =
+    kmeansOracleCtes(lists, kmIters, 64) + ",\n" +
+    pqLearnedCbCtes(m, codes, subDim, pqIters, None, "pdims") +
+    s""",
+       |assign AS (SELECT vec_id, c AS list_id FROM sc$kmIters
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
+       |pqsc AS (SELECT v.vec_id, cb.s, cb.c,
+       |    list_sum(list_transform(range(1, ${subDim + 1}), i -> v.v[cb.s * $subDim + i] * cb.cv[i]))
+       |      - 0.5 * list_sum(list_transform(cb.cv, x -> x * x)) AS score
+       |  FROM v, cb),
+       |code AS (SELECT vec_id, s, c FROM pqsc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) = 1)
+       |SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+       |  CAST(c.s AS BIGINT) AS s, CAST(c.c AS BIGINT) AS code
+       |FROM assign a JOIN code c USING (vec_id)""".stripMargin
 
   /** DuckDB mirror of q_rrf_fusion: the full BM25 pipeline at k=20
     * (identical fixed-point per-term contributions as the q_bm25
