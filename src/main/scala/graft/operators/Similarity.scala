@@ -1107,6 +1107,43 @@ object Similarity {
       .withColumn("codes", encode(col("v"))).drop("v")
   }
 
+  /** Append-only growth of a persisted [[ivfPqIndex]] artifact: encode
+    * ONLY the new vectors (ids not yet indexed — admission is
+    * content-addressed by vec_id, so re-sending a batch is idempotent)
+    * and parquet-append their rows. History is never rewritten and
+    * never re-encoded; with the same build parameters the grown
+    * artifact equals `ivfPqIndex(old corpus ∪ new vectors)` row for
+    * row — the [[graft.streaming.StreamingNearDup.appendToIndex]]
+    * convention for the ANN family. Returns the number of admitted
+    * vectors.
+    */
+  def ivfPqIndexAppend(newVectors: DataFrame, indexPath: String,
+                       dim: Int, lists: Int = 16, m: Int = 8, codes: Int = 16,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       centroids: Option[Array[Array[Double]]] = None,
+                       codebooks: Option[Array[Array[Array[Double]]]] = None): Long = {
+    val spark = newVectors.sparkSession
+    val existing =
+      if (new java.io.File(indexPath).exists())
+        spark.read.parquet(indexPath).select(col("vec_id"))
+      else {
+        import spark.implicits._
+        Seq.empty[Long].toDF("vec_id")
+      }
+    // materialize before writing: the anti-join reads indexPath, and
+    // appending to a path mid-read is undefined
+    val fresh = ivfPqIndex(
+        newVectors.join(existing.withColumnRenamed("vec_id", idCol),
+          Seq(idCol), "left_anti"),
+        dim, lists, m, codes, idCol, vecCol, centroids, codebooks)
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode("append").option("compression", "zstd").parquet(indexPath)
+    graft.plans.CheckpointHygiene.free(fresh)
+    n
+  }
+
   /** ADC search over a PERSISTED [[ivfPqIndex]] artifact: `index` is
     * the `(vec_id, list_id, codes)` table (read back from parquet in
     * production — nothing here touches raw corpus vectors), `queries`

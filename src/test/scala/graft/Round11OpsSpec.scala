@@ -163,6 +163,33 @@ class Round11OpsSpec extends AnyFunSuite with SharedSpark {
     assert(ex.getMessage.contains("ivfPqIndex artifact"))
   }
 
+  test("ivfPqIndexAppend: grown artifact == full rebuild; admission idempotent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("ann_grow").toFile, "idx").getPath
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("list_id"), col("codes").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // day 1: first slice; day 2: the rest (ids overlap-free)
+    val day1 = emb.filter(col("vec_id") % 3 =!= 0)
+    val day2 = emb.filter(col("vec_id") % 3 === 0)
+    assert(Similarity.ivfPqIndexAppend(day1, dir, dim = 64) == day1.count())
+    assert(Similarity.ivfPqIndexAppend(day2, dir, dim = 64) == day2.count())
+    // history never re-encoded, yet the grown artifact equals a full
+    // build over the union
+    assert(rows(spark.read.parquet(dir)) == rows(Similarity.ivfPqIndex(emb, dim = 64)))
+    // idempotent: re-sending day 2 admits nothing
+    assert(Similarity.ivfPqIndexAppend(day2, dir, dim = 64) == 0L)
+    // ...and the probe path consumes the grown artifact unchanged
+    val q = emb.filter(col("vec_id") < 8)
+    val probed = Similarity.annIvfPqProbe(spark.read.parquet(dir), q, k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val inline = Similarity.annIvfPq(emb, q, k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(probed == inline && inline.nonEmpty)
+  }
+
   test("pageRankFixed frees transient round checkpoints after first action") {
     import spark.implicits._
     val sc = spark.sparkContext
