@@ -42,13 +42,22 @@ object BenchGuard {
     }
   }
 
-  /** A query is SUSPECT when every observed pass is >3x the committed
-    * reference min — i.e. min-of-N itself rode a stall window — and
-    * the absolute time is large enough (>0.5 s) that the ratio is not
-    * sub-second noise. Genuine code regressions also trip this; the
-    * re-probe just buys them one clean confirmation pass, which is
-    * what a regression read wants anyway.
+  /** A query is SUSPECT when every observed pass is inflated vs the
+    * committed reference min — i.e. min-of-N itself rode a stall
+    * window. Two tiers: >3x for anything over 0.5 s, and >2x once the
+    * observed min is >=1 s — r11's artifact recorded 2.4-2.9x stall
+    * residue on multi-second queries (q_embed_neardup 3.76 vs ref
+    * 1.54) that sat just under the single 3x bar; at >=1 s a 2x ratio
+    * is far outside scheduler noise and the re-probe costs one cheap
+    * extra pass. Genuine code regressions also trip this; the re-probe
+    * just buys them one clean confirmation pass, which is what a
+    * regression read wants anyway.
     */
   def isSuspect(passes: Seq[Double], refMin: Option[Double]): Boolean =
-    refMin.exists(r => passes.nonEmpty && passes.min > 3.0 * r && passes.min > 0.5)
+    refMin.exists { r =>
+      passes.nonEmpty && {
+        val mn = passes.min
+        (mn > 3.0 * r && mn > 0.5) || (mn > 2.0 * r && mn >= 1.0)
+      }
+    }
 }

@@ -993,10 +993,25 @@ object SparkEntry {
     // crates/esvc-core/src/workcache.rs:60-108)
     "q_ann_probe_incremental" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.annIvfPqProbe(
-        Similarity.ivfPqIndex(emb.filter(col("vec_id") % 3 =!= 0), dim = 64),
-        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5, dim = 64)
+      // through the PERSISTED path: ivfPqIndexWrite stamps the
+      // self-describing header (params + quantizer arrays + content
+      // hash) and annIvfPqProbeAt loads every parameter FROM it — the
+      // correctness gate covers the full write/validate/probe
+      // round-trip, not just the in-memory composition
+      val path = s"/tmp/graft_ann_index_${math.abs(dir.hashCode)}"
+      Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      Similarity.annIvfPqProbeAt(s, path,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
     }),
+
+    // list-balance audit of the persisted artifact, from the artifact
+    // ALONE (q_ann_index's rows aggregated): per-list load in
+    // thousandths of the uniform share + the rebuild flag — the
+    // retrain trigger for append-grown indexes whose frozen centroids
+    // drift away from the data (Next-#6, r11 verdict)
+    "q_ann_index_balance" -> ((s, dir) =>
+      Similarity.ivfPqListBalance(
+        Similarity.ivfPqIndex(t(s, dir, "embeddings"), dim = 64), lists = 16)),
 
     // hybrid retrieval: BM25 top-20 fused with dense cosine top-20 by
     // reciprocal-rank fusion (fixed-point contributions -> exact BIGINT
@@ -1765,13 +1780,11 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_deps
         |FROM range(16) i(i)""".stripMargin,
 
-    // PINNED oracle (fixture-outcome check, like q_shelve_merge):
-    // states the algebraically-predicted merged datum rather than
-    // recomputing shelve/merge, which DuckDB cannot run
-    "q_sql_merge" ->
-      """SELECT string_agg('b' || lpad(CAST(i AS VARCHAR), 2, '0'), '|' ORDER BY i) AS final_datum,
-        |  CAST(16 AS BIGINT) AS n_events, CAST(16 AS BIGINT) AS n_applied
-        |FROM range(16) t(i)""".stripMargin,
+    // DERIVED oracle (sequential-semantics model, like q_shelve_merge):
+    // DuckDB cannot run shelve/merge, but it CAN run the documented
+    // sequential model the 4-mode property holds the engine equal to —
+    // the oracle replays it instead of pinning the outcome
+    "q_sql_merge" -> shelveMergeDerivedOracle(16),
 
     "q_dedup_insert" ->
       """WITH ev AS (
@@ -1809,16 +1822,18 @@ object SparkEntry {
         |  WHERE e.event_id > 0 AND e.event_id < 3000)
         |SELECT id, round FROM d""".stripMargin,
 
-    // shelve/merge is pure + content-addressed, so its outcome on the
-    // fixed 48-branch fixture is bit-deterministic: every branch's
-    // token gets substituted, no re-shelve changes a hash (deps stay
-    // empty), the frontier is the full antichain. The oracle pins that
-    // algebraic result — any drift in hashing, no-op detection,
-    // independence classification or merge ordering breaks the match.
-    "q_shelve_merge" ->
-      """SELECT string_agg('b' || lpad(CAST(i AS VARCHAR), 2, '0'), '|' ORDER BY i) AS final_datum,
-        |  CAST(48 AS BIGINT) AS n_events, CAST(48 AS BIGINT) AS n_applied
-        |FROM range(48) t(i)""".stripMargin,
+    // DERIVED oracle: DuckDB cannot run shelve/merge, but shelve's
+    // correctness contract IS equality to the sequential model (apply
+    // each branch's substitution to the evolving datum in shelve
+    // order; an event is admitted iff it changes the state) — the
+    // 4-mode ShelveSpark property holds the engine to exactly that.
+    // The oracle RE-RUNS the model as a recursive CTE instead of
+    // pinning its outcome, so the gate derives final_datum/n_events/
+    // n_applied from first principles and survives fixture edits
+    // (including future no-op branches). Any drift in hashing, no-op
+    // detection, independence classification or merge ordering still
+    // breaks the match.
+    "q_shelve_merge" -> shelveMergeDerivedOracle(48),
 
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS keep_id,
@@ -2926,6 +2941,7 @@ object SparkEntry {
     // persisted index of the % 3 != 0 history — the oracle recomputes
     // assignment/codes/ADC from the same index CTEs
     "q_ann_index" -> annIndexOracle,
+    "q_ann_index_balance" -> annIndexBalanceOracle,
     "q_ann_index_learned" -> annIndexLearnedOracle(lists = 16, kmIters = 2,
       m = 8, codes = 16, subDim = 8, pqIters = 2),
     "q_ann_probe_incremental" -> annIvfPqOracleK(5,
@@ -4461,6 +4477,55 @@ object SparkEntry {
       |SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
       |  CAST(c.s AS BIGINT) AS s, CAST(c.c AS BIGINT) AS code
       |FROM assign a JOIN code c USING (vec_id)""".stripMargin
+
+  /** Sequential-semantics derivation of the k-branch shelve+merge
+    * fixtures (q_shelve_merge / q_sql_merge): base `a00|…` with branch
+    * i substituting `a{i}->b{i}`. The recursive CTE applies each
+    * substitution to the evolving datum IN SHELVE ORDER — the exact
+    * model [[graft.core.WorkCache]]'s 4-mode property holds the engine
+    * equal to (sequential == parallel == base-built == fused). An
+    * event is admitted iff it changes the state (no-op elimination,
+    * workcache.rs:159-162), and every admitted event of the merged
+    * frontier's closure applies at materialization, so n_events and
+    * n_applied are both the count of state-changing steps — DERIVED,
+    * not pinned, so the gate recomputes its expectation if the fixture
+    * ever changes shape.
+    */
+  private def shelveMergeDerivedOracle(k: Int): String =
+    s"""WITH RECURSIVE seq AS (
+       |  SELECT 0 AS i,
+       |    (SELECT string_agg('a' || lpad(CAST(j AS VARCHAR), 2, '0'), '|' ORDER BY j)
+       |     FROM range($k) t(j)) AS datum,
+       |    CAST(0 AS BIGINT) AS applied
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    replace(datum, 'a' || lpad(CAST(i AS VARCHAR), 2, '0'),
+       |                   'b' || lpad(CAST(i AS VARCHAR), 2, '0')),
+       |    applied + CASE WHEN datum <> replace(datum,
+       |        'a' || lpad(CAST(i AS VARCHAR), 2, '0'),
+       |        'b' || lpad(CAST(i AS VARCHAR), 2, '0')) THEN 1 ELSE 0 END
+       |  FROM seq WHERE i < $k)
+       |SELECT datum AS final_datum, applied AS n_events, applied AS n_applied
+       |FROM seq WHERE i = $k""".stripMargin
+
+  /** DuckDB mirror of q_ann_index_balance: the artifact's coarse
+    * assignment re-derived, then pure BIGINT aggregation — per-list
+    * load in thousandths of the uniform share (empty lists included
+    * via the generated list spine) and the rebuild flag at 3000 pm.
+    */
+  private def annIndexBalanceOracle: String =
+    ivfPqIndexCtes() +
+    """,
+      |per AS (SELECT CAST(l.c AS BIGINT) AS list_id,
+      |    CAST(count(a.vec_id) AS BIGINT) AS n_vectors
+      |  FROM (SELECT unnest(range(16)) AS c) l
+      |  LEFT JOIN assign a ON a.list_id = l.c GROUP BY 1),
+      |tot AS (SELECT sum(n_vectors) AS total FROM per)
+      |SELECT list_id, n_vectors,
+      |  CAST(n_vectors * 16 * 1000 // greatest(total, 1) AS BIGINT) AS load_pm,
+      |  CAST(CASE WHEN n_vectors * 16 * 1000 // greatest(total, 1) > 3000
+      |    THEN 1 ELSE 0 END AS BIGINT) AS rebuild
+      |FROM per, tot""".stripMargin
 
   /** DuckDB mirror of q_ann_index_learned: the PRODUCTION artifact —
     * kmeans-learned coarse centroids AND per-subspace learned PQ

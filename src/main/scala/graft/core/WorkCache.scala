@@ -204,17 +204,22 @@ final class WorkCache[A, D](
       val fullOrder = graph.calculateDependencies(SortedSet.empty,
         includeAll(seedDeps.iterator.concat(useDeps.iterator).to(Iterable)))
       val posOf = fullOrder.iterator.zipWithIndex.toMap
-      val prefixStates = new Array[Any](fullOrder.length + 1)
-      locally {
+      // LAZY: the O(n) cold fold is paid only once the first fast-path
+      // conc actually needs a prefix state — a round where every conc
+      // is deferred or lands on the structural fallback (which replays
+      // through the memoized runDeps path) costs nothing here
+      lazy val prefixStates: Array[Any] = {
+        val ps = new Array[Any](fullOrder.length + 1)
         var st: D = stGet(SortedSet.empty[String]).getOrElse(throw new DatasetNotFound)
-        prefixStates(0) = st
+        ps(0) = st
         var i = 0
         while (i < fullOrder.length) {
           val ev = graph.events(fullOrder(i))
           st = engine.runEvent(ev.cmd, ev.arg, st)
-          prefixStates(i + 1) = st
+          ps(i + 1) = st
           i += 1
         }
+        ps
       }
       val fastPath = Vector.newBuilder[(String, Int)]
       seedDeps.foreach { concEvid =>

@@ -1085,14 +1085,8 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  centroids: Option[Array[Array[Double]]] = None,
                  codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
     val subDim = dim / m
-    val cbs = codebooks.getOrElse(pqCodebooks(m, codes, subDim))
-    require(cbs.length == m && cbs.forall(_.length == codes),
-      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length).getOrElse(0)} != ${m}x$codes")
-    val cents: Array[Array[Double]] =
-      centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
-    require(cents.length == lists, s"centroids.length ${cents.length} != lists $lists")
     val listScores = ivfListScoresFn(cents)
     val assign = udf { (v: Seq[Float]) =>
       val s = listScores(v)
@@ -1123,25 +1117,260 @@ object Similarity {
                        centroids: Option[Array[Array[Double]]] = None,
                        codebooks: Option[Array[Array[Array[Double]]]] = None): Long = {
     val spark = newVectors.sparkSession
+    val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
+    // existence through the Hadoop FileSystem of the path's own scheme:
+    // a 100 TB artifact lives on an object store or HDFS, where a local
+    // java.io check is always false and a silent re-admission of
+    // re-sent batches would break the idempotency contract
+    val (fs, p) = hadoopFs(spark, indexPath)
+    val exists = fs.exists(p)
+    if (exists) ivfPqReadHeader(spark, indexPath) match {
+      case Some(hdr) => ivfPqRequireMatch(hdr, dim, lists, m, codes, cents, cbs, indexPath)
+      // pre-header (legacy) artifact: the caller's params were the only
+      // contract — stamp them so every LATER append/probe is validated
+      case None => ivfPqWriteHeader(spark, indexPath, dim, lists, m, codes, cents, cbs)
+    }
     val existing =
-      if (new java.io.File(indexPath).exists())
-        spark.read.parquet(indexPath).select(col("vec_id"))
-      else {
-        import spark.implicits._
-        Seq.empty[Long].toDF("vec_id")
-      }
+      if (exists) spark.read.parquet(indexPath).select(col("vec_id"))
+      // schema-correct empty frame from newVectors' OWN id column: a
+      // hardcoded Long would degrade the anti-join via implicit casts
+      // for string/int ids
+      else newVectors.select(col(idCol).as("vec_id")).limit(0)
     // materialize before writing: the anti-join reads indexPath, and
     // appending to a path mid-read is undefined
     val fresh = ivfPqIndex(
         newVectors.join(existing.withColumnRenamed("vec_id", idCol),
           Seq(idCol), "left_anti"),
-        dim, lists, m, codes, idCol, vecCol, centroids, codebooks)
+        dim, lists, m, codes, idCol, vecCol, Some(cents), Some(cbs))
       .localCheckpoint()
     val n = fresh.count()
     if (n > 0)
       fresh.write.mode("append").option("compression", "zstd").parquet(indexPath)
+    if (!exists) ivfPqWriteHeader(spark, indexPath, dim, lists, m, codes, cents, cbs)
     graft.plans.CheckpointHygiene.free(fresh)
     n
+  }
+
+  /** Shared default-resolution + shape validation of the IVF-PQ build
+    * parameters — the single place the salted fallbacks are chosen, so
+    * build, append, probe and header paths cannot disagree on them.
+    */
+  private def ivfPqResolve(dim: Int, lists: Int, m: Int, codes: Int,
+                           centroids: Option[Array[Array[Double]]],
+                           codebooks: Option[Array[Array[Array[Double]]]])
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    val cbs = codebooks.getOrElse(pqCodebooks(m, codes, subDim))
+    require(cbs.length == m && cbs.forall(_.length == codes),
+      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length).getOrElse(0)} != ${m}x$codes")
+    require(cbs.forall(_.forall(_.length == subDim)),
+      s"codebook centroid dim != subspace dim $subDim")
+    val cents: Array[Array[Double]] =
+      centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
+    require(cents.length == lists, s"centroids.length ${cents.length} != lists $lists")
+    require(cents.forall(_.length == dim), s"centroid dim != $dim")
+    (cents, cbs)
+  }
+
+  /** Self-describing header persisted WITH an [[ivfPqIndex]] artifact.
+    * The stored `list_id`/`codes` bytes are meaningless without the
+    * exact quantizers they were computed from — a probe run with
+    * mismatched centroids/codebooks silently returns wrong neighbors
+    * (assignment reads `list_id` from the artifact while the LUT math
+    * runs on whatever the caller passed). The header carries the build
+    * params AND the full arrays (kilobytes), plus a content hash over
+    * all of it, so the artifact validates its own preconditions — the
+    * [[graft.sources.GraphStore]] hash-validated-persistence / KMV
+    * artifact-k convention applied to the ANN family. Reference
+    * analog: content-addressed identity as the trust mechanism,
+    * crates/esvc-core/src/graph.rs:136-154.
+    */
+  final case class IvfPqHeader(dim: Int, lists: Int, m: Int, codes: Int,
+                               centroids: Array[Array[Double]],
+                               codebooks: Array[Array[Array[Double]]],
+                               paramsHash: String)
+
+  /** Content hash binding an artifact to its quantizers: the four
+    * shape params plus every centroid/codebook coordinate, hashed over
+    * their exact IEEE-754 bit patterns (no float-to-text round-trip in
+    * the trust chain).
+    */
+  def ivfPqParamsHash(dim: Int, lists: Int, m: Int, codes: Int,
+                      cents: Array[Array[Double]],
+                      cbs: Array[Array[Array[Double]]]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(dim); out.writeInt(lists); out.writeInt(m); out.writeInt(codes)
+    cents.foreach(_.foreach(d => out.writeLong(java.lang.Double.doubleToLongBits(d))))
+    cbs.foreach(_.foreach(_.foreach(d => out.writeLong(java.lang.Double.doubleToLongBits(d)))))
+    out.flush()
+    graft.core.Hashes.contentHash(bos.toByteArray)
+  }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** `_`-prefixed so parquet directory listings skip it (the
+    * `_SUCCESS` convention): the header lives INSIDE the artifact
+    * directory and travels with it on copy/rename.
+    */
+  private def ivfPqHeaderPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_graft_ivfpq_header")
+
+  private def encodeMatrix(mx: Array[Array[Double]]): String =
+    mx.map(_.map(d => java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d)))
+      .mkString(",")).mkString(";")
+
+  private def decodeMatrix(s: String): Array[Array[Double]] =
+    s.split(";", -1).map(_.split(",", -1).map(h =>
+      java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16))))
+
+  /** Write (or re-stamp) the header for the artifact at `indexPath`.
+    * Doubles are serialized as raw-bit hex — the round-trip is
+    * bit-exact by construction, and [[ivfPqReadHeader]] re-derives the
+    * content hash from the parsed arrays so any corruption refuses
+    * loudly instead of probing wrong.
+    */
+  def ivfPqWriteHeader(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       dim: Int, lists: Int, m: Int, codes: Int,
+                       cents: Array[Array[Double]],
+                       cbs: Array[Array[Array[Double]]]): Unit = {
+    val text = Seq(
+      "graft-ivfpq-header v1",
+      s"dim=$dim", s"lists=$lists", s"m=$m", s"codes=$codes",
+      s"hash=${ivfPqParamsHash(dim, lists, m, codes, cents, cbs)}",
+      s"centroids=${encodeMatrix(cents)}",
+      s"codebooks=${cbs.map(encodeMatrix).mkString("#")}"
+    ).mkString("\n")
+    val (fs, _) = hadoopFs(spark, indexPath)
+    val out = fs.create(ivfPqHeaderPath(indexPath), true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load + integrity-check the header at `indexPath`; None when the
+    * artifact predates headers (pre-r12 writes).
+    */
+  def ivfPqReadHeader(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Option[IvfPqHeader] = {
+    val (fs, _) = hadoopFs(spark, indexPath)
+    val hp = ivfPqHeaderPath(indexPath)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = text.linesIterator.flatMap { l =>
+        val i = l.indexOf('=')
+        if (i < 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
+      }.toMap
+      require(text.startsWith("graft-ivfpq-header v1"),
+        s"unrecognized IVF-PQ header format at $indexPath")
+      val hdr = IvfPqHeader(kv("dim").toInt, kv("lists").toInt, kv("m").toInt,
+        kv("codes").toInt, decodeMatrix(kv("centroids")),
+        kv("codebooks").split("#", -1).map(decodeMatrix), kv("hash"))
+      val recomputed = ivfPqParamsHash(hdr.dim, hdr.lists, hdr.m, hdr.codes,
+        hdr.centroids, hdr.codebooks)
+      require(recomputed == hdr.paramsHash,
+        s"IVF-PQ header at $indexPath is corrupt: stored hash ${hdr.paramsHash} " +
+          s"!= recomputed $recomputed")
+      Some(hdr)
+    }
+  }
+
+  private def ivfPqRequireMatch(hdr: IvfPqHeader, dim: Int, lists: Int, m: Int,
+                                codes: Int, cents: Array[Array[Double]],
+                                cbs: Array[Array[Array[Double]]], indexPath: String): Unit = {
+    val caller = ivfPqParamsHash(dim, lists, m, codes, cents, cbs)
+    require(caller == hdr.paramsHash,
+      s"IVF-PQ artifact at $indexPath was built with different quantizers: " +
+        s"header (dim=${hdr.dim}, lists=${hdr.lists}, m=${hdr.m}, codes=${hdr.codes}, " +
+        s"hash=${hdr.paramsHash}) vs caller (dim=$dim, lists=$lists, m=$m, " +
+        s"codes=$codes, hash=$caller) — probing or appending with mismatched " +
+        "centroids/codebooks silently returns wrong neighbors; rebuild with " +
+        "ivfPqIndexWrite or pass the original arrays")
+  }
+
+  /** Build AND persist the [[ivfPqIndex]] artifact with its
+    * self-describing header in one call — the production write path.
+    * Returns the number of vectors indexed.
+    */
+  def ivfPqIndexWrite(embeddings: DataFrame, indexPath: String,
+                      dim: Int, lists: Int = 16, m: Int = 8, codes: Int = 16,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      centroids: Option[Array[Array[Double]]] = None,
+                      codebooks: Option[Array[Array[Array[Double]]]] = None): Long = {
+    val spark = embeddings.sparkSession
+    val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
+    ivfPqIndex(embeddings, dim, lists, m, codes, idCol, vecCol, Some(cents), Some(cbs))
+      .write.mode("overwrite").option("compression", "zstd").parquet(indexPath)
+    // after the parquet overwrite (which clears the directory), so the
+    // header can never describe a half-written artifact
+    ivfPqWriteHeader(spark, indexPath, dim, lists, m, codes, cents, cbs)
+    spark.read.parquet(indexPath).count()
+  }
+
+  /** [[annIvfPqProbe]] against a PERSISTED artifact, trusted through
+    * its header: every shape param and both quantizer arrays come FROM
+    * the artifact itself, so a probe cannot drift from the build. A
+    * caller passing explicit `centroids`/`codebooks` (e.g. the learned
+    * arrays it trained) is hash-validated against the header and
+    * refused loudly on mismatch — today's silent-wrong-neighbors
+    * failure becomes an error message. Headerless artifacts refuse
+    * with guidance (stamp via [[ivfPqWriteHeader]], or probe the
+    * DataFrame form directly if the quantizers are known-correct).
+    */
+  def annIvfPqProbeAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                      queries: DataFrame, k: Int, nprobe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      centroids: Option[Array[Array[Double]]] = None,
+                      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val hdr = ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
+      s"no IVF-PQ header at $indexPath: cannot verify which quantizers built this " +
+        "artifact. Write it with ivfPqIndexWrite/ivfPqIndexAppend (which stamp one), " +
+        "or stamp it explicitly with ivfPqWriteHeader."))
+    (centroids, codebooks) match {
+      case (None, None) => () // everything from the header — nothing to mismatch
+      case _ =>
+        ivfPqRequireMatch(hdr, hdr.dim, hdr.lists, hdr.m, hdr.codes,
+          centroids.getOrElse(hdr.centroids), codebooks.getOrElse(hdr.codebooks), indexPath)
+    }
+    annIvfPqProbe(spark.read.parquet(indexPath), queries, k, hdr.dim, hdr.lists,
+      nprobe, hdr.m, hdr.codes, idCol, vecCol,
+      Some(hdr.centroids), Some(hdr.codebooks))
+  }
+
+  /** List-balance audit of a (possibly append-grown) IVF-PQ artifact,
+    * computed from the artifact ALONE — no corpus vectors touched.
+    * [[ivfPqIndexAppend]] grows forever against frozen centroids;
+    * distribution drift re-creates exactly the winner-take-all
+    * imbalance the learned coarse quantizer exists to prevent, and a
+    * skewed list silently erodes the `nprobe/lists` scan bound (one
+    * hot list can approach a full corpus scan). One row per list —
+    * empty lists included, they are half the skew signal —
+    * with `load_pm` = this list's share of vectors in thousandths of
+    * the balanced share (1000 = perfectly uniform) and a `rebuild`
+    * flag at `rebuildPm`. All-BIGINT algebra, so the audit itself is
+    * oracle-exact; the max over `rebuild` is the retrain trigger a
+    * [[graft.streaming.StreamingIvf]]-style maintainer polls.
+    */
+  def ivfPqListBalance(index: DataFrame, lists: Int, rebuildPm: Long = 3000L): DataFrame = {
+    val spark = index.sparkSession
+    val counts = index.groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val all = spark.range(lists).select(col("id").as("list_id"))
+      .join(counts, Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+    // one-row broadcast scalar (the repo's scalar-join convention)
+    val tot = broadcast(all.agg(sum(col("n_vectors")).as("total")))
+    all.crossJoin(tot)
+      .withColumn("load_pm", expr(s"n_vectors * ${lists}L * 1000L DIV greatest(total, 1L)"))
+      .select(col("list_id"), col("n_vectors"), col("load_pm"),
+        (col("load_pm") > lit(rebuildPm)).cast("long").as("rebuild"))
   }
 
   /** ADC search over a PERSISTED [[ivfPqIndex]] artifact: `index` is
@@ -1162,16 +1391,10 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     centroids: Option[Array[Array[Double]]] = None,
                     codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     require(Seq("vec_id", "list_id", "codes").forall(index.columns.contains),
       s"index must be an ivfPqIndex artifact (vec_id, list_id, codes); got ${index.columns.mkString(", ")}")
+    val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
     val subDim = dim / m
-    val cbs = codebooks.getOrElse(pqCodebooks(m, codes, subDim))
-    require(cbs.length == m && cbs.forall(_.length == codes),
-      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length).getOrElse(0)} != ${m}x$codes")
-    val cents: Array[Array[Double]] =
-      centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
-    require(cents.length == lists, s"centroids.length ${cents.length} != lists $lists")
     val listScores = ivfListScoresFn(cents)
     val nProbe = nprobe
     val probe = udf { (v: Seq[Float]) =>

@@ -62,10 +62,26 @@ object PageRank {
     if (transients.nonEmpty) {
       val spark = fin.sparkSession
       val target = fin.queryExecution.analyzed
+      // round iters-1 — fin's only lineage root once its lazy local
+      // checkpoint materializes. Freeing is safe exactly when it has:
+      // a SECOND pageRankFixed over identical inputs builds an
+      // identical (sameResult) plan in the same session, and firing on
+      // ITS action must not unpersist THIS instance's not-yet-built
+      // blocks. Plan-object identity (eq) proves it was this instance;
+      // otherwise the kept round's RDD being checkpointed proves this
+      // instance's chain materialized too, so its transients are dead
+      // weight either way.
+      val keptRdd = rounds(rounds.size - 2).queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
       val listener = new org.apache.spark.sql.util.QueryExecutionListener {
         private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
         private def freeIfFinal(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-          if (!done.get() && qe.analyzed.exists(_.sameResult(target)) &&
+          if (!done.get() &&
+              (qe.analyzed.exists(_ eq target) ||
+                (keptRdd.exists(_.isCheckpointed) &&
+                  qe.analyzed.exists(_.sameResult(target)))) &&
               done.compareAndSet(false, true)) {
             graft.plans.CheckpointHygiene.free(transients: _*)
             spark.listenerManager.unregister(this)

@@ -52,4 +52,18 @@ class BenchGuardSpec extends AnyFunSuite {
     // a >3x ratio that is ALSO >0.5s absolute: flagged even at 4 passes
     assert(BenchGuard.isSuspect(Seq(2.2, 1.9, 2.4, 2.0), Some(0.5)))
   }
+
+  test("r11 sub-threshold residue (2.4x at multi-second scale) is flagged by the 2x tier") {
+    // the exact shape BENCH_r11 recorded vs the same-sha committed
+    // diag: q_embed_neardup [3.76, 4.62] against ref min 1.54 (2.4x)
+    // and q_dup_coverage [2.59, 2.48] against 0.88 (2.8x) — both sat
+    // under the single 3x bar and shipped ~4-5 s of stall residue
+    assert(BenchGuard.isSuspect(Seq(3.76, 4.62), Some(1.54)))
+    assert(BenchGuard.isSuspect(Seq(2.59, 2.48), Some(0.88)))
+    // but the 2x tier needs >=1 s observed: a 0.9 s min at 2.5x stays
+    // with the 3x rule (sub-second scheduling noise is real)
+    assert(!BenchGuard.isSuspect(Seq(0.95, 0.9), Some(0.36)))
+    // and a genuine 1.8x drift on a heavy query still does not flag
+    assert(!BenchGuard.isSuspect(Seq(6.5, 6.4), Some(3.55)))
+  }
 }

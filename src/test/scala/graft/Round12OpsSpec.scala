@@ -1,0 +1,200 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 artifact trust: the self-describing IVF-PQ header (a
+  * mismatched probe REFUSES instead of silently returning wrong
+  * neighbors), storage-agnostic append, and the list-balance audit
+  * that tells an append-grown index when its frozen centroids have
+  * drifted.
+  */
+class Round12OpsSpec extends AnyFunSuite with SharedSpark {
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  private def tmp(prefix: String): String =
+    new java.io.File(
+      java.nio.file.Files.createTempDirectory(prefix).toFile, "idx").getPath
+
+  test("ivfPqIndexWrite stamps a header; annIvfPqProbeAt answers from it alone") {
+    val dir = tmp("ann_hdr")
+    val q = emb.filter(col("vec_id") < 8)
+    val n = Similarity.ivfPqIndexWrite(emb, dir, dim = 64)
+    assert(n == emb.count())
+    val hdr = Similarity.ivfPqReadHeader(spark, dir).get
+    assert(hdr.dim == 64 && hdr.lists == 16 && hdr.m == 8 && hdr.codes == 16)
+    assert(hdr.centroids.length == 16 && hdr.codebooks.length == 8)
+    // every param and both quantizer arrays come FROM the artifact:
+    // the probe takes no dim/lists/m/codes at all
+    val fromHeader = rows(Similarity.annIvfPqProbeAt(spark, dir, q, k = 5))
+    val inline = rows(Similarity.annIvfPq(emb, q, k = 5, dim = 64))
+    assert(fromHeader == inline && inline.nonEmpty)
+    // the header round-trips the arrays bit-exactly (raw-bit hex, no
+    // float-to-text in the trust chain)
+    assert(hdr.centroids.map(_.toSeq).toSeq ==
+      Array.tabulate(16)(c => Similarity.ivfCentroidSql(c, 64)).map(_.toSeq).toSeq)
+    // and the header file is invisible to parquet listings of the
+    // artifact directory (the _SUCCESS convention)
+    assert(rows2(spark.read.parquet(dir)) == rows2(Similarity.ivfPqIndex(emb, dim = 64)))
+  }
+
+  private def rows2(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("vec_id"), col("list_id"), col("codes").cast("string"))
+    .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  test("a wrong-quantizer probe refuses loudly instead of returning wrong neighbors") {
+    val dir = tmp("ann_mismatch")
+    Similarity.ivfPqIndexWrite(emb, dir, dim = 64) // salted defaults
+    val q = emb.filter(col("vec_id") < 8)
+    // learned codebooks are NOT the ones the artifact stored codes for
+    val learned = Similarity.pqLearnedCodebooks(emb, dim = 64, iters = 1)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqProbeAt(spark, dir, q, k = 5, codebooks = Some(learned))
+    }
+    assert(ex.getMessage.contains("different quantizers"), ex.getMessage)
+    // mismatched centroids refuse the same way
+    val wrongCents = Array.tabulate(16)(c => Similarity.ivfCentroidSql(c + 1, 64))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqProbeAt(spark, dir, q, k = 5, centroids = Some(wrongCents))
+    }
+    assert(ex2.getMessage.contains("different quantizers"), ex2.getMessage)
+    // the MATCHING arrays pass the same gate (explicitly re-supplied)
+    val okCents = Array.tabulate(16)(c => Similarity.ivfCentroidSql(c, 64))
+    assert(rows(Similarity.annIvfPqProbeAt(spark, dir, q, k = 5,
+      centroids = Some(okCents))).nonEmpty)
+    // append with foreign quantizers refuses before touching the data
+    val ex3 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(emb.limit(5), dir, dim = 64,
+        codebooks = Some(learned))
+    }
+    assert(ex3.getMessage.contains("different quantizers"), ex3.getMessage)
+  }
+
+  test("headerless artifacts refuse the trusted probe path; stamping enables it") {
+    val dir = tmp("ann_legacy")
+    Similarity.ivfPqIndex(emb, dim = 64).write.parquet(dir) // pre-r12 shape
+    val q = emb.filter(col("vec_id") < 8)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqProbeAt(spark, dir, q, k = 5)
+    }
+    assert(ex.getMessage.contains("no IVF-PQ header"), ex.getMessage)
+    // explicit stamping (the caller's params were the only pre-header
+    // contract) upgrades the artifact in place
+    val cents = Array.tabulate(16)(c => Similarity.ivfCentroidSql(c, 64))
+    Similarity.ivfPqWriteHeader(spark, dir, 64, 16, 8, 16, cents,
+      defaultCodebooks())
+    assert(rows(Similarity.annIvfPqProbeAt(spark, dir, q, k = 5)) ==
+      rows(Similarity.annIvfPq(emb, q, k = 5, dim = 64)))
+  }
+
+  /** The salted default codebooks, obtained through the public write
+    * path (pqCodebooks is private): write a header for a scratch
+    * artifact and read the arrays back.
+    */
+  private def defaultCodebooks(): Array[Array[Array[Double]]] = {
+    val scratch = tmp("ann_scratch")
+    Similarity.ivfPqIndexWrite(emb.limit(1), scratch, dim = 64)
+    Similarity.ivfPqReadHeader(spark, scratch).get.codebooks
+  }
+
+  test("a corrupted header refuses instead of probing wrong") {
+    val dir = tmp("ann_corrupt")
+    Similarity.ivfPqIndexWrite(emb.limit(20), dir, dim = 64)
+    // tamper THROUGH the Hadoop FS (regenerating its CRC sidecar):
+    // the filesystem's own checksum must not be the only line of
+    // defense — the header's content hash has to catch a bit flip
+    // that arrives with a valid transport checksum
+    val hp = new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_header")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(hp)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // flip one centroid bit-pattern nibble: stored hash no longer matches
+    val i = text.indexOf("centroids=") + "centroids=".length
+    val flipped = text.substring(0, i) +
+      (if (text.charAt(i) == '1') '2' else '1') + text.substring(i + 1)
+    val out = fs.create(hp, true)
+    try out.write(flipped.getBytes("UTF-8")) finally out.close()
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqProbeAt(spark, dir, emb.filter(col("vec_id") < 8), k = 5)
+    }
+    assert(ex.getMessage.contains("corrupt"), ex.getMessage)
+  }
+
+  test("ivfPqIndexAppend through a file:-scheme URI: idempotent, grown == rebuild") {
+    // the r11 java.io.File existence check saw every URI path as
+    // absent — re-sent batches were silently re-admitted; the Hadoop
+    // FileSystem check must hold the idempotency contract through the
+    // scheme an object store would use
+    val dir = "file:" + tmp("ann_uri")
+    val e = emb.localCheckpoint()
+    val day1 = e.filter(col("vec_id") % 3 =!= 0)
+    val day2 = e.filter(col("vec_id") % 3 === 0)
+    assert(Similarity.ivfPqIndexAppend(day1, dir, dim = 64) == day1.count())
+    assert(Similarity.ivfPqIndexAppend(day2, dir, dim = 64) == day2.count())
+    assert(Similarity.ivfPqIndexAppend(day2, dir, dim = 64) == 0L)
+    assert(rows2(spark.read.parquet(dir)) == rows2(Similarity.ivfPqIndex(e, dim = 64)))
+    // the first append stamped a header, so the trusted probe works
+    val q = e.filter(col("vec_id") < 8)
+    assert(rows(Similarity.annIvfPqProbeAt(spark, dir, q, k = 5)) ==
+      rows(Similarity.annIvfPq(e, q, k = 5, dim = 64)))
+  }
+
+  test("append admission works for non-long id columns (no implicit-cast degradation)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(64)
+    def batch(ids: Seq[String]) =
+      ids.map(id => (id, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+        .toDF("vec_id", "embedding").localCheckpoint()
+    val day1 = batch((0 until 30).map(i => s"doc-$i"))
+    val day2 = batch((30 until 50).map(i => s"doc-$i"))
+    val dir = tmp("ann_strid")
+    assert(Similarity.ivfPqIndexAppend(day1, dir, dim = 8, lists = 4, m = 4) == 30L)
+    assert(Similarity.ivfPqIndexAppend(day2, dir, dim = 8, lists = 4, m = 4) == 20L)
+    // idempotent through the string-keyed anti-join
+    assert(Similarity.ivfPqIndexAppend(day1, dir, dim = 8, lists = 4, m = 4) == 0L)
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 50L)
+    assert(stored.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("ivfPqListBalance: drift-skewed appends trip the rebuild threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1207)
+    val dir = tmp("ann_drift")
+    // day 1: spread vectors (the distribution the centroids were
+    // frozen against)
+    val day1 = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    assert(Similarity.ivfPqIndexAppend(day1, dir, dim = 8, lists = 4, m = 4) == 64L)
+    val balancedish = Similarity.ivfPqListBalance(
+      spark.read.parquet(dir), lists = 4)
+    // 4 rows ALWAYS (empty lists are half the skew signal), load sums
+    // to ~4000 pm
+    assert(balancedish.count() == 4L)
+    // day 2: drifted distribution — one repeated direction, 4x day 1's
+    // mass; under frozen centroids every copy lands in ONE list
+    val v = Seq.fill(8)(0.9f)
+    val day2 = (1000 until 1256).map(i => (i.toLong, v))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    assert(Similarity.ivfPqIndexAppend(day2, dir, dim = 8, lists = 4, m = 4) == 256L)
+    val audit = Similarity.ivfPqListBalance(spark.read.parquet(dir), lists = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit.length == 4)
+    val flagged = audit.filter(_._4 == 1L)
+    // the drift list holds >= 256/320 = 80% of the artifact: load_pm
+    // >= 3200 > 3000 -> rebuild trips; the audit read ONLY the
+    // artifact (no corpus vectors exist any more at this point)
+    assert(flagged.length == 1, audit.mkString(", "))
+    assert(flagged.head._2 >= 256L && flagged.head._3 > 3000L)
+    // total load is exactly lists x 1000 up to integer-division drops
+    val totalPm = audit.map(_._3).sum
+    assert(totalPm <= 4000L && totalPm >= 3996L, s"total load $totalPm")
+  }
+}
