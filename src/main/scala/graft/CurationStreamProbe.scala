@@ -1,0 +1,124 @@
+package graft
+
+import graft.streaming.{StreamingCuration, StreamingCurationFull,
+  StreamingDecontaminate, StreamingSemDecontaminate}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sustained-ingest soak of the COMPOSED five-stage streaming curation
+  * chain ([[graft.streaming.StreamingCurationFull]]): N micro-batches
+  * of id-ordered documents flow through gate -> exact dedup -> indexed
+  * near-dup -> n-gram decontam -> semantic decontam -> substring
+  * dedup, and the probe reports, per batch, the wall time of every
+  * stage plus the size of each persisted history artifact (winner
+  * store, band index, gram index). What a 100 TB reviewer reads off
+  * the output: per-batch latency FLATNESS (the indexed near-dup probe
+  * must not grow with history the way a re-shingle of all prior
+  * winners would) and linear artifact growth.
+  *
+  * The optional `copies` arg grows the ENTITY space (never replicates
+  * rows): copy k keeps gate-vocabulary tokens (stopwords + language
+  * markers — the words the gates inspect) and prefixes every other
+  * token `c<k>`, so each copy passes the gates exactly like the
+  * original while shingle spaces stay disjoint; embeddings rotate by
+  * k dims (distinct vectors, same geometry); ids get disjoint offsets.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.CurationStreamProbe 12 1"
+  */
+object CurationStreamProbe {
+  def main(args: Array[String]): Unit = {
+    val nBatches = if (args.nonEmpty) args(0).toInt else 12
+    val copies = if (args.length > 1) args(1).toInt else 1
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    val gateVocab = graft.operators.TextAnalysis.GateVocab
+    val (docs, emb) =
+      if (copies <= 1) (docs0.localCheckpoint(), emb0.localCheckpoint())
+      else {
+        val tagged = (0 until copies).map { k =>
+          val tag = udf { (t: String) =>
+            Option(t).getOrElse("").split(" +").filter(_.nonEmpty)
+              .map(w => if (gateVocab(w)) w else s"c$k$w").mkString(" ")
+          }
+          docs0.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            tag(col("text")).as("text"))
+        }.reduce(_.unionByName(_))
+        val shifted = (0 until copies).map { k =>
+          val rot = k % 64
+          emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            (if (rot == 0) col("embedding")
+             else concat(slice(col("embedding"), rot + 1, 64 - rot),
+               slice(col("embedding"), 1, rot))).as("embedding"))
+        }.reduce(_.unionByName(_))
+        (tagged.localCheckpoint(), shifted.localCheckpoint())
+      }
+    val nDocs = docs.count()
+
+    // static decontam assets from the (scaled) corpus's held-out
+    // slice. The synthetic corpus has a tiny vocabulary, so the
+    // correctness gates' %50 slice + minOverlap=3 flags EVERY doc at
+    // sf0.1 — a soak with empty stages 4-5 measures nothing. Thinner
+    // slice + higher overlap keep every stage under load while the
+    // drop counts stay nonzero (verified in the output).
+    val grams = StreamingDecontaminate.benchGrams(spark,
+      docs.filter(col("doc_id") % 500 === 3), "text", n = 3)
+    val benchIdx = StreamingSemDecontaminate.benchIndex(
+      emb.filter(col("vec_id") % 50 === 3), dim = 64)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("cur_soak").toString
+    val metrics = scala.collection.mutable.ArrayBuffer
+      .empty[StreamingCurationFull.BatchMetrics]
+    val stream = MemoryStream[StreamingCuration.DocRecord]
+    val query = StreamingCurationFull.start(stream.toDS(), docs, emb,
+      grams, benchIdx, stateDir, minOverlap = 8, onBatch = metrics += _)
+
+    val all = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text) =>
+        StreamingCuration.DocRecord(id, text, 1700000000000000L + id * 1000L) }
+    val per = math.max(1, all.length / nBatches)
+    val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      all.grouped(per).take(nBatches).zipWithIndex.foreach { case (b, _) =>
+        val t0 = System.nanoTime()
+        stream.addData(b.toIndexedSeq)
+        query.processAllAvailable()
+        batchWalls += (System.nanoTime() - t0) / 1e9
+      }
+    } finally query.stop()
+
+    metrics.zip(batchWalls).zipWithIndex.foreach { case ((m, wall), i) =>
+      val stages = m.stageSec.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }
+        .mkString(",")
+      println(s"""{"batch":$i,"wall_sec":${f"$wall%.3f"},"stages":{$stages},""" +
+        s""""winners":${m.nWinners},"cross_drop":${m.nCrossDrop},""" +
+        s""""within_drop":${m.nWithinDrop},"gram_drop":${m.nGramDrop},""" +
+        s""""sem_drop":${m.nSemDrop},"survivors":${m.nSurvivors},""" +
+        s""""winners_rows":${m.winnersRows},"band_idx_rows":${m.bandIdxRows},""" +
+        s""""gram_idx_rows":${m.gramIdxRows}}""")
+    }
+    val head3 = batchWalls.take(3)
+    val tail3 = batchWalls.takeRight(3)
+    println(s"""{"metric":"curation_stream_soak","dir":"$dir","copies":$copies,""" +
+      s""""n_docs":$nDocs,"batches":${batchWalls.size},""" +
+      s""""total_sec":${f"${batchWalls.sum}%.2f"},""" +
+      s""""first3_avg":${f"${head3.sum / head3.size}%.3f"},""" +
+      s""""last3_avg":${f"${tail3.sum / tail3.size}%.3f"},""" +
+      s""""survivors_total":${metrics.map(_.nSurvivors).sum}}""")
+    spark.stop()
+  }
+}

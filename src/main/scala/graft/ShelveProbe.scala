@@ -45,14 +45,42 @@ object ShelveProbe {
     }
     // 3rd arg "nofuse" keeps the two-job (bases + tests) round shape
     val fuse = !(args.length > 2 && args(2) == "nofuse")
+    // 4th arg: token length — pads every branch token to this many
+    // chars, scaling |Dat| to k * tokenLen bytes (the wasm-engine
+    // shape where fold cost and state bytes dominate; 2048 at k=480
+    // gives an MB-scale datum)
+    val tokenLen = if (args.length > 3) args(3).toInt else 4
+    def tok(prefix: String, i: Int): String = {
+      val t = f"$prefix$i%03d"
+      if (tokenLen <= t.length) t else t + "x" * (tokenLen - t.length)
+    }
+    // serialized bytes of the round context each fused fan-out
+    // broadcasts (order + chunked anchors + scalars; entries ride the
+    // RDD) — the wire cost the sqrt(n) anchor stride bounds
+    var bcastBytes = 0L
+    var maxAnchors = 0
+    def serializedSize(o: AnyRef): Long = {
+      val counter = new java.io.OutputStream {
+        var n = 0L
+        override def write(b: Int): Unit = n += 1
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = n += len
+      }
+      val oos = new java.io.ObjectOutputStream(counter)
+      oos.writeObject(o); oos.close()
+      counter.n
+    }
     val innerFused = graft.plans.ShelveSpark.fusedTester(spark, SearEngine, minBatch = minBatch)
     val countingFused = (round: graft.core.ShelveRound[SearArg, String]) => {
       nRounds += 1; nTests += round.entries.length
-      if (round.entries.length >= 2) nSparkRounds += 1
+      if (round.entries.length >= 2) {
+        nSparkRounds += 1
+        bcastBytes += serializedSize(round.copy(entries = Vector.empty))
+        if (round.anchors.length > maxAnchors) maxAnchors = round.anchors.length
+      }
       if (round.entries.length > maxBatch) maxBatch = round.entries.length
       innerFused(round)
     }
-    val base = (0 until k).map(i => f"a$i%03d").mkString("|")
+    val base = (0 until k).map(i => tok("a", i)).mkString("|")
     val g = new EventGraph[SearArg](SearEngine)
     val w = new WorkCache[SearArg, String](SearEngine, base, Some(counting),
       Some(countingBases), if (fuse) Some(countingFused) else None)
@@ -60,7 +88,7 @@ object ShelveProbe {
     var states = SortedSet.empty[String]
     (0 until k).foreach { i =>
       states += w.shelveEvent(g, SortedSet.empty[String], 0,
-        SearArg(f"a$i%03d", f"b$i%03d")).get
+        SearArg(tok("a", i), tok("b", i))).get
     }
     val tShelve = System.nanoTime()
     w.tryMerge(g, states)
@@ -69,12 +97,15 @@ object ShelveProbe {
       SortedMap.from(states.iterator.map(_ -> false)), expand = false).keysIterator)
     val (dat, tt) = w.materialize(g, minimized)
     val tEnd = System.nanoTime()
-    require(tt.size == k && dat.contains("b000"), "merge lost events")
-    println(s"""{"k":$k,"shelve_sec":${(tShelve - t0) / 1e9},""" +
+    require(tt.size == k && dat.contains(tok("b", 0)), "merge lost events")
+    println(s"""{"k":$k,"token_len":$tokenLen,"datum_bytes":${base.length},""" +
+      s""""shelve_sec":${(tShelve - t0) / 1e9},""" +
       s""""merge_sec":${(tMerge - tShelve) / 1e9},""" +
       s""""materialize_sec":${(tEnd - tMerge) / 1e9},""" +
       s""""n_rounds":$nRounds,"n_tests":$nTests,"n_spark_rounds":$nSparkRounds,""" +
-      s""""max_batch":$maxBatch,"n_base_tasks":$nBaseTasks,"n_events":${g.events.size}}""")
+      s""""max_batch":$maxBatch,"n_base_tasks":$nBaseTasks,""" +
+      s""""bcast_bytes":$bcastBytes,"max_anchors":$maxAnchors,""" +
+      s""""n_events":${g.events.size}}""")
     spark.stop()
   }
 }

@@ -28,18 +28,41 @@ final case class IndepCase[A, D](concEvid: String, concCmd: Int, concArg: A, con
 final case class BaseTask[A, D](concEvid: String, start: D, suffix: Vector[(Int, A)])
 
 /** One whole shelve ROUND in shippable form: the new event under test
-  * (`cmd`/`arg`/`curSt`), the full linearization's (cmd, arg) list and
-  * its prefix states (`prefixes(i)` = state before `order(i)`), and
-  * the fast-path conc events as (evid, position) pairs. Every entry's
-  * base replay and commutation test derive from the SHARED order +
-  * prefixes — a fan-out broadcasts them once instead of shipping a
-  * start datum and a suffix copy per entry (the 480-branch soak
-  * measured that per-entry shipping as the dominant remaining round
-  * cost).
+  * (`cmd`/`arg`/`curSt`), the full linearization's (cmd, arg) list,
+  * CHUNKED prefix states, and the fast-path conc events as
+  * (evid, position) pairs. Every entry's base replay and commutation
+  * test derive from the SHARED order + anchors — a fan-out broadcasts
+  * them once instead of shipping a start datum and a suffix copy per
+  * entry (the 480-branch soak measured that per-entry shipping as the
+  * dominant remaining round cost).
+  *
+  * Prefix states are carried as every `anchorStride`-th state
+  * (`anchors(j)` = state before `order(j * anchorStride)`), NOT all
+  * n+1 of them: a full vector is O(n * |D|) broadcast bytes per round
+  * — O(n^2 * |D|) per merge, which at 480 branches with MB-scale data
+  * (the wasm-engine shape) is hundreds of GB on the wire. A task
+  * refolds at most `anchorStride - 1` events from its nearest anchor
+  * ([[prefixAt]]); with the sqrt(n) stride the builder picks, that
+  * extra work is O(sqrt(n)) against a suffix fold already averaging
+  * n/2 — sub-3% per task — while broadcast bytes drop sqrt(n)-fold.
   */
 final case class ShelveRound[A, D](cmd: Int, arg: A, curSt: D,
-                                   order: Vector[(Int, A)], prefixes: Vector[D],
-                                   entries: Vector[(String, Int)])
+                                   order: Vector[(Int, A)],
+                                   anchors: Vector[D], anchorStride: Int,
+                                   entries: Vector[(String, Int)]) {
+  /** The state before `order(p)`: nearest anchor at or below p, plus
+    * at most `anchorStride - 1` engine folds.
+    */
+  def prefixAt(engine: Engine[A, D], p: Int): D = {
+    var i = (p / anchorStride) * anchorStride
+    var st = anchors(p / anchorStride)
+    while (i < p) {
+      st = engine.runEvent(order(i)._1, order(i)._2, st)
+      i += 1
+    }
+    st
+  }
+}
 
 final class WorkCache[A, D](
     val engine: Engine[A, D], initData: D,
@@ -254,9 +277,16 @@ final class WorkCache[A, D](
         val fp = fastPath.result()
         fusedTester match {
           case Some(ft) if fp.length > 1 =>
+            // sqrt(n) anchor stride: broadcast bytes per round drop
+            // from (n+1)|D| to ~sqrt(n)|D| while each task refolds at
+            // most stride-1 events off its anchor — noise against the
+            // ~n/2-event suffix fold it already runs (see ShelveRound)
+            val stride = math.max(1, math.ceil(math.sqrt(fullOrder.length + 1.0)).toInt)
+            val anchors = (0 to fullOrder.length by stride)
+              .map(i => prefixStates(i).asInstanceOf[D]).toVector
             ft(ShelveRound(cmd, arg, curSt,
               fullOrder.map { id => val e = graph.events(id); (e.cmd, e.arg) },
-              prefixStates.iterator.map(_.asInstanceOf[D]).toVector, fp))
+              anchors, stride, fp))
           case _ =>
             val ts = fp.map { case (evid, p) =>
               BaseTask(evid, prefixStates(p).asInstanceOf[D],
@@ -398,7 +428,7 @@ object WorkCache {
     */
   def roundVerdict[A, D](engine: Engine[A, D], r: ShelveRound[A, D],
                          concEvid: String, p: Int): Boolean = {
-    var st = r.prefixes(p)
+    var st = r.prefixAt(engine, p)
     var i = p + 1
     while (i < r.order.length) {
       st = engine.runEvent(r.order(i)._1, r.order(i)._2, st)

@@ -199,8 +199,48 @@ object Dedup {
     val candidates = bp.as("l").join(bq.as("r"), Seq("band_key"))
       .select(col("l.doc_id").as("doc_prior"), col("r.doc_id").as("doc_new"))
       .distinct()
-    // sorted-once per doc -> native merge-walk intersect per pair
-    // (see nearDupPairs)
+    verifyAgainst(pn, qn, candidates, shingleN, threshold)
+  }
+
+  /** [[nearDupAgainst]] with the prior side's band table taken from a
+    * PERSISTED index instead of recomputed: at 100 TB the history
+    * cannot be re-shingled every batch — the per-batch cost must be
+    * (new batch shingling) + (band join against the stored index) +
+    * (Jaccard verify over colliding docs only), independent of how
+    * much history exists. `priorIndex` is the `(doc_id, band_key)`
+    * artifact a pipeline grows append-only via
+    * [[graft.streaming.StreamingNearDup.appendToIndex]] (with
+    * monotone ingest ids it equals `capBucket(bandKeys(corpus))`, so
+    * results match [[nearDupAgainst]] exactly); `priorDocs` supplies
+    * texts for the verify stage and is touched ONLY for candidate ids
+    * (semi-join — the scan prunes to the id/text columns of colliding
+    * documents).
+    */
+  def nearDupAgainstIndex(priorDocs: DataFrame, probe: DataFrame,
+                          priorIndex: DataFrame,
+                          textCol: String, idCol: String,
+                          shingleN: Int = 3, bands: Int = 4, rows: Int = 3,
+                          threshold: Double = 0.4, bucketCap: Int = 128): DataFrame = {
+    val pn = priorDocs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val qn = Par.spread(probe.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .localCheckpoint()
+    val bq = capBucket(bandKeys(qn, shingleN, bands, rows),
+      "band_key", "doc_id", bucketCap)
+    val candidates = priorIndex
+      .select(col("band_key"), col("doc_id").as("doc_prior"))
+      .join(bq.withColumnRenamed("doc_id", "doc_new"), "band_key")
+      .select(col("doc_prior"), col("doc_new"))
+      .distinct()
+    verifyAgainst(pn, qn, candidates, shingleN, threshold)
+  }
+
+  /** The exact-Jaccard verification kernel shared by the incremental
+    * near-dup paths: shingle ONLY candidate docs (semi-join on each
+    * side), sorted once per doc so the per-pair intersect is the
+    * zero-allocation native merge walk.
+    */
+  private def verifyAgainst(pn: DataFrame, qn: DataFrame, candidates: DataFrame,
+                            shingleN: Int, threshold: Double): DataFrame = {
     val priorSh = pn
       .join(candidates.select(col("doc_prior").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("doc_prior"),

@@ -90,6 +90,17 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "y", "es", "los"),
     "zh" -> Seq("de", "shi", "le", "wo", "ni"))
 
+  /** Union of every token the curation gates inspect (stopwords +
+    * language markers). Soak corpus builders keep exactly these tokens
+    * unchanged when growing the entity space (all other tokens get a
+    * per-copy prefix), so each scaled copy passes the gates identically
+    * to the original while its shingle/token space stays disjoint —
+    * the "grow entities, don't replicate rows" soak rule applied to a
+    * gate-bearing pipeline.
+    */
+  private[graft] val GateVocab: Set[String] =
+    (Stopwords ++ LangProfiles.flatMap(_._2)).toSet
+
   /** Fused curation gate: language-marker AND quality thresholds in ONE
     * projection over ONE scan — the composed-pipeline shape for scale
     * (the unfused version reads the corpus once per gate; at 100 TB

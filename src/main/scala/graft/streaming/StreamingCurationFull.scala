@@ -1,0 +1,186 @@
+package graft.streaming
+
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The WHOLE streaming curation chain as one reusable foreachBatch
+  * pipeline — the production form of the composition
+  * StreamingCurationFullSpec pins against `q_curation_full2`:
+  *
+  *   gate + keyed exact dedup  (in-plan state, watermark-bounded)
+  *   -> near-dup vs history    (persisted LSH band index — see below)
+  *   -> n-gram decontam        (broadcast benchmark grams)
+  *   -> semantic decontam      (driver-built bench LSH index)
+  *   -> substring-span dedup   (persisted gram index)
+  *
+  * State posture at 100 TB: every cross-batch stage consumes a
+  * PERSISTED artifact, never re-derives history. The near-dup stage
+  * probes the `(doc_id, band_key)` index grown append-only by
+  * [[StreamingNearDup.appendToIndex]] ([[Dedup.nearDupAgainstIndex]]),
+  * so per-batch cost is (batch shingling) + (band join against the
+  * index) + (Jaccard verify over colliding docs only) — NOT a
+  * re-shingle of every prior winner, which would make batch B cost
+  * O(B) and the whole ingest O(B^2). Winner texts are touched only
+  * for candidate ids (semi-join). The gram index and the winner store
+  * grow by one parquet append per batch.
+  *
+  * Reference analog: the append-only event log + derived state
+  * (crates/esvc-core/src/workcache.rs:60-108) — arriving data probes
+  * derived artifacts and extends them, never replays history.
+  */
+object StreamingCurationFull {
+
+  /** Everything a batch reports: survivors and drop counts per stage,
+    * per-stage wall seconds, and the size of each persisted history
+    * artifact AFTER the batch — the state-maintenance story a soak
+    * reads for latency flatness and artifact growth.
+    */
+  final case class BatchMetrics(batch: Long, nWinners: Long, nCrossDrop: Long,
+                                nWithinDrop: Long, nGramDrop: Long, nSemDrop: Long,
+                                nSurvivors: Long, stageSec: Seq[(String, Double)],
+                                winnersRows: Long, bandIdxRows: Long, gramIdxRows: Long)
+
+  /** Start the five-stage chain over `stream`. `docTexts` is the
+    * stream-static (doc_id, text) lookup (texts re-attach after the
+    * keyed dedup state, which carries only hashes); `emb` the static
+    * (vec_id, embedding) side for the semantic stage. Survivors land
+    * append-only under `$stateDir/survivors`; the three history
+    * artifacts live under `$stateDir/{winners,bands,grams}`.
+    */
+  def start(stream: Dataset[StreamingCuration.DocRecord],
+            docTexts: DataFrame, emb: DataFrame,
+            benchGrams: Broadcast[Set[String]],
+            benchIdx: StreamingSemDecontaminate.BenchIndex,
+            stateDir: String,
+            minMarkers: Int = 3, minWords: Int = 30, maxStopRatio: Double = 0.3,
+            shingleN: Int = 3, bands: Int = 6, rows: Int = 2,
+            threshold: Double = 0.4, bucketCap: Int = 128,
+            gramN: Int = 3, minOverlap: Int = 3,
+            semThreshold: Double = 0.3, substrK: Int = 8,
+            onBatch: BatchMetrics => Unit = _ => ()): StreamingQuery = {
+    val winnersPath = s"$stateDir/winners"
+    val bandIdxPath = s"$stateDir/bands"
+    val gramIdxPath = s"$stateDir/grams"
+    val survivorsPath = s"$stateDir/survivors"
+    val curated = StreamingCuration.curate(stream, minMarkers, minWords, maxStopRatio)
+    curated.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // watermark eviction fires extra NO-DATA micro-batches; only
+        // data batches run the chain
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          def timed[T](f: => T): (T, Double) = {
+            val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+          }
+          def readOr(path: String, empty: => DataFrame): DataFrame =
+            try spark.read.parquet(path)
+            catch { case _: org.apache.spark.sql.AnalysisException => empty }
+
+          // -- stage 1 landed in-plan (gate + keyed exact dedup);
+          // re-attach texts to this batch's winners
+          val (winners, tWin) = timed {
+            val w = batch.select("doc_id", "content_hash")
+              .join(docTexts.select("doc_id", "text"), "doc_id").localCheckpoint()
+            w
+          }
+          val nWinners = winners.count()
+
+          // -- stage 2: near-dup — cross-batch via the PERSISTED band
+          // index, within-batch via the self-join; history texts are
+          // read only for colliding candidate ids
+          val ((crossDrop, withinDrop, ndSurv), tNd) = timed {
+            val priorTexts = readOr(winnersPath,
+              Seq.empty[(Long, String)].toDF("doc_id", "text"))
+            val bandIdx = readOr(bandIdxPath,
+              Seq.empty[(Long, String)].toDF("doc_id", "band_key"))
+            val cross = Dedup.nearDupAgainstIndex(priorTexts, winners, bandIdx,
+                "text", "doc_id", shingleN, bands, rows, threshold, bucketCap)
+              .select(col("doc_new").as("doc_id")).distinct().localCheckpoint()
+            val within = Dedup.nearDupPairs(winners, "text", "doc_id",
+                shingleN, bands, rows, threshold, bucketCap)
+              .select(col("doc_b").as("doc_id")).distinct().localCheckpoint()
+            val surv = winners
+              .join(cross.unionByName(within).distinct(), Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+            (cross, within, surv)
+          }
+          val nCross = crossDrop.count(); val nWithin = withinDrop.count()
+
+          // admit the batch's winners into history AFTER probing:
+          // texts into the winner store, capped bands into the index
+          val (_, tAdmit) = timed {
+            // single-file appends per batch throughout: a growing
+            // artifact must not accumulate O(batches x partitions)
+            // part files (every later read pays the listing)
+            winners.select("doc_id", "text").coalesce(1).write.mode("append")
+              .option("compression", "zstd").parquet(winnersPath)
+            StreamingNearDup.appendToIndex(
+              Dedup.capBucket(
+                Dedup.bandKeys(winners.select(col("doc_id"), col("text").as("__text")),
+                  shingleN, bands, rows),
+                "band_key", "doc_id", bucketCap),
+              bandIdxPath, bucketCap)
+          }
+
+          // -- stage 3: n-gram decontamination (broadcast grams)
+          val (clean1, tGram) = timed {
+            val verdicts = StreamingDecontaminate.verdicts(
+              ndSurv.select(col("doc_id"), col("text"))
+                .as[StreamingDecontaminate.DocRecord],
+              benchGrams, n = gramN, minOverlap = minOverlap)
+            ndSurv.join(verdicts.filter(col("keep")).select("doc_id"), "doc_id")
+              .localCheckpoint()
+          }
+          val nGramDrop = ndSurv.count() - clean1.count()
+
+          // -- stage 4: semantic decontamination (driver bench index)
+          val ((flagged, fin), tSem) = timed {
+            val fl = StreamingSemDecontaminate.flags(
+              emb.join(clean1.select(col("doc_id").as("vec_id")), "vec_id")
+                .select(col("vec_id"), col("embedding"))
+                .as[StreamingSemDecontaminate.VecRecord],
+              benchIdx, threshold = semThreshold)
+              .select(col("vec_id").as("doc_id")).distinct().localCheckpoint()
+            (fl, clean1.join(fl, Seq("doc_id"), "left_anti").localCheckpoint())
+          }
+          val nSem = flagged.count(); val nSurv = fin.count()
+
+          // -- stage 5: substring-span dedup vs the persisted gram
+          // index; survivors' grams admitted after
+          val (_, tSub) = timed {
+            // the index is consumed straight off parquet — a
+            // localCheckpoint here would copy the WHOLE (growing)
+            // index into executor memory every batch, turning an O(1)
+            // stage into O(history); the span write happens before
+            // the append, so the join never reads a path being
+            // appended to
+            val gIdx = StreamingSubstringDedup.readIndex(spark, gramIdxPath)
+            Curation.substringDedupAgainstIndex(gIdx, fin, "text", "doc_id", k = substrK)
+              .coalesce(1).write.mode("append").option("compression", "zstd")
+              .parquet(s"$stateDir/substr_spans")
+            StreamingSubstringDedup.appendToIndex(
+              fin.select("doc_id", "text"), "text", "doc_id", gramIdxPath, k = substrK)
+          }
+          fin.select("doc_id", "content_hash").coalesce(1).write.mode("append")
+            .option("compression", "zstd").parquet(survivorsPath)
+
+          // artifact growth AFTER this batch (cheap parquet-metadata
+          // counts), then free this batch's checkpoints
+          val sizes = Seq(winnersPath, bandIdxPath, gramIdxPath).map(p =>
+            readOr(p, spark.range(0).toDF()).count())
+          graft.plans.CheckpointHygiene.free(winners, crossDrop, withinDrop,
+            ndSurv, clean1, flagged, fin)
+          onBatch(BatchMetrics(batchId, nWinners, nCross, nWithin, nGramDrop,
+            nSem, nSurv,
+            Seq("winners" -> tWin, "neardup" -> tNd, "admit" -> tAdmit,
+              "gram_decontam" -> tGram, "semantic" -> tSem, "substring" -> tSub),
+            sizes(0), sizes(1), sizes(2)))
+        }
+      }
+      .start()
+  }
+}

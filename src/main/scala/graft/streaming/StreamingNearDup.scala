@@ -146,8 +146,12 @@ object StreamingNearDup {
       .select(col("doc_id"), col("band_key"))
       .localCheckpoint()
     val n = admitted.count()
+    // one file per micro-batch append (see
+    // StreamingSubstringDedup.appendToIndex: O(batches x partitions)
+    // part files tax every later index read)
     if (n > 0)
-      admitted.write.mode("append").option("compression", "zstd").parquet(indexPath)
+      admitted.coalesce(1).write.mode("append")
+        .option("compression", "zstd").parquet(indexPath)
     graft.plans.CheckpointHygiene.free(admitted)
     n
   }

@@ -185,4 +185,78 @@ class StreamingCurationFullSpec extends AnyFunSuite with SharedSpark {
     assert(StreamingSubstringDedup.appendToIndex(
       survDocs.limit(20), "text", "doc_id", gramIdxPath, k = 8) == 0L)
   }
+
+  test("StreamingCurationFull (persisted-band-index near-dup) == q_curation_full2") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val embDf = spark.read.parquet(s"$dir/embeddings.parquet")
+    val grams = StreamingDecontaminate.benchGrams(spark,
+      docsDf.filter(col("doc_id") % 50 === 3), "text", n = 3)
+    val benchIdx = StreamingSemDecontaminate.benchIndex(
+      embDf.filter(col("vec_id") % 50 === 3), dim = 64)
+    val stateDir = java.nio.file.Files.createTempDirectory("cur_api").toString
+
+    val metrics = scala.collection.mutable.ArrayBuffer
+      .empty[graft.streaming.StreamingCurationFull.BatchMetrics]
+    val stream = MemoryStream[StreamingCuration.DocRecord]
+    val query = graft.streaming.StreamingCurationFull.start(
+      stream.toDS(), docsDf, embDf, grams, benchIdx, stateDir,
+      onBatch = m => metrics += m)
+
+    val all = docsDf.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text) =>
+        StreamingCuration.DocRecord(id, text, 1700000000000000L + id * 1000L) }
+    val (b1, rest) = all.splitAt(all.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    try {
+      stream.addData(b1.toIndexedSeq); query.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); query.processAllAvailable()
+      stream.addData(b3.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    // same corpus, same boundaries as the first test minus the
+    // re-ingest wrinkle: survivors read back from the chain's OWN sink
+    // must equal the batch pipeline
+    val got = spark.read.parquet(s"$stateDir/survivors")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ref = SparkEntry.queries("q_curation_full2")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == ref, s"api-chain ${got.size} vs batch ${ref.size}: " +
+      s"only-api=${(got -- ref).take(5)} only-batch=${(ref -- got).take(5)}")
+    assert(ref.nonEmpty && metrics.size == 3)
+    // cross-batch near-dup hits went through the PERSISTED index path
+    assert(metrics.map(_.nCrossDrop).sum > 0, "no cross-batch near-dup drop")
+    // every history artifact grew monotonically across batches
+    assert(metrics.map(_.winnersRows) == metrics.map(_.winnersRows).sorted)
+    assert(metrics.last.bandIdxRows > metrics.head.bandIdxRows)
+  }
+
+  test("nearDupAgainstIndex over the grown index == nearDupAgainst recomputed") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prior = docs.filter(col("doc_id") % 3 =!= 0).localCheckpoint()
+    val probe = docs.filter(col("doc_id") % 3 === 0).localCheckpoint()
+    // grow the index in two monotone-id slices, the appendToIndex way
+    val idxPath = java.nio.file.Files.createTempDirectory("nd_idx").toString + "/idx"
+    def bandsOf(df: DataFrame) = Dedup.capBucket(
+      Dedup.bandKeys(df.select(col("doc_id"), col("text").as("__text")), 3, 6, 2),
+      "band_key", "doc_id", 128)
+    val half = prior.agg(expr("percentile(doc_id, 0.5)")).collect()(0).getDouble(0)
+    graft.streaming.StreamingNearDup.appendToIndex(
+      bandsOf(prior.filter(col("doc_id") <= half)), idxPath)
+    graft.streaming.StreamingNearDup.appendToIndex(
+      bandsOf(prior.filter(col("doc_id") > half)), idxPath)
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = pairs(Dedup.nearDupAgainstIndex(prior, probe,
+      spark.read.parquet(idxPath), "text", "doc_id",
+      shingleN = 3, bands = 6, rows = 2, threshold = 0.4))
+    val recomputed = pairs(Dedup.nearDupAgainst(prior, probe, "text", "doc_id",
+      shingleN = 3, bands = 6, rows = 2, threshold = 0.4))
+    assert(viaIndex == recomputed && recomputed.nonEmpty)
+  }
 }
