@@ -348,7 +348,13 @@ object Sketches {
       when(col("n") < k, col("n").cast("double"))
         .otherwise(lit((k - 1).toDouble * KmvM) / col("hk").cast("double")).as("est"))
     // one-row guard scalar: refuses a smaller or mixed build k at
-    // execution time (attached to the k-row output, not the input)
+    // execution time (attached to the k-row output, not the input).
+    // KNOWN LIMIT: the predicate rides the OUTPUT rows, so a run whose
+    // estimate/pair output is EMPTY (e.g. a single-stratum sketch has
+    // no pairs) never evaluates it and the misuse goes undetected —
+    // acceptable because no wrong data is emitted either; uncondi-
+    // tional refusal would need an eager driver-side collect of this
+    // one-row guard, trading the operator's laziness for it
     val guard =
       if (!hasK) null
       else broadcast(perAgg.agg(
