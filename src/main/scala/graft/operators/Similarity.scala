@@ -1358,6 +1358,23 @@ object Similarity {
     * oracle-exact; the max over `rebuild` is the retrain trigger a
     * [[graft.streaming.StreamingIvf]]-style maintainer polls.
     */
+  /** The retrain trigger a periodic index maintainer polls: true when
+    * any list of the PERSISTED artifact at `indexPath` exceeds
+    * `rebuildPm` thousandths of the uniform share. `lists` comes from
+    * the artifact's own header — the audit needs no caller-remembered
+    * parameters at all, exactly like [[annIvfPqProbeAt]]. One
+    * lists-row aggregate over the (vec_id, list_id) columns; corpus
+    * vectors are never touched.
+    */
+  def ivfPqNeedsRebuild(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                        rebuildPm: Long = 3000L): Boolean = {
+    val hdr = ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
+      s"no IVF-PQ header at $indexPath: stamp the artifact (ivfPqIndexWrite / " +
+        "ivfPqWriteHeader) before auditing it"))
+    ivfPqListBalance(spark.read.parquet(indexPath), hdr.lists, rebuildPm)
+      .agg(max(col("rebuild")).as("r")).collect()(0).getLong(0) == 1L
+  }
+
   def ivfPqListBalance(index: DataFrame, lists: Int, rebuildPm: Long = 3000L): DataFrame = {
     val spark = index.sparkSession
     val counts = index.groupBy(col("list_id").cast("long").as("list_id"))

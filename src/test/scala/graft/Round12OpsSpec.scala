@@ -196,5 +196,10 @@ class Round12OpsSpec extends AnyFunSuite with SharedSpark {
     // total load is exactly lists x 1000 up to integer-division drops
     val totalPm = audit.map(_._3).sum
     assert(totalPm <= 4000L && totalPm >= 3996L, s"total load $totalPm")
+    // the pollable trigger reads lists from the header the appends
+    // stamped — no caller-remembered parameters
+    assert(Similarity.ivfPqNeedsRebuild(spark, dir))
+    // a balanced-enough artifact does not trip at a looser threshold
+    assert(!Similarity.ivfPqNeedsRebuild(spark, dir, rebuildPm = 4000L))
   }
 }
