@@ -1382,9 +1382,13 @@ object Similarity {
     val all = spark.range(lists).select(col("id").as("list_id"))
       .join(counts, Seq("list_id"), "left")
       .select(col("list_id"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
-    // one-row broadcast scalar (the repo's scalar-join convention)
-    val tot = broadcast(all.agg(sum(col("n_vectors")).as("total")))
-    all.crossJoin(tot)
+    // the total as an unpartitioned window over the <= lists count
+    // rows (NOT a crossJoin'd scalar aggregate: that re-executes the
+    // whole counts subtree — a second full pass over the artifact, or
+    // over the corpus-side assignment when the index derives inline)
+    val total = sum(col("n_vectors"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    all.withColumn("total", total)
       .withColumn("load_pm", expr(s"n_vectors * ${lists}L * 1000L DIV greatest(total, 1L)"))
       .select(col("list_id"), col("n_vectors"), col("load_pm"),
         (col("load_pm") > lit(rebuildPm)).cast("long").as("rebuild"))
