@@ -111,6 +111,16 @@ object CurationStreamProbe {
         s""""winners_rows":${m.winnersRows},"band_idx_rows":${m.bandIdxRows},""" +
         s""""gram_idx_rows":${m.gramIdxRows}}""")
     }
+    // lifecycle close-out: the appends wrote one file per batch by
+    // design; the periodic maintenance job compacts the layout (rows
+    // unchanged — ArtifactCompaction verifies before swapping)
+    val compacted = Seq("winners", "bands", "grams").map { a =>
+      val (fb, fa) = graft.sources.ArtifactCompaction.compactFiles(
+        spark, s"$stateDir/$a", targetFiles = 1)
+      s""""$a":[$fb,$fa]"""
+    }
+    println(s"""{"compacted_files":{${compacted.mkString(",")}}}""")
+
     val head3 = batchWalls.take(3)
     val tail3 = batchWalls.takeRight(3)
     println(s"""{"metric":"curation_stream_soak","dir":"$dir","copies":$copies,""" +

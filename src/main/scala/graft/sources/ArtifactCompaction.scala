@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+/** FILE-level compaction for the append-only row artifacts the
+  * streaming maintainers grow (LSH band index, gram index, winner
+  * store, IVF-PQ code table): same rows, fewer files. Appends write
+  * one file per micro-batch by design (see
+  * [[graft.streaming.StreamingNearDup.appendToIndex]]) — after 10k
+  * batches that is 10k files, and every reader pays the listing (the
+  * object-store small-files tax). Compaction is the other half of
+  * that contract: a periodic maintenance job rewrites the directory
+  * to `targetFiles` files and atomically swaps it in. No row changes,
+  * no answer changes — the companion of [[DeltaLogCompaction]], which
+  * compacts by MERGE ALGEBRA (one row per key) where this one
+  * compacts by LAYOUT.
+  *
+  * `_`-prefixed sidecars (e.g. the IVF-PQ artifact's
+  * `_graft_ivfpq_header`) are carried into the rewritten directory,
+  * so self-describing artifacts stay self-describing across
+  * compactions.
+  *
+  * All filesystem traffic goes through the path's own Hadoop
+  * FileSystem — rename is atomic on HDFS/local; on stores where it
+  * is a copy, the single-writer contract every table-maintenance
+  * OPTIMIZE has applies (pause the appender, same as
+  * [[DeltaLogCompaction]]).
+  */
+object ArtifactCompaction {
+
+  /** Rewrite the parquet directory at `path` to `targetFiles` data
+    * files. The rewrite is verified (row count of the rewritten copy
+    * must equal the source) BEFORE the swap — a failed verification
+    * leaves the artifact untouched. Returns (dataFilesBefore,
+    * dataFilesAfter).
+    */
+  def compactFiles(spark: SparkSession, path: String, targetFiles: Int = 1): (Long, Long) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"no artifact at $path")
+    def dataFiles(dir: Path): Long = fs.listStatus(dir).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toLong
+    val before = dataFiles(p)
+    val rows = spark.read.parquet(path).count()
+
+    val tmp = new Path(p.getParent, p.getName + ".compact.tmp")
+    val old = new Path(p.getParent, p.getName + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+    // carry self-describing sidecars; never the writer's own _SUCCESS
+    fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && n.startsWith("_") && n != "_SUCCESS"
+    }.foreach { s =>
+      FileUtil.copy(fs, s.getPath, fs, new Path(tmp, s.getPath.getName), false, conf)
+    }
+    // verify BEFORE swapping: a bad rewrite must leave the artifact
+    // untouched (the GraphStore validate-on-load posture applied to
+    // maintenance)
+    val rewritten = spark.read.parquet(tmp.toString).count()
+    if (rewritten != rows) {
+      fs.delete(tmp, true)
+      sys.error(s"ArtifactCompaction: rewrite of $path lost rows " +
+        s"($rows -> $rewritten); artifact left untouched")
+    }
+    if (!fs.rename(p, old) || !fs.rename(tmp, p))
+      sys.error(s"ArtifactCompaction: atomic swap failed for $path")
+    fs.delete(old, true)
+    (before, dataFiles(p))
+  }
+}

@@ -40,15 +40,18 @@ object DeltaLogCompaction {
       .select(df.columns.map(col): _*) // original column order
     val after = compacted.count()
 
-    val dir = new java.io.File(path)
-    val tmp = new java.io.File(dir.getParentFile, dir.getName + ".compact.tmp")
-    val old = new java.io.File(dir.getParentFile, dir.getName + ".compact.old")
-    compacted.write.mode("overwrite").parquet(tmp.getPath)
-    if (!dir.renameTo(old) || !tmp.renameTo(dir))
+    // swap through the path's own Hadoop FileSystem (java.io renames
+    // only ever worked on the local disk — the artifact lives wherever
+    // the pipeline's storage is)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(p, old) || !fs.rename(tmp, p))
       sys.error(s"DeltaLogCompaction: atomic swap failed for $path")
-    // best-effort cleanup of the retired log
-    java.nio.file.Files.walk(old.toPath).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    fs.delete(old, true) // retire the old log
     (before, after)
   }
 

@@ -202,4 +202,75 @@ class Round12OpsSpec extends AnyFunSuite with SharedSpark {
     // a balanced-enough artifact does not trip at a looser threshold
     assert(!Similarity.ivfPqNeedsRebuild(spark, dir, rebuildPm = 4000L))
   }
+
+  test("ArtifactCompaction: fewer files, identical rows, sidecar header survives") {
+    import graft.sources.ArtifactCompaction
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(d: String): Long = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toLong
+
+    // a band index grown one file per micro-batch (the append
+    // contract) accumulates files; compaction rewrites the LAYOUT only
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint()
+    val idxPath = tmp("nd_compact")
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = operators.Dedup.capBucket(
+      operators.Dedup.bandKeys(
+        df.select(col("doc_id"), col("text").as("__text")), 3, 6, 2),
+      "band_key", "doc_id", 128)
+    (0 until 6).foreach { i =>
+      graft.streaming.StreamingNearDup.appendToIndex(
+        bandsOf(docs.filter(col("doc_id") % 6 === i)), idxPath)
+    }
+    val rowsBefore = spark.read.parquet(idxPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(dataFiles(idxPath) == 6L)
+    val (fb, fa) = ArtifactCompaction.compactFiles(spark, idxPath, targetFiles = 2)
+    assert(fb == 6L && fa == 2L)
+    assert(spark.read.parquet(idxPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == rowsBefore)
+    // the appender keeps working against the compacted artifact
+    assert(graft.streaming.StreamingNearDup.appendToIndex(
+      bandsOf(docs.limit(0)), idxPath) == 0L)
+
+    // an IVF-PQ artifact stays SELF-DESCRIBING across compaction: the
+    // header sidecar is carried over and the trusted probe answers
+    // identically
+    val annPath = tmp("ann_compact")
+    val e = emb.localCheckpoint()
+    Similarity.ivfPqIndexWrite(e.filter(col("vec_id") % 2 === 0), annPath, dim = 64)
+    Similarity.ivfPqIndexAppend(e.filter(col("vec_id") % 2 =!= 0), annPath, dim = 64)
+    val q = e.filter(col("vec_id") < 8)
+    val beforeProbe = rows(Similarity.annIvfPqProbeAt(spark, annPath, q, k = 5))
+    ArtifactCompaction.compactFiles(spark, annPath, targetFiles = 1)
+    assert(Similarity.ivfPqReadHeader(spark, annPath).isDefined)
+    assert(rows(Similarity.annIvfPqProbeAt(spark, annPath, q, k = 5)) == beforeProbe)
+    assert(beforeProbe.nonEmpty)
+  }
+
+  test("DeltaLogCompaction: merged log answers identically; swap is Hadoop-FS (file: URI)") {
+    import spark.implicits._
+    import graft.sources.DeltaLogCompaction
+    // through a URI scheme on purpose: the swap used java.io renames,
+    // which silently never worked off the local-disk view of a path
+    val path = "file:" + tmp("cms_log")
+    Seq((0, 1, 5L), (0, 2, 3L)).toDF("row", "col", "c")
+      .coalesce(1).write.mode("append").parquet(path)
+    Seq((0, 1, 2L), (1, 0, 7L)).toDF("row", "col", "c")
+      .coalesce(1).write.mode("append").parquet(path)
+    def merged(): Map[(Int, Int), Long] = spark.read.parquet(path)
+      .groupBy("row", "col").agg(sum("c").as("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val before = merged()
+    val (b, a) = DeltaLogCompaction.compactCms(spark, path)
+    assert(b == 4L && a == 3L)
+    // readers re-merge on read: the compacted log answers identically
+    assert(merged() == before && before((0, 1)) == 7L)
+    // compaction is idempotent (already one row per key)
+    assert(DeltaLogCompaction.compactCms(spark, path) == ((3L, 3L)))
+  }
 }
