@@ -1375,10 +1375,21 @@ object Similarity {
       .agg(max(col("rebuild")).as("r")).collect()(0).getLong(0) == 1L
   }
 
-  def ivfPqListBalance(index: DataFrame, lists: Int, rebuildPm: Long = 3000L): DataFrame = {
-    val spark = index.sparkSession
-    val counts = index.groupBy(col("list_id").cast("long").as("list_id"))
-      .agg(count(lit(1)).as("n_vectors"))
+  def ivfPqListBalance(index: DataFrame, lists: Int, rebuildPm: Long = 3000L): DataFrame =
+    listBalanceFromCounts(
+      index.groupBy(col("list_id").cast("long").as("list_id"))
+        .agg(count(lit(1)).as("n_vectors")),
+      lists, rebuildPm)
+
+  /** [[ivfPqListBalance]] over PRE-AGGREGATED per-list counts
+    * (`list_id`, `n_vectors`) — the form a streaming maintainer's
+    * keyed state already holds ([[graft.streaming.StreamingIvf]]
+    * tracks n per list), so the retrain decision reads the state
+    * rows, never the vectors.
+    */
+  def listBalanceFromCounts(counts: DataFrame, lists: Int,
+                            rebuildPm: Long = 3000L): DataFrame = {
+    val spark = counts.sparkSession
     val all = spark.range(lists).select(col("id").as("list_id"))
       .join(counts, Seq("list_id"), "left")
       .select(col("list_id"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))

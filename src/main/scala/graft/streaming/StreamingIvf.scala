@@ -31,6 +31,22 @@ object StreamingIvf {
   def assignments(emb: DataFrame, dim: Int = 64, lists: Int = 16): DataFrame =
     emb.withColumn("list_id", Similarity.ivfAssignUdf(dim, lists)(col("embedding")))
 
+  /** The periodic RE-TRAINING decision this maintainer's Scaladoc
+    * promises, computed from the maintained state rows alone: per-list
+    * load vs the uniform share and the rebuild flag
+    * ([[Similarity.listBalanceFromCounts]] — the same audit
+    * `ivfPqListBalance`/`ivfPqNeedsRebuild` run over persisted
+    * IVF-PQ artifacts). Frozen centroids drift out from under a
+    * growing stream; when any list trips, schedule the batch
+    * kmeans re-learn.
+    */
+  def retrainAudit(states: Dataset[IvfListState], lists: Int = 16,
+                   rebuildPm: Long = 3000L): DataFrame =
+    Similarity.listBalanceFromCounts(
+      states.toDF().select(col("list_id").cast("long").as("list_id"),
+        col("n").as("n_vectors")),
+      lists, rebuildPm)
+
   /** Keyed fold maintaining per-list state: total count and the `cap`
     * smallest member ids (a deterministic bounded sample, so the final
     * state is independent of batch boundaries and arrival order).

@@ -928,6 +928,28 @@ class StreamingIvfSpec extends AnyFunSuite with SharedSpark {
 
     assert(finalState == batch)
     assert(finalState.values.forall(_._2.length <= 16))
+
+    // the retrain decision reads the STATE rows, never the vectors:
+    // a balanced final state stays quiet, a drift-skewed one (one
+    // list holding 5x its uniform share) trips exactly that list
+    import spark.implicits._
+    val states = finalState.toSeq.map { case (l, (n, m)) =>
+      graft.streaming.StreamingIvf.IvfListState(l, n, m) }.toDS()
+    def trippedOf(ds: org.apache.spark.sql.Dataset[graft.streaming.StreamingIvf.IvfListState]) =
+      graft.streaming.StreamingIvf.retrainAudit(ds)
+        .filter(col("rebuild") === 1L).collect().map(_.getLong(0)).toSet
+    assert(graft.streaming.StreamingIvf.retrainAudit(states).count() == 16L)
+    val baselineTripped = trippedOf(states)
+    // inject 5x-uniform drift mass into a list the baseline corpus
+    // leaves QUIET: whatever the corpus's own salted-centroid skew
+    // does, the injected list must newly trip (load >= 3809 pm by
+    // construction)
+    val quiet = (0 until 16).find(l => !baselineTripped.contains(l.toLong)).get
+    val total = finalState.values.map(_._1).sum
+    val skewed = finalState.toSeq.map { case (l, (n, m)) =>
+      graft.streaming.StreamingIvf.IvfListState(l,
+        if (l == quiet) n + 5 * total / 16 else n, m) }.toDS()
+    assert((trippedOf(skewed) -- baselineTripped).contains(quiet.toLong))
   }
 }
 
