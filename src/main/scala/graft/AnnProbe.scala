@@ -18,6 +18,7 @@ object AnnProbe {
   def main(args: Array[String]): Unit = {
     if (args.nonEmpty && args(0) == "pq") { pqRecall(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "index") { indexArtifact(args.drop(1)); return }
+    if (args.nonEmpty && args(0) == "lifecycle") { lifecycle(); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -124,6 +125,54 @@ object AnnProbe {
       s""""artifact_mb":${artifactBytes / 1048576.0},"corpus_mb":${corpusBytes / 1048576.0},""" +
       s""""probe_sec":${probeRuns.map(_._1).min},"rebuild_sec":${rebuildRuns.map(_._1).min},""" +
       s""""rows":${probeRuns.head._2}}""")
+    spark.stop()
+  }
+
+  /** The FULL artifact lifecycle at scale (round 12): initial
+    * header-stamped write of 60% of the corpus, four append batches
+    * growing it to 100%, the staleness audit (header + artifact only),
+    * trusted header-driven probes, file compaction, and a
+    * post-compaction probe that must answer identically. What the
+    * table shows at 100 TB: appends cost only their own batch, the
+    * audit and probe never touch corpus vectors, and compaction is a
+    * bounded maintenance job that preserves the artifact's
+    * self-description.
+    * Run: SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt "runMain graft.AnnProbe lifecycle"
+    */
+  private def lifecycle(): Unit = {
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint()
+    val nVec = emb.count()
+    val out = java.nio.file.Files.createTempDirectory("ann_lifecycle").toString + "/idx"
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val (_, writeSec) = time(
+      Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 10 < 6), out, dim = 64))
+    val appendSecs = (6 to 9).map { s =>
+      time(Similarity.ivfPqIndexAppend(
+        emb.filter(col("vec_id") % 10 === s), out, dim = 64))._2
+    }
+    val (needs, auditSec) = time(Similarity.ivfPqNeedsRebuild(spark, out))
+    val q = emb.filter(col("vec_id") < 8)
+    def probe(): Long = Similarity.annIvfPqProbeAt(spark, out, q, k = 5).count()
+    val probeSec = (1 to 2).map(_ => time(probe())._2).min
+    val rowsBefore = probe()
+    val ((fb, fa), compactSec) = time(
+      graft.sources.ArtifactCompaction.compactFiles(spark, out, targetFiles = 4))
+    val probeAfterSec = (1 to 2).map(_ => time(probe())._2).min
+    require(probe() == rowsBefore, "compaction changed probe results")
+    println(s"""{"dir":"$dir","n_vectors":$nVec,"write_sec":$writeSec,""" +
+      s""""append_secs":${appendSecs.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
+      s""""audit_sec":$auditSec,"needs_rebuild":$needs,""" +
+      s""""probe_sec":$probeSec,"compact_sec":$compactSec,""" +
+      s""""files_before":$fb,"files_after":$fa,"probe_after_sec":$probeAfterSec}""")
     spark.stop()
   }
 
