@@ -1110,6 +1110,13 @@ object Similarity {
     * row — the [[graft.streaming.StreamingNearDup.appendToIndex]]
     * convention for the ANN family. Returns the number of admitted
     * vectors.
+    *
+    * Layout: each append writes with the batch's own partitioning
+    * (day-scale batches can be arbitrarily large, so no forced
+    * coalesce here); periodic
+    * [[graft.sources.ArtifactCompaction.compactFiles]] bounds the
+    * file count and carries the header sidecar — the documented
+    * grow/compact lifecycle, soaked in `AnnProbe lifecycle`.
     */
   def ivfPqIndexAppend(newVectors: DataFrame, indexPath: String,
                        dim: Int, lists: Int = 16, m: Int = 8, codes: Int = 16,

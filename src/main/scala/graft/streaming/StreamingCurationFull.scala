@@ -24,8 +24,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * index) + (Jaccard verify over colliding docs only) — NOT a
   * re-shingle of every prior winner, which would make batch B cost
   * O(B) and the whole ingest O(B^2). Winner texts are touched only
-  * for candidate ids (semi-join). The gram index and the winner store
-  * grow by one parquet append per batch.
+  * for candidate ids: a broadcast semi-join, so history is never
+  * shuffled — the residual per-batch cost is one columnar (id, text)
+  * scan of the winner store; at extreme history sizes back that store
+  * with a bucketed table so the fetch prunes. The gram index and the
+  * winner store grow by one parquet append per batch;
+  * [[graft.sources.ArtifactCompaction.compactFiles]] is the periodic
+  * layout job that keeps their file counts bounded.
   *
   * Reference analog: the append-only event log + derived state
   * (crates/esvc-core/src/workcache.rs:60-108) — arriving data probes
