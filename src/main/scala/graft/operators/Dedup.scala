@@ -234,6 +234,42 @@ object Dedup {
     verifyAgainst(pn, qn, candidates, shingleN, threshold)
   }
 
+  /** [[nearDupAgainstIndex]] against a PERSISTED index path, trusted
+    * through its header: every index-binding parameter (shingleN,
+    * bands, rows, bucketCap) comes FROM the artifact, so a probe
+    * cannot drift from the build — the
+    * [[graft.operators.Similarity.annIvfPqProbeAt]] convention for the
+    * near-dup family. `threshold` stays a query-time knob (it binds
+    * the verify, not the stored keys). A missing PATH means no prior
+    * corpus yet (the bootstrap batch of an incremental ingest) and
+    * returns the empty pair frame; a present-but-headerless index
+    * refuses with guidance.
+    */
+  def nearDupAgainstIndexAt(spark: org.apache.spark.sql.SparkSession,
+                            priorDocs: DataFrame, probe: DataFrame, indexPath: String,
+                            textCol: String, idCol: String,
+                            threshold: Double = 0.4): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      probe.select(col(idCol).as("doc_new"), col(idCol).as("doc_prior"),
+        lit(0.0).as("jaccard")).limit(0)
+    else {
+      val hdr = graft.sources.ArtifactHeader.required(spark, indexPath, "bands")
+      // header-stamped but no data admitted yet: the empty index
+      val idx =
+        try spark.read.parquet(indexPath)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            import spark.implicits._
+            Seq.empty[(Long, String)].toDF("doc_id", "band_key")
+        }
+      nearDupAgainstIndex(priorDocs, probe, idx, textCol, idCol,
+        shingleN = hdr("shingle_n").toInt, bands = hdr("bands").toInt,
+        rows = hdr("rows").toInt, threshold = threshold,
+        bucketCap = hdr("bucket_cap").toInt)
+    }
+  }
+
   /** The exact-Jaccard verification kernel shared by the incremental
     * near-dup paths: shingle ONLY candidate docs (semi-join on each
     * side), sorted once per doc so the per-pair intersect is the

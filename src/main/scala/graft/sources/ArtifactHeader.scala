@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Self-describing parameter headers for persisted index artifacts —
+  * the round-12 IVF-PQ trust convention generalized. An index's rows
+  * are meaningless without the parameters they were computed under
+  * (an LSH band index probed with different shingle/band/row settings
+  * produces a DIFFERENT key space and silently surfaces ~no
+  * candidates; a gram index probed at the wrong k never matches), so
+  * the build params ride WITH the artifact as a tiny `_`-prefixed
+  * sidecar (invisible to parquet listings, travels on copy,
+  * preserved by [[ArtifactCompaction]]), content-hashed so corruption
+  * refuses loudly.
+  *
+  * Reference analog: content-addressed identity as the trust
+  * mechanism (crates/esvc-core/src/graph.rs:136-154).
+  */
+object ArtifactHeader {
+
+  private def headerPath(path: String, kind: String) =
+    new Path(path, s"_graft_${kind}_header")
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Canonical content hash over the sorted k=v lines. */
+  def paramsHash(kind: String, params: Seq[(String, String)]): String =
+    graft.core.Hashes.contentHash(
+      (kind +: params.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString("\n"))
+
+  /** Write (or re-stamp) the header. */
+  def write(spark: SparkSession, path: String, kind: String,
+            params: Seq[(String, String)]): Unit = {
+    val text = (s"graft-$kind-header v1" +:
+      params.sortBy(_._1).map { case (k, v) => s"$k=$v" } :+
+      s"hash=${paramsHash(kind, params)}").mkString("\n")
+    val (fs, _) = fsOf(spark, path)
+    val out = fs.create(headerPath(path, kind), true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load + integrity-check; None when the artifact predates headers. */
+  def read(spark: SparkSession, path: String, kind: String): Option[Map[String, String]] = {
+    val (fs, _) = fsOf(spark, path)
+    val hp = headerPath(path, kind)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(text.startsWith(s"graft-$kind-header v1"),
+        s"unrecognized $kind header format at $path")
+      val kv = text.linesIterator.flatMap { l =>
+        val i = l.indexOf('=')
+        if (i < 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
+      }.toMap
+      val params = (kv - "hash").toSeq
+      val recomputed = paramsHash(kind, params)
+      require(kv.get("hash").contains(recomputed),
+        s"$kind header at $path is corrupt: stored hash ${kv.getOrElse("hash", "?")} " +
+          s"!= recomputed $recomputed")
+      Some(kv - "hash")
+    }
+  }
+
+  /** The append-path contract: a header-bearing artifact REFUSES
+    * params that differ from its own; a headerless (pre-header or
+    * brand-new) artifact is stamped with the caller's. Returns unit or
+    * throws with the full header-vs-caller identity.
+    */
+  def validateOrStamp(spark: SparkSession, path: String, kind: String,
+                      params: Seq[(String, String)]): Unit =
+    read(spark, path, kind) match {
+      case Some(stored) if stored != params.toMap =>
+        throw new IllegalArgumentException(
+          s"$kind artifact at $path was built with different parameters: " +
+            s"header ${stored.toSeq.sortBy(_._1).mkString(", ")} vs caller " +
+            s"${params.sortBy(_._1).mkString(", ")} — consuming it with mismatched " +
+            "parameters silently produces wrong results; rebuild, or pass the " +
+            "original parameters")
+      case Some(_) => ()
+      case None => write(spark, path, kind, params)
+    }
+
+  /** The read-path contract: the header must exist (refuse with
+    * guidance otherwise) and the caller either takes the stored
+    * params or is validated against them.
+    */
+  def required(spark: SparkSession, path: String, kind: String): Map[String, String] =
+    read(spark, path, kind).getOrElse(throw new IllegalArgumentException(
+      s"no $kind header at $path: cannot verify which parameters built this " +
+        "artifact. Grow it through its stamping append path, or stamp it " +
+        "explicitly with ArtifactHeader.write."))
+}

@@ -100,10 +100,12 @@ object StreamingCurationFull {
           val ((crossDrop, withinDrop, ndSurv), tNd) = timed {
             val priorTexts = readOr(winnersPath,
               Seq.empty[(Long, String)].toDF("doc_id", "text"))
-            val bandIdx = readOr(bandIdxPath,
-              Seq.empty[(Long, String)].toDF("doc_id", "band_key"))
-            val cross = Dedup.nearDupAgainstIndex(priorTexts, winners, bandIdx,
-                "text", "doc_id", shingleN, bands, rows, threshold, bucketCap)
+            // trusted probe: shingle/band/row/cap come FROM the
+            // index's own header (stamped by the admit below), so a
+            // restarted chain with drifted config refuses instead of
+            // silently probing a foreign key space
+            val cross = Dedup.nearDupAgainstIndexAt(spark, priorTexts, winners,
+                bandIdxPath, "text", "doc_id", threshold)
               .select(col("doc_new").as("doc_id")).distinct().localCheckpoint()
             val within = Dedup.nearDupPairs(winners, "text", "doc_id",
                 shingleN, bands, rows, threshold, bucketCap)
@@ -128,7 +130,7 @@ object StreamingCurationFull {
                 Dedup.bandKeys(winners.select(col("doc_id"), col("text").as("__text")),
                   shingleN, bands, rows),
                 "band_key", "doc_id", bucketCap),
-              bandIdxPath, bucketCap)
+              bandIdxPath, bucketCap, stampParams = Some((shingleN, bands, rows)))
           }
 
           // -- stage 3: n-gram decontamination (broadcast grams)
@@ -163,7 +165,7 @@ object StreamingCurationFull {
             // stage into O(history); the span write happens before
             // the append, so the join never reads a path being
             // appended to
-            val gIdx = StreamingSubstringDedup.readIndex(spark, gramIdxPath)
+            val gIdx = StreamingSubstringDedup.indexFor(spark, gramIdxPath, substrK)
             Curation.substringDedupAgainstIndex(gIdx, fin, "text", "doc_id", k = substrK)
               .coalesce(1).write.mode("append").option("compression", "zstd")
               .parquet(s"$stateDir/substr_spans")

@@ -129,11 +129,27 @@ object StreamingNearDup {
     * monotone-increasing doc ids (the normal ingest contract) the grown
     * index is exactly `capBucket(bandKeys(corpus so far))`.
     *
+    * With `stampParams = Some((shingleN, bands, rows))` the index
+    * carries a self-describing header ([[graft.sources.ArtifactHeader]],
+    * the IVF-PQ trust convention): band keys are md5s of the
+    * mask-permuted minhash tuples, so an index grown under one
+    * (shingleN, bands, rows, bucketCap) setting and probed — or
+    * appended — under another occupies a DIFFERENT key space and
+    * silently surfaces ~no candidates; the header makes the mismatch
+    * refuse loudly instead, and
+    * [[graft.operators.Dedup.nearDupAgainstIndexAt]] probes with the
+    * stored parameters so probe and build cannot drift.
+    *
     * @return number of admitted rows
     */
-  def appendToIndex(newBands: DataFrame, indexPath: String, bucketCap: Int = 128): Long = {
+  def appendToIndex(newBands: DataFrame, indexPath: String, bucketCap: Int = 128,
+                    stampParams: Option[(Int, Int, Int)] = None): Long = {
     val spark = newBands.sparkSession
     import org.apache.spark.sql.expressions.Window
+    stampParams.foreach { case (shingleN, bands, rows) =>
+      graft.sources.ArtifactHeader.validateOrStamp(spark, indexPath, "bands",
+        bandParams(shingleN, bands, rows, bucketCap))
+    }
     val idx = readIndex(spark, indexPath)
     val occ = idx.groupBy("band_key").agg(count(lit(1)).as("__n"))
     // materialize before writing: `admitted` reads indexPath (via occ),
@@ -155,6 +171,11 @@ object StreamingNearDup {
     graft.plans.CheckpointHygiene.free(admitted)
     n
   }
+
+  /** Canonical header params for a band index. */
+  def bandParams(shingleN: Int, bands: Int, rows: Int, bucketCap: Int): Seq[(String, String)] =
+    Seq("shingle_n" -> shingleN.toString, "bands" -> bands.toString,
+      "rows" -> rows.toString, "bucket_cap" -> bucketCap.toString)
 
   private def readIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
     try spark.read.parquet(indexPath).select(col("doc_id"), col("band_key"))

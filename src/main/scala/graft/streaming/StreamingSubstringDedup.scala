@@ -40,8 +40,30 @@ object StreamingSubstringDedup {
     // an empty index
     val p = new org.apache.hadoop.fs.Path(indexPath)
     if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      spark.read.parquet(indexPath)
+      // a header-stamped directory with no data yet (batch admitted 0
+      // rows) has nothing to infer a schema from — that IS the empty
+      // index
+      try spark.read.parquet(indexPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty[Long].toDF("h") }
     else Seq.empty[Long].toDF("h")
+  }
+
+  /** [[readIndex]] VALIDATED against the artifact's stamped gram
+    * length: a k-gram index consumed at a different k silently never
+    * matches (every span check misses), so the mismatch refuses
+    * loudly instead. A missing path is the empty index (bootstrap); a
+    * present-but-headerless one refuses with guidance.
+    */
+  def indexFor(spark: SparkSession, indexPath: String, k: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) {
+      val hdr = graft.sources.ArtifactHeader.required(spark, indexPath, "grams")
+      require(hdr.get("k").contains(k.toString),
+        s"gram index at $indexPath was built with k=${hdr.getOrElse("k", "?")}, " +
+          s"probed with k=$k — k-gram hashes never match across k; rebuild or " +
+          "pass the build-time k")
+    }
+    readIndex(spark, indexPath)
   }
 
   /** Append a document batch's grams to the index, new hashes only —
@@ -49,11 +71,19 @@ object StreamingSubstringDedup {
     * Materialized (localCheckpoint) before the write: the anti-join
     * reads indexPath, and appending to a path mid-read is undefined.
     *
+    * The artifact carries its gram length k as a header
+    * ([[graft.sources.ArtifactHeader]]): an index of k-gram hashes
+    * consumed at a different k simply never matches — appends at a
+    * mismatched k refuse loudly, and [[indexFor]] is the validated
+    * read path.
+    *
     * @return number of admitted gram hashes
     */
   def appendToIndex(batch: DataFrame, textCol: String, idCol: String,
                     indexPath: String, k: Int = 8): Long = {
     val spark = batch.sparkSession
+    graft.sources.ArtifactHeader.validateOrStamp(spark, indexPath, "grams",
+      Seq("k" -> k.toString))
     val (_, grams) = Curation.gramTable(batch, textCol, idCol, k)
     val fresh = grams.select("h").distinct()
       .join(readIndex(spark, indexPath), Seq("h"), "left_anti")

@@ -252,6 +252,72 @@ class Round12OpsSpec extends AnyFunSuite with SharedSpark {
     assert(beforeProbe.nonEmpty)
   }
 
+  test("band/gram index headers: parameter drift refuses instead of silently missing dups") {
+    import graft.streaming.{StreamingNearDup, StreamingSubstringDedup}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint()
+    val prior = docs.filter(col("doc_id") % 3 =!= 0)
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+    def bandsOf(df: org.apache.spark.sql.DataFrame, sn: Int, b: Int, r: Int) =
+      operators.Dedup.capBucket(
+        operators.Dedup.bandKeys(
+          df.select(col("doc_id"), col("text").as("__text")), sn, b, r),
+        "band_key", "doc_id", 128)
+
+    // stamped build; the trusted probe pulls every index-binding
+    // param from the header and equals the recomputed operator
+    val idxPath = tmp("bands_hdr")
+    StreamingNearDup.appendToIndex(bandsOf(prior, 3, 6, 2), idxPath,
+      stampParams = Some((3, 6, 2)))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaAt = pairs(operators.Dedup.nearDupAgainstIndexAt(spark, prior, probe,
+      idxPath, "text", "doc_id", threshold = 0.4))
+    val recomputed = pairs(operators.Dedup.nearDupAgainst(prior, probe,
+      "text", "doc_id", shingleN = 3, bands = 6, rows = 2, threshold = 0.4))
+    assert(viaAt == recomputed && recomputed.nonEmpty)
+    // an append under drifted parameters refuses (a (3,4,3) index
+    // occupies a different band-key space — collisions silently
+    // vanish without the header)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingNearDup.appendToIndex(bandsOf(probe, 3, 4, 3), idxPath,
+        stampParams = Some((3, 4, 3)))
+    }
+    assert(ex.getMessage.contains("different parameters"), ex.getMessage)
+    // a headerless (legacy) index refuses the trusted probe
+    val legacy = tmp("bands_legacy")
+    StreamingNearDup.appendToIndex(bandsOf(prior, 3, 6, 2), legacy)
+    val ex2 = intercept[IllegalArgumentException] {
+      operators.Dedup.nearDupAgainstIndexAt(spark, prior, probe, legacy,
+        "text", "doc_id")
+    }
+    assert(ex2.getMessage.contains("no bands header"), ex2.getMessage)
+    // a missing PATH is the bootstrap batch: empty pair frame, not an
+    // error
+    assert(operators.Dedup.nearDupAgainstIndexAt(spark, prior, probe,
+      tmp("bands_none") + "/never", "text", "doc_id").count() == 0L)
+
+    // gram index: k rides in the header; consuming at another k
+    // refuses (k-gram hashes never match across k)
+    val gPath = tmp("grams_hdr")
+    assert(StreamingSubstringDedup.appendToIndex(
+      prior.select("doc_id", "text"), "text", "doc_id", gPath, k = 8) > 0L)
+    assert(StreamingSubstringDedup.indexFor(spark, gPath, 8).count() ==
+      StreamingSubstringDedup.readIndex(spark, gPath).count())
+    val ex3 = intercept[IllegalArgumentException] {
+      StreamingSubstringDedup.indexFor(spark, gPath, 6)
+    }
+    assert(ex3.getMessage.contains("built with k=8"), ex3.getMessage)
+    val ex4 = intercept[IllegalArgumentException] {
+      StreamingSubstringDedup.appendToIndex(
+        probe.select("doc_id", "text"), "text", "doc_id", gPath, k = 6)
+    }
+    assert(ex4.getMessage.contains("different parameters"), ex4.getMessage)
+    // compaction preserves the headers (sidecar carry)
+    graft.sources.ArtifactCompaction.compactFiles(spark, gPath)
+    assert(StreamingSubstringDedup.indexFor(spark, gPath, 8).count() > 0L)
+  }
+
   test("DeltaLogCompaction: merged log answers identically; swap is Hadoop-FS (file: URI)") {
     import spark.implicits._
     import graft.sources.DeltaLogCompaction
