@@ -23,15 +23,37 @@ object StreamingCms {
             d: Int = 4, w: Int = 4096): StreamingQuery =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[DocRecord], _: Long) =>
+        // the artifact carries its own (d, w): counters are only
+        // meaningful under the hash shape they were built with —
+        // estimating (or appending) at a different w maps words to
+        // different columns and silently returns wrong frequencies
+        graft.sources.ArtifactHeader.validateOrStamp(batch.sparkSession, cmsPath,
+          "cms", cmsParams(d, w))
         Sketches.cmsBuild(
           batch.toDF().select(explode(Dedup.tokens(col("text"))).as("word")), d, w)
-          .write.mode("append").parquet(cmsPath)
+          .coalesce(1).write.mode("append").parquet(cmsPath)
         ()
       }
       .start()
+
+  def cmsParams(d: Int, w: Int): Seq[(String, String)] =
+    Seq("d" -> d.toString, "w" -> w.toString)
 
   /** Current counters: sum-merge the delta log. */
   def readSketch(spark: SparkSession, cmsPath: String): DataFrame =
     spark.read.parquet(cmsPath)
       .groupBy("row", "col").agg(sum(col("c")).as("c"))
+
+  /** Point-frequency estimates straight from the PERSISTED delta log,
+    * trusted through its header: (d, w) come FROM the artifact, so an
+    * estimate cannot run under a foreign hash shape — the
+    * [[graft.operators.Similarity.annIvfPqProbeAt]] convention for
+    * the sketch family.
+    */
+  def estimateFrom(spark: SparkSession, cmsPath: String,
+                   candidates: DataFrame): DataFrame = {
+    val hdr = graft.sources.ArtifactHeader.required(spark, cmsPath, "cms")
+    Sketches.cmsEstimate(readSketch(spark, cmsPath), candidates,
+      hdr("d").toInt, hdr("w").toInt)
+  }
 }

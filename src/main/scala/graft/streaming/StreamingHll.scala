@@ -29,10 +29,16 @@ object StreamingHll {
   def start(docs: Dataset[DocRecord], regPath: String, b: Int = 10): StreamingQuery =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[DocRecord], _: Long) =>
+        // the artifact carries its own register-count exponent b:
+        // registers read under a different b mis-scale the alpha*m^2
+        // estimate and mis-split the hash — silently wrong
+        // cardinalities without the header
+        graft.sources.ArtifactHeader.validateOrStamp(batch.sparkSession, regPath,
+          "hll", Seq("b" -> b.toString))
         Sketches.hllRegisters(
           batch.toDF().select(col("source"),
             explode(Dedup.tokens(col("text"))).as("word")), "source", b)
-          .write.mode("append").parquet(regPath)
+          .coalesce(1).write.mode("append").parquet(regPath)
         ()
       }
       .start()
@@ -42,7 +48,15 @@ object StreamingHll {
     spark.read.parquet(regPath)
       .groupBy("source", "j").agg(max(col("r")).as("r"))
 
-  /** Current cardinality estimate straight from the artifact. */
-  def estimate(spark: SparkSession, regPath: String, b: Int = 10): DataFrame =
+  /** Current cardinality estimate straight from the artifact. A
+    * caller-passed `b` is validated against the stored one and
+    * refused on mismatch; omit it (None) to take the artifact's.
+    */
+  def estimate(spark: SparkSession, regPath: String, b: Int = 10): DataFrame = {
+    val hdr = graft.sources.ArtifactHeader.required(spark, regPath, "hll")
+    require(hdr.get("b").contains(b.toString),
+      s"HLL register log at $regPath was built with b=${hdr.getOrElse("b", "?")}, " +
+        s"estimated with b=$b — registers mis-scale across b; pass the build-time b")
     Sketches.hllEstimate(readRegisters(spark, regPath), b)
+  }
 }

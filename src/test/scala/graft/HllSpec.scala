@@ -60,6 +60,11 @@ class HllSpec extends AnyFunSuite with SharedSpark {
     assert(raw.count() == regsOf(b1) + regsOf(b2), "expected per-batch delta rows")
     def estMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // b is validated against the artifact's stamped header; a drifted
+    // caller refuses instead of mis-scaling the estimate
+    intercept[IllegalArgumentException] {
+      StreamingHll.estimate(spark, regPath, b = 12)
+    }
     val streamed = estMap(StreamingHll.estimate(spark, regPath, b = 10))
     val batch = estMap(Sketches.hllEstimate(
       Sketches.hllRegisters(

@@ -102,6 +102,48 @@ class SketchStreamSpec extends AnyFunSuite with SharedSpark {
     assert(streamed === batch)
   }
 
+  test("StreamingCms delta log: merged == batch; (d,w) header refuses drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingCms
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("cms_hdr").toString + "/cms"
+    val b1 = Seq((1L, "x y x z"), (2L, "y y"))
+    val b2 = Seq((3L, "x w w"), (4L, "z x y"))
+    val stream = MemoryStream[StreamingCms.DocRecord]
+    val query = StreamingCms.start(stream.toDS(), path, d = 3, w = 64)
+    try {
+      stream.addData(b1.map((StreamingCms.DocRecord.apply _).tupled))
+      query.processAllAvailable()
+      stream.addData(b2.map((StreamingCms.DocRecord.apply _).tupled))
+      query.processAllAvailable()
+    } finally query.stop()
+    // sum-merged deltas == one batch build over the union
+    val merged = StreamingCms.readSketch(spark, path)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val whole = Sketches.cmsBuild(
+      (b1 ++ b2).map(_._2).flatMap(_.split(" ")).toDF("word"), 3, 64)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(merged === whole && whole.nonEmpty)
+    // estimates straight from the artifact, (d, w) from its header
+    val est = StreamingCms.estimateFrom(spark, path, Seq("x", "w").toDF("word"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("x") >= 4L && est("w") >= 2L)
+    // a maintainer restarted with a drifted shape refuses on its
+    // first batch instead of silently polluting the counter space
+    val stream2 = MemoryStream[StreamingCms.DocRecord]
+    val query2 = StreamingCms.start(stream2.toDS(), path, d = 3, w = 128)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        stream2.addData(Seq(StreamingCms.DocRecord(9L, "q")))
+        query2.processAllAvailable()
+      } finally query2.stop()
+    }
+    assert(ex.getMessage.contains("different parameters") ||
+      Option(ex.getCause).exists(_.getMessage.contains("different parameters")),
+      ex.getMessage)
+  }
+
   test("event-time sessionization closes sessions by WATERMARK timeout " +
     "(no sentinels) and equals the batch algebra") {
     import spark.implicits._
