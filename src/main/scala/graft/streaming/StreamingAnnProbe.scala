@@ -47,4 +47,25 @@ object StreamingAnnProbe {
         }
       }
       .start()
+
+  /** [[probeStream]] trusted through the artifact's round-12 header:
+    * every shape param and both quantizer arrays come FROM the index
+    * ([[Similarity.annIvfPqProbeAt]] per micro-batch), so a stream
+    * probing a header-stamped artifact cannot drift from its build —
+    * and keeps answering correctly across an
+    * [[graft.operators.Similarity.ivfPqIndexAppend]] growth or an
+    * [[graft.sources.ArtifactCompaction]] rewrite, both of which
+    * preserve the header.
+    */
+  def probeStreamAt(vecs: Dataset[VecRecord], indexPath: String,
+                    sink: DataFrame => Unit, k: Int, nprobe: Int = 4)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(Similarity.annIvfPqProbeAt(batch.sparkSession, indexPath, batch,
+            k, nprobe))
+      }
+      .start()
 }
