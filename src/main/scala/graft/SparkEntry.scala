@@ -1600,6 +1600,28 @@ object SparkEntry {
         "text", "doc_id", shingleN = 3, bands = 6, rows = 2, threshold = 0.4)
     }),
 
+    // the same incremental probe through the PERSISTED band-index
+    // round-trip: fresh stamped build (ArtifactHeader sidecar) ->
+    // header-trusted probe pulling every index-binding parameter FROM
+    // the artifact — the q_ann_probe_incremental convention for the
+    // near-dup family; same oracle as q_neardup_incremental (the
+    // persisted path must answer identically)
+    "q_neardup_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      val path = s"/tmp/graft_band_index_${math.abs(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      graft.streaming.StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        path, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      Dedup.nearDupAgainstIndexAt(s, prior, docs.filter(col("doc_id") % 3 === 0),
+        path, "text", "doc_id", threshold = 0.4)
+    }),
+
     // runtime bloom semi-join filter: a selective dim filter (one
     // nation's suppliers) prunes the fact scan via a broadcast bit
     // array BEFORE any join — the fact side sees a pure codegen
@@ -3614,6 +3636,9 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_neardup_incremental" -> incNeardupOracle,
+    // the persisted-index round-trip must answer exactly like the
+    // recomputed operator — same oracle by design
+    "q_neardup_index_probe" -> incNeardupOracle,
 
     // mirrors Par.bloomBits + bloomMightContain: same md5 positions,
     // 60-bit words, per-distinct-key probe (pass is a function of the
