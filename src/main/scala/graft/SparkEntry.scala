@@ -634,6 +634,23 @@ object SparkEntry {
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
         "cents", "l_returnflag", Seq(250, 500, 750, 990))),
 
+    // day-over-day QUANTILE rollup gated by the mergeability theorem
+    // itself: two half-corpus log-histogram sketches merged by
+    // addition must equal the full-corpus histogram DuckDB rebuilds
+    // from raw rows — every stored bucket of the merged artifact
+    // checked (the q_kmv_sketch_merge convention for the quantile
+    // family; quantile DERIVATION from a sketch is gated through
+    // q_loghist_quantiles, which is literally the
+    // sketch -> quantiles composition)
+    "q_loghist_sketch_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      def half(even: Boolean) = Sketches.logHistSketch(
+        li.filter(if (even) col("l_orderkey") % 2 === 0 else col("l_orderkey") % 2 =!= 0),
+        "cents", "l_returnflag")
+      Sketches.logHistMergeSketches(half(even = true), half(even = false))
+    }),
+
     // HyperLogLog distinct sketch per source + a `__union__` row
     // max-merged from the per-source registers alone (the cross-shard
     // merge path); exact counts ride along as the accuracy report
@@ -2573,6 +2590,23 @@ object SparkEntry {
         |SELECT source, CAST(p AS BIGINT) AS p_permille, min(lo) AS q_lo
         |FROM cm CROSS JOIN ps WHERE cum >= (total * p + 999) // 1000
         |GROUP BY source, p""".stripMargin,
+
+    // the merged half-corpus sketches must equal the histogram DuckDB
+    // rebuilds from the WHOLE corpus — addition-mergeability checked
+    // on every stored bucket
+    "q_loghist_sketch_merge" ->
+      """WITH b AS (SELECT l_returnflag AS source,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE CAST(round(l_extendedprice * 100) AS BIGINT) >= 0),
+        |h AS (SELECT source,
+        |    CASE WHEN v < 8 THEN v
+        |      ELSE length(printf('%b', v)) * 8 +
+        |        CAST(floor(v / power(2, length(printf('%b', v)) - 4)) AS BIGINT) % 8 END AS bucket,
+        |    CASE WHEN v < 8 THEN v
+        |      ELSE (8 + CAST(floor(v / power(2, length(printf('%b', v)) - 4)) AS BIGINT) % 8)
+        |        * CAST(power(2, length(printf('%b', v)) - 4) AS BIGINT) END AS lo
+        |  FROM b)
+        |SELECT source, bucket, lo, count(*) AS c FROM h GROUP BY 1, 2, 3""".stripMargin,
 
     // mirrors Sketches.hllDistinct: same md5 hash, register index =
     // low 10 bits, rank = trailing zeros of the upper 50 bits via the

@@ -194,12 +194,25 @@ object Sketches {
     * quantile, the lower edge of the bucket holding that rank.
     */
   def logHistQuantiles(rows: DataFrame, valueCol: String, strataCol: String,
-                       quantilesPermille: Seq[Int]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = rows.select(col(strataCol).as("source"),
+                       quantilesPermille: Seq[Int]): DataFrame =
+    logHistQuantilesFromSketch(logHistSketch(rows, valueCol, strataCol),
+      quantilesPermille)
+
+  /** The PERSISTABLE log-histogram sketch behind [[logHistQuantiles]]:
+    * one `(source, bucket, lo, c)` row per populated bucket — at most
+    * 8 + 59 octaves * 8 sub-buckets per stratum regardless of input
+    * size, so a 100 TB corpus's quantile state is kilobytes on disk.
+    * Unlike the CMS/HLL/band artifacts there are NO shape parameters
+    * to carry in a header: the bucket algebra is fixed and universal,
+    * so any two loghist artifacts over the same measured quantity
+    * merge exactly (which quantity/units a sketch describes is the
+    * caller's schema contract, as with KMV).
+    */
+  def logHistSketch(rows: DataFrame, valueCol: String,
+                    strataCol: String): DataFrame =
+    rows.select(col(strataCol).as("source"),
         col(valueCol).cast("long").as("v"))
       .filter(col("v") >= 0L)
-    val hist = base
       .select(col("source"),
         when(col("v") < 8L, col("v")).otherwise(expr(
           "length(bin(v)) * 8 + CAST(floor(v / power(2, length(bin(v)) - 4)) AS BIGINT) % 8"))
@@ -209,9 +222,32 @@ object Sketches {
             " * CAST(power(2, length(bin(v)) - 4) AS BIGINT)"))
           .as("lo"))
       .groupBy("source", "bucket", "lo").agg(count(lit(1)).as("c"))
+
+  /** Merge persisted log-histogram sketch artifacts — the
+    * day-over-day quantile rollup: counters merge by ADDITION (sum is
+    * associative and commutative), so the merged artifact is
+    * BIT-IDENTICAL to a sketch built from the combined corpus. That
+    * mergeability theorem is what the q_loghist_sketch_merge oracle
+    * gates: Spark merges two half-corpus artifacts, DuckDB rebuilds
+    * every bucket from the whole corpus. The KMV min-merge convention
+    * ([[kmvMergeSketches]]) applied to the quantile family.
+    */
+  def logHistMergeSketches(parts: DataFrame*): DataFrame =
+    parts.map(_.select(col("source"), col("bucket"), col("lo"), col("c")))
+      .reduce(_.unionByName(_))
+      .groupBy("source", "bucket", "lo").agg(sum(col("c")).as("c"))
+
+  /** Quantile edges from the PERSISTED sketch alone — no corpus scan;
+    * [[logHistQuantiles]] is literally
+    * `logHistQuantilesFromSketch(logHistSketch(...))`, so the inline
+    * and artifact paths cannot drift.
+    */
+  def logHistQuantilesFromSketch(sketch: DataFrame,
+                                 quantilesPermille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
+    val cum = sketch
       .withColumn("cum", sum(col("c")).over(w))
       .withColumn("total", sum(col("c")).over(Window.partitionBy(col("source"))))
       .localCheckpoint()

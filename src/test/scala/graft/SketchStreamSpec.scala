@@ -144,6 +144,58 @@ class SketchStreamSpec extends AnyFunSuite with SharedSpark {
       ex.getMessage)
   }
 
+  test("log-histogram sketch merges by addition: merged halves == whole, " +
+    "quantiles from the merged artifact == inline") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)
+    val merged = Sketches.logHistMergeSketches(
+      Sketches.logHistSketch(li.filter(col("l_orderkey") % 2 === 0), "cents", "flag"),
+      Sketches.logHistSketch(li.filter(col("l_orderkey") % 2 =!= 0), "cents", "flag"))
+    val whole = Sketches.logHistSketch(li, "cents", "flag")
+    assert(merged.collect().map(key).toMap === whole.collect().map(key).toMap)
+    // quantiles computed from the merged ARTIFACT equal the inline path
+    val ps = Seq(250, 500, 990)
+    val qm = Sketches.logHistQuantilesFromSketch(merged, ps)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val qi = Sketches.logHistQuantiles(li, "cents", "flag", ps)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(qm === qi && qi.nonEmpty)
+  }
+
+  test("StreamingLogHist delta log: sum-merged == batch sketch of the union") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingLogHist
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("loghist").toString + "/hist"
+    val b1 = Seq(("api", 3L), ("api", 120L), ("web", 7L), ("api", 121L))
+    val b2 = Seq(("api", 119L), ("web", 0L), ("web", 4096L))
+    val stream = MemoryStream[StreamingLogHist.ValRecord]
+    val query = StreamingLogHist.start(stream.toDS(), path)
+    try {
+      stream.addData(b1.map((StreamingLogHist.ValRecord.apply _).tupled))
+      query.processAllAvailable()
+      stream.addData(b2.map((StreamingLogHist.ValRecord.apply _).tupled))
+      query.processAllAvailable()
+    } finally query.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)
+    val merged = StreamingLogHist.readSketch(spark, path).collect().map(key).toMap
+    val whole = Sketches.logHistSketch((b1 ++ b2).toDF("source", "v"), "v", "source")
+      .collect().map(key).toMap
+    assert(merged === whole && whole.nonEmpty)
+    // two delta files on disk (one per batch), each bounded by the
+    // bucket-space size, and quantiles answer from the log alone
+    val q = StreamingLogHist.quantilesFrom(spark, path, Seq(500))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q("api") === 112L) // rank-2 of {3,119,120,121} = 119, in [112,120)
+    assert(q("web") === 7L)   // rank-2 of {0,7,4096} = 7, an exact unit bucket
+  }
+
   test("event-time sessionization closes sessions by WATERMARK timeout " +
     "(no sentinels) and equals the batch algebra") {
     import spark.implicits._
