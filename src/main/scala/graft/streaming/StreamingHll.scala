@@ -48,9 +48,9 @@ object StreamingHll {
     spark.read.parquet(regPath)
       .groupBy("source", "j").agg(max(col("r")).as("r"))
 
-  /** Current cardinality estimate straight from the artifact. A
-    * caller-passed `b` is validated against the stored one and
-    * refused on mismatch; omit it (None) to take the artifact's.
+  /** Current cardinality estimate straight from the artifact. The
+    * caller-passed `b` is validated against the stored one and refused
+    * on mismatch; use [[estimateFrom]] to take the artifact's own b.
     */
   def estimate(spark: SparkSession, regPath: String, b: Int = 10): DataFrame = {
     val hdr = graft.sources.ArtifactHeader.required(spark, regPath, "hll")
@@ -58,5 +58,14 @@ object StreamingHll {
       s"HLL register log at $regPath was built with b=${hdr.getOrElse("b", "?")}, " +
         s"estimated with b=$b — registers mis-scale across b; pass the build-time b")
     Sketches.hllEstimate(readRegisters(spark, regPath), b)
+  }
+
+  /** [[estimate]] with b taken FROM the artifact's header — the
+    * [[StreamingCms.estimateFrom]] convention: a reader needs no
+    * out-of-band knowledge of how the register log was built.
+    */
+  def estimateFrom(spark: SparkSession, regPath: String): DataFrame = {
+    val hdr = graft.sources.ArtifactHeader.required(spark, regPath, "hll")
+    Sketches.hllEstimate(readRegisters(spark, regPath), hdr("b").toInt)
   }
 }

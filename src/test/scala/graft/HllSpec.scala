@@ -71,6 +71,8 @@ class HllSpec extends AnyFunSuite with SharedSpark {
         docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("word")),
         "source", b = 10), b = 10))
     assert(streamed == batch)
+    // and the no-out-of-band-knowledge read: b straight from the header
+    assert(estMap(StreamingHll.estimateFrom(spark, regPath)) == batch)
   }
 
   test("shard registers max-merge to whole-corpus registers") {
