@@ -1307,6 +1307,22 @@ object SparkEntry {
         .select(col("word"), col("exact_n"), col("est_n"))
     }),
 
+    // the CMS day-over-day rollup gated by mergeability itself: two
+    // half-corpus counter tables merged by addition must equal the
+    // full-corpus table DuckDB rebuilds from raw tokens — every
+    // stored (row, col) counter checked. With q_kmv_sketch_merge
+    // (min-merge), q_loghist_sketch_merge (bucket addition) and
+    // q_hll_distinct's __union__ row (register max-merge), every
+    // sketch family's merge path is oracle-gated
+    "q_cms_sketch_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def half(even: Boolean) = Sketches.cmsBuild(
+        docs.filter(if (even) col("doc_id") % 2 === 0 else col("doc_id") % 2 =!= 0)
+          .select(explode(Dedup.tokens(col("text"))).as("word")), d = 4, w = 1024)
+      Sketches.cmsMergeSketches(half(even = true), half(even = false))
+        .select(col("row").cast("long").as("row"), col("col"), col("c"))
+    }),
+
     // declarative data-quality suite: uniqueness, referential
     // integrity, domain/range rules — each ONE aggregate or anti-join,
     // unioned into a tiny violations summary (the publish gate)
@@ -3336,6 +3352,18 @@ object SparkEntry {
         |SELECT cc.word, cc.exact_n, CAST(min(sk.c) AS BIGINT) AS est_n
         |FROM cc JOIN sk ON cc.row = sk.row AND cc.col = sk.col
         |GROUP BY cc.word, cc.exact_n""".stripMargin,
+
+    // the merged half-corpus counter tables must equal the table
+    // DuckDB rebuilds from the WHOLE corpus — addition-mergeability
+    // checked on every stored cell
+    "q_cms_sketch_merge" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), ' +'),
+        |    x -> len(x) > 0)) AS word FROM documents),
+        |dims AS (SELECT unnest(range(4)) AS i),
+        |cells AS (SELECT i AS row,
+        |    ('0x' || substr(md5('cms|' || word), 1 + 7 * i, 7))::BIGINT % 1024 AS col
+        |  FROM tok, dims)
+        |SELECT row, col, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2""".stripMargin,
 
     "q_data_quality" ->
       """SELECT 'unique:orders.o_orderkey' AS check_name,

@@ -69,6 +69,20 @@ object Sketches {
       .agg(sum(col("n")).as("c"))
   }
 
+  /** Merge persisted CMS counter tables — the day-over-day frequency
+    * rollup: counters merge by ADDITION, so the merged artifact is
+    * bit-identical to one batch build over the combined corpus
+    * (what the q_cms_sketch_merge oracle gates against a full-corpus
+    * DuckDB rebuild). All inputs must share the (d, w) hash shape —
+    * carried by the delta log's header when they come from
+    * [[graft.streaming.StreamingCms]] (whose `readSketch` is this
+    * merge applied to one artifact's delta rows).
+    */
+  def cmsMergeSketches(parts: DataFrame*): DataFrame =
+    parts.map(_.select(col("row"), col("col"), col("c")))
+      .reduce(_.unionByName(_))
+      .groupBy("row", "col").agg(sum(col("c")).as("c"))
+
   /** Point-query the sketch for each candidate word: est = min over
     * the word's d cells. The sketch is tiny (d*w rows) — the join
     * broadcasts.

@@ -73,9 +73,8 @@ class SketchStreamSpec extends AnyFunSuite with SharedSpark {
     import spark.implicits._
     val a = Seq("x", "y", "x", "z").toDF("word")
     val b = Seq("x", "w", "w").toDF("word")
-    val merged = Sketches.cmsBuild(a, 3, 64)
-      .unionByName(Sketches.cmsBuild(b, 3, 64))
-      .groupBy("row", "col").agg(sum("c").as("c"))
+    val merged = Sketches.cmsMergeSketches(
+      Sketches.cmsBuild(a, 3, 64), Sketches.cmsBuild(b, 3, 64))
       .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
     val whole = Sketches.cmsBuild(a.unionByName(b), 3, 64)
       .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
