@@ -69,8 +69,16 @@ object ArtifactCompaction {
       sys.error(s"ArtifactCompaction: rewrite of $path lost rows " +
         s"($rows -> $rewritten); artifact left untouched")
     }
-    if (!fs.rename(p, old) || !fs.rename(tmp, p))
-      sys.error(s"ArtifactCompaction: atomic swap failed for $path")
+    if (!fs.rename(p, old))
+      sys.error(s"ArtifactCompaction: could not move $path aside; artifact untouched")
+    if (!fs.rename(tmp, p)) {
+      // roll the original back into place rather than stranding the
+      // artifact at the .compact.old path with the live path missing
+      val rolledBack = fs.rename(old, p)
+      sys.error(s"ArtifactCompaction: swap-in failed for $path; " +
+        (if (rolledBack) "original rolled back, artifact untouched"
+         else s"ROLLBACK ALSO FAILED — artifact preserved at $old"))
+    }
     fs.delete(old, true)
     (before, dataFiles(p))
   }
