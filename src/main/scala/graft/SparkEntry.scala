@@ -1487,6 +1487,24 @@ object SparkEntry {
         "source", "bin", nBins = 10)
     }),
 
+    // the same PSI through the PERSISTED reference-histogram artifact:
+    // stamped writeReference build (n_bins rides in the header) ->
+    // psiFromCounts with the grid taken FROM the artifact — same
+    // oracle as q_psi (the monitoring deployment's path must score
+    // drift identically to the inline two-corpus comparison)
+    "q_psi_ref" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("wc", size(Dedup.tokens(col("text"))).cast("long"))
+        .withColumn("bin", least(expr("wc DIV 20"), lit(9L)))
+      val path = s"/tmp/graft_psi_ref_${math.abs(dir.hashCode)}"
+      graft.streaming.StreamingDrift.writeReference(
+        docs.filter(col("doc_id") % 2 === 0), "source", "bin", nBins = 10, path)
+      val (ref, nBins) = graft.streaming.StreamingDrift.referenceCounts(s, path)
+      Drift.psiFromCounts(ref,
+        Drift.binCounts(docs.filter(col("doc_id") % 2 === 1), "source", "bin"),
+        "source", "bin", nBins)
+    }),
+
     // EXACT Jaccard >= 19/20 self-join via prefix filtering (PPJoin
     // family): rarest-first prefixes prune the brute-force quadratic,
     // every surviving test is integer cross-multiplication — the
@@ -3494,31 +3512,11 @@ object SparkEntry {
         |SELECT from_state, to_state, count(*) AS n
         |FROM nx WHERE to_state IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
-    "q_psi" ->
-      """WITH d AS (SELECT doc_id, source,
-        |    least(len(list_filter(string_split_regex(lower(text), ' +'),
-        |      x -> len(x) > 0)) // 20, 9) AS bin
-        |  FROM documents),
-        |a AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS na FROM d
-        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-        |b AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS nb FROM d
-        |  WHERE doc_id % 2 = 1 GROUP BY 1, 2),
-        |grid AS (SELECT source, unnest(range(10)) AS bin FROM (SELECT DISTINCT source FROM d)),
-        |j AS (SELECT g.source, g.bin, coalesce(a.na, 0) AS na, coalesce(b.nb, 0) AS nb
-        |  FROM grid g
-        |  LEFT JOIN a ON g.source = a.source AND g.bin = a.bin
-        |  LEFT JOIN b ON g.source = b.source AND g.bin = b.bin),
-        |t AS (SELECT source, bin, na, nb,
-        |    sum(na) OVER (PARTITION BY source) AS ta,
-        |    sum(nb) OVER (PARTITION BY source) AS tb FROM j),
-        |p AS (SELECT source, ta, tb,
-        |    CAST(na + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE) AS pa,
-        |    CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE) AS pb FROM t),
-        |c AS (SELECT source, ta, tb,
-        |    CAST(floor((pa - pb) * ln(pa / pb) * 1e9) AS BIGINT) AS cf FROM p)
-        |SELECT source, CAST(sum(cf) AS BIGINT) AS psi_fp,
-        |  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
-        |FROM c GROUP BY source""".stripMargin,
+    "q_psi" -> psiOracle,
+
+    // the persisted-reference path must score drift exactly like the
+    // inline two-corpus comparison — same oracle by design
+    "q_psi_ref" -> psiOracle,
 
     "q_setsim_join" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
@@ -3775,6 +3773,36 @@ object SparkEntry {
     s"""${pageRankChain(iters)}
        |$sums""".stripMargin
   }
+
+  /** Shared by `q_psi` (inline two-corpus PSI) and `q_psi_ref` (the
+    * persisted-reference-artifact path) — mirrors `Drift.psi`'s
+    * add-one-smoothed full-grid fixed-point algebra.
+    */
+  private def psiOracle: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    least(len(list_filter(string_split_regex(lower(text), ' +'),
+      |      x -> len(x) > 0)) // 20, 9) AS bin
+      |  FROM documents),
+      |a AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS na FROM d
+      |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |b AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS nb FROM d
+      |  WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+      |grid AS (SELECT source, unnest(range(10)) AS bin FROM (SELECT DISTINCT source FROM d)),
+      |j AS (SELECT g.source, g.bin, coalesce(a.na, 0) AS na, coalesce(b.nb, 0) AS nb
+      |  FROM grid g
+      |  LEFT JOIN a ON g.source = a.source AND g.bin = a.bin
+      |  LEFT JOIN b ON g.source = b.source AND g.bin = b.bin),
+      |t AS (SELECT source, bin, na, nb,
+      |    sum(na) OVER (PARTITION BY source) AS ta,
+      |    sum(nb) OVER (PARTITION BY source) AS tb FROM j),
+      |p AS (SELECT source, ta, tb,
+      |    CAST(na + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE) AS pa,
+      |    CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE) AS pb FROM t),
+      |c AS (SELECT source, ta, tb,
+      |    CAST(floor((pa - pb) * ln(pa / pb) * 1e9) AS BIGINT) AS cf FROM p)
+      |SELECT source, CAST(sum(cf) AS BIGINT) AS psi_fp,
+      |  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
+      |FROM c GROUP BY source""".stripMargin
 
   /** DuckDB mirror of the banded MinHash-LSH algebra (salts 0..11,
     * 6 bands x 2 rows) — misses below the LSH detection curve match on

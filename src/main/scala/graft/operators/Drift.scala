@@ -28,12 +28,31 @@ object Drift {
     * [0, nBins). Output: (stratum, psi_fp, n_a, n_b).
     */
   def psi(snapA: DataFrame, snapB: DataFrame, stratum: String, bin: String,
-          nBins: Int): DataFrame = {
-    def counts(df: DataFrame, n: String) =
-      df.groupBy(col(stratum), col(bin)).agg(count(lit(1)).as(n))
-    val a = counts(snapA, "na")
-    val b = counts(snapB, "nb")
-    val strata = snapA.select(col(stratum)).unionByName(snapB.select(col(stratum))).distinct()
+          nBins: Int): DataFrame =
+    psiFromCounts(binCounts(snapA, stratum, bin), binCounts(snapB, stratum, bin),
+      stratum, bin, nBins)
+
+  /** The persistable side of [[psi]]: one (stratum, bin, n) row per
+    * populated cell — the REFERENCE histogram a monitoring deployment
+    * stores once and compares every arriving batch against, instead
+    * of re-scanning the reference corpus per comparison.
+    */
+  def binCounts(df: DataFrame, stratum: String, bin: String): DataFrame =
+    df.groupBy(col(stratum), col(bin)).agg(count(lit(1)).as("n"))
+
+  /** [[psi]] from two PRE-AGGREGATED [[binCounts]] frames — no raw
+    * rows touched, so comparing a batch against a 100 TB reference
+    * costs the batch's aggregate plus a kilobyte-scale join. [[psi]]
+    * is literally `psiFromCounts(binCounts(a), binCounts(b))`, so the
+    * inline and artifact paths cannot drift. PSI is symmetric in its
+    * two sides ((pA-pB)ln(pA/pB) is invariant under swap), so which
+    * side is "reference" is convention only.
+    */
+  def psiFromCounts(countsA: DataFrame, countsB: DataFrame, stratum: String,
+                    bin: String, nBins: Int): DataFrame = {
+    val a = countsA.select(col(stratum), col(bin), col("n").as("na"))
+    val b = countsB.select(col(stratum), col(bin), col("n").as("nb"))
+    val strata = a.select(col(stratum)).unionByName(b.select(col(stratum))).distinct()
     val grid = strata.select(col(stratum),
       explode(sequence(lit(0L), lit(nBins - 1L))).as(bin))
     val joined = grid

@@ -46,4 +46,42 @@ class DriftSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(multi("s") === want && multi("t") === 0L)
   }
+
+  test("StreamingDrift: per-batch PSI vs the stamped reference == batch psi; " +
+    "headerless reference refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDrift
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("psi_mon").toString
+    val refRaw = (Seq.fill(30)(0L) ++ Seq.fill(10)(1L)).map(("s", _)).toDF("source", "bin")
+    StreamingDrift.writeReference(refRaw, "source", "bin", nBins = 4, s"$dir/ref")
+
+    // batch 1 matches the reference mix, batch 2 is shifted
+    val b1 = (Seq.fill(15)(0L) ++ Seq.fill(5)(1L)).map(StreamingDrift.BinRecord("s", _))
+    val b2 = (Seq.fill(2)(0L) ++ Seq.fill(18)(1L)).map(StreamingDrift.BinRecord("s", _))
+    val stream = MemoryStream[StreamingDrift.BinRecord]
+    val q = StreamingDrift.start(stream.toDS(), s"$dir/ref", s"$dir/mon")
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val mon = spark.read.parquet(s"$dir/mon")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def batchPsi(rows: Seq[StreamingDrift.BinRecord]) =
+      Drift.psi(refRaw, rows.map(r => (r.source, r.bin)).toDF("source", "bin"),
+        "source", "bin", nBins = 4).collect().head.getLong(1)
+    assert(mon(0L)._1 === batchPsi(b1) && mon(1L)._1 === batchPsi(b2))
+    assert(mon(0L)._2 === 40L && mon(0L)._3 === 20L) // n_a = ref total, n_b = batch total
+    assert(mon(1L)._1 > mon(0L)._1, "shifted batch must score higher drift")
+
+    // a reference without its grid header refuses the monitor path
+    refRaw.groupBy("source", "bin").count().withColumnRenamed("count", "n")
+      .write.parquet(s"$dir/ref_nohdr")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDrift.referenceCounts(spark, s"$dir/ref_nohdr")
+    }
+    assert(ex.getMessage.contains("no psi_ref header"), ex.getMessage)
+  }
 }
