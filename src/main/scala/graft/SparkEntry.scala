@@ -2600,8 +2600,8 @@ object SparkEntry {
         |JOIN pest eb ON u.src_b = eb.source""".stripMargin,
 
     // mirrors Sketches.logHistQuantiles: same (binary-length, 3-bit
-    // sub-bucket) log bucket, same floor-div-by-power-of-two lower
-    // bound, same ceil rank threshold
+    // sub-bucket) log bucket, same integer-shift divisor (exact for
+    // the full long range — no double cast), same ceil rank threshold
     "q_loghist_quantiles" ->
       """WITH b AS (SELECT l_returnflag AS source,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
@@ -2609,10 +2609,10 @@ object SparkEntry {
         |h AS (SELECT source,
         |    CASE WHEN v < 8 THEN v
         |      ELSE length(printf('%b', v)) * 8 +
-        |        CAST(floor(v / power(2, length(printf('%b', v)) - 4)) AS BIGINT) % 8 END AS bucket,
+        |        (v // (1::BIGINT << (length(printf('%b', v)) - 4))) % 8 END AS bucket,
         |    CASE WHEN v < 8 THEN v
-        |      ELSE (8 + CAST(floor(v / power(2, length(printf('%b', v)) - 4)) AS BIGINT) % 8)
-        |        * CAST(power(2, length(printf('%b', v)) - 4) AS BIGINT) END AS lo
+        |      ELSE (8 + (v // (1::BIGINT << (length(printf('%b', v)) - 4))) % 8)
+        |        * (1::BIGINT << (length(printf('%b', v)) - 4)) END AS lo
         |  FROM b),
         |hist AS (SELECT source, bucket, lo, count(*) AS c FROM h GROUP BY 1, 2, 3),
         |cm AS (SELECT source, lo, c,
@@ -2635,10 +2635,10 @@ object SparkEntry {
         |h AS (SELECT source,
         |    CASE WHEN v < 8 THEN v
         |      ELSE length(printf('%b', v)) * 8 +
-        |        CAST(floor(v / power(2, length(printf('%b', v)) - 4)) AS BIGINT) % 8 END AS bucket,
+        |        (v // (1::BIGINT << (length(printf('%b', v)) - 4))) % 8 END AS bucket,
         |    CASE WHEN v < 8 THEN v
-        |      ELSE (8 + CAST(floor(v / power(2, length(printf('%b', v)) - 4)) AS BIGINT) % 8)
-        |        * CAST(power(2, length(printf('%b', v)) - 4) AS BIGINT) END AS lo
+        |      ELSE (8 + (v // (1::BIGINT << (length(printf('%b', v)) - 4))) % 8)
+        |        * (1::BIGINT << (length(printf('%b', v)) - 4)) END AS lo
         |  FROM b)
         |SELECT source, bucket, lo, count(*) AS c FROM h GROUP BY 1, 2, 3""".stripMargin,
 

@@ -202,9 +202,11 @@ object Sketches {
     * unlike t-digest/GK — deterministic integer algebra end to end:
     * the binary length is `length(bin(v))` in Spark and
     * `length(printf('%b', v))` in DuckDB, the sub-bucket and lower
-    * bound use floor-division by an exact power of two, so the oracle
-    * reproduces every bucket and every reported quantile edge
-    * bit-for-bit. Returns, per stratum and requested per-mille
+    * bound use integer division by a shifted power of two (no value
+    * ever passes through a double, so the 12.5% width contract holds
+    * for the FULL non-negative long range, not just below 2^53), so
+    * the oracle reproduces every bucket and every reported quantile
+    * edge bit-for-bit. Returns, per stratum and requested per-mille
     * quantile, the lower edge of the bucket holding that rank.
     */
   def logHistQuantiles(rows: DataFrame, valueCol: String, strataCol: String,
@@ -224,16 +226,22 @@ object Sketches {
     */
   def logHistSketch(rows: DataFrame, valueCol: String,
                     strataCol: String): DataFrame =
+    // the sub-bucket divisor is an integer SHIFT, not a double power:
+    // v/power(2,...) casts v to double, whose 53-bit mantissa
+    // mis-buckets values >= 2^53 near octave boundaries (v = 2^61-1
+    // rounds UP to 2^61 and lands in sub-bucket 0 instead of 7) —
+    // with shifts the algebra is exact integers for the full
+    // non-negative long range
     rows.select(col(strataCol).as("source"),
         col(valueCol).cast("long").as("v"))
       .filter(col("v") >= 0L)
       .select(col("source"),
         when(col("v") < 8L, col("v")).otherwise(expr(
-          "length(bin(v)) * 8 + CAST(floor(v / power(2, length(bin(v)) - 4)) AS BIGINT) % 8"))
+          "length(bin(v)) * 8 + (v div shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 4)) % 8"))
           .as("bucket"),
         when(col("v") < 8L, col("v")).otherwise(expr(
-          "(8 + CAST(floor(v / power(2, length(bin(v)) - 4)) AS BIGINT) % 8)" +
-            " * CAST(power(2, length(bin(v)) - 4) AS BIGINT)"))
+          "(8 + (v div shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 4)) % 8)" +
+            " * shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 4)"))
           .as("lo"))
       .groupBy("source", "bucket", "lo").agg(count(lit(1)).as("c"))
 

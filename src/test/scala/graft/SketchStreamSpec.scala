@@ -165,6 +165,32 @@ class SketchStreamSpec extends AnyFunSuite with SharedSpark {
     assert(qm === qi && qi.nonEmpty)
   }
 
+  test("log-histogram bucket algebra is exact integers over the full long range") {
+    import spark.implicits._
+    // adversarial values straddling every octave boundary up to 2^62
+    // plus random 63-bit draws: with the double-division form,
+    // v = 2^61 - 1 rounded UP through the double cast and landed in
+    // sub-bucket 0 of its octave instead of 7 (lo off by ~2x)
+    val rnd = new scala.util.Random(7)
+    val vs = ((0L to 20L) ++
+      (4 to 62).flatMap(i => Seq((1L << i) - 1, 1L << i, (1L << i) + 1)) ++
+      Seq.fill(300)(rnd.nextLong() & Long.MaxValue)).distinct
+    val rows = Sketches.logHistSketch(
+      vs.map(v => (v.toString, v)).toDF("src", "v"), "v", "src")
+      .collect().map(r => (r.getString(0).toLong, r.getLong(1), r.getLong(2)))
+    assert(rows.length == vs.size)
+    rows.foreach { case (v, bucket, lo) =>
+      if (v < 8L) assert(bucket == v && lo == v, s"v=$v")
+      else {
+        val len = 64 - java.lang.Long.numberOfLeadingZeros(v)
+        val width = 1L << (len - 4)
+        assert(lo <= v && v - lo < width, s"v=$v lo=$lo width=$width")
+        assert(width * 8 <= lo, s"width > lo/8 (12.5% contract) at v=$v")
+        assert(bucket == len * 8L + (v / width) % 8L, s"bucket mismatch at v=$v")
+      }
+    }
+  }
+
   test("StreamingLogHist delta log: sum-merged == batch sketch of the union") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
