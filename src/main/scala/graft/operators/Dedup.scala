@@ -229,6 +229,13 @@ object Dedup {
     val candidates = priorIndex
       .select(col("band_key"), col("doc_id").as("doc_prior"))
       .join(bq.withColumnRenamed("doc_id", "doc_new"), "band_key")
+      // a document is not a near-dup of ITSELF: ids are unique per
+      // document, so an equal-id pair only arises when the probe
+      // overlaps the indexed set — e.g. an at-least-once foreachBatch
+      // retry probing an index its own bands were already admitted to
+      // (without this, every doc of the retried batch self-matched at
+      // jaccard 1.0 and the whole batch vanished from the survivors)
+      .filter(col("doc_prior") =!= col("doc_new"))
       .select(col("doc_prior"), col("doc_new"))
       .distinct()
     verifyAgainst(pn, qn, candidates, shingleN, threshold)

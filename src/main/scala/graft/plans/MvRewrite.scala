@@ -172,8 +172,15 @@ object MvRewrite {
       }
       relDef.flatMap { d =>
         // fresh relation per rewrite: two rewritten aggregates in one
-        // query must not share attribute ids
-        val mvPlan = spark.read.parquet(d.mvPath).queryExecution.analyzed
+        // query must not share attribute ids. The streaming-maintained
+        // delta log is read through the retry-dedupe seam (its
+        // partials re-aggregate by SUM, so an at-least-once
+        // foreachBatch retry would double-count) and the stamp column
+        // is dropped so the rewrite sees the batch-built schema.
+        val mvPlan = graft.sources.DeltaLogCompaction.dedupeRetries(
+            spark.read.parquet(d.mvPath), d.bucketCol +: d.dims.toSeq.sorted)
+          .drop("batch_id")
+          .queryExecution.analyzed
         val mvAttr: Map[String, Attribute] =
           mvPlan.output.map(at => norm(at.name) -> at).toMap
 

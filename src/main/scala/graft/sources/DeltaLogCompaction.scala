@@ -24,19 +24,70 @@ import org.apache.spark.sql.functions._
   * contract every table-maintenance job has).
   */
 object DeltaLogCompaction {
+
+  /** Exactly-once view of an at-least-once appended STAMPED delta
+    * log. foreachBatch delivery is at-least-once: a retry after a
+    * partial failure re-runs the same logical batch under the SAME
+    * batchId and re-appends identical (batch_id, key, ...) rows —
+    * which a sum-merge would silently double-count (max-merged logs
+    * like HLL registers are immune; admission-gated artifacts like
+    * the band/gram/IVF-PQ indexes anti-join history and are immune
+    * too). One dropDuplicates over (batch_id, keys) restores
+    * exactly-once — Spark's documented batchId-dedupe pattern, done
+    * once at the read seam so every consumer (estimate, rewrite,
+    * compaction) inherits it. Rows with no stamp (legacy logs, or
+    * compacted rows, which are one-per-key by construction) pass
+    * through untouched; a MIXED log written partly before stamping
+    * only regains the retry guarantee after compaction.
+    */
+  def dedupeRetries(df: org.apache.spark.sql.DataFrame,
+                    keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (!df.columns.contains("batch_id")) df
+    else {
+      // aggregate form, NOT dropDuplicates: this frame is also
+      // injected into already-optimized plans (the MvRewrite rule),
+      // where a Deduplicate node can no longer be lowered — max over
+      // identical retry copies is the same dedupe as first-row, as a
+      // plain Aggregate. Unstamped rows (legacy or compacted — one
+      // per key by construction) bypass: distinct legacy batches may
+      // legitimately share (null, key).
+      val gk = "batch_id" +: keys
+      val others = df.columns.filterNot(gk.contains)
+      val stamped0 = df.filter(col("batch_id").isNotNull)
+      val stamped =
+        if (others.isEmpty)
+          stamped0.groupBy(gk.map(col): _*)
+            .agg(max(lit(1)).as("__one")).drop("__one")
+        else
+          stamped0.groupBy(gk.map(col): _*)
+            .agg(max(col(others.head)).as(others.head),
+              others.tail.map(c => max(col(c)).as(c)): _*)
+      stamped.select(df.columns.map(col): _*)
+        .unionByName(df.filter(col("batch_id").isNull))
+    }
+
   /** Compact `path` to one row per `keys` row, merging every other
     * column with `merges` (e.g. `Map("c" -> sum, "r" -> max)`).
-    * Returns (rowsBefore, rowsAfter).
+    * Retry-duplicated stamped rows are deduped BEFORE the merge; the
+    * compacted rows carry a NULL `batch_id` (unstamped — they are
+    * one-per-key by construction), never a real one: a real stamp
+    * could collide with a later retry of a batch already folded in.
+    * The single-writer pause this job already requires (scaladoc
+    * above) is also what makes folding safe at all — a stopped stream
+    * has no uncommitted batch left to retry. Returns (rowsBefore,
+    * rowsAfter).
     */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
               merges: Map[String, Column => Column]): (Long, Long) = {
     val df = spark.read.parquet(path)
     val before = df.count()
     val aggs = df.columns.filterNot(keys.contains).map { c =>
-      merges.getOrElse(c,
+      if (c == "batch_id") max(lit(null).cast("long")).as(c)
+      else merges.getOrElse(c,
         sys.error(s"DeltaLogCompaction: no merge function for column $c"))(col(c)).as(c)
     }
-    val compacted = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val compacted = dedupeRetries(df, keys)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(df.columns.map(col): _*) // original column order
     val after = compacted.count()
 

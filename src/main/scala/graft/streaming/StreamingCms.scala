@@ -22,15 +22,19 @@ object StreamingCms {
   def start(docs: Dataset[DocRecord], cmsPath: String,
             d: Int = 4, w: Int = 4096): StreamingQuery =
     docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[DocRecord], _: Long) =>
+      .foreachBatch { (batch: Dataset[DocRecord], batchId: Long) =>
         // the artifact carries its own (d, w): counters are only
         // meaningful under the hash shape they were built with —
         // estimating (or appending) at a different w maps words to
         // different columns and silently returns wrong frequencies
         graft.sources.ArtifactHeader.validateOrStamp(batch.sparkSession, cmsPath,
           "cms", cmsParams(d, w))
+        // batch_id stamp: counters merge by SUM, so an at-least-once
+        // foreachBatch retry re-appending this batch would otherwise
+        // double-count — readers dedupe on (batch_id, row, col)
         Sketches.cmsBuild(
           batch.toDF().select(explode(Dedup.tokens(col("text"))).as("word")), d, w)
+          .withColumn("batch_id", lit(batchId))
           .coalesce(1).write.mode("append").parquet(cmsPath)
         ()
       }
@@ -39,9 +43,13 @@ object StreamingCms {
   def cmsParams(d: Int, w: Int): Seq[(String, String)] =
     Seq("d" -> d.toString, "w" -> w.toString)
 
-  /** Current counters: sum-merge the delta log. */
+  /** Current counters: sum-merge the delta log, with foreachBatch
+    * retry duplicates removed first (exactly-once on an
+    * at-least-once log — [[graft.sources.DeltaLogCompaction.dedupeRetries]]).
+    */
   def readSketch(spark: SparkSession, cmsPath: String): DataFrame =
-    spark.read.parquet(cmsPath)
+    graft.sources.DeltaLogCompaction.dedupeRetries(
+        spark.read.parquet(cmsPath), Seq("row", "col"))
       .groupBy("row", "col").agg(sum(col("c")).as("c"))
 
   /** Point-frequency estimates straight from the PERSISTED delta log,

@@ -98,8 +98,13 @@ object StreamingCurationFull {
           // index, within-batch via the self-join; history texts are
           // read only for colliding candidate ids
           val ((crossDrop, withinDrop, ndSurv), tNd) = timed {
-            val priorTexts = readOr(winnersPath,
-              Seq.empty[(Long, String)].toDF("doc_id", "text"))
+            // retry-dedupe seam: winner rows are batch_id-stamped, so
+            // an at-least-once re-append of a batch cannot duplicate
+            // the prior corpus this (and every later) batch probes
+            val priorTexts = graft.sources.DeltaLogCompaction.dedupeRetries(
+                readOr(winnersPath, Seq.empty[(Long, String)].toDF("doc_id", "text")),
+                Seq("doc_id"))
+              .select("doc_id", "text")
             // trusted probe: shingle/band/row/cap come FROM the
             // index's own header (stamped by the admit below), so a
             // restarted chain with drifted config refuses instead of
@@ -123,7 +128,9 @@ object StreamingCurationFull {
             // single-file appends per batch throughout: a growing
             // artifact must not accumulate O(batches x partitions)
             // part files (every later read pays the listing)
-            winners.select("doc_id", "text").coalesce(1).write.mode("append")
+            winners.select("doc_id", "text")
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append")
               .option("compression", "zstd").parquet(winnersPath)
             StreamingNearDup.appendToIndex(
               Dedup.capBucket(
@@ -167,12 +174,15 @@ object StreamingCurationFull {
             // appended to
             val gIdx = StreamingSubstringDedup.indexFor(spark, gramIdxPath, substrK)
             Curation.substringDedupAgainstIndex(gIdx, fin, "text", "doc_id", k = substrK)
+              .withColumn("batch_id", lit(batchId))
               .coalesce(1).write.mode("append").option("compression", "zstd")
               .parquet(s"$stateDir/substr_spans")
             StreamingSubstringDedup.appendToIndex(
               fin.select("doc_id", "text"), "text", "doc_id", gramIdxPath, k = substrK)
           }
-          fin.select("doc_id", "content_hash").coalesce(1).write.mode("append")
+          fin.select("doc_id", "content_hash")
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1).write.mode("append")
             .option("compression", "zstd").parquet(survivorsPath)
 
           // artifact growth AFTER this batch (cheap parquet-metadata

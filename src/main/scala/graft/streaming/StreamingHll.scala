@@ -28,6 +28,9 @@ object StreamingHll {
 
   def start(docs: Dataset[DocRecord], regPath: String, b: Int = 10): StreamingQuery =
     docs.writeStream.outputMode("append")
+      // no batch_id stamp needed (unlike the CMS/loghist SUM logs):
+      // registers merge by MAX, so an at-least-once foreachBatch
+      // retry re-appending identical register rows changes nothing
       .foreachBatch { (batch: Dataset[DocRecord], _: Long) =>
         // the artifact carries its own register-count exponent b:
         // registers read under a different b mis-scale the alpha*m^2

@@ -28,16 +28,23 @@ object StreamingLogHist {
 
   def start(vals: Dataset[ValRecord], histPath: String): StreamingQuery =
     vals.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[ValRecord], _: Long) =>
+      .foreachBatch { (batch: Dataset[ValRecord], batchId: Long) =>
+        // batch_id stamp: buckets merge by SUM, so a foreachBatch
+        // retry would double-count without read-side dedupe
         Sketches.logHistSketch(batch.toDF(), "v", "source")
+          .withColumn("batch_id", lit(batchId))
           .coalesce(1).write.mode("append").parquet(histPath)
         ()
       }
       .start()
 
-  /** Current sketch: sum-merge the delta log. */
+  /** Current sketch: sum-merge the delta log, foreachBatch retry
+    * duplicates removed first
+    * ([[graft.sources.DeltaLogCompaction.dedupeRetries]]).
+    */
   def readSketch(spark: SparkSession, histPath: String): DataFrame =
-    spark.read.parquet(histPath)
+    graft.sources.DeltaLogCompaction.dedupeRetries(
+        spark.read.parquet(histPath), Seq("source", "bucket", "lo"))
       .groupBy("source", "bucket", "lo").agg(sum(col("c")).as("c"))
 
   /** Quantile edges straight from the PERSISTED delta log. */

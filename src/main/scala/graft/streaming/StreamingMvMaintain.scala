@@ -25,11 +25,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingMvMaintain {
   def start(events: Dataset[EventRecord], mvPath: String): StreamingQuery =
     events.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[EventRecord], _: Long) =>
+      .foreachBatch { (batch: Dataset[EventRecord], batchId: Long) =>
         // the SAME rollup expression the batch MV build uses — schema
-        // and measure algebra cannot drift between the two writers
+        // and measure algebra cannot drift between the two writers.
+        // batch_id stamp: the partials re-aggregate by SUM, so a
+        // foreachBatch retry would double-count — the MV read path
+        // dedupes on (batch_id, hour_bucket, event_type)
         graft.plans.MvRewrite.hourlyRollup(batch.toDF())
-          .write.mode("append").parquet(mvPath)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .coalesce(1).write.mode("append").parquet(mvPath)
         ()
       }
       .start()

@@ -318,6 +318,36 @@ class Round12OpsSpec extends AnyFunSuite with SharedSpark {
     assert(StreamingSubstringDedup.indexFor(spark, gPath, 8).count() > 0L)
   }
 
+  test("retried-batch probe: an index already containing the probe batch " +
+    "does not self-match (docs are not near-dups of themselves)") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    // five clearly-distinct documents: the only candidate pairs a
+    // self-probe can produce are equal-id ones
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet colors"),
+      (4L, "north south east west compass points directions map"),
+      (5L, "apple banana cherry date elderberry fig grape fruit"))
+      .toDF("doc_id", "text")
+    val path = tmp("self_probe")
+    StreamingNearDup.appendToIndex(
+      operators.Dedup.capBucket(
+        operators.Dedup.bandKeys(
+          docs.select(col("doc_id"), col("text").as("__text")), 3, 6, 2),
+        "band_key", "doc_id", 128),
+      path, stampParams = Some((3, 6, 2)))
+    // the at-least-once retry shape: the SAME batch probes the index
+    // its own bands were already admitted to — before the equal-id
+    // guard every doc self-matched at jaccard 1.0 and the whole batch
+    // was dropped as cross-duplicates
+    val pairs = operators.Dedup.nearDupAgainstIndexAt(spark, docs, docs, path,
+      "text", "doc_id", threshold = 0.4).collect()
+    assert(pairs.isEmpty, s"self-probe produced ${pairs.length} pairs: " +
+      pairs.take(3).mkString(", "))
+  }
+
   test("DeltaLogCompaction: merged log answers identically; swap is Hadoop-FS (file: URI)") {
     import spark.implicits._
     import graft.sources.DeltaLogCompaction

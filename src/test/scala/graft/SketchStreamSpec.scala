@@ -221,6 +221,56 @@ class SketchStreamSpec extends AnyFunSuite with SharedSpark {
     assert(q("web") === 7L)   // rank-2 of {0,7,4096} = 7, an exact unit bucket
   }
 
+  test("sum-merged delta logs survive a foreachBatch RETRY: re-appended " +
+    "stamped rows dedupe on read (CMS + loghist), compaction folds them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StreamingCms, StreamingLogHist}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("retry").toString
+
+    // CMS: 2 batches, then simulate an at-least-once retry of batch 0
+    // by re-appending its stamped delta rows verbatim (what a re-run
+    // foreachBatch writes — same batchId, identical deterministic rows)
+    val cmsPath = s"$dir/cms"
+    val s1 = MemoryStream[StreamingCms.DocRecord]
+    val q1 = StreamingCms.start(s1.toDS(), cmsPath, d = 3, w = 64)
+    try {
+      s1.addData(Seq(StreamingCms.DocRecord(1L, "x y x z"))); q1.processAllAvailable()
+      s1.addData(Seq(StreamingCms.DocRecord(2L, "x w w"))); q1.processAllAvailable()
+    } finally q1.stop()
+    def cmsMap() = StreamingCms.readSketch(spark, cmsPath)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val before = cmsMap()
+    val batch0 = spark.read.parquet(cmsPath).filter(col("batch_id") === 0L)
+      .localCheckpoint()
+    batch0.write.mode("append").parquet(cmsPath) // the retry's re-append
+    assert(cmsMap() === before, "retry re-append must not change counters")
+    // without the stamp seam the same rows WOULD double-count
+    assert(spark.read.parquet(cmsPath).groupBy("row", "col").agg(sum("c"))
+      .collect().map(_.getLong(2)).sum > before.values.sum)
+    // compaction folds the retried log to one row per key, same answer
+    graft.sources.DeltaLogCompaction.compactCms(spark, cmsPath)
+    assert(cmsMap() === before)
+    assert(spark.read.parquet(cmsPath).count() == before.size)
+
+    // loghist: same contract
+    val lhPath = s"$dir/hist"
+    val s2 = MemoryStream[StreamingLogHist.ValRecord]
+    val q2 = StreamingLogHist.start(s2.toDS(), lhPath)
+    try {
+      s2.addData(Seq(StreamingLogHist.ValRecord("s", 3L),
+        StreamingLogHist.ValRecord("s", 120L))); q2.processAllAvailable()
+      s2.addData(Seq(StreamingLogHist.ValRecord("s", 119L))); q2.processAllAvailable()
+    } finally q2.stop()
+    def lhMap() = StreamingLogHist.readSketch(spark, lhPath)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    val lhBefore = lhMap()
+    spark.read.parquet(lhPath).filter(col("batch_id") === 1L).localCheckpoint()
+      .write.mode("append").parquet(lhPath)
+    assert(lhMap() === lhBefore)
+  }
+
   test("event-time sessionization closes sessions by WATERMARK timeout " +
     "(no sentinels) and equals the batch algebra") {
     import spark.implicits._

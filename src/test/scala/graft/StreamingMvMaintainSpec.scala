@@ -81,6 +81,20 @@ class StreamingMvMaintainSpec extends AnyFunSuite with SharedSpark {
     val got = rewritten.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == plain)
+
+    // at-least-once retry: re-append batch 0's stamped partials
+    // verbatim (what a re-run foreachBatch writes under the same
+    // batchId) — the rewrite's retry-dedupe seam must keep serving
+    // the exact answer where a raw re-aggregation would double-count
+    val batch0 = art.filter(col("batch_id") === 0L).localCheckpoint()
+    batch0.write.mode("append").parquet(mvPath)
+    val afterRetry = base.groupBy(expr("ts DIV 86400000000000").as("day_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(afterRetry == plain, "retried partials double-counted through the rewrite")
     MvRewrite.clear()
   }
 }
