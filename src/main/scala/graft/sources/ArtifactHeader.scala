@@ -32,9 +32,22 @@ object ArtifactHeader {
     graft.core.Hashes.contentHash(
       (kind +: params.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString("\n"))
 
-  /** Write (or re-stamp) the header. */
+  /** Write (or re-stamp) the header. The format is line-oriented
+    * (`k=v` per line), so keys must not contain `=` or newlines and
+    * values must not contain newlines — refused here rather than
+    * silently mis-parsed on the next read. Duplicate keys are refused
+    * too (the read side's Map would silently keep one).
+    */
   def write(spark: SparkSession, path: String, kind: String,
             params: Seq[(String, String)]): Unit = {
+    params.foreach { case (k, v) =>
+      require(!k.contains('=') && !k.exists(c => c == '\n' || c == '\r'),
+        s"header key '$k' may not contain '=' or newlines")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"header value for '$k' may not contain newlines")
+    }
+    require(params.map(_._1).distinct.size == params.size,
+      s"duplicate header keys: ${params.map(_._1).diff(params.map(_._1).distinct).mkString(", ")}")
     val text = (s"graft-$kind-header v1" +:
       params.sortBy(_._1).map { case (k, v) => s"$k=$v" } :+
       s"hash=${paramsHash(kind, params)}").mkString("\n")

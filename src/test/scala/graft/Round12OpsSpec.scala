@@ -318,6 +318,38 @@ class Round12OpsSpec extends AnyFunSuite with SharedSpark {
     assert(StreamingSubstringDedup.indexFor(spark, gPath, 8).count() > 0L)
   }
 
+  test("ArtifactHeader: format-breaking params refused at write; corrupt " +
+    "sidecar refused at read") {
+    import graft.sources.ArtifactHeader
+    val path = tmp("hdr_fmt")
+    new java.io.File(path).mkdirs()
+    // a value with a newline would split into bogus k=v lines and
+    // mis-parse on the next read — refused at the write seam instead
+    intercept[IllegalArgumentException] {
+      ArtifactHeader.write(spark, path, "t", Seq("a" -> "1\n2"))
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactHeader.write(spark, path, "t", Seq("a=b" -> "1"))
+    }
+    intercept[IllegalArgumentException] {
+      ArtifactHeader.write(spark, path, "t", Seq("a" -> "1", "a" -> "2"))
+    }
+    // flipped byte ARRIVING WITH A VALID TRANSPORT CHECKSUM (drop the
+    // local FS's .crc sidecar so Hadoop's own layer passes it) -> the
+    // header's content hash is the layer that refuses
+    ArtifactHeader.write(spark, path, "t", Seq("a" -> "1", "b" -> "2"))
+    val hp = new java.io.File(path, "_graft_t_header")
+    val bytes = java.nio.file.Files.readAllBytes(hp.toPath)
+    val i = new String(bytes, "UTF-8").indexOf("a=1") + 2
+    bytes(i) = '9'.toByte
+    java.nio.file.Files.write(hp.toPath, bytes)
+    new java.io.File(path, "._graft_t_header.crc").delete()
+    val ex = intercept[IllegalArgumentException] {
+      ArtifactHeader.read(spark, path, "t")
+    }
+    assert(ex.getMessage.contains("corrupt"), ex.getMessage)
+  }
+
   test("retried-batch probe: an index already containing the probe batch " +
     "does not self-match (docs are not near-dups of themselves)") {
     import spark.implicits._
