@@ -28,6 +28,17 @@ object SparkEntry {
 
   private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c * c
 
+  /** Per-process scratch path for queries that stage an artifact:
+    * keyed by the dataset dir AND this process's pid, so two
+    * concurrent runs (e.g. Verify and a bench probe) over the same
+    * data can never interleave one run's overwrite with the other's
+    * header-trusted probe. `toUnsignedString` (not math.abs, whose
+    * Int.MinValue result is negative) keeps the dir key collision-free.
+    */
+  private def runTmp(prefix: String, dir: String): String =
+    s"/tmp/graft_${prefix}_p${ProcessHandle.current.pid}_" +
+      Integer.toUnsignedString(dir.hashCode)
+
   /** Flagship: the SURVEY §7.2-step-4 vertical slice — per-user causal
     * replay (linearize + ordered non-commutative fold) on sf0.001.
     */
@@ -139,7 +150,7 @@ object SparkEntry {
     "q_mv_rewrite" -> ((s, dir) => {
       val base = EventReplay.loadEvents(s, dir)
       graft.plans.MvRewrite.materializeHourlyMv(s, base, s"$dir/events.parquet",
-        s"/tmp/graft_mv_hourly_${math.abs(dir.hashCode)}",
+        runTmp("mv_hourly", dir),
         rewriteGrains = Set(86400000000000L))
       base.groupBy(expr("ts DIV 86400000000000").as("day_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -189,17 +200,18 @@ object SparkEntry {
     "q_sql_shelve_from" -> ((s, dir) => {
       import s.implicits._
       val base = (0 until 16).map(i => f"a$i%02d").mkString("|")
-      val path = s"/tmp/graft_sql_shelve_from_${math.abs(dir.hashCode)}"
+      val path = runTmp("sql_shelve_from", dir)
       (0 until 16).map(i => (i.toLong, f"a$i%02d", f"b$i%02d"))
         .toDF("event_idx", "search", "replacement")
         .coalesce(1).write.mode("overwrite").parquet(path)
       s.sql(s"SHELVE EVENTS FROM '$path' ONTO '$base'")
     }),
 
-    // MERGE STATES twin of q_shelve_merge at 16 branches. PINNED
-    // oracle (fixture-outcome check, like q_shelve_merge): DuckDB
-    // cannot run shelve/merge, but the engine is pure and content-
-    // addressed, so the merged datum is bit-deterministic.
+    // MERGE STATES twin of q_shelve_merge at 16 branches. DERIVED
+    // oracle (like q_shelve_merge since r12): a recursive CTE applies
+    // the same sequential search->replace semantics the engine's
+    // shelve/merge must converge to on this conflict-free event set,
+    // so the merged datum is re-derived, not pinned.
     "q_sql_merge" -> ((s, dir) => {
       val base = (0 until 16).map(i => f"a$i%02d").mkString("|")
       val evs = (0 until 16).map(i => f"a$i%02d->b$i%02d").mkString(",")
@@ -1015,7 +1027,7 @@ object SparkEntry {
       // hash) and annIvfPqProbeAt loads every parameter FROM it — the
       // correctness gate covers the full write/validate/probe
       // round-trip, not just the in-memory composition
-      val path = s"/tmp/graft_ann_index_${math.abs(dir.hashCode)}"
+      val path = runTmp("ann_index", dir)
       Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
       Similarity.annIvfPqProbeAt(s, path,
         emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
@@ -1496,7 +1508,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .withColumn("wc", size(Dedup.tokens(col("text"))).cast("long"))
         .withColumn("bin", least(expr("wc DIV 20"), lit(9L)))
-      val path = s"/tmp/graft_psi_ref_${math.abs(dir.hashCode)}"
+      val path = runTmp("psi_ref", dir)
       graft.streaming.StreamingDrift.writeReference(
         docs.filter(col("doc_id") % 2 === 0), "source", "bin", nBins = 10, path)
       val (ref, nBins) = graft.streaming.StreamingDrift.referenceCounts(s, path)
@@ -1660,7 +1672,7 @@ object SparkEntry {
     "q_neardup_index_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val prior = docs.filter(col("doc_id") % 3 =!= 0)
-      val path = s"/tmp/graft_band_index_${math.abs(dir.hashCode)}"
+      val path = runTmp("band_index", dir)
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       graft.streaming.StreamingNearDup.appendToIndex(

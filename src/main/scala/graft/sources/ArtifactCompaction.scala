@@ -26,6 +26,14 @@ import org.apache.spark.sql.SparkSession
   * is a copy, the single-writer contract every table-maintenance
   * OPTIMIZE has applies (pause the appender, same as
   * [[DeltaLogCompaction]]).
+  *
+  * READERS must be paused too: the swap is two renames (path ->
+  * .compact.old, .compact.tmp -> path), so a concurrent probe or
+  * estimate that lists the artifact in the window between them sees
+  * the path MISSING — not stale data, a hard read failure. Schedule
+  * compaction from the same loop that owns all access to the artifact
+  * (the CurationStreamProbe pattern: after `query.stop()`), exactly
+  * like any table-maintenance OPTIMIZE window.
   */
 object ArtifactCompaction {
 

@@ -43,6 +43,10 @@ object ArtifactHeader {
     params.foreach { case (k, v) =>
       require(!k.contains('=') && !k.exists(c => c == '\n' || c == '\r'),
         s"header key '$k' may not contain '=' or newlines")
+      require(k != "hash",
+        "header key 'hash' is reserved for the integrity line: a param " +
+          "named 'hash' would be dropped from the recomputation on read " +
+          "and permanently fail the integrity check")
       require(!v.exists(c => c == '\n' || c == '\r'),
         s"header value for '$k' may not contain newlines")
     }

@@ -68,6 +68,11 @@ object StreamingDrift {
             monitorPath: String): StreamingQuery =
     vals.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[BinRecord], batchId: Long) =>
+        // watermark eviction fires extra NO-DATA micro-batches; PSI
+        // against n_b=0 would smooth every stratum to a loud false
+        // alarm, so empty batches append nothing (the
+        // StreamingCurationFull guard)
+        if (!batch.isEmpty) {
         val spark = batch.sparkSession
         val (ref, nBins) = referenceCounts(spark, refPath)
         Drift.psiFromCounts(ref,
@@ -76,6 +81,7 @@ object StreamingDrift {
           .select(col("batch_id"), col("source"), col("psi_fp"),
             col("n_a"), col("n_b"))
           .coalesce(1).write.mode("append").parquet(monitorPath)
+        }
         ()
       }
       .start()
