@@ -39,6 +39,14 @@ object DeltaLogCompaction {
     * compacted rows, which are one-per-key by construction) pass
     * through untouched; a MIXED log written partly before stamping
     * only regains the retry guarantee after compaction.
+    *
+    * PRECONDITION: batch_id must uniquely identify a LOGICAL batch
+    * over the log's lifetime, which holds exactly when the stamping
+    * maintainer runs with a checkpointLocation (ids resume across
+    * restarts — pass `checkpointDir` to the starters; see
+    * [[graft.streaming.StreamingStarters]]). A checkpoint-less
+    * maintainer restarted mid-log reuses ids for DIFFERENT batches,
+    * and this dedupe would collapse them into an under-count.
     */
   def dedupeRetries(df: org.apache.spark.sql.DataFrame,
                     keys: Seq[String]): org.apache.spark.sql.DataFrame =

@@ -19,9 +19,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingCms {
   final case class DocRecord(doc_id: Long, text: String)
 
+  /** `checkpointDir` is a REQUIREMENT of the batch_id stamp in any
+    * deployment that can restart — see
+    * [[StreamingStarters.checkpointed]] for the contract.
+    */
   def start(docs: Dataset[DocRecord], cmsPath: String,
-            d: Int = 4, w: Int = 4096): StreamingQuery =
-    docs.writeStream.outputMode("append")
+            d: Int = 4, w: Int = 4096,
+            checkpointDir: Option[String] = None): StreamingQuery =
+    StreamingStarters.checkpointed(docs.writeStream.outputMode("append"), checkpointDir)
       .foreachBatch { (batch: Dataset[DocRecord], batchId: Long) =>
         // the artifact carries its own (d, w): counters are only
         // meaningful under the hash shape they were built with —

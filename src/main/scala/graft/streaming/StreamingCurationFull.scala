@@ -65,13 +65,17 @@ object StreamingCurationFull {
             threshold: Double = 0.4, bucketCap: Int = 128,
             gramN: Int = 3, minOverlap: Int = 3,
             semThreshold: Double = 0.3, substrK: Int = 8,
-            onBatch: BatchMetrics => Unit = _ => ()): StreamingQuery = {
+            onBatch: BatchMetrics => Unit = _ => (),
+            checkpointDir: Option[String] = None): StreamingQuery = {
     val winnersPath = s"$stateDir/winners"
     val bandIdxPath = s"$stateDir/bands"
     val gramIdxPath = s"$stateDir/grams"
     val survivorsPath = s"$stateDir/survivors"
     val curated = StreamingCuration.curate(stream, minMarkers, minWords, maxStopRatio)
-    curated.writeStream.outputMode("append")
+    // checkpointDir is a REQUIREMENT of the batch_id stamps below in
+    // any deployment that can restart — see StreamingStarters
+    StreamingStarters.checkpointed(
+      curated.writeStream.outputMode("append"), checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // watermark eviction fires extra NO-DATA micro-batches; only
         // data batches run the chain

@@ -65,8 +65,9 @@ object StreamingDrift {
     * n_b) — n_a is the reference total, n_b the batch total.
     */
   def start(vals: Dataset[BinRecord], refPath: String,
-            monitorPath: String): StreamingQuery =
-    vals.writeStream.outputMode("append")
+            monitorPath: String,
+            checkpointDir: Option[String] = None): StreamingQuery =
+    StreamingStarters.checkpointed(vals.writeStream.outputMode("append"), checkpointDir)
       .foreachBatch { (batch: Dataset[BinRecord], batchId: Long) =>
         // watermark eviction fires extra NO-DATA micro-batches; PSI
         // against n_b=0 would smooth every stratum to a loud false

@@ -26,8 +26,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingLogHist {
   final case class ValRecord(source: String, v: Long)
 
-  def start(vals: Dataset[ValRecord], histPath: String): StreamingQuery =
-    vals.writeStream.outputMode("append")
+  /** `checkpointDir` is a REQUIREMENT of the batch_id stamp in any
+    * deployment that can restart (see
+    * [[StreamingStarters.checkpointed]]): without it a restarted
+    * maintainer restarts batchId at 0 and appends DIFFERENT data under
+    * already-used ids, which the read-side (batch_id, keys) dedupe
+    * silently collapses — an under-count worse than the double-count
+    * it prevents. Tests driving a single MemoryStream run may omit it.
+    */
+  def start(vals: Dataset[ValRecord], histPath: String,
+            checkpointDir: Option[String] = None): StreamingQuery =
+    StreamingStarters.checkpointed(vals.writeStream.outputMode("append"), checkpointDir)
       .foreachBatch { (batch: Dataset[ValRecord], batchId: Long) =>
         // batch_id stamp: buckets merge by SUM, so a foreachBatch
         // retry would double-count without read-side dedupe

@@ -23,8 +23,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * through the same optimizer rule that serves the batch-built MV.
   */
 object StreamingMvMaintain {
-  def start(events: Dataset[EventRecord], mvPath: String): StreamingQuery =
-    events.writeStream.outputMode("append")
+  /** `checkpointDir` is a REQUIREMENT of the batch_id stamp in any
+    * deployment that can restart — see
+    * [[StreamingStarters.checkpointed]] for the contract.
+    */
+  def start(events: Dataset[EventRecord], mvPath: String,
+            checkpointDir: Option[String] = None): StreamingQuery =
+    StreamingStarters.checkpointed(events.writeStream.outputMode("append"), checkpointDir)
       .foreachBatch { (batch: Dataset[EventRecord], batchId: Long) =>
         // the SAME rollup expression the batch MV build uses — schema
         // and measure algebra cannot drift between the two writers.
