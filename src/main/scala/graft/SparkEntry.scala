@@ -1033,6 +1033,27 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
     }),
 
+    // the FULL index-maintenance lifecycle inside the correctness
+    // gate: a salted-default artifact is written + stamped, then
+    // ivfPqRebuild retrains BOTH quantizers on the corpus with
+    // DATA-DERIVED seeds (hash-order picks — the k-means++-style
+    // init the rebuild path defaults to, because constant seeds
+    // provably cannot subdivide drifted dense regions), re-encodes,
+    // verifies, atomically swaps and re-stamps; the swapped
+    // artifact's every stored byte is re-derived by DuckDB through
+    // both data-seeded training chains
+    "q_ann_index_rebuilt" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("ann_rebuilt", dir)
+      Similarity.ivfPqIndexWrite(emb, path, dim = 64) // stale: salted defaults
+      Similarity.ivfPqRebuild(emb, path, kmIters = 2, pqIters = 2)
+      s.read.parquet(path)
+        .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("list_id"),
+          col("pos").cast("long").as("s"), col("col").cast("long").as("code"))
+    }),
+
     // list-balance audit of the persisted artifact, from the artifact
     // ALONE (q_ann_index's rows aggregated): per-list load in
     // thousandths of the uniform share + the rebuild flag — the
@@ -3044,6 +3065,8 @@ object SparkEntry {
     // assignment/codes/ADC from the same index CTEs
     "q_ann_index" -> annIndexOracle,
     "q_ann_index_balance" -> annIndexBalanceOracle,
+    "q_ann_index_rebuilt" -> annIndexLearnedOracle(lists = 16, kmIters = 2,
+      m = 8, codes = 16, subDim = 8, pqIters = 2, dataSeeds = true),
     "q_ann_index_learned" -> annIndexLearnedOracle(lists = 16, kmIters = 2,
       m = 8, codes = 16, subDim = 8, pqIters = 2),
     "q_ann_probe_incremental" -> annIvfPqOracleK(5,
@@ -4038,16 +4061,13 @@ object SparkEntry {
     * operator trains on the sample and assigns the corpus.
     */
   private def kmeansOracleCtes(k: Int, iters: Int, dim: Int,
-                               trainThresh: Option[Long] = None): String = {
+                               trainThresh: Option[Long] = None,
+                               dataSeeds: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),
-         |dims AS (SELECT unnest(range($dim)) AS d),
-         |cent0 AS (SELECT c.c, list(
-         |    ('0x' || substr(md5('km|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
-         |    ORDER BY d.d) AS cv
-         |  FROM (SELECT unnest(range($k)) AS c) c CROSS JOIN dims d GROUP BY c.c)""".stripMargin)
+         |dims AS (SELECT unnest(range($dim)) AS d)""".stripMargin)
     val trainTable = trainThresh match {
       case Some(t) =>
         sb.append(
@@ -4057,6 +4077,22 @@ object SparkEntry {
         "qs"
       case None => "q"
     }
+    // init: md5-salted constants (the bulk-build default) or the k
+    // hash-order training vectors (Similarity.dataSeedVectors — the
+    // rebuild path's k-means++-style data seeding)
+    if (dataSeeds)
+      sb.append(
+        s""",
+           |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY md5('kmseed|' || vec_id), vec_id) AS INT) - 1 AS c, v AS cv
+           |  FROM $trainTable
+           |  QUALIFY row_number() OVER (ORDER BY md5('kmseed|' || vec_id), vec_id) <= $k)""".stripMargin)
+    else
+      sb.append(
+        s""",
+           |cent0 AS (SELECT c.c, list(
+           |    ('0x' || substr(md5('km|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+           |    ORDER BY d.d) AS cv
+           |  FROM (SELECT unnest(range($k)) AS c) c CROSS JOIN dims d GROUP BY c.c)""".stripMargin)
     // training rounds score only the training table; the final round's
     // score table additionally covers the whole corpus for assignment
     def scoreAsg(i: Int, table: String): String =
@@ -4442,24 +4478,40 @@ object SparkEntry {
     * its own `dims` at the full dimension.
     */
   private def pqLearnedCbCtes(m: Int, codes: Int, subDim: Int, iters: Int,
-                              trainThresh: Option[Long], dimsName: String): String = {
+                              trainThresh: Option[Long], dimsName: String,
+                              dataSeeds: Boolean = false): String = {
     val sb = new StringBuilder
-    // shared salted seeds: saltedCentroid("km", c, subDim) — identical
-    // for every subspace (the data slice differs)
-    sb.append(
-      s"""centp0 AS (SELECT c.c, list(
-         |    ('0x' || substr(md5('km|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
-         |    ORDER BY d.d) AS cv
-         |  FROM (SELECT unnest(range($codes)) AS c) c, (SELECT unnest(range($subDim)) AS d) d
-         |  GROUP BY c.c),
-         |$dimsName AS (SELECT unnest(range($subDim)) AS d)""".stripMargin)
     // the q_$s tables feed TRAINING ONLY (encode/LUT read the full
     // corpus through v/cb), so the hash-threshold sample bounds them
     // directly — the pqLearnedCodebooks trainSample algebra verbatim
     val trainWhere = trainThresh
       .map(t => s"\n  WHERE ('0x' || substr(md5('kmtrain|' || vec_id), 1, 15))::BIGINT < $t")
       .getOrElse("")
+    if (dataSeeds)
+      // data seeds: ONE hash-order pick of `codes` full vectors shared
+      // by all subspaces, sliced per subspace below (the
+      // Similarity.pqLearnedCodebooks seedFromData algebra)
+      sb.append(
+        s"""seedv AS (SELECT CAST(row_number() OVER (ORDER BY md5('kmseed|' || vec_id), vec_id) AS INT) - 1 AS c, embedding AS e
+           |  FROM embeddings$trainWhere
+           |  QUALIFY row_number() OVER (ORDER BY md5('kmseed|' || vec_id), vec_id) <= $codes),
+           |$dimsName AS (SELECT unnest(range($subDim)) AS d)""".stripMargin)
+    else
+      // shared salted seeds: saltedCentroid("km", c, subDim) — identical
+      // for every subspace (the data slice differs)
+      sb.append(
+        s"""centp0 AS (SELECT c.c, list(
+           |    ('0x' || substr(md5('km|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+           |    ORDER BY d.d) AS cv
+           |  FROM (SELECT unnest(range($codes)) AS c) c, (SELECT unnest(range($subDim)) AS d) d
+           |  GROUP BY c.c),
+           |$dimsName AS (SELECT unnest(range($subDim)) AS d)""".stripMargin)
     for (s <- 0 until m) {
+      if (dataSeeds)
+        sb.append(
+          s""",
+             |centp0_$s AS (SELECT c, list_transform(range(1, ${subDim + 1}),
+             |    i -> CAST(e[$s * $subDim + i] AS DOUBLE)) AS cv FROM seedv)""".stripMargin)
       // sliced + quantized sub-vectors (float -> double, floor * 2^20)
       sb.append(
         s""",
@@ -4467,8 +4519,9 @@ object SparkEntry {
            |    list_transform(range(1, ${subDim + 1}), i -> CAST(embedding[$s * $subDim + i] AS DOUBLE)) AS v,
            |    list_transform(range(1, ${subDim + 1}), i -> CAST(floor(CAST(embedding[$s * $subDim + i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
            |  FROM embeddings$trainWhere)""".stripMargin)
+      val cent0Name = if (dataSeeds) s"centp0_$s" else "centp0"
       def scoreAsg(i: Int): Unit = {
-        val cent = if (i == 0) "centp0" else s"cent${i}_$s"
+        val cent = if (i == 0) cent0Name else s"cent${i}_$s"
         sb.append(
           s""",
              |sc${i}_$s AS (SELECT q.vec_id, $cent.c,
@@ -4480,7 +4533,7 @@ object SparkEntry {
       }
       scoreAsg(0)
       for (i <- 1 to iters) {
-        val prev = if (i == 1) "centp0" else s"cent${i - 1}_$s"
+        val prev = if (i == 1) cent0Name else s"cent${i - 1}_$s"
         sb.append(
           s""",
              |sum${i}_$s AS (SELECT a.cl AS c, d.d, CAST(sum(q.qv[d.d + 1]) AS BIGINT) AS s, count(*) AS n
@@ -4663,9 +4716,10 @@ object SparkEntry {
     */
   private def annIndexLearnedOracle(lists: Int, kmIters: Int,
                                     m: Int, codes: Int, subDim: Int,
-                                    pqIters: Int): String =
-    kmeansOracleCtes(lists, kmIters, 64) + ",\n" +
-    pqLearnedCbCtes(m, codes, subDim, pqIters, None, "pdims") +
+                                    pqIters: Int,
+                                    dataSeeds: Boolean = false): String =
+    kmeansOracleCtes(lists, kmIters, 64, dataSeeds = dataSeeds) + ",\n" +
+    pqLearnedCbCtes(m, codes, subDim, pqIters, None, "pdims", dataSeeds = dataSeeds) +
     s""",
        |assign AS (SELECT vec_id, c AS list_id FROM sc$kmIters
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),

@@ -51,6 +51,27 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Exact top-k by INNER PRODUCT — the maximum-inner-product-search
+    * (MIPS) twin of [[topKCosine]], and the correct ground truth for
+    * the IVF-PQ family's recall gates: ADC approximates the raw dot
+    * product, not the normalized cosine, and on data whose norms vary
+    * the two rankings genuinely disagree (measured: recall of a
+    * perfect-codebook ADC ranking against COSINE truth sat at noise
+    * level on a norm-varying cluster — the codes were fine, the
+    * ground truth was answering a different question).
+    */
+  def topKDot(embeddings: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    base.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Semantic decontamination: flag corpus vectors whose best cosine
     * against a (small, broadcast) benchmark set reaches `threshold` —
     * the embedding-space complement of the n-gram
@@ -437,12 +458,43 @@ object Similarity {
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 3, dim: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      trainSample: Int = 0, trainFraction: Double = 0.0): Array[Array[Double]] = {
+                      trainSample: Int = 0, trainFraction: Double = 0.0,
+                      seedFromData: Boolean = false): Array[Array[Double]] = {
     val qdf = kmQuantized(
       trainFrameOf(embeddings, idCol, trainSample, trainFraction), idCol, vecCol)
-    val cents = kmeansCentroidsOf(qdf, k, iters, dim)
+    val init = if (seedFromData) Some(dataSeedVectors(qdf, k, "id", "v")) else None
+    val cents = kmeansCentroidsOf(qdf, k, iters, dim, init)
     graft.plans.CheckpointHygiene.free(qdf)
     cents
+  }
+
+  /** Deterministic data-derived k-means initialization: the `n`
+    * training vectors smallest in md5("kmseed|" + id) order — the
+    * fixed-seed analog of k-means++/random-from-data seeding every
+    * production trainer uses. Salted CONSTANT seeds (the oracle-shared
+    * default) have a real failure mode that matters exactly when a
+    * REBUILD is needed: Lloyd's iteration can only subdivide a dense
+    * region if >= 2 seeds end up claiming parts of it, and a drifted
+    * cluster far from every constant seed is captured whole by one
+    * seed forever (measured: rebuilding a 80%-mass drifted corpus
+    * with salted seeds made BOTH balance and ADC recall worse).
+    * Hash-order data seeds land in dense regions in proportion to
+    * their mass, so the dominant cluster gets multiple seeds and
+    * splits. Still zero RNG state, stable under re-runs and
+    * partitioning, and SQL-derivable (ORDER BY md5(...) LIMIT n), so
+    * data-seeded training remains oracle-checkable end to end.
+    */
+  private[graft] def dataSeedVectors(train: DataFrame, n: Int,
+                                     idCol: String, vecCol: String): Array[Array[Double]] = {
+    val rows = train
+      .select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__h", md5(concat(lit("kmseed|"), col("__id"))))
+      .orderBy(col("__h"), col("__id"))
+      .limit(n)
+      .collect()
+    require(rows.length == n,
+      s"seedFromData needs >= $n training vectors, got ${rows.length}")
+    rows.map(_.getAs[Seq[Float]]("__v").map(_.toDouble).toArray)
   }
 
   /** Deterministic bounded training sample: keep the vectors whose
@@ -504,9 +556,11 @@ object Similarity {
       .localCheckpoint() // re-scanned every round; lineage cut once
   }
 
-  private def kmeansCentroidsOf(qdf: DataFrame, k: Int, iters: Int, dim: Int): Array[Array[Double]] = {
+  private def kmeansCentroidsOf(qdf: DataFrame, k: Int, iters: Int, dim: Int,
+                                init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     val scale = 1048576.0
-    var cents: Array[Array[Double]] = Array.tabulate(k)(c => saltedCentroid("km", c, dim))
+    var cents: Array[Array[Double]] =
+      init.getOrElse(Array.tabulate(k)(c => saltedCentroid("km", c, dim)))
     for (_ <- 1 to iters) {
       val assign = kmAssignUdf(cents)
       val sums = qdf
@@ -894,7 +948,8 @@ object Similarity {
                          codes: Int = 16, iters: Int = 2,
                          vecCol: String = "embedding", idCol: String = "vec_id",
                          trainSample: Int = 0,
-                         trainFraction: Double = 0.0): Array[Array[Array[Double]]] = {
+                         trainFraction: Double = 0.0,
+                         seedFromData: Boolean = false): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
     // one sample for every subspace: the slice UDFs all read the same
@@ -903,6 +958,13 @@ object Similarity {
       if (trainSample <= 0 && trainFraction <= 0.0) embeddings
       else trainFrameOf(embeddings, idCol, trainSample, trainFraction)
         .localCheckpoint(eager = false)
+    // data seeds: ONE hash-order pick of `codes` full vectors shared
+    // by all m subspaces (sliced per subspace) — the [[dataSeedVectors]]
+    // rationale; salted constants otherwise (the oracle-shared default)
+    val initSeeds: Option[Array[Array[Double]]] =
+      if (seedFromData) Some(dataSeedVectors(
+        train.select(col(idCol), col(vecCol)), codes, idCol, vecCol))
+      else None
     // ALL m subspace trainings ride ONE aggregate per iteration
     // (grouped by (subspace, cluster)) instead of m independent
     // kmeans runs: iters corpus passes instead of m x iters, and
@@ -923,8 +985,13 @@ object Similarity {
       .select(explode(explodeSlices(col(vecCol))).as("e"))
       .select(col("e._1").as("s"), col("e._2").as("v"), col("e._3").as("qv"))
       .localCheckpoint()
-    var cents: Array[Array[Array[Double]]] =
-      Array.fill(m)(Array.tabulate(codes)(c => saltedCentroid("km", c, subDim)))
+    var cents: Array[Array[Array[Double]]] = initSeeds match {
+      case Some(sv) =>
+        Array.tabulate(m)(s => Array.tabulate(codes)(c =>
+          sv(c).slice(s * subDim, (s + 1) * subDim)))
+      case None =>
+        Array.fill(m)(Array.tabulate(codes)(c => saltedCentroid("km", c, subDim)))
+    }
     for (_ <- 1 to iters) {
       val cur = cents
       val normHalf: Array[Array[Double]] =
@@ -1380,6 +1447,120 @@ object Similarity {
         "ivfPqWriteHeader) before auditing it"))
     ivfPqListBalance(spark.read.parquet(indexPath), hdr.lists, rebuildPm)
       .agg(max(col("rebuild")).as("r")).collect()(0).getLong(0) == 1L
+  }
+
+  /** What [[ivfPqRebuild]] measured and did — the maintenance-log row
+    * a production maintainer records next to the retrain trigger.
+    */
+  final case class RebuildReport(rowsBefore: Long, rowsAfter: Long,
+                                 recallBefore: Double, recallAfter: Double)
+
+  /** EXECUTE the rebuild [[ivfPqNeedsRebuild]] decides: retrain the
+    * coarse centroids and PQ codebooks on `corpus` (the deterministic
+    * fixed-point chains of [[kmeansCentroids]]/[[pqLearnedCodebooks]],
+    * sample-bounded via `trainFraction` exactly like a bulk build),
+    * re-encode every corpus vector, verify the rewrite BEFORE
+    * touching the live artifact — row count must equal the corpus,
+    * and when `recallQueries` is given, ADC recall@k against
+    * brute-force ground truth must hold `recallAfter >= minRecallRatio
+    * * recallBefore` — then atomically swap the new artifact in (the
+    * [[graft.sources.ArtifactCompaction]] two-rename discipline, with
+    * rollback). The header is re-stamped by construction: it rides
+    * INSIDE the artifact directory, so the swap installs the new
+    * quantizer arrays with the new rows — from that moment a stale
+    * appender still holding the old arrays refuses loudly at
+    * [[ivfPqIndexAppend]]'s header validation instead of silently
+    * mixing two quantizer generations in one artifact.
+    *
+    * Shape params (dim, lists, m, codes) come FROM the artifact's own
+    * header — a rebuild re-learns the arrays, it does not re-shape the
+    * index (re-shaping is a new index, not maintenance). Failing
+    * verification deletes the `.rebuild.tmp` and leaves the live
+    * artifact untouched.
+    *
+    * 100 TB posture: this is the periodic batch job StreamingIvf's
+    * maintainer schedules when [[ivfPqNeedsRebuild]] trips — training
+    * cost is bounded by `trainFraction` (Faiss's sample-training
+    * convention), the re-encode is ONE corpus scan, and the swap is
+    * O(1) renames inside the same single-writer maintenance window
+    * every OPTIMIZE-style job already requires (readers pause too —
+    * the path is briefly missing between the two renames).
+    */
+  def ivfPqRebuild(corpus: DataFrame, indexPath: String,
+                   kmIters: Int = 2, pqIters: Int = 2,
+                   trainFraction: Double = 0.0,
+                   recallQueries: Option[DataFrame] = None,
+                   k: Int = 5, nprobe: Int = 4,
+                   minRecallRatio: Double = 0.9,
+                   seedFromData: Boolean = true,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): RebuildReport = {
+    val spark = corpus.sparkSession
+    val hdr = ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
+      s"no IVF-PQ header at $indexPath: cannot rebuild an artifact whose build " +
+        "parameters are unverifiable — stamp it first (ivfPqIndexWrite / ivfPqWriteHeader)"))
+    val rowsBefore = spark.read.parquet(indexPath).count()
+
+    // retrain on the NEW corpus — the whole point of the rebuild.
+    // seedFromData defaults ON here (unlike the bulk trainers): a
+    // rebuild runs precisely because the data outgrew the old
+    // quantizers, and constant seeds cannot subdivide a drifted dense
+    // region Lloyd's never plants a second seed in (see
+    // [[dataSeedVectors]] — measured making balance AND recall worse)
+    val cents = kmeansCentroids(corpus, k = hdr.lists, iters = kmIters, dim = hdr.dim,
+      idCol = idCol, vecCol = vecCol, trainFraction = trainFraction,
+      seedFromData = seedFromData)
+    val cbs = pqLearnedCodebooks(corpus, dim = hdr.dim, m = hdr.m, codes = hdr.codes,
+      iters = pqIters, vecCol = vecCol, idCol = idCol, trainFraction = trainFraction,
+      seedFromData = seedFromData)
+
+    val (fs, p) = hadoopFs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".rebuild.tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".rebuild.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val rowsAfter = ivfPqIndexWrite(corpus, tmp.toString, hdr.dim, hdr.lists,
+      hdr.m, hdr.codes, idCol, vecCol, Some(cents), Some(cbs))
+
+    // verify BEFORE the swap; a bad rebuild must leave the artifact live
+    val corpusRows = corpus.count()
+    if (rowsAfter != corpusRows) {
+      fs.delete(tmp, true)
+      sys.error(s"ivfPqRebuild: re-encoded artifact has $rowsAfter rows, corpus has " +
+        s"$corpusRows; artifact at $indexPath left untouched")
+    }
+    def meanRecall(queries: DataFrame, path: String): Double = {
+      // exact-DOT ground truth: ADC approximates the inner product
+      // (see [[topKDot]]) — cosine truth would grade the probe on a
+      // ranking the index never promised
+      val exact = topKDot(corpus, queries, k, idCol, vecCol)
+      val approx = annIvfPqProbeAt(spark, path, queries, k, nprobe, idCol, vecCol)
+      annRecall(exact, approx, k).agg(avg(col("recall")))
+        .collect()(0).getDouble(0)
+    }
+    val (recallBefore, recallAfter) = recallQueries match {
+      case None => (Double.NaN, Double.NaN)
+      case Some(q) =>
+        val before = meanRecall(q, indexPath)
+        val after = meanRecall(q, tmp.toString)
+        if (after < minRecallRatio * before) {
+          fs.delete(tmp, true)
+          sys.error(f"ivfPqRebuild: retrained recall@$k $after%.4f fell below " +
+            f"$minRecallRatio x stale recall $before%.4f; artifact at $indexPath " +
+            "left untouched — inspect the training sample or iterations")
+        }
+        (before, after)
+    }
+
+    if (!fs.rename(p, old))
+      sys.error(s"ivfPqRebuild: could not move $indexPath aside; artifact untouched")
+    if (!fs.rename(tmp, p)) {
+      val rolledBack = fs.rename(old, p)
+      sys.error(s"ivfPqRebuild: swap-in failed for $indexPath; " +
+        (if (rolledBack) "original rolled back, artifact untouched"
+         else s"ROLLBACK ALSO FAILED — artifact preserved at $old"))
+    }
+    fs.delete(old, true)
+    RebuildReport(rowsBefore, rowsAfter, recallBefore, recallAfter)
   }
 
   def ivfPqListBalance(index: DataFrame, lists: Int, rebuildPm: Long = 3000L): DataFrame =

@@ -82,6 +82,132 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
     assert(mergedCount < 3L, s"expected the under-count, got $mergedCount")
   }
 
+  // ---- the round's lead item: EXECUTE the rebuild the staleness
+  // audit decides ----
+
+  private def tmpIdx(prefix: String): String =
+    new java.io.File(
+      java.nio.file.Files.createTempDirectory(prefix).toFile, "idx").getPath
+
+  /** Covariate shift, the drift a rebuild actually fixes: day 1 is
+    * uniform over the salted quantizers' support [-1,1]^8; day 2 is a
+    * dense positively-aligned cluster over [0.85,0.95]^8 — 80% of the
+    * grown corpus. Under the frozen quantizers every day-2 vector (a)
+    * coarse-assigns to the most positively-aligned list (the audit's
+    * trigger: ~72% of the artifact in one list) and (b) PQ-encodes to
+    * 1-2 corner codewords per subspace (aliasing: ADC cannot rank
+    * what it cannot distinguish — measured recall 0.0). DATA-seeded
+    * retraining puts seeds inside the cluster in proportion to its
+    * mass, so Lloyd's both splits it across coarse lists (balance
+    * restored) and tiles it with scalar codewords at ~0.015 pitch
+    * (m=8 -> subDim=1), resolving the within-cluster dot ranking
+    * (measured recall 1.0). Constant salted seeds provably cannot do
+    * either — Lloyd's never plants a second seed inside a region one
+    * seed already owns.
+    */
+  private def driftCorpus() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1307)
+    val day1 = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val day2 = (1000 until 1256).map { i =>
+      (i.toLong, Seq.fill(8)((0.85 + rnd.nextDouble() * 0.1).toFloat))
+    }
+    // fresh shifted-region queries, NOT in the corpus
+    val probes = (5000 until 5008).map { i =>
+      (i.toLong, Seq.fill(8)((0.85 + rnd.nextDouble() * 0.1).toFloat))
+    }
+    (day1.toDF("vec_id", "embedding").localCheckpoint(),
+      day2.toDF("vec_id", "embedding").localCheckpoint(),
+      probes.toDF("vec_id", "embedding").localCheckpoint())
+  }
+
+  test("ivfPqRebuild: drift trips the audit, the rebuild retrains + swaps, recall improves, stale appenders refuse") {
+    import graft.operators.Similarity
+    val dir = tmpIdx("ann_rebuild")
+    val (day1, day2, probes) = driftCorpus()
+    assert(Similarity.ivfPqIndexWrite(day1, dir, dim = 8, lists = 4, m = 8) == 64L)
+    assert(Similarity.ivfPqIndexAppend(day2, dir, dim = 8, lists = 4, m = 8) == 256L)
+    // the decision fires (the r12 audit; 2500 pm is the maintainer's
+    // tuned threshold — the hot list holds ~65% of the artifact)
+    assert(Similarity.ivfPqNeedsRebuild(spark, dir, rebuildPm = 2500L))
+
+    // ...and now the EXECUTION: retrain on the grown corpus, verify,
+    // atomic swap with the header re-stamped by construction
+    val corpus = day1.unionByName(day2).localCheckpoint()
+    val report = Similarity.ivfPqRebuild(corpus, dir,
+      kmIters = 2, pqIters = 2, recallQueries = Some(probes), k = 5, nprobe = 2)
+    assert(report.rowsBefore == 320L && report.rowsAfter == 320L)
+    // recall provably improves: the stale corner-aliased codes cannot
+    // rank the shifted region at all; the retrained codebooks tile it
+    assert(report.recallAfter > report.recallBefore,
+      s"recall ${report.recallBefore} -> ${report.recallAfter}")
+    // retraining restored coarse balance: the trigger no longer fires
+    assert(!Similarity.ivfPqNeedsRebuild(spark, dir, rebuildPm = 2500L))
+
+    // the swapped artifact IS the data-seeded learned index, bit for
+    // bit (the training chains are deterministic)
+    val cents = Similarity.kmeansCentroids(corpus, k = 4, iters = 2, dim = 8,
+      seedFromData = true)
+    val cbs = Similarity.pqLearnedCodebooks(corpus, dim = 8, m = 8, codes = 16,
+      iters = 2, seedFromData = true)
+    val expect = Similarity.ivfPqIndex(corpus, dim = 8, lists = 4, m = 8,
+      centroids = Some(cents), codebooks = Some(cbs))
+    def rows2(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("list_id").cast("long"), col("codes").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows2(spark.read.parquet(dir)) == rows2(expect))
+
+    // a stale appender still holding the OLD (salted-default) arrays
+    // refuses loudly against the re-stamped header...
+    import spark.implicits._
+    val day3 = Seq((2000L, Seq.fill(8)(0.1f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(day3, dir, dim = 8, lists = 4, m = 8)
+    }
+    assert(ex.getMessage.contains("different quantizers"), ex.getMessage)
+    // ...and an appender carrying the retrained arrays is validated in
+    assert(Similarity.ivfPqIndexAppend(day3, dir, dim = 8, lists = 4, m = 8,
+      centroids = Some(cents), codebooks = Some(cbs)) == 1L)
+  }
+
+  test("ivfPqRebuild: a failed recall gate aborts, deletes the tmp, and leaves the live artifact untouched") {
+    import graft.operators.Similarity
+    val dir = tmpIdx("ann_rebuild_abort")
+    val (day1, day2, _) = driftCorpus()
+    Similarity.ivfPqIndexWrite(day1, dir, dim = 8, lists = 4, m = 8)
+    Similarity.ivfPqIndexAppend(day2, dir, dim = 8, lists = 4, m = 8)
+    val corpus = day1.unionByName(day2).localCheckpoint()
+    // probes from day 1's OWN region: the stale index handles them
+    // well (recallBefore > 0), so the impossible ratio must abort
+    import spark.implicits._
+    val rnd = new scala.util.Random(1409)
+    val probes = (6000 until 6008).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val before = spark.read.parquet(dir).count()
+    val ex = intercept[RuntimeException] {
+      Similarity.ivfPqRebuild(corpus, dir, recallQueries = Some(probes),
+        k = 5, nprobe = 2, minRecallRatio = 1000.0)
+    }
+    assert(ex.getMessage.contains("left untouched"), ex.getMessage)
+    // live artifact intact and still headed by the ORIGINAL quantizers
+    assert(spark.read.parquet(dir).count() == before)
+    assert(Similarity.annIvfPqProbeAt(spark, dir,
+      day1.filter(col("vec_id") < 4), k = 3).count() > 0)
+    // no tmp residue
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".rebuild.tmp")))
+    // headerless artifacts refuse the rebuild with guidance
+    val bare = tmpIdx("ann_rebuild_bare")
+    Similarity.ivfPqIndex(day1, dim = 8, lists = 4, m = 8).write.parquet(bare)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRebuild(day1, bare)
+    }
+    assert(ex2.getMessage.contains("no IVF-PQ header"), ex2.getMessage)
+  }
+
   test("ArtifactHeader refuses a param key named 'hash' at the write seam") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hdr_hash").toString
     val ex = intercept[IllegalArgumentException] {
