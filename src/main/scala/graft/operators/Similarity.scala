@@ -1287,13 +1287,6 @@ object Similarity {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** `_`-prefixed so parquet directory listings skip it (the
-    * `_SUCCESS` convention): the header lives INSIDE the artifact
-    * directory and travels with it on copy/rename.
-    */
-  private def ivfPqHeaderPath(indexPath: String) =
-    new org.apache.hadoop.fs.Path(indexPath, "_graft_ivfpq_header")
-
   private def encodeMatrix(mx: Array[Array[Double]]): String =
     mx.map(_.map(d => java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d)))
       .mkString(",")).mkString(";")
@@ -1302,57 +1295,72 @@ object Similarity {
     s.split(";", -1).map(_.split(",", -1).map(h =>
       java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16))))
 
-  /** Write (or re-stamp) the header for the artifact at `indexPath`.
-    * Doubles are serialized as raw-bit hex — the round-trip is
-    * bit-exact by construction, and [[ivfPqReadHeader]] re-derives the
-    * content hash from the parsed arrays so any corruption refuses
-    * loudly instead of probing wrong.
+  /** The header as generic [[graft.sources.ArtifactHeader]] params:
+    * shape ints plus both quantizer arrays as raw-bit hex (line-safe,
+    * and bit-exact by construction — no float-to-text in the trust
+    * chain, the hex IS the IEEE bit pattern).
+    */
+  private def ivfPqHeaderParams(dim: Int, lists: Int, m: Int, codes: Int,
+                                cents: Array[Array[Double]],
+                                cbs: Array[Array[Array[Double]]]): Seq[(String, String)] =
+    Seq("dim" -> dim.toString, "lists" -> lists.toString,
+      "m" -> m.toString, "codes" -> codes.toString,
+      "centroids" -> encodeMatrix(cents),
+      "codebooks" -> cbs.map(encodeMatrix).mkString("#"))
+
+  /** Write (or re-stamp) the header for the artifact at `indexPath` —
+    * ONE codepath with every other artifact family's header
+    * ([[graft.sources.ArtifactHeader]]): same sidecar name, same
+    * content-hash integrity line, same write-seam guards (this
+    * convergence closed a drift where format-breaking-param refusals
+    * existed only in the generic header).
     */
   def ivfPqWriteHeader(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        dim: Int, lists: Int, m: Int, codes: Int,
                        cents: Array[Array[Double]],
-                       cbs: Array[Array[Array[Double]]]): Unit = {
-    val text = Seq(
-      "graft-ivfpq-header v1",
-      s"dim=$dim", s"lists=$lists", s"m=$m", s"codes=$codes",
-      s"hash=${ivfPqParamsHash(dim, lists, m, codes, cents, cbs)}",
-      s"centroids=${encodeMatrix(cents)}",
-      s"codebooks=${cbs.map(encodeMatrix).mkString("#")}"
-    ).mkString("\n")
-    val (fs, _) = hadoopFs(spark, indexPath)
-    val out = fs.create(ivfPqHeaderPath(indexPath), true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                       cbs: Array[Array[Array[Double]]]): Unit =
+    graft.sources.ArtifactHeader.write(spark, indexPath, "ivfpq",
+      ivfPqHeaderParams(dim, lists, m, codes, cents, cbs))
 
   /** Load + integrity-check the header at `indexPath`; None when the
-    * artifact predates headers (pre-r12 writes).
+    * artifact predates headers (pre-r12 writes). Headers stamped by
+    * the r12 bespoke writer (same file, same k=v lines, but the
+    * integrity line carried the BINARY quantizer hash instead of
+    * [[graft.sources.ArtifactHeader]]'s text-line hash) are still
+    * accepted after verifying that hash — read-compat across the
+    * format convergence; any re-stamp writes the current format.
     */
   def ivfPqReadHeader(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String): Option[IvfPqHeader] = {
-    val (fs, _) = hadoopFs(spark, indexPath)
-    val hp = ivfPqHeaderPath(indexPath)
-    if (!fs.exists(hp)) None
-    else {
-      val in = fs.open(hp)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val kv = text.linesIterator.flatMap { l =>
-        val i = l.indexOf('=')
-        if (i < 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
-      }.toMap
-      require(text.startsWith("graft-ivfpq-header v1"),
-        s"unrecognized IVF-PQ header format at $indexPath")
+    def fromParams(kv: Map[String, String]): IvfPqHeader = {
       val hdr = IvfPqHeader(kv("dim").toInt, kv("lists").toInt, kv("m").toInt,
         kv("codes").toInt, decodeMatrix(kv("centroids")),
-        kv("codebooks").split("#", -1).map(decodeMatrix), kv("hash"))
-      val recomputed = ivfPqParamsHash(hdr.dim, hdr.lists, hdr.m, hdr.codes,
-        hdr.centroids, hdr.codebooks)
-      require(recomputed == hdr.paramsHash,
-        s"IVF-PQ header at $indexPath is corrupt: stored hash ${hdr.paramsHash} " +
-          s"!= recomputed $recomputed")
-      Some(hdr)
+        kv("codebooks").split("#", -1).map(decodeMatrix), "")
+      hdr.copy(paramsHash = ivfPqParamsHash(hdr.dim, hdr.lists, hdr.m, hdr.codes,
+        hdr.centroids, hdr.codebooks))
+    }
+    try graft.sources.ArtifactHeader.read(spark, indexPath, "ivfpq").map(fromParams)
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null
+          && e.getMessage.contains("corrupt") =>
+        // legacy integrity line, or genuine corruption — decide by the
+        // legacy binary hash over the parsed arrays
+        val (fs, _) = hadoopFs(spark, indexPath)
+        val hp = new org.apache.hadoop.fs.Path(indexPath, "_graft_ivfpq_header")
+        val in = fs.open(hp)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = text.linesIterator.flatMap { l =>
+          val i = l.indexOf('=')
+          if (i < 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
+        }.toMap
+        val hdr = fromParams(kv)
+        require(kv.get("hash").contains(hdr.paramsHash),
+          s"IVF-PQ header at $indexPath is corrupt: stored hash " +
+            s"${kv.getOrElse("hash", "?")} matches neither the header-line hash " +
+            s"nor the legacy quantizer hash ${hdr.paramsHash}")
+        Some(hdr)
     }
   }
 

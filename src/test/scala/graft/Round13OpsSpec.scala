@@ -208,6 +208,44 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
     assert(ex2.getMessage.contains("no IVF-PQ header"), ex2.getMessage)
   }
 
+  test("header convergence: a legacy r12 IVF-PQ header (binary integrity line) still reads") {
+    import graft.operators.Similarity
+    val dir = tmpIdx("ann_legacy_hdr")
+    import spark.implicits._
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(8)((i / 20.0f) - 0.5f))).toDF("vec_id", "embedding")
+    Similarity.ivfPqIndexWrite(vecs, dir, dim = 8, lists = 4, m = 4)
+    val hdr = Similarity.ivfPqReadHeader(spark, dir).get
+    // rewrite the sidecar in the PRE-convergence layout: same k=v
+    // lines, integrity line = the binary quantizer hash
+    def enc(mx: Array[Array[Double]]) = mx.map(_.map(d =>
+      java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))).mkString(","))
+      .mkString(";")
+    val legacy = Seq(
+      "graft-ivfpq-header v1",
+      "dim=8", "lists=4", "m=4", "codes=16",
+      s"hash=${hdr.paramsHash}",
+      s"centroids=${enc(hdr.centroids)}",
+      s"codebooks=${hdr.codebooks.map(enc).mkString("#")}").mkString("\n")
+    val hp = new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_header")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hp, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    // the trusted probe still answers from the legacy header...
+    val back = Similarity.ivfPqReadHeader(spark, dir).get
+    assert(back.paramsHash == hdr.paramsHash)
+    assert(Similarity.annIvfPqProbeAt(spark, dir,
+      vecs.filter(col("vec_id") < 2), k = 3).count() > 0)
+    // ...and a corrupted legacy line still refuses
+    val bad = legacy.replace("hash=", "hash=f")
+    val out2 = fs.create(hp, true)
+    try out2.write(bad.getBytes("UTF-8")) finally out2.close()
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqReadHeader(spark, dir)
+    }
+    assert(ex.getMessage.contains("corrupt"), ex.getMessage)
+  }
+
   test("ArtifactHeader refuses a param key named 'hash' at the write seam") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hdr_hash").toString
     val ex = intercept[IllegalArgumentException] {
