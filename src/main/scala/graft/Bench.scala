@@ -101,7 +101,9 @@ object Bench {
 
     // EVERY oracle query is timed (round-7 contract: no query invisible
     // to cross-round regression tracking) and every per-query number
-    // lands in bench_diag.json, which is committed. The one-line stdout
+    // lands in the bench diag (scratch by default, promoted to the
+    // committed bench_diag.json only under SPARK_GRAFT_DIAG_COMMIT=1 —
+    // see the write site below). The one-line stdout
     // JSON cannot carry 110+ per-query entries (the caller's tail
     // capture is ~2000 chars; BENCH_r04 recorded parsed=null when the
     // line overflowed), so the printed "queries" object reports the
@@ -348,7 +350,17 @@ object Bench {
       s""""total_min":${sec(totalAll)},"n_queries":${results.size},""" +
       s""""headline_total":${sec(total)}$reprobedJson$suspectJson,""" +
       s""""passes_per_query":$diag$errsDiagJson}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/bench_diag.json"),
+    // scratch by default, the COMMITTED diag only on explicit promote:
+    // three rounds of closeout audits found the final bench run
+    // overwriting the committed bench_diag.json and leaving the repo
+    // dirty — probes and driver runs now land in /tmp, and refreshing
+    // the committed BenchGuard reference is a deliberate act
+    // (SPARK_GRAFT_DIAG_COMMIT=1 on a run you then commit)
+    val diagPath =
+      if (sys.env.get("SPARK_GRAFT_DIAG_COMMIT").contains("1"))
+        "/root/repo/bench_diag.json"
+      else "/tmp/graft_bench_diag.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(diagPath),
       (diagLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
 
