@@ -163,6 +163,15 @@ object AnnProbe {
     val q = emb.filter(col("vec_id") < 8)
     def probe(): Long = Similarity.annIvfPqProbeAt(spark, out, q, k = 5).count()
     val probeSec = (1 to 2).map(_ => time(probe())._2).min
+    // the r13 closing of the staleness loop: the audit DECIDED, now
+    // EXECUTE — sample-bounded data-seeded retrain, re-encode, verify
+    // (rows + ADC recall vs exact-dot ground truth), atomic swap with
+    // the header re-stamped; the header-only probe keeps answering
+    // afterwards without the caller learning anything new
+    val (report, rebuildSec) = time(Similarity.ivfPqRebuild(emb, out,
+      kmIters = 2, pqIters = 2, trainFraction = 0.25,
+      recallQueries = Some(q), k = 5, nprobe = 4))
+    val (needsAfter, _) = time(Similarity.ivfPqNeedsRebuild(spark, out))
     val rowsBefore = probe()
     val ((fb, fa), compactSec) = time(
       graft.sources.ArtifactCompaction.compactFiles(spark, out, targetFiles = 4))
@@ -171,7 +180,9 @@ object AnnProbe {
     println(s"""{"dir":"$dir","n_vectors":$nVec,"write_sec":$writeSec,""" +
       s""""append_secs":${appendSecs.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
       s""""audit_sec":$auditSec,"needs_rebuild":$needs,""" +
-      s""""probe_sec":$probeSec,"compact_sec":$compactSec,""" +
+      s""""probe_sec":$probeSec,"rebuild_sec":$rebuildSec,""" +
+      s""""recall_before":${report.recallBefore},"recall_after":${report.recallAfter},""" +
+      s""""needs_rebuild_after":$needsAfter,"compact_sec":$compactSec,""" +
       s""""files_before":$fb,"files_after":$fa,"probe_after_sec":$probeAfterSec}""")
     spark.stop()
   }

@@ -1033,6 +1033,21 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
     }),
 
+    // search-as-shipped against the PERSISTED artifact: ADC probe from
+    // the header-trusted index (annIvfPqProbeAt, rerank=32 survivors)
+    // + exact-cosine refine touching prior-corpus vectors ONLY for the
+    // survivor ids — the Faiss IndexRefine shape with the index on
+    // disk, same incremental split as q_ann_probe_incremental
+    "q_ann_probe_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val prior = emb.filter(col("vec_id") % 3 =!= 0)
+      val path = runTmp("ann_refine", dir)
+      Similarity.ivfPqIndexWrite(prior, path, dim = 64)
+      Similarity.annIvfPqRefineAt(s, path, prior,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24),
+        k = 5, rerank = 32)
+    }),
+
     // the FULL index-maintenance lifecycle inside the correctness
     // gate: a salted-default artifact is written + stamped, then
     // ivfPqRebuild retrains BOTH quantizers on the corpus with
@@ -3072,6 +3087,25 @@ object SparkEntry {
     "q_ann_probe_incremental" -> annIvfPqOracleK(5,
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
+    // the ADC stage is the ENTIRE incremental-probe oracle at k=32 as
+    // a subquery (the q_ann_recall_ivfpq composition convention), then
+    // exact cosine over prior-corpus vectors re-ranks the survivors
+    "q_ann_probe_refine" ->
+      s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cand32 AS (SELECT query_id, neighbor_id FROM (${annIvfPqOracleK(32,
+             baseWhere = "vec_id % 3 <> 0",
+             queryWhere = "vec_id % 3 = 0 AND vec_id < 24")}) t),
+        |rr AS (SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+        |  FROM cand32 c JOIN ev a ON a.vec_id = c.query_id JOIN ev b ON b.vec_id = c.neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(score, 6) AS score
+        |FROM rr
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5""".stripMargin,
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_retrieval_eval" -> retrievalEvalOracle,
 

@@ -1659,10 +1659,38 @@ object Similarity {
   def annIvfPqRefine(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
                      lists: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
                      rerank: Int = 32,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val adcTop = annIvfPq(embeddings, queries, k = rerank, dim, lists, nprobe,
-      m, codes, idCol, vecCol)
-    val vecs = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    refineExact(embeddings,
+      annIvfPq(embeddings, queries, k = rerank, dim, lists, nprobe,
+        m, codes, idCol, vecCol),
+      queries, k, idCol, vecCol)
+
+  /** [[annIvfPqRefine]] against a PERSISTED artifact, trusted through
+    * its header — the production probe-with-refine: the ADC stage is
+    * [[annIvfPqProbeAt]] (every shape param and both quantizer arrays
+    * FROM the artifact, nprobe/lists of 4-byte codes scanned), and
+    * full-precision `corpus` vectors are touched ONLY for the
+    * queries x rerank ADC survivors, fetched by a broadcast of the
+    * candidate id list — the corpus is never shuffled and never
+    * re-encoded. This closes the last inline-only gap in the IVF-PQ
+    * family: search-as-shipped (Faiss IndexRefine) now runs entirely
+    * off the stored index plus a survivor-bounded vector fetch.
+    */
+  def annIvfPqRefineAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       corpus: DataFrame, queries: DataFrame, k: Int,
+                       nprobe: Int = 4, rerank: Int = 32,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    refineExact(corpus,
+      annIvfPqProbeAt(spark, indexPath, queries, k = rerank, nprobe, idCol, vecCol),
+      queries, k, idCol, vecCol)
+
+  /** The exact-refine kernel shared by the inline and artifact paths
+    * (Faiss's IndexRefine): re-score the ADC survivors with TRUE
+    * cosine, cut to k. `adcTop` carries (query_id, neighbor_id).
+    */
+  private def refineExact(corpus: DataFrame, adcTop: DataFrame, queries: DataFrame,
+                          k: Int, idCol: String, vecCol: String): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .withColumn("nn", norm(col("nv")))
     val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -1675,4 +1703,23 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("score"), 6).as("score"))
   }
+
+  /** One-call maintenance step for a periodic index maintainer: poll
+    * the staleness audit and EXECUTE the rebuild when it trips —
+    * [[ivfPqNeedsRebuild]] composed with [[ivfPqRebuild]]. Returns
+    * None when the artifact is balanced (nothing touched).
+    */
+  def ivfPqRebuildIfNeeded(corpus: DataFrame, indexPath: String,
+                           rebuildPm: Long = 3000L,
+                           kmIters: Int = 2, pqIters: Int = 2,
+                           trainFraction: Double = 0.0,
+                           recallQueries: Option[DataFrame] = None,
+                           k: Int = 5, nprobe: Int = 4,
+                           minRecallRatio: Double = 0.9,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): Option[RebuildReport] =
+    if (!ivfPqNeedsRebuild(corpus.sparkSession, indexPath, rebuildPm)) None
+    else Some(ivfPqRebuild(corpus, indexPath, kmIters, pqIters, trainFraction,
+      recallQueries, k, nprobe, minRecallRatio,
+      seedFromData = true, idCol = idCol, vecCol = vecCol))
 }

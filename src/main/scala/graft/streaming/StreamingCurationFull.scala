@@ -48,6 +48,16 @@ object StreamingCurationFull {
                                 nSurvivors: Long, stageSec: Seq[(String, Double)],
                                 winnersRows: Long, bandIdxRows: Long, gramIdxRows: Long)
 
+  /** Append-file count targeting ~`targetBytes` of payload per file:
+    * still 1 for small batches (the measured small-files listing tax
+    * stays fixed), but a genuinely large micro-batch no longer
+    * funnels its whole text volume through a single writer task (the
+    * r12 watch item: winner-store appends carry full document texts).
+    * Capped so a corrupt estimate cannot explode the file count.
+    */
+  private def fileCount(estBytes: Long, targetBytes: Long): Int =
+    math.min(4096L, math.max(1L, (estBytes + targetBytes - 1) / targetBytes)).toInt
+
   /** Start the five-stage chain over `stream`. `docTexts` is the
     * stream-static (doc_id, text) lookup (texts re-attach after the
     * keyed dedup state, which carries only hashes); `emb` the static
@@ -66,7 +76,8 @@ object StreamingCurationFull {
             gramN: Int = 3, minOverlap: Int = 3,
             semThreshold: Double = 0.3, substrK: Int = 8,
             onBatch: BatchMetrics => Unit = _ => (),
-            checkpointDir: Option[String] = None): StreamingQuery = {
+            checkpointDir: Option[String] = None,
+            targetAppendBytes: Long = 64L << 20): StreamingQuery = {
     val winnersPath = s"$stateDir/winners"
     val bandIdxPath = s"$stateDir/bands"
     val gramIdxPath = s"$stateDir/grams"
@@ -129,12 +140,20 @@ object StreamingCurationFull {
           // admit the batch's winners into history AFTER probing:
           // texts into the winner store, capped bands into the index
           val (_, tAdmit) = timed {
-            // single-file appends per batch throughout: a growing
+            // few-file appends per batch throughout: a growing
             // artifact must not accumulate O(batches x partitions)
-            // part files (every later read pays the listing)
+            // part files (every later read pays the listing), but the
+            // winner store carries full TEXTS, so the file count is
+            // sized to the batch's measured text bytes (one aggregate
+            // over the already-checkpointed winners) instead of a
+            // blanket single-writer funnel
+            val winBytes = winners
+              .agg(coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)))
+              .collect()(0).getLong(0)
             winners.select("doc_id", "text")
               .withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("append")
+              .coalesce(fileCount(winBytes, targetAppendBytes))
+              .write.mode("append")
               .option("compression", "zstd").parquet(winnersPath)
             StreamingNearDup.appendToIndex(
               Dedup.capBucket(
@@ -177,16 +196,21 @@ object StreamingCurationFull {
             // the append, so the join never reads a path being
             // appended to
             val gIdx = StreamingSubstringDedup.indexFor(spark, gramIdxPath, substrK)
+            // span/survivor rows are tens of bytes; the estimate uses
+            // the ALREADY-COUNTED survivor rows (no extra execution of
+            // the span subtree) — file count stays 1 until ~1M rows
             Curation.substringDedupAgainstIndex(gIdx, fin, "text", "doc_id", k = substrK)
               .withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("append").option("compression", "zstd")
+              .coalesce(fileCount(nSurv * 64L, targetAppendBytes))
+              .write.mode("append").option("compression", "zstd")
               .parquet(s"$stateDir/substr_spans")
             StreamingSubstringDedup.appendToIndex(
               fin.select("doc_id", "text"), "text", "doc_id", gramIdxPath, k = substrK)
           }
           fin.select("doc_id", "content_hash")
             .withColumn("batch_id", lit(batchId))
-            .coalesce(1).write.mode("append")
+            .coalesce(fileCount(nSurv * 48L, targetAppendBytes))
+            .write.mode("append")
             .option("compression", "zstd").parquet(survivorsPath)
 
           // artifact growth AFTER this batch (cheap parquet-metadata

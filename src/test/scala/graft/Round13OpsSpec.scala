@@ -208,6 +208,30 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
     assert(ex2.getMessage.contains("no IVF-PQ header"), ex2.getMessage)
   }
 
+  test("annIvfPqRefineAt: artifact-path refine == inline refine; rebuildIfNeeded polls then executes") {
+    import graft.operators.Similarity
+    val dir = tmpIdx("ann_refine_at")
+    val (day1, day2, probes) = driftCorpus()
+    val corpus = day1.unionByName(day2).localCheckpoint()
+    Similarity.ivfPqIndexWrite(corpus, dir, dim = 8, lists = 4, m = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // search-as-shipped off the stored index == the inline composition
+    val atPath = rows(Similarity.annIvfPqRefineAt(spark, dir, corpus, probes,
+      k = 3, nprobe = 2, rerank = 16))
+    val inline = rows(Similarity.annIvfPqRefine(corpus, probes, k = 3, dim = 8,
+      lists = 4, nprobe = 2, m = 8, rerank = 16))
+    assert(atPath == inline && inline.nonEmpty)
+
+    // the maintainer one-call: balanced threshold -> None (artifact
+    // untouched), tripped threshold -> executes and reports
+    assert(Similarity.ivfPqRebuildIfNeeded(corpus, dir, rebuildPm = 3900L).isEmpty)
+    val rep = Similarity.ivfPqRebuildIfNeeded(corpus, dir, rebuildPm = 2500L,
+      recallQueries = Some(probes), k = 5, nprobe = 2)
+    assert(rep.exists(r => r.recallAfter > r.recallBefore))
+    assert(!Similarity.ivfPqNeedsRebuild(spark, dir, rebuildPm = 2500L))
+  }
+
   test("header convergence: a legacy r12 IVF-PQ header (binary integrity line) still reads") {
     import graft.operators.Similarity
     val dir = tmpIdx("ann_legacy_hdr")
