@@ -39,7 +39,9 @@ object AppendSizeProbe {
     val bytes = batch.agg(sum(octet_length(col("text")).cast("long")))
       .collect()(0).getLong(0)
     val target = targetMb.toLong << 20
-    val files = math.min(4096L, math.max(1L, (bytes + target - 1) / target)).toInt
+    // THE production sizing policy, not a re-derivation — if the
+    // chain's cap or rounding changes, the probe measures the change
+    val files = graft.streaming.StreamingCurationFull.fileCount(bytes, target)
 
     def timeWrite(n: Int, label: String): Double = {
       val out = java.nio.file.Files.createTempDirectory("append_probe").toString + "/w"

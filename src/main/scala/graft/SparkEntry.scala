@@ -34,10 +34,31 @@ object SparkEntry {
     * data can never interleave one run's overwrite with the other's
     * header-trusted probe. `toUnsignedString` (not math.abs, whose
     * Int.MinValue result is negative) keeps the dir key collision-free.
+    * Pid-keyed paths are unique per run, so each is registered for
+    * deletion at JVM exit (with any sibling like `.rebuild.old` the
+    * query's lifecycle produced) — repeated runs must not grow /tmp
+    * without bound.
     */
-  private def runTmp(prefix: String, dir: String): String =
-    s"/tmp/graft_${prefix}_p${ProcessHandle.current.pid}_" +
+  private val runTmpPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      runTmpPaths.forEach { base =>
+        Seq("", ".rebuild.tmp", ".rebuild.old", ".compact.tmp", ".compact.old")
+          .foreach { suf =>
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(): Unit
+            }
+            rm(new java.io.File(base + suf))
+          }
+      }))
+  }
+  private def runTmp(prefix: String, dir: String): String = {
+    val p = s"/tmp/graft_${prefix}_p${ProcessHandle.current.pid}_" +
       Integer.toUnsignedString(dir.hashCode)
+    runTmpPaths.add(p)
+    p
+  }
 
   /** Flagship: the SURVEY §7.2-step-4 vertical slice — per-user causal
     * replay (linearize + ordered non-commutative fold) on sf0.001.

@@ -1341,12 +1341,15 @@ object Similarity {
     }
     try graft.sources.ArtifactHeader.read(spark, indexPath, "ivfpq").map(fromParams)
     catch {
-      case e: IllegalArgumentException if e.getMessage != null
-          && e.getMessage.contains("corrupt") =>
-        // legacy integrity line, or genuine corruption — decide by the
-        // legacy binary hash over the parsed arrays
+      case e: graft.sources.ArtifactHeader.CorruptHeaderException =>
+        // typed integrity failure: a legacy (r12) integrity line, or
+        // genuine corruption — decide by the legacy binary hash over
+        // the parsed arrays. Parse failures here (damaged k=v values)
+        // ARE corruption and refuse as such, never as a raw
+        // NumberFormatException.
         val (fs, _) = hadoopFs(spark, indexPath)
-        val hp = new org.apache.hadoop.fs.Path(indexPath, "_graft_ivfpq_header")
+        val hp = new org.apache.hadoop.fs.Path(indexPath,
+          graft.sources.ArtifactHeader.sidecarName("ivfpq"))
         val in = fs.open(hp)
         val text =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1355,7 +1358,9 @@ object Similarity {
           val i = l.indexOf('=')
           if (i < 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
         }.toMap
-        val hdr = fromParams(kv)
+        val hdr =
+          try fromParams(kv)
+          catch { case _: RuntimeException => throw e }
         require(kv.get("hash").contains(hdr.paramsHash),
           s"IVF-PQ header at $indexPath is corrupt: stored hash " +
             s"${kv.getOrElse("hash", "?")} matches neither the header-line hash " +
@@ -1507,6 +1512,13 @@ object Similarity {
     val hdr = ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
       s"no IVF-PQ header at $indexPath: cannot rebuild an artifact whose build " +
         "parameters are unverifiable — stamp it first (ivfPqIndexWrite / ivfPqWriteHeader)"))
+    // argument refusals BEFORE the expensive retrain: an
+    // accidentally-empty query frame would make the recall gate a
+    // trivial 0-vs-0 pass (or a null-avg crash) after hours of
+    // training — a caller asking for a gate means to GET one
+    recallQueries.foreach(q => require(!q.isEmpty,
+      "ivfPqRebuild: recallQueries is empty — the recall gate would verify " +
+        "nothing; pass None to skip it deliberately"))
     val rowsBefore = spark.read.parquet(indexPath).count()
 
     // retrain on the NEW corpus — the whole point of the rebuild.
@@ -1536,20 +1548,22 @@ object Similarity {
       sys.error(s"ivfPqRebuild: re-encoded artifact has $rowsAfter rows, corpus has " +
         s"$corpusRows; artifact at $indexPath left untouched")
     }
-    def meanRecall(queries: DataFrame, path: String): Double = {
-      // exact-DOT ground truth: ADC approximates the inner product
-      // (see [[topKDot]]) — cosine truth would grade the probe on a
-      // ranking the index never promised
-      val exact = topKDot(corpus, queries, k, idCol, vecCol)
-      val approx = annIvfPqProbeAt(spark, path, queries, k, nprobe, idCol, vecCol)
-      annRecall(exact, approx, k).agg(avg(col("recall")))
-        .collect()(0).getDouble(0)
-    }
     val (recallBefore, recallAfter) = recallQueries match {
       case None => (Double.NaN, Double.NaN)
       case Some(q) =>
-        val before = meanRecall(q, indexPath)
-        val after = meanRecall(q, tmp.toString)
+        // exact-DOT ground truth, computed ONCE and reused for both
+        // sides (it is the gate's dominant cost — an O(|corpus| x |q|)
+        // scan): ADC approximates the inner product (see [[topKDot]]);
+        // cosine truth would grade the probe on a ranking the index
+        // never promised
+        val exact = topKDot(corpus, q, k, idCol, vecCol).localCheckpoint()
+        def meanRecall(path: String): Double =
+          annRecall(exact,
+              annIvfPqProbeAt(spark, path, q, k, nprobe, idCol, vecCol), k)
+            .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        val before = meanRecall(indexPath)
+        val after = meanRecall(tmp.toString)
+        graft.plans.CheckpointHygiene.free(exact)
         if (after < minRecallRatio * before) {
           fs.delete(tmp, true)
           sys.error(f"ivfPqRebuild: retrained recall@$k $after%.4f fell below " +
@@ -1559,10 +1573,16 @@ object Similarity {
         (before, after)
     }
 
-    if (!fs.rename(p, old))
+    if (!fs.rename(p, old)) {
+      fs.delete(tmp, true)
       sys.error(s"ivfPqRebuild: could not move $indexPath aside; artifact untouched")
+    }
     if (!fs.rename(tmp, p)) {
       val rolledBack = fs.rename(old, p)
+      // a successful rollback restores the live artifact, so the tmp
+      // copy is corpus-sized residue — delete it; after a DOUBLE
+      // failure keep everything for manual recovery
+      if (rolledBack) fs.delete(tmp, true)
       sys.error(s"ivfPqRebuild: swap-in failed for $indexPath; " +
         (if (rolledBack) "original rolled back, artifact untouched"
          else s"ROLLBACK ALSO FAILED — artifact preserved at $old"))

@@ -30,4 +30,24 @@ object CheckpointHygiene {
     */
   def releaseAll(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
+  /** Free every checkpoint/cache CREATED inside `body`, keeping
+    * pre-existing ones — the batch-scoped form of [[releaseAll]] for
+    * foreachBatch loops: a micro-batch's chain may checkpoint inside
+    * OPERATORS it calls (e.g. the candidate frame in
+    * `Dedup.verifyAgainst`, the probe side in `nearDupAgainstIndex`)
+    * where the caller holds no handle to [[free]]; without a sweep a
+    * sustained ingest accumulates one dead block set per batch until
+    * the driver GC's ContextCleaner gets around to them. Only sound
+    * when `body` fully CONSUMES everything it builds (counts/writes) —
+    * exactly the foreachBatch contract.
+    */
+  def scoped[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = body
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+    r
+  }
 }

@@ -77,12 +77,17 @@ object ArtifactCompaction {
       sys.error(s"ArtifactCompaction: rewrite of $path lost rows " +
         s"($rows -> $rewritten); artifact left untouched")
     }
-    if (!fs.rename(p, old))
+    if (!fs.rename(p, old)) {
+      fs.delete(tmp, true)
       sys.error(s"ArtifactCompaction: could not move $path aside; artifact untouched")
+    }
     if (!fs.rename(tmp, p)) {
       // roll the original back into place rather than stranding the
-      // artifact at the .compact.old path with the live path missing
+      // artifact at the .compact.old path with the live path missing;
+      // on success the tmp copy is pure residue — delete it (after a
+      // DOUBLE failure keep everything for manual recovery)
       val rolledBack = fs.rename(old, p)
+      if (rolledBack) fs.delete(tmp, true)
       sys.error(s"ArtifactCompaction: swap-in failed for $path; " +
         (if (rolledBack) "original rolled back, artifact untouched"
          else s"ROLLBACK ALSO FAILED — artifact preserved at $old"))

@@ -19,8 +19,22 @@ import org.apache.spark.sql.SparkSession
   */
 object ArtifactHeader {
 
+  /** Integrity failure of a stored header — a SUBTYPE of
+    * IllegalArgumentException so existing refusal handling keeps
+    * working, but typed so format-compat fallbacks (the IVF-PQ
+    * legacy reader) can catch exactly this case instead of
+    * string-matching the message.
+    */
+  final class CorruptHeaderException(msg: String) extends IllegalArgumentException(msg)
+
+  /** The sidecar file name for `kind` — exposed so compat readers
+    * address the same file this writer owns instead of duplicating
+    * the literal.
+    */
+  def sidecarName(kind: String): String = s"_graft_${kind}_header"
+
   private def headerPath(path: String, kind: String) =
-    new Path(path, s"_graft_${kind}_header")
+    new Path(path, sidecarName(kind))
 
   private def fsOf(spark: SparkSession, path: String) = {
     val p = new Path(path)
@@ -79,9 +93,10 @@ object ArtifactHeader {
       }.toMap
       val params = (kv - "hash").toSeq
       val recomputed = paramsHash(kind, params)
-      require(kv.get("hash").contains(recomputed),
-        s"$kind header at $path is corrupt: stored hash ${kv.getOrElse("hash", "?")} " +
-          s"!= recomputed $recomputed")
+      if (!kv.get("hash").contains(recomputed))
+        throw new CorruptHeaderException(
+          s"$kind header at $path is corrupt: stored hash ${kv.getOrElse("hash", "?")} " +
+            s"!= recomputed $recomputed")
       Some(kv - "hash")
     }
   }

@@ -55,7 +55,7 @@ object StreamingCurationFull {
     * r12 watch item: winner-store appends carry full document texts).
     * Capped so a corrupt estimate cannot explode the file count.
     */
-  private def fileCount(estBytes: Long, targetBytes: Long): Int =
+  private[graft] def fileCount(estBytes: Long, targetBytes: Long): Int =
     math.min(4096L, math.max(1L, (estBytes + targetBytes - 1) / targetBytes)).toInt
 
   /** Start the five-stage chain over `stream`. `docTexts` is the
@@ -89,8 +89,12 @@ object StreamingCurationFull {
       curated.writeStream.outputMode("append"), checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // watermark eviction fires extra NO-DATA micro-batches; only
-        // data batches run the chain
-        if (!batch.isEmpty) {
+        // data batches run the chain. The whole batch body is a
+        // checkpoint-hygiene scope: every localCheckpoint created in
+        // it — INCLUDING ones inside called operators the chain holds
+        // no handle to — is freed at batch end, so sustained ingest
+        // carries zero dead blocks between batches.
+        if (!batch.isEmpty) graft.plans.CheckpointHygiene.scoped(batch.sparkSession) {
           val spark = batch.sparkSession
           import spark.implicits._
           def timed[T](f: => T): (T, Double) = {
@@ -214,11 +218,10 @@ object StreamingCurationFull {
             .option("compression", "zstd").parquet(survivorsPath)
 
           // artifact growth AFTER this batch (cheap parquet-metadata
-          // counts), then free this batch's checkpoints
+          // counts); the scoped sweep frees this batch's checkpoints —
+          // named frames AND operator-internal ones alike
           val sizes = Seq(winnersPath, bandIdxPath, gramIdxPath).map(p =>
             readOr(p, spark.range(0).toDF()).count())
-          graft.plans.CheckpointHygiene.free(winners, crossDrop, withinDrop,
-            ndSurv, clean1, flagged, fin)
           onBatch(BatchMetrics(batchId, nWinners, nCross, nWithin, nGramDrop,
             nSem, nSurv,
             Seq("winners" -> tWin, "neardup" -> tNd, "admit" -> tAdmit,
