@@ -270,6 +270,26 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
     assert(ex.getMessage.contains("corrupt"), ex.getMessage)
   }
 
+  test("CheckpointHygiene.scoped frees checkpoints created inside the body, keeps pre-existing ones") {
+    import spark.implicits._
+    val outer = Seq(1L, 2L, 3L).toDF("x").localCheckpoint()
+    def persistedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persistedIds
+    val n = graft.plans.CheckpointHygiene.scoped(spark) {
+      // an "operator-internal" checkpoint the caller holds no handle to
+      val inner = outer.select(col("x") * 2).localCheckpoint()
+      inner.count()
+    }
+    assert(n == 3L)
+    // async unpersist: poll briefly for the sweep to land
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (persistedIds != before && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(persistedIds == before, s"scoped left blocks: ${persistedIds.diff(before)}")
+    // the pre-existing checkpoint still answers
+    assert(outer.count() == 3L)
+    graft.plans.CheckpointHygiene.free(outer)
+  }
+
   test("ArtifactHeader refuses a param key named 'hash' at the write seam") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hdr_hash").toString
     val ex = intercept[IllegalArgumentException] {
