@@ -172,6 +172,16 @@ object AnnProbe {
       kmIters = 2, pqIters = 2, trainFraction = 0.25,
       recallQueries = Some(q), k = 5, nprobe = 4))
     val (needsAfter, _) = time(Similarity.ivfPqNeedsRebuild(spark, out))
+    // ingest RESUMES across the rebuild through the header-driven
+    // appender — it adopts the retrained quantizers from the artifact
+    // itself, no re-configuration of the maintainer
+    // id offset clear of the soak generator's entity-copy ranges
+    // (copies sit at k * 1e7): colliding ids would be anti-joined
+    // away and the resume would measure nothing
+    val resumeBatch = emb.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+    val (nResumed, resumeSec) = time(
+      Similarity.ivfPqIndexAppendAt(spark, resumeBatch, out))
     val rowsBefore = probe()
     val ((fb, fa), compactSec) = time(
       graft.sources.ArtifactCompaction.compactFiles(spark, out, targetFiles = 4))
@@ -182,7 +192,8 @@ object AnnProbe {
       s""""audit_sec":$auditSec,"needs_rebuild":$needs,""" +
       s""""probe_sec":$probeSec,"rebuild_sec":$rebuildSec,""" +
       s""""recall_before":${report.recallBefore},"recall_after":${report.recallAfter},""" +
-      s""""needs_rebuild_after":$needsAfter,"compact_sec":$compactSec,""" +
+      s""""needs_rebuild_after":$needsAfter,"resumed_append":$nResumed,""" +
+      s""""resume_append_sec":$resumeSec,"compact_sec":$compactSec,""" +
       s""""files_before":$fb,"files_after":$fa,"probe_after_sec":$probeAfterSec}""")
     spark.stop()
   }

@@ -1225,6 +1225,30 @@ object Similarity {
     n
   }
 
+  /** [[ivfPqIndexAppend]] with every parameter taken FROM the
+    * artifact's own header — the appender a maintained index needs
+    * AFTER [[ivfPqRebuild]] swaps retrained quantizers under it: the
+    * caller-passed-arrays form would keep encoding with the stale
+    * arrays it was configured with and refuse at the header seam;
+    * this one ADOPTS whatever quantizer generation currently owns the
+    * artifact (exactly like [[annIvfPqProbeAt]] on the read side), so
+    * ingest resumes across rebuilds with zero re-configuration.
+    * Refuses headerless artifacts with guidance — an append whose
+    * parameters cannot be verified would silently mix quantizer
+    * generations.
+    */
+  def ivfPqIndexAppendAt(spark: org.apache.spark.sql.SparkSession,
+                         newVectors: DataFrame, indexPath: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Long = {
+    val hdr = ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
+      s"no IVF-PQ header at $indexPath: cannot verify which quantizers built this " +
+        "artifact — write it with ivfPqIndexWrite (which stamps one), or stamp it " +
+        "explicitly with ivfPqWriteHeader, before appending through the header path."))
+    ivfPqIndexAppend(newVectors, indexPath, hdr.dim, hdr.lists, hdr.m, hdr.codes,
+      idCol, vecCol, Some(hdr.centroids), Some(hdr.codebooks))
+  }
+
   /** Shared default-resolution + shape validation of the IVF-PQ build
     * parameters — the single place the salted fallbacks are chosen, so
     * build, append, probe and header paths cannot disagree on them.

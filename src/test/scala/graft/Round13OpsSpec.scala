@@ -166,9 +166,19 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
       Similarity.ivfPqIndexAppend(day3, dir, dim = 8, lists = 4, m = 8)
     }
     assert(ex.getMessage.contains("different quantizers"), ex.getMessage)
-    // ...and an appender carrying the retrained arrays is validated in
+    // ...an appender carrying the retrained arrays is validated in...
     assert(Similarity.ivfPqIndexAppend(day3, dir, dim = 8, lists = 4, m = 8,
       centroids = Some(cents), codebooks = Some(cbs)) == 1L)
+    // ...and the HEADER-DRIVEN appender adopts whatever quantizer
+    // generation owns the artifact with zero re-configuration — the
+    // form a maintained ingest keeps using ACROSS rebuilds
+    val day4 = Seq((2001L, Seq.fill(8)(-0.2f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfPqIndexAppendAt(spark, day4, dir) == 1L)
+    assert(Similarity.ivfPqIndexAppendAt(spark, day4, dir) == 0L) // idempotent
+    val grown = corpus.unionByName(day3).unionByName(day4)
+    assert(rows2(spark.read.parquet(dir)) ==
+      rows2(Similarity.ivfPqIndex(grown, dim = 8, lists = 4, m = 8,
+        centroids = Some(cents), codebooks = Some(cbs))))
   }
 
   test("ivfPqRebuild: a failed recall gate aborts, deletes the tmp, and leaves the live artifact untouched") {
@@ -199,13 +209,18 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".rebuild.tmp")))
-    // headerless artifacts refuse the rebuild with guidance
+    // headerless artifacts refuse the rebuild AND the header-driven
+    // append with guidance
     val bare = tmpIdx("ann_rebuild_bare")
     Similarity.ivfPqIndex(day1, dim = 8, lists = 4, m = 8).write.parquet(bare)
     val ex2 = intercept[IllegalArgumentException] {
       Similarity.ivfPqRebuild(day1, bare)
     }
     assert(ex2.getMessage.contains("no IVF-PQ header"), ex2.getMessage)
+    val ex3 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppendAt(spark, day1, bare)
+    }
+    assert(ex3.getMessage.contains("no IVF-PQ header"), ex3.getMessage)
   }
 
   test("annIvfPqRefineAt: artifact-path refine == inline refine; rebuildIfNeeded polls then executes") {
