@@ -285,6 +285,27 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
     assert(ex.getMessage.contains("corrupt"), ex.getMessage)
   }
 
+  test("dataSeedVectors: a smaller seed pick is a prefix of a larger one (hash-order nesting)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val emb = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    // k-means at k and at k' > k share their first k initial
+    // centroids — growing an index's `lists`/`codes` re-USES the
+    // smaller training's seeds instead of reshuffling them (the
+    // trainFraction nesting property, applied to init)
+    val s4 = Similarity.dataSeedVectors(emb, 4, "vec_id", "embedding")
+    val s16 = Similarity.dataSeedVectors(emb, 16, "vec_id", "embedding")
+    assert(s16.take(4).map(_.toSeq).toSeq == s4.map(_.toSeq).toSeq)
+    // and too few training vectors refuse instead of under-seeding
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.dataSeedVectors(emb.limit(3), 4, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("seedFromData"), ex.getMessage)
+  }
+
   test("CheckpointHygiene.scoped frees checkpoints created inside the body, keeps pre-existing ones") {
     import spark.implicits._
     val outer = Seq(1L, 2L, 3L).toDF("x").localCheckpoint()
