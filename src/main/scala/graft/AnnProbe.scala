@@ -181,7 +181,12 @@ object AnnProbe {
     val resumeBatch = emb.filter(col("vec_id") < 100)
       .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
     val (nResumed, resumeSec) = time(
-      Similarity.ivfPqIndexAppendAt(spark, resumeBatch, out))
+      Similarity.ivfPqIndexAppendAt(resumeBatch, out))
+    // the hazard the offset comment describes must FAIL, not time an
+    // empty write into the committed soak table
+    require(nResumed == 100,
+      s"resume batch collided with existing ids (admitted $nResumed/100): " +
+        "raise the id offset past the soak data's entity-copy ranges")
     val rowsBefore = probe()
     val ((fb, fa), compactSec) = time(
       graft.sources.ArtifactCompaction.compactFiles(spark, out, targetFiles = 4))

@@ -1225,6 +1225,17 @@ object Similarity {
     n
   }
 
+  /** The shared headerless-artifact refusal — one seam for the four
+    * trusted entries (probe, audit, rebuild, header-driven append),
+    * so the refusal contract and its guidance live in ONE place (the
+    * [[ivfPqResolve]] convention applied to the trust checks).
+    */
+  private def ivfPqRequireHeader(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, hint: String): IvfPqHeader =
+    ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
+      s"no IVF-PQ header at $indexPath: cannot verify which quantizers built this " +
+        s"artifact. $hint"))
+
   /** [[ivfPqIndexAppend]] with every parameter taken FROM the
     * artifact's own header — the appender a maintained index needs
     * AFTER [[ivfPqRebuild]] swaps retrained quantizers under it: the
@@ -1236,17 +1247,36 @@ object Similarity {
     * Refuses headerless artifacts with guidance — an append whose
     * parameters cannot be verified would silently mix quantizer
     * generations.
+    *
+    * CONCURRENCY CONTRACT: append and rebuild must be serialized by
+    * the maintenance loop that owns the artifact (the same
+    * single-writer window every job here has — ArtifactCompaction,
+    * DeltaLogCompaction). A rebuild that swaps MID-append could
+    * otherwise land old-generation codes under the new header; as a
+    * backstop this appender re-reads the header AFTER its write and
+    * refuses LOUDLY if the generation changed underneath it — the
+    * artifact then holds mixed codes and the recovery is to re-run
+    * ivfPqRebuild (which re-encodes everything).
     */
-  def ivfPqIndexAppendAt(spark: org.apache.spark.sql.SparkSession,
-                         newVectors: DataFrame, indexPath: String,
+  def ivfPqIndexAppendAt(newVectors: DataFrame, indexPath: String,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): Long = {
-    val hdr = ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
-      s"no IVF-PQ header at $indexPath: cannot verify which quantizers built this " +
-        "artifact — write it with ivfPqIndexWrite (which stamps one), or stamp it " +
-        "explicitly with ivfPqWriteHeader, before appending through the header path."))
-    ivfPqIndexAppend(newVectors, indexPath, hdr.dim, hdr.lists, hdr.m, hdr.codes,
+    val spark = newVectors.sparkSession
+    val hdr = ivfPqRequireHeader(spark, indexPath,
+      "Write it with ivfPqIndexWrite (which stamps one), or stamp it explicitly " +
+        "with ivfPqWriteHeader, before appending through the header path.")
+    val n = ivfPqIndexAppend(newVectors, indexPath, hdr.dim, hdr.lists, hdr.m, hdr.codes,
       idCol, vecCol, Some(hdr.centroids), Some(hdr.codebooks))
+    val after = ivfPqRequireHeader(spark, indexPath,
+      "The header VANISHED mid-append — a concurrent maintenance job violated " +
+        "the single-writer contract.")
+    if (after.paramsHash != hdr.paramsHash)
+      sys.error(s"ivfPqIndexAppendAt: the artifact at $indexPath was re-stamped " +
+        s"MID-APPEND (header ${hdr.paramsHash} -> ${after.paramsHash}): a concurrent " +
+        "rebuild swapped quantizer generations underneath this append, so the " +
+        "artifact now holds mixed codes — serialize appends and rebuilds in one " +
+        "maintenance loop, and re-run ivfPqRebuild to re-encode and heal it")
+    n
   }
 
   /** Shared default-resolution + shape validation of the IVF-PQ build
@@ -1440,10 +1470,9 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       centroids: Option[Array[Array[Double]]] = None,
                       codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    val hdr = ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
-      s"no IVF-PQ header at $indexPath: cannot verify which quantizers built this " +
-        "artifact. Write it with ivfPqIndexWrite/ivfPqIndexAppend (which stamp one), " +
-        "or stamp it explicitly with ivfPqWriteHeader."))
+    val hdr = ivfPqRequireHeader(spark, indexPath,
+      "Write it with ivfPqIndexWrite/ivfPqIndexAppend (which stamp one), " +
+        "or stamp it explicitly with ivfPqWriteHeader.")
     (centroids, codebooks) match {
       case (None, None) => () // everything from the header — nothing to mismatch
       case _ =>
@@ -1479,9 +1508,8 @@ object Similarity {
     */
   def ivfPqNeedsRebuild(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                         rebuildPm: Long = 3000L): Boolean = {
-    val hdr = ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
-      s"no IVF-PQ header at $indexPath: stamp the artifact (ivfPqIndexWrite / " +
-        "ivfPqWriteHeader) before auditing it"))
+    val hdr = ivfPqRequireHeader(spark, indexPath,
+      "Stamp the artifact (ivfPqIndexWrite / ivfPqWriteHeader) before auditing it.")
     ivfPqListBalance(spark.read.parquet(indexPath), hdr.lists, rebuildPm)
       .agg(max(col("rebuild")).as("r")).collect()(0).getLong(0) == 1L
   }
@@ -1533,9 +1561,9 @@ object Similarity {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): RebuildReport = {
     val spark = corpus.sparkSession
-    val hdr = ivfPqReadHeader(spark, indexPath).getOrElse(throw new IllegalArgumentException(
-      s"no IVF-PQ header at $indexPath: cannot rebuild an artifact whose build " +
-        "parameters are unverifiable — stamp it first (ivfPqIndexWrite / ivfPqWriteHeader)"))
+    val hdr = ivfPqRequireHeader(spark, indexPath,
+      "A rebuild of an artifact whose build parameters are unverifiable would " +
+        "guess — stamp it first (ivfPqIndexWrite / ivfPqWriteHeader).")
     // argument refusals BEFORE the expensive retrain: an
     // accidentally-empty query frame would make the recall gate a
     // trivial 0-vs-0 pass (or a null-avg crash) after hours of

@@ -173,8 +173,8 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
     // generation owns the artifact with zero re-configuration — the
     // form a maintained ingest keeps using ACROSS rebuilds
     val day4 = Seq((2001L, Seq.fill(8)(-0.2f))).toDF("vec_id", "embedding")
-    assert(Similarity.ivfPqIndexAppendAt(spark, day4, dir) == 1L)
-    assert(Similarity.ivfPqIndexAppendAt(spark, day4, dir) == 0L) // idempotent
+    assert(Similarity.ivfPqIndexAppendAt(day4, dir) == 1L)
+    assert(Similarity.ivfPqIndexAppendAt(day4, dir) == 0L) // idempotent
     val grown = corpus.unionByName(day3).unionByName(day4)
     assert(rows2(spark.read.parquet(dir)) ==
       rows2(Similarity.ivfPqIndex(grown, dim = 8, lists = 4, m = 8,
@@ -218,7 +218,7 @@ class Round13OpsSpec extends AnyFunSuite with SharedSpark {
     }
     assert(ex2.getMessage.contains("no IVF-PQ header"), ex2.getMessage)
     val ex3 = intercept[IllegalArgumentException] {
-      Similarity.ivfPqIndexAppendAt(spark, day1, bare)
+      Similarity.ivfPqIndexAppendAt(day1, bare)
     }
     assert(ex3.getMessage.contains("no IVF-PQ header"), ex3.getMessage)
   }
