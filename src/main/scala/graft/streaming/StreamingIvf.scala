@@ -19,9 +19,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * one keyed fold over `lists` keys — state is O(lists x cap), bounded
   * regardless of stream length, and the shuffle per micro-batch
   * carries (list_id, vec_id) pairs only, never the vectors. Centroid
-  * RE-learning (full Lloyd's rounds) stays a periodic batch job
-  * ([[Similarity.kmeans]]); streaming only maintains membership — the
-  * standard split for production vector indexes.
+  * RE-learning (full Lloyd's rounds) stays a periodic batch job —
+  * since round 13 an EXECUTABLE one: [[retrainAudit]] (or the
+  * artifact-side `ivfPqNeedsRebuild`) decides, and
+  * [[Similarity.ivfPqRebuildIfNeeded]] retrains/re-encodes/swaps with
+  * the header re-stamped, after which ingest resumes through the
+  * header-driven `ivfPqIndexAppendAt`. Streaming only maintains
+  * membership — the standard split for production vector indexes.
   */
 object StreamingIvf {
   final case class EmbRecord(vec_id: Long, embedding: Seq[Float])
