@@ -175,11 +175,14 @@ object AnnProbe {
     // ingest RESUMES across the rebuild through the header-driven
     // appender — it adopts the retrained quantizers from the artifact
     // itself, no re-configuration of the maintainer
-    // id offset clear of the soak generator's entity-copy ranges
-    // (copies sit at k * 1e7): colliding ids would be anti-joined
-    // away and the resume would measure nothing
+    // id offset clear of the soak generator's entity-copy ranges:
+    // copies sit at k * 1e7, so copy k occupies [k*1e7, k*1e7 + 1e7)
+    // and ANY fixed offset inside the copy grid collides at a large
+    // enough copy count (9e8 = copy 90's range — the default 100-copy
+    // soak tripped it). 1e10 is above every plausible copy range;
+    // colliding ids would be anti-joined away and measure nothing
     val resumeBatch = emb.filter(col("vec_id") < 100)
-      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + 10000000000L).as("vec_id"), col("embedding"))
     val (nResumed, resumeSec) = time(
       Similarity.ivfPqIndexAppendAt(resumeBatch, out))
     // the hazard the offset comment describes must FAIL, not time an

@@ -470,8 +470,11 @@ object Similarity {
 
   /** Deterministic data-derived k-means initialization: the `n`
     * training vectors smallest in md5("kmseed|" + id) order — the
-    * fixed-seed analog of k-means++/random-from-data seeding every
-    * production trainer uses. Salted CONSTANT seeds (the oracle-shared
+    * fixed-seed analog of Forgy-style random-from-data seeding every
+    * production trainer uses (uniform hash-order sampling; NOT
+    * k-means++ — no D²-distance spreading between picks, the
+    * mass-proportionality comes purely from row density). Salted
+    * CONSTANT seeds (the oracle-shared
     * default) have a real failure mode that matters exactly when a
     * REBUILD is needed: Lloyd's iteration can only subdivide a dense
     * region if >= 2 seeds end up claiming parts of it, and a drifted
@@ -1526,9 +1529,13 @@ object Similarity {
     * sample-bounded via `trainFraction` exactly like a bulk build),
     * re-encode every corpus vector, verify the rewrite BEFORE
     * touching the live artifact — row count must equal the corpus,
-    * and when `recallQueries` is given, ADC recall@k against
-    * brute-force ground truth must hold `recallAfter >= minRecallRatio
-    * * recallBefore` — then atomically swap the new artifact in (the
+    * the rewrite must not SHRINK the artifact (a smaller corpus than
+    * the live index means the caller scoped it wrong — refuse unless
+    * `allowShrink`), and when `recallQueries` is given, ADC recall@k
+    * against brute-force ground truth must hold `recallAfter >=
+    * minRecallRatio * recallBefore`, plus `recallAfter > minRecallAbs`
+    * when the stale recall is 0.0 (the relative gate is vacuous
+    * there) — then atomically swap the new artifact in (the
     * [[graft.sources.ArtifactCompaction]] two-rename discipline, with
     * rollback). The header is re-stamped by construction: it rides
     * INSIDE the artifact directory, so the swap installs the new
@@ -1559,7 +1566,10 @@ object Similarity {
                    minRecallRatio: Double = 0.9,
                    seedFromData: Boolean = true,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): RebuildReport = {
+                   vecCol: String = "embedding",
+                   allowShrink: Boolean = false,
+                   minRecallAbs: Double = 0.0,
+                   maxRecallQueryRows: Long = DefaultMaxBenchRows): RebuildReport = {
     val spark = corpus.sparkSession
     val hdr = ivfPqRequireHeader(spark, indexPath,
       "A rebuild of an artifact whose build parameters are unverifiable would " +
@@ -1567,10 +1577,23 @@ object Similarity {
     // argument refusals BEFORE the expensive retrain: an
     // accidentally-empty query frame would make the recall gate a
     // trivial 0-vs-0 pass (or a null-avg crash) after hours of
-    // training — a caller asking for a gate means to GET one
-    recallQueries.foreach(q => require(!q.isEmpty,
-      "ivfPqRebuild: recallQueries is empty — the recall gate would verify " +
-        "nothing; pass None to skip it deliberately"))
+    // training — a caller asking for a gate means to GET one. The
+    // opposite extreme refuses too: the gate's ground truth (topKDot)
+    // is a broadcast nested-loop over corpus x queries, so an
+    // oversized query frame goes quadratic exactly like
+    // [[semanticContamination]]'s brute baseline — same bound, same
+    // guidance (gate on a SAMPLE of queries, not the whole eval set).
+    recallQueries.foreach { q =>
+      val qRows =
+        q.limit(math.min(maxRecallQueryRows, Int.MaxValue - 1L).toInt + 1).count()
+      require(qRows > 0,
+        "ivfPqRebuild: recallQueries is empty — the recall gate would verify " +
+          "nothing; pass None to skip it deliberately")
+      require(qRows <= maxRecallQueryRows,
+        s"ivfPqRebuild: recallQueries has >$maxRecallQueryRows rows; the gate's " +
+          "exact ground truth is a broadcast nested-loop over corpus x queries " +
+          "(quadratic) — gate on a bounded query sample instead")
+    }
     val rowsBefore = spark.read.parquet(indexPath).count()
 
     // retrain on the NEW corpus — the whole point of the rebuild.
@@ -1600,6 +1623,19 @@ object Similarity {
       sys.error(s"ivfPqRebuild: re-encoded artifact has $rowsAfter rows, corpus has " +
         s"$corpusRows; artifact at $indexPath left untouched")
     }
+    // mis-scoped-corpus guard: a caller passing a stale/partial corpus
+    // (e.g. a snapshot that predates appends) would rewrite a bigger
+    // live artifact down to the small corpus with every other check
+    // green — the artifact knows its own row count, so refuse a
+    // shrinking rebuild unless the caller says it shrank on purpose
+    // (a deletion-compaction rebuild passes allowShrink = true)
+    if (rowsAfter < rowsBefore && !allowShrink) {
+      fs.delete(tmp, true)
+      sys.error(s"ivfPqRebuild: corpus has $rowsAfter rows but the live artifact at " +
+        s"$indexPath has $rowsBefore — a rebuild from a partial corpus would DROP " +
+        "vectors. Pass the full corpus (did appends land since this snapshot?), " +
+        "or allowShrink = true if the shrink is deliberate; artifact left untouched")
+    }
     val (recallBefore, recallAfter) = recallQueries match {
       case None => (Double.NaN, Double.NaN)
       case Some(q) =>
@@ -1621,6 +1657,18 @@ object Similarity {
           sys.error(f"ivfPqRebuild: retrained recall@$k $after%.4f fell below " +
             f"$minRecallRatio x stale recall $before%.4f; artifact at $indexPath " +
             "left untouched — inspect the training sample or iterations")
+        }
+        // the relative gate is vacuous exactly in the scenario rebuilds
+        // target: a fully-drifted stale index has recall 0.0, and
+        // ratio * 0.0 passes ANY retrain including one that also
+        // produces 0.0 — so when the floor is zero, additionally
+        // require the retrain to clear an absolute bar
+        if (before == 0.0 && after <= minRecallAbs) {
+          fs.delete(tmp, true)
+          sys.error(f"ivfPqRebuild: stale recall is 0.0000 so the relative gate " +
+            f"proves nothing, and retrained recall@$k $after%.4f did not clear the " +
+            f"absolute floor $minRecallAbs%.4f; artifact at $indexPath left " +
+            "untouched — the retrain did not recover the drifted region")
         }
         (before, after)
     }
@@ -1789,9 +1837,12 @@ object Similarity {
                            k: Int = 5, nprobe: Int = 4,
                            minRecallRatio: Double = 0.9,
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): Option[RebuildReport] =
+                           vecCol: String = "embedding",
+                           allowShrink: Boolean = false,
+                           minRecallAbs: Double = 0.0): Option[RebuildReport] =
     if (!ivfPqNeedsRebuild(corpus.sparkSession, indexPath, rebuildPm)) None
     else Some(ivfPqRebuild(corpus, indexPath, kmIters, pqIters, trainFraction,
       recallQueries, k, nprobe, minRecallRatio,
-      seedFromData = true, idCol = idCol, vecCol = vecCol))
+      seedFromData = true, idCol = idCol, vecCol = vecCol,
+      allowShrink = allowShrink, minRecallAbs = minRecallAbs))
 }

@@ -200,12 +200,22 @@ object StreamingCurationFull {
             // the append, so the join never reads a path being
             // appended to
             val gIdx = StreamingSubstringDedup.indexFor(spark, gramIdxPath, substrK)
-            // span/survivor rows are tens of bytes; the estimate uses
-            // the ALREADY-COUNTED survivor rows (no extra execution of
-            // the span subtree) — file count stays 1 until ~1M rows
-            Curation.substringDedupAgainstIndex(gIdx, fin, "text", "doc_id", k = substrK)
+            // the span frame carries kept_text (near-full document
+            // text per survivor), so sizing it from the survivor ROW
+            // count re-created the single-writer funnel on text-heavy
+            // batches — measure the frame's own bytes instead, off a
+            // checkpoint the scoped sweep frees (same posture as the
+            // winner-store append above)
+            val spans = Curation.substringDedupAgainstIndex(
+                gIdx, fin, "text", "doc_id", k = substrK)
               .withColumn("batch_id", lit(batchId))
-              .coalesce(fileCount(nSurv * 64L, targetAppendBytes))
+              .localCheckpoint()
+            val spanBytes = spans
+              .agg(coalesce(
+                sum(octet_length(col("kept_text")).cast("long") + lit(64L)),
+                lit(0L)))
+              .collect()(0).getLong(0)
+            spans.coalesce(fileCount(spanBytes, targetAppendBytes))
               .write.mode("append").option("compression", "zstd")
               .parquet(s"$stateDir/substr_spans")
             StreamingSubstringDedup.appendToIndex(

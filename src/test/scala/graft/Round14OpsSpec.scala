@@ -1,0 +1,173 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import graft.operators.Similarity
+import graft.plans.CheckpointHygiene
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 seams: the ivfPqRebuild scope guards (mis-scoped corpus,
+  * oversized recall gate, vacuous-relative-gate absolute floor) and
+  * the attribution-scoped checkpoint sweep that makes
+  * CheckpointHygiene.scoped safe beside concurrent queries on one
+  * session.
+  */
+class Round14OpsSpec extends AnyFunSuite with SharedSpark {
+
+  private def tmpIdx(prefix: String): String =
+    new java.io.File(
+      java.nio.file.Files.createTempDirectory(prefix).toFile, "idx").getPath
+
+  /** The r13 covariate-shift fixture: day 1 uniform over [-1,1]^8,
+    * day 2 a dense positively-aligned cluster (80% of the grown
+    * corpus), probes from the shifted region only.
+    */
+  private def driftCorpus() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1307)
+    val day1 = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val day2 = (1000 until 1256).map { i =>
+      (i.toLong, Seq.fill(8)((0.85 + rnd.nextDouble() * 0.1).toFloat))
+    }
+    val probes = (5000 until 5008).map { i =>
+      (i.toLong, Seq.fill(8)((0.85 + rnd.nextDouble() * 0.1).toFloat))
+    }
+    (day1.toDF("vec_id", "embedding").localCheckpoint(),
+      day2.toDF("vec_id", "embedding").localCheckpoint(),
+      probes.toDF("vec_id", "embedding").localCheckpoint())
+  }
+
+  test("ivfPqRebuild: a corpus smaller than the live artifact refuses (mis-scoped snapshot), allowShrink overrides") {
+    val dir = tmpIdx("ann_rebuild_shrink")
+    val (day1, day2, _) = driftCorpus()
+    Similarity.ivfPqIndexWrite(day1, dir, dim = 8, lists = 4, m = 8)
+    Similarity.ivfPqIndexAppend(day2, dir, dim = 8, lists = 4, m = 8)
+    // a stale snapshot that predates the day-2 appends: every other
+    // check is green (rows == corpus), but swapping it in would DROP
+    // 256 vectors — the artifact knows its own row count, so refuse
+    val ex = intercept[RuntimeException] {
+      Similarity.ivfPqRebuild(day1, dir, kmIters = 1, pqIters = 1)
+    }
+    assert(ex.getMessage.contains("DROP"), ex.getMessage)
+    assert(ex.getMessage.contains("allowShrink"), ex.getMessage)
+    // live artifact untouched, original generation still serving
+    assert(spark.read.parquet(dir).count() == 320L)
+    assert(Similarity.annIvfPqProbeAt(spark, dir,
+      day1.filter(col("vec_id") < 2), k = 3).count() > 0)
+    // no tmp residue from the refusal
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".rebuild.tmp")))
+    // a DELIBERATE shrink (deletion compaction) passes the flag
+    val rep = Similarity.ivfPqRebuild(day1, dir, kmIters = 1, pqIters = 1,
+      allowShrink = true)
+    assert(rep.rowsBefore == 320L && rep.rowsAfter == 64L)
+    assert(spark.read.parquet(dir).count() == 64L)
+  }
+
+  test("ivfPqRebuild: an oversized recallQueries frame refuses naming the bound; the absolute floor catches a 0.0 -> 0.0 'pass'") {
+    val dir = tmpIdx("ann_rebuild_gatebounds")
+    val (day1, day2, probes) = driftCorpus()
+    Similarity.ivfPqIndexWrite(day1, dir, dim = 8, lists = 4, m = 8)
+    Similarity.ivfPqIndexAppend(day2, dir, dim = 8, lists = 4, m = 8)
+    val corpus = day1.unionByName(day2).localCheckpoint()
+    // the gate's ground truth is a broadcast nested-loop over
+    // corpus x queries — the brute-guard convention refuses an
+    // oversized query frame BEFORE the retrain spends anything
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRebuild(corpus, dir, recallQueries = Some(probes),
+        maxRecallQueryRows = 4L)
+    }
+    assert(ex.getMessage.contains(">4"), ex.getMessage)
+    assert(ex.getMessage.contains("sample"), ex.getMessage)
+    assert(spark.read.parquet(dir).count() == 320L) // untouched
+
+    // drifted stale index: recallBefore == 0.0, so the relative gate
+    // (after >= ratio * 0.0) passes ANY retrain — the absolute floor
+    // must hold instead. An impossible floor proves the branch fires;
+    // the flagship r13 drift test is the floor's happy path (1.0 > 0)
+    val ex2 = intercept[RuntimeException] {
+      Similarity.ivfPqRebuild(corpus, dir, recallQueries = Some(probes),
+        k = 5, nprobe = 2, minRecallAbs = 1.01)
+    }
+    assert(ex2.getMessage.contains("absolute floor"), ex2.getMessage)
+    assert(spark.read.parquet(dir).count() == 320L) // untouched
+    // with the default floor (0.0) the same rebuild passes: 0.0 -> 1.0
+    val rep = Similarity.ivfPqRebuild(corpus, dir,
+      recallQueries = Some(probes), k = 5, nprobe = 2)
+    assert(rep.recallBefore == 0.0 && rep.recallAfter > 0.0)
+  }
+
+  private def checkpointRddId(df: DataFrame): Int =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.id
+      case other => fail(s"not a checkpoint leaf: $other")
+    }
+
+  test("CheckpointHygiene.scoped sweeps its own checkpoints and leaves a concurrent query's blocks alone") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val scopeStarted = new CountDownLatch(1)
+    val otherDone = new CountDownLatch(1)
+    @volatile var other: DataFrame = null
+    @volatile var otherErr: Throwable = null
+    // "the other query": a localCheckpoint persisted by ANOTHER
+    // thread strictly INSIDE the scope window — the global-diff sweep
+    // this replaces would have unpersisted it (unrecoverably: lineage
+    // is truncated)
+    val t = new Thread(() => {
+      try {
+        scopeStarted.await(30, TimeUnit.SECONDS)
+        other = Seq(10, 20, 30).toDF("x").localCheckpoint()
+        assert(other.count() == 3)
+      } catch { case e: Throwable => otherErr = e }
+      finally otherDone.countDown()
+    })
+    t.start()
+    var inner: DataFrame = null
+    CheckpointHygiene.scoped(spark) {
+      inner = Seq(1, 2).toDF("y").localCheckpoint()
+      scopeStarted.countDown()
+      assert(otherDone.await(30, TimeUnit.SECONDS))
+      assert(inner.count() == 2) // fully consumed, per the contract
+    }
+    t.join(30000)
+    assert(otherErr == null, s"concurrent query failed: $otherErr")
+    val persisted = sc.getPersistentRDDs.keySet
+    assert(!persisted.contains(checkpointRddId(inner)),
+      "the scope's own checkpoint must be swept")
+    assert(persisted.contains(checkpointRddId(other)),
+      "a concurrent query's checkpoint must survive the sweep")
+    // ...and stays USABLE, the actual hazard (truncated lineage means
+    // a swept block cannot be recomputed)
+    assert(other.count() == 3)
+    CheckpointHygiene.free(other)
+  }
+
+  test("CheckpointHygiene.scoped attributes operator-internal checkpoints; two sequential scopes carry nothing over") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark physical plans"))
+      .toDF("doc_id", "text")
+    val before = sc.getPersistentRDDs.keySet
+    for (_ <- 1 to 2) {
+      CheckpointHygiene.scoped(spark) {
+        // nearDupPairs checkpoints internally (the banding frame the
+        // caller holds no handle to) — attribution must catch it
+        val pairs = graft.operators.Dedup.nearDupPairs(
+          docs, "text", "doc_id", shingleN = 3, bands = 4, rows = 2,
+          threshold = 0.5, bucketCap = 16)
+        assert(pairs.count() >= 1)
+      }
+    }
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"scope leaked persistent RDDs: $leaked")
+  }
+}
