@@ -83,8 +83,17 @@ object CurationStreamProbe {
     val metrics = scala.collection.mutable.ArrayBuffer
       .empty[StreamingCurationFull.BatchMetrics]
     val stream = MemoryStream[StreamingCuration.DocRecord]
-    val query = StreamingCurationFull.start(stream.toDS(), docs, emb,
-      grams, benchIdx, stateDir, minOverlap = 8, onBatch = metrics += _)
+    // the soak runs the PRODUCTION maintenance component: the
+    // maintainer owns start/quiesce/restart (checkpointed, so batch
+    // ids resume across the mid-soak window) instead of the former
+    // ad-hoc stop -> compact sequencing
+    val maint = new graft.sources.ArtifactMaintainer(owner = Some(() =>
+      StreamingCurationFull.start(stream.toDS(), docs, emb,
+        grams, benchIdx, stateDir, minOverlap = 8, onBatch = metrics += _,
+        checkpointDir = Some(s"$stateDir/ckpt"))))
+    def compactTasks(target: Int) = Seq("winners", "bands", "grams").map(a =>
+      graft.sources.ArtifactMaintainer.compactTask(
+        spark, s"$stateDir/$a", targetFiles = target))
 
     val all = docs.select($"doc_id", $"text").as[(Long, String)]
       .collect().sortBy(_._1)
@@ -92,14 +101,28 @@ object CurationStreamProbe {
         StreamingCuration.DocRecord(id, text, 1700000000000000L + id * 1000L) }
     val per = math.max(1, all.length / nBatches)
     val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var midReport: Option[graft.sources.ArtifactMaintainer.Report] = None
+    maint.start()
     try {
-      all.grouped(per).take(nBatches).zipWithIndex.foreach { case (b, _) =>
+      all.grouped(per).take(nBatches).zipWithIndex.foreach { case (b, i) =>
         val t0 = System.nanoTime()
         stream.addData(b.toIndexedSeq)
-        query.processAllAvailable()
+        maint.drain()
         batchWalls += (System.nanoTime() - t0) / 1e9
+        // one maintenance window MID-SOAK: the ingest pause a
+        // deployment budgets, measured under live history
+        if (i == nBatches / 2 - 1)
+          midReport = Some(maint.maintain(compactTasks(target = 4)))
       }
-    } finally query.stop()
+    } finally maint.stop()
+    midReport.foreach { r =>
+      val tasks = r.tasks.map(t =>
+        s""""${t.name}":{"sec":${f"${t.sec}%.3f"},"summary":"${t.summary}"}""")
+        .mkString(",")
+      println(s"""{"mid_soak_maintenance":{"pause_sec":${f"${r.pauseSec}%.3f"},""" +
+        s""""quiesce_sec":${f"${r.quiesceSec}%.3f"},""" +
+        s""""window_sec":${f"${r.windowSec}%.3f"},"tasks":{$tasks}}}""")
+    }
 
     metrics.zip(batchWalls).zipWithIndex.foreach { case ((m, wall), i) =>
       val stages = m.stageSec.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }

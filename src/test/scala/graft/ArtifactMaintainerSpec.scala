@@ -1,0 +1,181 @@
+package graft
+
+import java.util.concurrent.TimeUnit
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+
+import graft.operators.Similarity
+import graft.sources.ArtifactMaintainer
+import graft.streaming.{StreamingCuration, StreamingCurationFull,
+  StreamingDecontaminate, StreamingSemDecontaminate}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The maintenance window as a CODEPATH: live ingest + a concurrent
+  * probe loop run straight across a maintain() window with zero
+  * refused reads, batch ids resuming from the checkpoint, and the
+  * append/rebuild generation backstop never firing.
+  */
+class ArtifactMaintainerSpec extends AnyFunSuite with SharedSpark {
+
+  test("curation ingest + concurrent probe loop across a compaction window: zero refused reads, ids resume, rows intact") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val embDf = spark.read.parquet(s"$dir/embeddings.parquet")
+    val benchDocs = docsDf.filter(col("doc_id") % 50 === 3)
+    val grams = StreamingDecontaminate.benchGrams(spark, benchDocs, "text", n = 3)
+    val benchIdx = StreamingSemDecontaminate.benchIndex(
+      embDf.filter(col("vec_id") % 50 === 3), dim = 64)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val stateDir = s"$root/state"
+    val winnersPath = s"$stateDir/winners"
+    val bandsPath = s"$stateDir/bands"
+    val gramsPath = s"$stateDir/grams"
+
+    // three id-sliced micro-batches delivered as files (one batch per
+    // file); the third arrives AFTER the maintenance window
+    val all = docsDf.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val slices = all.grouped(math.max(1, all.length / 3)).take(3).toSeq
+    def writeSlice(i: Int): Unit =
+      slices(i).toSeq.map { case (id, t) => (id, t, 1700000000000000L + id * 1000L) }
+        .toDF("doc_id", "text", "ingest_ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/src/f$i")
+
+    def mkStream() = spark.readStream
+      .schema("doc_id BIGINT, text STRING, ingest_ts BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/src/*")
+      .as[StreamingCuration.DocRecord]
+
+    val maint = new ArtifactMaintainer(owner = Some(() =>
+      StreamingCurationFull.start(mkStream(), docsDf, embDf, grams, benchIdx,
+        stateDir, minOverlap = 8, checkpointDir = Some(s"$root/ckpt"))))
+
+    writeSlice(0)
+    maint.start()
+    maint.drain()
+    val winnersAfterB0 = spark.read.parquet(winnersPath).count()
+    assert(winnersAfterB0 > 0)
+
+    // concurrent probe loop: every artifact read goes through the
+    // shared side of the maintenance lock, so the compaction swap's
+    // path-missing instant is invisible to it
+    val running = new AtomicBoolean(true)
+    val probes = new AtomicInteger(0)
+    val probeErr = new AtomicReference[Throwable](null)
+    val prober = new Thread(() => {
+      try {
+        while (running.get()) {
+          maint.withAccess {
+            assert(spark.read.parquet(winnersPath).count() >= winnersAfterB0)
+            assert(spark.read.parquet(bandsPath).count() > 0)
+            assert(spark.read.parquet(gramsPath).count() > 0)
+          }
+          probes.incrementAndGet()
+        }
+      } catch { case e: Throwable => probeErr.set(e) }
+    })
+    prober.start()
+
+    writeSlice(1)
+    maint.drain()
+    val idsBeforeWindow = spark.read.parquet(winnersPath).select("batch_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+
+    // the window: quiesce the chain, compact all three history
+    // artifacts, restart from the checkpoint — probes keep looping
+    val report = maint.maintain(Seq(
+      ArtifactMaintainer.compactTask(spark, winnersPath, targetFiles = 1),
+      ArtifactMaintainer.compactTask(spark, bandsPath, targetFiles = 1),
+      ArtifactMaintainer.compactTask(spark, gramsPath, targetFiles = 1)))
+    assert(report.tasks.size == 3 && report.tasks.forall(_.summary.contains("->")))
+    assert(report.pauseSec > 0.0 && report.windowSec >= report.pauseSec)
+
+    // ingest RESUMES from the checkpoint: the post-window batch lands
+    // under the NEXT id, not a reused one
+    writeSlice(2)
+    maint.drain()
+    // a couple more probe iterations strictly after the window
+    val probesAfterWindow = probes.get()
+    while (probes.get() < probesAfterWindow + 2 && probeErr.get() == null)
+      Thread.sleep(20)
+    running.set(false)
+    prober.join(30000)
+    maint.stop()
+    assert(probeErr.get() == null, s"refused read in probe loop: ${probeErr.get()}")
+    assert(probes.get() > 0)
+
+    // data batches interleave with the watermark's no-data eviction
+    // batches, so ids are not dense — the restart property is that the
+    // post-window batch landed under a FRESH id above everything the
+    // checkpoint had seen, never a reused one (the stamped-dedupe
+    // precondition)
+    val ids = spark.read.parquet(winnersPath).select("batch_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(idsBeforeWindow.size == 2 && ids.size == 3, s"ids $idsBeforeWindow -> $ids")
+    assert(idsBeforeWindow.subsetOf(ids) &&
+      (ids -- idsBeforeWindow).forall(_ > idsBeforeWindow.max),
+      s"batch ids after restart: $idsBeforeWindow -> $ids")
+    // compaction changed layout only: every batch-0/1 winner is still
+    // there next to batch 2's
+    assert(spark.read.parquet(winnersPath).count() > winnersAfterB0)
+    assert(spark.read.parquet(winnersPath)
+      .filter(col("batch_id") < 2).count() >= winnersAfterB0)
+  }
+
+  test("maintenance window serializes append vs rebuild: the mixed-generation backstop never fires") {
+    import spark.implicits._
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_maint_ann").toFile, "idx").getPath
+    val rnd = new scala.util.Random(1307)
+    val day1 = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val day2 = (1000 until 1256).map { i =>
+      (i.toLong, Seq.fill(8)((0.85 + rnd.nextDouble() * 0.1).toFloat))
+    }
+    Similarity.ivfPqIndexWrite(
+      day1.toDF("vec_id", "embedding"), dir, dim = 8, lists = 4, m = 8)
+
+    val maint = new ArtifactMaintainer() // no owning stream: batch appenders only
+    val appended = new java.util.concurrent.CopyOnWriteArrayList[Seq[(Long, Seq[Float])]]()
+    val appendErr = new AtomicReference[Throwable](null)
+    val chunks = day2.grouped(64).toSeq
+    // the corpus thunk runs INSIDE the window (appends quiesced by the
+    // exclusive lock), so it sees exactly the vectors the artifact
+    // holds — the shrink guard stays quiet by construction
+    import scala.jdk.CollectionConverters._
+    def corpus(): DataFrame =
+      (day1 ++ appended.asScala.flatten).toDF("vec_id", "embedding")
+
+    val appender = new Thread(() => {
+      try chunks.foreach { c =>
+        maint.withAccess {
+          assert(Similarity.ivfPqIndexAppendAt(
+            c.toDF("vec_id", "embedding"), dir) == c.size.toLong)
+          appended.add(c)
+        }
+      } catch { case e: Throwable => appendErr.set(e) }
+    })
+    appender.start()
+    // wait until the drifted region dominates (>= 2 chunks landed),
+    // then take the window mid-ingest
+    while (appended.size() < 2 && appendErr.get() == null) Thread.sleep(20)
+    val report = maint.maintain(Seq(ArtifactMaintainer.annRebuildTask(
+      dir, () => corpus(), rebuildPm = 2500L)))
+    appender.join(120000)
+    assert(appendErr.get() == null,
+      s"append hit the generation backstop: ${appendErr.get()}")
+    // the rebuild EXECUTED inside the window...
+    assert(report.tasks.head.summary.contains("rebuilt"), report.tasks.head.summary)
+    // ...and every append (before AND after the swap) is in the
+    // artifact exactly once, under the current quantizer generation
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() == 320L)
+    assert(idx.select("vec_id").distinct().count() == 320L)
+    assert(Similarity.annIvfPqProbeAt(spark, dir,
+      day2.take(4).toDF("vec_id", "embedding"), k = 3).count() > 0)
+  }
+}
