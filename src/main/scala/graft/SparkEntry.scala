@@ -349,6 +349,19 @@ object SparkEntry {
     "q_sql_neardup" -> ((s, dir) => s.sql(s"NEARDUP DOCUMENTS FROM '$dir'")),
     "q_sql_decontaminate" -> ((s, dir) => s.sql(s"DECONTAMINATE DOCUMENTS FROM '$dir'")),
 
+    // the ANN lifecycle as SQL verbs: BUILD writes + stamps the
+    // persisted index, PROBE searches it header-trusted — same
+    // split/parameters as q_ann_probe_incremental, so this statement
+    // chain reuses that query's oracle verbatim. (REBUILD ANN INDEX
+    // IF NEEDED is exercised in GraftSqlSurfaceSpec, not here: an
+    // audit that trips would retrain data-seeded and legitimately
+    // diverge from the salted-default oracle.)
+    "q_sql_ann_probe" -> ((s, dir) => {
+      val path = runTmp("sql_ann_index", dir)
+      s.sql(s"BUILD ANN INDEX FROM '$dir' AT '$path'").collect()
+      s.sql(s"PROBE ANN INDEX '$path' FROM '$dir'")
+    }),
+
     // duplicate CLUSTERS: connected components (star contraction) over
     // the near-dup pair graph, one canonical survivor per component
     "q_dup_clusters" -> ((s, dir) =>
@@ -3106,6 +3119,11 @@ object SparkEntry {
     "q_ann_index_learned" -> annIndexLearnedOracle(lists = 16, kmIters = 2,
       m = 8, codes = 16, subDim = 8, pqIters = 2),
     "q_ann_probe_incremental" -> annIvfPqOracleK(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
+    // the SQL-verb chain (BUILD ANN INDEX -> PROBE ANN INDEX) is the
+    // same persisted-index composition, so it shares the oracle
+    "q_sql_ann_probe" -> annIvfPqOracleK(5,
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
     // the ADC stage is the ENTIRE incremental-probe oracle at k=32 as

@@ -65,6 +65,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *        (q_decontaminate's slices/params; flagged docs anti-joined
   *        away) — the write-side face of the contamination gate
   *
+  * ANN lifecycle verbs — the index family's maintenance surface as
+  * one-statement SQL (q_ann_probe_incremental's split and parameters,
+  * so the probe verb reuses that query's oracle):
+  *
+  *   BUILD ANN INDEX FROM '<dir>' AT '<path>'
+  *     -> ivfPqIndexWrite over the indexed-history slice of
+  *        <dir>/embeddings.parquet; returns (path, n_vectors)
+  *   PROBE ANN INDEX '<path>' FROM '<dir>'
+  *     -> annIvfPqProbeAt: new query vectors search the persisted
+  *        header-trusted artifact (query_id, neighbor_id, adc_dist)
+  *   REBUILD ANN INDEX IF NEEDED '<path>' FROM '<dir>'
+  *     -> ivfPqRebuildIfNeeded: balance audit, then retrain/verify/
+  *        swap only if tripped; returns (rebuilt, rows_before,
+  *        rows_after)
+  *
   * The plan is BUILT at parse time but executed lazily by the caller
   * (`spark.sql(...)` analyzes/executes the returned plan) — identical
   * contract to Spark's own parser. (The shelve/merge engine runs AT
@@ -99,6 +114,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*NEARDUP\s+DOCUMENTS\s+FROM\s+'([^']+)'\s*;?\s*""".r
   private val DecontaminateDocs =
     """(?is)\s*DECONTAMINATE\s+DOCUMENTS\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  // ANN lifecycle verbs (the index family's one-statement twins,
+  // same parameters/split as q_ann_probe_incremental so the SQL and
+  // DataFrame surfaces share one oracle). BUILD/REBUILD are
+  // write-path verbs: they execute at parse time (the shelve/merge
+  // convention) and return a literal report frame; PROBE builds a
+  // lazy plan like every read verb.
+  private val BuildAnnIndex =
+    """(?is)\s*BUILD\s+ANN\s+INDEX\s+FROM\s+'([^']+)'\s+AT\s+'([^']+)'\s*;?\s*""".r
+  private val ProbeAnnIndex =
+    """(?is)\s*PROBE\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  private val RebuildAnnIndex =
+    """(?is)\s*REBUILD\s+ANN\s+INDEX\s+IF\s+NEEDED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
 
   private def parseError(sqlText: String, msg: String): ParseException =
     new ParseException(Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
@@ -240,13 +267,51 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         "text", "doc_id", n = 3, minOverlap = 3)
         .queryExecution.logical
     }
+    case BuildAnnIndex(dir, path) => wrapGraft(sqlText) {
+      // the q_ann_probe_incremental split: the % 3 != 0 slice is the
+      // indexed history (dim 64, salted-default quantizers); write
+      // stamps the self-describing header
+      import session.implicits._
+      val n = graft.operators.Similarity.ivfPqIndexWrite(
+        annCorpus(dir), path, dim = 64)
+      Seq((path, n)).toDF("path", "n_vectors").queryExecution.logical
+    }
+    case ProbeAnnIndex(path, dir) => wrapGraft(sqlText) {
+      // new queries (the % 3 == 0, vec_id < 24 slice) search the
+      // persisted index; every index parameter comes from the header
+      val emb = graft.sources.TableArmor.embeddings(
+        session.read.parquet(s"$dir/embeddings.parquet"))
+      graft.operators.Similarity.annIvfPqProbeAt(session, path,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
+        .queryExecution.logical
+    }
+    case RebuildAnnIndex(path, dir) => wrapGraft(sqlText) {
+      // the maintainer one-call: audit the persisted artifact's list
+      // balance, retrain/re-encode/verify/swap only if it trips
+      import session.implicits._
+      val rep = graft.operators.Similarity.ivfPqRebuildIfNeeded(
+        annCorpus(dir), path)
+      Seq((rep.isDefined, rep.map(_.rowsBefore).getOrElse(-1L),
+        rep.map(_.rowsAfter).getOrElse(-1L)))
+        .toDF("rebuilt", "rows_before", "rows_after").queryExecution.logical
+    }
     case _ => delegate.parsePlan(sqlText)
   }
+
+  /** The indexed-history slice shared by BUILD and REBUILD — REBUILD
+    * must see the same corpus the index holds or the shrink guard
+    * refuses (by design).
+    */
+  private def annCorpus(dir: String) =
+    graft.sources.TableArmor.embeddings(
+      session.read.parquet(s"$dir/embeddings.parquet"))
+      .filter(col("vec_id") % 3 =!= 0)
 
   override def parseQuery(sqlText: String): LogicalPlan = sqlText match {
     case Materialize(_, _) | Linearize(_) | ShelveEvents(_, _) | MergeStates(_, _) |
          ShelveEventsFrom(_, _) | MergeStatesFrom(_, _) |
-         DedupDocs(_) | NeardupDocs(_) | DecontaminateDocs(_) =>
+         DedupDocs(_) | NeardupDocs(_) | DecontaminateDocs(_) |
+         BuildAnnIndex(_, _) | ProbeAnnIndex(_, _) | RebuildAnnIndex(_, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }

@@ -192,6 +192,69 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
     assert(nd.collect().map(_.toString).sorted.sameElements(ndApi))
   }
 
+  test("ANN lifecycle verbs equal their DataFrame twins; REBUILD audits and executes") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    def tmpIdx(p: String) = new java.io.File(
+      java.nio.file.Files.createTempDirectory(p).toFile, "idx").getPath
+    // BUILD + PROBE == ivfPqIndexWrite + annIvfPqProbeAt
+    val p1 = tmpIdx("sql_ann")
+    val built = spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '$p1'").collect().head
+    assert(built.getString(0) == p1 && built.getLong(1) > 0)
+    val viaSql = spark.sql(s"PROBE ANN INDEX '$p1' FROM '$sf'")
+      .collect().map(_.toString).sorted
+    val p2 = tmpIdx("sql_ann_twin")
+    val emb = graft.sources.TableArmor.embeddings(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
+    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), p2, dim = 64)
+    val viaApi = Similarity.annIvfPqProbeAt(spark, p2,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
+      .collect().map(_.toString).sorted
+    assert(viaSql.nonEmpty && viaSql.sameElements(viaApi))
+
+    // REBUILD IF NEEDED EXECUTES on a drifted corpus: stage a dir
+    // whose indexed slice is dominated by one dense region, so the
+    // salted-default build trips the balance audit
+    val root = java.nio.file.Files.createTempDirectory("sql_ann_drift").toString
+    val rnd = new scala.util.Random(1307)
+    // 32 uniform + 288 tightly-clustered vectors (ids ≡ 1,2 mod 3:
+    // inside the verb's indexed slice). Under the salted build the
+    // whole cluster shares one nearest coarse centroid (hot list
+    // 288/320 = 14400 pm >> 3000); after the data-seeded retrain the
+    // mass-proportional seeds tile the cluster (~18 rows/list) and no
+    // group — including the 32 uniform rows even if co-listed — can
+    // exceed 1600 pm, so the audit goes calm deterministically
+    val driftRows: Seq[(Long, Seq[Float])] =
+      (0 until 32).map(i =>
+        (i * 3 + 1L, Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))) ++
+      (0 until 288).map(i =>
+        (1001L + i * 3, Seq.fill(64)((0.9 + rnd.nextDouble() * 0.001).toFloat)))
+    val drift = driftRows.toDF("vec_id", "embedding")
+    drift.write.parquet(s"$root/embeddings.parquet")
+    val p3 = tmpIdx("sql_ann_drift")
+    spark.sql(s"BUILD ANN INDEX FROM '$root' AT '$p3'").collect()
+    val r2 = spark.sql(s"REBUILD ANN INDEX IF NEEDED '$p3' FROM '$root'")
+      .collect().head
+    assert(r2.getBoolean(0), "drifted index must trip the audit")
+    assert(r2.getLong(1) == 320L && r2.getLong(2) == 320L)
+    // the swapped artifact equals the DataFrame twin's (the training
+    // chains are deterministic)
+    val p4 = tmpIdx("sql_ann_drift_twin")
+    Similarity.ivfPqIndexWrite(drift, p4, dim = 64)
+    assert(Similarity.ivfPqRebuildIfNeeded(drift, p4).isDefined)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("list_id").cast("long"), col("codes").cast("string"))
+      .collect().map(_.toString).toSet
+    assert(rows(p3) == rows(p4))
+
+    // ...and DECLINES on the artifact it just retrained (audit calm
+    // after the rebuild — the twin of ivfPqRebuildIfNeeded -> None)
+    val r3 = spark.sql(s"REBUILD ANN INDEX IF NEEDED '$p3' FROM '$root'")
+      .collect().head
+    assert(!r3.getBoolean(0) && r3.getLong(1) == -1L)
+    assert(rows(p3) == rows(p4)) // untouched
+  }
+
   test("MERGE STATES equals the WorkCache orchestration (q_shelve_merge twin)") {
     val base = (0 until 6).map(i => f"a$i%02d").mkString("|")
     val evs = (0 until 6).map(i => f"a$i%02d->b$i%02d").mkString(",")
