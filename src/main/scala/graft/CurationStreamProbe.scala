@@ -101,6 +101,9 @@ object CurationStreamProbe {
         StreamingCuration.DocRecord(id, text, 1700000000000000L + id * 1000L) }
     val per = math.max(1, all.length / nBatches)
     val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // winner-store touch accounting (the text-tiering decision input):
+    // per batch, how many stored text bytes the near-dup verify fetches
+    val touched = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var midReport: Option[graft.sources.ArtifactMaintainer.Report] = None
     maint.start()
     try {
@@ -109,6 +112,12 @@ object CurationStreamProbe {
         stream.addData(b.toIndexedSeq)
         maint.drain()
         batchWalls += (System.nanoTime() - t0) / 1e9
+        touched += (metrics.lastOption match {
+          case Some(m) if m.batch > 0 =>
+            StreamingCurationFull.touchedTextBytes(spark,
+              s"$stateDir/winners", s"$stateDir/bands", m.batch)
+          case _ => (0L, 0L, 0L)
+        })
         // one maintenance window MID-SOAK: the ingest pause a
         // deployment budgets, measured under live history
         if (i == nBatches / 2 - 1)
@@ -127,12 +136,16 @@ object CurationStreamProbe {
     metrics.zip(batchWalls).zipWithIndex.foreach { case ((m, wall), i) =>
       val stages = m.stageSec.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }
         .mkString(",")
+      val (storeB, touchB, touchDocs) =
+        if (i < touched.size) touched(i) else (0L, 0L, 0L)
       println(s"""{"batch":$i,"wall_sec":${f"$wall%.3f"},"stages":{$stages},""" +
         s""""winners":${m.nWinners},"cross_drop":${m.nCrossDrop},""" +
         s""""within_drop":${m.nWithinDrop},"gram_drop":${m.nGramDrop},""" +
         s""""sem_drop":${m.nSemDrop},"survivors":${m.nSurvivors},""" +
         s""""winners_rows":${m.winnersRows},"band_idx_rows":${m.bandIdxRows},""" +
-        s""""gram_idx_rows":${m.gramIdxRows}}""")
+        s""""gram_idx_rows":${m.gramIdxRows},""" +
+        s""""store_text_bytes":$storeB,"touched_text_bytes":$touchB,""" +
+        s""""touched_prior_docs":$touchDocs}""")
     }
     // lifecycle close-out: the appends wrote one file per batch by
     // design; the periodic maintenance job compacts the layout (rows

@@ -58,6 +58,47 @@ object StreamingCurationFull {
   private[graft] def fileCount(estBytes: Long, targetBytes: Long): Int =
     math.min(4096L, math.max(1L, (estBytes + targetBytes - 1) / targetBytes)).toInt
 
+  /** Winner-store TOUCH measurement for the text-tiering decision:
+    * of all the text bytes the winner store carries, how many does
+    * batch `batchId`'s near-dup verify actually FETCH? The probe path
+    * reads prior texts only for ids whose band keys collide with the
+    * batch ([[graft.operators.Dedup.nearDupAgainstIndexAt]]'s
+    * semi-join), so the touched fraction is the store's effective hot
+    * set — if it stays small as history grows, the texts belong in a
+    * COLD artifact fetched by id (bucketed so the fetch prunes) while
+    * the hot path keeps only (doc_id, band_key).
+    *
+    * Derivation mirrors the production probe off the SAME persisted
+    * artifacts (band params from the index's own header, retry-deduped
+    * store, per-bucket cap), with the batch's own ids excluded the way
+    * the pre-admit probe never sees them. Measurement-only: nothing in
+    * the chain calls this; the soak probe does, per batch.
+    */
+  def touchedTextBytes(spark: org.apache.spark.sql.SparkSession,
+                       winnersPath: String, bandIdxPath: String,
+                       batchId: Long): (Long, Long, Long) = {
+    val store = graft.sources.DeltaLogCompaction.dedupeRetries(
+      spark.read.parquet(winnersPath), Seq("doc_id"))
+    val hdr = graft.sources.ArtifactHeader.required(spark, bandIdxPath, "bands")
+    val batchDocs = store.filter(col("batch_id") === batchId)
+      .select(col("doc_id"), col("text").as("__text"))
+    val batchBands = Dedup.capBucket(
+      Dedup.bandKeys(batchDocs, hdr("shingle_n").toInt,
+        hdr("bands").toInt, hdr("rows").toInt),
+      "band_key", "doc_id", hdr("bucket_cap").toInt)
+    val candPrior = spark.read.parquet(bandIdxPath)
+      .join(batchBands.select("band_key").distinct(), Seq("band_key"), "left_semi")
+      .select("doc_id").distinct()
+      .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val priorStore = store.filter(col("batch_id") < batchId)
+    def bytes(df: DataFrame): Long = df
+      .agg(coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    val touched = priorStore.join(candPrior, Seq("doc_id"), "left_semi")
+    (bytes(priorStore), bytes(touched),
+      touched.select("doc_id").distinct().count())
+  }
+
   /** Start the five-stage chain over `stream`. `docTexts` is the
     * stream-static (doc_id, text) lookup (texts re-attach after the
     * keyed dedup state, which carries only hashes); `emb` the static
