@@ -238,7 +238,9 @@ object Dedup {
       .filter(col("doc_prior") =!= col("doc_new"))
       .select(col("doc_prior"), col("doc_new"))
       .distinct()
-    verifyAgainst(pn, qn, candidates, shingleN, threshold)
+    // prior side is a raw store scan here — push candidate ids down
+    verifyAgainst(pn, qn, candidates, shingleN, threshold,
+      pushdownPriorIds = true)
   }
 
   /** [[nearDupAgainstIndex]] against a PERSISTED index path, trusted
@@ -277,13 +279,33 @@ object Dedup {
     }
   }
 
+  /** Candidate-id pushdown bound for [[verifyAgainst]]'s prior-text
+    * fetch: up to this many distinct ids are collected and pushed as
+    * a scan predicate (the collect is ~8 bytes/id — 100k ids is
+    * 800 KB of driver memory, far under any broadcast). Past the
+    * bound the fetch falls back to the semi-join.
+    */
+  private[graft] val PriorIdPushdownMax = 100000
+
   /** The exact-Jaccard verification kernel shared by the incremental
     * near-dup paths: shingle ONLY candidate docs (semi-join on each
     * side), sorted once per doc so the per-pair intersect is the
     * zero-allocation native merge walk.
+    *
+    * `pushdownPriorIds`: when the prior side is a RAW winner-store
+    * scan (the nearDupAgainstIndex paths), a semi-join still READS
+    * every text page of the store — the touched-bytes soak measures
+    * ~1% of them actually needed. With the flag, the (checkpointed,
+    * bounded) candidate ids are collected and pushed as an `isin`
+    * predicate on the store scan, so parquet row-group stats and
+    * dictionary pages prune the cold 99%; identical semantics, and
+    * past [[PriorIdPushdownMax]] ids it falls back to the semi-join.
+    * Off for callers whose prior side is already checkpointed
+    * (nothing left to prune).
     */
   private def verifyAgainst(pn: DataFrame, qn: DataFrame, candidatesIn: DataFrame,
-                            shingleN: Int, threshold: Double): DataFrame = {
+                            shingleN: Int, threshold: Double,
+                            pushdownPriorIds: Boolean = false): DataFrame = {
     // the candidate frame feeds BOTH semi-joins and the pair join —
     // without a lineage cut its whole banding subtree (probe shingle ->
     // minhash -> cap: Generate -> HashAggregate -> WindowGroupLimit)
@@ -292,8 +314,16 @@ object Dedup {
     // plan); candidates are tiny (id pairs), so the checkpoint is the
     // cheap side of the trade
     val candidates = candidatesIn.localCheckpoint()
-    val priorSh = pn
-      .join(candidates.select(col("doc_prior").as("doc_id")), Seq("doc_id"), "left_semi")
+    val priorIds = candidates.select(col("doc_prior").as("doc_id")).distinct()
+    val pnCand =
+      if (!pushdownPriorIds)
+        pn.join(priorIds, Seq("doc_id"), "left_semi")
+      else {
+        val ids = priorIds.limit(PriorIdPushdownMax + 1).collect().map(_.get(0))
+        if (ids.length <= PriorIdPushdownMax) pn.filter(col("doc_id").isin(ids: _*))
+        else pn.join(priorIds, Seq("doc_id"), "left_semi")
+      }
+    val priorSh = pnCand
       .select(col("doc_id").as("doc_prior"),
         sort_array(shingles(col("__text"), shingleN)).as("sh_p"))
     val newSh = qn
