@@ -213,8 +213,19 @@ object Dedup {
     * monotone ingest ids it equals `capBucket(bandKeys(corpus))`, so
     * results match [[nearDupAgainst]] exactly); `priorDocs` supplies
     * texts for the verify stage and is touched ONLY for candidate ids
-    * (semi-join — the scan prunes to the id/text columns of colliding
-    * documents).
+    * — pushed down as a scan predicate when bounded (see
+    * [[PriorIdPushdownMax]]), so parquet row-group stats prune the
+    * cold text pages the semi-join used to read.
+    *
+    * Driver-side hygiene: the verify checkpoints the candidate frame
+    * internally (blocks the caller holds no handle to). Streaming
+    * callers free them via the batch-scoped sweep
+    * ([[graft.plans.CheckpointHygiene.scoped]] — attribution-scoped,
+    * safe beside concurrent queries); long-lived BATCH sessions
+    * should do the same around each call's consumption, or call
+    * `CheckpointHygiene.releaseAll` between queries (the Bench/Verify
+    * posture) — otherwise dead block sets accumulate until the
+    * ContextCleaner gets to them.
     */
   def nearDupAgainstIndex(priorDocs: DataFrame, probe: DataFrame,
                           priorIndex: DataFrame,

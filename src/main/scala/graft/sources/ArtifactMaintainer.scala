@@ -52,12 +52,14 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
   private val lock = new ReentrantReadWriteLock(true)
   @volatile private var query: Option[StreamingQuery] = None
 
-  /** Start (or restart) the owning streaming query. Idempotent only
-    * across maintain() windows — the caller starts once, maintain()
-    * restarts thereafter.
+  /** Start the owning streaming query. Idempotent while a started
+    * query is still active (returns the live handle — starting a
+    * SECOND query against the same artifacts/checkpoint is exactly
+    * the double-writer this class exists to prevent); restarts a
+    * terminated one.
     */
   def start(): Option[StreamingQuery] = {
-    owner.foreach(o => query = Some(o()))
+    if (!query.exists(_.isActive)) owner.foreach(o => query = Some(o()))
     query
   }
 
@@ -96,23 +98,28 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
     lock.writeLock().lock()
     try {
       val q0 = System.nanoTime()
-      query.foreach { q => q.processAllAvailable(); q.stop() }
-      val pause0 = System.nanoTime()
-      val quiesceSec = (pause0 - q0) / 1e9
       var results = Vector.empty[TaskResult]
+      var pause0 = q0
       try {
+        // quiesce: drain pending input, then stop. A drain failure
+        // (query already terminated with error) falls through to the
+        // restart below — the window must not END with ingest down.
+        query.foreach { q => q.processAllAvailable(); q.stop() }
+        pause0 = System.nanoTime()
         tasks.foreach { t =>
           val t0 = System.nanoTime()
           val summary = t.run()
           results :+= TaskResult(t.name, (System.nanoTime() - t0) / 1e9, summary)
         }
       } finally {
-        // restart from the checkpoint no matter what a task did —
-        // a maintenance failure must not also be an ingest outage
+        // restart from the checkpoint no matter what the quiesce or a
+        // task did — a maintenance failure must not also be an ingest
+        // outage (each task's verify-before-swap already guarantees a
+        // failed task left its artifact live)
         owner.foreach(o => query = Some(o()))
       }
       val end = System.nanoTime()
-      Report(quiesceSec = quiesceSec,
+      Report(quiesceSec = (pause0 - q0) / 1e9,
         pauseSec = (end - pause0) / 1e9,
         windowSec = (end - w0) / 1e9,
         tasks = results)
