@@ -93,7 +93,10 @@ object CurationStreamProbe {
         checkpointDir = Some(s"$stateDir/ckpt"))))
     def compactTasks(target: Int) = Seq("winners", "bands", "grams").map(a =>
       graft.sources.ArtifactMaintainer.compactTask(
-        spark, s"$stateDir/$a", targetFiles = target))
+        spark, s"$stateDir/$a", targetFiles = target,
+        // re-establish cross-batch id clustering on the text store so
+        // the probe fetch's pushed ids keep pruning after compaction
+        clusterBy = if (a == "winners") Seq("doc_id") else Nil))
 
     val all = docs.select($"doc_id", $"text").as[(Long, String)]
       .collect().sortBy(_._1)

@@ -42,8 +42,18 @@ object ArtifactCompaction {
     * must equal the source) BEFORE the swap — a failed verification
     * leaves the artifact untouched. Returns (dataFilesBefore,
     * dataFilesAfter).
+    *
+    * `clusterBy`: optional layout key — the rewrite range-partitions
+    * and sorts on it, so readers that push key predicates (the
+    * winner-store candidate-id fetch in `Dedup.verifyAgainst`) prune
+    * whole files and row groups via parquet min/max stats. Appends
+    * already sort within their batch; compaction is where CROSS-batch
+    * clustering is (re)established — without this, compacting a
+    * clustered store would shuffle its ids randomly and undo the
+    * probe-path pruning.
     */
-  def compactFiles(spark: SparkSession, path: String, targetFiles: Int = 1): (Long, Long) = {
+  def compactFiles(spark: SparkSession, path: String, targetFiles: Int = 1,
+                   clusterBy: Seq[String] = Nil): (Long, Long) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
@@ -59,7 +69,15 @@ object ArtifactCompaction {
     val tmp = new Path(p.getParent, p.getName + ".compact.tmp")
     val old = new Path(p.getParent, p.getName + ".compact.old")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(path).repartition(targetFiles)
+    val base = spark.read.parquet(path)
+    val laidOut =
+      if (clusterBy.isEmpty) base.repartition(targetFiles)
+      else {
+        import org.apache.spark.sql.functions.col
+        val keys = clusterBy.map(col)
+        base.repartitionByRange(targetFiles, keys: _*).sortWithinPartitions(keys: _*)
+      }
+    laidOut
       .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
     // carry self-describing sidecars; never the writer's own _SUCCESS
     fs.listStatus(p).filter { s =>

@@ -144,10 +144,14 @@ object ArtifactMaintainer {
 
   import org.apache.spark.sql.SparkSession
 
-  /** File-layout compaction of an append-grown artifact. */
-  def compactTask(spark: SparkSession, path: String, targetFiles: Int = 1): Task =
+  /** File-layout compaction of an append-grown artifact; pass
+    * `clusterBy` for stores whose readers push key predicates (the
+    * winner store clusters on doc_id for the candidate-id fetch).
+    */
+  def compactTask(spark: SparkSession, path: String, targetFiles: Int = 1,
+                  clusterBy: Seq[String] = Nil): Task =
     Task(s"compact:${new org.apache.hadoop.fs.Path(path).getName}") { () =>
-      val (fb, fa) = ArtifactCompaction.compactFiles(spark, path, targetFiles)
+      val (fb, fa) = ArtifactCompaction.compactFiles(spark, path, targetFiles, clusterBy)
       s"files $fb -> $fa"
     }
 

@@ -198,6 +198,12 @@ object StreamingCurationFull {
             winners.select("doc_id", "text")
               .withColumn("batch_id", lit(batchId))
               .coalesce(fileCount(winBytes, targetAppendBytes))
+              // id-clustered layout: the probe fetch pushes candidate
+              // ids as a scan predicate (Dedup.verifyAgainst), and
+              // sorted row groups give it tight min/max stats to
+              // prune against — a sort of one batch, paid once, so
+              // every later batch's fetch skips the cold text pages
+              .sortWithinPartitions("doc_id")
               .write.mode("append")
               .option("compression", "zstd").parquet(winnersPath)
             StreamingNearDup.appendToIndex(
