@@ -56,9 +56,13 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
     * query is still active (returns the live handle — starting a
     * SECOND query against the same artifacts/checkpoint is exactly
     * the double-writer this class exists to prevent); restarts a
-    * terminated one.
+    * terminated one. Synchronized: the check-then-act on the handle
+    * must not race another start() or maintain()'s restart, or the
+    * idempotence guarantee is exactly the double-writer again.
+    * (Monitor only — never the artifact lock, so start() from inside
+    * a [[withAccess]] body cannot self-deadlock.)
     */
-  def start(): Option[StreamingQuery] = {
+  def start(): Option[StreamingQuery] = this.synchronized {
     if (!query.exists(_.isActive)) owner.foreach(o => query = Some(o()))
     query
   }
@@ -69,7 +73,7 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
     */
   def drain(): Unit = query.foreach(_.processAllAvailable())
 
-  def stop(): Unit = { query.foreach(_.stop()); query = None }
+  def stop(): Unit = this.synchronized { query.foreach(_.stop()); query = None }
 
   /** Run `body` under the SHARED side of the maintenance lock: any
     * number of probes/appenders proceed concurrently, and none can
@@ -100,6 +104,11 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
       val q0 = System.nanoTime()
       var results = Vector.empty[TaskResult]
       var pause0 = q0
+      // restart below only what was OWNED at window entry: maintain()
+      // on a maintainer whose query was deliberately stop()ped (or
+      // never started) is a pure batch window and must not resurrect
+      // ingest behind the caller's back
+      val owned = this.synchronized(query.isDefined)
       try {
         // quiesce: drain pending input, then stop. A drain failure
         // (query already terminated with error) falls through to the
@@ -116,7 +125,7 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
         // task did — a maintenance failure must not also be an ingest
         // outage (each task's verify-before-swap already guarantees a
         // failed task left its artifact live)
-        owner.foreach(o => query = Some(o()))
+        if (owned) this.synchronized(owner.foreach(o => query = Some(o())))
       }
       val end = System.nanoTime()
       Report(quiesceSec = (pause0 - q0) / 1e9,

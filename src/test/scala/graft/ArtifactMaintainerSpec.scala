@@ -178,4 +178,20 @@ class ArtifactMaintainerSpec extends AnyFunSuite with SharedSpark {
     assert(Similarity.annIvfPqProbeAt(spark, dir,
       day2.take(4).toDF("vec_id", "embedding"), k = 3).count() > 0)
   }
+
+  test("maintain() on un-started ingest is a pure batch window: the owner thunk is never invoked") {
+    // owner is configured but the caller never start()ed it (or
+    // deliberately stop()ped it): the window must run its tasks and
+    // NOT resurrect ingest behind the caller's back
+    val started = new AtomicInteger(0)
+    val maint = new ArtifactMaintainer(owner = Some(() => {
+      started.incrementAndGet()
+      throw new IllegalStateException("maintain() must not start ingest")
+    }))
+    val ran = new AtomicInteger(0)
+    val report = maint.maintain(Seq(
+      ArtifactMaintainer.Task("noop") { () => ran.incrementAndGet(); "ok" }))
+    assert(ran.get() == 1 && report.tasks.head.summary == "ok")
+    assert(started.get() == 0, "maintain() invoked the owner thunk without start()")
+  }
 }
