@@ -91,9 +91,20 @@ object CurationStreamProbe {
       StreamingCurationFull.start(stream.toDS(), docs, emb,
         grams, benchIdx, stateDir, minOverlap = 8, onBatch = metrics += _,
         checkpointDir = Some(s"$stateDir/ckpt"))))
-    def compactTasks(target: Int) = Seq("winners", "bands", "grams").map(a =>
-      graft.sources.ArtifactMaintainer.compactTask(
-        spark, s"$stateDir/$a", targetFiles = target,
+    // the maintenance DECISION is the production policy too: per
+    // batch the probe polls maintainIfDue with a small-file budget
+    // (due checks are pure listings); windows open only when an
+    // artifact's accumulated small-file debt crosses the budget.
+    // Budget ~ half the soak so the first window lands mid-soak under
+    // live history and debt re-accumulates visibly afterwards.
+    val smallFileBudget = math.max(3, nBatches / 2)
+    def dueChecks = Seq("winners", "bands", "grams").map(a =>
+      graft.sources.ArtifactMaintainer.compactDue(
+        spark, s"$stateDir/$a", maxSmallFiles = smallFileBudget,
+        // at soak scale every file is under the small-file bar, so
+        // compact to ONE — debt genuinely resets and the policy
+        // re-paces from zero instead of re-tripping on its own output
+        targetFiles = 1,
         // re-establish cross-batch id clustering on the text store so
         // the probe fetch's pushed ids keep pruning after compaction
         clusterBy = if (a == "winners") Seq("doc_id") else Nil))
@@ -107,7 +118,8 @@ object CurationStreamProbe {
     // winner-store touch accounting (the text-tiering decision input):
     // per batch, how many stored text bytes the near-dup verify fetches
     val touched = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    var midReport: Option[graft.sources.ArtifactMaintainer.Report] = None
+    val windows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, graft.sources.ArtifactMaintainer.Report)]
     maint.start()
     try {
       all.grouped(per).take(nBatches).zipWithIndex.foreach { case (b, i) =>
@@ -121,17 +133,18 @@ object CurationStreamProbe {
               s"$stateDir/winners", s"$stateDir/bands", m.batch)
           case _ => (0L, 0L, 0L)
         })
-        // one maintenance window MID-SOAK: the ingest pause a
-        // deployment budgets, measured under live history
-        if (i == nBatches / 2 - 1)
-          midReport = Some(maint.maintain(compactTasks(target = 4)))
+        // policy-paced maintenance: the poll is per batch, the window
+        // opens only when the small-file budget trips — the ingest
+        // pause a deployment budgets, measured under live history
+        maint.maintainIfDue(dueChecks).foreach(r => windows += ((i, r)))
       }
     } finally maint.stop()
-    midReport.foreach { r =>
+    windows.foreach { case (batch, r) =>
       val tasks = r.tasks.map(t =>
         s""""${t.name}":{"sec":${f"${t.sec}%.3f"},"summary":"${t.summary}"}""")
         .mkString(",")
-      println(s"""{"mid_soak_maintenance":{"pause_sec":${f"${r.pauseSec}%.3f"},""" +
+      println(s"""{"maintenance_window":{"after_batch":$batch,""" +
+        s""""pause_sec":${f"${r.pauseSec}%.3f"},""" +
         s""""quiesce_sec":${f"${r.quiesceSec}%.3f"},""" +
         s""""window_sec":${f"${r.windowSec}%.3f"},"tasks":{$tasks}}}""")
     }

@@ -37,6 +37,34 @@ import org.apache.spark.sql.SparkSession
   */
 object ArtifactCompaction {
 
+  /** Data-file count of the parquet directory at `path` — one
+    * metadata LISTing, no data read: the cheap signal a maintenance
+    * policy polls to decide whether a compaction window is due
+    * (appends grow the artifact one-or-more files per batch, so file
+    * count IS the accumulated small-file tax).
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long =
+    smallDataFileCount(spark, path, Long.MaxValue)
+
+  /** Data files at `path` SMALLER than `maxBytes` — the compaction
+    * debt a maintenance policy actually budgets. Right-sized appends
+    * (the ~64 MB [[graft.streaming.StreamingCurationFull]] payload
+    * files) are healthy layout, not debt: counting ALL files would
+    * make a byte-sized trigger fire on every sized append at scale
+    * and turn the O(artifact) rewrite into a per-batch cost. Small
+    * files are the listing/row-group tax compaction exists to fold.
+    */
+  def smallDataFileCount(spark: SparkSession, path: String,
+                         maxBytes: Long): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".") && s.getLen < maxBytes
+    }.toLong
+  }
+
   /** Rewrite the parquet directory at `path` to `targetFiles` data
     * files. The rewrite is verified (row count of the rewritten copy
     * must equal the source) BEFORE the swap — a failed verification

@@ -134,6 +134,29 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
         tasks = results)
     } finally lock.writeLock().unlock()
   }
+
+  /** The maintenance DECISION as a codepath: evaluate each check's
+    * cheap trigger (file listings, header audits — never payload
+    * scans) under the SHARED lock, then open ONE window running only
+    * the tasks whose triggers tripped; `None` — the common case on a
+    * healthy artifact set — touches no lock exclusively and never
+    * disturbs ingest. This is the poll a deployment cron calls every
+    * batch/interval, replacing caller-scheduled maintain() at fixed
+    * points.
+    *
+    * State may advance between the trigger read and the window (an
+    * append lands, files grow) — benign: every shipped task is
+    * idempotent and re-verifies inside the window (the ANN task
+    * re-audits staleness via `ivfPqRebuildIfNeeded`; compaction
+    * re-lists and verifies before its swap).
+    */
+  def maintainIfDue(checks: Seq[DueCheck]): Option[Report] = {
+    val tripped = withAccess(checks.flatMap(c => c.check().map(why => (c, why))))
+    if (tripped.isEmpty) None
+    else Some(maintain(tripped.map { case (c, why) =>
+      Task(c.task.name)(() => s"[$why] " + c.task.run())
+    }))
+  }
 }
 
 object ArtifactMaintainer {
@@ -153,6 +176,14 @@ object ArtifactMaintainer {
 
   import org.apache.spark.sql.SparkSession
 
+  /** One maintenance trigger + its task: `check` returns
+    * `Some(reason)` when the task is due (cheap — listings and header
+    * audits only), `None` on a healthy artifact. Consumed by
+    * [[ArtifactMaintainer.maintainIfDue]].
+    */
+  final class DueCheck(val name: String, val check: () => Option[String],
+                       val task: Task)
+
   /** File-layout compaction of an append-grown artifact; pass
     * `clusterBy` for stores whose readers push key predicates (the
     * winner store clusters on doc_id for the candidate-id fetch).
@@ -164,6 +195,26 @@ object ArtifactMaintainer {
       s"files $fb -> $fa"
     }
 
+  /** Compaction trigger on SMALL-file debt: due when more than
+    * `maxSmallFiles` data files under `smallBytes` have accumulated.
+    * Small-file count — not total files — is the budget because
+    * right-sized appends (~64 MB payload files) are healthy layout at
+    * any history size, while per-batch index appends stay small
+    * forever; a total-file trigger would fire on every sized append
+    * at 100 TB and turn the O(artifact) rewrite into a per-batch
+    * cost. One LISTing, no data read.
+    */
+  def compactDue(spark: SparkSession, path: String, maxSmallFiles: Int,
+                 smallBytes: Long = 32L << 20, targetFiles: Int = 1,
+                 clusterBy: Seq[String] = Nil): DueCheck =
+    new DueCheck(s"compact:${new org.apache.hadoop.fs.Path(path).getName}",
+      () => {
+        val n = ArtifactCompaction.smallDataFileCount(spark, path, smallBytes)
+        if (n > maxSmallFiles) Some(s"small_files=$n > budget $maxSmallFiles")
+        else None
+      },
+      compactTask(spark, path, targetFiles, clusterBy))
+
   /** Merge-algebra folding of a stamped delta log. */
   def deltaCompactTask(spark: SparkSession, path: String, keys: Seq[String],
                        merges: Map[String, org.apache.spark.sql.Column =>
@@ -172,6 +223,23 @@ object ArtifactMaintainer {
       val (rb, ra) = DeltaLogCompaction.compact(spark, path, keys, merges)
       s"rows $rb -> $ra"
     }
+
+  /** Delta-log folding trigger on raw-row growth: due when the
+    * unfolded log exceeds `maxRows`. The count is parquet row-group
+    * metadata (no column data read) — cheap enough to poll per batch.
+    */
+  def deltaCompactDue(spark: SparkSession, path: String, keys: Seq[String],
+                      merges: Map[String, org.apache.spark.sql.Column =>
+                        org.apache.spark.sql.Column],
+                      maxRows: Long): DueCheck =
+    new DueCheck(s"delta_compact:${new org.apache.hadoop.fs.Path(path).getName}",
+      () => {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        val n = if (exists) spark.read.parquet(path).count() else 0L
+        if (n > maxRows) Some(s"raw_rows=$n > budget $maxRows") else None
+      },
+      deltaCompactTask(spark, path, keys, merges))
 
   /** Staleness-audited ANN rebuild. `corpus` is a THUNK evaluated
     * inside the window — after the quiesce, so it can (and must)
@@ -195,4 +263,27 @@ object ArtifactMaintainer {
             f"recall ${r.recallBefore}%.4f -> ${r.recallAfter}%.4f"
       }
     }
+
+  /** ANN rebuild trigger on the persisted artifact's list-balance
+    * audit ([[graft.operators.Similarity.ivfPqNeedsRebuild]]): one
+    * lists-row aggregate over (vec_id, list_id), corpus vectors never
+    * touched. The task re-audits inside the window (`IfNeeded`), so
+    * the trigger-to-window gap cannot run a rebuild the artifact no
+    * longer needs.
+    */
+  def annRebuildDue(spark: SparkSession, indexPath: String,
+                    corpus: () => DataFrame,
+                    rebuildPm: Long = 3000L, trainFraction: Double = 0.0,
+                    recallQueries: Option[DataFrame] = None,
+                    k: Int = 5, nprobe: Int = 4,
+                    minRecallRatio: Double = 0.9,
+                    minRecallAbs: Double = 0.0): DueCheck =
+    new DueCheck(s"ann_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}",
+      () => {
+        if (graft.operators.Similarity.ivfPqNeedsRebuild(spark, indexPath, rebuildPm))
+          Some(s"list balance past ${rebuildPm}pm of uniform share")
+        else None
+      },
+      annRebuildTask(indexPath, corpus, rebuildPm, trainFraction,
+        recallQueries, k, nprobe, minRecallRatio, minRecallAbs))
 }

@@ -179,6 +179,70 @@ class ArtifactMaintainerSpec extends AnyFunSuite with SharedSpark {
       day2.take(4).toDF("vec_id", "embedding"), k = 3).count() > 0)
   }
 
+  test("maintainIfDue: healthy artifacts never open a window; tripped budgets run only the due tasks") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_due").toString
+    val a = s"$root/store_a"
+    val b = s"$root/store_b"
+    // store_a: one file (healthy). store_b: 5 single-file appends
+    // (small-file debt past a budget of 3).
+    (0L until 50L).map(i => (i, s"row $i")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(a)
+    (0 until 5).foreach { j =>
+      (0L until 10L).map(i => (j * 10L + i, s"row $j/$i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(b)
+    }
+    val maint = new ArtifactMaintainer(owner = Some(() =>
+      throw new IllegalStateException("no window may start ingest here")))
+    def checks = Seq(
+      ArtifactMaintainer.compactDue(spark, a, maxSmallFiles = 3),
+      ArtifactMaintainer.compactDue(spark, b, maxSmallFiles = 3,
+        clusterBy = Seq("doc_id")))
+
+    val rep = maint.maintainIfDue(checks)
+    assert(rep.isDefined)
+    // only store_b's task ran, with the trigger reason in the summary
+    assert(rep.get.tasks.map(_.name) == Seq("compact:store_b"))
+    assert(rep.get.tasks.head.summary.startsWith("[small_files=5 > budget 3]"),
+      rep.get.tasks.head.summary)
+    assert(graft.sources.ArtifactCompaction.dataFileCount(spark, b) == 1L)
+    assert(spark.read.parquet(b).count() == 50L)
+    // debt folded: the same poll is now quiet — no window, no report
+    assert(maint.maintainIfDue(checks).isEmpty)
+  }
+
+  test("annRebuildDue: balanced index stays quiet; drifted index trips and the window rebuilds it") {
+    import spark.implicits._
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_due_ann").toFile, "idx").getPath
+    // the Round13OpsSpec drift fixture (seed + id ranges included):
+    // data-seeded retraining provably restores balance on it
+    val rnd = new scala.util.Random(1307)
+    val base = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    Similarity.ivfPqIndexWrite(
+      base.toDF("vec_id", "embedding"), dir, dim = 8, lists = 4, m = 8)
+    val maint = new ArtifactMaintainer()
+    var corpusRows = base
+    def check = ArtifactMaintainer.annRebuildDue(spark, dir,
+      () => corpusRows.toDF("vec_id", "embedding"), rebuildPm = 2500L)
+
+    assert(maint.maintainIfDue(Seq(check)).isEmpty, "balanced index tripped the audit")
+
+    // drift: a dense cluster lands in one list and blows the balance
+    val drift = (1000 until 1256).map { i =>
+      (i.toLong, Seq.fill(8)((0.85 + rnd.nextDouble() * 0.1).toFloat))
+    }
+    Similarity.ivfPqIndexAppendAt(drift.toDF("vec_id", "embedding"), dir)
+    corpusRows = base ++ drift
+    val rep = maint.maintainIfDue(Seq(check))
+    assert(rep.isDefined, "drifted index did not trip the audit")
+    assert(rep.get.tasks.head.summary.contains("rebuilt rows 320 -> 320"),
+      rep.get.tasks.head.summary)
+    // rebuilt artifact is live and balanced again: the poll is quiet
+    assert(maint.maintainIfDue(Seq(check)).isEmpty)
+  }
+
   test("maintain() on un-started ingest is a pure batch window: the owner thunk is never invoked") {
     // owner is configured but the caller never start()ed it (or
     // deliberately stop()ped it): the window must run its tasks and
