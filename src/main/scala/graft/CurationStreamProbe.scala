@@ -101,10 +101,10 @@ object CurationStreamProbe {
     def dueChecks = Seq("winners", "bands", "grams").map(a =>
       graft.sources.ArtifactMaintainer.compactDue(
         spark, s"$stateDir/$a", maxSmallFiles = smallFileBudget,
-        // at soak scale every file is under the small-file bar, so
-        // compact to ONE — debt genuinely resets and the policy
-        // re-paces from zero instead of re-tripping on its own output
-        targetFiles = 1,
+        // auto-sized rewrite (~64 MB/file): soak-scale stores fold to
+        // one file (debt resets, the policy re-paces from zero) while
+        // a grown store gets right-sized files that no longer count
+        // as small-file debt
         // re-establish cross-batch id clustering on the text store so
         // the probe fetch's pushed ids keep pruning after compaction
         clusterBy = if (a == "winners") Seq("doc_id") else Nil))

@@ -65,6 +65,27 @@ object ArtifactCompaction {
     }.toLong
   }
 
+  /** Compaction target that keeps ~`targetBytes` of on-disk payload
+    * per file (the sized-append algebra of
+    * `StreamingCurationFull.fileCount`, applied to the whole
+    * artifact): one LISTing over the data files, clamped to
+    * [1, 4096]. A fixed target of 1 is only right while an artifact
+    * is small — at scale it would funnel the rewrite through a single
+    * writer and emit one unsplittable file.
+    */
+  def autoTargetFiles(spark: SparkSession, path: String,
+                      targetBytes: Long = 64L << 20): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val total =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getLen).sum
+    math.min(4096L, math.max(1L, (total + targetBytes - 1) / targetBytes)).toInt
+  }
+
   /** Rewrite the parquet directory at `path` to `targetFiles` data
     * files. The rewrite is verified (row count of the rewritten copy
     * must equal the source) BEFORE the swap — a failed verification

@@ -203,9 +203,14 @@ object ArtifactMaintainer {
     * forever; a total-file trigger would fire on every sized append
     * at 100 TB and turn the O(artifact) rewrite into a per-batch
     * cost. One LISTing, no data read.
+    *
+    * `targetFiles <= 0` (the default) auto-sizes the rewrite from the
+    * artifact's own bytes at window time
+    * ([[ArtifactCompaction.autoTargetFiles]], ~64 MB/file) — a fixed
+    * 1 is only right while the artifact is small.
     */
   def compactDue(spark: SparkSession, path: String, maxSmallFiles: Int,
-                 smallBytes: Long = 32L << 20, targetFiles: Int = 1,
+                 smallBytes: Long = 32L << 20, targetFiles: Int = 0,
                  clusterBy: Seq[String] = Nil): DueCheck =
     new DueCheck(s"compact:${new org.apache.hadoop.fs.Path(path).getName}",
       () => {
@@ -213,7 +218,13 @@ object ArtifactMaintainer {
         if (n > maxSmallFiles) Some(s"small_files=$n > budget $maxSmallFiles")
         else None
       },
-      compactTask(spark, path, targetFiles, clusterBy))
+      Task(s"compact:${new org.apache.hadoop.fs.Path(path).getName}") { () =>
+        val tf =
+          if (targetFiles > 0) targetFiles
+          else ArtifactCompaction.autoTargetFiles(spark, path)
+        val (fb, fa) = ArtifactCompaction.compactFiles(spark, path, tf, clusterBy)
+        s"files $fb -> $fa"
+      })
 
   /** Merge-algebra folding of a stamped delta log. */
   def deltaCompactTask(spark: SparkSession, path: String, keys: Seq[String],

@@ -209,6 +209,39 @@ class ArtifactMaintainerSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(b).count() == 50L)
     // debt folded: the same poll is now quiet — no window, no report
     assert(maint.maintainIfDue(checks).isEmpty)
+    // auto-sizing algebra: ~targetBytes of payload per rewritten file,
+    // so a grown store never funnels through one writer/file
+    import graft.sources.ArtifactCompaction.autoTargetFiles
+    assert(autoTargetFiles(spark, b) == 1) // small store -> one file
+    val p = new org.apache.hadoop.fs.Path(b)
+    val totalBytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    assert(autoTargetFiles(spark, b, targetBytes = totalBytes / 2 + 1) == 2)
+  }
+
+  test("deltaCompactDue: raw-row growth trips the merge-algebra fold; the folded log is quiet") {
+    import spark.implicits._
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_due_delta")}/cms_log"
+    // 3 stamped batches over the same 4 cells: raw 12 rows, folds to 4
+    (0 until 3).foreach { b =>
+      Seq((0, 0, 1L, b.toLong), (0, 1, 2L, b.toLong),
+          (1, 0, 3L, b.toLong), (1, 1, 4L, b.toLong))
+        .toDF("row", "col", "c", "batch_id")
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    val maint = new ArtifactMaintainer()
+    def check = ArtifactMaintainer.deltaCompactDue(spark, path,
+      Seq("row", "col"), Map("c" -> (sum(_))), maxRows = 8L)
+    val rep = maint.maintainIfDue(Seq(check))
+    assert(rep.isDefined, "12 raw rows did not trip a budget of 8")
+    assert(rep.get.tasks.head.summary.contains("rows 12 -> 4"),
+      rep.get.tasks.head.summary)
+    val m = spark.read.parquet(path).collect()
+      .map(r => ((r.getAs[Int]("row"), r.getAs[Int]("col")), r.getAs[Long]("c")))
+      .toMap
+    assert(m == Map((0, 0) -> 3L, (0, 1) -> 6L, (1, 0) -> 9L, (1, 1) -> 12L))
+    assert(maint.maintainIfDue(Seq(check)).isEmpty)
   }
 
   test("annRebuildDue: balanced index stays quiet; drifted index trips and the window rebuilds it") {
