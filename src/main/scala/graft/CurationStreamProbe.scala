@@ -118,6 +118,8 @@ object CurationStreamProbe {
     // winner-store touch accounting (the text-tiering decision input):
     // per batch, how many stored text bytes the near-dup verify fetches
     val touched = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var storeAcc = 0L   // running prior-store text bytes (sum of batch increments)
+    var accUpTo = -1L   // highest batch id whose increment is in storeAcc
     val windows = scala.collection.mutable.ArrayBuffer
       .empty[(Int, graft.sources.ArtifactMaintainer.Report)]
     maint.start()
@@ -127,12 +129,31 @@ object CurationStreamProbe {
         stream.addData(b.toIndexedSeq)
         maint.drain()
         batchWalls += (System.nanoTime() - t0) / 1e9
-        touched += (metrics.lastOption match {
-          case Some(m) if m.batch > 0 =>
-            StreamingCurationFull.touchedTextBytes(spark,
-              s"$stateDir/winners", s"$stateDir/bands", m.batch)
-          case _ => (0L, 0L, 0L)
-        })
+        touched += {
+          // linear-soak accounting: the prior-store total is the
+          // running sum of per-batch increments (each O(batch) via the
+          // pushed batch_id predicate), so an N-batch soak never pays
+          // an O(history) store scan per batch just to measure itself
+          val fresh = metrics.filter(_.batch > accUpTo).sortBy(_.batch)
+          if (fresh.isEmpty) (0L, 0L, 0L)
+          else {
+            fresh.init.foreach { m =>
+              storeAcc += StreamingCurationFull.batchTextBytes(
+                spark, s"$stateDir/winners", m.batch)
+            }
+            val m = fresh.last
+            val r =
+              if (m.batch > 0)
+                StreamingCurationFull.touchedTextBytes(spark,
+                  s"$stateDir/winners", s"$stateDir/bands", m.batch,
+                  priorStoreBytes = Some(storeAcc))
+              else (0L, 0L, 0L)
+            storeAcc += StreamingCurationFull.batchTextBytes(
+              spark, s"$stateDir/winners", m.batch)
+            accUpTo = m.batch
+            r
+          }
+        }
         // policy-paced maintenance: the poll is per batch, the window
         // opens only when the small-file budget trips — the ingest
         // pause a deployment budgets, measured under live history

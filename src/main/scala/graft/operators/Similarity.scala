@@ -1533,9 +1533,10 @@ object Similarity {
     * the live index means the caller scoped it wrong — refuse unless
     * `allowShrink`), and when `recallQueries` is given, ADC recall@k
     * against brute-force ground truth must hold `recallAfter >=
-    * minRecallRatio * recallBefore`, plus `recallAfter > minRecallAbs`
-    * when the stale recall is 0.0 (the relative gate is vacuous
-    * there) — then atomically swap the new artifact in (the
+    * minRecallRatio * recallBefore` AND `recallAfter >= minRecallAbs`
+    * (strict `>` when the stale recall is 0.0 — the relative gate is
+    * vacuous there, so even the default floor of 0.0 refuses a
+    * 0 -> 0 retrain) — then atomically swap the new artifact in (the
     * [[graft.sources.ArtifactCompaction]] two-rename discipline, with
     * rollback). The header is re-stamped by construction: it rides
     * INSIDE the artifact directory, so the swap installs the new
@@ -1659,16 +1660,20 @@ object Similarity {
             "left untouched — inspect the training sample or iterations")
         }
         // the relative gate is vacuous exactly in the scenario rebuilds
-        // target: a fully-drifted stale index has recall 0.0, and
-        // ratio * 0.0 passes ANY retrain including one that also
-        // produces 0.0 — so when the floor is zero, additionally
-        // require the retrain to clear an absolute bar
-        if (before == 0.0 && after <= minRecallAbs) {
+        // target: a fully-drifted stale index has recall ~0, and
+        // ratio * ~0 passes ANY retrain including one that also
+        // produces ~0 — so the absolute bar applies UNCONDITIONALLY
+        // (not only at exactly 0.0: a one-lucky-query stale recall of
+        // 0.02 would otherwise bypass a caller's explicit floor), and
+        // at exactly-zero stale recall it is strict, so the default
+        // floor of 0.0 still refuses a 0 -> 0 retrain
+        if (after < minRecallAbs || (before == 0.0 && after <= minRecallAbs)) {
           fs.delete(tmp, true)
-          sys.error(f"ivfPqRebuild: stale recall is 0.0000 so the relative gate " +
-            f"proves nothing, and retrained recall@$k $after%.4f did not clear the " +
-            f"absolute floor $minRecallAbs%.4f; artifact at $indexPath left " +
-            "untouched — the retrain did not recover the drifted region")
+          sys.error(f"ivfPqRebuild: retrained recall@$k $after%.4f did not clear " +
+            f"the absolute floor $minRecallAbs%.4f (stale recall $before%.4f" +
+            (if (before == 0.0) " — the relative gate proves nothing" else "") +
+            f"); artifact at $indexPath left untouched — the retrain did not " +
+            "recover the drifted region")
         }
         (before, after)
     }

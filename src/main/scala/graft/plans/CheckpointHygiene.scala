@@ -68,6 +68,19 @@ object CheckpointHygiene {
     * distinguish shared ownership, so don't hand a mid-flight foreign
     * checkpoint into a scoped body.
     *
+    * The listener bus is async and LOSSY under overflow
+    * (`spark.scheduler.listenerbus.eventqueue.capacity`, default
+    * 10000): a dropped body-job start loses that job's attribution.
+    * The failure direction is deliberately conservative — the sweep
+    * frees only (new AND attributed) RDDs, so a drop can only make it
+    * free LESS (the un-attributed blocks leak to ContextCleaner, the
+    * pre-scoped() behavior), never free a concurrent query's blocks.
+    * A dropped drain MARKER surfaces as a logged bounded wait, not a
+    * silent stall; and the whole sweep is best-effort — a failure in
+    * it (e.g. the marker job refused by a stopping SparkContext after
+    * `body` threw) is logged and swallowed so it can never mask the
+    * body's own exception.
+    *
     * Only sound when `body` fully CONSUMES everything it builds
     * (counts/writes) — exactly the foreachBatch contract. Lazy
     * checkpoints (`eager = false`) are attributed when first
@@ -98,17 +111,36 @@ object CheckpointHygiene {
     } finally {
       sc.setLocalProperty(ScopeProp, prevTag)
       try {
-        // the listener bus is async: drain it by running one empty
-        // marker job AFTER the body — events are FIFO per listener, so
-        // once the marker's JobStart arrives, every job the body
-        // launched has been attributed. ~1 ms of driver work.
-        sc.setLocalProperty(MarkerProp, tag)
-        try sc.parallelize(Seq(0), 1).count()
-        finally sc.setLocalProperty(MarkerProp, null)
-        markerSeen.await(10, TimeUnit.SECONDS)
-        sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!before.contains(id) && touched.contains(id))
-            rdd.unpersist(blocking = false)
+        try {
+          // the listener bus is async: drain it by running one empty
+          // marker job AFTER the body — events are FIFO per listener,
+          // so once the marker's JobStart arrives, every job the body
+          // launched has been attributed. ~1 ms of driver work.
+          sc.setLocalProperty(MarkerProp, tag)
+          try sc.parallelize(Seq(0), 1).count()
+          finally sc.setLocalProperty(MarkerProp, null)
+          val drained = markerSeen.await(10, TimeUnit.SECONDS)
+          if (!drained)
+            // overloaded bus dropped the marker event; attribution may
+            // be incomplete. Still safe to sweep what WAS attributed
+            // (under-attribution only leaks), but say so.
+            System.err.println("CheckpointHygiene.scoped: drain marker not " +
+              "delivered in 10 s (listener bus overloaded?) — sweeping the " +
+              "attributed subset; unattributed batch blocks leak to ContextCleaner")
+          sc.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!before.contains(id) && touched.contains(id))
+              rdd.unpersist(blocking = false)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // hygiene must never mask the body's own failure: if body
+            // threw and the context is coming down, the marker job
+            // throws IllegalStateException here — log, leave the dead
+            // blocks to ContextCleaner, and let the ORIGINAL exception
+            // propagate from the outer try.
+            System.err.println("CheckpointHygiene.scoped: sweep skipped (" +
+              e.getClass.getSimpleName + ": " + e.getMessage + ") — dead " +
+              "batch blocks left to ContextCleaner")
         }
       } finally sc.removeSparkListener(listener)
     }

@@ -83,7 +83,7 @@ object ArtifactCompaction {
         val n = s.getPath.getName
         s.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(_.getLen).sum
-    math.min(4096L, math.max(1L, (total + targetBytes - 1) / targetBytes)).toInt
+    graft.streaming.StreamingCurationFull.fileCount(total, targetBytes)
   }
 
   /** Rewrite the parquet directory at `path` to `targetFiles` data

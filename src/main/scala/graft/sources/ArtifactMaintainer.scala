@@ -56,24 +56,44 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
     * query is still active (returns the live handle — starting a
     * SECOND query against the same artifacts/checkpoint is exactly
     * the double-writer this class exists to prevent); restarts a
-    * terminated one. Synchronized: the check-then-act on the handle
-    * must not race another start() or maintain()'s restart, or the
-    * idempotence guarantee is exactly the double-writer again.
-    * (Monitor only — never the artifact lock, so start() from inside
-    * a [[withAccess]] body cannot self-deadlock.)
+    * terminated one. Takes the SHARED artifact lock before the
+    * monitor: a start() racing an open maintenance window would
+    * otherwise launch a new query mid-window (reading paths the
+    * compaction two-rename leaves momentarily missing) and leave the
+    * window's own restart as a second writer — holding the read lock
+    * parks lifecycle calls until the window closes. Lock order is
+    * RW-lock then monitor everywhere (maintain() holds write+monitor,
+    * never the reverse), and the read lock is reentrant, so start()
+    * from inside a [[withAccess]] body still cannot self-deadlock.
     */
-  def start(): Option[StreamingQuery] = this.synchronized {
-    if (!query.exists(_.isActive)) owner.foreach(o => query = Some(o()))
-    query
+  def start(): Option[StreamingQuery] = {
+    lock.readLock().lock()
+    try this.synchronized {
+      if (!query.exists(_.isActive)) owner.foreach(o => query = Some(o()))
+      query
+    } finally lock.readLock().unlock()
   }
 
   /** Block until the owning query has processed all available input —
     * the test/probe synchronization point, same as
-    * `StreamingQuery.processAllAvailable`.
+    * `StreamingQuery.processAllAvailable`. The handle is captured
+    * under the monitor (never calls into Spark while holding it) so a
+    * concurrent window restart cannot hand us a half-published
+    * reference.
     */
-  def drain(): Unit = query.foreach(_.processAllAvailable())
+  def drain(): Unit = this.synchronized(query).foreach(_.processAllAvailable())
 
-  def stop(): Unit = this.synchronized { query.foreach(_.stop()); query = None }
+  /** Stop the owning query. Shares the lifecycle posture of
+    * [[start]]: parks behind an open maintenance window so the
+    * window's unconditional restart cannot resurrect a query that
+    * shutdown already stopped (stop-after-maintain stops the
+    * restarted handle instead).
+    */
+  def stop(): Unit = {
+    lock.readLock().lock()
+    try this.synchronized { query.foreach(_.stop()); query = None }
+    finally lock.readLock().unlock()
+  }
 
   /** Run `body` under the SHARED side of the maintenance lock: any
     * number of probes/appenders proceed concurrently, and none can
@@ -108,12 +128,16 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
       // on a maintainer whose query was deliberately stop()ped (or
       // never started) is a pure batch window and must not resurrect
       // ingest behind the caller's back
+      // holding the write lock means no start()/stop() is inside its
+      // critical section (both take the read lock first), so the
+      // handle captured here cannot change until the window closes
       val owned = this.synchronized(query.isDefined)
       try {
-        // quiesce: drain pending input, then stop. A drain failure
-        // (query already terminated with error) falls through to the
-        // restart below — the window must not END with ingest down.
-        query.foreach { q => q.processAllAvailable(); q.stop() }
+        // quiesce: drain pending input, then stop. stop() runs even
+        // when the drain throws (query terminated with error, or this
+        // thread interrupted mid-drain) — otherwise the restart below
+        // would start a second writer beside a still-live first.
+        query.foreach { q => try q.processAllAvailable() finally q.stop() }
         pause0 = System.nanoTime()
         tasks.foreach { t =>
           val t0 = System.nanoTime()
@@ -187,11 +211,18 @@ object ArtifactMaintainer {
   /** File-layout compaction of an append-grown artifact; pass
     * `clusterBy` for stores whose readers push key predicates (the
     * winner store clusters on doc_id for the candidate-id fetch).
+    * `targetFiles <= 0` auto-sizes the rewrite from the artifact's
+    * bytes at run time ([[ArtifactCompaction.autoTargetFiles]],
+    * ~64 MB/file) — a fixed 1 is only right while the artifact is
+    * small.
     */
   def compactTask(spark: SparkSession, path: String, targetFiles: Int = 1,
                   clusterBy: Seq[String] = Nil): Task =
     Task(s"compact:${new org.apache.hadoop.fs.Path(path).getName}") { () =>
-      val (fb, fa) = ArtifactCompaction.compactFiles(spark, path, targetFiles, clusterBy)
+      val tf =
+        if (targetFiles > 0) targetFiles
+        else ArtifactCompaction.autoTargetFiles(spark, path)
+      val (fb, fa) = ArtifactCompaction.compactFiles(spark, path, tf, clusterBy)
       s"files $fb -> $fa"
     }
 
@@ -218,13 +249,7 @@ object ArtifactMaintainer {
         if (n > maxSmallFiles) Some(s"small_files=$n > budget $maxSmallFiles")
         else None
       },
-      Task(s"compact:${new org.apache.hadoop.fs.Path(path).getName}") { () =>
-        val tf =
-          if (targetFiles > 0) targetFiles
-          else ArtifactCompaction.autoTargetFiles(spark, path)
-        val (fb, fa) = ArtifactCompaction.compactFiles(spark, path, tf, clusterBy)
-        s"files $fb -> $fa"
-      })
+      compactTask(spark, path, targetFiles, clusterBy))
 
   /** Merge-algebra folding of a stamped delta log. */
   def deltaCompactTask(spark: SparkSession, path: String, keys: Seq[String],

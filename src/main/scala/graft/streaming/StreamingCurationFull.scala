@@ -71,12 +71,22 @@ object StreamingCurationFull {
     * Derivation mirrors the production probe off the SAME persisted
     * artifacts (band params from the index's own header, retry-deduped
     * store, per-bucket cap), with the batch's own ids excluded the way
-    * the pre-admit probe never sees them. Measurement-only: nothing in
-    * the chain calls this; the soak probe does, per batch.
+    * the pre-admit probe never sees them — including the candidate-id
+    * pushdown: the touched fetch collects the (bounded) collision ids
+    * and pushes them as a scan predicate, so the MEASUREMENT costs
+    * what the production fetch costs, O(batch + candidates), not a
+    * full-store text scan per call. The prior-store TOTAL is the one
+    * inherently O(history) aggregate: pass `priorStoreBytes` (the
+    * caller's running accumulation of [[batchTextBytes]] increments —
+    * what the soak probe does, keeping an N-batch soak linear) to skip
+    * it; `None` computes it exactly (the audited form, and the spec
+    * pins accumulated == scanned). Measurement-only: nothing in the
+    * chain calls this; the soak probe does, per batch.
     */
   def touchedTextBytes(spark: org.apache.spark.sql.SparkSession,
                        winnersPath: String, bandIdxPath: String,
-                       batchId: Long): (Long, Long, Long) = {
+                       batchId: Long,
+                       priorStoreBytes: Option[Long] = None): (Long, Long, Long) = {
     val store = graft.sources.DeltaLogCompaction.dedupeRetries(
       spark.read.parquet(winnersPath), Seq("doc_id"))
     val hdr = graft.sources.ArtifactHeader.required(spark, bandIdxPath, "bands")
@@ -94,10 +104,31 @@ object StreamingCurationFull {
     def bytes(df: DataFrame): Long = df
       .agg(coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)))
       .collect()(0).getLong(0)
-    val touched = priorStore.join(candPrior, Seq("doc_id"), "left_semi")
-    (bytes(priorStore), bytes(touched),
+    // same pushdown-or-semi-join policy as the production fetch
+    // (Dedup.verifyAgainst): candidate ids are bounded by the batch's
+    // band keys x bucket_cap, so the collect is small by construction
+    val candIds = candPrior.limit(Dedup.PriorIdPushdownMax + 1).collect().map(_.get(0))
+    val touched =
+      if (candIds.length <= Dedup.PriorIdPushdownMax)
+        priorStore.filter(col("doc_id").isin(candIds: _*))
+      else priorStore.join(candPrior, Seq("doc_id"), "left_semi")
+    (priorStoreBytes.getOrElse(bytes(priorStore)), bytes(touched),
       touched.select("doc_id").distinct().count())
   }
+
+  /** One batch's admitted text bytes in the winner store — the
+    * O(batch) increment a caller accumulates into the running
+    * prior-store total for [[touchedTextBytes]] (the `batch_id`
+    * equality predicate reaches the parquet scan, and appends are
+    * per-batch files, so row-group stats prune the rest of history).
+    */
+  def batchTextBytes(spark: org.apache.spark.sql.SparkSession,
+                     winnersPath: String, batchId: Long): Long =
+    graft.sources.DeltaLogCompaction.dedupeRetries(
+        spark.read.parquet(winnersPath).filter(col("batch_id") === batchId),
+        Seq("doc_id"))
+      .agg(coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
 
   /** Start the five-stage chain over `stream`. `docTexts` is the
     * stream-static (doc_id, text) lookup (texts re-attach after the

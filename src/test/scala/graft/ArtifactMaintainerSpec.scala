@@ -276,6 +276,50 @@ class ArtifactMaintainerSpec extends AnyFunSuite with SharedSpark {
     assert(maint.maintainIfDue(Seq(check)).isEmpty)
   }
 
+  test("start()/stop() park behind an open maintenance window — the restart cannot race lifecycle calls into a double writer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val starts = new AtomicInteger(0)
+    val maint = new ArtifactMaintainer(owner = Some(() => {
+      starts.incrementAndGet()
+      val ms = MemoryStream[Int]
+      ms.addData(1)
+      ms.toDF().writeStream.format("noop").start()
+    }))
+    maint.start(); maint.drain()
+    assert(starts.get() == 1)
+    val inWindow = new java.util.concurrent.CountDownLatch(1)
+    val unblock = new java.util.concurrent.CountDownLatch(1)
+    val windowT = new Thread(() => {
+      maint.maintain(Seq(ArtifactMaintainer.Task("block") { () =>
+        inWindow.countDown()
+        unblock.await(30, TimeUnit.SECONDS); "ok"
+      }))
+      ()
+    })
+    windowT.start()
+    assert(inWindow.await(30, TimeUnit.SECONDS))
+    // a lifecycle start() during the window PARKS on the artifact
+    // lock instead of launching a second query mid-window (the
+    // check-then-act race: without the lock it would see the quiesced
+    // handle as inactive and start a new writer the window's own
+    // restart then doubles)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val startT = new Thread(() => { maint.start(); started.countDown() })
+    startT.start()
+    assert(!started.await(1, TimeUnit.SECONDS), "start() did not park")
+    assert(starts.get() == 1, "a second query was launched mid-window")
+    unblock.countDown()
+    windowT.join(30000)
+    assert(started.await(30, TimeUnit.SECONDS), "parked start() never resumed")
+    startT.join(30000)
+    // exactly one restart — the window's own; the parked start()
+    // adopted the restarted handle instead of invoking the owner again
+    assert(starts.get() == 2)
+    maint.stop()
+  }
+
   test("maintain() on un-started ingest is a pure batch window: the owner thunk is never invoked") {
     // owner is configured but the caller never start()ed it (or
     // deliberately stop()ped it): the window must run its tasks and

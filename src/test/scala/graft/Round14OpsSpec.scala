@@ -100,6 +100,15 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
     val rep = Similarity.ivfPqRebuild(corpus, dir,
       recallQueries = Some(probes), k = 5, nprobe = 2)
     assert(rep.recallBefore == 0.0 && rep.recallAfter > 0.0)
+    // the floor is UNCONDITIONAL, not an exactly-0.0 special case: a
+    // near-zero (or here: healthy) stale recall cannot bypass a
+    // caller's explicit absolute bar via the relative gate alone
+    val ex3 = intercept[RuntimeException] {
+      Similarity.ivfPqRebuild(corpus, dir, recallQueries = Some(probes),
+        k = 5, nprobe = 2, minRecallAbs = 1.01)
+    }
+    assert(ex3.getMessage.contains("absolute floor"), ex3.getMessage)
+    assert(spark.read.parquet(dir).count() == 320L) // untouched
   }
 
   private def checkpointRddId(df: DataFrame): Int =
@@ -169,5 +178,38 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
     }
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"scope leaked persistent RDDs: $leaked")
+  }
+
+  test("touchedTextBytes: accumulated batch increments equal the exact prior-store scan") {
+    import graft.streaming.{StreamingCurationFull, StreamingNearDup}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("touch_acc").toString
+    val winnersPath = s"$dir/winners"
+    val bandsPath = s"$dir/bands"
+    def bandsOf(df: DataFrame) = operators.Dedup.capBucket(
+      operators.Dedup.bandKeys(
+        df.select(col("doc_id"), col("text").as("__text")), 3, 6, 2),
+      "band_key", "doc_id", 128)
+    (0 until 3).foreach { b =>
+      val slice = docs.filter(col("doc_id") % 3 === b)
+      slice.withColumn("batch_id", lit(b.toLong))
+        .write.mode("append").parquet(winnersPath)
+      StreamingNearDup.appendToIndex(bandsOf(slice), bandsPath,
+        stampParams = Some((3, 6, 2)))
+    }
+    // the audited form scans batches 0+1; the soak form takes the
+    // caller's running accumulation of per-batch increments — the
+    // measurement the 100x soak pays must equal the exact scan
+    val exact = StreamingCurationFull.touchedTextBytes(
+      spark, winnersPath, bandsPath, batchId = 2L)
+    val acc = StreamingCurationFull.batchTextBytes(spark, winnersPath, 0L) +
+      StreamingCurationFull.batchTextBytes(spark, winnersPath, 1L)
+    val viaAcc = StreamingCurationFull.touchedTextBytes(
+      spark, winnersPath, bandsPath, batchId = 2L,
+      priorStoreBytes = Some(acc))
+    assert(exact._1 == acc, s"accumulated $acc != scanned ${exact._1}")
+    assert(viaAcc == exact)
+    assert(exact._1 > 0L)
   }
 }
