@@ -1082,6 +1082,23 @@ object SparkEntry {
         k = 5, rerank = 32)
     }),
 
+    // FILTERED ANN search (the Faiss IDSelector / metadata-filter
+    // shape): top-k ADC among an allowed-id set ONLY — the k-cut is
+    // taken WITHIN the allowed set, so a selective filter stays full
+    // instead of under-filling the way post-filtering an unfiltered
+    // top-k would. The allowed frame is what any metadata predicate's
+    // id column produces; same persisted header-trusted index and
+    // incremental split as q_ann_probe_incremental
+    "q_ann_probe_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("ann_filtered", dir)
+      Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      Similarity.annIvfPqProbeFilteredAt(s, path,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24),
+        allowedIds = emb.filter(col("vec_id") % 5 <= 1).select("vec_id"),
+        k = 5)
+    }),
+
     // the FULL index-maintenance lifecycle inside the correctness
     // gate: a salted-default artifact is written + stamped, then
     // ivfPqRebuild retrains BOTH quantizers on the corpus with
@@ -3121,6 +3138,12 @@ object SparkEntry {
     "q_ann_probe_incremental" -> annIvfPqOracleK(5,
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
+    // filtered search: same probe algebra with the allowed-id
+    // predicate restricting the candidate set BEFORE the rank cut
+    "q_ann_probe_filtered" -> annIvfPqOracleK(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
+      allowedWhere = "a.vec_id % 5 <= 1"),
     // the SQL-verb chain (BUILD ANN INDEX -> PROBE ANN INDEX) is the
     // same persisted-index composition, so it shares the oracle
     "q_sql_ann_probe" -> annIvfPqOracleK(5,
@@ -4699,7 +4722,8 @@ object SparkEntry {
   }
 
   private def annIvfPqOracleK(k: Int, baseWhere: String = "",
-                              queryWhere: String = "vec_id < 8"): String =
+                              queryWhere: String = "vec_id < 8",
+                              allowedWhere: String = ""): String =
     ivfPqIndexCtes(baseWhere) +
     s""",
       |probe AS (SELECT vec_id, c AS list_id FROM ivfsc WHERE $queryWhere
@@ -4708,7 +4732,8 @@ object SparkEntry {
       |    CAST(floor(list_sum(list_transform(range(1, 9), i -> q.v[cb.s * 8 + i] * cb.cv[i])) * 1e6) AS BIGINT) AS f
       |  FROM v q, cb WHERE $queryWhere),
       |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-      |  FROM probe p JOIN assign a USING (list_id) WHERE p.vec_id <> a.vec_id),
+      |  FROM probe p JOIN assign a USING (list_id) WHERE p.vec_id <> a.vec_id${
+        if (allowedWhere.isEmpty) "" else s" AND ($allowedWhere)"}),
       |adc AS (SELECT cand.query_id, cand.neighbor_id, CAST(sum(l.f) AS BIGINT) AS score_e6
       |  FROM cand JOIN code b ON b.vec_id = cand.neighbor_id
       |  JOIN lut l ON l.query_id = cand.query_id AND l.s = b.s AND l.c = b.c

@@ -1472,7 +1472,8 @@ object Similarity {
                       queries: DataFrame, k: Int, nprobe: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       centroids: Option[Array[Array[Double]]] = None,
-                      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+                      codebooks: Option[Array[Array[Array[Double]]]] = None,
+                      allowedIds: Option[DataFrame] = None): DataFrame = {
     val hdr = ivfPqRequireHeader(spark, indexPath,
       "Write it with ivfPqIndexWrite/ivfPqIndexAppend (which stamp one), " +
         "or stamp it explicitly with ivfPqWriteHeader.")
@@ -1484,8 +1485,52 @@ object Similarity {
     }
     annIvfPqProbe(spark.read.parquet(indexPath), queries, k, hdr.dim, hdr.lists,
       nprobe, hdr.m, hdr.codes, idCol, vecCol,
-      Some(hdr.centroids), Some(hdr.codebooks))
+      Some(hdr.centroids), Some(hdr.codebooks), allowedIds = allowedIds)
   }
+
+  /** Filtered ANN search against the persisted artifact — top-k by
+    * ADC among the vectors in `allowedIds` ONLY (metadata-filtered
+    * vector search: "nearest neighbors among docs where lang = 'en'").
+    * The filter restricts candidates BEFORE ranking, so every result
+    * is allowed and the k-cut is taken within the allowed set; a
+    * post-filter of the unfiltered top-k would under-fill exactly
+    * when the filter is selective. Pair with the id column of any
+    * predicate over a metadata table (`docs.filter(...).select("id")`).
+    *
+    * 100 TB posture: candidates are `allowed INTERSECT probed lists`,
+    * so the nprobe/lists scan bound still holds and a selective
+    * filter only SHRINKS the ADC join (small sets push down to the
+    * artifact scan as an id predicate; large ones semi-join). The
+    * escape hatch this does not take: at extreme selectivity
+    * (|allowed| comparable to k x |queries|) skip the index and
+    * brute-force the fetched full-precision vectors — that variant
+    * changes result semantics (exact vs ADC ordering), so it is the
+    * caller's explicit choice via [[topKCosine]] over the filtered
+    * corpus, not a silent switch.
+    */
+  def annIvfPqProbeFilteredAt(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, queries: DataFrame,
+                              allowedIds: DataFrame, k: Int, nprobe: Int = 4,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame =
+    annIvfPqProbeAt(spark, indexPath, queries, k, nprobe, idCol, vecCol,
+      allowedIds = Some(allowedIds))
+
+  /** [[annIvfPqRefineAt]] under a metadata filter: filtered ADC keeps
+    * `rerank` allowed survivors per query, exact cosine re-ranks and
+    * cuts to k — full-precision vectors touched only for
+    * queries x allowed survivors.
+    */
+  def annIvfPqRefineFilteredAt(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, corpus: DataFrame,
+                               queries: DataFrame, allowedIds: DataFrame,
+                               k: Int, nprobe: Int = 4, rerank: Int = 32,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame =
+    refineExact(corpus,
+      annIvfPqProbeAt(spark, indexPath, queries, k = rerank, nprobe, idCol,
+        vecCol, allowedIds = Some(allowedIds)),
+      queries, k, idCol, vecCol)
 
   /** List-balance audit of a (possibly append-grown) IVF-PQ artifact,
     * computed from the artifact ALONE — no corpus vectors touched.
@@ -1743,7 +1788,8 @@ object Similarity {
                     lists: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     centroids: Option[Array[Array[Double]]] = None,
-                    codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+                    codebooks: Option[Array[Array[Array[Double]]]] = None,
+                    allowedIds: Option[DataFrame] = None): DataFrame = {
     require(Seq("vec_id", "list_id", "codes").forall(index.columns.contains),
       s"index must be an ivfPqIndex artifact (vec_id, list_id, codes); got ${index.columns.mkString(", ")}")
     val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
@@ -1755,7 +1801,25 @@ object Similarity {
     }
     val lut = pqLutUdf(cbs, subDim)
     val adc = pqAdcUdf(m, codes)
-    val base = index.select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+    val base0 = index.select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+    // filtered search (the Faiss IDSelector shape): restrict the
+    // CANDIDATE set before ADC ranking, so the result is top-k AMONG
+    // allowed — not a post-filter of the unfiltered top-k, which
+    // silently drops allowed neighbors past the unfiltered cut. The
+    // restriction composes with the coarse bound (candidates =
+    // allowed INTERSECT probed lists): small id sets push down as a
+    // scan predicate on the artifact (row-group stats prune), larger
+    // ones fall back to a semi-join (broadcast when the filter frame
+    // is small enough). First column of `allowedIds` is the id.
+    val base = allowedIds match {
+      case None => base0
+      case Some(a) =>
+        val idsDf = a.select(col(a.columns.head).as("neighbor_id")).distinct()
+        val ids = idsDf.limit(Dedup.PriorIdPushdownMax + 1).collect().map(_.get(0))
+        if (ids.length <= Dedup.PriorIdPushdownMax)
+          base0.filter(col("neighbor_id").isin(ids: _*))
+        else base0.join(idsDf, Seq("neighbor_id"), "left_semi")
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("lut", lut(col("qv")))
       .withColumn("list_id", explode(probe(col("qv")))).drop("qv")

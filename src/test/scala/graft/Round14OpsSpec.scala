@@ -180,6 +180,53 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
     assert(leaked.isEmpty, s"scope leaked persistent RDDs: $leaked")
   }
 
+  test("filtered ANN probe: the k-cut is taken WITHIN the allowed set; pushdown and semi-join branches agree") {
+    import spark.implicits._
+    val dir = tmpIdx("ann_filtered")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val queries = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 16)
+    Similarity.ivfPqIndexWrite(corpus, dir, dim = 64)
+    val allowedPred = col("vec_id") % 5 <= 1
+    val allowed = emb.filter(allowedPred).select("vec_id")
+    val filtered = Similarity.annIvfPqProbeFilteredAt(
+      spark, dir, queries, allowed, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth for the SEMANTICS claim: rank the FULL ADC ordering
+    // (k = corpus size, nothing cut), restrict to allowed, re-rank,
+    // cut to 5 — "top-k among allowed", not "allowed among top-k"
+    val n = corpus.count().toInt
+    val full = Similarity.annIvfPqProbeAt(spark, dir, queries, k = n)
+    val allowedSet = emb.filter(allowedPred)
+      .select("vec_id").as[Long].collect().toSet
+    val expected = full.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .filter { case (_, nb, _) => allowedSet.contains(nb) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, nb, s) => (-s, nb) }.take(5).zipWithIndex
+          .map { case ((_, nb, _), i) => (q, (i + 1).toLong, nb) }
+      }.toSet
+    assert(filtered == expected, "filtered probe is not the in-set rank cut")
+    // and the claim post-filtering misses: some allowed neighbor ranks
+    // inside the filtered top-5 but OUTSIDE the unfiltered top-5
+    val post = Similarity.annIvfPqProbeAt(spark, dir, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .filter { case (_, nb) => allowedSet.contains(nb) }.toSet
+    assert(post.size < filtered.size, "fixture too permissive to show under-fill")
+    // the large-set fallback (semi-join) must equal the pushdown
+    // branch on the same EFFECTIVE set: pad the allowed frame past the
+    // pushdown bound with ids outside the corpus
+    val padded = allowed.as[Long]
+      .union(spark.range(10000000L, 10000000L +
+        graft.operators.Dedup.PriorIdPushdownMax + 1).as[Long])
+      .toDF("vec_id")
+    val viaSemiJoin = Similarity.annIvfPqProbeFilteredAt(
+      spark, dir, queries, padded, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSemiJoin == filtered)
+  }
+
   test("touchedTextBytes: accumulated batch increments equal the exact prior-store scan") {
     import graft.streaming.{StreamingCurationFull, StreamingNearDup}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
