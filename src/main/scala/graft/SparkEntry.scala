@@ -362,6 +362,16 @@ object SparkEntry {
       s.sql(s"PROBE ANN INDEX '$path' FROM '$dir'")
     }),
 
+    // the filtered-search verb: ALLOWING takes ordinary SQL over the
+    // embeddings table, its admitted ids become the allowed set —
+    // shares q_ann_probe_filtered's oracle (same index split, same
+    // predicate)
+    "q_sql_ann_probe_filtered" -> ((s, dir) => {
+      val path = runTmp("sql_ann_filt", dir)
+      s.sql(s"BUILD ANN INDEX FROM '$dir' AT '$path'").collect()
+      s.sql(s"PROBE ANN INDEX '$path' FROM '$dir' ALLOWING vec_id % 5 <= 1")
+    }),
+
     // duplicate CLUSTERS: connected components (star contraction) over
     // the near-dup pair graph, one canonical survivor per component
     "q_dup_clusters" -> ((s, dir) =>
@@ -3149,6 +3159,10 @@ object SparkEntry {
     "q_sql_ann_probe" -> annIvfPqOracleK(5,
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
+    "q_sql_ann_probe_filtered" -> annIvfPqOracleK(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
+      allowedWhere = "a.vec_id % 5 <= 1"),
     // the ADC stage is the ENTIRE incremental-probe oracle at k=32 as
     // a subquery (the q_ann_recall_ivfpq composition convention), then
     // exact cosine over prior-corpus vectors re-ranks the survivors

@@ -75,6 +75,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   PROBE ANN INDEX '<path>' FROM '<dir>'
   *     -> annIvfPqProbeAt: new query vectors search the persisted
   *        header-trusted artifact (query_id, neighbor_id, adc_dist)
+  *   PROBE ANN INDEX '<path>' FROM '<dir>' ALLOWING <predicate>
+  *     -> annIvfPqProbeFilteredAt: filtered search — <predicate> is
+  *        ordinary SQL over the embeddings table; its admitted ids
+  *        become the allowed set and the k-cut is taken within it
   *   REBUILD ANN INDEX IF NEEDED '<path>' FROM '<dir>'
   *     -> ivfPqRebuildIfNeeded: balance audit, then retrain/verify/
   *        swap only if tripped; returns (rebuilt, rows_before,
@@ -124,6 +128,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*BUILD\s+ANN\s+INDEX\s+FROM\s+'([^']+)'\s+AT\s+'([^']+)'\s*;?\s*""".r
   private val ProbeAnnIndex =
     """(?is)\s*PROBE\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  // filtered search: the trailing predicate is standard Spark SQL over
+  // the embeddings table's columns, parsed by Spark's own expression
+  // parser — a bad predicate fails as a ParseException at the seam
+  private val ProbeAnnIndexFiltered =
+    """(?is)\s*PROBE\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+ALLOWING\s+(.+?)\s*;?\s*""".r
   private val RebuildAnnIndex =
     """(?is)\s*REBUILD\s+ANN\s+INDEX\s+IF\s+NEEDED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
 
@@ -285,6 +294,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
         .queryExecution.logical
     }
+    case ProbeAnnIndexFiltered(path, dir, pred) => wrapGraft(sqlText) {
+      // filtered search: top-k among the ids the predicate admits —
+      // the predicate is ordinary SQL over the embeddings table, its
+      // id column becomes the allowed set (metadata-filtered vector
+      // search as one statement)
+      val emb = graft.sources.TableArmor.embeddings(
+        session.read.parquet(s"$dir/embeddings.parquet"))
+      val allowed = emb.filter(org.apache.spark.sql.functions.expr(pred))
+        .select("vec_id")
+      graft.operators.Similarity.annIvfPqProbeFilteredAt(session, path,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24),
+        allowed, k = 5)
+        .queryExecution.logical
+    }
     case RebuildAnnIndex(path, dir) => wrapGraft(sqlText) {
       // the maintainer one-call: audit the persisted artifact's list
       // balance, retrain/re-encode/verify/swap only if it trips
@@ -311,7 +334,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     case Materialize(_, _) | Linearize(_) | ShelveEvents(_, _) | MergeStates(_, _) |
          ShelveEventsFrom(_, _) | MergeStatesFrom(_, _) |
          DedupDocs(_) | NeardupDocs(_) | DecontaminateDocs(_) |
-         BuildAnnIndex(_, _) | ProbeAnnIndex(_, _) | RebuildAnnIndex(_, _) =>
+         BuildAnnIndex(_, _) | ProbeAnnIndex(_, _) |
+         ProbeAnnIndexFiltered(_, _, _) | RebuildAnnIndex(_, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }

@@ -255,6 +255,33 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
     assert(rows(p3) == rows(p4)) // untouched
   }
 
+  test("PROBE ANN INDEX ... ALLOWING equals the filtered DataFrame twin; a broken predicate fails at the seam") {
+    import graft.operators.Similarity
+    val p1 = new java.io.File(
+      java.nio.file.Files.createTempDirectory("sql_ann_allow").toFile, "idx").getPath
+    spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '$p1'").collect()
+    val viaSql = spark.sql(
+        s"PROBE ANN INDEX '$p1' FROM '$sf' ALLOWING vec_id % 5 <= 1")
+      .collect().map(_.toString).sorted
+    val emb = graft.sources.TableArmor.embeddings(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
+    val viaApi = Similarity.annIvfPqProbeFilteredAt(spark, p1,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24),
+        emb.filter(col("vec_id") % 5 <= 1).select("vec_id"), k = 5)
+      .collect().map(_.toString).sorted
+    assert(viaSql.nonEmpty && viaSql.sameElements(viaApi))
+    // the filter is load-bearing: the allowed set changes the frame
+    val unfiltered = spark.sql(s"PROBE ANN INDEX '$p1' FROM '$sf'")
+      .collect().map(_.toString).sorted
+    assert(!viaSql.sameElements(unfiltered))
+    // an unresolvable predicate surfaces as a ParseException (the
+    // graft-statement contract), never a raw engine exception
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"PROBE ANN INDEX '$p1' FROM '$sf' ALLOWING no_such_col = 1")
+        .collect()
+    }
+  }
+
   test("MERGE STATES equals the WorkCache orchestration (q_shelve_merge twin)") {
     val base = (0 until 6).map(i => f"a$i%02d").mkString("|")
     val evs = (0 until 6).map(i => f"a$i%02d->b$i%02d").mkString(",")
