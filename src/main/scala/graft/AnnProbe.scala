@@ -19,6 +19,7 @@ object AnnProbe {
     if (args.nonEmpty && args(0) == "pq") { pqRecall(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "index") { indexArtifact(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "lifecycle") { lifecycle(); return }
+    if (args.nonEmpty && args(0) == "filtered") { filteredProbe(args.drop(1)); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -139,6 +140,69 @@ object AnnProbe {
     * self-description.
     * Run: SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt "runMain graft.AnnProbe lifecycle"
     */
+  /** Filtered-search scale probe: ONE persisted index, new queries
+    * probing it under allowed-id sets of decreasing selectivity — the
+    * claim under measurement: a selective filter only SHRINKS the ADC
+    * join (candidates = allowed INTERSECT probed lists), through both
+    * the id-pushdown branch (small sets, scan predicate on the
+    * artifact) and the semi-join fallback (sets past the pushdown
+    * bound). Corpus grown by entity copies (cyclic dim shifts + id
+    * offsets — the soak convention: grows the ENTITY space, never
+    * replicates rows). Run: sbt "runMain graft.AnnProbe filtered 100"
+    */
+  private def filteredProbe(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 100
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb =
+      if (copies <= 1) emb0.localCheckpoint()
+      else (0 until copies).map { k =>
+        val rot = k % 64
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          (if (rot == 0) col("embedding")
+           else concat(slice(col("embedding"), rot + 1, 64 - rot),
+             slice(col("embedding"), 1, rot))).as("embedding"))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+    val nVec = emb.count()
+    val out = java.nio.file.Files.createTempDirectory("ann_filtered").toString + "/idx"
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val (_, buildSec) = time(Similarity.ivfPqIndexWrite(emb, out, dim = 64))
+    val q = emb0.filter(col("vec_id") < 8)
+    val (nAll, allSec) = (1 to 2).map(_ =>
+      time(Similarity.annIvfPqProbeAt(spark, out, q, k = 5).count())).minBy(_._2)
+    val filters = Seq(10L, 20L, 50L, 100L).map { m =>
+      val allowed = emb.filter(col("vec_id") % m === 0).select("vec_id")
+      val nAllowed = allowed.count()
+      val (n, sec) = (1 to 2).map(_ => time(
+        Similarity.annIvfPqProbeFilteredAt(spark, out, q, allowed, k = 5)
+          .count())).minBy(_._2)
+      // same EFFECTIVE set through the semi-join branch: pad with ids
+      // outside every copy range so the id-count crosses the pushdown
+      // bound (the padding is anti-joined away by the probe join)
+      import spark.implicits._
+      val padded = allowed.as[Long].union(
+        spark.range(100000000000L, 100000000000L +
+          graft.operators.Similarity.AnnFilterPushdownMax + 1).as[Long]).toDF("vec_id")
+      val (_, semiSec) = (1 to 2).map(_ => time(
+        Similarity.annIvfPqProbeFilteredAt(spark, out, q, padded, k = 5)
+          .count())).minBy(_._2)
+      s"""{"mod":$m,"allowed":$nAllowed,"rows":$n,""" +
+        s""""pushdown_sec":${f"$sec%.3f"},"semijoin_sec":${f"$semiSec%.3f"}}"""
+    }
+    println(s"""{"n_vec":$nVec,"copies":$copies,"build_sec":${f"$buildSec%.2f"},""" +
+      s""""unfiltered_rows":$nAll,"unfiltered_probe_sec":${f"$allSec%.3f"},""" +
+      s""""filters":[${filters.mkString(",")}]}""")
+    spark.stop()
+  }
+
   private def lifecycle(): Unit = {
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

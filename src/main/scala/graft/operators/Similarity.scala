@@ -1784,6 +1784,19 @@ object Similarity {
     * `centroids`/`codebooks` must be the ones the artifact was built
     * with (salted defaults otherwise — the oracle-mirrored algebra).
     */
+  /** Branch bound for the filtered probe's allowed-id restriction —
+    * MEASURED, not borrowed: on a 200k-vector index (AnnProbe
+    * `filtered 100`, min-of-2) the id-literal pushdown beats the
+    * semi-join at 2k ids (0.53 vs 0.84 s) and 4k (0.74 vs 0.87) but
+    * LOSES from ~10k up (1.18 vs 1.01 at 10k; 5.7 vs 1.7 s at 100k —
+    * a 100k-literal In predicate is plan-construction cost, not scan
+    * savings). Dedup's PriorIdPushdownMax (100k) is right for ITS
+    * workload — each pruned row there skips a full text page, here
+    * only a ~4-byte codes row — so the two bounds are deliberately
+    * different.
+    */
+  private[graft] val AnnFilterPushdownMax = 8192
+
   def annIvfPqProbe(index: DataFrame, queries: DataFrame, k: Int, dim: Int,
                     lists: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
@@ -1815,8 +1828,8 @@ object Similarity {
       case None => base0
       case Some(a) =>
         val idsDf = a.select(col(a.columns.head).as("neighbor_id")).distinct()
-        val ids = idsDf.limit(Dedup.PriorIdPushdownMax + 1).collect().map(_.get(0))
-        if (ids.length <= Dedup.PriorIdPushdownMax)
+        val ids = idsDf.limit(AnnFilterPushdownMax + 1).collect().map(_.get(0))
+        if (ids.length <= AnnFilterPushdownMax)
           base0.filter(col("neighbor_id").isin(ids: _*))
         else base0.join(idsDf, Seq("neighbor_id"), "left_semi")
     }

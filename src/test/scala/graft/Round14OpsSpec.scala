@@ -219,7 +219,7 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
     // pushdown bound with ids outside the corpus
     val padded = allowed.as[Long]
       .union(spark.range(10000000L, 10000000L +
-        graft.operators.Dedup.PriorIdPushdownMax + 1).as[Long])
+        graft.operators.Similarity.AnnFilterPushdownMax + 1).as[Long])
       .toDF("vec_id")
     val viaSemiJoin = Similarity.annIvfPqProbeFilteredAt(
       spark, dir, queries, padded, k = 5)
