@@ -1109,6 +1109,24 @@ object SparkEntry {
         k = 5)
     }),
 
+    // MMR diversified re-rank (Carbonell & Goldstein 1998) over the
+    // refine path's exact-cosine candidates: greedy lambda-tradeoff
+    // between relevance and max-sim-to-picked, all selection algebra
+    // in e6 fixed-point BIGINT so the oracle unrolls the greedy loop
+    // exactly — the retrieval-side diversity step of a curation
+    // pipeline (the raw top-k of a near-dup-heavy corpus is often k
+    // copies of one document)
+    "q_ann_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val prior = emb.filter(col("vec_id") % 3 =!= 0)
+      val path = runTmp("ann_mmr", dir)
+      Similarity.ivfPqIndexWrite(prior, path, dim = 64)
+      val refined = Similarity.annIvfPqRefineAt(s, path, prior,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24),
+        k = 32, rerank = 32)
+      Similarity.mmrRerank(refined, prior, k = 5)
+    }),
+
     // the FULL index-maintenance lifecycle inside the correctness
     // gate: a salted-default artifact is written + stamped, then
     // ivfPqRebuild retrains BOTH quantizers on the corpus with
@@ -3182,6 +3200,11 @@ object SparkEntry {
         |  neighbor_id, round(score, 6) AS score
         |FROM rr
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5""".stripMargin,
+    // the MMR greedy loop UNROLLED: each selection step is a CTE that
+    // anti-joins the already-picked set, max-aggregates pairwise sims
+    // against it, and rank-cuts on the e6 fixed-point mmr value — the
+    // oracle recomputes every greedy choice, not just the final frame
+    "q_ann_mmr" -> annMmrOracle(5, 700000L),
     "q_rrf_fusion" -> rrfFusionOracle,
     "q_retrieval_eval" -> retrievalEvalOracle,
 
@@ -4757,6 +4780,56 @@ object SparkEntry {
       |  FROM adc)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** DuckDB mirror of q_ann_mmr: the refine chain's 32 exact-cosine
+    * candidates (rel) + their pairwise sims, both e6 fixed-point, then
+    * the MMR greedy loop UNROLLED as one CTE pair per step — sel_i
+    * picks the argmax of `lam * rel - (1-lam) * max sim to selall_{i-1}`
+    * among the not-yet-picked, selall_i accumulates. BIGINT algebra
+    * throughout, so every greedy choice is recomputed exactly.
+    */
+  private def annMmrOracle(kSel: Int, lamE6: Long): String = {
+    val lamBar = 1000000L - lamE6
+    val cos = (a: String, b: String) =>
+      s"""list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> $a.v[i] * $a.v[i])))
+         |         * sqrt(list_sum(list_transform(range(1, 65), i -> $b.v[i] * $b.v[i]))))""".stripMargin
+    val steps = (2 to kSel).map { i =>
+      s""",
+        |sel$i AS (
+        |  SELECT query_id, CAST($i AS BIGINT) AS rank, neighbor_id, mmr_e6 FROM (
+        |    SELECT c.query_id, c.neighbor_id,
+        |      CAST($lamE6 * c.rel - $lamBar * max(s.sim) AS BIGINT) AS mmr_e6
+        |    FROM mc c
+        |    JOIN ms s ON s.query_id = c.query_id AND s.na = c.neighbor_id
+        |    JOIN selall${i - 1} p ON p.query_id = s.query_id AND p.neighbor_id = s.nb
+        |    WHERE NOT EXISTS (SELECT 1 FROM selall${i - 1} q
+        |                      WHERE q.query_id = c.query_id AND q.neighbor_id = c.neighbor_id)
+        |    GROUP BY c.query_id, c.neighbor_id, c.rel) t
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr_e6 DESC, neighbor_id) = 1),
+        |selall$i AS (SELECT * FROM selall${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cand32 AS (SELECT query_id, neighbor_id FROM (${annIvfPqOracleK(32,
+           baseWhere = "vec_id % 3 <> 0",
+           queryWhere = "vec_id % 3 = 0 AND vec_id < 24")}) t),
+      |rr AS (SELECT c.query_id, c.neighbor_id,
+      |    ${cos("a", "b")} AS score
+      |  FROM cand32 c JOIN ev a ON a.vec_id = c.query_id JOIN ev b ON b.vec_id = c.neighbor_id),
+      |mc AS (SELECT query_id, neighbor_id,
+      |    CAST(round(round(score, 6) * 1000000) AS BIGINT) AS rel FROM rr),
+      |ms AS (SELECT p.query_id, p.na, p.nb,
+      |    CAST(round(round(${cos("x", "y")}, 6) * 1000000) AS BIGINT) AS sim
+      |  FROM (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb
+      |        FROM mc a JOIN mc b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id) p
+      |  JOIN ev x ON x.vec_id = p.na JOIN ev y ON y.vec_id = p.nb),
+      |sel1 AS (SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id,
+      |    CAST($lamE6 * rel AS BIGINT) AS mmr_e6
+      |  FROM mc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) = 1),
+      |selall1 AS (SELECT * FROM sel1)$steps
+      |SELECT query_id, rank, neighbor_id, mmr_e6 FROM selall$kSel""".stripMargin
+  }
 
   /** DuckDB mirror of q_ann_index: the persisted artifact itself, one
     * row per (vector, subspace) — coarse list + code — so every byte a

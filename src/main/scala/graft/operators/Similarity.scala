@@ -1906,6 +1906,93 @@ object Similarity {
         col("neighbor_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick k of each query's candidates trading relevance
+    * against redundancy — `mmr = lambda * rel - (1 - lambda) *
+    * max_sim_to_already_picked`. The diversified-retrieval step a
+    * curation pipeline runs AFTER ANN search: the raw top-k of a
+    * near-dup-heavy corpus is often k copies of one document, and
+    * diversity at selection time is the retrieval-side complement of
+    * the SemDeDup/cluster-balanced sampling already in this file.
+    *
+    * `candidates` is any (query_id, neighbor_id, score) frame — in
+    * practice [[annIvfPqRefineAt]]'s output at k = rerank, so the
+    * relevance scores are exact cosine. All selection arithmetic is
+    * e6 fixed-point BIGINT (scores and pairwise sims rounded to 6
+    * digits then scaled), so the greedy choice is bit-reproducible
+    * and the DuckDB oracle unrolls it exactly.
+    *
+    * Execution shape: NO driver-side greedy. The candidate frame is
+    * bounded (queries x rerank), pairwise candidate sims are computed
+    * ONCE as a (queries x rerank^2) frame off a broadcast embedding
+    * fetch, and each of the k greedy steps is a declarative
+    * anti-join + max-aggregate + window rank over those small frames
+    * — the loop unrolls the PLAN (k is small by definition), the data
+    * never leaves executors. At 100 TB the cost is the candidate
+    * generation (the ANN probe's bound), not this.
+    */
+  def mmrRerank(candidates: DataFrame, corpus: DataFrame, k: Int,
+                lambdaE6: Long = 700000L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(lambdaE6 >= 0L && lambdaE6 <= 1000000L,
+      s"lambdaE6 must be in [0, 1000000]; got $lambdaE6")
+    val lamBar = 1000000L - lambdaE6
+    val cand = candidates.select(col("query_id"), col("neighbor_id"),
+        round(col("score") * 1e6, 0).cast("long").as("rel"))
+      .localCheckpoint()
+    // pairwise candidate sims, once: fetch full-precision vectors for
+    // the bounded candidate id set (broadcast), cosine in the shared
+    // sequential-fold algebra, e6-rounded like the rel scores
+    val cids = cand.select(col("neighbor_id").as("nid")).distinct()
+    val cvec = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(broadcast(cids), Seq("nid"))
+      .withColumn("nn", norm(col("nv")))
+      .localCheckpoint()
+    val sideA = cand.select(col("query_id"), col("neighbor_id").as("na"))
+      .join(broadcast(cvec.select(col("nid").as("na"), col("nv").as("va"),
+        col("nn").as("nna"))), Seq("na"))
+    val sideB = cand.select(col("query_id"), col("neighbor_id").as("nb"))
+      .join(broadcast(cvec.select(col("nid").as("nb"), col("nv").as("vb"),
+        col("nn").as("nnb"))), Seq("nb"))
+    val sims = sideA.join(sideB, Seq("query_id"))
+      .filter(col("na") =!= col("nb"))
+      .withColumn("sim", round(round(dot(col("va"), col("vb"))
+        / (col("nna") * col("nnb")), 6) * 1e6, 0).cast("long"))
+      .select(col("query_id"), col("na"), col("nb"), col("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr_e6").desc, col("neighbor_id"))
+    // first pick: pure relevance (the max-sim term has no selected
+    // set yet — mmr degenerates to lambda * rel on both sides)
+    var selected = cand
+      .withColumn("mmr_e6", lit(lambdaE6) * col("rel"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), lit(1L).as("rank"), col("neighbor_id"),
+        col("mmr_e6"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val msim = sims
+        .join(selected.select(col("query_id"), col("neighbor_id").as("nb")),
+          Seq("query_id", "nb"))
+        .groupBy(col("query_id"), col("na").as("neighbor_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val pick = remaining
+        .join(msim, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr_e6",
+          lit(lambdaE6) * col("rel") - lit(lamBar) * col("maxsim"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("query_id"), lit(i.toLong).as("rank"),
+          col("neighbor_id"), col("mmr_e6"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected
+  }
+
   /** One-call maintenance step for a periodic index maintainer: poll
     * the staleness audit and EXECUTE the rebuild when it trips —
     * [[ivfPqNeedsRebuild]] composed with [[ivfPqRebuild]]. Returns

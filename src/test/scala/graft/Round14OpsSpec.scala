@@ -227,6 +227,36 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
     assert(viaSemiJoin == filtered)
   }
 
+  test("mmrRerank: lambda=1 is pure relevance; lower lambda surfaces the diverse candidate ahead of near-copies") {
+    import spark.implicits._
+    // three near-copies of one direction (rel ~0.9, pairwise sim
+    // ~0.9999) and one genuinely diverse candidate (rel 0.8, sim to
+    // the copies ~0.72): relevance alone ranks the copies 1-2-3; MMR
+    // at lambda=0.5 pays the redundancy penalty and promotes the
+    // diverse one to rank 2 (0.5*0.8 - 0.5*0.72 = +0.04 vs
+    // 0.5*0.9 - 0.5*0.9999 = -0.05)
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (10L, v(0.9, 0.43570, 0, 0, 0, 0, 0, 0)),
+      (11L, v(0.9, 0.43580, 0.0028, 0, 0, 0, 0, 0)),
+      (12L, v(0.9, 0.43589, 0, 0.0040, 0, 0, 0, 0)),
+      (20L, v(0.8, 0, 0, 0, 0.6, 0, 0, 0))
+    ).toDF("vec_id", "embedding").localCheckpoint()
+    val queries = Seq((1L, v(1.0, 0, 0, 0, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val cands = Similarity.topKCosine(corpus, queries, k = 4).localCheckpoint()
+    def picks(lamE6: Long, k: Int) =
+      Similarity.mmrRerank(cands, corpus, k = k, lambdaE6 = lamE6)
+        .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(picks(1000000L, 3) == Seq(10L, 11L, 12L),
+      "lambda=1 must reduce to pure relevance order")
+    val diverse = picks(500000L, 3)
+    assert(diverse.head == 10L && diverse(1) == 20L,
+      s"lambda=0.5 must promote the diverse candidate to rank 2, got $diverse")
+    // deterministic: same inputs, same picks
+    assert(picks(500000L, 3) == diverse)
+  }
+
   test("touchedTextBytes: accumulated batch increments equal the exact prior-store scan") {
     import graft.streaming.{StreamingCurationFull, StreamingNearDup}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
