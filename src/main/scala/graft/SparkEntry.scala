@@ -1171,6 +1171,26 @@ object SparkEntry {
       Retrieval.rrfFuse(lex, dense, k = 10)
     }),
 
+    // HYBRID retrieval end-to-end: the BM25 lexical list + the dense
+    // cosine list fused by RRF, then MMR-diversified — the full
+    // retrieval stack as one composition (every stage is individually
+    // oracle-gated; this gates their composition). Relevance for the
+    // MMR stage is rank-based in [0,1]: after fusion the rank IS the
+    // signal — raw rrf_e9 lives on a ~1/61 scale the sim term drowns
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        queries = Seq((0L, "spark join window"), (1L, "hash merge batch"),
+          (2L, "stream filter sort value"), (3L, "table scan agg")), k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.topKCosine(emb, emb.filter(col("vec_id") < 4), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      val fused = Retrieval.rrfFuse(lex, dense, k = 20)
+      val cands = fused.select(col("query_id"), col("id").as("neighbor_id"),
+        ((lit(21.0) - col("rank")) / lit(20.0)).as("score"))
+      Similarity.mmrRerank(cands, emb, k = 8)
+    }),
+
     // offline index evaluation: recall@5 + harmonic-discount nDCG@5 of
     // the IVF index against brute-force cosine ground truth — the
     // recall/quality dial every ANN deployment tunes; all-integer
@@ -3206,6 +3226,7 @@ object SparkEntry {
     // oracle recomputes every greedy choice, not just the final frame
     "q_ann_mmr" -> annMmrOracle(5, 700000L),
     "q_rrf_fusion" -> rrfFusionOracle,
+    "q_hybrid_retrieval" -> hybridRetrievalOracle(8, 700000L),
     "q_retrieval_eval" -> retrievalEvalOracle,
 
     // mirrors Similarity.hardNegatives: identical IVF assignment
@@ -4788,15 +4809,24 @@ object SparkEntry {
     * among the not-yet-picked, selall_i accumulates. BIGINT algebra
     * throughout, so every greedy choice is recomputed exactly.
     */
-  private def annMmrOracle(kSel: Int, lamE6: Long): String = {
+  private def oracleCos(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65), i -> $a.v[i] * $a.v[i])))
+       |         * sqrt(list_sum(list_transform(range(1, 65), i -> $b.v[i] * $b.v[i]))))""".stripMargin
+
+  /** The MMR greedy loop as reusable CTE text + final SELECT: assumes
+    * upstream CTEs `$evName(vec_id, v)` (DOUBLE-cast embeddings) and
+    * `mc(query_id, neighbor_id, rel)` (e6 BIGINT relevance) are in
+    * scope — each greedy step is a sel_i/selall_i CTE pair
+    * (anti-join the picked set, max-aggregate pairwise sims against
+    * it, rank-cut on the fixed-point mmr value).
+    */
+  private def mmrGreedyCtes(kSel: Int, lamE6: Long,
+                            evName: String = "ev"): String = {
     val lamBar = 1000000L - lamE6
-    val cos = (a: String, b: String) =>
-      s"""list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))
-         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> $a.v[i] * $a.v[i])))
-         |         * sqrt(list_sum(list_transform(range(1, 65), i -> $b.v[i] * $b.v[i]))))""".stripMargin
     val steps = (2 to kSel).map { i =>
       s""",
-        |sel$i AS (
+        |sel$i AS MATERIALIZED (
         |  SELECT query_id, CAST($i AS BIGINT) AS rank, neighbor_id, mmr_e6 FROM (
         |    SELECT c.query_id, c.neighbor_id,
         |      CAST($lamE6 * c.rel - $lamBar * max(s.sim) AS BIGINT) AS mmr_e6
@@ -4807,29 +4837,33 @@ object SparkEntry {
         |                      WHERE q.query_id = c.query_id AND q.neighbor_id = c.neighbor_id)
         |    GROUP BY c.query_id, c.neighbor_id, c.rel) t
         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr_e6 DESC, neighbor_id) = 1),
-        |selall$i AS (SELECT * FROM selall${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+        |selall$i AS MATERIALIZED (SELECT * FROM selall${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
     }.mkString
+    s""",
+      |ms AS MATERIALIZED (SELECT p.query_id, p.na, p.nb,
+      |    CAST(round(round(${oracleCos("x", "y")}, 6) * 1000000) AS BIGINT) AS sim
+      |  FROM (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb
+      |        FROM mc a JOIN mc b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id) p
+      |  JOIN $evName x ON x.vec_id = p.na JOIN $evName y ON y.vec_id = p.nb),
+      |sel1 AS MATERIALIZED (SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id,
+      |    CAST($lamE6 * rel AS BIGINT) AS mmr_e6
+      |  FROM mc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) = 1),
+      |selall1 AS MATERIALIZED (SELECT * FROM sel1)$steps
+      |SELECT query_id, rank, neighbor_id, mmr_e6 FROM selall$kSel""".stripMargin
+  }
+
+  private def annMmrOracle(kSel: Int, lamE6: Long): String =
     s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |cand32 AS (SELECT query_id, neighbor_id FROM (${annIvfPqOracleK(32,
            baseWhere = "vec_id % 3 <> 0",
            queryWhere = "vec_id % 3 = 0 AND vec_id < 24")}) t),
       |rr AS (SELECT c.query_id, c.neighbor_id,
-      |    ${cos("a", "b")} AS score
+      |    ${oracleCos("a", "b")} AS score
       |  FROM cand32 c JOIN ev a ON a.vec_id = c.query_id JOIN ev b ON b.vec_id = c.neighbor_id),
-      |mc AS (SELECT query_id, neighbor_id,
-      |    CAST(round(round(score, 6) * 1000000) AS BIGINT) AS rel FROM rr),
-      |ms AS (SELECT p.query_id, p.na, p.nb,
-      |    CAST(round(round(${cos("x", "y")}, 6) * 1000000) AS BIGINT) AS sim
-      |  FROM (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb
-      |        FROM mc a JOIN mc b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id) p
-      |  JOIN ev x ON x.vec_id = p.na JOIN ev y ON y.vec_id = p.nb),
-      |sel1 AS (SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id,
-      |    CAST($lamE6 * rel AS BIGINT) AS mmr_e6
-      |  FROM mc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) = 1),
-      |selall1 AS (SELECT * FROM sel1)$steps
-      |SELECT query_id, rank, neighbor_id, mmr_e6 FROM selall$kSel""".stripMargin
-  }
+      |mc AS MATERIALIZED (SELECT query_id, neighbor_id,
+      |    CAST(round(round(score, 6) * 1000000) AS BIGINT) AS rel FROM rr)""".stripMargin +
+    mmrGreedyCtes(kSel, lamE6)
 
   /** DuckDB mirror of q_ann_index: the persisted artifact itself, one
     * row per (vector, subspace) — coarse list + code — so every byte a
@@ -4924,6 +4958,17 @@ object SparkEntry {
     * contributions summed as BIGINT and re-ranked.
     */
   private def rrfFusionOracle: String =
+    rrfFusionCtes +
+    """
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, CAST(rrf_e9 AS BIGINT) AS rrf_e9
+      |FROM r WHERE rank <= 10""".stripMargin
+
+  /** The BM25 + dense + RRF chain up through the ranked `r` CTE —
+    * shared by q_rrf_fusion (rank cut) and q_hybrid_retrieval (MMR
+    * diversification on top). Also defines `e` (DOUBLE-cast
+    * embeddings), which the MMR sims reuse.
+    */
+  private def rrfFusionCtes: String =
     """WITH q AS (SELECT * FROM (VALUES (0, 'spark join window'), (1, 'hash merge batch'),
       |    (2, 'stream filter sort value'), (3, 'table scan agg')) AS q(query_id, qtext)),
       |terms AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
@@ -4968,9 +5013,21 @@ object SparkEntry {
       |  FROM lc FULL JOIN dc ON lc.query_id = dc.query_id AND lc.id = dc.id),
       |r AS (SELECT query_id, id, rrf_e9,
       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_e9 DESC, id) AS rank
-      |  FROM fused)
-      |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, CAST(rrf_e9 AS BIGINT) AS rrf_e9
-      |FROM r WHERE rank <= 10""".stripMargin
+      |  FROM fused)""".stripMargin
+
+  /** DuckDB mirror of q_hybrid_retrieval: the full fusion chain, then
+    * rank-based relevance in [0,1] ((21 - rank)/20 — after RRF the
+    * rank IS the signal; raw rrf_e9 lives on a ~1/61 scale the sim
+    * term would drown) feeding the unrolled MMR greedy. `ev` aliases
+    * the fusion chain's `e`.
+    */
+  private def hybridRetrievalOracle(kSel: Int, lamE6: Long): String =
+    rrfFusionCtes +
+    """,
+      |mc AS MATERIALIZED (SELECT query_id, id AS neighbor_id,
+      |    CAST(round(round((21.0 - rank) / 20.0, 6) * 1000000) AS BIGINT) AS rel
+      |  FROM r WHERE rank <= 20)""".stripMargin +
+    mmrGreedyCtes(kSel, lamE6, evName = "e")
 
   /** DuckDB mirror of q_retrieval_eval: the annIvf index algebra
     * (identical salted centroids + probing) as the approx list,
