@@ -960,6 +960,29 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("score"))
     }),
 
+    // IVF + TRAINED scalar quantization (the Faiss "IVF16,SQ8" shape,
+    // the other standard billion-scale byte budget besides PQ): per-dim
+    // (min, max) bounds trained FROM the data, 1 byte/dim codes,
+    // asymmetric decode-dot scoring — min/max training is exact and
+    // order-independent, so bounds, codes AND scores are oracle-checked
+    // bit-for-bit, training included
+    "q_ann_ivfsq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annIvfSq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
+    }),
+
+    // the SQ8 artifact lifecycle inside the gate: ivfSqIndexWrite
+    // trains bounds on the indexed corpus and stamps the header;
+    // annIvfSqProbeAt decodes under the header's OWN bounds (the
+    // incremental %3 split of q_ann_probe_incremental)
+    "q_ann_sq_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("ann_sq", dir)
+      Similarity.ivfSqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      Similarity.annIvfSqProbeAt(s, path,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
+    }),
+
     // scale-path ANN (product quantization + ADC): base vectors
     // reduced to 8 code bytes, queries score through a fixed-point
     // lookup table — codebooks are md5-salted so the ENTIRE index
@@ -1029,6 +1052,18 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64)
+    }),
+
+    // RESIDUAL IVF-PQ (the Faiss IVFPQ default; Jegou et al. 2011
+    // §IV): codes quantize v - centroid(list) and the ADC score adds
+    // the exact per-(query, probed list) coarse term — code bytes
+    // spend their precision on LOCAL detail the coarse quantizer
+    // already removed. Whole algebra (residual encode, coarse term,
+    // fixed-point ADC) oracle-checked bit-for-bit
+    "q_ann_ivfpq_res" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 8), k = 5, dim = 64,
+        residual = true)
     }),
 
     // the persisted IVF-PQ index ARTIFACT itself (what production
@@ -3159,6 +3194,10 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivfsq" -> annIvfSqOracle(5),
+    "q_ann_sq_probe" -> annIvfSqOracle(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
     "q_ann_ivf_learned" -> annIvfLearnedOracle(lists = 16, iters = 2, nprobe = 4, k = 5),
     // the sampled-training twin: training CTEs read only the 25%
     // hash-threshold sample (2^60/4 — the same STATIC constant the
@@ -3174,6 +3213,7 @@ object SparkEntry {
     "q_ann_pq_sampled" -> annPqLearnedOracle(m = 8, codes = 16, subDim = 8, iters = 2, k = 5,
       trainThresh = Some(288230376151711744L)),
     "q_ann_ivfpq" -> annIvfPqOracle,
+    "q_ann_ivfpq_res" -> annIvfPqResOracle(5),
     // the artifact rows themselves, and new-slice queries probing the
     // persisted index of the % 3 != 0 history — the oracle recomputes
     // assignment/codes/ADC from the same index CTEs
@@ -4778,6 +4818,118 @@ object SparkEntry {
       |code AS (SELECT vec_id, s, c FROM pqsc$bw
       |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) = 1)""".stripMargin
   }
+
+  /** DuckDB mirror of the IVF-SQ8 family: the salted coarse-centroid
+    * CTEs (the annIvf algebra), per-dim MIN/MAX bounds over the
+    * indexed corpus (exact, order-independent — the whole TRAINING is
+    * inside the gate), floor(+0.5)-clamped uint8 encode, and
+    * decode-dot cosine in the identical sequential double expression
+    * order as the Spark UDFs, so bounds, codes and scores reproduce
+    * bit-for-bit.
+    */
+  private def annIvfSqOracle(k: Int, baseWhere: String = "",
+                             queryWhere: String = "vec_id < 8"): String = {
+    val corpusWhere = if (baseWhere.isEmpty) "" else s" WHERE $baseWhere"
+    val dec = "(m.vmins[i] + c.codes[i] * (m.vmaxs[i] - m.vmins[i]) / 255.0)"
+    s"""WITH cent AS (
+       |  SELECT c.c, list(
+       |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+       |      ORDER BY d.d) AS cv
+       |  FROM (SELECT unnest(range(16)) AS c) c, (SELECT unnest(range(64)) AS d) d
+       |  GROUP BY c.c),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |corpus AS (SELECT * FROM v$corpusWhere),
+       |mm AS (SELECT i.i AS d, min(corpus.v[i.i]) AS vmin, max(corpus.v[i.i]) AS vmax
+       |  FROM corpus, (SELECT unnest(range(1, 65)) AS i) i GROUP BY i.i),
+       |mma AS (SELECT list(vmin ORDER BY d) AS vmins, list(vmax ORDER BY d) AS vmaxs FROM mm),
+       |sc AS (SELECT v.vec_id, cent.c,
+       |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))
+       |      - 0.5 * list_sum(list_transform(cent.cv, x -> x * x)) AS score
+       |  FROM v, cent),
+       |assign AS (SELECT vec_id, c AS list_id FROM sc
+       |  ${if (baseWhere.isEmpty) "" else s"WHERE $baseWhere"}
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
+       |enc AS (SELECT a.vec_id, a.list_id, list(
+       |      CASE WHEN mm.vmax = mm.vmin THEN 0 ELSE
+       |        CAST(least(255.0, greatest(0.0,
+       |          floor((c2.v[mm.d] - mm.vmin) * 255.0 / (mm.vmax - mm.vmin) + 0.5))) AS INT)
+       |      END ORDER BY mm.d) AS codes
+       |  FROM assign a JOIN corpus c2 USING (vec_id), mm
+       |  GROUP BY a.vec_id, a.list_id),
+       |probe AS (SELECT vec_id, c AS list_id FROM sc WHERE $queryWhere
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) <= 4),
+       |cand AS (SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id, e.codes
+       |  FROM probe p JOIN enc e USING (list_id) WHERE p.vec_id <> e.vec_id),
+       |s AS (SELECT query_id, neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.v[i] * $dec))
+       |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+       |         * sqrt(list_sum(list_transform(range(1, 65), i -> $dec * $dec)))) AS score
+       |  FROM cand c JOIN v q ON q.vec_id = c.query_id, mma m),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 6) AS score
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB mirror of q_ann_ivfpq_res: the IVF-PQ CTE family with the
+    * PQ argmax taken over RESIDUALS (`rv = v - centroid(assigned)`,
+    * the Faiss IVFPQ default) and the ADC total = the exact
+    * per-(query, probed list) coarse term `floor(q . c_list * 1e6)`
+    * plus the residual LUT sum — identical sequential double algebra
+    * and BIGINT fixed point as the Spark UDFs.
+    */
+  private def annIvfPqResOracle(k: Int, queryWhere: String = "vec_id < 8"): String =
+    s"""WITH cent AS (
+      |  SELECT c.c, list(
+      |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+      |      ORDER BY d.d) AS cv
+      |  FROM (SELECT unnest(range(16)) AS c) c, (SELECT unnest(range(64)) AS d) d
+      |  GROUP BY c.c),
+      |cb AS (
+      |  SELECT s.s, c.c, list(
+      |      ('0x' || substr(md5('pq' || s.s || '|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
+      |      ORDER BY d.d) AS cv
+      |  FROM (SELECT unnest(range(8)) AS s) s, (SELECT unnest(range(16)) AS c) c,
+      |       (SELECT unnest(range(8)) AS d) d
+      |  GROUP BY s.s, c.c),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |ivfsc AS (SELECT v.vec_id, cent.c,
+      |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))
+      |      - 0.5 * list_sum(list_transform(cent.cv, x -> x * x)) AS score
+      |  FROM v, cent),
+      |assign AS (SELECT vec_id, c AS list_id FROM ivfsc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
+      |rv AS (SELECT a.vec_id, a.list_id,
+      |    list_transform(range(1, 65), i -> v.v[i] - cent.cv[i]) AS rv
+      |  FROM assign a JOIN v USING (vec_id) JOIN cent ON cent.c = a.list_id),
+      |pqsc AS (SELECT rv.vec_id, cb.s, cb.c,
+      |    list_sum(list_transform(range(1, 9), i -> rv.rv[cb.s * 8 + i] * cb.cv[i]))
+      |      - 0.5 * list_sum(list_transform(cb.cv, x -> x * x)) AS score
+      |  FROM rv, cb),
+      |code AS (SELECT vec_id, s, c FROM pqsc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c) = 1),
+      |probe AS (SELECT vec_id, c AS list_id FROM ivfsc WHERE $queryWhere
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) <= 4),
+      |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.c,
+      |    CAST(floor(list_sum(list_transform(range(1, 9), i -> q.v[cb.s * 8 + i] * cb.cv[i])) * 1e6) AS BIGINT) AS f
+      |  FROM v q, cb WHERE $queryWhere),
+      |cterm AS (SELECT q.vec_id AS query_id, cent.c AS list_id,
+      |    CAST(floor(list_sum(list_transform(range(1, 65), i -> q.v[i] * cent.cv[i])) * 1e6) AS BIGINT) AS f
+      |  FROM v q, cent WHERE $queryWhere),
+      |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, a.list_id
+      |  FROM probe p JOIN assign a USING (list_id) WHERE p.vec_id <> a.vec_id),
+      |adc AS (SELECT cand.query_id, cand.neighbor_id,
+      |    ct.f + CAST(sum(l.f) AS BIGINT) AS score_e6
+      |  FROM cand JOIN code b ON b.vec_id = cand.neighbor_id
+      |  JOIN lut l ON l.query_id = cand.query_id AND l.s = b.s AND l.c = b.c
+      |  JOIN cterm ct ON ct.query_id = cand.query_id AND ct.list_id = cand.list_id
+      |  GROUP BY cand.query_id, cand.neighbor_id, ct.f),
+      |r AS (SELECT query_id, neighbor_id, score_e6,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, neighbor_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
+      |FROM r WHERE rank <= $k""".stripMargin
 
   private def annIvfPqOracleK(k: Int, baseWhere: String = "",
                               queryWhere: String = "vec_id < 8",

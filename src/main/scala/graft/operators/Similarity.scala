@@ -1062,6 +1062,54 @@ object Similarity {
     }
   }
 
+  /** RESIDUAL PQ encode (the Faiss IVFPQ default, Jegou et al. 2011
+    * §IV): quantize `v - centroid(list)` instead of `v`, so the code
+    * bytes spend their precision on the LOCAL detail the coarse
+    * quantizer already removed — on clustered data the coarse term
+    * carries most of the inner product EXACTLY and the codes only
+    * need to cover the small residual. Same argmax algebra as
+    * [[pqEncodeUdf]], over the double residual (computed here, never
+    * round-tripped through float).
+    */
+  private def pqEncodeResUdf(cents: Array[Array[Double]],
+                             cbs: Array[Array[Array[Double]]], subDim: Int) = {
+    val normHalf: Array[Array[Double]] =
+      cbs.map(_.map(cv => 0.5 * cv.map(x => x * x).sum))
+    val mm = cbs.length; val kk = cbs(0).length; val sd = subDim
+    udf { (v: Seq[Float], list: Int) =>
+      val cent = cents(list)
+      val r = new Array[Double](v.length)
+      var j = 0
+      while (j < r.length) { r(j) = v(j).toDouble - cent(j); j += 1 }
+      (0 until mm).map { s =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          val cv = cbs(s)(c)
+          var d = 0.0; var i = 0
+          while (i < sd) { d += r(s * sd + i) * cv(i); i += 1 }
+          val sc = d - normHalf(s)(c)
+          if (sc > bestScore) { bestScore = sc; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+  }
+
+  /** Per-(query, list) coarse term of the residual ADC score:
+    * `floor(dot(q, centroid_list) * 1e6)` — the exactly-known half of
+    * `q . x ~ q . c_list + q . r_hat`. Micro fixed point like the LUT
+    * cells, so the total stays an associative BIGINT sum.
+    */
+  private def pqCentTermUdf(cents: Array[Array[Double]]) =
+    udf { (v: Seq[Float], list: Int) =>
+      val cent = cents(list)
+      var d = 0.0; var i = 0
+      while (i < cent.length) { d += v(i).toDouble * cent(i); i += 1 }
+      math.floor(d * 1e6).toLong
+    }
+
   /** Per-query ADC lookup table, micro fixed point. */
   private def pqLutUdf(cbs: Array[Array[Array[Double]]], subDim: Int) = {
     val mm = cbs.length; val kk = cbs(0).length; val sd = subDim
@@ -1109,13 +1157,16 @@ object Similarity {
                lists: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
                idCol: String = "vec_id", vecCol: String = "embedding",
                centroids: Option[Array[Array[Double]]] = None,
-               codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame =
+               codebooks: Option[Array[Array[Array[Double]]]] = None,
+               residual: Boolean = false): DataFrame =
     // composed from the SAME stage builders the artifact path exposes
     // (the SetSimJoin shared-builder convention): building inline and
     // probing a persisted artifact cannot drift
     annIvfPqProbe(
-      ivfPqIndex(embeddings, dim, lists, m, codes, idCol, vecCol, centroids, codebooks),
-      queries, k, dim, lists, nprobe, m, codes, idCol, vecCol, centroids, codebooks)
+      ivfPqIndex(embeddings, dim, lists, m, codes, idCol, vecCol, centroids,
+        codebooks, residual),
+      queries, k, dim, lists, nprobe, m, codes, idCol, vecCol, centroids,
+      codebooks, residual = residual)
 
   /** Per-vector IVF list scores (dot - ||c||^2/2 per centroid), the
     * shared kernel of assignment (argmax) and probing (top-nprobe).
@@ -1154,7 +1205,8 @@ object Similarity {
                  m: Int = 8, codes: Int = 16,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  centroids: Option[Array[Array[Double]]] = None,
-                 codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+                 codebooks: Option[Array[Array[Array[Double]]]] = None,
+                 residual: Boolean = false): DataFrame = {
     val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
     val subDim = dim / m
     val listScores = ivfListScoresFn(cents)
@@ -1164,11 +1216,15 @@ object Similarity {
       while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 } // tie -> smaller c
       best
     }
-    val encode = pqEncodeUdf(cbs, subDim)
-    Par.spread(embeddings)
+    val assigned = Par.spread(embeddings)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("list_id", assign(col("v")))
-      .withColumn("codes", encode(col("v"))).drop("v")
+    val coded =
+      if (residual)
+        assigned.withColumn("codes",
+          pqEncodeResUdf(cents, cbs, subDim)(col("v"), col("list_id")))
+      else assigned.withColumn("codes", pqEncodeUdf(cbs, subDim)(col("v")))
+    coded.drop("v")
   }
 
   /** Append-only growth of a persisted [[ivfPqIndex]] artifact: encode
@@ -1192,7 +1248,8 @@ object Similarity {
                        dim: Int, lists: Int = 16, m: Int = 8, codes: Int = 16,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        centroids: Option[Array[Array[Double]]] = None,
-                       codebooks: Option[Array[Array[Array[Double]]]] = None): Long = {
+                       codebooks: Option[Array[Array[Array[Double]]]] = None,
+                       residual: Boolean = false): Long = {
     val spark = newVectors.sparkSession
     val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
     // existence through the Hadoop FileSystem of the path's own scheme:
@@ -1202,10 +1259,12 @@ object Similarity {
     val (fs, p) = hadoopFs(spark, indexPath)
     val exists = fs.exists(p)
     if (exists) ivfPqReadHeader(spark, indexPath) match {
-      case Some(hdr) => ivfPqRequireMatch(hdr, dim, lists, m, codes, cents, cbs, indexPath)
+      case Some(hdr) => ivfPqRequireMatch(hdr, dim, lists, m, codes, cents, cbs,
+        indexPath, residual)
       // pre-header (legacy) artifact: the caller's params were the only
       // contract — stamp them so every LATER append/probe is validated
-      case None => ivfPqWriteHeader(spark, indexPath, dim, lists, m, codes, cents, cbs)
+      case None => ivfPqWriteHeader(spark, indexPath, dim, lists, m, codes, cents, cbs,
+        residual)
     }
     val existing =
       if (exists) spark.read.parquet(indexPath).select(col("vec_id"))
@@ -1218,14 +1277,37 @@ object Similarity {
     val fresh = ivfPqIndex(
         newVectors.join(existing.withColumnRenamed("vec_id", idCol),
           Seq(idCol), "left_anti"),
-        dim, lists, m, codes, idCol, vecCol, Some(cents), Some(cbs))
+        dim, lists, m, codes, idCol, vecCol, Some(cents), Some(cbs), residual)
       .localCheckpoint()
     val n = fresh.count()
     if (n > 0)
       fresh.write.mode("append").option("compression", "zstd").parquet(indexPath)
-    if (!exists) ivfPqWriteHeader(spark, indexPath, dim, lists, m, codes, cents, cbs)
+    if (!exists) ivfPqWriteHeader(spark, indexPath, dim, lists, m, codes, cents, cbs,
+      residual)
     graft.plans.CheckpointHygiene.free(fresh)
     n
+  }
+
+  /** Residuals of every corpus vector w.r.t. its assigned coarse
+    * centroid, as a FLOAT embedding frame — the training input for a
+    * residual artifact's codebook retrain. Float is fine here:
+    * training is statistical; the encode path never consumes this
+    * frame (it computes exact double residuals itself).
+    */
+  private def residualFloatFrame(corpus: DataFrame, cents: Array[Array[Double]],
+                                 idCol: String, vecCol: String): DataFrame = {
+    val listScores = ivfListScoresFn(cents)
+    val resid = udf { (v: Seq[Float]) =>
+      val s = listScores(v)
+      var best = 0; var c = 1
+      while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
+      val cent = cents(best)
+      val out = new Array[Float](v.length)
+      var i = 0
+      while (i < out.length) { out(i) = (v(i).toDouble - cent(i)).toFloat; i += 1 }
+      out.toSeq
+    }
+    corpus.select(col(idCol), resid(col(vecCol)).as(vecCol))
   }
 
   /** The shared headerless-artifact refusal — one seam for the four
@@ -1269,7 +1351,7 @@ object Similarity {
       "Write it with ivfPqIndexWrite (which stamps one), or stamp it explicitly " +
         "with ivfPqWriteHeader, before appending through the header path.")
     val n = ivfPqIndexAppend(newVectors, indexPath, hdr.dim, hdr.lists, hdr.m, hdr.codes,
-      idCol, vecCol, Some(hdr.centroids), Some(hdr.codebooks))
+      idCol, vecCol, Some(hdr.centroids), Some(hdr.codebooks), hdr.residual)
     val after = ivfPqRequireHeader(spark, indexPath,
       "The header VANISHED mid-append — a concurrent maintenance job violated " +
         "the single-writer contract.")
@@ -1320,21 +1402,27 @@ object Similarity {
   final case class IvfPqHeader(dim: Int, lists: Int, m: Int, codes: Int,
                                centroids: Array[Array[Double]],
                                codebooks: Array[Array[Array[Double]]],
-                               paramsHash: String)
+                               paramsHash: String,
+                               residual: Boolean = false)
 
   /** Content hash binding an artifact to its quantizers: the four
     * shape params plus every centroid/codebook coordinate, hashed over
     * their exact IEEE-754 bit patterns (no float-to-text round-trip in
-    * the trust chain).
+    * the trust chain). The residual flag joins the hash ONLY when set,
+    * so every pre-residual artifact's stored hash stays valid — but a
+    * residual artifact can never silently pass as a plain one (codes
+    * under the two encodings are incompatible byte-for-byte).
     */
   def ivfPqParamsHash(dim: Int, lists: Int, m: Int, codes: Int,
                       cents: Array[Array[Double]],
-                      cbs: Array[Array[Array[Double]]]): String = {
+                      cbs: Array[Array[Array[Double]]],
+                      residual: Boolean = false): String = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(dim); out.writeInt(lists); out.writeInt(m); out.writeInt(codes)
     cents.foreach(_.foreach(d => out.writeLong(java.lang.Double.doubleToLongBits(d))))
     cbs.foreach(_.foreach(_.foreach(d => out.writeLong(java.lang.Double.doubleToLongBits(d)))))
+    if (residual) out.writeBoolean(true)
     out.flush()
     graft.core.Hashes.contentHash(bos.toByteArray)
   }
@@ -1359,11 +1447,15 @@ object Similarity {
     */
   private def ivfPqHeaderParams(dim: Int, lists: Int, m: Int, codes: Int,
                                 cents: Array[Array[Double]],
-                                cbs: Array[Array[Array[Double]]]): Seq[(String, String)] =
+                                cbs: Array[Array[Array[Double]]],
+                                residual: Boolean = false): Seq[(String, String)] =
     Seq("dim" -> dim.toString, "lists" -> lists.toString,
       "m" -> m.toString, "codes" -> codes.toString,
       "centroids" -> encodeMatrix(cents),
-      "codebooks" -> cbs.map(encodeMatrix).mkString("#"))
+      "codebooks" -> cbs.map(encodeMatrix).mkString("#")) ++
+      // present ONLY when set, so pre-residual headers (and their
+      // stored hashes) remain byte-identical and keep validating
+      (if (residual) Seq("residual" -> "true") else Nil)
 
   /** Write (or re-stamp) the header for the artifact at `indexPath` —
     * ONE codepath with every other artifact family's header
@@ -1375,9 +1467,10 @@ object Similarity {
   def ivfPqWriteHeader(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        dim: Int, lists: Int, m: Int, codes: Int,
                        cents: Array[Array[Double]],
-                       cbs: Array[Array[Array[Double]]]): Unit =
+                       cbs: Array[Array[Array[Double]]],
+                       residual: Boolean = false): Unit =
     graft.sources.ArtifactHeader.write(spark, indexPath, "ivfpq",
-      ivfPqHeaderParams(dim, lists, m, codes, cents, cbs))
+      ivfPqHeaderParams(dim, lists, m, codes, cents, cbs, residual))
 
   /** Load + integrity-check the header at `indexPath`; None when the
     * artifact predates headers (pre-r12 writes). Headers stamped by
@@ -1392,9 +1485,10 @@ object Similarity {
     def fromParams(kv: Map[String, String]): IvfPqHeader = {
       val hdr = IvfPqHeader(kv("dim").toInt, kv("lists").toInt, kv("m").toInt,
         kv("codes").toInt, decodeMatrix(kv("centroids")),
-        kv("codebooks").split("#", -1).map(decodeMatrix), "")
+        kv("codebooks").split("#", -1).map(decodeMatrix), "",
+        residual = kv.get("residual").contains("true"))
       hdr.copy(paramsHash = ivfPqParamsHash(hdr.dim, hdr.lists, hdr.m, hdr.codes,
-        hdr.centroids, hdr.codebooks))
+        hdr.centroids, hdr.codebooks, hdr.residual))
     }
     try graft.sources.ArtifactHeader.read(spark, indexPath, "ivfpq").map(fromParams)
     catch {
@@ -1428,14 +1522,16 @@ object Similarity {
 
   private def ivfPqRequireMatch(hdr: IvfPqHeader, dim: Int, lists: Int, m: Int,
                                 codes: Int, cents: Array[Array[Double]],
-                                cbs: Array[Array[Array[Double]]], indexPath: String): Unit = {
-    val caller = ivfPqParamsHash(dim, lists, m, codes, cents, cbs)
+                                cbs: Array[Array[Array[Double]]], indexPath: String,
+                                residual: Boolean = false): Unit = {
+    val caller = ivfPqParamsHash(dim, lists, m, codes, cents, cbs, residual)
     require(caller == hdr.paramsHash,
       s"IVF-PQ artifact at $indexPath was built with different quantizers: " +
         s"header (dim=${hdr.dim}, lists=${hdr.lists}, m=${hdr.m}, codes=${hdr.codes}, " +
-        s"hash=${hdr.paramsHash}) vs caller (dim=$dim, lists=$lists, m=$m, " +
-        s"codes=$codes, hash=$caller) — probing or appending with mismatched " +
-        "centroids/codebooks silently returns wrong neighbors; rebuild with " +
+        s"residual=${hdr.residual}, hash=${hdr.paramsHash}) vs caller (dim=$dim, " +
+        s"lists=$lists, m=$m, codes=$codes, residual=$residual, hash=$caller) — " +
+        "probing or appending with mismatched centroids/codebooks/encoding " +
+        "silently returns wrong neighbors; rebuild with " +
         "ivfPqIndexWrite or pass the original arrays")
   }
 
@@ -1447,14 +1543,16 @@ object Similarity {
                       dim: Int, lists: Int = 16, m: Int = 8, codes: Int = 16,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       centroids: Option[Array[Array[Double]]] = None,
-                      codebooks: Option[Array[Array[Array[Double]]]] = None): Long = {
+                      codebooks: Option[Array[Array[Array[Double]]]] = None,
+                      residual: Boolean = false): Long = {
     val spark = embeddings.sparkSession
     val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
-    ivfPqIndex(embeddings, dim, lists, m, codes, idCol, vecCol, Some(cents), Some(cbs))
+    ivfPqIndex(embeddings, dim, lists, m, codes, idCol, vecCol, Some(cents), Some(cbs),
+        residual)
       .write.mode("overwrite").option("compression", "zstd").parquet(indexPath)
     // after the parquet overwrite (which clears the directory), so the
     // header can never describe a half-written artifact
-    ivfPqWriteHeader(spark, indexPath, dim, lists, m, codes, cents, cbs)
+    ivfPqWriteHeader(spark, indexPath, dim, lists, m, codes, cents, cbs, residual)
     spark.read.parquet(indexPath).count()
   }
 
@@ -1481,11 +1579,13 @@ object Similarity {
       case (None, None) => () // everything from the header — nothing to mismatch
       case _ =>
         ivfPqRequireMatch(hdr, hdr.dim, hdr.lists, hdr.m, hdr.codes,
-          centroids.getOrElse(hdr.centroids), codebooks.getOrElse(hdr.codebooks), indexPath)
+          centroids.getOrElse(hdr.centroids), codebooks.getOrElse(hdr.codebooks),
+          indexPath, residual = hdr.residual)
     }
     annIvfPqProbe(spark.read.parquet(indexPath), queries, k, hdr.dim, hdr.lists,
       nprobe, hdr.m, hdr.codes, idCol, vecCol,
-      Some(hdr.centroids), Some(hdr.codebooks), allowedIds = allowedIds)
+      Some(hdr.centroids), Some(hdr.codebooks), allowedIds = allowedIds,
+      residual = hdr.residual)
   }
 
   /** Filtered ANN search against the persisted artifact — top-k by
@@ -1651,7 +1751,15 @@ object Similarity {
     val cents = kmeansCentroids(corpus, k = hdr.lists, iters = kmIters, dim = hdr.dim,
       idCol = idCol, vecCol = vecCol, trainFraction = trainFraction,
       seedFromData = seedFromData)
-    val cbs = pqLearnedCodebooks(corpus, dim = hdr.dim, m = hdr.m, codes = hdr.codes,
+    // a residual artifact retrains its codebooks ON residuals (the
+    // Faiss IVFPQ training order: coarse first, PQ on what the coarse
+    // quantizer leaves) — training sees float-cast residuals (it is
+    // statistical), while ENCODING always computes the exact double
+    // residual (pqEncodeResUdf)
+    val cbTrainFrame =
+      if (hdr.residual) residualFloatFrame(corpus, cents, idCol, vecCol)
+      else corpus
+    val cbs = pqLearnedCodebooks(cbTrainFrame, dim = hdr.dim, m = hdr.m, codes = hdr.codes,
       iters = pqIters, vecCol = vecCol, idCol = idCol, trainFraction = trainFraction,
       seedFromData = seedFromData)
 
@@ -1660,7 +1768,8 @@ object Similarity {
     val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".rebuild.old")
     fs.delete(tmp, true); fs.delete(old, true)
     val rowsAfter = ivfPqIndexWrite(corpus, tmp.toString, hdr.dim, hdr.lists,
-      hdr.m, hdr.codes, idCol, vecCol, Some(cents), Some(cbs))
+      hdr.m, hdr.codes, idCol, vecCol, Some(cents), Some(cbs),
+      residual = hdr.residual)
 
     // verify BEFORE the swap; a bad rebuild must leave the artifact live
     val corpusRows = corpus.count()
@@ -1802,7 +1911,8 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     centroids: Option[Array[Array[Double]]] = None,
                     codebooks: Option[Array[Array[Array[Double]]]] = None,
-                    allowedIds: Option[DataFrame] = None): DataFrame = {
+                    allowedIds: Option[DataFrame] = None,
+                    residual: Boolean = false): DataFrame = {
     require(Seq("vec_id", "list_id", "codes").forall(index.columns.contains),
       s"index must be an ivfPqIndex artifact (vec_id, list_id, codes); got ${index.columns.mkString(", ")}")
     val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
@@ -1833,13 +1943,20 @@ object Similarity {
           base0.filter(col("neighbor_id").isin(ids: _*))
         else base0.join(idsDf, Seq("neighbor_id"), "left_semi")
     }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // residual ADC: q . x ~ q . c_list + q . r_hat — the coarse term
+    // is exact per (query, probed list) and rides the broadcast query
+    // frame (one extra BIGINT per probed list, never per candidate)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("lut", lut(col("qv")))
-      .withColumn("list_id", explode(probe(col("qv")))).drop("qv")
+      .withColumn("list_id", explode(probe(col("qv"))))
+    val q =
+      (if (residual)
+        q0.withColumn("cterm", pqCentTermUdf(cents)(col("qv"), col("list_id")))
+      else q0.withColumn("cterm", lit(0L))).drop("qv")
     val w = Window.partitionBy(col("query_id")).orderBy(col("score_e6").desc, col("neighbor_id"))
     base.join(broadcast(q), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score_e6", adc(col("codes"), col("lut")))
+      .withColumn("score_e6", col("cterm") + adc(col("codes"), col("lut")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -2014,4 +2131,224 @@ object Similarity {
       recallQueries, k, nprobe, minRecallRatio,
       seedFromData = true, idCol = idCol, vecCol = vecCol,
       allowShrink = allowShrink, minRecallAbs = minRecallAbs))
+
+  // ------------------------------------------------------------------
+  // IVF-SQ8: trained per-dimension scalar quantizer under the IVF
+  // coarse index — the OTHER standard billion-scale memory/recall
+  // trade (Faiss "IVFx,SQ8"): 1 byte/dim (64 bytes here) instead of
+  // PQ's sub-space codes, no codebook training, decode is two flops.
+  // Recall sits between PQ and full floats; the artifact is 4x the
+  // IVF-PQ codes but still 4x smaller than the raw float vectors.
+  // ------------------------------------------------------------------
+
+  /** Per-dimension scalar-quantizer bounds trained FROM the data:
+    * `(vmin_d, vmax_d)` over the training frame. min/max are exact
+    * and order-independent (unlike float moment sums), so the trained
+    * bounds are bit-reproducible under any partitioning AND
+    * SQL-derivable for the oracle with plain MIN/MAX aggregates.
+    * `trainSample`/`trainFraction` bound training cost exactly like
+    * [[kmeansCentroids]] (deterministic hash-order sample): at 100 TB
+    * the quantizer trains on a sample and out-of-range values clamp
+    * at encode time (the Faiss SQ convention).
+    */
+  def sqTrainBounds(embeddings: DataFrame, dim: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    trainSample: Int = 0, trainFraction: Double = 0.0)
+      : (Array[Double], Array[Double]) = {
+    val train = trainFrameOf(embeddings, idCol, trainSample, trainFraction)
+    val rows = train
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min(col("x").cast("double")).as("vmin"),
+        max(col("x").cast("double")).as("vmax"))
+      .collect()
+    require(rows.length == dim,
+      s"sqTrainBounds: training frame has ${rows.length} dims, expected $dim " +
+        "(ragged or empty embedding column?)")
+    val vmin = new Array[Double](dim)
+    val vmax = new Array[Double](dim)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      vmin(d) = r.getDouble(1); vmax(d) = r.getDouble(2)
+    }
+    (vmin, vmax)
+  }
+
+  /** Encode to one uint8 code per dimension:
+    * `floor((x - vmin) * 255 / (vmax - vmin) + 0.5)` clamped to
+    * [0, 255] — the clamp is live when the quantizer trained on a
+    * sample (or drifted data arrives after training); a zero-span
+    * dimension encodes 0. One compiled pass per vector; the exact
+    * double expression order is mirrored by the oracle SQL.
+    */
+  private def sqEncodeUdf(vmin: Array[Double], vmax: Array[Double]) =
+    udf { (v: Seq[Float]) =>
+      val n = vmin.length
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val span = vmax(i) - vmin(i)
+        if (span != 0.0) {
+          val c = math.floor((v(i).toDouble - vmin(i)) * 255.0 / span + 0.5)
+          out(i) = math.min(255.0, math.max(0.0, c)).toInt
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+
+  /** Asymmetric SQ scoring: cosine of the FULL-PRECISION query against
+    * the decoded candidate `vmin_d + code_d * (vmax_d - vmin_d) / 255`
+    * — codes are never lifted back to a stored float column (the
+    * decode is two flops inside the scoring loop, which is why SQ
+    * probes run off the 1-byte/dim artifact alone). Sequential-order
+    * double arithmetic end to end, same contract as [[dot]].
+    */
+  private def sqAdcCosineUdf(vmin: Array[Double], vmax: Array[Double]) =
+    udf { (q: Seq[Float], codes: Seq[Int]) =>
+      var dotv = 0.0; var nq = 0.0; var nd = 0.0
+      var i = 0
+      while (i < codes.length) {
+        val dec = vmin(i) + codes(i) * (vmax(i) - vmin(i)) / 255.0
+        val qd = q(i).toDouble
+        dotv += qd * dec; nq += qd * qd; nd += dec * dec
+        i += 1
+      }
+      dotv / (math.sqrt(nq) * math.sqrt(nd))
+    }
+
+  /** The probe kernel shared by the inline ([[annIvfSq]]) and artifact
+    * ([[annIvfSqProbeAt]]) paths so they cannot drift: queries pick
+    * their `nprobe` nearest coarse lists, candidates equi-join on
+    * `list_id` (per-query work is |corpus| * nprobe / lists — vectors
+    * never pairwise-join outside probed lists), scores decode-dot the
+    * stored codes. Queries broadcast (they carry the only float
+    * vectors in the join); the coded base side never shuffles.
+    */
+  private def annIvfSqProbeFrame(index: DataFrame, queries: DataFrame, k: Int,
+                                 nprobe: Int, cents: Array[Array[Double]],
+                                 vmin: Array[Double], vmax: Array[Double],
+                                 idCol: String): DataFrame = {
+    val listScores = ivfListScoresFn(cents)
+    val nProbe = nprobe
+    val probe = udf { (v: Seq[Float]) =>
+      listScores(v).zipWithIndex.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2).toSeq
+    }
+    val score = sqAdcCosineUdf(vmin, vmax)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col("qv"))
+      .withColumn("list_id", explode(probe(col("qv")))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    index.join(q, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score(col("qv"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** The persisted IVF-SQ8 index frame: `(vec_id, list_id, codes)`,
+    * one uint8 code per dimension. Same artifact posture as
+    * [[ivfPqIndex]] — this table, not the raw vectors, is what an
+    * index build persists and every probe scans.
+    */
+  def ivfSqIndex(embeddings: DataFrame, dim: Int, lists: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 centroids: Option[Array[Array[Double]]] = None,
+                 bounds: Option[(Array[Double], Array[Double])] = None): DataFrame = {
+    val cents = centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
+    require(cents.length == lists, s"centroids.length ${cents.length} != lists $lists")
+    val (vmin, vmax) = bounds.getOrElse(sqTrainBounds(embeddings, dim, idCol, vecCol))
+    require(vmin.length == dim && vmax.length == dim,
+      s"bounds dim ${vmin.length}/${vmax.length} != $dim")
+    val listScores = ivfListScoresFn(cents)
+    val assign = udf { (v: Seq[Float]) =>
+      val s = listScores(v)
+      var best = 0; var c = 1
+      while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
+      best
+    }
+    Par.spread(embeddings)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .select(col("neighbor_id"), assign(col("v")).as("list_id"),
+        sqEncodeUdf(vmin, vmax)(col("v")).as("codes"))
+  }
+
+  /** IVF + trained scalar quantization, inline (index built in-plan):
+    * the [[annIvf]] probe algebra with the exact-cosine verify
+    * replaced by decode-dot over SQ8 codes. Bounds default to training
+    * on the full corpus (oracle-exact); production bounds train on a
+    * hash-order sample via `trainSample`/`trainFraction` exactly like
+    * the k-means family.
+    */
+  def annIvfSq(embeddings: DataFrame, queries: DataFrame, k: Int, dim: Int,
+               lists: Int = 16, nprobe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               centroids: Option[Array[Array[Double]]] = None,
+               bounds: Option[(Array[Double], Array[Double])] = None,
+               trainSample: Int = 0, trainFraction: Double = 0.0): DataFrame = {
+    val cents = centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
+    val (vmin, vmax) = bounds.getOrElse(
+      sqTrainBounds(embeddings, dim, idCol, vecCol, trainSample, trainFraction))
+    val index = ivfSqIndex(embeddings, dim, lists, idCol, vecCol,
+      Some(cents), Some((vmin, vmax)))
+    val q = queries.select(col(idCol).as(idCol), col(vecCol).as("qv"))
+    annIvfSqProbeFrame(index, q, k, nprobe, cents, vmin, vmax, idCol)
+  }
+
+  private def sqHeaderParams(dim: Int, lists: Int, cents: Array[Array[Double]],
+                             vmin: Array[Double], vmax: Array[Double]): Seq[(String, String)] =
+    Seq("dim" -> dim.toString, "lists" -> lists.toString,
+      "centroids" -> encodeMatrix(cents),
+      "vmin" -> encodeMatrix(Array(vmin)),
+      "vmax" -> encodeMatrix(Array(vmax)))
+
+  /** Build AND persist the IVF-SQ8 artifact with a self-describing
+    * header (coarse centroids + trained bounds as raw-bit hex, content
+    * hashed — the [[graft.sources.ArtifactHeader]] trust convention):
+    * stored codes are meaningless without the exact bounds they were
+    * encoded under. Returns the number of vectors indexed.
+    */
+  def ivfSqIndexWrite(embeddings: DataFrame, indexPath: String, dim: Int,
+                      lists: Int = 16,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      centroids: Option[Array[Array[Double]]] = None,
+                      bounds: Option[(Array[Double], Array[Double])] = None,
+                      trainSample: Int = 0, trainFraction: Double = 0.0): Long = {
+    val spark = embeddings.sparkSession
+    val cents = centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
+    val (vmin, vmax) = bounds.getOrElse(
+      sqTrainBounds(embeddings, dim, idCol, vecCol, trainSample, trainFraction))
+    ivfSqIndex(embeddings, dim, lists, idCol, vecCol, Some(cents), Some((vmin, vmax)))
+      .write.mode("overwrite").option("compression", "zstd").parquet(indexPath)
+    // header last, after the parquet overwrite, so it can never
+    // describe a half-written artifact (the ivfPqIndexWrite contract)
+    graft.sources.ArtifactHeader.write(spark, indexPath, "ivfsq",
+      sqHeaderParams(dim, lists, cents, vmin, vmax))
+    spark.read.parquet(indexPath).count()
+  }
+
+  /** Probe a persisted IVF-SQ8 artifact, trusted through its header:
+    * centroids and bounds come FROM the artifact itself (a probe
+    * cannot drift from the build). Headerless artifacts refuse with
+    * guidance — stored codes decoded under guessed bounds are silently
+    * wrong neighbors, the exact failure the header exists to prevent.
+    */
+  def annIvfSqProbeAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                      queries: DataFrame, k: Int, nprobe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val kv = graft.sources.ArtifactHeader.read(spark, indexPath, "ivfsq").getOrElse(
+      sys.error(s"annIvfSqProbeAt: no ivfsq header at $indexPath — stored codes " +
+        "cannot be decoded without the exact bounds they were encoded under; " +
+        "build with ivfSqIndexWrite (which stamps the header)"))
+    val dim = kv("dim").toInt
+    val cents = decodeMatrix(kv("centroids"))
+    val vmin = decodeMatrix(kv("vmin")).head
+    val vmax = decodeMatrix(kv("vmax")).head
+    require(cents.forall(_.length == dim) && vmin.length == dim && vmax.length == dim,
+      s"annIvfSqProbeAt: header arrays at $indexPath disagree with dim=$dim")
+    val index = spark.read.parquet(indexPath)
+    val q = queries.select(col(idCol).as(idCol), col(vecCol).as("qv"))
+    annIvfSqProbeFrame(index, q, k, nprobe, cents, vmin, vmax, idCol)
+  }
 }

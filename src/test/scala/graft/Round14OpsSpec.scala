@@ -289,4 +289,170 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
     assert(viaAcc == exact)
     assert(exact._1 > 0L)
   }
+
+  /** Clustered corpus for the SQ8 tests: quantization error is only
+    * meaningful when true neighbors exist (cosine ~1), so build a few
+    * tight clusters instead of uniform noise.
+    */
+  private def sqCorpus() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1408)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextDouble() * 0.05).toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding").localCheckpoint()
+  }
+
+  test("annIvfSq: codes are one uint8 per dim; decoded scores track exact cosine within quantizer error") {
+    val emb = sqCorpus()
+    val idx = Similarity.ivfSqIndex(emb, dim = 16, lists = 4)
+    val codeRows = idx.select(col("codes")).collect()
+    assert(codeRows.length == 200)
+    codeRows.foreach { r =>
+      val cs = r.getSeq[Int](0)
+      assert(cs.length == 16)
+      assert(cs.forall(c => c >= 0 && c <= 255))
+    }
+    val qs = emb.filter(col("vec_id") < 4)
+    val sq = Similarity.annIvfSq(emb, qs, k = 5, dim = 16, lists = 4)
+      .select("query_id", "neighbor_id", "score").collect()
+    val exact = Similarity.topKCosine(emb, qs, k = 50, "vec_id", "embedding")
+      .select("query_id", "neighbor_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sq.nonEmpty)
+    sq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach { ex =>
+        // 256 levels/dim on a [-1,1]-ish corpus: decode error per dim
+        // <= step/2 ~ 0.004, cosine error far under 0.01
+        assert(math.abs(r.getDouble(2) - ex) < 0.01,
+          s"$key sq=${r.getDouble(2)} exact=$ex")
+      }
+    }
+  }
+
+  test("IVF-SQ8 artifact: probeAt over the written index == inline composition bit-for-bit; headerless refuses") {
+    val emb = sqCorpus()
+    val dir = tmpIdx("ann_sq")
+    val qs = emb.filter(col("vec_id") >= 196)
+    val n = Similarity.ivfSqIndexWrite(emb.filter(col("vec_id") < 196), dir,
+      dim = 16, lists = 4)
+    assert(n == 196L)
+    val at = Similarity.annIvfSqProbeAt(spark, dir, qs, k = 5)
+      .orderBy("query_id", "rank").collect()
+    val bounds = Similarity.sqTrainBounds(emb.filter(col("vec_id") < 196), dim = 16)
+    val inline = Similarity.annIvfSq(emb.filter(col("vec_id") < 196), qs,
+      k = 5, dim = 16, lists = 4, bounds = Some(bounds))
+      .orderBy("query_id", "rank").collect()
+    assert(at.toSeq == inline.toSeq)
+    assert(at.nonEmpty)
+
+    // stored codes decoded under guessed bounds are silently wrong
+    // neighbors — a headerless artifact must refuse, not guess
+    val bare = tmpIdx("ann_sq_bare")
+    spark.read.parquet(dir).write.parquet(bare)
+    val ex = intercept[RuntimeException] {
+      Similarity.annIvfSqProbeAt(spark, bare, qs, k = 5)
+    }
+    assert(ex.getMessage.contains("header"), ex.getMessage)
+  }
+
+  /** Clusters FAR from the origin (centers ~ scale 3, noise 0.05):
+    * the regime residual encoding exists for — plain PQ must span the
+    * global coordinate range with unit-cube codewords, while residual
+    * codes only cover the tiny local detail once the coarse term is
+    * carried exactly.
+    */
+  private def resCorpus() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1412)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 6 - 3))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextDouble() * 0.05).toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding").localCheckpoint()
+  }
+
+  test("residual IVF-PQ: ADC tracks the true dot far tighter than plain PQ once centroids are learned") {
+    val emb = resCorpus()
+    val qs = emb.filter(col("vec_id") < 4)
+    val cents = Similarity.kmeansCentroids(emb, k = 4, iters = 3, dim = 16,
+      seedFromData = true)
+    val exact = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dotx", Similarity.dot(col("qv"), col("nv")))
+      .select("query_id", "neighbor_id", "dotx")
+    def mae(residual: Boolean): Double =
+      Similarity.annIvfPq(emb, qs, k = 30, dim = 16, lists = 4, m = 8,
+          centroids = Some(cents), residual = residual)
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(avg(abs(col("score_e6") / 1e6 - col("dotx"))))
+        .collect()(0).getDouble(0)
+    val (resErr, plainErr) = (mae(true), mae(false))
+    // the coarse term carries |x| ~ 3-magnitude structure exactly;
+    // plain codes must approximate it with unit-cube codewords
+    assert(resErr < plainErr / 2,
+      s"residual ADC error $resErr not well under plain $plainErr")
+  }
+
+  test("residual artifact lifecycle: header-trusted probe == inline; appends adopt the encoding; plain/residual mismatch refuses; rebuild preserves it") {
+    val emb = resCorpus()
+    val dir = tmpIdx("ann_res")
+    val prior = emb.filter(col("vec_id") < 160)
+    val qs = emb.filter(col("vec_id") >= 196)
+    Similarity.ivfPqIndexWrite(prior, dir, dim = 16, lists = 4, m = 8,
+      residual = true)
+    assert(Similarity.ivfPqReadHeader(spark, dir).exists(_.residual))
+    val at = Similarity.annIvfPqProbeAt(spark, dir, qs, k = 5)
+      .orderBy("query_id", "rank").collect()
+    val inline = Similarity.annIvfPq(prior, qs, k = 5, dim = 16, lists = 4,
+        m = 8, residual = true)
+      .orderBy("query_id", "rank").collect()
+    assert(at.toSeq == inline.toSeq)
+    assert(at.nonEmpty)
+
+    // a plain-encoding append onto a residual artifact would mix
+    // incompatible code spaces — the params hash refuses it
+    val mid = emb.filter(col("vec_id") >= 160 && col("vec_id") < 196)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(mid, dir, dim = 16, lists = 4, m = 8)
+    }
+    assert(ex.getMessage.contains("residual"), ex.getMessage)
+
+    // the header-driven appender ADOPTS the artifact's encoding:
+    // grown artifact == one-shot residual build, byte for byte
+    assert(Similarity.ivfPqIndexAppendAt(mid, dir) == 36L)
+    val grown = spark.read.parquet(dir).orderBy("vec_id").collect()
+    val oneShot = Similarity.ivfPqIndex(emb.filter(col("vec_id") < 196),
+        dim = 16, lists = 4, m = 8, residual = true)
+      .orderBy("vec_id").collect()
+    assert(grown.toSeq == oneShot.toSeq)
+
+    // rebuild retrains BOTH quantizers (codebooks on residuals) and
+    // re-stamps the header with the encoding preserved
+    val rep = Similarity.ivfPqRebuild(emb.filter(col("vec_id") < 196), dir,
+      kmIters = 1, pqIters = 1)
+    assert(rep.rowsAfter == 196L)
+    val hdr2 = Similarity.ivfPqReadHeader(spark, dir).get
+    assert(hdr2.residual)
+    assert(Similarity.annIvfPqProbeAt(spark, dir, qs, k = 5).count() > 0)
+  }
+
+  test("sqTrainBounds: sample-trained bounds clamp out-of-range encodes instead of failing") {
+    val emb = sqCorpus()
+    // train on the deterministic hash-order half; encode everything —
+    // values outside the trained span must clamp to 0/255, not wrap
+    val (vmin, vmax) = Similarity.sqTrainBounds(emb, dim = 16,
+      trainFraction = 0.5)
+    val idx = Similarity.ivfSqIndex(emb, dim = 16, lists = 4,
+      bounds = Some((vmin, vmax)))
+    val cs = idx.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).collect()(0)
+    assert(cs.getInt(0) >= 0 && cs.getInt(1) <= 255)
+    assert(idx.count() == 200)
+  }
 }
