@@ -362,6 +362,23 @@ object SparkEntry {
       s.sql(s"PROBE ANN INDEX '$path' FROM '$dir'")
     }),
 
+    // the encoding clause: BUILD ... USING SQ8 writes the scalar-
+    // quantized artifact; PROBE has no USING — it dispatches on the
+    // artifact's OWN header kind (encoding is an artifact property)
+    "q_sql_ann_sq_probe" -> ((s, dir) => {
+      val path = runTmp("sql_ann_sq", dir)
+      s.sql(s"BUILD ANN INDEX FROM '$dir' AT '$path' USING SQ8").collect()
+      s.sql(s"PROBE ANN INDEX '$path' FROM '$dir'")
+    }),
+
+    // USING RESIDUAL: the Faiss-default residual encoding through the
+    // same verb pair; the probe reads residual=true from the header
+    "q_sql_ann_res_probe" -> ((s, dir) => {
+      val path = runTmp("sql_ann_res", dir)
+      s.sql(s"BUILD ANN INDEX FROM '$dir' AT '$path' USING RESIDUAL").collect()
+      s.sql(s"PROBE ANN INDEX '$path' FROM '$dir'")
+    }),
+
     // the filtered-search verb: ALLOWING takes ordinary SQL over the
     // embeddings table, its admitted ids become the allowed set —
     // shares q_ann_probe_filtered's oracle (same index split, same
@@ -3214,6 +3231,12 @@ object SparkEntry {
       trainThresh = Some(288230376151711744L)),
     "q_ann_ivfpq" -> annIvfPqOracle,
     "q_ann_ivfpq_res" -> annIvfPqResOracle(5),
+    "q_sql_ann_sq_probe" -> annIvfSqOracle(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
+    "q_sql_ann_res_probe" -> annIvfPqResOracle(5,
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
+      baseWhere = "vec_id % 3 <> 0"),
     // the artifact rows themselves, and new-slice queries probing the
     // persisted index of the % 3 != 0 history — the oracle recomputes
     // assignment/codes/ADC from the same index CTEs
@@ -4879,7 +4902,9 @@ object SparkEntry {
     * plus the residual LUT sum — identical sequential double algebra
     * and BIGINT fixed point as the Spark UDFs.
     */
-  private def annIvfPqResOracle(k: Int, queryWhere: String = "vec_id < 8"): String =
+  private def annIvfPqResOracle(k: Int, queryWhere: String = "vec_id < 8",
+                                baseWhere: String = ""): String = {
+    val bw = if (baseWhere.isEmpty) "" else s" WHERE $baseWhere"
     s"""WITH cent AS (
       |  SELECT c.c, list(
       |      ('0x' || substr(md5('ivf|' || c.c || '|' || d.d), 1, 15))::BIGINT / 576460752303423488.0 - 1.0
@@ -4898,7 +4923,7 @@ object SparkEntry {
       |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))
       |      - 0.5 * list_sum(list_transform(cent.cv, x -> x * x)) AS score
       |  FROM v, cent),
-      |assign AS (SELECT vec_id, c AS list_id FROM ivfsc
+      |assign AS (SELECT vec_id, c AS list_id FROM ivfsc$bw
       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),
       |rv AS (SELECT a.vec_id, a.list_id,
       |    list_transform(range(1, 65), i -> v.v[i] - cent.cv[i]) AS rv
@@ -4930,6 +4955,7 @@ object SparkEntry {
       |  FROM adc)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_e6
       |FROM r WHERE rank <= $k""".stripMargin
+  }
 
   private def annIvfPqOracleK(k: Int, baseWhere: String = "",
                               queryWhere: String = "vec_id < 8",

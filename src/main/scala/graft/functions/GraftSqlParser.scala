@@ -69,12 +69,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * one-statement SQL (q_ann_probe_incremental's split and parameters,
   * so the probe verb reuses that query's oracle):
   *
-  *   BUILD ANN INDEX FROM '<dir>' AT '<path>'
-  *     -> ivfPqIndexWrite over the indexed-history slice of
-  *        <dir>/embeddings.parquet; returns (path, n_vectors)
+  *   BUILD ANN INDEX FROM '<dir>' AT '<path>' [USING SQ8 | RESIDUAL]
+  *     -> ivfPqIndexWrite (plain / residual = true) or ivfSqIndexWrite
+  *        over the indexed-history slice of <dir>/embeddings.parquet;
+  *        returns (path, n_vectors)
   *   PROBE ANN INDEX '<path>' FROM '<dir>'
-  *     -> annIvfPqProbeAt: new query vectors search the persisted
-  *        header-trusted artifact (query_id, neighbor_id, adc_dist)
+  *     -> annIvfPqProbeAt / annIvfSqProbeAt: new query vectors search
+  *        the persisted header-trusted artifact — no USING on the
+  *        read side, the verb dispatches on the artifact's own stored
+  *        header kind (encoding is an artifact property, not a query
+  *        parameter)
   *   PROBE ANN INDEX '<path>' FROM '<dir>' ALLOWING <predicate>
   *     -> annIvfPqProbeFilteredAt: filtered search — <predicate> is
   *        ordinary SQL over the embeddings table; its admitted ids
@@ -124,8 +128,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
   // write-path verbs: they execute at parse time (the shelve/merge
   // convention) and return a literal report frame; PROBE builds a
   // lazy plan like every read verb.
+  // optional USING <encoding>: SQ8 (trained scalar quantizer) or
+  // RESIDUAL (Faiss-default residual PQ); bare BUILD keeps plain
+  // IVF-PQ. PROBE has no USING — the artifact's own header says what
+  // it is, so the probe verb dispatches on the stored header kind.
   private val BuildAnnIndex =
-    """(?is)\s*BUILD\s+ANN\s+INDEX\s+FROM\s+'([^']+)'\s+AT\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*BUILD\s+ANN\s+INDEX\s+FROM\s+'([^']+)'\s+AT\s+'([^']+)'(?:\s+USING\s+(\w+))?\s*;?\s*""".r
   private val ProbeAnnIndex =
     """(?is)\s*PROBE\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
   // filtered search: the trailing predicate is standard Spark SQL over
@@ -276,23 +284,38 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         "text", "doc_id", n = 3, minOverlap = 3)
         .queryExecution.logical
     }
-    case BuildAnnIndex(dir, path) => wrapGraft(sqlText) {
+    case BuildAnnIndex(dir, path, enc) => wrapGraft(sqlText) {
       // the q_ann_probe_incremental split: the % 3 != 0 slice is the
       // indexed history (dim 64, salted-default quantizers); write
       // stamps the self-describing header
       import session.implicits._
-      val n = graft.operators.Similarity.ivfPqIndexWrite(
-        annCorpus(dir), path, dim = 64)
+      val n = Option(enc).map(_.toUpperCase) match {
+        case None =>
+          graft.operators.Similarity.ivfPqIndexWrite(annCorpus(dir), path, dim = 64)
+        case Some("SQ8") =>
+          graft.operators.Similarity.ivfSqIndexWrite(annCorpus(dir), path, dim = 64)
+        case Some("RESIDUAL") =>
+          graft.operators.Similarity.ivfPqIndexWrite(annCorpus(dir), path, dim = 64,
+            residual = true)
+        case Some(other) => throw new IllegalArgumentException(
+          s"BUILD ANN INDEX USING $other: supported encodings are SQ8 and " +
+            "RESIDUAL (omit USING for plain IVF-PQ)")
+      }
       Seq((path, n)).toDF("path", "n_vectors").queryExecution.logical
     }
     case ProbeAnnIndex(path, dir) => wrapGraft(sqlText) {
       // new queries (the % 3 == 0, vec_id < 24 slice) search the
-      // persisted index; every index parameter comes from the header
+      // persisted index; every index parameter comes from the header —
+      // including WHICH index family it is: the probe dispatches on
+      // the stored header kind, so one verb serves every encoding
       val emb = graft.sources.TableArmor.embeddings(
         session.read.parquet(s"$dir/embeddings.parquet"))
-      graft.operators.Similarity.annIvfPqProbeAt(session, path,
-        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
-        .queryExecution.logical
+      val qs = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24)
+      val probed =
+        if (graft.sources.ArtifactHeader.read(session, path, "ivfsq").isDefined)
+          graft.operators.Similarity.annIvfSqProbeAt(session, path, qs, k = 5)
+        else graft.operators.Similarity.annIvfPqProbeAt(session, path, qs, k = 5)
+      probed.queryExecution.logical
     }
     case ProbeAnnIndexFiltered(path, dir, pred) => wrapGraft(sqlText) {
       // filtered search: top-k among the ids the predicate admits —
@@ -334,7 +357,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     case Materialize(_, _) | Linearize(_) | ShelveEvents(_, _) | MergeStates(_, _) |
          ShelveEventsFrom(_, _) | MergeStatesFrom(_, _) |
          DedupDocs(_) | NeardupDocs(_) | DecontaminateDocs(_) |
-         BuildAnnIndex(_, _) | ProbeAnnIndex(_, _) |
+         BuildAnnIndex(_, _, _) | ProbeAnnIndex(_, _) |
          ProbeAnnIndexFiltered(_, _, _) | RebuildAnnIndex(_, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)

@@ -255,6 +255,46 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
     assert(rows(p3) == rows(p4)) // untouched
   }
 
+  test("BUILD ANN INDEX USING SQ8 / RESIDUAL equal their twins; PROBE dispatches on the stored header kind; bad encoding refuses") {
+    import graft.operators.Similarity
+    def tmpIdx(p: String) = new java.io.File(
+      java.nio.file.Files.createTempDirectory(p).toFile, "idx").getPath
+    val emb = graft.sources.TableArmor.embeddings(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
+    val prior = emb.filter(col("vec_id") % 3 =!= 0)
+    val qs = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24)
+
+    // SQ8: the verb writes the ivfsq artifact and the SAME probe verb
+    // (no USING) routes to the SQ prober off the stored header kind
+    val p1 = tmpIdx("sql_ann_sq")
+    spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '$p1' USING SQ8").collect()
+    val sqSql = spark.sql(s"PROBE ANN INDEX '$p1' FROM '$sf'")
+      .collect().map(_.toString).sorted
+    val p2 = tmpIdx("sql_ann_sq_twin")
+    Similarity.ivfSqIndexWrite(prior, p2, dim = 64)
+    val sqApi = Similarity.annIvfSqProbeAt(spark, p2, qs, k = 5)
+      .collect().map(_.toString).sorted
+    assert(sqSql.nonEmpty && sqSql.sameElements(sqApi))
+
+    // RESIDUAL: same verb pair, residual=true adopted from the header
+    val p3 = tmpIdx("sql_ann_res")
+    spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '$p3' USING RESIDUAL").collect()
+    assert(Similarity.ivfPqReadHeader(spark, p3).exists(_.residual))
+    val resSql = spark.sql(s"PROBE ANN INDEX '$p3' FROM '$sf'")
+      .collect().map(_.toString).sorted
+    val p4 = tmpIdx("sql_ann_res_twin")
+    Similarity.ivfPqIndexWrite(prior, p4, dim = 64, residual = true)
+    val resApi = Similarity.annIvfPqProbeAt(spark, p4, qs, k = 5)
+      .collect().map(_.toString).sorted
+    assert(resSql.nonEmpty && resSql.sameElements(resApi))
+
+    // an unknown encoding refuses at the parse seam with guidance
+    val ex = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '${tmpIdx("sql_ann_bad")}' USING OPQ")
+    }
+    assert(ex.getMessage.contains("SQ8"), ex.getMessage)
+  }
+
   test("PROBE ANN INDEX ... ALLOWING equals the filtered DataFrame twin; a broken predicate fails at the seam") {
     import graft.operators.Similarity
     val p1 = new java.io.File(
