@@ -20,6 +20,7 @@ object AnnProbe {
     if (args.nonEmpty && args(0) == "index") { indexArtifact(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "lifecycle") { lifecycle(); return }
     if (args.nonEmpty && args(0) == "filtered") { filteredProbe(args.drop(1)); return }
+    if (args.nonEmpty && args(0) == "sq") { sqVsPq(args.drop(1)); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -150,6 +151,102 @@ object AnnProbe {
     * offsets — the soak convention: grows the ENTITY space, never
     * replicates rows). Run: sbt "runMain graft.AnnProbe filtered 100"
     */
+  /** SQ8 vs PQ vs residual-PQ at a grown corpus, all three in the
+    * PRODUCTION posture: one shared data-seeded learned coarse
+    * quantizer (trainFraction-bounded, what ivfPqRebuild installs),
+    * learned PQ codebooks, and residual codebooks trained ON residuals
+    * (the Faiss coarse-first order). An earlier cut of this probe used
+    * the untrained salted-constant codebooks and measured PQ recall@5
+    * at 0.025 vs SQ's 0.875 — the trade a deployment picks between is
+    * between TRAINED encodings, so the probe trains. Reports bytes on
+    * disk (the byte budgets: 64 codes/vec vs 8), training + build
+    * wall, min-of-2 probe wall from each persisted artifact, and
+    * recall@5 against exact-MIPS ground truth (plus PQ+refine, the
+    * shipped search posture).
+    * Run: sbt "runMain graft.AnnProbe sq 100"
+    */
+  private def sqVsPq(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 100
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb =
+      if (copies <= 1) emb0.localCheckpoint()
+      else (0 until copies).map { k =>
+        val rot = k % 64
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          (if (rot == 0) col("embedding")
+           else concat(slice(col("embedding"), rot + 1, 64 - rot),
+             slice(col("embedding"), 1, rot))).as("embedding"))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+    val nVec = emb.count()
+    val base = java.nio.file.Files.createTempDirectory("ann_sq_vs_pq").toString
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    def min2[T](f: => T): Double = (1 to 2).map(_ => time(f)._2).min
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      Option(d.listFiles).map(_.map(f => if (f.isFile) f.length else 0L).sum).getOrElse(0L)
+    }
+    // ONE shared coarse quantizer for all three artifacts (the trade
+    // under test is the FINE encoding), trained the way ivfPqRebuild
+    // trains: data-seeded, sample-bounded
+    val (cents, centsSec) = time(Similarity.kmeansCentroids(emb, k = 16, iters = 2,
+      dim = 64, trainFraction = 0.05, seedFromData = true))
+    val (cbs, cbsSec) = time(Similarity.pqLearnedCodebooks(emb, dim = 64, m = 8,
+      codes = 16, iters = 2, trainFraction = 0.05, seedFromData = true))
+    val (resCbs, resCbsSec) = time(Similarity.pqLearnedCodebooks(
+      Similarity.residualFloatFrame(emb, cents, "vec_id", "embedding"),
+      dim = 64, m = 8, codes = 16, iters = 2, trainFraction = 0.05,
+      seedFromData = true))
+    // the Faiss-default byte budget (PQ8: 256 centroids/subspace =
+    // 8 bits/subcode, 8 bytes/vec) — the ladder rung between 4-bit PQ
+    // (4 bytes/vec) and SQ8 (64 bytes/vec)
+    val (cbs256, cbs256Sec) = time(Similarity.pqLearnedCodebooks(emb, dim = 64, m = 8,
+      codes = 256, iters = 2, trainFraction = 0.05, seedFromData = true))
+    val (_, sqBuild) = time(Similarity.ivfSqIndexWrite(emb, s"$base/sq", dim = 64,
+      centroids = Some(cents)))
+    val (_, pqBuild) = time(Similarity.ivfPqIndexWrite(emb, s"$base/pq", dim = 64,
+      centroids = Some(cents), codebooks = Some(cbs)))
+    val (_, resBuild) = time(Similarity.ivfPqIndexWrite(emb, s"$base/pqres", dim = 64,
+      centroids = Some(cents), codebooks = Some(resCbs), residual = true))
+    val (_, pq256Build) = time(Similarity.ivfPqIndexWrite(emb, s"$base/pq256", dim = 64,
+      codes = 256, centroids = Some(cents), codebooks = Some(cbs256)))
+    val q = emb0.filter(col("vec_id") < 8)
+    val sqSec = min2(Similarity.annIvfSqProbeAt(spark, s"$base/sq", q, k = 5).count())
+    val pqSec = min2(Similarity.annIvfPqProbeAt(spark, s"$base/pq", q, k = 5).count())
+    val resSec = min2(Similarity.annIvfPqProbeAt(spark, s"$base/pqres", q, k = 5).count())
+    val pq256Sec = min2(Similarity.annIvfPqProbeAt(spark, s"$base/pq256", q, k = 5).count())
+    val refSec = min2(
+      Similarity.annIvfPqRefineAt(spark, s"$base/pq", emb, q, k = 5).count())
+    val exact = Similarity.topKDot(emb, q, 5).localCheckpoint()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.annRecall(exact, approx, 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    val sqRec = recall(Similarity.annIvfSqProbeAt(spark, s"$base/sq", q, k = 5))
+    val pqRec = recall(Similarity.annIvfPqProbeAt(spark, s"$base/pq", q, k = 5))
+    val resRec = recall(Similarity.annIvfPqProbeAt(spark, s"$base/pqres", q, k = 5))
+    val pq256Rec = recall(Similarity.annIvfPqProbeAt(spark, s"$base/pq256", q, k = 5))
+    val refRec = recall(Similarity.annIvfPqRefineAt(spark, s"$base/pq", emb, q, k = 5))
+    val resRefRec = recall(Similarity.annIvfPqRefineAt(spark, s"$base/pqres", emb, q, k = 5))
+    val pq256RefRec = recall(Similarity.annIvfPqRefineAt(spark, s"$base/pq256", emb, q, k = 5))
+    graft.plans.CheckpointHygiene.free(exact, emb)
+    println(s"""{"n_vec":$nVec,"copies":$copies,""" +
+      f""""train_coarse_sec":$centsSec%.2f,"train_pq_sec":$cbsSec%.2f,"train_respq_sec":$resCbsSec%.2f,"train_pq256_sec":$cbs256Sec%.2f,""" +
+      s""""sq_bytes":${dirBytes(s"$base/sq")},"pq_bytes":${dirBytes(s"$base/pq")},"respq_bytes":${dirBytes(s"$base/pqres")},"pq256_bytes":${dirBytes(s"$base/pq256")},""" +
+      f""""sq_build_sec":$sqBuild%.2f,"pq_build_sec":$pqBuild%.2f,"respq_build_sec":$resBuild%.2f,"pq256_build_sec":$pq256Build%.2f,""" +
+      f""""sq_probe_sec":$sqSec%.2f,"pq_probe_sec":$pqSec%.2f,"respq_probe_sec":$resSec%.2f,"pq256_probe_sec":$pq256Sec%.2f,"pq_refine_sec":$refSec%.2f,""" +
+      f""""sq_recall5":$sqRec%.3f,"pq_recall5":$pqRec%.3f,"respq_recall5":$resRec%.3f,"pq256_recall5":$pq256Rec%.3f,""" +
+      f""""pq_refine_recall5":$refRec%.3f,"respq_refine_recall5":$resRefRec%.3f,"pq256_refine_recall5":$pq256RefRec%.3f}""")
+    spark.stop()
+  }
+
   private def filteredProbe(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 100
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -1144,6 +1144,21 @@ object SparkEntry {
         k = 5, rerank = 32)
     }),
 
+    // the SQ8 twin of q_ann_probe_refine — same refineExact kernel,
+    // same incremental split, candidates ranked by SQ8 decode-dot
+    // from the stored artifact instead of PQ ADC (at the probe's
+    // measured scale SQ8 is the recall-leading encoding, so its
+    // search-as-shipped posture needs the same gate)
+    "q_ann_sq_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val prior = emb.filter(col("vec_id") % 3 =!= 0)
+      val path = runTmp("ann_sq_refine", dir)
+      Similarity.ivfSqIndexWrite(prior, path, dim = 64)
+      Similarity.annIvfSqRefineAt(s, path, prior,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24),
+        k = 5, rerank = 32)
+    }),
+
     // FILTERED ANN search (the Faiss IDSelector / metadata-filter
     // shape): top-k ADC among an allowed-id set ONLY — the k-cut is
     // taken WITHIN the allowed set, so a selective filter stays full
@@ -3271,6 +3286,25 @@ object SparkEntry {
       s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |cand32 AS (SELECT query_id, neighbor_id FROM (${annIvfPqOracleK(32,
+             baseWhere = "vec_id % 3 <> 0",
+             queryWhere = "vec_id % 3 = 0 AND vec_id < 24")}) t),
+        |rr AS (SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS score
+        |  FROM cand32 c JOIN ev a ON a.vec_id = c.query_id JOIN ev b ON b.vec_id = c.neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(score, 6) AS score
+        |FROM rr
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5""".stripMargin,
+    // the SQ8 refine twin: the ENTIRE trained-bounds SQ probe oracle
+    // at k=32 as the candidate subquery, then the identical exact
+    // cosine re-rank (shared refineExact kernel on the Spark side)
+    "q_ann_sq_refine" ->
+      s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cand32 AS (SELECT query_id, neighbor_id FROM (${annIvfSqOracle(32,
              baseWhere = "vec_id % 3 <> 0",
              queryWhere = "vec_id % 3 = 0 AND vec_id < 24")}) t),
         |rr AS (SELECT c.query_id, c.neighbor_id,

@@ -1294,8 +1294,8 @@ object Similarity {
     * training is statistical; the encode path never consumes this
     * frame (it computes exact double residuals itself).
     */
-  private def residualFloatFrame(corpus: DataFrame, cents: Array[Array[Double]],
-                                 idCol: String, vecCol: String): DataFrame = {
+  private[graft] def residualFloatFrame(corpus: DataFrame, cents: Array[Array[Double]],
+                                        idCol: String, vecCol: String): DataFrame = {
     val listScores = ivfListScoresFn(cents)
     val resid = udf { (v: Seq[Float]) =>
       val s = listScores(v)
@@ -2351,4 +2351,21 @@ object Similarity {
     val q = queries.select(col(idCol).as(idCol), col(vecCol).as("qv"))
     annIvfSqProbeFrame(index, q, k, nprobe, cents, vmin, vmax, idCol)
   }
+
+  /** [[annIvfSqProbeAt]] + exact-cosine refine — the SQ8 artifact's
+    * search-as-shipped posture, sharing [[refineExact]] with the
+    * IVF-PQ paths so the re-rank semantics cannot drift between
+    * encodings: decode-dot over the stored uint8 codes ranks `rerank`
+    * candidates per query, then full-precision vectors are touched
+    * only for queries x survivors (the Faiss IndexRefine shape — at
+    * 100 TB the exact stage reads `|queries| * rerank` vectors via a
+    * broadcast id fetch, never the corpus).
+    */
+  def annIvfSqRefineAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       corpus: DataFrame, queries: DataFrame, k: Int,
+                       nprobe: Int = 4, rerank: Int = 32,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    refineExact(corpus,
+      annIvfSqProbeAt(spark, indexPath, queries, k = rerank, nprobe, idCol, vecCol),
+      queries, k, idCol, vecCol)
 }

@@ -455,4 +455,29 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
     assert(cs.getInt(0) >= 0 && cs.getInt(1) <= 255)
     assert(idx.count() == 200)
   }
+
+  test("annIvfSqRefineAt: with all lists probed and rerank covering the corpus, refine == exact topKCosine") {
+    val dir = tmpIdx("ann_sq_refine")
+    val (day1, day2, probes) = driftCorpus()
+    val corpus = day1.unionByName(day2).localCheckpoint()
+    Similarity.ivfSqIndexWrite(corpus, dir, dim = 8, lists = 4)
+    // nprobe = lists and rerank >= |corpus| makes the SQ stage a pure
+    // candidate generator over everything — the exact re-rank must
+    // then reproduce brute-force cosine top-k bit for bit (probes are
+    // disjoint from corpus ids, so self-exclusion never differs)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong, r.getLong(2), r.getDouble(3)))
+      .toSet
+    val refined = rows(Similarity.annIvfSqRefineAt(spark, dir, corpus, probes,
+      k = 3, nprobe = 4, rerank = 1024))
+    val brute = rows(Similarity.topKCosine(corpus, probes, k = 3))
+    assert(refined == brute && refined.size == 24)
+    // the shipped posture (bounded rerank) still returns full k per
+    // query with exact-cosine scores for what it returns
+    val shipped = Similarity.annIvfSqRefineAt(spark, dir, corpus, probes,
+      k = 3, nprobe = 2, rerank = 8)
+    assert(shipped.groupBy("query_id").count()
+      .agg(min("count")).collect()(0).getLong(0) == 3L)
+    CheckpointHygiene.free(corpus)
+  }
 }
