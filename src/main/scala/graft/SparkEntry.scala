@@ -1000,6 +1000,32 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
     }),
 
+    // the SQ8 header-driven append INSIDE the gate: the %3==0 slice
+    // is admitted under the artifact's STORED bounds (values beyond
+    // the prior span clamp to rail codes — the oracle's least/greatest
+    // mirrors the clamp), then the probe searches the grown artifact;
+    // the oracle trains bounds on the prior slice only and encodes
+    // everything under them — append semantics derived end to end
+    "q_ann_sq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("ann_sq_append", dir)
+      Similarity.ivfSqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      Similarity.ivfSqIndexAppendAt(emb.filter(col("vec_id") % 3 === 0), path)
+      Similarity.annIvfSqProbeAt(s, path, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // the SQ-specific staleness AUDIT oracle-gated: per-dimension
+    // rail-code counts over the grown artifact (appended values
+    // outside the stored span clamp to 0/255 — the drift signal
+    // ivfSqNeedsRebuild polls), all-BIGINT algebra
+    "q_ann_sq_saturation" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("ann_sq_sat", dir)
+      Similarity.ivfSqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      Similarity.ivfSqIndexAppendAt(emb.filter(col("vec_id") % 3 === 0), path)
+      Similarity.ivfSqSaturation(s, path)
+    }),
+
     // scale-path ANN (product quantization + ADC): base vectors
     // reduced to 8 code bytes, queries score through a fixed-point
     // lookup table — codebooks are md5-salted so the ENTIRE index
@@ -3230,6 +3256,30 @@ object SparkEntry {
     "q_ann_sq_probe" -> annIvfSqOracle(5,
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
+    "q_ann_sq_append" -> annIvfSqOracle(5,
+      queryWhere = "vec_id < 8",
+      boundsWhere = "vec_id % 3 <> 0"),
+    // saturation needs no IVF assignment at all — codes per dim from
+    // prior-trained bounds over the full corpus, then rail counts
+    "q_ann_sq_saturation" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |mm AS (SELECT i.i AS d, min(b.v[i.i]) AS vmin, max(b.v[i.i]) AS vmax
+        |  FROM (SELECT * FROM v WHERE vec_id % 3 <> 0) b,
+        |       (SELECT unnest(range(1, 65)) AS i) i GROUP BY i.i),
+        |codes AS (SELECT v.vec_id, mm.d,
+        |    CASE WHEN mm.vmax = mm.vmin THEN 0 ELSE
+        |      CAST(least(255.0, greatest(0.0,
+        |        floor((v.v[mm.d] - mm.vmin) * 255.0 / (mm.vmax - mm.vmin) + 0.5))) AS INT)
+        |    END AS c
+        |  FROM v, mm)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_codes,
+        |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN c = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  (CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   + CAST(sum(CASE WHEN c = 255 THEN 1 ELSE 0 END) AS BIGINT)) * 1000
+        |    // CAST(count(*) AS BIGINT) AS sat_pm
+        |FROM codes GROUP BY d""".stripMargin,
     "q_ann_ivf_learned" -> annIvfLearnedOracle(lists = 16, iters = 2, nprobe = 4, k = 5),
     // the sampled-training twin: training CTEs read only the 25%
     // hash-threshold sample (2^60/4 — the same STATIC constant the
@@ -4885,8 +4935,14 @@ object SparkEntry {
     * bit-for-bit.
     */
   private def annIvfSqOracle(k: Int, baseWhere: String = "",
-                             queryWhere: String = "vec_id < 8"): String = {
+                             queryWhere: String = "vec_id < 8",
+                             boundsWhere: String = ""): String = {
     val corpusWhere = if (baseWhere.isEmpty) "" else s" WHERE $baseWhere"
+    // the append case trains bounds on the PRIOR slice only while the
+    // encoded corpus includes the appended rows (which clamp)
+    val boundsSrc =
+      if (boundsWhere.isEmpty) "corpus"
+      else s"(SELECT * FROM v WHERE $boundsWhere)"
     val dec = "(m.vmins[i] + c.codes[i] * (m.vmaxs[i] - m.vmins[i]) / 255.0)"
     s"""WITH cent AS (
        |  SELECT c.c, list(
@@ -4896,8 +4952,8 @@ object SparkEntry {
        |  GROUP BY c.c),
        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |corpus AS (SELECT * FROM v$corpusWhere),
-       |mm AS (SELECT i.i AS d, min(corpus.v[i.i]) AS vmin, max(corpus.v[i.i]) AS vmax
-       |  FROM corpus, (SELECT unnest(range(1, 65)) AS i) i GROUP BY i.i),
+       |mm AS (SELECT i.i AS d, min(b.v[i.i]) AS vmin, max(b.v[i.i]) AS vmax
+       |  FROM $boundsSrc b, (SELECT unnest(range(1, 65)) AS i) i GROUP BY i.i),
        |mma AS (SELECT list(vmin ORDER BY d) AS vmins, list(vmax ORDER BY d) AS vmaxs FROM mm),
        |sc AS (SELECT v.vec_id, cent.c,
        |    list_sum(list_transform(range(1, 65), i -> v.v[i] * cent.cv[i]))

@@ -332,11 +332,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         .queryExecution.logical
     }
     case RebuildAnnIndex(path, dir) => wrapGraft(sqlText) {
-      // the maintainer one-call: audit the persisted artifact's list
-      // balance, retrain/re-encode/verify/swap only if it trips
+      // the maintainer one-call: audit the persisted artifact's
+      // staleness signals, retrain/re-encode/verify/swap only if one
+      // trips — dispatching on the stored header kind like PROBE
+      // (encoding is an artifact property, and the SQ audit adds the
+      // bounds-saturation signal PQ doesn't have)
       import session.implicits._
-      val rep = graft.operators.Similarity.ivfPqRebuildIfNeeded(
-        annCorpus(dir), path)
+      val rep =
+        if (graft.sources.ArtifactHeader.read(session, path, "ivfsq").isDefined)
+          graft.operators.Similarity.ivfSqRebuildIfNeeded(annCorpus(dir), path)
+        else graft.operators.Similarity.ivfPqRebuildIfNeeded(annCorpus(dir), path)
       Seq((rep.isDefined, rep.map(_.rowsBefore).getOrElse(-1L),
         rep.map(_.rowsAfter).getOrElse(-1L)))
         .toDF("rebuilt", "rows_before", "rows_after").queryExecution.logical

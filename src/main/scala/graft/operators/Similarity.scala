@@ -1832,22 +1832,34 @@ object Similarity {
         (before, after)
     }
 
+    artifactSwap(fs, p, tmp, old, "ivfPqRebuild")
+    RebuildReport(rowsBefore, rowsAfter, recallBefore, recallAfter)
+  }
+
+  /** The two-rename atomic swap with rollback shared by the rebuild
+    * paths ([[ivfPqRebuild]], [[ivfSqRebuild]]): move the live
+    * artifact aside, move the verified rewrite in, delete the old
+    * copy. On swap-in failure the original is restored and the tmp
+    * deleted (corpus-sized residue); after a DOUBLE failure everything
+    * is preserved for manual recovery.
+    */
+  private def artifactSwap(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path,
+                           tmp: org.apache.hadoop.fs.Path,
+                           old: org.apache.hadoop.fs.Path,
+                           tag: String): Unit = {
     if (!fs.rename(p, old)) {
       fs.delete(tmp, true)
-      sys.error(s"ivfPqRebuild: could not move $indexPath aside; artifact untouched")
+      sys.error(s"$tag: could not move $p aside; artifact untouched")
     }
     if (!fs.rename(tmp, p)) {
       val rolledBack = fs.rename(old, p)
-      // a successful rollback restores the live artifact, so the tmp
-      // copy is corpus-sized residue — delete it; after a DOUBLE
-      // failure keep everything for manual recovery
       if (rolledBack) fs.delete(tmp, true)
-      sys.error(s"ivfPqRebuild: swap-in failed for $indexPath; " +
+      sys.error(s"$tag: swap-in failed for $p; " +
         (if (rolledBack) "original rolled back, artifact untouched"
          else s"ROLLBACK ALSO FAILED — artifact preserved at $old"))
     }
     fs.delete(old, true)
-    RebuildReport(rowsBefore, rowsAfter, recallBefore, recallAfter)
   }
 
   def ivfPqListBalance(index: DataFrame, lists: Int, rebuildPm: Long = 3000L): DataFrame =
@@ -2337,8 +2349,32 @@ object Similarity {
   def annIvfSqProbeAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                       queries: DataFrame, k: Int, nprobe: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hdr = sqRequireHeader(spark, indexPath, "annIvfSqProbeAt")
+    val index = spark.read.parquet(indexPath)
+    val q = queries.select(col(idCol).as(idCol), col(vecCol).as("qv"))
+    annIvfSqProbeFrame(index, q, k, nprobe, hdr.cents, hdr.vmin, hdr.vmax, idCol)
+  }
+
+  /** Parsed ivfsq header plus its content hash — the generation token
+    * [[ivfSqIndexAppendAt]] compares across its own write (a rebuild
+    * swapped in mid-append means the artifact now mixes codes from two
+    * bounds generations).
+    */
+  private final case class IvfSqHeader(dim: Int, lists: Int,
+                                       cents: Array[Array[Double]],
+                                       vmin: Array[Double], vmax: Array[Double],
+                                       paramsHash: String)
+
+  /** The shared header trust seam for every SQ8 artifact consumer
+    * (probe, append, audit, rebuild) — the [[ivfPqRequireHeader]]
+    * convention: stored codes decoded under guessed bounds are
+    * silently wrong neighbors, so headerless artifacts refuse with
+    * guidance instead.
+    */
+  private def sqRequireHeader(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, what: String): IvfSqHeader = {
     val kv = graft.sources.ArtifactHeader.read(spark, indexPath, "ivfsq").getOrElse(
-      sys.error(s"annIvfSqProbeAt: no ivfsq header at $indexPath — stored codes " +
+      sys.error(s"$what: no ivfsq header at $indexPath — stored codes " +
         "cannot be decoded without the exact bounds they were encoded under; " +
         "build with ivfSqIndexWrite (which stamps the header)"))
     val dim = kv("dim").toInt
@@ -2346,10 +2382,9 @@ object Similarity {
     val vmin = decodeMatrix(kv("vmin")).head
     val vmax = decodeMatrix(kv("vmax")).head
     require(cents.forall(_.length == dim) && vmin.length == dim && vmax.length == dim,
-      s"annIvfSqProbeAt: header arrays at $indexPath disagree with dim=$dim")
-    val index = spark.read.parquet(indexPath)
-    val q = queries.select(col(idCol).as(idCol), col(vecCol).as("qv"))
-    annIvfSqProbeFrame(index, q, k, nprobe, cents, vmin, vmax, idCol)
+      s"$what: header arrays at $indexPath disagree with dim=$dim")
+    IvfSqHeader(dim, kv("lists").toInt, cents, vmin, vmax,
+      graft.sources.ArtifactHeader.paramsHash("ivfsq", kv.toSeq))
   }
 
   /** [[annIvfSqProbeAt]] + exact-cosine refine — the SQ8 artifact's
@@ -2368,4 +2403,218 @@ object Similarity {
     refineExact(corpus,
       annIvfSqProbeAt(spark, indexPath, queries, k = rerank, nprobe, idCol, vecCol),
       queries, k, idCol, vecCol)
+
+  /** Header-driven append-only growth of a persisted SQ8 artifact —
+    * [[ivfPqIndexAppendAt]]'s contract for the scalar encoding: every
+    * parameter (centroids, bounds) comes FROM the artifact's own
+    * header, admission is content-addressed by id (re-sending a batch
+    * is idempotent), history is never re-encoded, and the post-write
+    * backstop re-reads the header and refuses LOUDLY if a concurrent
+    * rebuild swapped bounds generations mid-append (mixed-generation
+    * codes decode to wrong neighbors silently — the one failure this
+    * family never allows).
+    *
+    * The SQ-specific caveat is CLAMPING, not refusal: new values
+    * outside the stored bounds encode to rail codes 0/255 (spec-held
+    * on the write path), losing resolution exactly where the data
+    * drifted — [[ivfSqSaturation]] is the audit that notices, and
+    * [[ivfSqRebuildIfNeeded]] the maintenance verb that heals it.
+    */
+  def ivfSqIndexAppendAt(newVectors: DataFrame, indexPath: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Long = {
+    val spark = newVectors.sparkSession
+    val hdr = sqRequireHeader(spark, indexPath, "ivfSqIndexAppendAt")
+    val existing = spark.read.parquet(indexPath)
+      .select(col("neighbor_id").as(idCol))
+    // materialize before writing: the anti-join reads indexPath, and
+    // appending to a path mid-read is undefined
+    val fresh = ivfSqIndex(
+        newVectors.join(existing, Seq(idCol), "left_anti"),
+        hdr.dim, hdr.lists, idCol, vecCol,
+        Some(hdr.cents), Some((hdr.vmin, hdr.vmax)))
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode("append").option("compression", "zstd").parquet(indexPath)
+    graft.plans.CheckpointHygiene.free(fresh)
+    val after = sqRequireHeader(spark, indexPath,
+      "ivfSqIndexAppendAt (post-write backstop)")
+    if (after.paramsHash != hdr.paramsHash)
+      sys.error(s"ivfSqIndexAppendAt: the artifact at $indexPath was re-stamped " +
+        s"MID-APPEND (header ${hdr.paramsHash} -> ${after.paramsHash}): a concurrent " +
+        "rebuild swapped bounds generations underneath this append, so the artifact " +
+        "now holds mixed codes — serialize appends and rebuilds in one maintenance " +
+        "loop, and re-run ivfSqRebuild to re-encode and heal it")
+    n
+  }
+
+  /** Bounds-saturation audit of a persisted SQ8 artifact — the
+    * staleness signal SPECIFIC to scalar quantization: values outside
+    * the trained span clamp to rail codes 0/255 on append, so a
+    * drifted dimension shows up as mass piling onto its rails. One
+    * row per dimension (1-based, matching the SQL `range(1,dim+1)`
+    * convention) with all-BIGINT algebra (`sat_pm` = railed codes in
+    * thousandths), so the audit itself is oracle-exact. A
+    * freshly-trained exact-bounds artifact has sat_pm ~ 2000/n per
+    * dim (the min and max rows ARE rails by construction) — the
+    * trigger threshold measures drift, not existence.
+    *
+    * 100 TB: one posexplode + aggregate over the codes column only
+    * (4-64 bytes/row); corpus vectors are never touched — the
+    * [[ivfPqNeedsRebuild]] audit-cost contract.
+    */
+  def ivfSqSaturation(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): DataFrame = {
+    sqRequireHeader(spark, indexPath, "ivfSqSaturation")
+    spark.read.parquet(indexPath)
+      .select(posexplode(col("codes")).as(Seq("pos", "c")))
+      .groupBy((col("pos") + 1).cast("long").as("d"))
+      .agg(count(lit(1)).as("n_codes"),
+        sum((col("c") === 0).cast("long")).as("n_lo"),
+        sum((col("c") === 255).cast("long")).as("n_hi"))
+      .withColumn("sat_pm", expr("(n_lo + n_hi) * 1000L DIV n_codes"))
+      .select("d", "n_codes", "n_lo", "n_hi", "sat_pm")
+  }
+
+  /** The SQ8 retrain trigger a periodic maintainer polls — true when
+    * EITHER staleness signal trips on the persisted artifact: coarse
+    * list balance past `rebuildPm` (the [[ivfPqNeedsRebuild]] signal —
+    * a hot list erodes the nprobe/lists scan bound) or bounds
+    * saturation past `satPm` on any dimension (the scalar-specific
+    * signal — rail-clamped codes have lost the resolution the
+    * encoding exists to provide). Both audits read only the
+    * (list_id, codes) columns; short-circuits after the cheaper
+    * balance aggregate.
+    */
+  def ivfSqNeedsRebuild(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                        rebuildPm: Long = 3000L, satPm: Long = 100L): Boolean = {
+    val hdr = sqRequireHeader(spark, indexPath, "ivfSqNeedsRebuild")
+    val skewed = listBalanceFromCounts(
+        spark.read.parquet(indexPath)
+          .groupBy(col("list_id").cast("long").as("list_id"))
+          .agg(count(lit(1)).as("n_vectors")),
+        hdr.lists, rebuildPm)
+      .agg(max(col("rebuild")).as("r")).collect()(0).getLong(0) == 1L
+    skewed || ivfSqSaturation(spark, indexPath)
+      .agg(max(col("sat_pm")).as("s")).collect()(0).getLong(0) > satPm
+  }
+
+  /** EXECUTE the rebuild [[ivfSqNeedsRebuild]] decides — the
+    * [[ivfPqRebuild]] lifecycle for the scalar encoding: retrain the
+    * coarse centroids (data-seeded by default, sample-bounded via
+    * `trainFraction`) and the bounds (exact min/max over the same
+    * training frame — re-training bounds on the grown corpus is the
+    * whole point: the stale rails unclamp), re-encode every corpus
+    * vector in ONE scan, verify BEFORE touching the live artifact
+    * (row count == corpus; no silent shrink without `allowShrink`;
+    * optional recall gate), then the shared two-rename atomic swap
+    * with rollback. The recall gate's ground truth is [[topKCosine]],
+    * NOT [[topKDot]]: SQ8's decode-dot scores are normalized cosine
+    * (see [[annIvfSq]]), so cosine is the ranking this index actually
+    * promises — the PQ family gates on exact MIPS for the symmetric
+    * reason.
+    */
+  def ivfSqRebuild(corpus: DataFrame, indexPath: String,
+                   kmIters: Int = 2, trainFraction: Double = 0.0,
+                   recallQueries: Option[DataFrame] = None,
+                   k: Int = 5, nprobe: Int = 4,
+                   minRecallRatio: Double = 0.9,
+                   seedFromData: Boolean = true,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   allowShrink: Boolean = false, minRecallAbs: Double = 0.0,
+                   maxRecallQueryRows: Long = DefaultMaxBenchRows): RebuildReport = {
+    val spark = corpus.sparkSession
+    val hdr = sqRequireHeader(spark, indexPath, "ivfSqRebuild")
+    recallQueries.foreach { q =>
+      val qRows =
+        q.limit(math.min(maxRecallQueryRows, Int.MaxValue - 1L).toInt + 1).count()
+      require(qRows > 0,
+        "ivfSqRebuild: recallQueries is empty — the recall gate would verify " +
+          "nothing; pass None to skip it deliberately")
+      require(qRows <= maxRecallQueryRows,
+        s"ivfSqRebuild: recallQueries has >$maxRecallQueryRows rows; the gate's " +
+          "exact ground truth is a broadcast nested-loop over corpus x queries " +
+          "(quadratic) — gate on a bounded query sample instead")
+    }
+    val rowsBefore = spark.read.parquet(indexPath).count()
+    val cents = kmeansCentroids(corpus, k = hdr.lists, iters = kmIters, dim = hdr.dim,
+      idCol = idCol, vecCol = vecCol, trainFraction = trainFraction,
+      seedFromData = seedFromData)
+    val (vmin, vmax) = sqTrainBounds(corpus, hdr.dim, idCol, vecCol,
+      trainFraction = trainFraction)
+    val (fs, p) = hadoopFs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".rebuild.tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".rebuild.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val rowsAfter = ivfSqIndexWrite(corpus, tmp.toString, hdr.dim, hdr.lists,
+      idCol, vecCol, Some(cents), Some((vmin, vmax)))
+    val corpusRows = corpus.count()
+    if (rowsAfter != corpusRows) {
+      fs.delete(tmp, true)
+      sys.error(s"ivfSqRebuild: re-encoded artifact has $rowsAfter rows, corpus has " +
+        s"$corpusRows; artifact at $indexPath left untouched")
+    }
+    if (rowsAfter < rowsBefore && !allowShrink) {
+      fs.delete(tmp, true)
+      sys.error(s"ivfSqRebuild: corpus has $rowsAfter rows but the live artifact at " +
+        s"$indexPath has $rowsBefore — a rebuild from a partial corpus would DROP " +
+        "vectors. Pass the full corpus (did appends land since this snapshot?), " +
+        "or allowShrink = true if the shrink is deliberate; artifact left untouched")
+    }
+    val (recallBefore, recallAfter) = recallQueries match {
+      case None => (Double.NaN, Double.NaN)
+      case Some(q) =>
+        // exact-COSINE ground truth computed ONCE for both sides —
+        // the ranking SQ8 decode-dot actually approximates
+        val exact = topKCosine(corpus, q, k, idCol, vecCol).localCheckpoint()
+        def meanRecall(path: String): Double =
+          annRecall(exact,
+              annIvfSqProbeAt(spark, path, q, k, nprobe, idCol, vecCol), k)
+            .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        val before = meanRecall(indexPath)
+        val after = meanRecall(tmp.toString)
+        graft.plans.CheckpointHygiene.free(exact)
+        if (after < minRecallRatio * before) {
+          fs.delete(tmp, true)
+          sys.error(f"ivfSqRebuild: retrained recall@$k $after%.4f fell below " +
+            f"$minRecallRatio x stale recall $before%.4f; artifact at $indexPath " +
+            "left untouched — inspect the training sample or iterations")
+        }
+        // the relative gate is vacuous at ~0 stale recall and a
+        // caller's floor must bind regardless — the ivfPqRebuild
+        // contract verbatim
+        if (after < minRecallAbs || (before == 0.0 && after <= minRecallAbs)) {
+          fs.delete(tmp, true)
+          sys.error(f"ivfSqRebuild: retrained recall@$k $after%.4f did not clear " +
+            f"the absolute floor $minRecallAbs%.4f (stale recall $before%.4f" +
+            (if (before == 0.0) " — the relative gate proves nothing" else "") +
+            f"); artifact at $indexPath left untouched — the retrain did not " +
+            "recover the drifted region")
+        }
+        (before, after)
+    }
+    artifactSwap(fs, p, tmp, old, "ivfSqRebuild")
+    RebuildReport(rowsBefore, rowsAfter, recallBefore, recallAfter)
+  }
+
+  /** One-call maintenance step for the SQ8 artifact — poll
+    * [[ivfSqNeedsRebuild]] and EXECUTE [[ivfSqRebuild]] when either
+    * staleness signal trips. Returns None when the artifact is
+    * healthy (nothing touched).
+    */
+  def ivfSqRebuildIfNeeded(corpus: DataFrame, indexPath: String,
+                           rebuildPm: Long = 3000L, satPm: Long = 100L,
+                           kmIters: Int = 2, trainFraction: Double = 0.0,
+                           recallQueries: Option[DataFrame] = None,
+                           k: Int = 5, nprobe: Int = 4,
+                           minRecallRatio: Double = 0.9,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           allowShrink: Boolean = false,
+                           minRecallAbs: Double = 0.0): Option[RebuildReport] =
+    if (!ivfSqNeedsRebuild(corpus.sparkSession, indexPath, rebuildPm, satPm)) None
+    else Some(ivfSqRebuild(corpus, indexPath, kmIters, trainFraction,
+      recallQueries, k, nprobe, minRecallRatio,
+      seedFromData = true, idCol = idCol, vecCol = vecCol,
+      allowShrink = allowShrink, minRecallAbs = minRecallAbs))
 }

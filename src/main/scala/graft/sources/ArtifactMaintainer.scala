@@ -322,4 +322,53 @@ object ArtifactMaintainer {
       },
       annRebuildTask(indexPath, corpus, rebuildPm, trainFraction,
         recallQueries, k, nprobe, minRecallRatio, minRecallAbs))
+
+  /** The SQ8 twins — [[graft.operators.Similarity.ivfSqRebuildIfNeeded]]
+    * under the same window contract. The due probe names WHICH
+    * staleness signal tripped (list balance vs bounds saturation):
+    * the maintenance log should say why an artifact was rewritten.
+    */
+  def sqRebuildTask(indexPath: String, corpus: () => DataFrame,
+                    rebuildPm: Long = 3000L, satPm: Long = 100L,
+                    trainFraction: Double = 0.0,
+                    recallQueries: Option[DataFrame] = None,
+                    k: Int = 5, nprobe: Int = 4,
+                    minRecallRatio: Double = 0.9,
+                    minRecallAbs: Double = 0.0): Task =
+    Task(s"sq_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
+      graft.operators.Similarity.ivfSqRebuildIfNeeded(corpus(), indexPath,
+        rebuildPm, satPm, trainFraction = trainFraction,
+        recallQueries = recallQueries, k = k, nprobe = nprobe,
+        minRecallRatio = minRecallRatio, minRecallAbs = minRecallAbs) match {
+        case None => "healthy — no rebuild"
+        case Some(r) =>
+          f"rebuilt rows ${r.rowsBefore} -> ${r.rowsAfter}, " +
+            f"recall ${r.recallBefore}%.4f -> ${r.recallAfter}%.4f"
+      }
+    }
+
+  def sqRebuildDue(spark: SparkSession, indexPath: String,
+                   corpus: () => DataFrame,
+                   rebuildPm: Long = 3000L, satPm: Long = 100L,
+                   trainFraction: Double = 0.0,
+                   recallQueries: Option[DataFrame] = None,
+                   k: Int = 5, nprobe: Int = 4,
+                   minRecallRatio: Double = 0.9,
+                   minRecallAbs: Double = 0.0): DueCheck =
+    new DueCheck(s"sq_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}",
+      () => {
+        import org.apache.spark.sql.functions.{col, max}
+        val sim = graft.operators.Similarity
+        val sat = sim.ivfSqSaturation(spark, indexPath)
+          .agg(max(col("sat_pm"))).collect()(0).getLong(0)
+        if (sat > satPm) Some(s"bounds saturation ${sat}pm past ${satPm}pm")
+        // saturation just measured clean — disable it in the combined
+        // audit so this probe is the balance signal alone
+        else if (sim.ivfSqNeedsRebuild(spark, indexPath, rebuildPm,
+            satPm = Long.MaxValue))
+          Some(s"list balance past ${rebuildPm}pm of uniform share")
+        else None
+      },
+      sqRebuildTask(indexPath, corpus, rebuildPm, satPm, trainFraction,
+        recallQueries, k, nprobe, minRecallRatio, minRecallAbs))
 }

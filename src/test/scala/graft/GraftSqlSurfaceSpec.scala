@@ -293,6 +293,20 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
       spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '${tmpIdx("sql_ann_bad")}' USING OPQ")
     }
     assert(ex.getMessage.contains("SQ8"), ex.getMessage)
+
+    // REBUILD dispatches on the stored header kind too: on the ivfsq
+    // artifact it runs the SQ audit/rebuild (same decision and — the
+    // training chains being deterministic — same artifact as the
+    // DataFrame twin)
+    val rebuilt = spark.sql(s"REBUILD ANN INDEX IF NEEDED '$p1' FROM '$sf'")
+      .collect().head
+    val twin = Similarity.ivfSqRebuildIfNeeded(prior, p2)
+    assert(rebuilt.getBoolean(0) == twin.isDefined)
+    def sqRows(p: String) = spark.read.parquet(p)
+      .select(col("neighbor_id"), col("list_id").cast("long"),
+        col("codes").cast("string"))
+      .collect().map(_.toString).toSet
+    assert(sqRows(p1) == sqRows(p2))
   }
 
   test("PROBE ANN INDEX ... ALLOWING equals the filtered DataFrame twin; a broken predicate fails at the seam") {

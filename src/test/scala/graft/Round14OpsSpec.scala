@@ -480,4 +480,70 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
       .agg(min("count")).collect()(0).getLong(0) == 3L)
     CheckpointHygiene.free(corpus)
   }
+
+  test("SQ8 artifact lifecycle: append clamps at stale bounds, saturation audit trips, rebuild unclamps and heals recall") {
+    import spark.implicits._
+    val dir = tmpIdx("ann_sq_lifecycle")
+    val rnd = new scala.util.Random(1409)
+    // day 1 uniform over [-1,1]^8; day 2 OUTSIDE the day-1 span
+    // (1.5..2.5 on every dim) so stale-bounds encoding rail-clamps
+    val day1 = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val day2 = (1000 until 1256).map(i =>
+      (i.toLong, Seq.fill(8)((1.5 + rnd.nextDouble()).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val probes = (5000 until 5008).map(i =>
+      (i.toLong, Seq.fill(8)((1.5 + rnd.nextDouble()).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val corpus = day1.unionByName(day2).localCheckpoint()
+
+    assert(Similarity.ivfSqIndexWrite(day1, dir, dim = 8, lists = 4) == 64L)
+    // headerless append refuses (trust seam shared with the probe)
+    val bare = tmpIdx("ann_sq_bare")
+    day1.write.parquet(bare)
+    val ex = intercept[RuntimeException] {
+      Similarity.ivfSqIndexAppendAt(day2, bare)
+    }
+    assert(ex.getMessage.contains("no ivfsq header"), ex.getMessage)
+
+    // header-driven append: admits day 2 under day-1 bounds, and a
+    // re-sent batch is idempotent (content-addressed by id)
+    assert(Similarity.ivfSqIndexAppendAt(day2, dir) == 256L)
+    assert(Similarity.ivfSqIndexAppendAt(day2, dir) == 0L)
+    assert(spark.read.parquet(dir).count() == 320L)
+    // every appended value exceeded the stale span -> rail code 255
+    val railed = spark.read.parquet(dir).filter(col("neighbor_id") >= 1000L)
+      .select(explode(col("codes")).as("c")).agg(min("c")).collect()(0).getInt(0)
+    assert(railed == 255)
+
+    // the audit notices: 256 of 320 codes per dim at the rails
+    val sat = Similarity.ivfSqSaturation(spark, dir)
+      .agg(min(col("sat_pm")), max(col("sat_pm"))).collect()(0)
+    assert(sat.getLong(0) >= 800L, s"expected heavy saturation, got $sat")
+    assert(Similarity.ivfSqNeedsRebuild(spark, dir))
+    // stale-bounds recall on drifted probes is degenerate (all day-2
+    // codes identical -> decode-dot cannot separate them)
+    val rep = Similarity.ivfSqRebuild(corpus, dir, trainFraction = 0.0,
+      recallQueries = Some(probes), k = 3, nprobe = 4)
+    assert(rep.rowsBefore == 320L && rep.rowsAfter == 320L)
+    assert(rep.recallAfter > rep.recallBefore && rep.recallAfter >= 0.9,
+      s"rebuild should heal drifted recall: $rep")
+    // bounds retrained over the grown corpus: rails back to min/max
+    // rows only, audit calm, one-call maintainer is now a no-op
+    val satAfter = Similarity.ivfSqSaturation(spark, dir)
+      .agg(max(col("sat_pm"))).collect()(0).getLong(0)
+    assert(satAfter < 100L, s"post-rebuild saturation $satAfter")
+    assert(Similarity.ivfSqRebuildIfNeeded(corpus, dir).isEmpty)
+
+    // mis-scoped corpus refuses; allowShrink overrides (the
+    // ivfPqRebuild guard, same seam)
+    val ex2 = intercept[RuntimeException] {
+      Similarity.ivfSqRebuild(day1, dir)
+    }
+    assert(ex2.getMessage.contains("partial corpus"), ex2.getMessage)
+    assert(Similarity.ivfSqRebuild(day1, dir, allowShrink = true).rowsAfter == 64L)
+
+    CheckpointHygiene.free(day1, day2, probes, corpus)
+  }
 }
