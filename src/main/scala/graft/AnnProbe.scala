@@ -21,6 +21,7 @@ object AnnProbe {
     if (args.nonEmpty && args(0) == "lifecycle") { lifecycle(); return }
     if (args.nonEmpty && args(0) == "filtered") { filteredProbe(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "sq") { sqVsPq(args.drop(1)); return }
+    if (args.nonEmpty && args(0) == "sqlifecycle") { sqLifecycle(); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -364,6 +365,83 @@ object AnnProbe {
       s""""needs_rebuild_after":$needsAfter,"resumed_append":$nResumed,""" +
       s""""resume_append_sec":$resumeSec,"compact_sec":$compactSec,""" +
       s""""files_before":$fb,"files_after":$fa,"probe_after_sec":$probeAfterSec}""")
+    spark.stop()
+  }
+
+  /** The SQ8 maintenance loop end to end, timed — the `lifecycle`
+    * probe for the scalar encoding, with the drift the SQ audit
+    * exists for: in-bounds appends ride the header, an OUT-OF-SPAN
+    * batch rail-clamps, `ivfSqNeedsRebuild` trips on saturation, the
+    * rebuild retrains bounds (unclamping) + data-seeded centroids and
+    * swaps, ingest resumes through the header-driven appender, and
+    * compaction preserves probe results.
+    * Run: sbt "runMain graft.AnnProbe sqlifecycle"
+    */
+  private def sqLifecycle(): Unit = {
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val nVec = emb.count()
+    val out = java.nio.file.Files.createTempDirectory("ann_sq_lifecycle").toString + "/idx"
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val (_, writeSec) = time(
+      Similarity.ivfSqIndexWrite(emb.filter(col("vec_id") % 10 < 6), out, dim = 64))
+    val appendSecs = (6 to 8).map { s =>
+      time(Similarity.ivfSqIndexAppendAt(
+        emb.filter(col("vec_id") % 10 === s), out))._2
+    }
+    // the drift batch: every value shifted past the trained span, so
+    // stale-bounds encoding rail-clamps it (the staleness the
+    // saturation audit measures)
+    val shifted = transform(col("embedding"),
+      x => (x + lit(2.0f)).cast("float")).as("embedding")
+    val drift = emb.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), shifted).localCheckpoint()
+    val (_, driftAppendSec) = time(Similarity.ivfSqIndexAppendAt(drift, out))
+    val (satMax, satSec) = time(Similarity.ivfSqSaturation(spark, out)
+      .agg(max(col("sat_pm"))).collect()(0).getLong(0))
+    val (needs, auditSec) = time(Similarity.ivfSqNeedsRebuild(spark, out))
+    val q = emb.filter(col("vec_id") < 8).select(col("vec_id"), shifted)
+      .localCheckpoint()
+    def probe(): Long = Similarity.annIvfSqProbeAt(spark, out, q, k = 5).count()
+    val probeSec = (1 to 2).map(_ => time(probe())._2).min
+    val (report, rebuildSec) = time(Similarity.ivfSqRebuild(
+      emb.filter(col("vec_id") % 10 =!= 9).unionByName(drift), out,
+      kmIters = 2, trainFraction = 0.25,
+      recallQueries = Some(q), k = 5, nprobe = 4))
+    val (satAfter, _) = time(Similarity.ivfSqSaturation(spark, out)
+      .agg(max(col("sat_pm"))).collect()(0).getLong(0))
+    val (needsAfter, _) = time(Similarity.ivfSqNeedsRebuild(spark, out))
+    // ingest resumes through the header: the appender adopts the
+    // RETRAINED bounds from the artifact itself (1e10 offset — above
+    // any entity-copy range, the lifecycle-probe convention)
+    val resumeBatch = emb.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 10000000000L).as("vec_id"), col("embedding"))
+    val (nResumed, resumeSec) = time(Similarity.ivfSqIndexAppendAt(resumeBatch, out))
+    require(nResumed == 100,
+      s"resume batch collided with existing ids (admitted $nResumed/100)")
+    val rowsBefore = probe()
+    val ((fb, fa), compactSec) = time(
+      graft.sources.ArtifactCompaction.compactFiles(spark, out, targetFiles = 4))
+    require(probe() == rowsBefore, "compaction changed probe results")
+    graft.plans.CheckpointHygiene.free(emb, drift, q)
+    println(s"""{"dir":"$dir","n_vectors":$nVec,"write_sec":${f"$writeSec%.2f"},""" +
+      s""""append_secs":${appendSecs.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
+      s""""drift_append_sec":${f"$driftAppendSec%.2f"},"sat_pm":$satMax,""" +
+      s""""sat_sec":${f"$satSec%.2f"},"audit_sec":${f"$auditSec%.2f"},"needs_rebuild":$needs,""" +
+      s""""probe_sec":${f"$probeSec%.2f"},"rebuild_sec":${f"$rebuildSec%.2f"},""" +
+      s""""recall_before":${report.recallBefore},"recall_after":${report.recallAfter},""" +
+      s""""sat_pm_after":$satAfter,"needs_rebuild_after":$needsAfter,""" +
+      s""""resume_append_sec":${f"$resumeSec%.2f"},"compact_sec":${f"$compactSec%.2f"},""" +
+      s""""files_before":$fb,"files_after":$fa}""")
     spark.stop()
   }
 
