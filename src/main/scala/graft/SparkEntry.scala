@@ -1026,6 +1026,19 @@ object SparkEntry {
       Similarity.ivfSqSaturation(s, path)
     }),
 
+    // the INCREMENTAL form of the same audit: write seeds the stats
+    // sidecar, the append accumulates the admitted rows' rail counts
+    // into it, and the audit answers from O(dim) numbers — gated
+    // against the identical full-scan oracle, so increment == scan is
+    // DuckDB-proven, not just spec-held
+    "q_ann_sq_sat_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("ann_sq_sat_inc", dir)
+      Similarity.ivfSqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      Similarity.ivfSqIndexAppendAt(emb.filter(col("vec_id") % 3 === 0), path)
+      Similarity.ivfSqSaturationFromStats(s, path).get
+    }),
+
     // scale-path ANN (product quantization + ADC): base vectors
     // reduced to 8 code bytes, queries score through a fixed-point
     // lookup table — codebooks are md5-salted so the ENTIRE index
@@ -3260,26 +3273,11 @@ object SparkEntry {
       queryWhere = "vec_id < 8",
       boundsWhere = "vec_id % 3 <> 0"),
     // saturation needs no IVF assignment at all — codes per dim from
-    // prior-trained bounds over the full corpus, then rail counts
-    "q_ann_sq_saturation" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |mm AS (SELECT i.i AS d, min(b.v[i.i]) AS vmin, max(b.v[i.i]) AS vmax
-        |  FROM (SELECT * FROM v WHERE vec_id % 3 <> 0) b,
-        |       (SELECT unnest(range(1, 65)) AS i) i GROUP BY i.i),
-        |codes AS (SELECT v.vec_id, mm.d,
-        |    CASE WHEN mm.vmax = mm.vmin THEN 0 ELSE
-        |      CAST(least(255.0, greatest(0.0,
-        |        floor((v.v[mm.d] - mm.vmin) * 255.0 / (mm.vmax - mm.vmin) + 0.5))) AS INT)
-        |    END AS c
-        |  FROM v, mm)
-        |SELECT d, CAST(count(*) AS BIGINT) AS n_codes,
-        |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
-        |  CAST(sum(CASE WHEN c = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
-        |  (CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |   + CAST(sum(CASE WHEN c = 255 THEN 1 ELSE 0 END) AS BIGINT)) * 1000
-        |    // CAST(count(*) AS BIGINT) AS sat_pm
-        |FROM codes GROUP BY d""".stripMargin,
+    // prior-trained bounds over the full corpus, then rail counts.
+    // The SAME oracle gates the incremental (stats-sidecar) form:
+    // increment == scan, DuckDB-proven
+    "q_ann_sq_saturation" -> sqSaturationOracle,
+    "q_ann_sq_sat_stats" -> sqSaturationOracle,
     "q_ann_ivf_learned" -> annIvfLearnedOracle(lists = 16, iters = 2, nprobe = 4, k = 5),
     // the sampled-training twin: training CTEs read only the 25%
     // hash-threshold sample (2^60/4 — the same STATIC constant the
@@ -4934,6 +4932,31 @@ object SparkEntry {
     * order as the Spark UDFs, so bounds, codes and scores reproduce
     * bit-for-bit.
     */
+  /** DuckDB mirror of ivfSqSaturation (and, unchanged, of its
+    * incremental stats-sidecar twin): bounds trained on the prior
+    * slice, every row encoded under them (rail clamp via
+    * least/greatest), per-dim rail counts in BIGINT pm.
+    */
+  private val sqSaturationOracle: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |mm AS (SELECT i.i AS d, min(b.v[i.i]) AS vmin, max(b.v[i.i]) AS vmax
+      |  FROM (SELECT * FROM v WHERE vec_id % 3 <> 0) b,
+      |       (SELECT unnest(range(1, 65)) AS i) i GROUP BY i.i),
+      |codes AS (SELECT v.vec_id, mm.d,
+      |    CASE WHEN mm.vmax = mm.vmin THEN 0 ELSE
+      |      CAST(least(255.0, greatest(0.0,
+      |        floor((v.v[mm.d] - mm.vmin) * 255.0 / (mm.vmax - mm.vmin) + 0.5))) AS INT)
+      |    END AS c
+      |  FROM v, mm)
+      |SELECT d, CAST(count(*) AS BIGINT) AS n_codes,
+      |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |  CAST(sum(CASE WHEN c = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |  (CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |   + CAST(sum(CASE WHEN c = 255 THEN 1 ELSE 0 END) AS BIGINT)) * 1000
+      |    // CAST(count(*) AS BIGINT) AS sat_pm
+      |FROM codes GROUP BY d""".stripMargin
+
   private def annIvfSqOracle(k: Int, baseWhere: String = "",
                              queryWhere: String = "vec_id < 8",
                              boundsWhere: String = ""): String = {

@@ -2337,7 +2337,11 @@ object Similarity {
     // describe a half-written artifact (the ivfPqIndexWrite contract)
     graft.sources.ArtifactHeader.write(spark, indexPath, "ivfsq",
       sqHeaderParams(dim, lists, cents, vmin, vmax))
-    spark.read.parquet(indexPath).count()
+    // one read-back aggregate seeds the saturation-stats sidecar AND
+    // yields the row count (every row contributes one code per dim)
+    val stats = sqStatsArray(spark.read.parquet(indexPath), dim)
+    sqStatsWrite(spark, indexPath, stats)
+    stats.headOption.map(_._1).getOrElse(0L)
   }
 
   /** Probe a persisted IVF-SQ8 artifact, trusted through its header:
@@ -2435,8 +2439,19 @@ object Similarity {
         Some(hdr.cents), Some((hdr.vmin, hdr.vmax)))
       .localCheckpoint()
     val n = fresh.count()
-    if (n > 0)
+    if (n > 0) {
       fresh.write.mode("append").option("compression", "zstd").parquet(indexPath)
+      // accumulate the admitted rows' rail counts into the stats
+      // sidecar (the fresh frame is already checkpointed — one cheap
+      // aggregate instead of the audit's full-artifact scan later);
+      // a legacy stats-less artifact stays stats-less (scan fallback)
+      sqStatsRead(spark, indexPath).foreach { prior =>
+        val inc = sqStatsArray(fresh, hdr.dim)
+        sqStatsWrite(spark, indexPath, prior.zip(inc).map {
+          case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
+        })
+      }
+    }
     graft.plans.CheckpointHygiene.free(fresh)
     val after = sqRequireHeader(spark, indexPath,
       "ivfSqIndexAppendAt (post-write backstop)")
@@ -2467,14 +2482,96 @@ object Similarity {
   def ivfSqSaturation(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String): DataFrame = {
     sqRequireHeader(spark, indexPath, "ivfSqSaturation")
-    spark.read.parquet(indexPath)
+    sqRailCounts(spark.read.parquet(indexPath))
+      .withColumn("sat_pm", expr("(n_lo + n_hi) * 1000L DIV n_codes"))
+      .select("d", "n_codes", "n_lo", "n_hi", "sat_pm")
+  }
+
+  /** Per-dimension rail-code counts of an SQ8 index frame — the
+    * aggregate [[ivfSqSaturation]] exposes and the stats sidecar
+    * accumulates.
+    */
+  private def sqRailCounts(index: DataFrame): DataFrame =
+    index
       .select(posexplode(col("codes")).as(Seq("pos", "c")))
       .groupBy((col("pos") + 1).cast("long").as("d"))
       .agg(count(lit(1)).as("n_codes"),
         sum((col("c") === 0).cast("long")).as("n_lo"),
         sum((col("c") === 255).cast("long")).as("n_hi"))
-      .withColumn("sat_pm", expr("(n_lo + n_hi) * 1000L DIV n_codes"))
-      .select("d", "n_codes", "n_lo", "n_hi", "sat_pm")
+
+  // --- incremental saturation stats -------------------------------
+  // The saturation audit's canonical form scans the codes column
+  // (64 B/row — at 100 TB a full-artifact pass per poll). The write
+  // and append paths already hold the freshly-encoded rows, so they
+  // accumulate the rail counts into a content-hashed `ivfsq_stats`
+  // sidecar: the audit then reads O(dim) numbers instead of O(rows)
+  // codes — the listBalanceFromCounts / touchedTextBytes convention
+  // (derive the decision from maintained increments, keep the exact
+  // scan as ground truth). The sidecar is DERIVED acceleration: it is
+  // rebuilt from scratch by every write/rebuild, kept exact by every
+  // header-driven append (spec-held equal to the scan), carried by
+  // compaction like any `_` sidecar, and repairable from the scan via
+  // [[ivfSqStatsRestamp]] after an out-of-contract mutation. Appends
+  // and rebuilds are already single-writer-serialized (the
+  // maintenance-window contract), which is what keeps read-add-write
+  // on the sidecar safe.
+
+  private val SqStatsKind = "ivfsq_stats"
+
+  private def sqStatsArray(index: DataFrame, dim: Int): Array[(Long, Long, Long)] = {
+    val got = sqRailCounts(index).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Array.tabulate(dim)(i => got.getOrElse(i + 1L, (0L, 0L, 0L)))
+  }
+
+  private def sqStatsWrite(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String,
+                           stats: Array[(Long, Long, Long)]): Unit =
+    graft.sources.ArtifactHeader.write(spark, indexPath, SqStatsKind, Seq(
+      "dim" -> stats.length.toString,
+      "n_codes" -> stats.map(_._1).mkString(","),
+      "n_lo" -> stats.map(_._2).mkString(","),
+      "n_hi" -> stats.map(_._3).mkString(",")))
+
+  private def sqStatsRead(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Option[Array[(Long, Long, Long)]] =
+    graft.sources.ArtifactHeader.read(spark, indexPath, SqStatsKind).map { kv =>
+      def longs(k: String) = kv(k).split(",", -1).map(_.toLong)
+      val (n, lo, hi) = (longs("n_codes"), longs("n_lo"), longs("n_hi"))
+      require(n.length == kv("dim").toInt && lo.length == n.length &&
+        hi.length == n.length,
+        s"ivfsq_stats sidecar at $indexPath disagrees with its own dim")
+      Array.tabulate(n.length)(i => (n(i), lo(i), hi(i)))
+    }
+
+  /** The saturation audit from the accumulated stats sidecar — the
+    * same frame as [[ivfSqSaturation]] without touching a single
+    * stored code. None when the artifact predates stats (legacy —
+    * callers fall back to the scan); a corrupted sidecar refuses via
+    * the header integrity hash.
+    */
+  def ivfSqSaturationFromStats(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String): Option[DataFrame] =
+    sqStatsRead(spark, indexPath).map { stats =>
+      import spark.implicits._
+      stats.zipWithIndex.collect {
+        // n == 0 only for an empty artifact (every row feeds every
+        // dim) — dropped so the frame matches the scan's group-by
+        // exactly there too
+        case ((n, lo, hi), i) if n > 0 =>
+          (i + 1L, n, lo, hi, (lo + hi) * 1000L / n)
+      }.toSeq.toDF("d", "n_codes", "n_lo", "n_hi", "sat_pm")
+    }
+
+  /** Recompute the stats sidecar from the canonical scan — the repair
+    * verb after an out-of-contract mutation (raw parquet writes into
+    * the artifact directory bypass the accumulation).
+    */
+  def ivfSqStatsRestamp(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Unit = {
+    val hdr = sqRequireHeader(spark, indexPath, "ivfSqStatsRestamp")
+    sqStatsWrite(spark, indexPath,
+      sqStatsArray(spark.read.parquet(indexPath), hdr.dim))
   }
 
   /** The SQ8 retrain trigger a periodic maintainer polls — true when
@@ -2496,7 +2593,11 @@ object Similarity {
           .agg(count(lit(1)).as("n_vectors")),
         hdr.lists, rebuildPm)
       .agg(max(col("rebuild")).as("r")).collect()(0).getLong(0) == 1L
-    skewed || ivfSqSaturation(spark, indexPath)
+    // the accumulated stats sidecar answers in O(dim) when present
+    // (every write/append since the stats landed maintains it);
+    // legacy artifacts fall back to the exact codes scan
+    skewed || ivfSqSaturationFromStats(spark, indexPath)
+      .getOrElse(ivfSqSaturation(spark, indexPath))
       .agg(max(col("sat_pm")).as("s")).collect()(0).getLong(0) > satPm
   }
 

@@ -359,7 +359,8 @@ object ArtifactMaintainer {
       () => {
         import org.apache.spark.sql.functions.{col, max}
         val sim = graft.operators.Similarity
-        val sat = sim.ivfSqSaturation(spark, indexPath)
+        val sat = sim.ivfSqSaturationFromStats(spark, indexPath)
+          .getOrElse(sim.ivfSqSaturation(spark, indexPath))
           .agg(max(col("sat_pm"))).collect()(0).getLong(0)
         if (sat > satPm) Some(s"bounds saturation ${sat}pm past ${satPm}pm")
         // saturation just measured clean — disable it in the combined

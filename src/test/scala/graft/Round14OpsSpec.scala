@@ -546,4 +546,49 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
 
     CheckpointHygiene.free(day1, day2, probes, corpus)
   }
+
+  test("SQ8 saturation stats sidecar: increments equal the exact scan across the lifecycle; legacy falls back; restamp repairs") {
+    import spark.implicits._
+    val dir = tmpIdx("ann_sq_stats")
+    val rnd = new scala.util.Random(1411)
+    val day1 = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val day2 = (1000 until 1128).map(i =>
+      (i.toLong, Seq.fill(8)((1.5 + rnd.nextDouble()).toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    Similarity.ivfSqIndexWrite(day1, dir, dim = 8, lists = 4)
+    // seeded at write: stats == scan before any append
+    assert(rows(Similarity.ivfSqSaturationFromStats(spark, dir).get) ==
+      rows(Similarity.ivfSqSaturation(spark, dir)))
+    // accumulated across two appends (the second a clamping one)
+    Similarity.ivfSqIndexAppendAt(day2.filter(col("vec_id") < 1064), dir)
+    Similarity.ivfSqIndexAppendAt(day2.filter(col("vec_id") >= 1064), dir)
+    val viaStats = rows(Similarity.ivfSqSaturationFromStats(spark, dir).get)
+    assert(viaStats == rows(Similarity.ivfSqSaturation(spark, dir)))
+    assert(viaStats.exists(_._5 >= 600L), s"clamped appends must rail: $viaStats")
+    // rebuild re-seeds the sidecar inside the swapped artifact
+    Similarity.ivfSqRebuild(day1.unionByName(day2), dir)
+    assert(rows(Similarity.ivfSqSaturationFromStats(spark, dir).get) ==
+      rows(Similarity.ivfSqSaturation(spark, dir)))
+
+    // legacy artifact (no stats sidecar): FromStats is None and the
+    // audit's fallback scan still answers — same verdict either way
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sc = new org.apache.hadoop.fs.Path(dir,
+      graft.sources.ArtifactHeader.sidecarName("ivfsq_stats"))
+    assert(fs.delete(sc, false))
+    assert(Similarity.ivfSqSaturationFromStats(spark, dir).isEmpty)
+    assert(!Similarity.ivfSqNeedsRebuild(spark, dir))
+    // ...and the repair verb recomputes it from the canonical scan
+    Similarity.ivfSqStatsRestamp(spark, dir)
+    assert(rows(Similarity.ivfSqSaturationFromStats(spark, dir).get) ==
+      rows(Similarity.ivfSqSaturation(spark, dir)))
+    CheckpointHygiene.free(day1, day2)
+  }
 }
