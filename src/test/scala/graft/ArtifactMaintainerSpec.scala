@@ -276,6 +276,37 @@ class ArtifactMaintainerSpec extends AnyFunSuite with SharedSpark {
     assert(maint.maintainIfDue(Seq(check)).isEmpty)
   }
 
+  test("sqRebuildDue: bounds saturation trips the SQ window and names the signal; rebuild calms it") {
+    import spark.implicits._
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_due_sq").toFile, "idx").getPath
+    val rnd = new scala.util.Random(1413)
+    val base = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    Similarity.ivfSqIndexWrite(base.toDF("vec_id", "embedding"), dir,
+      dim = 8, lists = 4)
+    val maint = new ArtifactMaintainer()
+    var corpusRows = base
+    def check = ArtifactMaintainer.sqRebuildDue(spark, dir,
+      () => corpusRows.toDF("vec_id", "embedding"))
+    assert(maint.maintainIfDue(Seq(check)).isEmpty, "fresh index tripped the audit")
+
+    // out-of-span ingest rail-clamps under the stored bounds — the
+    // due probe must trip on SATURATION (and say so), not balance
+    val drift = (1000 until 1064).map(i =>
+      (i.toLong, Seq.fill(8)((1.5 + rnd.nextDouble()).toFloat)))
+    Similarity.ivfSqIndexAppendAt(drift.toDF("vec_id", "embedding"), dir)
+    corpusRows = base ++ drift
+    val due = check.check()
+    assert(due.exists(_.contains("saturation")), s"due reason: $due")
+    val rep = maint.maintainIfDue(Seq(check))
+    assert(rep.isDefined)
+    assert(rep.get.tasks.head.summary.contains("rebuilt rows 128 -> 128"),
+      rep.get.tasks.head.summary)
+    // retrained bounds unclamp: the poll is quiet again
+    assert(maint.maintainIfDue(Seq(check)).isEmpty)
+  }
+
   test("start()/stop() park behind an open maintenance window — the restart cannot race lifecycle calls into a double writer") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
