@@ -1039,6 +1039,14 @@ object SparkEntry {
       Similarity.ivfSqSaturationFromStats(s, path).get
     }),
 
+    // the PCA pre-transform's TRAINING aggregate oracle-gated exactly:
+    // pairwise second-moment sums at the kmeans 2^20 fixed point —
+    // the rotation (driver-side deterministic Jacobi on these sums)
+    // and the composed PCAR->IVF-PQ artifact are spec-held on top of
+    // this gate (eigensolves are not SQL-derivable; their INPUT is)
+    "q_embed_cov" -> ((s, dir) =>
+      Similarity.embedCovariance(t(s, dir, "embeddings"), dim = 64)),
+
     // scale-path ANN (product quantization + ADC): base vectors
     // reduced to 8 code bytes, queries score through a fixed-point
     // lookup table — codebooks are md5-salted so the ENTIRE index
@@ -3278,6 +3286,17 @@ object SparkEntry {
     // increment == scan, DuckDB-proven
     "q_ann_sq_saturation" -> sqSaturationOracle,
     "q_ann_sq_sat_stats" -> sqSaturationOracle,
+    "q_embed_cov" ->
+      """WITH v AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p AS (SELECT i.i - 1 AS i, j.j - 1 AS j, v.q[i.i] AS a, v.q[j.j] AS b
+        |  FROM v, (SELECT unnest(range(1, 65)) AS i) i,
+        |       (SELECT unnest(range(1, 65)) AS j) j
+        |  WHERE j.j >= i.i)
+        |SELECT i, j, CAST(count(*) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS s_a,
+        |  CAST(sum(b) AS BIGINT) AS s_b, CAST(sum(a * b) AS BIGINT) AS s_ab
+        |FROM p GROUP BY i, j""".stripMargin,
     "q_ann_ivf_learned" -> annIvfLearnedOracle(lists = 16, iters = 2, nprobe = 4, k = 5),
     // the sampled-training twin: training CTEs read only the 25%
     // hash-threshold sample (2^60/4 — the same STATIC constant the

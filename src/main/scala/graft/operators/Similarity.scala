@@ -2718,4 +2718,241 @@ object Similarity {
       recallQueries, k, nprobe, minRecallRatio,
       seedFromData = true, idCol = idCol, vecCol = vecCol,
       allowShrink = allowShrink, minRecallAbs = minRecallAbs))
+
+  // ------------------------------------------------------------------
+  // PCA pre-transform (Faiss "PCAR{d},IVF{n},PQ{m}" index-factory
+  // shape): rotate embeddings into the covariance eigenbasis and keep
+  // the top-variance dimensions BEFORE quantization/indexing — the
+  // standard dimensionality-reduction stage for high-dim embeddings
+  // where most mass lives in a low-rank subspace. Training = one
+  // covariance aggregate (oracle-exact integer sums, sample-bounded)
+  // + a 64x64 eigensolve on the driver; the projection is a per-row
+  // matrix multiply; the index sees outDim-dim vectors (m fewer code
+  // bytes, nprobe/lists over a smaller space).
+  // ------------------------------------------------------------------
+
+  /** Pairwise second-moment sums over fixed-point-quantized
+    * embeddings — the training aggregate of the PCA stage, exposed as
+    * an oracle-gateable frame: one row per (i <= j) dimension pair
+    * with BIGINT `n`, `s_a` (sum of dim i), `s_b` (sum of dim j) and
+    * `s_ab` (sum of products), all at floor(x * 2^20) scale so the
+    * distributed aggregation is bit-reproducible under any
+    * partitioning (float covariance sums are summation-order-
+    * dependent — the [[kmeans]] fixed-point-mean trap).
+    *
+    * Training rows are bounded to 2^21: the per-row product magnitude
+    * is ~2^(40+2 log2 max|x|), so two million rows keep the BIGINT sum
+    * clear of overflow for |x| up to ~4 — and PCA never needs more
+    * (Faiss trains transforms on <= ~256k samples); pass
+    * `trainSample`/`trainFraction` for bigger corpora.
+    *
+    * Scale shape: dim^2 generated rows per training vector into ONE
+    * map-side-combined groupBy(i, j) with dim*(dim+1)/2 output rows —
+    * no shuffle of the vectors themselves.
+    */
+  def embedCovariance(embeddings: DataFrame, dim: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      trainSample: Int = 0, trainFraction: Double = 0.0): DataFrame = {
+    val train = trainFrameOf(embeddings, idCol, trainSample, trainFraction)
+    val nTrain = train.count()
+    require(nTrain <= (1L << 21),
+      s"embedCovariance: $nTrain training rows would risk BIGINT overflow in the " +
+        "fixed-point product sums (bound 2^21) — PCA trains on a sample; pass " +
+        "trainSample/trainFraction (the Faiss transform-training convention)")
+    val scale = 1048576.0 // 2^20 — the kmeans fixed-point convention
+    val quantize = udf { (v: Seq[Float]) =>
+      v.map(x => math.floor(x.toDouble * scale).toLong).toArray
+    }
+    train.select(quantize(col(vecCol)).as("qv"))
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "a")))
+      .select(col("i"), col("a"), posexplode(col("qv")).as(Seq("j", "b")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("s_a"),
+        sum(col("b")).as("s_b"), sum(col("a") * col("b")).as("s_ab"))
+  }
+
+  /** Deterministic cyclic Jacobi eigensolver for the (tiny, driver-
+    * side) symmetric covariance matrix: fixed sweep order, fixed sweep
+    * count, no pivot search — the same input matrix yields the same
+    * eigenpairs on every run and every JVM. Returns (eigenvalues,
+    * eigenvectors-as-rows), sorted by eigenvalue descending with the
+    * original index as the tie-break, each vector sign-canonicalized
+    * (largest-|component| coordinate positive).
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]], sweeps: Int = 16)
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 0
+    while (s < sweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - sn * aiq
+              a(i)(q) = sn * aip + c * aiq
+              i += 1
+            }
+            var j = 0
+            while (j < n) {
+              val apj = a(p)(j); val aqj = a(q)(j)
+              a(p)(j) = c * apj - sn * aqj
+              a(q)(j) = sn * apj + c * aqj
+              val vjp = v(j)(p); val vjq = v(j)(q)
+              v(j)(p) = c * vjp - sn * vjq
+              v(j)(q) = sn * vjp + c * vjq
+              j += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val eigs = order.map(i => a(i)(i)).toArray
+    val rows = order.map { i =>
+      val col = Array.tabulate(n)(r => v(r)(i))
+      // sign canonicalization: make the largest-|x| coordinate
+      // positive so the rotation is unique (eigenvectors are only
+      // defined up to sign)
+      val m = col.indices.maxBy(r => (math.abs(col(r)), -r))
+      if (col(m) < 0) col.map(-_) else col
+    }.toArray
+    (eigs, rows)
+  }
+
+  /** Train the PCA rotation: covariance from [[embedCovariance]]'s
+    * exact integer sums, eigensolve on the driver, top `outDim`
+    * eigenvectors as the (outDim x dim) projection matrix. Fully
+    * deterministic (fixed-point sums + fixed-order Jacobi + canonical
+    * signs), so the rotation an artifact stores is reproducible from
+    * the training frame alone.
+    */
+  def pcaRotation(embeddings: DataFrame, dim: Int, outDim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  trainSample: Int = 0, trainFraction: Double = 0.0)
+      : Array[Array[Double]] = {
+    require(outDim >= 1 && outDim <= dim, s"outDim=$outDim must be in [1, $dim]")
+    val sums = embedCovariance(embeddings, dim, idCol, vecCol,
+      trainSample, trainFraction).collect()
+    require(sums.nonEmpty, "pcaRotation: empty training frame")
+    val scale = 1048576.0
+    val n = sums.head.getLong(2).toDouble
+    val cov = Array.ofDim[Double](dim, dim)
+    sums.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val (sa, sb, sab) = (r.getLong(3).toDouble, r.getLong(4).toDouble,
+        r.getLong(5).toDouble)
+      val c = (sab / n - (sa / n) * (sb / n)) / (scale * scale)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    jacobiEigen(cov)._2.take(outDim)
+  }
+
+  /** Project embeddings through a PCA rotation — one per-row matrix
+    * multiply, output a FLOAT `outDim`-vector ready for any index
+    * build or probe in this file.
+    */
+  def pcaProject(embeddings: DataFrame, rotation: Array[Array[Double]],
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rot = rotation
+    val proj = udf { (v: Seq[Float]) =>
+      rot.map { row =>
+        var s = 0.0; var i = 0
+        while (i < row.length) { s += row(i) * v(i); i += 1 }
+        s.toFloat
+      }.toSeq
+    }
+    embeddings.select(col(idCol), proj(col(vecCol)).as(vecCol))
+  }
+
+  /** Build AND persist the composed PCAR -> IVF-PQ artifact (the
+    * Faiss "PCAR{outDim},IVF{lists},PQ{m}" factory string as one
+    * call): train the rotation (sample-bounded), project the corpus,
+    * write the IVF-PQ index over the PROJECTED vectors, and stamp the
+    * rotation as its own content-hashed `pcarot` sidecar next to the
+    * ivfpq header — queries must be projected through the EXACT same
+    * matrix or the probe searches a different space, which is the
+    * same silent-wrong-neighbors failure every header here exists to
+    * prevent. Returns the number of vectors indexed.
+    */
+  def pcaIvfPqIndexWrite(embeddings: DataFrame, indexPath: String,
+                         dim: Int, outDim: Int,
+                         lists: Int = 16, m: Int = 8, codes: Int = 16,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         trainSample: Int = 0, trainFraction: Double = 0.0,
+                         residual: Boolean = false): Long = {
+    require(outDim % m == 0,
+      s"outDim=$outDim must split into m=$m equal PQ subspaces")
+    val spark = embeddings.sparkSession
+    val rot = pcaRotation(embeddings, dim, outDim, idCol, vecCol,
+      trainSample, trainFraction)
+    val n = ivfPqIndexWrite(pcaProject(embeddings, rot, idCol, vecCol), indexPath,
+      outDim, lists, m, codes, idCol, vecCol, residual = residual)
+    graft.sources.ArtifactHeader.write(spark, indexPath, "pcarot", Seq(
+      "dim" -> dim.toString, "out_dim" -> outDim.toString,
+      "rotation" -> encodeMatrix(rot)))
+    n
+  }
+
+  /** Probe the composed artifact: the stored rotation projects the
+    * RAW queries into index space, then the header-trusted IVF-PQ
+    * probe runs as usual. A missing pcarot sidecar refuses — probing
+    * a PCA index with unprojected queries scores garbage silently.
+    */
+  def annPcaIvfPqProbeAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                         queries: DataFrame, k: Int, nprobe: Int = 4,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val rot = pcaRotationAt(spark, indexPath, "annPcaIvfPqProbeAt")
+    annIvfPqProbeAt(spark, indexPath, pcaProject(queries, rot, idCol, vecCol),
+      k, nprobe, idCol, vecCol)
+  }
+
+  /** Search-as-shipped for the composed artifact: ADC candidates in
+    * PCA space, exact-cosine refine in the ORIGINAL space (rerank
+    * survivors fetch full-precision raw vectors — the Faiss
+    * refine-after-pretransform shape, where the refine undoes both
+    * the quantization AND the projection loss).
+    */
+  def annPcaIvfPqRefineAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                          corpus: DataFrame, queries: DataFrame, k: Int,
+                          nprobe: Int = 4, rerank: Int = 32,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val rot = pcaRotationAt(spark, indexPath, "annPcaIvfPqRefineAt")
+    refineExact(corpus,
+      annIvfPqProbeAt(spark, indexPath, pcaProject(queries, rot, idCol, vecCol),
+        k = rerank, nprobe, idCol, vecCol),
+      queries, k, idCol, vecCol)
+  }
+
+  private def pcaRotationAt(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, what: String): Array[Array[Double]] = {
+    val kv = graft.sources.ArtifactHeader.read(spark, indexPath, "pcarot").getOrElse(
+      sys.error(s"$what: no pcarot header at $indexPath — the index holds PROJECTED " +
+        "vectors, and probing it with unprojected queries scores a different space " +
+        "silently; build with pcaIvfPqIndexWrite (which stamps the rotation)"))
+    val rot = decodeMatrix(kv("rotation"))
+    require(rot.length == kv("out_dim").toInt &&
+      rot.forall(_.length == kv("dim").toInt),
+      s"$what: pcarot header at $indexPath disagrees with its own dims")
+    rot
+  }
 }

@@ -591,4 +591,107 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
       rows(Similarity.ivfSqSaturation(spark, dir)))
     CheckpointHygiene.free(day1, day2)
   }
+
+  test("jacobiEigen: analytic eigenpairs, orthonormal canonical rotation, A v = lambda v") {
+    val (eigs, vecs) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(eigs(0) - 3.0) < 1e-12 && math.abs(eigs(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(vecs(1).zip(Array(r, -r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // a bigger random symmetric matrix: rotation orthonormal, each
+    // eigenpair satisfies A v = lambda v, eigenvalues sorted desc
+    val rnd = new scala.util.Random(1415)
+    val n = 12
+    val a = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- i until n) {
+      val x = rnd.nextDouble() * 2 - 1; a(i)(j) = x; a(j)(i) = x
+    }
+    val (ev, rot) = Similarity.jacobiEigen(a)
+    assert(ev.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    for (i <- 0 until n; j <- 0 until n) {
+      val dot = (0 until n).map(k => rot(i)(k) * rot(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RRt($i,$j)=$dot")
+    }
+    for (i <- 0 until n) {
+      val av = (0 until n).map(r0 => (0 until n).map(c => a(r0)(c) * rot(i)(c)).sum)
+      assert(av.zip(rot(i)).forall { case (x, v) =>
+        math.abs(x - ev(i) * v) < 1e-8 }, s"A v != lambda v for pair $i")
+    }
+  }
+
+  test("PCA pre-transform: anisotropic corpus projects losslessly enough that PCA-8 refine == exact; artifact carries the rotation") {
+    import spark.implicits._
+    // rank-4 signal in 16 dims + small noise: the top-variance
+    // subspace PCA exists for; neighbors are decided by the signal
+    val rnd = new scala.util.Random(1417)
+    val dirs = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    def mk(id: Long): (Long, Seq[Float]) = {
+      val z = Array.fill(4)(rnd.nextDouble() * 2 - 1)
+      val v = Array.tabulate(16)(d =>
+        ((0 until 4).map(c => z(c) * dirs(c)(d)).sum +
+          0.01 * (rnd.nextDouble() - 0.5)).toFloat)
+      (id, v.toSeq)
+    }
+    val corpus = (0 until 256).map(i => mk(i.toLong))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val probes = (5000 until 5008).map(i => mk(i.toLong))
+      .toDF("vec_id", "embedding").localCheckpoint()
+
+    // the rotation is orthonormal and the projected per-dim variance
+    // is non-increasing (the eigenvalue ordering made spatial)
+    val rot = Similarity.pcaRotation(corpus, dim = 16, outDim = 16)
+    for (i <- rot.indices; j <- rot.indices) {
+      val dot = rot(i).zip(rot(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-6)
+    }
+    val proj = Similarity.pcaProject(corpus, rot)
+    val vars = proj.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("d").agg(avg(col("x") * col("x")).as("m2"), avg("x").as("m1"))
+      .orderBy("d").collect().map(r => r.getDouble(1) - r.getDouble(2) * r.getDouble(2))
+    assert(vars.sliding(2).forall(p => p(0) >= p(1) - 1e-4),
+      s"projected variance not sorted: ${vars.mkString(",")}")
+    // rank-4 signal: dims past the noise floor carry ~nothing
+    assert(vars(3) > 100 * vars(8), s"variance spectrum too flat: ${vars.mkString(",")}")
+
+    // composed artifact: PCA-8 + IVF-PQ, refine in the ORIGINAL space
+    // recovers exact cosine top-k on this corpus (all lists probed,
+    // rerank wide) — the projection loss is inside the noise floor
+    val dir = tmpIdx("ann_pca")
+    assert(Similarity.pcaIvfPqIndexWrite(corpus, dir, dim = 16, outDim = 8,
+      lists = 4, m = 8) == 256L)
+    // score stringified: exact-cosine paths carry DOUBLE, the ADC
+    // probe carries its fixed-point BIGINT — both compare exactly
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong, r.getLong(2), r.get(3).toString))
+      .toSet
+    val refined = rows(Similarity.annPcaIvfPqRefineAt(spark, dir, corpus, probes,
+      k = 3, nprobe = 4, rerank = 300))
+    assert(refined == rows(Similarity.topKCosine(corpus, probes, k = 3)))
+    // probeAt == the inline composition bit-for-bit (the stored
+    // rotation IS the trained rotation)
+    val atPath = rows(Similarity.annPcaIvfPqProbeAt(spark, dir, probes, k = 3))
+    val rot8 = Similarity.pcaRotation(corpus, dim = 16, outDim = 8)
+    val inline = rows(Similarity.annIvfPqProbeAt(spark, dir,
+      Similarity.pcaProject(probes, rot8), k = 3))
+    assert(atPath == inline && atPath.nonEmpty)
+
+    // a plain IVF-PQ artifact has no pcarot header: the PCA probe
+    // refuses instead of scoring a different space silently
+    val bare = tmpIdx("ann_pca_bare")
+    Similarity.ivfPqIndexWrite(corpus, bare, dim = 16, m = 8)
+    val ex = intercept[RuntimeException] {
+      Similarity.annPcaIvfPqProbeAt(spark, bare, probes, k = 3)
+    }
+    assert(ex.getMessage.contains("no pcarot header"), ex.getMessage)
+
+    // the covariance trainer refuses an unbounded training frame
+    val big = spark.range(2200000L)
+      .select(col("id").as("vec_id"), array(lit(0.1f)).as("embedding"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.embedCovariance(big, dim = 1)
+    }
+    assert(ex2.getMessage.contains("trainSample"), ex2.getMessage)
+    CheckpointHygiene.free(corpus, probes)
+  }
 }
