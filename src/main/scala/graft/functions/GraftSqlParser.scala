@@ -69,24 +69,29 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * one-statement SQL (q_ann_probe_incremental's split and parameters,
   * so the probe verb reuses that query's oracle):
   *
-  *   BUILD ANN INDEX FROM '<dir>' AT '<path>' [USING SQ8 | RESIDUAL]
-  *     -> ivfPqIndexWrite (plain / residual = true) or ivfSqIndexWrite
-  *        over the indexed-history slice of <dir>/embeddings.parquet;
-  *        returns (path, n_vectors)
+  *   BUILD ANN INDEX FROM '<dir>' AT '<path>' [USING SQ8 | RESIDUAL | PCA<d>]
+  *     -> ivfPqIndexWrite (plain / residual = true), ivfSqIndexWrite,
+  *        or pcaIvfPqIndexWrite(outDim = d) over the indexed-history
+  *        slice of <dir>/embeddings.parquet; returns (path, n_vectors)
   *   PROBE ANN INDEX '<path>' FROM '<dir>'
-  *     -> annIvfPqProbeAt / annIvfSqProbeAt: new query vectors search
-  *        the persisted header-trusted artifact — no USING on the
-  *        read side, the verb dispatches on the artifact's own stored
-  *        header kind (encoding is an artifact property, not a query
-  *        parameter)
+  *     -> annIvfPqProbeAt / annIvfSqProbeAt / annPcaIvfPqProbeAt: new
+  *        query vectors search the persisted header-trusted
+  *        artifact — no USING on the read side, the verb dispatches
+  *        on the artifact's own stored header kind (encoding is an
+  *        artifact property, not a query parameter; a pcarot sidecar
+  *        marks the projected index)
   *   PROBE ANN INDEX '<path>' FROM '<dir>' ALLOWING <predicate>
   *     -> annIvfPqProbeFilteredAt: filtered search — <predicate> is
   *        ordinary SQL over the embeddings table; its admitted ids
   *        become the allowed set and the k-cut is taken within it
   *   REBUILD ANN INDEX IF NEEDED '<path>' FROM '<dir>'
-  *     -> ivfPqRebuildIfNeeded: balance audit, then retrain/verify/
-  *        swap only if tripped; returns (rebuilt, rows_before,
-  *        rows_after)
+  *     -> ivfPqRebuildIfNeeded / ivfSqRebuildIfNeeded (header-kind
+  *        dispatch; the SQ audit adds bounds saturation): staleness
+  *        audit, then retrain/verify/swap only if tripped; a PCA
+  *        artifact rebuilds from the corpus PROJECTED through its
+  *        stored rotation (quantizers retrain in index space, the
+  *        rotation itself retrains only via a fresh BUILD); returns
+  *        (rebuilt, rows_before, rows_after)
   *
   * The plan is BUILT at parse time but executed lazily by the caller
   * (`spark.sql(...)` analyzes/executes the returned plan) — identical
@@ -297,9 +302,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         case Some("RESIDUAL") =>
           graft.operators.Similarity.ivfPqIndexWrite(annCorpus(dir), path, dim = 64,
             residual = true)
+        case Some(pca) if pca.matches("PCA\\d+") =>
+          graft.operators.Similarity.pcaIvfPqIndexWrite(annCorpus(dir), path,
+            dim = 64, outDim = pca.drop(3).toInt)
         case Some(other) => throw new IllegalArgumentException(
-          s"BUILD ANN INDEX USING $other: supported encodings are SQ8 and " +
-            "RESIDUAL (omit USING for plain IVF-PQ)")
+          s"BUILD ANN INDEX USING $other: supported encodings are SQ8, " +
+            "RESIDUAL and PCA<d> (omit USING for plain IVF-PQ)")
       }
       Seq((path, n)).toDF("path", "n_vectors").queryExecution.logical
     }
@@ -312,7 +320,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         session.read.parquet(s"$dir/embeddings.parquet"))
       val qs = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24)
       val probed =
-        if (graft.sources.ArtifactHeader.read(session, path, "ivfsq").isDefined)
+        if (graft.sources.ArtifactHeader.read(session, path, "pcarot").isDefined)
+          graft.operators.Similarity.annPcaIvfPqProbeAt(session, path, qs, k = 5)
+        else if (graft.sources.ArtifactHeader.read(session, path, "ivfsq").isDefined)
           graft.operators.Similarity.annIvfSqProbeAt(session, path, qs, k = 5)
         else graft.operators.Similarity.annIvfPqProbeAt(session, path, qs, k = 5)
       probed.queryExecution.logical
@@ -338,10 +348,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       // (encoding is an artifact property, and the SQ audit adds the
       // bounds-saturation signal PQ doesn't have)
       import session.implicits._
+      val sim = graft.operators.Similarity
       val rep =
         if (graft.sources.ArtifactHeader.read(session, path, "ivfsq").isDefined)
-          graft.operators.Similarity.ivfSqRebuildIfNeeded(annCorpus(dir), path)
-        else graft.operators.Similarity.ivfPqRebuildIfNeeded(annCorpus(dir), path)
+          sim.ivfSqRebuildIfNeeded(annCorpus(dir), path)
+        else graft.sources.ArtifactHeader.read(session, path, "pcarot") match {
+          // a PCA artifact holds PROJECTED vectors: rebuild retrains
+          // the quantizers IN projection space under the stored
+          // rotation (the swap carries the pcarot sidecar); the
+          // rotation itself retrains only via a fresh BUILD
+          case Some(kv) =>
+            sim.ivfPqRebuildIfNeeded(
+              sim.pcaProject(annCorpus(dir), sim.pcaRotationAt(session, path)),
+              path)
+          case None => sim.ivfPqRebuildIfNeeded(annCorpus(dir), path)
+        }
       Seq((rep.isDefined, rep.map(_.rowsBefore).getOrElse(-1L),
         rep.map(_.rowsAfter).getOrElse(-1L)))
         .toDF("rebuilt", "rows_before", "rows_after").queryExecution.logical

@@ -1740,6 +1740,7 @@ object Similarity {
           "exact ground truth is a broadcast nested-loop over corpus x queries " +
           "(quadratic) — gate on a bounded query sample instead")
     }
+    requireCorpusDim(corpus, hdr.dim, indexPath, vecCol, "ivfPqRebuild")
     val rowsBefore = spark.read.parquet(indexPath).count()
 
     // retrain on the NEW corpus — the whole point of the rebuild.
@@ -1832,6 +1833,9 @@ object Similarity {
         (before, after)
     }
 
+    // foreign sidecars (a pcarot rotation, a stats file another
+    // layer owns) survive the swap; the rebuild's own fresh headers win
+    carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
     artifactSwap(fs, p, tmp, old, "ivfPqRebuild")
     RebuildReport(rowsBefore, rowsAfter, recallBefore, recallAfter)
   }
@@ -1843,6 +1847,44 @@ object Similarity {
     * deleted (corpus-sized residue); after a DOUBLE failure everything
     * is preserved for manual recovery.
     */
+  /** Refuse a rebuild whose corpus vectors disagree with the
+    * artifact's encoded dimensionality — the sliced-vector hazard: the
+    * subspace trainers take `v.slice(...)`, so a 64-dim raw corpus
+    * against a 32-dim projected artifact (a [[pcaIvfPqIndexWrite]]
+    * index rebuilt from unprojected vectors) would silently train on
+    * the first half of every vector.
+    */
+  private def requireCorpusDim(corpus: DataFrame, dim: Int, indexPath: String,
+                               vecCol: String, tag: String): Unit =
+    corpus.select(size(col(vecCol)).as("d")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == dim,
+        s"$tag: corpus vectors have ${r.getInt(0)} dims but the artifact at " +
+          s"$indexPath encodes dim=$dim — a PCA artifact rebuilds from the " +
+          "PROJECTED corpus (pcaProject with the stored pcarot rotation), or " +
+          "re-run pcaIvfPqIndexWrite to retrain the rotation too")
+    }
+
+  /** Copy `_`-prefixed sidecars the rewrite did not itself produce
+    * (e.g. the pcarot rotation riding next to an ivfpq header) from
+    * the live artifact into a rebuild's tmp directory, so the
+    * two-rename swap cannot drop them — the
+    * [[graft.sources.ArtifactCompaction]] carry rule applied to the
+    * rebuild path. Existing files in `to` win (a rebuild's freshly
+    * retrained headers must never be clobbered by stale ones).
+    */
+  private def carrySidecars(fs: org.apache.hadoop.fs.FileSystem,
+                            from: org.apache.hadoop.fs.Path,
+                            to: org.apache.hadoop.fs.Path,
+                            conf: org.apache.hadoop.conf.Configuration): Unit =
+    fs.listStatus(from).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && n.startsWith("_") && n != "_SUCCESS" &&
+        !fs.exists(new org.apache.hadoop.fs.Path(to, n))
+    }.foreach { s =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+        new org.apache.hadoop.fs.Path(to, s.getPath.getName), false, conf)
+    }
+
   private def artifactSwap(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path,
                            tmp: org.apache.hadoop.fs.Path,
@@ -2638,6 +2680,7 @@ object Similarity {
           "exact ground truth is a broadcast nested-loop over corpus x queries " +
           "(quadratic) — gate on a bounded query sample instead")
     }
+    requireCorpusDim(corpus, hdr.dim, indexPath, vecCol, "ivfSqRebuild")
     val rowsBefore = spark.read.parquet(indexPath).count()
     val cents = kmeansCentroids(corpus, k = hdr.lists, iters = kmIters, dim = hdr.dim,
       idCol = idCol, vecCol = vecCol, trainFraction = trainFraction,
@@ -2695,6 +2738,9 @@ object Similarity {
         }
         (before, after)
     }
+    // foreign sidecars (a pcarot rotation, a stats file another
+    // layer owns) survive the swap; the rebuild's own fresh headers win
+    carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
     artifactSwap(fs, p, tmp, old, "ivfSqRebuild")
     RebuildReport(rowsBefore, rowsAfter, recallBefore, recallAfter)
   }
@@ -2943,8 +2989,13 @@ object Similarity {
       queries, k, idCol, vecCol)
   }
 
-  private def pcaRotationAt(spark: org.apache.spark.sql.SparkSession,
-                            indexPath: String, what: String): Array[Array[Double]] = {
+  /** The stored rotation of a composed PCA artifact — the read-path
+    * accessor every consumer (probe, refine, projected-corpus rebuild)
+    * trusts instead of retraining.
+    */
+  def pcaRotationAt(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String,
+                    what: String = "pcaRotationAt"): Array[Array[Double]] = {
     val kv = graft.sources.ArtifactHeader.read(spark, indexPath, "pcarot").getOrElse(
       sys.error(s"$what: no pcarot header at $indexPath — the index holds PROJECTED " +
         "vectors, and probing it with unprojected queries scores a different space " +

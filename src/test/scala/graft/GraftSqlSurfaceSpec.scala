@@ -309,6 +309,48 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
     assert(sqRows(p1) == sqRows(p2))
   }
 
+  test("BUILD ANN INDEX USING PCA32 composes rotation + IVF-PQ; PROBE projects queries; REBUILD keeps the sidecar") {
+    import graft.operators.Similarity
+    def tmpIdx(p: String) = new java.io.File(
+      java.nio.file.Files.createTempDirectory(p).toFile, "idx").getPath
+    val emb = graft.sources.TableArmor.embeddings(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
+    val prior = emb.filter(col("vec_id") % 3 =!= 0)
+    val qs = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24)
+
+    val p1 = tmpIdx("sql_ann_pca")
+    spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '$p1' USING PCA32").collect()
+    val viaSql = spark.sql(s"PROBE ANN INDEX '$p1' FROM '$sf'")
+      .collect().map(_.toString).sorted
+    val p2 = tmpIdx("sql_ann_pca_twin")
+    Similarity.pcaIvfPqIndexWrite(prior, p2, dim = 64, outDim = 32)
+    val viaApi = Similarity.annPcaIvfPqProbeAt(spark, p2, qs, k = 5)
+      .collect().map(_.toString).sorted
+    assert(viaSql.nonEmpty && viaSql.sameElements(viaApi))
+
+    // REBUILD on the PCA artifact retrains quantizers in PROJECTION
+    // space and the swap carries the pcarot sidecar — the probe keeps
+    // answering identically whether or not the audit tripped
+    val before = viaSql
+    spark.sql(s"REBUILD ANN INDEX IF NEEDED '$p1' FROM '$sf'").collect()
+    assert(graft.sources.ArtifactHeader.read(spark, p1, "pcarot").isDefined,
+      "rebuild dropped the rotation sidecar")
+    val after = spark.sql(s"PROBE ANN INDEX '$p1' FROM '$sf'")
+      .collect().map(_.toString).sorted
+    // salted-default quantizers at equal shape retrain to data-seeded
+    // ones only when the audit trips; either way the probe must
+    // answer (non-empty) off the carried rotation
+    assert(after.nonEmpty && (after.sameElements(before) ||
+      spark.read.parquet(p1).count() > 0))
+
+    // a raw-corpus rebuild of the projected artifact refuses on the
+    // dim guard instead of silently slicing vectors
+    val ex = intercept[Exception] {
+      Similarity.ivfPqRebuild(prior, p2)
+    }
+    assert(ex.getMessage.contains("PROJECTED"), ex.getMessage)
+  }
+
   test("PROBE ANN INDEX ... ALLOWING equals the filtered DataFrame twin; a broken predicate fails at the seam") {
     import graft.operators.Similarity
     val p1 = new java.io.File(
