@@ -22,6 +22,7 @@ object AnnProbe {
     if (args.nonEmpty && args(0) == "filtered") { filteredProbe(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "sq") { sqVsPq(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "sqlifecycle") { sqLifecycle(); return }
+    if (args.nonEmpty && args(0) == "pca") { pcaProbe(args.drop(1)); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -442,6 +443,111 @@ object AnnProbe {
       s""""sat_pm_after":$satAfter,"needs_rebuild_after":$needsAfter,""" +
       s""""resume_append_sec":${f"$resumeSec%.2f"},"compact_sec":${f"$compactSec%.2f"},""" +
       s""""files_before":$fb,"files_after":$fa}""")
+    spark.stop()
+  }
+
+  /** The PCA pre-transform trade measured where it actually depends on
+    * the corpus: full-dim IVF-PQ vs the composed PCA-32 artifact on
+    * (a) an ISOTROPIC 200k corpus (entity-grown sf embeddings — PCA
+    * has nothing to find, the projection loss is pure) and (b) a
+    * RANK-8 200k corpus (low-rank signal + noise — the case PCA
+    * exists for). Reports artifact bytes, build + min-of-2 probe
+    * walls, and refine recall@5 vs exact cosine for both, on both.
+    * Run: sbt "runMain graft.AnnProbe pca 100"
+    */
+  private def pcaProbe(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 100
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val iso = (0 until copies).map { k =>
+      val rot = k % 64
+      emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        (if (rot == 0) col("embedding")
+         else concat(slice(col("embedding"), rot + 1, 64 - rot),
+           slice(col("embedding"), 1, rot))).as("embedding"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    // rank-8 signal + 2% noise, deterministic per id (hash-uniform
+    // latent coords, fixed direction matrix)
+    val dirs = {
+      val r = new scala.util.Random(1419)
+      Array.fill(8)(Array.fill(64)(r.nextDouble() * 2 - 1))
+    }
+    val mkLowRank = udf { (id: Long) =>
+      def u(salt: Long): Double = {
+        var x = id * 2654435761L + salt * 0x9E3779B97F4A7C15L
+        x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+        (x >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
+      }
+      val z = Array.tabulate(8)(c => u(c))
+      (0 until 64).map(d =>
+        ((0 until 8).map(c => z(c) * dirs(c)(d)).sum + 0.02 * u(100 + d)).toFloat)
+    }
+    val nIso = iso.count()
+    val lr = spark.range(nIso).select(col("id").as("vec_id"),
+      mkLowRank(col("id")).as("embedding")).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("ann_pca_probe").toString
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    def min2(f: => Long): Double = (1 to 2).map(_ => time(f)._2).min
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      Option(d.listFiles).map(_.map(f => if (f.isFile) f.length else 0L).sum).getOrElse(0L)
+    }
+    def run(tag: String, corpus: org.apache.spark.sql.DataFrame,
+            queries: org.apache.spark.sql.DataFrame): String = {
+      val full = s"$base/$tag-full"; val pca = s"$base/$tag-pca32"
+      // TRAINED quantizers on both sides (the production posture) so
+      // the measured delta is the projection, not the untrained floor
+      val (_, fullBuild) = time {
+        val c = Similarity.kmeansCentroids(corpus, k = 16, iters = 2, dim = 64,
+          trainSample = 65536, seedFromData = true)
+        val cb = Similarity.pqLearnedCodebooks(corpus, dim = 64, m = 8, codes = 16,
+          iters = 2, trainSample = 65536, seedFromData = true)
+        Similarity.ivfPqIndexWrite(corpus, full, dim = 64,
+          centroids = Some(c), codebooks = Some(cb))
+      }
+      val (_, pcaBuild) = time(Similarity.pcaIvfPqIndexWrite(corpus, pca,
+        dim = 64, outDim = 32, trainSample = 65536, trainQuantizers = true))
+      // the storage-halving variant PCA enables: 4 subspaces over the
+      // 32 projected dims = 4 code bytes/vec vs the full-dim 8
+      val pcaM4 = s"$base/$tag-pca32m4"
+      val (_, m4Build) = time(Similarity.pcaIvfPqIndexWrite(corpus, pcaM4,
+        dim = 64, outDim = 32, m = 4, trainSample = 65536, trainQuantizers = true))
+      val fullSec = min2(
+        Similarity.annIvfPqRefineAt(spark, full, corpus, queries, k = 5).count())
+      val pcaSec = min2(
+        Similarity.annPcaIvfPqRefineAt(spark, pca, corpus, queries, k = 5).count())
+      val m4Sec = min2(
+        Similarity.annPcaIvfPqRefineAt(spark, pcaM4, corpus, queries, k = 5).count())
+      val exact = Similarity.topKCosine(corpus, queries, 5).localCheckpoint()
+      def recall(approx: org.apache.spark.sql.DataFrame): Double =
+        Similarity.annRecall(exact, approx, 5)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      val fullRec = recall(
+        Similarity.annIvfPqRefineAt(spark, full, corpus, queries, k = 5))
+      val pcaRec = recall(
+        Similarity.annPcaIvfPqRefineAt(spark, pca, corpus, queries, k = 5))
+      val m4Rec = recall(
+        Similarity.annPcaIvfPqRefineAt(spark, pcaM4, corpus, queries, k = 5))
+      graft.plans.CheckpointHygiene.free(exact)
+      f""""$tag":{"full_bytes":${dirBytes(full)},"pca_bytes":${dirBytes(pca)},"pca_m4_bytes":${dirBytes(pcaM4)},""" +
+        f""""full_build_sec":$fullBuild%.2f,"pca_build_sec":$pcaBuild%.2f,"pca_m4_build_sec":$m4Build%.2f,""" +
+        f""""full_refine_sec":$fullSec%.2f,"pca_refine_sec":$pcaSec%.2f,"pca_m4_refine_sec":$m4Sec%.2f,""" +
+        f""""full_recall5":$fullRec%.3f,"pca_recall5":$pcaRec%.3f,"pca_m4_recall5":$m4Rec%.3f}"""
+    }
+    val isoLine = run("isotropic", iso, emb0.filter(col("vec_id") < 8))
+    val lrLine = run("rank8", lr, lr.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 900000000000L).as("vec_id"), col("embedding")))
+    graft.plans.CheckpointHygiene.free(iso, lr)
+    println(s"""{"n_vec":$nIso,$isoLine,$lrLine}""")
     spark.stop()
   }
 

@@ -2943,14 +2943,33 @@ object Similarity {
                          lists: Int = 16, m: Int = 8, codes: Int = 16,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          trainSample: Int = 0, trainFraction: Double = 0.0,
-                         residual: Boolean = false): Long = {
+                         residual: Boolean = false,
+                         trainQuantizers: Boolean = false): Long = {
     require(outDim % m == 0,
       s"outDim=$outDim must split into m=$m equal PQ subspaces")
     val spark = embeddings.sparkSession
     val rot = pcaRotation(embeddings, dim, outDim, idCol, vecCol,
       trainSample, trainFraction)
-    val n = ivfPqIndexWrite(pcaProject(embeddings, rot, idCol, vecCol), indexPath,
-      outDim, lists, m, codes, idCol, vecCol, residual = residual)
+    val proj = pcaProject(embeddings, rot, idCol, vecCol)
+    // trainQuantizers = the production posture (what ivfPqRebuild
+    // would install): data-seeded learned centroids + codebooks
+    // trained IN PROJECTION space on the same bounded sample; off by
+    // default to keep the salted oracle-shared quantizer chain
+    val (cOpt, cbOpt) =
+      if (!trainQuantizers) (None, None)
+      else {
+        val c = kmeansCentroids(proj, k = lists, iters = 2, dim = outDim,
+          idCol = idCol, vecCol = vecCol, trainSample = trainSample,
+          trainFraction = trainFraction, seedFromData = true)
+        val cbFrame = if (residual) residualFloatFrame(proj, c, idCol, vecCol)
+                      else proj
+        val cb = pqLearnedCodebooks(cbFrame, dim = outDim, m = m, codes = codes,
+          iters = 2, vecCol = vecCol, idCol = idCol, trainSample = trainSample,
+          trainFraction = trainFraction, seedFromData = true)
+        (Some(c), Some(cb))
+      }
+    val n = ivfPqIndexWrite(proj, indexPath,
+      outDim, lists, m, codes, idCol, vecCol, cOpt, cbOpt, residual = residual)
     graft.sources.ArtifactHeader.write(spark, indexPath, "pcarot", Seq(
       "dim" -> dim.toString, "out_dim" -> outDim.toString,
       "rotation" -> encodeMatrix(rot)))
