@@ -1350,6 +1350,7 @@ object Similarity {
     val hdr = ivfPqRequireHeader(spark, indexPath,
       "Write it with ivfPqIndexWrite (which stamps one), or stamp it explicitly " +
         "with ivfPqWriteHeader, before appending through the header path.")
+    requireCorpusDim(newVectors, hdr.dim, indexPath, vecCol, "ivfPqIndexAppendAt")
     val n = ivfPqIndexAppend(newVectors, indexPath, hdr.dim, hdr.lists, hdr.m, hdr.codes,
       idCol, vecCol, Some(hdr.centroids), Some(hdr.codebooks), hdr.residual)
     val after = ivfPqRequireHeader(spark, indexPath,
@@ -1582,6 +1583,10 @@ object Similarity {
           centroids.getOrElse(hdr.centroids), codebooks.getOrElse(hdr.codebooks),
           indexPath, residual = hdr.residual)
     }
+    // a dim-mismatched query frame (raw queries against a PCA-
+    // projected artifact) would silently LUT the first hdr.dim
+    // coordinates — refuse like the rebuild path does
+    requireCorpusDim(queries, hdr.dim, indexPath, vecCol, "annIvfPqProbeAt")
     annIvfPqProbe(spark.read.parquet(indexPath), queries, k, hdr.dim, hdr.lists,
       nprobe, hdr.m, hdr.codes, idCol, vecCol,
       Some(hdr.centroids), Some(hdr.codebooks), allowedIds = allowedIds,
@@ -2396,6 +2401,7 @@ object Similarity {
                       queries: DataFrame, k: Int, nprobe: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val hdr = sqRequireHeader(spark, indexPath, "annIvfSqProbeAt")
+    requireCorpusDim(queries, hdr.dim, indexPath, vecCol, "annIvfSqProbeAt")
     val index = spark.read.parquet(indexPath)
     val q = queries.select(col(idCol).as(idCol), col(vecCol).as("qv"))
     annIvfSqProbeFrame(index, q, k, nprobe, hdr.cents, hdr.vmin, hdr.vmax, idCol)
@@ -2471,6 +2477,7 @@ object Similarity {
                          vecCol: String = "embedding"): Long = {
     val spark = newVectors.sparkSession
     val hdr = sqRequireHeader(spark, indexPath, "ivfSqIndexAppendAt")
+    requireCorpusDim(newVectors, hdr.dim, indexPath, vecCol, "ivfSqIndexAppendAt")
     val existing = spark.read.parquet(indexPath)
       .select(col("neighbor_id").as(idCol))
     // materialize before writing: the anti-join reads indexPath, and
@@ -3006,6 +3013,26 @@ object Similarity {
       annIvfPqProbeAt(spark, indexPath, pcaProject(queries, rot, idCol, vecCol),
         k = rerank, nprobe, idCol, vecCol),
       queries, k, idCol, vecCol)
+  }
+
+  /** Header-driven append for the composed PCA artifact: RAW vectors
+    * project through the STORED rotation, then ride
+    * [[ivfPqIndexAppendAt]] (idempotent admission, generation
+    * backstop). The rotation is deliberately NOT retrained per batch —
+    * an index has one projection basis; drift in the basis itself is
+    * a rebuild decision (fresh [[pcaIvfPqIndexWrite]]), not an append
+    * side effect. A raw append bypassing this wrapper refuses on the
+    * ivfpq dim guard instead of silently slicing.
+    */
+  def pcaIvfPqIndexAppendAt(newVectors: DataFrame, indexPath: String,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Long = {
+    val spark = newVectors.sparkSession
+    val rot = pcaRotationAt(spark, indexPath, "pcaIvfPqIndexAppendAt")
+    requireCorpusDim(newVectors, rot.head.length, indexPath, vecCol,
+      "pcaIvfPqIndexAppendAt")
+    ivfPqIndexAppendAt(pcaProject(newVectors, rot, idCol, vecCol), indexPath,
+      idCol, vecCol)
   }
 
   /** The stored rotation of a composed PCA artifact — the read-path

@@ -685,6 +685,28 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
     }
     assert(ex.getMessage.contains("no pcarot header"), ex.getMessage)
 
+    // the dim guards close every raw-vs-projected seam: a RAW frame
+    // against the projected artifact refuses at probe AND append —
+    // the silent first-half slice these paths used to allow
+    val exP = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqProbeAt(spark, dir, probes, k = 3)
+    }
+    assert(exP.getMessage.contains("PROJECTED"), exP.getMessage)
+    val late = (9000 until 9032).map(i => mk(i.toLong))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val exA = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppendAt(late, dir)
+    }
+    assert(exA.getMessage.contains("PROJECTED"), exA.getMessage)
+    // the projecting appender is the append path: grown artifact ==
+    // one-shot build over the union (same rotation, same quantizers)
+    assert(Similarity.pcaIvfPqIndexAppendAt(late, dir) == 32L)
+    assert(Similarity.pcaIvfPqIndexAppendAt(late, dir) == 0L) // idempotent
+    val grownProbe = rows(Similarity.annPcaIvfPqProbeAt(spark, dir, probes, k = 3))
+    assert(grownProbe.nonEmpty &&
+      spark.read.parquet(dir).count() == 288L)
+    CheckpointHygiene.free(late)
+
     // the covariance trainer refuses an unbounded training frame
     val big = spark.range(2200000L)
       .select(col("id").as("vec_id"), array(lit(0.1f)).as("embedding"))
