@@ -1045,6 +1045,10 @@ object Similarity {
       cbs.map(_.map(cv => 0.5 * cv.map(x => x * x).sum))
     val mm = cbs.length; val kk = cbs(0).length; val sd = subDim
     udf { (v: Seq[Float]) =>
+      require(v.length == mm * sd,
+        s"PQ encode: vector has ${v.length} dims but the codebooks cover " +
+          s"dim=${mm * sd} — ragged corpus row (encoding a slice would score " +
+          "wrong neighbors silently)")
       val arr = v.toArray
       (0 until mm).map { s =>
         var best = 0; var bestScore = Double.NegativeInfinity
@@ -1077,6 +1081,10 @@ object Similarity {
       cbs.map(_.map(cv => 0.5 * cv.map(x => x * x).sum))
     val mm = cbs.length; val kk = cbs(0).length; val sd = subDim
     udf { (v: Seq[Float], list: Int) =>
+      require(v.length == mm * sd,
+        s"residual PQ encode: vector has ${v.length} dims but the codebooks " +
+          s"cover dim=${mm * sd} — ragged corpus row (encoding a slice would " +
+          "score wrong neighbors silently)")
       val cent = cents(list)
       val r = new Array[Double](v.length)
       var j = 0
@@ -1173,7 +1181,12 @@ object Similarity {
     */
   private def ivfListScoresFn(cents: Array[Array[Double]]): Seq[Float] => Array[Double] = {
     val normHalf: Array[Double] = cents.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
+    val dim = cents.head.length
     (v: Seq[Float]) => {
+      require(v.length == dim,
+        s"IVF assign: vector has ${v.length} dims but the centroids cover " +
+          s"dim=$dim — ragged corpus row (assigning a slice would land in a " +
+          "wrong list silently)")
       val arr = v.toArray
       Array.tabulate(cents.length) { c =>
         val cent = cents(c)
@@ -1858,6 +1871,15 @@ object Similarity {
     * against a 32-dim projected artifact (a [[pcaIvfPqIndexWrite]]
     * index rebuilt from unprojected vectors) would silently train on
     * the first half of every vector.
+    *
+    * BEST-EFFORT by design: one sampled row (O(1) — an aggregate over
+    * min/max(size) would scan the full corpus per probe), so a RAGGED
+    * frame whose sampled row happens to match passes here and an
+    * empty frame is never checked. The per-row `require` inside every
+    * encode kernel ([[sqEncodeUdf]], [[pqEncodeUdf]],
+    * [[pqEncodeResUdf]], [[pcaProject]]) is the backstop ragged rows
+    * cannot dodge — they refuse with a named message instead of
+    * slicing.
     */
   private def requireCorpusDim(corpus: DataFrame, dim: Int, indexPath: String,
                                vecCol: String, tag: String): Unit =
@@ -2164,8 +2186,18 @@ object Similarity {
         .filter(col("__rk") === 1)
         .select(col("query_id"), lit(i.toLong).as("rank"),
           col("neighbor_id"), col("mmr_e6"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      // the new checkpoint is eager, so the superseded round's blocks
+      // are dead the moment it lands — free them in-loop (the
+      // GraphOps fixpoint convention) instead of leaking k frames per
+      // call until session end
+      val next = selected.unionByName(pick).localCheckpoint()
+      graft.plans.CheckpointHygiene.free(selected)
+      selected = next
     }
+    // the working frames are dead too once the final selection is
+    // materialized; only the returned frame's blocks stay live (the
+    // caller frees it after consumption, like any checkpoint leaf)
+    graft.plans.CheckpointHygiene.free(cand, cvec, sims)
     selected
   }
 
@@ -2243,6 +2275,12 @@ object Similarity {
   private def sqEncodeUdf(vmin: Array[Double], vmax: Array[Double]) =
     udf { (v: Seq[Float]) =>
       val n = vmin.length
+      // the frame-level dim guard samples one row (best-effort, O(1));
+      // this per-row check is the backstop a RAGGED corpus cannot dodge
+      require(v.length == n,
+        s"SQ8 encode: vector has ${v.length} dims but the artifact's bounds " +
+          s"cover dim=$n — ragged corpus row (encoding a slice would score " +
+          "wrong neighbors silently)")
       val out = new Array[Int](n)
       var i = 0
       while (i < n) {
@@ -2488,28 +2526,35 @@ object Similarity {
         Some(hdr.cents), Some((hdr.vmin, hdr.vmax)))
       .localCheckpoint()
     val n = fresh.count()
-    if (n > 0) {
-      fresh.write.mode("append").option("compression", "zstd").parquet(indexPath)
-      // accumulate the admitted rows' rail counts into the stats
-      // sidecar (the fresh frame is already checkpointed — one cheap
-      // aggregate instead of the audit's full-artifact scan later);
-      // a legacy stats-less artifact stays stats-less (scan fallback)
-      sqStatsRead(spark, indexPath).foreach { prior =>
-        val inc = sqStatsArray(fresh, hdr.dim)
-        sqStatsWrite(spark, indexPath, prior.zip(inc).map {
-          case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
-        })
+    try {
+      if (n > 0)
+        fresh.write.mode("append").option("compression", "zstd").parquet(indexPath)
+      // generation backstop BEFORE the stats sidecar is mutated: when
+      // a concurrent rebuild swapped generations mid-append, the NEW
+      // generation's freshly-rebuilt ivfsq_stats must not be
+      // overwritten with counts from this doomed batch (the error
+      // path's advised ivfSqRebuild re-derives stats anyway)
+      val after = sqRequireHeader(spark, indexPath,
+        "ivfSqIndexAppendAt (post-write backstop)")
+      if (after.paramsHash != hdr.paramsHash)
+        sys.error(s"ivfSqIndexAppendAt: the artifact at $indexPath was re-stamped " +
+          s"MID-APPEND (header ${hdr.paramsHash} -> ${after.paramsHash}): a concurrent " +
+          "rebuild swapped bounds generations underneath this append, so the artifact " +
+          "now holds mixed codes — serialize appends and rebuilds in one maintenance " +
+          "loop, and re-run ivfSqRebuild to re-encode and heal it")
+      if (n > 0) {
+        // accumulate the admitted rows' rail counts into the stats
+        // sidecar (the fresh frame is already checkpointed — one cheap
+        // aggregate instead of the audit's full-artifact scan later);
+        // a legacy stats-less artifact stays stats-less (scan fallback)
+        sqStatsRead(spark, indexPath).foreach { prior =>
+          val inc = sqStatsArray(fresh, hdr.dim)
+          sqStatsWrite(spark, indexPath, prior.zip(inc).map {
+            case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
+          })
+        }
       }
-    }
-    graft.plans.CheckpointHygiene.free(fresh)
-    val after = sqRequireHeader(spark, indexPath,
-      "ivfSqIndexAppendAt (post-write backstop)")
-    if (after.paramsHash != hdr.paramsHash)
-      sys.error(s"ivfSqIndexAppendAt: the artifact at $indexPath was re-stamped " +
-        s"MID-APPEND (header ${hdr.paramsHash} -> ${after.paramsHash}): a concurrent " +
-        "rebuild swapped bounds generations underneath this append, so the artifact " +
-        "now holds mixed codes — serialize appends and rebuilds in one maintenance " +
-        "loop, and re-run ivfSqRebuild to re-encode and heal it")
+    } finally graft.plans.CheckpointHygiene.free(fresh)
     n
   }
 
@@ -2611,6 +2656,15 @@ object Similarity {
           (i + 1L, n, lo, hi, (lo + hi) * 1000L / n)
       }.toSeq.toDF("d", "n_codes", "n_lo", "n_hi", "sat_pm")
     }
+
+  /** Whether the artifact carries the accumulated `ivfsq_stats`
+    * sidecar — the legacy detector a maintainer's due check uses to
+    * schedule [[ivfSqStatsRestamp]] (pre-stats artifacts answer every
+    * saturation poll with the O(rows) codes scan until restamped).
+    */
+  def ivfSqHasStats(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String): Boolean =
+    sqStatsRead(spark, indexPath).isDefined
 
   /** Recompute the stats sidecar from the canonical scan — the repair
     * verb after an out-of-contract mutation (raw parquet writes into
@@ -2793,10 +2847,15 @@ object Similarity {
     * partitioning (float covariance sums are summation-order-
     * dependent — the [[kmeans]] fixed-point-mean trap).
     *
-    * Training rows are bounded to 2^21: the per-row product magnitude
-    * is ~2^(40+2 log2 max|x|), so two million rows keep the BIGINT sum
-    * clear of overflow for |x| up to ~4 — and PCA never needs more
-    * (Faiss trains transforms on <= ~256k samples); pass
+    * Training rows are bounded to 2^21 — and the overflow guard is
+    * EXACT, not a headroom claim: the binding sum is `s_ab` with
+    * per-row magnitude up to maxAbsQ^2 (maxAbsQ = the sample's own
+    * largest |code|), so the guard measures maxAbsQ in one aggregate
+    * over the bounded sample and refuses unless
+    * `nTrain * maxAbsQ^2 <= Long.MaxValue` (at 2^21 rows that admits
+    * |x| <= 2; a wrapped non-ANSI sum would corrupt the covariance and
+    * hence the rotation SILENTLY). PCA never needs more rows than the
+    * bound (Faiss trains transforms on <= ~256k samples); pass
     * `trainSample`/`trainFraction` for bigger corpora.
     *
     * Scale shape: dim^2 generated rows per training vector into ONE
@@ -2807,16 +2866,30 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       trainSample: Int = 0, trainFraction: Double = 0.0): DataFrame = {
     val train = trainFrameOf(embeddings, idCol, trainSample, trainFraction)
-    val nTrain = train.count()
-    require(nTrain <= (1L << 21),
-      s"embedCovariance: $nTrain training rows would risk BIGINT overflow in the " +
-        "fixed-point product sums (bound 2^21) — PCA trains on a sample; pass " +
-        "trainSample/trainFraction (the Faiss transform-training convention)")
     val scale = 1048576.0 // 2^20 — the kmeans fixed-point convention
     val quantize = udf { (v: Seq[Float]) =>
       v.map(x => math.floor(x.toDouble * scale).toLong).toArray
     }
-    train.select(quantize(col(vecCol)).as("qv"))
+    val quantized = train.select(quantize(col(vecCol)).as("qv"))
+    // one aggregate over the (bounded) sample answers BOTH guard
+    // questions: the row bound, and the sample's own largest |code| —
+    // the exact input to the s_ab overflow bound
+    val g = quantized.agg(count(lit(1)).as("n"),
+      coalesce(max(expr("aggregate(qv, 0L, (m, x) -> greatest(m, abs(x)))")),
+        lit(0L)).as("maxq")).collect()(0)
+    val (nTrain, maxAbsQ) = (g.getLong(0), g.getLong(1))
+    require(nTrain <= (1L << 21),
+      s"embedCovariance: $nTrain training rows would risk BIGINT overflow in the " +
+        "fixed-point product sums (bound 2^21) — PCA trains on a sample; pass " +
+        "trainSample/trainFraction (the Faiss transform-training convention)")
+    require(maxAbsQ <= (1L << 30) &&
+        (maxAbsQ == 0L || nTrain <= Long.MaxValue / (maxAbsQ * maxAbsQ)),
+      s"embedCovariance: $nTrain training rows with max |code| $maxAbsQ " +
+        f"(max |x| ~ ${maxAbsQ / scale}%.3f) can overflow the BIGINT product sum " +
+        "s_ab — Spark's non-ANSI sum would WRAP silently and corrupt the " +
+        "covariance (and any rotation trained on it); shrink the training " +
+        "sample or normalize the embeddings first")
+    quantized
       .select(col("qv"), posexplode(col("qv")).as(Seq("i", "a")))
       .select(col("i"), col("a"), posexplode(col("qv")).as(Seq("j", "b")))
       .filter(col("j") >= col("i"))
@@ -2925,7 +2998,12 @@ object Similarity {
   def pcaProject(embeddings: DataFrame, rotation: Array[Array[Double]],
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val rot = rotation
+    val inDim = rotation.head.length
     val proj = udf { (v: Seq[Float]) =>
+      require(v.length == inDim,
+        s"pcaProject: vector has ${v.length} dims but the rotation projects " +
+          s"from dim=$inDim — ragged corpus row (projecting a slice would " +
+          "land in a different subspace silently)")
       rot.map { row =>
         var s = 0.0; var i = 0
         while (i < row.length) { s += row(i) * v(i); i += 1 }

@@ -79,9 +79,18 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
     * `StreamingQuery.processAllAvailable`. The handle is captured
     * under the monitor (never calls into Spark while holding it) so a
     * concurrent window restart cannot hand us a half-published
-    * reference.
+    * reference, and the wait itself runs under the SHARED lock so a
+    * maintenance window cannot stop the captured query mid-drain (the
+    * window parks until the drain returns, exactly like any in-flight
+    * [[withAccess]] reader). A concurrent user [[stop]] (also shared)
+    * can still race — that stop is clean, and `processAllAvailable`
+    * returns on a cleanly-stopped query.
     */
-  def drain(): Unit = this.synchronized(query).foreach(_.processAllAvailable())
+  def drain(): Unit = {
+    lock.readLock().lock()
+    try this.synchronized(query).foreach(_.processAllAvailable())
+    finally lock.readLock().unlock()
+  }
 
   /** Stop the owning query. Shares the lifecycle posture of
     * [[start]]: parks behind an open maintenance window so the
@@ -118,6 +127,16 @@ final class ArtifactMaintainer(owner: Option[() => StreamingQuery] = None) {
     * leaves its artifact live).
     */
   def maintain(tasks: Seq[Task]): Report = {
+    // reentrancy refusal, not a deadlock: this thread holding the
+    // SHARED side (inside withAccess/start/stop/drain) can never be
+    // granted the exclusive lock — a fair ReentrantReadWriteLock does
+    // not upgrade — so the write-lock acquire below would self-block
+    // forever with no error. Name the mistake instead.
+    require(lock.getReadHoldCount == 0,
+      "maintain() called while this thread holds the shared artifact lock " +
+        "(inside withAccess/start/stop/drain): read -> write upgrade is " +
+        "impossible on the fair lock, so this would self-deadlock — run the " +
+        "maintenance window outside the access scope")
     val w0 = System.nanoTime()
     lock.writeLock().lock()
     try {
@@ -359,8 +378,8 @@ object ArtifactMaintainer {
       () => {
         import org.apache.spark.sql.functions.{col, max}
         val sim = graft.operators.Similarity
-        val sat = sim.ivfSqSaturationFromStats(spark, indexPath)
-          .getOrElse(sim.ivfSqSaturation(spark, indexPath))
+        val stats = sim.ivfSqSaturationFromStats(spark, indexPath)
+        val sat = stats.getOrElse(sim.ivfSqSaturation(spark, indexPath))
           .agg(max(col("sat_pm"))).collect()(0).getLong(0)
         if (sat > satPm) Some(s"bounds saturation ${sat}pm past ${satPm}pm")
         // saturation just measured clean — disable it in the combined
@@ -368,8 +387,25 @@ object ArtifactMaintainer {
         else if (sim.ivfSqNeedsRebuild(spark, indexPath, rebuildPm,
             satPm = Long.MaxValue))
           Some(s"list balance past ${rebuildPm}pm of uniform share")
+        // healthy but LEGACY (no stats sidecar): this poll just paid
+        // the O(rows) codes scan, and every future poll would too —
+        // self-heal by scheduling the restamp (the existing repair
+        // verb) into the window this trigger opens; subsequent polls
+        // answer from the O(dim) sidecar
+        else if (stats.isEmpty)
+          Some("legacy stats-less artifact (this poll scanned the codes) — " +
+            "restamping ivfsq_stats so subsequent polls are O(dim)")
         else None
       },
-      sqRebuildTask(indexPath, corpus, rebuildPm, satPm, trainFraction,
-        recallQueries, k, nprobe, minRecallRatio, minRecallAbs))
+      {
+        val inner = sqRebuildTask(indexPath, corpus, rebuildPm, satPm,
+          trainFraction, recallQueries, k, nprobe, minRecallRatio, minRecallAbs)
+        Task(inner.name) { () =>
+          val sim = graft.operators.Similarity
+          val healed =
+            if (sim.ivfSqHasStats(spark, indexPath)) ""
+            else { sim.ivfSqStatsRestamp(spark, indexPath); "stats restamped; " }
+          healed + inner.run()
+        }
+      })
 }

@@ -1,0 +1,188 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import graft.operators.Similarity
+import graft.plans.CheckpointHygiene
+import graft.sources.ArtifactMaintainer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 seams: the exact (data-driven) embedCovariance overflow
+  * guard, the per-row ragged-vector refusals inside every encode
+  * kernel, maintain() reentrancy refusal, drain() under the shared
+  * lock, mmrRerank in-loop checkpoint hygiene, the SQ8 legacy
+  * stats-sidecar self-heal, and the PCA rotation staleness loop.
+  */
+class Round15OpsSpec extends AnyFunSuite with SharedSpark {
+
+  private def tmpIdx(prefix: String): String =
+    new java.io.File(
+      java.nio.file.Files.createTempDirectory(prefix).toFile, "idx").getPath
+
+  private def causeChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  /** Deterministic small corpus: 32 vectors, dim 8, values in [-1, 1]. */
+  private def smallCorpus(seed: Int = 1501, n: Int = 32, dim: Int = 8) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong,
+        Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").coalesce(1).localCheckpoint()
+  }
+
+  // ------------------------------------------------------------------
+  // embedCovariance: exact overflow guard
+  // ------------------------------------------------------------------
+
+  test("embedCovariance: magnitudes that could wrap the BIGINT product sum refuse; sane data passes") {
+    import spark.implicits._
+    // |x| = 1024 -> |code| = 2^30; 16 rows * (2^30)^2 = 2^64 > Long.Max
+    val hot = (0 until 16).map(i => (i.toLong, Seq.fill(4)(1024.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.embedCovariance(hot, dim = 4)
+    }
+    assert(ex.getMessage.contains("overflow"), ex.getMessage)
+    assert(ex.getMessage.contains("WRAP"), ex.getMessage)
+    // the SAME row count with unit-scale values is fine (the guard is
+    // data-driven, not a blanket magnitude ban)
+    val cov = Similarity.embedCovariance(smallCorpus(dim = 4).limit(16), dim = 4)
+    assert(cov.count() == 10L) // 4*(4+1)/2 dimension pairs
+  }
+
+  // ------------------------------------------------------------------
+  // ragged-vector refusals inside the encode kernels
+  // ------------------------------------------------------------------
+
+  test("ragged corpus rows refuse inside SQ8 / PQ / residual-PQ encode and pcaProject (named message, no silent slice)") {
+    import spark.implicits._
+    // first row has the artifact dim (so the O(1) frame-level sample
+    // passes), a later row is LONGER — the slice hazard
+    val ragged = Seq(
+      (0L, Seq.fill(8)(0.1f)),
+      (1L, Seq.fill(9)(0.2f)),
+      (2L, Seq.fill(8)(0.3f))).toDF("vec_id", "embedding").coalesce(1)
+    val cents = Array.tabulate(2)(c => Similarity.ivfCentroidSql(c, 8))
+    val sqEx = intercept[Exception] {
+      Similarity.ivfSqIndex(ragged, dim = 8, lists = 2,
+        centroids = Some(cents),
+        bounds = Some((Array.fill(8)(-1.0), Array.fill(8)(1.0))))
+        .select("codes").collect()
+    }
+    assert(causeChain(sqEx).exists(_.contains("ragged")), causeChain(sqEx))
+    val pqEx = intercept[Exception] {
+      Similarity.ivfPqIndex(ragged, dim = 8, lists = 2, m = 2, codes = 4)
+        .select("codes").collect()
+    }
+    assert(causeChain(pqEx).exists(_.contains("ragged")), causeChain(pqEx))
+    val resEx = intercept[Exception] {
+      Similarity.ivfPqIndex(ragged, dim = 8, lists = 2, m = 2, codes = 4,
+        residual = true).select("codes").collect()
+    }
+    // the residual path hits the IVF assign kernel first (codes need
+    // the list id) — still a NAMED ragged refusal, not a raw overrun
+    assert(causeChain(resEx).exists(_.contains("ragged")), causeChain(resEx))
+    val rot = Array.tabulate(2, 8)((r, c) => if (r == c) 1.0 else 0.0)
+    val pcaEx = intercept[Exception] {
+      Similarity.pcaProject(ragged, rot).select("embedding").collect()
+    }
+    assert(causeChain(pcaEx).exists(_.contains("ragged")), causeChain(pcaEx))
+  }
+
+  // ------------------------------------------------------------------
+  // maintainer: reentrancy refusal + drain under the shared lock
+  // ------------------------------------------------------------------
+
+  test("maintain() inside withAccess refuses by name instead of self-deadlocking on the fair lock") {
+    val m = new ArtifactMaintainer()
+    m.withAccess {
+      val ex = intercept[IllegalArgumentException] {
+        m.maintain(Seq(ArtifactMaintainer.Task("noop")(() => "noop")))
+      }
+      assert(ex.getMessage.contains("self-deadlock"), ex.getMessage)
+    }
+    // outside the access scope the same window runs fine
+    val rep = m.maintain(Seq(ArtifactMaintainer.Task("noop")(() => "ok")))
+    assert(rep.tasks.map(_.summary) == Seq("ok"))
+  }
+
+  test("drain() parks behind an open maintenance window (shared lock) instead of racing the quiesce") {
+    val m = new ArtifactMaintainer()
+    val windowOpen = new CountDownLatch(1)
+    val windowHold = new CountDownLatch(1)
+    val t = new Thread(() => {
+      m.maintain(Seq(ArtifactMaintainer.Task("hold") { () =>
+        windowOpen.countDown()
+        assert(windowHold.await(30, TimeUnit.SECONDS)); "held"
+      }))
+    })
+    t.start()
+    assert(windowOpen.await(30, TimeUnit.SECONDS))
+    @volatile var drainDoneAt = 0L
+    val d = new Thread(() => { m.drain(); drainDoneAt = System.nanoTime() })
+    d.start()
+    // the drain must NOT complete while the window is open
+    Thread.sleep(300)
+    assert(drainDoneAt == 0L, "drain() returned inside an open maintenance window")
+    val releasedAt = System.nanoTime()
+    windowHold.countDown()
+    t.join(30000); d.join(30000)
+    assert(drainDoneAt >= releasedAt, "drain() must resume only after the window closes")
+  }
+
+  // ------------------------------------------------------------------
+  // mmrRerank: in-loop checkpoint hygiene
+  // ------------------------------------------------------------------
+
+  test("mmrRerank frees superseded per-step checkpoints and its working frames (only the returned frame stays)") {
+    val sc = spark.sparkContext
+    val corpus = smallCorpus()
+    val queries = corpus.filter(col("vec_id") < 2)
+    val before = sc.getPersistentRDDs.keySet
+    for (_ <- 1 to 3) {
+      val cand = Similarity.topKCosine(corpus, queries, k = 8)
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+      val out = Similarity.mmrRerank(cand, corpus, k = 4)
+      assert(out.count() == 8L) // 2 queries x 4 picks
+      CheckpointHygiene.free(out)
+    }
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"mmrRerank leaked persistent RDDs: $leaked")
+  }
+
+  // ------------------------------------------------------------------
+  // SQ8 legacy stats self-heal
+  // ------------------------------------------------------------------
+
+  test("sqRebuildDue self-heals a legacy stats-less artifact: one scan poll, restamp in the window, O(dim) after") {
+    val dir = tmpIdx("sq_legacy_heal")
+    val corpus = smallCorpus(seed = 1502)
+    Similarity.ivfSqIndexWrite(corpus, dir, dim = 8, lists = 2)
+    assert(Similarity.ivfSqHasStats(spark, dir))
+    // forge a pre-stats artifact: drop the sidecar the write stamped
+    val side = new java.io.File(dir,
+      graft.sources.ArtifactHeader.sidecarName("ivfsq_stats"))
+    assert(side.delete(), s"fixture: could not delete $side")
+    assert(!Similarity.ivfSqHasStats(spark, dir))
+    val m = new ArtifactMaintainer()
+    val due = ArtifactMaintainer.sqRebuildDue(spark, dir, () => corpus,
+      rebuildPm = 100000L, satPm = 1000000L) // health signals never trip
+    val rep = m.maintainIfDue(Seq(due))
+    assert(rep.isDefined, "legacy artifact must schedule its own restamp")
+    assert(rep.get.tasks.exists(_.summary.contains("stats restamped")),
+      rep.get.tasks.map(_.summary).mkString("; "))
+    assert(Similarity.ivfSqHasStats(spark, dir))
+    // restamped == scan (the sidecar is DERIVED acceleration)
+    val fromStats = Similarity.ivfSqSaturationFromStats(spark, dir).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fromScan = Similarity.ivfSqSaturation(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fromStats == fromScan)
+    // healthy AND healed: the next poll opens no window at all
+    assert(m.maintainIfDue(Seq(due)).isEmpty)
+  }
+}
