@@ -1047,6 +1047,21 @@ object SparkEntry {
     "q_embed_cov" -> ((s, dir) =>
       Similarity.embedCovariance(t(s, dir, "embeddings"), dim = 64)),
 
+    // the basis staleness AUDIT's algebra oracle-gated on a drifted
+    // frame: pcaCaptureAudit consumes exactly this — the covariance
+    // sums of a fresh bounded sample of a corpus whose variance has
+    // MOVED (simulated here by list reversal, a deterministic basis
+    // rotation both engines express), sampled via the static
+    // hash-threshold convention (trainFraction = 0.25 -> 2^60/4, the
+    // q_ann_ivf_sampled constant). The capture ratio itself is
+    // deterministic driver arithmetic over these gated sums (the
+    // jacobiEigen convention); the rebuild it triggers is spec-held
+    "q_pca_drift_cov" -> ((s, dir) =>
+      Similarity.embedCovariance(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          reverse(col("embedding")).as("embedding")),
+        dim = 64, trainFraction = 0.25)),
+
     // scale-path ANN (product quantization + ADC): base vectors
     // reduced to 8 code bytes, queries score through a fixed-point
     // lookup table — codebooks are md5-salted so the ENTIRE index
@@ -3290,6 +3305,18 @@ object SparkEntry {
       """WITH v AS (SELECT list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
         |  FROM embeddings),
+        |p AS (SELECT i.i - 1 AS i, j.j - 1 AS j, v.q[i.i] AS a, v.q[j.j] AS b
+        |  FROM v, (SELECT unnest(range(1, 65)) AS i) i,
+        |       (SELECT unnest(range(1, 65)) AS j) j
+        |  WHERE j.j >= i.i)
+        |SELECT i, j, CAST(count(*) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS s_a,
+        |  CAST(sum(b) AS BIGINT) AS s_b, CAST(sum(a * b) AS BIGINT) AS s_ab
+        |FROM p GROUP BY i, j""".stripMargin,
+    "q_pca_drift_cov" ->
+      """WITH v AS (SELECT list_transform(list_reverse(embedding),
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        |  FROM embeddings
+        |  WHERE ('0x' || substr(md5('kmtrain|' || vec_id), 1, 15))::BIGINT < 288230376151711744),
         |p AS (SELECT i.i - 1 AS i, j.j - 1 AS j, v.q[i.i] AS a, v.q[j.j] AS b
         |  FROM v, (SELECT unnest(range(1, 65)) AS i) i,
         |       (SELECT unnest(range(1, 65)) AS j) j

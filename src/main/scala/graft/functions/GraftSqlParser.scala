@@ -353,14 +353,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         if (graft.sources.ArtifactHeader.read(session, path, "ivfsq").isDefined)
           sim.ivfSqRebuildIfNeeded(annCorpus(dir), path)
         else graft.sources.ArtifactHeader.read(session, path, "pcarot") match {
-          // a PCA artifact holds PROJECTED vectors: rebuild retrains
-          // the quantizers IN projection space under the stored
-          // rotation (the swap carries the pcarot sidecar); the
-          // rotation itself retrains only via a fresh BUILD
+          // a PCA artifact audits BASIS-first (capture drift — a basis
+          // rebuild retrains rotation AND quantizers); a healthy basis
+          // falls through to the quantizer-balance audit IN projection
+          // space under the stored rotation (that swap carries the
+          // pcarot sidecar). Legacy pcarot without a capture baseline
+          // skips the basis audit (pcaCaptureRestamp is the repair).
           case Some(kv) =>
-            sim.ivfPqRebuildIfNeeded(
-              sim.pcaProject(annCorpus(dir), sim.pcaRotationAt(session, path)),
-              path)
+            val raw = annCorpus(dir)
+            val basis =
+              if (sim.pcaHasCaptureBaseline(session, path))
+                sim.pcaIvfPqRebuildIfNeeded(raw, path)
+              else None
+            basis.orElse(sim.ivfPqRebuildIfNeeded(
+              sim.pcaProject(raw, sim.pcaRotationAt(session, path)), path))
           case None => sim.ivfPqRebuildIfNeeded(annCorpus(dir), path)
         }
       Seq((rep.isDefined, rep.map(_.rowsBefore).getOrElse(-1L),

@@ -2975,9 +2975,25 @@ object Similarity {
                   trainSample: Int = 0, trainFraction: Double = 0.0)
       : Array[Array[Double]] = {
     require(outDim >= 1 && outDim <= dim, s"outDim=$outDim must be in [1, $dim]")
+    jacobiEigen(covarianceMatrix(embeddings, dim, idCol, vecCol,
+      trainSample, trainFraction))._2.take(outDim)
+  }
+
+  /** The covariance matrix assembled on the driver from
+    * [[embedCovariance]]'s exact integer sums — the shared input of
+    * rotation TRAINING ([[pcaRotation]]) and the staleness AUDIT
+    * ([[pcaCaptureAudit]]), one function so the two can never diverge
+    * in how they derive C from the gated sums.
+    */
+  private[graft] def covarianceMatrix(embeddings: DataFrame, dim: Int,
+                                      idCol: String = "vec_id",
+                                      vecCol: String = "embedding",
+                                      trainSample: Int = 0,
+                                      trainFraction: Double = 0.0)
+      : Array[Array[Double]] = {
     val sums = embedCovariance(embeddings, dim, idCol, vecCol,
       trainSample, trainFraction).collect()
-    require(sums.nonEmpty, "pcaRotation: empty training frame")
+    require(sums.nonEmpty, "covarianceMatrix: empty training frame")
     val scale = 1048576.0
     val n = sums.head.getLong(2).toDouble
     val cov = Array.ofDim[Double](dim, dim)
@@ -2988,7 +3004,41 @@ object Similarity {
       val c = (sab / n - (sa / n) * (sb / n)) / (scale * scale)
       cov(i)(j) = c; cov(j)(i) = c
     }
-    jacobiEigen(cov)._2.take(outDim)
+    cov
+  }
+
+  /** Variance capture of a rotation against a covariance matrix, in
+    * per-mille: `1000 * sum_r(r^T C r) / trace(C)` — how much of the
+    * data's variance the rotation's row space retains. For the exact
+    * top-`outDim` eigenbasis this equals the eigenvalue mass ratio;
+    * for a STALE rotation against a DRIFTED covariance it drops —
+    * which is precisely the index-quality signal the staleness audit
+    * polls. Deterministic driver arithmetic over the oracle-gated
+    * covariance sums (the [[jacobiEigen]] convention); clamped to
+    * [0, 1000] against float assembly noise. A zero-variance corpus
+    * (trace 0) captures trivially: there is no basis question to ask.
+    */
+  private[graft] def capturePm(rot: Array[Array[Double]],
+                               cov: Array[Array[Double]]): Long = {
+    val dim = cov.length
+    var tr = 0.0
+    var i = 0
+    while (i < dim) { tr += cov(i)(i); i += 1 }
+    if (tr <= 0.0) 1000L
+    else {
+      var cap = 0.0
+      rot.foreach { r =>
+        var a = 0
+        while (a < dim) {
+          var row = 0.0
+          var b = 0
+          while (b < dim) { row += cov(a)(b) * r(b); b += 1 }
+          cap += r(a) * row
+          a += 1
+        }
+      }
+      math.max(0L, math.min(1000L, math.round(1000.0 * cap / tr)))
+    }
   }
 
   /** Project embeddings through a PCA rotation — one per-row matrix
@@ -3033,8 +3083,14 @@ object Similarity {
     require(outDim % m == 0,
       s"outDim=$outDim must split into m=$m equal PQ subspaces")
     val spark = embeddings.sparkSession
-    val rot = pcaRotation(embeddings, dim, outDim, idCol, vecCol,
+    val cov = covarianceMatrix(embeddings, dim, idCol, vecCol,
       trainSample, trainFraction)
+    val rot = jacobiEigen(cov)._2.take(outDim)
+    // training-time variance capture of the stored rotation — the
+    // baseline the staleness audit ([[pcaCaptureAudit]]) compares a
+    // fresh sample's capture against; stamped WITH the rotation so the
+    // basis carries its own quality reference
+    val trainCapture = capturePm(rot, cov)
     val proj = pcaProject(embeddings, rot, idCol, vecCol)
     // trainQuantizers = the production posture (what ivfPqRebuild
     // would install): data-seeded learned centroids + codebooks
@@ -3057,7 +3113,8 @@ object Similarity {
       outDim, lists, m, codes, idCol, vecCol, cOpt, cbOpt, residual = residual)
     graft.sources.ArtifactHeader.write(spark, indexPath, "pcarot", Seq(
       "dim" -> dim.toString, "out_dim" -> outDim.toString,
-      "rotation" -> encodeMatrix(rot)))
+      "rotation" -> encodeMatrix(rot),
+      "capture_pm" -> trainCapture.toString))
     n
   }
 
@@ -3130,4 +3187,268 @@ object Similarity {
       s"$what: pcarot header at $indexPath disagrees with its own dims")
     rot
   }
+
+  // ------------------------------------------------------------------
+  // PCA rotation staleness: the one index-quality signal appends and
+  // quantizer rebuilds cannot see. The rotation is stamped once and
+  // deliberately carried through every quantizer retrain — but nothing
+  // above this block ever asks "does this basis still capture the
+  // data?", so on a drifted corpus the PROJECTED index degrades with
+  // every other audit green. The audit below is one covariance
+  // aggregate over a bounded fresh sample (q_embed_cov's oracle-gated
+  // BIGINT algebra) compared against the training-time capture the
+  // write path stamps; the rebuild retrains rotation AND quantizers
+  // through the same verify-before-swap discipline as ivfPqRebuild.
+  // ------------------------------------------------------------------
+
+  /** The basis staleness audit: variance capture of the STORED
+    * rotation measured on a fresh deterministic sample of the RAW
+    * corpus, against the header-stamped training-time baseline.
+    * Returns `(storedCapturePm, freshCapturePm)` — a fresh value well
+    * below the stored one means the data's variance has rotated out of
+    * the basis the index projects through, and every vector indexed
+    * since is losing signal the quantizer audits cannot measure.
+    *
+    * Cost contract: ONE [[embedCovariance]] aggregate over the sample
+    * (dim^2 generated rows per sampled vector, map-side combined into
+    * dim*(dim+1)/2 output rows) + an O(outDim * dim^2) driver fold —
+    * bounded like every trainer here via `trainSample`/`trainFraction`.
+    * A pre-capture-stamp artifact refuses with guidance
+    * ([[pcaCaptureRestamp]] is the repair verb; the restamped baseline
+    * is the CURRENT corpus — drift before the restamp is unknowable).
+    */
+  def pcaCaptureAudit(corpus: DataFrame, indexPath: String,
+                      trainSample: Int = 0, trainFraction: Double = 0.0,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): (Long, Long) = {
+    val spark = corpus.sparkSession
+    val kv = graft.sources.ArtifactHeader.read(spark, indexPath, "pcarot")
+      .getOrElse(sys.error(s"pcaCaptureAudit: no pcarot header at $indexPath — " +
+        "only a PCA-composed artifact has a basis to audit"))
+    val rot = pcaRotationAt(spark, indexPath, "pcaCaptureAudit")
+    val stored = kv.get("capture_pm").map(_.toLong).getOrElse(
+      sys.error(s"pcaCaptureAudit: pcarot header at $indexPath predates the " +
+        "capture baseline — restamp it with pcaCaptureRestamp (the new baseline " +
+        "is the current corpus; drift before the restamp cannot be recovered)"))
+    requireCorpusDim(corpus, rot.head.length, indexPath, vecCol, "pcaCaptureAudit")
+    val cov = covarianceMatrix(corpus, rot.head.length, idCol, vecCol,
+      trainSample, trainFraction)
+    (stored, capturePm(rot, cov))
+  }
+
+  /** Stamp (or re-stamp) the capture baseline of a pcarot sidecar from
+    * the current corpus — the repair verb for artifacts written before
+    * the baseline existed, mirroring [[ivfSqStatsRestamp]]. Returns
+    * the stamped per-mille value.
+    */
+  def pcaCaptureRestamp(corpus: DataFrame, indexPath: String,
+                        trainSample: Int = 0, trainFraction: Double = 0.0,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Long = {
+    val spark = corpus.sparkSession
+    val kv = graft.sources.ArtifactHeader.read(spark, indexPath, "pcarot")
+      .getOrElse(sys.error(s"pcaCaptureRestamp: no pcarot header at $indexPath"))
+    val rot = pcaRotationAt(spark, indexPath, "pcaCaptureRestamp")
+    val cov = covarianceMatrix(corpus, rot.head.length, idCol, vecCol,
+      trainSample, trainFraction)
+    val c = capturePm(rot, cov)
+    graft.sources.ArtifactHeader.write(spark, indexPath, "pcarot",
+      ((kv - "capture_pm").toSeq :+ ("capture_pm" -> c.toString)))
+    c
+  }
+
+  /** Whether the pcarot sidecar carries a capture baseline — the
+    * legacy detector a maintainer's due check uses to schedule
+    * [[pcaCaptureRestamp]].
+    */
+  def pcaHasCaptureBaseline(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): Boolean =
+    graft.sources.ArtifactHeader.read(spark, indexPath, "pcarot")
+      .exists(_.contains("capture_pm"))
+
+  /** The basis retrain trigger a periodic maintainer polls: true when
+    * the fresh sample's capture has fallen below `driftRatioPm`
+    * thousandths of the stored training-time baseline (default 900 —
+    * a 10% relative loss of retained variance). Ratio-of-baseline, not
+    * an absolute floor: a corpus whose intrinsic dimensionality needs
+    * more than outDim dims has a LOW baseline by design, and only the
+    * DROP signals drift.
+    */
+  def pcaNeedsRebuild(corpus: DataFrame, indexPath: String,
+                      driftRatioPm: Long = 900L,
+                      trainSample: Int = 0, trainFraction: Double = 0.0,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Boolean = {
+    val (stored, fresh) = pcaCaptureAudit(corpus, indexPath,
+      trainSample, trainFraction, idCol, vecCol)
+    fresh * 1000L < driftRatioPm * stored
+  }
+
+  /** EXECUTE the rebuild [[pcaNeedsRebuild]] decides — the full-stack
+    * retrain the composed artifact's lifecycle was missing: a FRESH
+    * rotation from the current raw corpus (so the basis follows the
+    * drift), coarse centroids and PQ codebooks retrained IN THE NEW
+    * projection space (data-seeded, sample-bounded), every corpus
+    * vector re-projected and re-encoded in one scan, the new rotation
+    * stamped (with its new capture baseline) INTO the rewrite before
+    * any probe sees it — then the shared verify-before-swap: row count
+    * must equal the corpus, no silent shrink without `allowShrink`,
+    * and the optional recall gate measures what the composed artifact
+    * actually serves (probe through each generation's OWN rotation,
+    * exact [[topKDot]] ground truth over the RAW corpus and queries —
+    * the gate spans projection loss AND quantization loss, so a
+    * rebuild that fixed the basis but broke the quantizers still
+    * refuses). Failing verification deletes the tmp and leaves the
+    * live artifact — including its old rotation — untouched.
+    *
+    * From the swap on, a stale appender still projecting through the
+    * old rotation refuses at [[ivfPqIndexAppendAt]]'s generation
+    * backstop (the quantizer arrays changed with the basis), exactly
+    * like any cross-generation append.
+    */
+  def pcaIvfPqRebuild(corpus: DataFrame, indexPath: String,
+                      kmIters: Int = 2, pqIters: Int = 2,
+                      trainSample: Int = 0, trainFraction: Double = 0.0,
+                      recallQueries: Option[DataFrame] = None,
+                      k: Int = 5, nprobe: Int = 4,
+                      minRecallRatio: Double = 0.9,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      allowShrink: Boolean = false,
+                      minRecallAbs: Double = 0.0,
+                      maxRecallQueryRows: Long = DefaultMaxBenchRows)
+      : RebuildReport = {
+    val spark = corpus.sparkSession
+    val hdr = ivfPqRequireHeader(spark, indexPath,
+      "A rebuild of an artifact whose build parameters are unverifiable would " +
+        "guess — stamp it first (pcaIvfPqIndexWrite stamps both headers).")
+    val oldKv = graft.sources.ArtifactHeader.read(spark, indexPath, "pcarot")
+      .getOrElse(sys.error(s"pcaIvfPqRebuild: no pcarot header at $indexPath — " +
+        "a plain IVF-PQ artifact rebuilds via ivfPqRebuild (there is no basis " +
+        "to retrain)"))
+    val (dim, outDim) = (oldKv("dim").toInt, oldKv("out_dim").toInt)
+    recallQueries.foreach { q =>
+      val qRows =
+        q.limit(math.min(maxRecallQueryRows, Int.MaxValue - 1L).toInt + 1).count()
+      require(qRows > 0,
+        "pcaIvfPqRebuild: recallQueries is empty — the recall gate would verify " +
+          "nothing; pass None to skip it deliberately")
+      require(qRows <= maxRecallQueryRows,
+        s"pcaIvfPqRebuild: recallQueries has >$maxRecallQueryRows rows; the " +
+          "gate's exact ground truth is a broadcast nested-loop over corpus x " +
+          "queries (quadratic) — gate on a bounded query sample instead")
+    }
+    requireCorpusDim(corpus, dim, indexPath, vecCol, "pcaIvfPqRebuild")
+    val rowsBefore = spark.read.parquet(indexPath).count()
+
+    // fresh basis from the current corpus — the whole point; capture
+    // baseline computed against the SAME training covariance
+    val cov = covarianceMatrix(corpus, dim, idCol, vecCol,
+      trainSample, trainFraction)
+    val rot = jacobiEigen(cov)._2.take(outDim)
+    val freshCapture = capturePm(rot, cov)
+    val proj = pcaProject(corpus, rot, idCol, vecCol)
+    val cents = kmeansCentroids(proj, k = hdr.lists, iters = kmIters,
+      dim = outDim, idCol = idCol, vecCol = vecCol, trainSample = trainSample,
+      trainFraction = trainFraction, seedFromData = true)
+    val cbTrainFrame =
+      if (hdr.residual) residualFloatFrame(proj, cents, idCol, vecCol)
+      else proj
+    val cbs = pqLearnedCodebooks(cbTrainFrame, dim = outDim, m = hdr.m,
+      codes = hdr.codes, iters = pqIters, vecCol = vecCol, idCol = idCol,
+      trainSample = trainSample, trainFraction = trainFraction,
+      seedFromData = true)
+
+    val (fs, p) = hadoopFs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".rebuild.tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".rebuild.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val rowsAfter = ivfPqIndexWrite(proj, tmp.toString, outDim, hdr.lists,
+      hdr.m, hdr.codes, idCol, vecCol, Some(cents), Some(cbs),
+      residual = hdr.residual)
+    // the NEW rotation rides the rewrite from birth — the recall probe
+    // below and every post-swap consumer read it from the artifact
+    graft.sources.ArtifactHeader.write(spark, tmp.toString, "pcarot", Seq(
+      "dim" -> dim.toString, "out_dim" -> outDim.toString,
+      "rotation" -> encodeMatrix(rot),
+      "capture_pm" -> freshCapture.toString))
+
+    val corpusRows = corpus.count()
+    if (rowsAfter != corpusRows) {
+      fs.delete(tmp, true)
+      sys.error(s"pcaIvfPqRebuild: re-encoded artifact has $rowsAfter rows, " +
+        s"corpus has $corpusRows; artifact at $indexPath left untouched")
+    }
+    if (rowsAfter < rowsBefore && !allowShrink) {
+      fs.delete(tmp, true)
+      sys.error(s"pcaIvfPqRebuild: corpus has $rowsAfter rows but the live " +
+        s"artifact at $indexPath has $rowsBefore — a rebuild from a partial " +
+        "corpus would DROP vectors. Pass the full corpus (did appends land " +
+        "since this snapshot?), or allowShrink = true if the shrink is " +
+        "deliberate; artifact left untouched")
+    }
+    val (recallBefore, recallAfter) = recallQueries match {
+      case None => (Double.NaN, Double.NaN)
+      case Some(q) =>
+        // exact ground truth over the RAW space, once for both sides —
+        // each generation probes through its OWN rotation, so the gate
+        // measures the served end-to-end ranking (projection loss
+        // included), not just the quantizer half
+        val exact = topKDot(corpus, q, k, idCol, vecCol).localCheckpoint()
+        def meanRecall(path: String): Double =
+          annRecall(exact,
+              annPcaIvfPqProbeAt(spark, path, q, k, nprobe, idCol, vecCol), k)
+            .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        val before = meanRecall(indexPath)
+        val after = meanRecall(tmp.toString)
+        graft.plans.CheckpointHygiene.free(exact)
+        if (after < minRecallRatio * before) {
+          fs.delete(tmp, true)
+          sys.error(f"pcaIvfPqRebuild: retrained recall@$k $after%.4f fell " +
+            f"below $minRecallRatio x stale recall $before%.4f; artifact at " +
+            s"$indexPath left untouched — inspect the training sample or " +
+            "iterations")
+        }
+        if (after < minRecallAbs || (before == 0.0 && after <= minRecallAbs)) {
+          fs.delete(tmp, true)
+          sys.error(f"pcaIvfPqRebuild: retrained recall@$k $after%.4f did not " +
+            f"clear the absolute floor $minRecallAbs%.4f (stale recall " +
+            f"$before%.4f" +
+            (if (before == 0.0) " — the relative gate proves nothing" else "") +
+            s"); artifact at $indexPath left untouched — the retrain did not " +
+            "recover the drifted region")
+        }
+        (before, after)
+    }
+    // fresh pcarot/ivfpq headers already in tmp win over the carried
+    // stale ones (carrySidecars copies only names tmp lacks)
+    carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
+    artifactSwap(fs, p, tmp, old, "pcaIvfPqRebuild")
+    RebuildReport(rowsBefore, rowsAfter, recallBefore, recallAfter)
+  }
+
+  /** One-call maintenance step for the composed artifact's BASIS: poll
+    * [[pcaNeedsRebuild]] and EXECUTE [[pcaIvfPqRebuild]] when the
+    * capture audit trips. Returns None on a healthy basis (nothing
+    * touched). Quantizer-balance staleness of the same artifact stays
+    * with [[ivfPqRebuildIfNeeded]] over the PROJECTED corpus — a basis
+    * rebuild retrains the quantizers anyway, so a maintainer composes
+    * the two as basis-first.
+    */
+  def pcaIvfPqRebuildIfNeeded(corpus: DataFrame, indexPath: String,
+                              driftRatioPm: Long = 900L,
+                              kmIters: Int = 2, pqIters: Int = 2,
+                              trainSample: Int = 0, trainFraction: Double = 0.0,
+                              recallQueries: Option[DataFrame] = None,
+                              k: Int = 5, nprobe: Int = 4,
+                              minRecallRatio: Double = 0.9,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              allowShrink: Boolean = false,
+                              minRecallAbs: Double = 0.0): Option[RebuildReport] =
+    if (!pcaNeedsRebuild(corpus, indexPath, driftRatioPm, trainSample,
+        trainFraction, idCol, vecCol)) None
+    else Some(pcaIvfPqRebuild(corpus, indexPath, kmIters, pqIters,
+      trainSample, trainFraction, recallQueries, k, nprobe, minRecallRatio,
+      idCol, vecCol, allowShrink, minRecallAbs))
 }

@@ -408,4 +408,87 @@ object ArtifactMaintainer {
           healed + inner.run()
         }
       })
+
+  /** Basis-staleness-audited rebuild of a PCA-composed artifact —
+    * [[graft.operators.Similarity.pcaIvfPqRebuildIfNeeded]] under the
+    * window contract: retrains the ROTATION as well as both
+    * quantizers, the one maintenance verb the quantizer-only twins
+    * above cannot substitute for (they carry the stale basis through
+    * every swap).
+    */
+  def pcaRebuildTask(indexPath: String, corpus: () => DataFrame,
+                     driftRatioPm: Long = 900L,
+                     trainSample: Int = 0, trainFraction: Double = 0.0,
+                     recallQueries: Option[DataFrame] = None,
+                     k: Int = 5, nprobe: Int = 4,
+                     minRecallRatio: Double = 0.9,
+                     minRecallAbs: Double = 0.0): Task =
+    Task(s"pca_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
+      graft.operators.Similarity.pcaIvfPqRebuildIfNeeded(corpus(), indexPath,
+        driftRatioPm, trainSample = trainSample, trainFraction = trainFraction,
+        recallQueries = recallQueries, k = k, nprobe = nprobe,
+        minRecallRatio = minRecallRatio, minRecallAbs = minRecallAbs) match {
+        case None => "basis healthy — no rebuild"
+        case Some(r) =>
+          f"rotation + quantizers rebuilt, rows ${r.rowsBefore} -> " +
+            f"${r.rowsAfter}, recall ${r.recallBefore}%.4f -> ${r.recallAfter}%.4f"
+      }
+    }
+
+  /** The basis drift trigger: due when the stored rotation's variance
+    * capture on a fresh corpus sample falls below `driftRatioPm`
+    * thousandths of its header-stamped training-time baseline
+    * ([[graft.operators.Similarity.pcaCaptureAudit]]). UNLIKE the
+    * listing/header triggers above, this audit aggregates over a
+    * corpus SAMPLE — so the due check REQUIRES a bound
+    * (`trainSample`/`trainFraction`), keeping the poll cost fixed at
+    * any corpus size. A legacy pcarot without a capture baseline
+    * self-heals: the poll schedules
+    * [[graft.operators.Similarity.pcaCaptureRestamp]] into the window
+    * it opens (baseline = the current corpus; earlier drift is
+    * unknowable), mirroring the SQ8 stats restamp.
+    */
+  def pcaRebuildDue(spark: SparkSession, indexPath: String,
+                    corpus: () => DataFrame,
+                    driftRatioPm: Long = 900L,
+                    trainSample: Int = 0, trainFraction: Double = 0.0,
+                    recallQueries: Option[DataFrame] = None,
+                    k: Int = 5, nprobe: Int = 4,
+                    minRecallRatio: Double = 0.9,
+                    minRecallAbs: Double = 0.0): DueCheck = {
+    require(trainSample > 0 || trainFraction > 0.0,
+      "pcaRebuildDue: the per-poll capture audit must be sample-bounded — " +
+        "pass trainSample or trainFraction (an unbounded audit re-scans the " +
+        "full corpus every poll)")
+    val sim = graft.operators.Similarity
+    new DueCheck(s"pca_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}",
+      () => {
+        if (!sim.pcaHasCaptureBaseline(spark, indexPath))
+          Some("legacy pcarot without a capture baseline — restamping from " +
+            "the current corpus so drift is measurable from here on")
+        else {
+          val (stored, fresh) = sim.pcaCaptureAudit(corpus(), indexPath,
+            trainSample, trainFraction)
+          if (fresh * 1000L < driftRatioPm * stored)
+            Some(s"basis capture ${fresh}pm fell below " +
+              s"$driftRatioPm/1000 of baseline ${stored}pm")
+          else None
+        }
+      },
+      {
+        val inner = pcaRebuildTask(indexPath, corpus, driftRatioPm,
+          trainSample, trainFraction, recallQueries, k, nprobe,
+          minRecallRatio, minRecallAbs)
+        Task(inner.name) { () =>
+          val healed =
+            if (sim.pcaHasCaptureBaseline(spark, indexPath)) ""
+            else {
+              val c = sim.pcaCaptureRestamp(corpus(), indexPath,
+                trainSample, trainFraction)
+              s"capture baseline restamped at ${c}pm; "
+            }
+          healed + inner.run()
+        }
+      })
+  }
 }

@@ -185,4 +185,110 @@ class Round15OpsSpec extends AnyFunSuite with SharedSpark {
     // healthy AND healed: the next poll opens no window at all
     assert(m.maintainIfDue(Seq(due)).isEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // PCA rotation staleness loop
+  // ------------------------------------------------------------------
+
+  /** Basis-drift fixture: generation A concentrates variance in dims
+    * 0-1, generation B (4x the amplitude) in dims 6-7 — a rotation
+    * trained on A retains almost none of B's variance.
+    */
+  private def basisDrift() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1505)
+    def vec(hot: Seq[Int], amp: Double) = Seq.tabulate(8) { d =>
+      if (hot.contains(d)) ((rnd.nextDouble() * 2 - 1) * amp).toFloat
+      else ((rnd.nextDouble() * 2 - 1) * 0.02).toFloat
+    }
+    val genA = (0 until 96).map(i => (i.toLong, vec(Seq(0, 1), 1.0)))
+    val genB = (1000 until 1096).map(i => (i.toLong, vec(Seq(6, 7), 2.0)))
+    val probes = (5000 until 5008).map(i => (i.toLong, vec(Seq(6, 7), 2.0)))
+    (genA.toDF("vec_id", "embedding").localCheckpoint(),
+      genB.toDF("vec_id", "embedding").localCheckpoint(),
+      probes.toDF("vec_id", "embedding").localCheckpoint())
+  }
+
+  private def refineRecall(dir: String, corpus: DataFrame,
+                           probes: DataFrame): Double = {
+    val exact = Similarity.topKCosine(corpus, probes, k = 5)
+    val approx = Similarity.annPcaIvfPqRefineAt(spark, dir, corpus, probes,
+      k = 5, nprobe = 2, rerank = 16)
+    Similarity.annRecall(exact, approx, 5)
+      .agg(avg(col("recall"))).collect()(0).getDouble(0)
+  }
+
+  test("PCA basis drift trips the capture audit; rebuild retrains rotation + quantizers, restores refine-recall, appends resume") {
+    val dir = tmpIdx("pca_staleness")
+    val (genA, genB, probes) = basisDrift()
+    Similarity.pcaIvfPqIndexWrite(genA, dir, dim = 8, outDim = 2,
+      lists = 2, m = 2, codes = 8)
+    // freshly trained: capture at (or within noise of) its baseline
+    val (stored0, fresh0) = Similarity.pcaCaptureAudit(genA, dir)
+    assert(stored0 > 900L, s"fixture: baseline capture $stored0 should be high")
+    assert(!Similarity.pcaNeedsRebuild(genA, dir), s"fresh $fresh0 vs $stored0")
+    // drifted generation lands through the appender (projected via the
+    // STALE rotation — exactly the silent-degradation scenario)
+    assert(Similarity.pcaIvfPqIndexAppendAt(genB, dir) == 96L)
+    val grown = genA.unionByName(genB)
+    val (stored1, fresh1) = Similarity.pcaCaptureAudit(grown, dir)
+    assert(stored1 == stored0, "append must not touch the baseline")
+    assert(fresh1 * 1000L < 900L * stored1,
+      s"injected drift must trip the audit: fresh $fresh1 vs stored $stored1")
+    assert(Similarity.pcaNeedsRebuild(grown, dir))
+    val before = refineRecall(dir, grown, probes)
+    // the maintainer one-call: audit says rebuild, rebuild verifies
+    // recall on the drifted probes before swapping
+    val rep = Similarity.pcaIvfPqRebuildIfNeeded(grown, dir,
+      recallQueries = Some(probes), minRecallRatio = 0.0).get
+    assert(rep.rowsBefore == 192L && rep.rowsAfter == 192L)
+    assert(rep.recallAfter > rep.recallBefore,
+      s"gate: ${rep.recallBefore} -> ${rep.recallAfter}")
+    val after = refineRecall(dir, grown, probes)
+    assert(after > before && after >= 0.8,
+      s"rebuild must restore refine-recall: $before -> $after")
+    // the audit is green again and its baseline is the NEW basis
+    val (stored2, fresh2) = Similarity.pcaCaptureAudit(grown, dir)
+    assert(stored2 != stored0 && fresh2 == stored2,
+      s"rebuild re-stamps the baseline: $stored2 / $fresh2")
+    assert(!Similarity.pcaNeedsRebuild(grown, dir))
+    // appends resume through the new-generation headers (fresh
+    // rotation projects the new batch; idempotent admission holds)
+    val more = genB.withColumn("vec_id", col("vec_id") + 1000L)
+    assert(Similarity.pcaIvfPqIndexAppendAt(more, dir) == 96L)
+    assert(spark.read.parquet(dir).count() == 288L)
+    assert(Similarity.pcaIvfPqIndexAppendAt(more, dir) == 0L)
+  }
+
+  test("pcaRebuildDue self-heals a legacy pcarot without a capture baseline; bounded-audit refusal") {
+    val dir = tmpIdx("pca_legacy_heal")
+    val (genA, _, _) = basisDrift()
+    Similarity.pcaIvfPqIndexWrite(genA, dir, dim = 8, outDim = 2,
+      lists = 2, m = 2, codes = 8)
+    // forge a pre-baseline artifact: re-stamp pcarot without capture_pm
+    val kv = graft.sources.ArtifactHeader.read(spark, dir, "pcarot").get
+    graft.sources.ArtifactHeader.write(spark, dir, "pcarot",
+      (kv - "capture_pm").toSeq)
+    assert(!Similarity.pcaHasCaptureBaseline(spark, dir))
+    // the audit itself refuses with the repair verb named
+    val auditEx = intercept[RuntimeException] {
+      Similarity.pcaCaptureAudit(genA, dir)
+    }
+    assert(auditEx.getMessage.contains("pcaCaptureRestamp"), auditEx.getMessage)
+    // an unbounded due check refuses (per-poll audit must be sampled)
+    val boundEx = intercept[IllegalArgumentException] {
+      ArtifactMaintainer.pcaRebuildDue(spark, dir, () => genA)
+    }
+    assert(boundEx.getMessage.contains("sample-bounded"), boundEx.getMessage)
+    val m = new ArtifactMaintainer()
+    val due = ArtifactMaintainer.pcaRebuildDue(spark, dir, () => genA,
+      trainSample = 96)
+    val rep = m.maintainIfDue(Seq(due))
+    assert(rep.isDefined)
+    assert(rep.get.tasks.exists(_.summary.contains("baseline restamped")),
+      rep.get.tasks.map(_.summary).mkString("; "))
+    assert(Similarity.pcaHasCaptureBaseline(spark, dir))
+    // healed and healthy: next poll opens no window
+    assert(m.maintainIfDue(Seq(due)).isEmpty)
+  }
 }
