@@ -81,7 +81,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *        artifact property, not a query parameter; a pcarot sidecar
   *        marks the projected index)
   *   PROBE ANN INDEX '<path>' FROM '<dir>' ALLOWING <predicate>
-  *     -> annIvfPqProbeFilteredAt: filtered search — <predicate> is
+  *     -> annIvfPqProbeFilteredAt / annPcaIvfPqProbeFilteredAt
+  *        (header-kind dispatch like PROBE): filtered search — <predicate> is
   *        ordinary SQL over the embeddings table; its admitted ids
   *        become the allowed set and the k-cut is taken within it
   *   REBUILD ANN INDEX IF NEEDED '<path>' FROM '<dir>'
@@ -336,10 +337,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         session.read.parquet(s"$dir/embeddings.parquet"))
       val allowed = emb.filter(org.apache.spark.sql.functions.expr(pred))
         .select("vec_id")
-      graft.operators.Similarity.annIvfPqProbeFilteredAt(session, path,
-        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24),
-        allowed, k = 5)
-        .queryExecution.logical
+      val qs = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24)
+      // like PROBE, the filtered verb dispatches on the stored header
+      // kind — a pcarot artifact projects the queries through its own
+      // rotation (raw queries against projected rows score a different
+      // space silently)
+      val probed =
+        if (graft.sources.ArtifactHeader.read(session, path, "pcarot").isDefined)
+          graft.operators.Similarity.annPcaIvfPqProbeFilteredAt(session, path,
+            qs, allowed, k = 5)
+        else graft.operators.Similarity.annIvfPqProbeFilteredAt(session, path,
+          qs, allowed, k = 5)
+      probed.queryExecution.logical
     }
     case RebuildAnnIndex(path, dir) => wrapGraft(sqlText) {
       // the maintainer one-call: audit the persisted artifact's

@@ -1586,6 +1586,44 @@ object Similarity {
                       centroids: Option[Array[Array[Double]]] = None,
                       codebooks: Option[Array[Array[Array[Double]]]] = None,
                       allowedIds: Option[DataFrame] = None): DataFrame = {
+    // the dim guard below cannot catch a FULL-RANK rotation (outDim ==
+    // dim) — the pcarot presence check can, so every public non-PCA
+    // entry refuses here and the PCA wrappers go through the trusted
+    // internal after projecting
+    requireNotPca(spark, indexPath, "annIvfPqProbeAt", "annPcaIvfPqProbeAt")
+    ivfPqProbeAtTrusted(spark, indexPath, queries, k, nprobe, idCol, vecCol,
+      centroids, codebooks, allowedIds)
+  }
+
+  /** Refuse a plain probe/gate entry on a PCA-composed artifact — its
+    * rows are PROJECTED vectors, and a full-rank rotation (outDim ==
+    * dim) sails through every dim guard while scoring raw queries in
+    * the rotated basis (silent wrong neighbors). The pcarot sidecar's
+    * PRESENCE is the dispatch signal; `instead` names the entry that
+    * projects.
+    */
+  private def requireNotPca(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, what: String,
+                            instead: String): Unit =
+    require(
+      graft.sources.ArtifactHeader.read(spark, indexPath, "pcarot").isEmpty,
+      s"$what: the artifact at $indexPath carries a pcarot rotation — it holds " +
+        "PROJECTED vectors, and this entry would score the queries without " +
+        s"projecting them (wrong neighbors silently, even at full rank); use " +
+        s"$instead, which projects raw queries through the stored basis")
+
+  /** The probe body behind [[annIvfPqProbeAt]], reachable only from
+    * callers that already resolved the projection question (the PCA
+    * wrappers project first; the plain public entry refuses pcarot
+    * artifacts outright).
+    */
+  private def ivfPqProbeAtTrusted(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String,
+                                  queries: DataFrame, k: Int, nprobe: Int,
+                                  idCol: String, vecCol: String,
+                                  centroids: Option[Array[Array[Double]]],
+                                  codebooks: Option[Array[Array[Array[Double]]]],
+                                  allowedIds: Option[DataFrame]): DataFrame = {
     val hdr = ivfPqRequireHeader(spark, indexPath,
       "Write it with ivfPqIndexWrite/ivfPqIndexAppend (which stamp one), " +
         "or stamp it explicitly with ivfPqWriteHeader.")
@@ -1630,9 +1668,12 @@ object Similarity {
                               indexPath: String, queries: DataFrame,
                               allowedIds: DataFrame, k: Int, nprobe: Int = 4,
                               idCol: String = "vec_id",
-                              vecCol: String = "embedding"): DataFrame =
+                              vecCol: String = "embedding"): DataFrame = {
+    requireNotPca(spark, indexPath, "annIvfPqProbeFilteredAt",
+      "annPcaIvfPqProbeFilteredAt")
     annIvfPqProbeAt(spark, indexPath, queries, k, nprobe, idCol, vecCol,
       allowedIds = Some(allowedIds))
+  }
 
   /** [[annIvfPqRefineAt]] under a metadata filter: filtered ADC keeps
     * `rerank` allowed survivors per query, exact cosine re-ranks and
@@ -1644,11 +1685,14 @@ object Similarity {
                                queries: DataFrame, allowedIds: DataFrame,
                                k: Int, nprobe: Int = 4, rerank: Int = 32,
                                idCol: String = "vec_id",
-                               vecCol: String = "embedding"): DataFrame =
+                               vecCol: String = "embedding"): DataFrame = {
+    requireNotPca(spark, indexPath, "annIvfPqRefineFilteredAt",
+      "annPcaIvfPqRefineFilteredAt")
     refineExact(corpus,
       annIvfPqProbeAt(spark, indexPath, queries, k = rerank, nprobe, idCol,
         vecCol, allowedIds = Some(allowedIds)),
       queries, k, idCol, vecCol)
+  }
 
   /** List-balance audit of a (possibly append-grown) IVF-PQ artifact,
     * computed from the artifact ALONE — no corpus vectors touched.
@@ -1748,6 +1792,15 @@ object Similarity {
     // [[semanticContamination]]'s brute baseline — same bound, same
     // guidance (gate on a SAMPLE of queries, not the whole eval set).
     recallQueries.foreach { q =>
+      // the gate probes via the plain entry, which refuses pcarot
+      // artifacts — refuse HERE, before the expensive retrain, with
+      // the composed verb named (its gate probes through each
+      // generation's own rotation)
+      require(
+        graft.sources.ArtifactHeader.read(spark, indexPath, "pcarot").isEmpty,
+        s"ivfPqRebuild: the artifact at $indexPath is PCA-composed; gate its " +
+          "rebuild through pcaIvfPqRebuild (raw recall queries, projected per " +
+          "generation) — this quantizer-only path cannot probe it")
       val qRows =
         q.limit(math.min(maxRecallQueryRows, Int.MaxValue - 1L).toInt + 1).count()
       require(qRows > 0,
@@ -2079,10 +2132,12 @@ object Similarity {
   def annIvfPqRefineAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        corpus: DataFrame, queries: DataFrame, k: Int,
                        nprobe: Int = 4, rerank: Int = 32,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireNotPca(spark, indexPath, "annIvfPqRefineAt", "annPcaIvfPqRefineAt")
     refineExact(corpus,
       annIvfPqProbeAt(spark, indexPath, queries, k = rerank, nprobe, idCol, vecCol),
       queries, k, idCol, vecCol)
+  }
 
   /** The exact-refine kernel shared by the inline and artifact paths
     * (Faiss's IndexRefine): re-score the ADC survivors with TRUE
@@ -3128,9 +3183,43 @@ object Similarity {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     val rot = pcaRotationAt(spark, indexPath, "annPcaIvfPqProbeAt")
-    annIvfPqProbeAt(spark, indexPath, pcaProject(queries, rot, idCol, vecCol),
-      k, nprobe, idCol, vecCol)
+    ivfPqProbeAtTrusted(spark, indexPath,
+      pcaProject(queries, rot, idCol, vecCol),
+      k, nprobe, idCol, vecCol, None, None, None)
   }
+
+  /** Filtered search against the composed PCA artifact — the
+    * [[annIvfPqProbeFilteredAt]] semantics (top-k WITHIN the allowed
+    * set, pre-rank-cut restriction, pushdown-vs-semi-join crossover)
+    * with the stored rotation projecting the raw queries first. The
+    * allowed-id frame needs no projection: ids live outside the
+    * vector space.
+    */
+  def annPcaIvfPqProbeFilteredAt(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, queries: DataFrame,
+                                 allowedIds: DataFrame, k: Int, nprobe: Int = 4,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
+    val rot = pcaRotationAt(spark, indexPath, "annPcaIvfPqProbeFilteredAt")
+    ivfPqProbeAtTrusted(spark, indexPath,
+      pcaProject(queries, rot, idCol, vecCol),
+      k, nprobe, idCol, vecCol, None, None, Some(allowedIds))
+  }
+
+  /** [[annPcaIvfPqRefineAt]] under a metadata filter: filtered ADC in
+    * PCA space keeps `rerank` allowed survivors, exact cosine in the
+    * ORIGINAL space re-ranks and cuts to k.
+    */
+  def annPcaIvfPqRefineFilteredAt(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, corpus: DataFrame,
+                                  queries: DataFrame, allowedIds: DataFrame,
+                                  k: Int, nprobe: Int = 4, rerank: Int = 32,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame =
+    refineExact(corpus,
+      annPcaIvfPqProbeFilteredAt(spark, indexPath, queries, allowedIds,
+        k = rerank, nprobe, idCol, vecCol),
+      queries, k, idCol, vecCol)
 
   /** Search-as-shipped for the composed artifact: ADC candidates in
     * PCA space, exact-cosine refine in the ORIGINAL space (rerank
@@ -3145,8 +3234,9 @@ object Similarity {
                           vecCol: String = "embedding"): DataFrame = {
     val rot = pcaRotationAt(spark, indexPath, "annPcaIvfPqRefineAt")
     refineExact(corpus,
-      annIvfPqProbeAt(spark, indexPath, pcaProject(queries, rot, idCol, vecCol),
-        k = rerank, nprobe, idCol, vecCol),
+      ivfPqProbeAtTrusted(spark, indexPath,
+        pcaProject(queries, rot, idCol, vecCol),
+        k = rerank, nprobe, idCol, vecCol, None, None, None),
       queries, k, idCol, vecCol)
   }
 

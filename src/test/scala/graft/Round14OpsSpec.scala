@@ -669,10 +669,19 @@ class Round14OpsSpec extends AnyFunSuite with SharedSpark {
       k = 3, nprobe = 4, rerank = 300))
     assert(refined == rows(Similarity.topKCosine(corpus, probes, k = 3)))
     // probeAt == the inline composition bit-for-bit (the stored
-    // rotation IS the trained rotation)
+    // rotation IS the trained rotation). The plain probe refuses
+    // pcarot artifacts since r15, so the inline side builds the SAME
+    // index as a plain artifact over the projected corpus — identical
+    // shape params resolve identical salted quantizers
     val atPath = rows(Similarity.annPcaIvfPqProbeAt(spark, dir, probes, k = 3))
     val rot8 = Similarity.pcaRotation(corpus, dim = 16, outDim = 8)
-    val inline = rows(Similarity.annIvfPqProbeAt(spark, dir,
+    assert(rot8.flatMap(_.toSeq).sameElements(
+        Similarity.pcaRotationAt(spark, dir).flatMap(_.toSeq)),
+      "stored rotation must equal the (deterministic) retrained one")
+    val plain = tmpIdx("ann_pca_plain")
+    Similarity.ivfPqIndexWrite(Similarity.pcaProject(corpus, rot8), plain,
+      dim = 8, lists = 4, m = 8)
+    val inline = rows(Similarity.annIvfPqProbeAt(spark, plain,
       Similarity.pcaProject(probes, rot8), k = 3))
     assert(atPath == inline && atPath.nonEmpty)
 

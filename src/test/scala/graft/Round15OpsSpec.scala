@@ -291,4 +291,66 @@ class Round15OpsSpec extends AnyFunSuite with SharedSpark {
     // healed and healthy: next poll opens no window
     assert(m.maintainIfDue(Seq(due)).isEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // pcarot guard closure: presence, not dim mismatch, is the dispatch
+  // ------------------------------------------------------------------
+
+  test("FULL-RANK PCA artifacts refuse every plain probe/gate entry by pcarot presence; the PCA filtered probe is the in-set rank cut") {
+    val dir = tmpIdx("pca_fullrank_guard")
+    val corpus = smallCorpus(seed = 1506)
+    // outDim == dim: the dim guard alone can NEVER catch raw queries
+    Similarity.pcaIvfPqIndexWrite(corpus, dir, dim = 8, outDim = 8,
+      lists = 2, m = 2, codes = 8)
+    val probes = corpus.filter(col("vec_id") < 4)
+    def refusesPca(body: => Any): Unit = {
+      val ex = intercept[IllegalArgumentException](body)
+      assert(ex.getMessage.contains("pcarot"), ex.getMessage)
+    }
+    refusesPca(Similarity.annIvfPqProbeAt(spark, dir, probes, k = 3))
+    refusesPca(Similarity.annIvfPqProbeFilteredAt(spark, dir, probes,
+      corpus.select("vec_id"), k = 3))
+    refusesPca(Similarity.annIvfPqRefineAt(spark, dir, corpus, probes, k = 3))
+    refusesPca(Similarity.annIvfPqRefineFilteredAt(spark, dir, corpus, probes,
+      corpus.select("vec_id"), k = 3))
+    // the quantizer-only rebuild refuses a recall gate it cannot probe
+    // — BEFORE training anything
+    val gateEx = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRebuild(corpus, dir, recallQueries = Some(probes))
+    }
+    assert(gateEx.getMessage.contains("pcaIvfPqRebuild"), gateEx.getMessage)
+    // the PCA filtered probe serves the same semantics as the plain
+    // one: top-k WITHIN the allowed set of the full projected ranking
+    val allowed = corpus.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val filtered = Similarity.annPcaIvfPqProbeFilteredAt(
+        spark, dir, probes, allowed, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Similarity.annPcaIvfPqProbeAt(spark, dir, probes, k = 32)
+    val expected = full.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .filter { case (_, nb, _) => allowedSet.contains(nb) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, nb, s) => (-s, nb) }.take(3).zipWithIndex
+          .map { case ((_, nb, _), i) => (q, (i + 1).toLong, nb) }
+      }.toSet
+    assert(filtered == expected && filtered.nonEmpty,
+      "PCA filtered probe is not the in-set rank cut")
+  }
+
+  test("SQL ALLOWING verb dispatches on the pcarot header like PROBE") {
+    val dir = "/root/testdata/sf0.001"
+    val path = tmpIdx("pca_sql_allowing")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    Similarity.pcaIvfPqIndexWrite(corpus, path, dim = 64, outDim = 32)
+    val viaSql = spark.sql(
+        s"PROBE ANN INDEX '$path' FROM '$dir' ALLOWING vec_id % 5 <= 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val qs = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24)
+    val viaApi = Similarity.annPcaIvfPqProbeFilteredAt(spark, path, qs,
+        emb.filter(col("vec_id") % 5 <= 1).select("vec_id"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
 }
