@@ -23,6 +23,7 @@ object AnnProbe {
     if (args.nonEmpty && args(0) == "sq") { sqVsPq(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "sqlifecycle") { sqLifecycle(); return }
     if (args.nonEmpty && args(0) == "pca") { pcaProbe(args.drop(1)); return }
+    if (args.nonEmpty && args(0) == "opq") { opqLadder(args.drop(1)); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -548,6 +549,94 @@ object AnnProbe {
       .select((col("vec_id") + 900000000000L).as("vec_id"), col("embedding")))
     graft.plans.CheckpointHygiene.free(iso, lr)
     println(s"""{"n_vec":$nIso,$isoLine,$lrLine}""")
+    spark.stop()
+  }
+
+  /** The OPQ_P rung of the encoding ladder at the 4-byte/vec budget
+    * (m=8, 4-bit subcodes): plain learned PQ vs the eigen-allocation
+    * rotation, measured where the trade actually depends on the
+    * corpus — (a) the ISOTROPIC 200k union (variance already balanced:
+    * OPQ must be a no-op, the negative control) and (b) a SPECTRUM
+    * corpus (per-dim energy decaying 2^(-d/8): plain PQ's positional
+    * grouping gives subspace 0 all the energy and subspace 7 none —
+    * the imbalance eigenvalue allocation exists to fix). Reports build
+    * walls, min-of-2 refine walls, ADC recall@5 and refine recall@5
+    * vs exact MIPS for both encodings on both corpora.
+    * Run: sbt "runMain graft.AnnProbe opq 100"
+    */
+  private def opqLadder(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 100
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val iso = (0 until copies).map { k =>
+      val rot = k % 64
+      emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        (if (rot == 0) col("embedding")
+         else concat(slice(col("embedding"), rot + 1, 64 - rot),
+           slice(col("embedding"), 1, rot))).as("embedding"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val spectrumUdf = udf { (v: Seq[Float]) =>
+      v.zipWithIndex.map { case (x, d) =>
+        (x * math.pow(2.0, -d / 8.0)).toFloat }
+    }
+    val spec = iso.select(col("vec_id"),
+      spectrumUdf(col("embedding")).as("embedding")).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("ann_opq").toString
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    def min2(f: => Long): Double = (1 to 2).map(_ => time(f)._2).min
+    def run(tag: String, corpus: org.apache.spark.sql.DataFrame,
+            queries: org.apache.spark.sql.DataFrame): String = {
+      val pq = s"$base/$tag-pq"; val opq = s"$base/$tag-opq"
+      val (_, pqBuild) = time {
+        val c = Similarity.kmeansCentroids(corpus, k = 16, iters = 2, dim = 64,
+          trainSample = 65536, seedFromData = true)
+        val cb = Similarity.pqLearnedCodebooks(corpus, dim = 64, m = 8, codes = 16,
+          iters = 2, trainSample = 65536, seedFromData = true)
+        Similarity.ivfPqIndexWrite(corpus, pq, dim = 64,
+          centroids = Some(c), codebooks = Some(cb))
+      }
+      val (_, opqBuild) = time(Similarity.opqIvfPqIndexWrite(corpus, opq,
+        dim = 64, trainSample = 65536))
+      val pqSec = min2(
+        Similarity.annIvfPqRefineAt(spark, pq, corpus, queries, k = 5).count())
+      val opqSec = min2(
+        Similarity.annPcaIvfPqRefineAt(spark, opq, corpus, queries, k = 5).count())
+      val exact = Similarity.topKDot(corpus, queries, 5).localCheckpoint()
+      def recall(approx: org.apache.spark.sql.DataFrame): Double =
+        Similarity.annRecall(exact, approx, 5)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      val pqAdc = recall(Similarity.annIvfPqProbeAt(spark, pq, queries, k = 5))
+      val opqAdc = recall(Similarity.annPcaIvfPqProbeAt(spark, opq, queries, k = 5))
+      val pqRef = recall(Similarity.annIvfPqRefineAt(spark, pq, corpus, queries, k = 5))
+      val opqRef = recall(Similarity.annPcaIvfPqRefineAt(spark, opq, corpus, queries, k = 5))
+      // all lists probed: the coarse-quantizer recall ceiling removed,
+      // so this pair isolates the ENCODING stage the rotation is for
+      val pqRefAll = recall(Similarity.annIvfPqRefineAt(spark, pq, corpus,
+        queries, k = 5, nprobe = 16))
+      val opqRefAll = recall(Similarity.annPcaIvfPqRefineAt(spark, opq, corpus,
+        queries, k = 5, nprobe = 16))
+      graft.plans.CheckpointHygiene.free(exact)
+      f""""$tag":{"pq_build_sec":$pqBuild%.2f,"opq_build_sec":$opqBuild%.2f,""" +
+        f""""pq_refine_sec":$pqSec%.2f,"opq_refine_sec":$opqSec%.2f,""" +
+        f""""pq_adc_recall5":$pqAdc%.3f,"opq_adc_recall5":$opqAdc%.3f,""" +
+        f""""pq_refine_recall5":$pqRef%.3f,"opq_refine_recall5":$opqRef%.3f,""" +
+        f""""pq_refine_alllists_recall5":$pqRefAll%.3f,"opq_refine_alllists_recall5":$opqRefAll%.3f}"""
+    }
+    val nVec = iso.count()
+    val isoLine = run("isotropic", iso, emb0.filter(col("vec_id") < 8))
+    val specLine = run("spectrum", spec,
+      spec.filter(col("vec_id") < 8))
+    graft.plans.CheckpointHygiene.free(iso, spec)
+    println(s"""{"n_vec":$nVec,$isoLine,$specLine}""")
     spark.stop()
   }
 

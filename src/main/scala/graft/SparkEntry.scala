@@ -1171,6 +1171,27 @@ object SparkEntry {
           col("pos").cast("long").as("s"), col("col").cast("long").as("code"))
     }),
 
+    // OPQ gated end to end — q_ann_index_learned EXTENDED ONE STAGE
+    // LEFT: a data-dependent pre-quantization ROTATION is inside the
+    // oracle too. The gate's rotation is the SQL-exact permutation
+    // form (energy-balanced dimension interleave — exact BIGINT ranks,
+    // bit-exact float reorder); the eigenbasis OPQ_P production form
+    // (opqIvfPqIndexWrite, method-aware rebuild) trains from the
+    // q_embed_cov-gated sums and is spec-held, the pcaRotation
+    // precedent
+    "q_ann_opq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val rotated = Similarity.applyDimPermutation(emb,
+        Similarity.opqEnergyPermutation(emb, dim = 64, m = 8))
+      Similarity.ivfPqIndex(rotated, dim = 64,
+        centroids = Some(Similarity.kmeansCentroids(rotated, k = 16, iters = 2, dim = 64)),
+        codebooks = Some(Similarity.pqLearnedCodebooks(rotated, dim = 64, iters = 2)))
+        .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("list_id"),
+          col("pos").cast("long").as("s"), col("col").cast("long").as("code"))
+    }),
+
     // INCREMENTAL ANN probe: the vec_id % 3 == 0 slice arrives as NEW
     // query vectors and searches the PERSISTED index of the rest —
     // annIvfPqProbe consumes ONLY the (vec_id, list_id, codes)
@@ -3355,6 +3376,9 @@ object SparkEntry {
       m = 8, codes = 16, subDim = 8, pqIters = 2, dataSeeds = true),
     "q_ann_index_learned" -> annIndexLearnedOracle(lists = 16, kmIters = 2,
       m = 8, codes = 16, subDim = 8, pqIters = 2),
+    "q_ann_opq" -> annIndexLearnedOracle(lists = 16, kmIters = 2,
+      m = 8, codes = 16, subDim = 8, pqIters = 2,
+      source = "pe", prelude = opqPermPrelude(dim = 64, m = 8)),
     "q_ann_probe_incremental" -> annIvfPqOracleK(5,
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24"),
@@ -4407,10 +4431,12 @@ object SparkEntry {
     */
   private def kmeansOracleCtes(k: Int, iters: Int, dim: Int,
                                trainThresh: Option[Long] = None,
-                               dataSeeds: Boolean = false): String = {
+                               dataSeeds: Boolean = false,
+                               source: String = "embeddings",
+                               prelude: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH ${prelude}v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM $source),
          |q AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv FROM v),
          |dims AS (SELECT unnest(range($dim)) AS d)""".stripMargin)
     val trainTable = trainThresh match {
@@ -4824,7 +4850,8 @@ object SparkEntry {
     */
   private def pqLearnedCbCtes(m: Int, codes: Int, subDim: Int, iters: Int,
                               trainThresh: Option[Long], dimsName: String,
-                              dataSeeds: Boolean = false): String = {
+                              dataSeeds: Boolean = false,
+                              source: String = "embeddings"): String = {
     val sb = new StringBuilder
     // the q_$s tables feed TRAINING ONLY (encode/LUT read the full
     // corpus through v/cb), so the hash-threshold sample bounds them
@@ -4838,7 +4865,7 @@ object SparkEntry {
       // Similarity.pqLearnedCodebooks seedFromData algebra)
       sb.append(
         s"""seedv AS (SELECT CAST(row_number() OVER (ORDER BY md5('kmseed|' || vec_id), vec_id) AS INT) - 1 AS c, embedding AS e
-           |  FROM embeddings$trainWhere
+           |  FROM $source$trainWhere
            |  QUALIFY row_number() OVER (ORDER BY md5('kmseed|' || vec_id), vec_id) <= $codes),
            |$dimsName AS (SELECT unnest(range($subDim)) AS d)""".stripMargin)
     else
@@ -4863,7 +4890,7 @@ object SparkEntry {
            |q_$s AS (SELECT vec_id,
            |    list_transform(range(1, ${subDim + 1}), i -> CAST(embedding[$s * $subDim + i] AS DOUBLE)) AS v,
            |    list_transform(range(1, ${subDim + 1}), i -> CAST(floor(CAST(embedding[$s * $subDim + i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-           |  FROM embeddings$trainWhere)""".stripMargin)
+           |  FROM $source$trainWhere)""".stripMargin)
       val cent0Name = if (dataSeeds) s"centp0_$s" else "centp0"
       def scoreAsg(i: Int): Unit = {
         val cent = if (i == 0) cent0Name else s"cent${i}_$s"
@@ -5270,12 +5297,36 @@ object SparkEntry {
     * vector. Every byte the learned index stores is recomputed from
     * raw embeddings, training included.
     */
+  /** DuckDB mirror of q_ann_opq's rotation stage: per-dim energy at
+    * the 2^10 fixed point (exact BIGINT — ranks agree by construction),
+    * energy-sorted round-robin interleave across the m subspaces, and
+    * the bit-exact float reorder — `pe` is then the learned-index
+    * chains' source table (Similarity.opqEnergyPermutation +
+    * applyDimPermutation verbatim).
+    */
+  private def opqPermPrelude(dim: Int, m: Int): String = {
+    val subDim = dim / m
+    s"""ven AS (SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q FROM embeddings),
+       |en AS (SELECT d.d, CAST(sum(ven.q[d.d + 1] * ven.q[d.d + 1]) AS BIGINT) AS e
+       |  FROM ven, (SELECT unnest(range($dim)) AS d) d GROUP BY d.d),
+       |pm AS (SELECT d, ((rk - 1) % $m) * $subDim + (rk - 1) // $m AS np
+       |  FROM (SELECT d, row_number() OVER (ORDER BY e DESC, d) AS rk FROM en)),
+       |pe AS (SELECT vec_id, list(x ORDER BY np) AS embedding
+       |  FROM (SELECT e0.vec_id, pm.np, e0.embedding[pm.d + 1] AS x FROM embeddings e0, pm)
+       |  GROUP BY vec_id),
+       |""".stripMargin
+  }
+
   private def annIndexLearnedOracle(lists: Int, kmIters: Int,
                                     m: Int, codes: Int, subDim: Int,
                                     pqIters: Int,
-                                    dataSeeds: Boolean = false): String =
-    kmeansOracleCtes(lists, kmIters, 64, dataSeeds = dataSeeds) + ",\n" +
-    pqLearnedCbCtes(m, codes, subDim, pqIters, None, "pdims", dataSeeds = dataSeeds) +
+                                    dataSeeds: Boolean = false,
+                                    source: String = "embeddings",
+                                    prelude: String = ""): String =
+    kmeansOracleCtes(lists, kmIters, 64, dataSeeds = dataSeeds,
+      source = source, prelude = prelude) + ",\n" +
+    pqLearnedCbCtes(m, codes, subDim, pqIters, None, "pdims",
+      dataSeeds = dataSeeds, source = source) +
     s""",
        |assign AS (SELECT vec_id, c AS list_id FROM sc$kmIters
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) = 1),

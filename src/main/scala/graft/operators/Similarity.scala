@@ -3432,10 +3432,19 @@ object Similarity {
     val rowsBefore = spark.read.parquet(indexPath).count()
 
     // fresh basis from the current corpus — the whole point; capture
-    // baseline computed against the SAME training covariance
+    // baseline computed against the SAME training covariance. The
+    // rebuild is method-aware: an OPQ_P artifact re-learns the
+    // eigenvalue ALLOCATION too (its rotation is the permuted
+    // full-rank eigenbasis, not the truncated one)
     val cov = covarianceMatrix(corpus, dim, idCol, vecCol,
       trainSample, trainFraction)
-    val rot = jacobiEigen(cov)._2.take(outDim)
+    val method = oldKv.get("method")
+    val rot = method match {
+      case Some("opq_p") =>
+        val (eigs, eigRows) = jacobiEigen(cov)
+        opqEigenAllocate(eigs, hdr.m).map(eigRows)
+      case _ => jacobiEigen(cov)._2.take(outDim)
+    }
     val freshCapture = capturePm(rot, cov)
     val proj = pcaProject(corpus, rot, idCol, vecCol)
     val cents = kmeansCentroids(proj, k = hdr.lists, iters = kmIters,
@@ -3461,7 +3470,8 @@ object Similarity {
     graft.sources.ArtifactHeader.write(spark, tmp.toString, "pcarot", Seq(
       "dim" -> dim.toString, "out_dim" -> outDim.toString,
       "rotation" -> encodeMatrix(rot),
-      "capture_pm" -> freshCapture.toString))
+      "capture_pm" -> freshCapture.toString) ++
+      method.map("method" -> _))
 
     val corpusRows = corpus.count()
     if (rowsAfter != corpusRows) {
@@ -3541,4 +3551,195 @@ object Similarity {
     else Some(pcaIvfPqRebuild(corpus, indexPath, kmIters, pqIters,
       trainSample, trainFraction, recallQueries, k, nprobe, minRecallRatio,
       idCol, vecCol, allowShrink, minRecallAbs))
+
+  // ------------------------------------------------------------------
+  // OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013 — the
+  // Faiss "OPQ{m}" pre-transform): rotate BEFORE product quantization
+  // so the m independent sub-quantizers each see a balanced share of
+  // the data's variance. The parametric form (OPQ_P) needs no
+  // alternation: take the PCA eigenbasis and ALLOCATE the eigen
+  // directions to subspaces balancing the per-subspace eigenvalue
+  // product — a full-rank rotation, so nothing is truncated and the
+  // code bytes just stop being wasted on flat subspaces. It rides the
+  // ENTIRE pcarot machinery (sidecar, projecting probe/refine/append,
+  // full-stack rebuild): an OPQ rotation is just a rotation.
+  // ------------------------------------------------------------------
+
+  /** Eigenvalue allocation (OPQ_P's greedy): walk the eigenvalues in
+    * descending order (jacobiEigen's output order) and hand each to
+    * the not-yet-full subspace with the smallest current log-product;
+    * ties break to the smaller subspace index. Returns the eigen-row
+    * index for each output position, subspace-major (subspace s owns
+    * positions s*subDim until (s+1)*subDim). Deterministic driver
+    * arithmetic over the oracle-gated covariance's eigenvalues — the
+    * jacobiEigen convention.
+    *
+    * The log contributions are SHIFTED to be non-negative (minus the
+    * smallest log-eigenvalue) before the greedy: balance is
+    * shift-invariant — every subspace ends with exactly subDim factors
+    * — but the greedy is not. Unshifted, a spectrum entirely below 1
+    * makes every assignment LOWER a bucket's sum, so the first bucket
+    * keeps winning until it has swallowed the subDim LARGEST
+    * eigenvalues — the exact imbalance the allocation exists to
+    * prevent (measured: ADC recall 0.15 vs the plain-PQ 0.30 it was
+    * supposed to beat). Shifted, this is LPT scheduling on
+    * non-negative items: the big contributions spread one per
+    * subspace first.
+    */
+  private[graft] def opqEigenAllocate(eigs: Array[Double], m: Int): Array[Int] = {
+    val dim = eigs.length
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    // floor tiny/negative numeric eigenvalues so one degenerate
+    // direction cannot -Inf a bucket into absorbing everything
+    val logs = eigs.map(e => math.log(math.max(e, 1e-12)))
+    val shift = logs.min
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logSum = new Array[Double](m)
+    for (i <- 0 until dim) {
+      var best = -1
+      var b = 0
+      while (b < m) {
+        if (buckets(b).length < subDim &&
+            (best < 0 || logSum(b) < logSum(best))) best = b
+        b += 1
+      }
+      buckets(best) ::= i
+      logSum(best) += logs(i) - shift
+    }
+    buckets.flatMap(_.reverse)
+  }
+
+  /** The OPQ_P rotation: PCA eigenbasis rows REORDERED by eigenvalue
+    * allocation — full-rank (outDim == dim), trained from the same
+    * oracle-gated covariance sums as [[pcaRotation]].
+    */
+  def opqRotation(embeddings: DataFrame, dim: Int, m: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  trainSample: Int = 0, trainFraction: Double = 0.0)
+      : Array[Array[Double]] = {
+    val (eigs, rows) = jacobiEigen(covarianceMatrix(embeddings, dim, idCol,
+      vecCol, trainSample, trainFraction))
+    opqEigenAllocate(eigs, m).map(rows)
+  }
+
+  /** Build AND persist the OPQ{m} -> IVF-PQ artifact (the Faiss
+    * "OPQ{m},IVF{lists},PQ{m}" factory string as one call): train the
+    * allocation-permuted eigenrotation, rotate the corpus, train both
+    * quantizers IN ROTATED SPACE (ON by default — balancing subspace
+    * variance is the point, and untrained salted codebooks cannot see
+    * it; the oracle-parity untrained chain lives in the q_ann_opq
+    * permutation gate instead), write the IVF-PQ index over the
+    * rotated vectors, stamp the rotation as the pcarot sidecar with
+    * `method=opq_p`. Every pcarot consumer then just works: probe and
+    * refine project queries through the stored rotation
+    * ([[annPcaIvfPqProbeAt]]/[[annPcaIvfPqRefineAt]]), the appender
+    * rotates new batches ([[pcaIvfPqIndexAppendAt]]), and the
+    * full-stack rebuild re-learns rotation + allocation + quantizers
+    * ([[pcaIvfPqRebuild]] is method-aware). The capture baseline is
+    * 1000 by construction (full rank discards nothing) — this
+    * artifact's staleness signals are quantizer balance and rebuild's
+    * own recall gate, not variance capture.
+    */
+  def opqIvfPqIndexWrite(embeddings: DataFrame, indexPath: String,
+                         dim: Int,
+                         lists: Int = 16, m: Int = 8, codes: Int = 16,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         trainSample: Int = 0, trainFraction: Double = 0.0,
+                         residual: Boolean = false,
+                         trainQuantizers: Boolean = true): Long = {
+    val spark = embeddings.sparkSession
+    val cov = covarianceMatrix(embeddings, dim, idCol, vecCol,
+      trainSample, trainFraction)
+    val (eigs, eigRows) = jacobiEigen(cov)
+    val rot = opqEigenAllocate(eigs, m).map(eigRows)
+    val proj = pcaProject(embeddings, rot, idCol, vecCol)
+    val (cOpt, cbOpt) =
+      if (!trainQuantizers) (None, None)
+      else {
+        val c = kmeansCentroids(proj, k = lists, iters = 2, dim = dim,
+          idCol = idCol, vecCol = vecCol, trainSample = trainSample,
+          trainFraction = trainFraction, seedFromData = true)
+        val cbFrame = if (residual) residualFloatFrame(proj, c, idCol, vecCol)
+                      else proj
+        val cb = pqLearnedCodebooks(cbFrame, dim = dim, m = m, codes = codes,
+          iters = 2, vecCol = vecCol, idCol = idCol, trainSample = trainSample,
+          trainFraction = trainFraction, seedFromData = true)
+        (Some(c), Some(cb))
+      }
+    val n = ivfPqIndexWrite(proj, indexPath,
+      dim, lists, m, codes, idCol, vecCol, cOpt, cbOpt, residual = residual)
+    graft.sources.ArtifactHeader.write(spark, indexPath, "pcarot", Seq(
+      "dim" -> dim.toString, "out_dim" -> dim.toString,
+      "rotation" -> encodeMatrix(rot),
+      "capture_pm" -> capturePm(rot, cov).toString,
+      "method" -> "opq_p"))
+    n
+  }
+
+  /** The SQL-EXACT cousin of [[opqRotation]] for the oracle gate: a
+    * pure DIMENSION PERMUTATION balancing per-subspace ENERGY (raw
+    * second moment — exact BIGINT at a 2^10 fixed point, so both
+    * engines rank identically) by interleaving the energy-sorted dims
+    * round-robin across the m subspaces. A permutation IS an
+    * orthogonal rotation, and unlike the eigenbasis it is derivable in
+    * plain SQL — so q_ann_opq gates a data-dependent rotation plus
+    * both quantizer training chains end to end, the
+    * q_ann_index_learned contract extended one stage left. Returns the
+    * NEW position of each original dim.
+    */
+  def opqEnergyPermutation(embeddings: DataFrame, dim: Int, m: Int,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): Array[Int] = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    // 2^10, not the kmeans 2^20: energies only need to RANK, and the
+    // coarser fixed point keeps the full-corpus q^2 sum in BIGINT
+    // (guarded exactly below, the embedCovariance convention)
+    val scale = 1024.0
+    val quant = udf { (v: Seq[Float]) =>
+      v.map(x => math.floor(x.toDouble * scale).toLong).toArray
+    }
+    val q = embeddings.select(quant(col(vecCol)).as("qv"))
+    val g = q.agg(count(lit(1)).as("n"),
+      coalesce(max(expr("aggregate(qv, 0L, (mx, x) -> greatest(mx, abs(x)))")),
+        lit(0L)).as("maxq")).collect()(0)
+    val (n, maxq) = (g.getLong(0), g.getLong(1))
+    require(maxq <= (1L << 25) &&
+        (maxq == 0L || n <= Long.MaxValue / (maxq * maxq)),
+      s"opqEnergyPermutation: $n rows with max |code| $maxq can overflow the " +
+        "BIGINT energy sum — normalize the embeddings or rank on a sample")
+    val en = q.select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy("d").agg(sum(col("x") * col("x")).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val energies = Array.tabulate(dim)(d => en.getOrElse(d, 0L))
+    val subDim = dim / m
+    val np = new Array[Int](dim)
+    (0 until dim).sortBy(d => (-energies(d), d)).zipWithIndex.foreach {
+      case (d, r) => np(d) = (r % m) * subDim + r / m
+    }
+    np
+  }
+
+  /** Apply a dimension permutation: output position `newPos(d)` takes
+    * input coordinate d — one array shuffle per row, no arithmetic, so
+    * the floats pass through BIT-EXACT on both engines.
+    */
+  def applyDimPermutation(embeddings: DataFrame, newPos: Array[Int],
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val np = newPos
+    val d = np.length
+    require(np.sorted.sameElements(Array.range(0, d)),
+      s"applyDimPermutation: newPos is not a permutation of 0 until $d")
+    val permUdf = udf { (v: Seq[Float]) =>
+      require(v.length == d,
+        s"applyDimPermutation: vector has ${v.length} dims but the " +
+          s"permutation covers dim=$d — ragged corpus row")
+      val out = new Array[Float](d)
+      var i = 0
+      while (i < d) { out(np(i)) = v(i); i += 1 }
+      out.toSeq
+    }
+    embeddings.select(col(idCol), permUdf(col(vecCol)).as(vecCol))
+  }
 }

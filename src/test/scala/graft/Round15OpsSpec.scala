@@ -338,6 +338,92 @@ class Round15OpsSpec extends AnyFunSuite with SharedSpark {
       "PCA filtered probe is not the in-set rank cut")
   }
 
+  // ------------------------------------------------------------------
+  // OPQ: eigenvalue allocation + the composed artifact lifecycle
+  // ------------------------------------------------------------------
+
+  test("opqEigenAllocate balances the per-subspace eigenvalue product greedily with deterministic ties") {
+    // eigs sorted desc (jacobiEigen's contract): 8 -> b0; 4 -> b1
+    // (log 8 > log 4's empty 0? no — b1 is empty at 0 < log 8); 2 ->
+    // b1 (log 4 < log 8); b1 full; 1 -> b0
+    val alloc = Similarity.opqEigenAllocate(Array(8.0, 4.0, 2.0, 1.0), m = 2)
+    assert(alloc.toSeq == Seq(0, 3, 1, 2), alloc.toSeq)
+    // a flat spectrum is all ties (every allocation is equally
+    // balanced): deterministic fill in subspace order
+    val flat = Similarity.opqEigenAllocate(Array.fill(4)(1.0), m = 2)
+    assert(flat.toSeq == Seq(0, 1, 2, 3), flat.toSeq)
+    // scale invariance: the balance objective doesn't change when the
+    // whole spectrum is scaled (every subspace gets exactly subDim
+    // factors) — the allocation must not either, even entirely below 1
+    val scaled = Similarity.opqEigenAllocate(
+      Array(8.0, 4.0, 2.0, 1.0).map(_ * 1e-3), m = 2)
+    assert(scaled.toSeq == Seq(0, 3, 1, 2), scaled.toSeq)
+  }
+
+  /** Energy concentrated in dims 0-3 of 16: plain PQ at m=4 gives
+    * subspace 0 ALL the signal (16 codes for a 4-D cloud) and the
+    * other three subspaces pure noise; OPQ_P allocates one signal
+    * eigen-direction per subspace (16 codes for ~1-D each).
+    */
+  private def anisoCorpus() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1507)
+    def vec() = Seq.tabulate(16) { d =>
+      if (d < 4) ((rnd.nextDouble() * 2 - 1)).toFloat
+      else ((rnd.nextDouble() * 2 - 1) * 0.05).toFloat
+    }
+    val corpus = (0 until 256).map(i => (i.toLong, vec()))
+    val probes = (5000 until 5008).map(i => (i.toLong, vec()))
+    (corpus.toDF("vec_id", "embedding").localCheckpoint(),
+      probes.toDF("vec_id", "embedding").localCheckpoint())
+  }
+
+  test("OPQ_P beats plain PQ at the same byte budget on an energy-imbalanced corpus; rebuild preserves the method") {
+    val (corpus, probes) = anisoCorpus()
+    val pqDir = tmpIdx("opq_vs_pq_pq")
+    val opqDir = tmpIdx("opq_vs_pq_opq")
+    // both sides TRAINED at m=4, 16 codes (2 bytes/vec here): the
+    // delta under test is the rotation, not the training
+    val cents = Similarity.kmeansCentroids(corpus, k = 4, iters = 2, dim = 16,
+      seedFromData = true)
+    val cbs = Similarity.pqLearnedCodebooks(corpus, dim = 16, m = 4, codes = 16,
+      iters = 2, seedFromData = true)
+    Similarity.ivfPqIndexWrite(corpus, pqDir, dim = 16, lists = 4, m = 4,
+      codes = 16, centroids = Some(cents), codebooks = Some(cbs))
+    assert(Similarity.opqIvfPqIndexWrite(corpus, opqDir, dim = 16, lists = 4,
+      m = 4, codes = 16) == 256L)
+    val exact = Similarity.topKDot(corpus, probes, 5).localCheckpoint()
+    def recall(approx: DataFrame): Double =
+      Similarity.annRecall(exact, approx, 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    val pqRec = recall(Similarity.annIvfPqProbeAt(spark, pqDir, probes,
+      k = 5, nprobe = 4))
+    val opqRec = recall(Similarity.annPcaIvfPqProbeAt(spark, opqDir, probes,
+      k = 5, nprobe = 4))
+    assert(opqRec > pqRec,
+      f"OPQ ADC recall $opqRec%.3f must beat plain PQ $pqRec%.3f on the " +
+        "imbalanced corpus")
+    CheckpointHygiene.free(exact)
+    // the artifact is a first-class pcarot citizen: header carries the
+    // method, the appender projects, the rebuild re-learns allocation
+    // AND keeps the method stamp
+    val kv = graft.sources.ArtifactHeader.read(spark, opqDir, "pcarot").get
+    assert(kv("method") == "opq_p" && kv("out_dim") == "16")
+    import spark.implicits._
+    val more = corpus.select((col("vec_id") + 10000L).as("vec_id"),
+      col("embedding"))
+    assert(Similarity.pcaIvfPqIndexAppendAt(more, opqDir) == 256L)
+    val rep = Similarity.pcaIvfPqRebuild(corpus.unionByName(more), opqDir,
+      recallQueries = Some(probes), minRecallRatio = 0.0)
+    assert(rep.rowsAfter == 512L)
+    val kv2 = graft.sources.ArtifactHeader.read(spark, opqDir, "pcarot").get
+    assert(kv2("method") == "opq_p", "rebuild must carry the method stamp")
+    // full-rank rotation: capture baseline is trivially 1000 — the
+    // audit is vacuous by construction and must NOT trip
+    assert(kv2("capture_pm").toLong == 1000L)
+    assert(!Similarity.pcaNeedsRebuild(corpus.unionByName(more), opqDir))
+  }
+
   test("SQL ALLOWING verb dispatches on the pcarot header like PROBE") {
     val dir = "/root/testdata/sf0.001"
     val path = tmpIdx("pca_sql_allowing")
