@@ -24,6 +24,7 @@ object AnnProbe {
     if (args.nonEmpty && args(0) == "sqlifecycle") { sqLifecycle(); return }
     if (args.nonEmpty && args(0) == "pca") { pcaProbe(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "opq") { opqLadder(args.drop(1)); return }
+    if (args.nonEmpty && args(0) == "pcalifecycle") { pcaLifecycle(); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -444,6 +445,98 @@ object AnnProbe {
       s""""sat_pm_after":$satAfter,"needs_rebuild_after":$needsAfter,""" +
       s""""resume_append_sec":${f"$resumeSec%.2f"},"compact_sec":${f"$compactSec%.2f"},""" +
       s""""files_before":$fb,"files_after":$fa}""")
+    spark.stop()
+  }
+
+  /** The PCA rotation STALENESS loop timed end to end at scale — the
+    * sqLifecycle analog for the basis signal: build the composed
+    * PCA-16 artifact on a low-rank corpus, append a drifted generation
+    * whose signal lives OUTSIDE the trained basis (projected through
+    * the stale rotation — the silent-degradation path), poll the
+    * bounded capture audit (the per-batch maintenance cost), execute
+    * the full-stack rebuild (rotation + quantizers, recall-gated on
+    * raw-space truth), and resume ingest through the new generation.
+    * Run: sbt "runMain graft.AnnProbe pcalifecycle"
+    */
+  private def pcaLifecycle(): Unit = {
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // rank-4 signal in 64 dims, deterministic per id; generation A and
+    // the DRIFTED generation B use disjoint direction sets, B at 2x
+    // amplitude (the new data dominates variance but lives outside
+    // A's trained basis)
+    def dirsOf(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(4)(Array.fill(64)(r.nextDouble() * 2 - 1))
+    }
+    val (dirsA, dirsB) = (dirsOf(1501), dirsOf(1502))
+    def mkGen(dirs: Array[Array[Double]], amp: Double) = udf { (id: Long) =>
+      def u(salt: Long): Double = {
+        var x = id * 2654435761L + salt * 0x9E3779B97F4A7C15L
+        x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+        (x >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
+      }
+      val z = Array.tabulate(4)(c => u(c))
+      (0 until 64).map(d =>
+        (amp * (0 until 4).map(c => z(c) * dirs(c)(d)).sum
+          + 0.02 * u(100 + d)).toFloat)
+    }
+    val genA = spark.range(160000).select(col("id").as("vec_id"),
+      mkGen(dirsA, 1.0)(col("id")).as("embedding")).localCheckpoint()
+    val genB = spark.range(40000).select((col("id") + 1000000L).as("vec_id"),
+      mkGen(dirsB, 2.0)(col("id") + 1000000L).as("embedding")).localCheckpoint()
+    // 32 probes x k=5 = 160 judged items: measurement granularity
+    // 0.006, not the 8-probe 0.025 the r14 pcaProbe caveat hit
+    val probes = spark.range(32).select((col("id") + 5000000L).as("vec_id"),
+      mkGen(dirsB, 2.0)(col("id") + 5000000L).as("embedding")).localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("pca_lifecycle").toString + "/idx"
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val (_, writeSec) = time(Similarity.pcaIvfPqIndexWrite(genA, out,
+      dim = 64, outDim = 16, trainSample = 65536, trainQuantizers = true))
+    val ((s0, f0), audit0Sec) = time(
+      Similarity.pcaCaptureAudit(genA, out, trainSample = 65536))
+    // drift lands through the STALE rotation — the degradation the
+    // quantizer audits cannot see
+    val (_, driftAppendSec) = time(Similarity.pcaIvfPqIndexAppendAt(genB, out))
+    val grown = genA.unionByName(genB).localCheckpoint()
+    val ((s1, f1), auditSec) = time(
+      Similarity.pcaCaptureAudit(grown, out, trainSample = 65536))
+    val (needs, _) = time(
+      Similarity.pcaNeedsRebuild(grown, out, trainSample = 65536))
+    val exact = Similarity.topKCosine(grown, probes, 5).localCheckpoint()
+    def refRecall(): Double =
+      Similarity.annRecall(exact,
+          Similarity.annPcaIvfPqRefineAt(spark, out, grown, probes, k = 5,
+            rerank = 64), 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    val (recBefore, _) = time(refRecall())
+    val (report, rebuildSec) = time(Similarity.pcaIvfPqRebuild(grown, out,
+      trainSample = 65536, recallQueries = Some(probes), minRecallRatio = 0.0))
+    val ((s2, f2), _) = time(
+      Similarity.pcaCaptureAudit(grown, out, trainSample = 65536))
+    val (needsAfter, _) = time(
+      Similarity.pcaNeedsRebuild(grown, out, trainSample = 65536))
+    val (recAfter, _) = time(refRecall())
+    val resume = genB.limit(100)
+      .select((col("vec_id") + 10000000000L).as("vec_id"), col("embedding"))
+    val (nResumed, resumeSec) = time(Similarity.pcaIvfPqIndexAppendAt(resume, out))
+    require(nResumed == 100,
+      s"resume batch collided with existing ids (admitted $nResumed/100)")
+    graft.plans.CheckpointHygiene.free(genA, genB, grown, probes, exact)
+    println(s"""{"n_vectors":200000,"write_sec":${f"$writeSec%.2f"},""" +
+      s""""baseline_pm":$s0,"fresh_pm_healthy":$f0,"audit_healthy_sec":${f"$audit0Sec%.2f"},""" +
+      s""""drift_append_sec":${f"$driftAppendSec%.2f"},""" +
+      s""""fresh_pm_drifted":$f1,"audit_sec":${f"$auditSec%.2f"},"needs_rebuild":$needs,""" +
+      s""""refine_recall_before":${f"$recBefore%.3f"},"rebuild_sec":${f"$rebuildSec%.2f"},""" +
+      s""""gate_recall_before":${f"${report.recallBefore}%.3f"},"gate_recall_after":${f"${report.recallAfter}%.3f"},""" +
+      s""""baseline_pm_after":$s2,"fresh_pm_after":$f2,"needs_rebuild_after":$needsAfter,""" +
+      s""""refine_recall_after":${f"$recAfter%.3f"},"resume_append_sec":${f"$resumeSec%.2f"}}""")
     spark.stop()
   }
 

@@ -69,10 +69,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * one-statement SQL (q_ann_probe_incremental's split and parameters,
   * so the probe verb reuses that query's oracle):
   *
-  *   BUILD ANN INDEX FROM '<dir>' AT '<path>' [USING SQ8 | RESIDUAL | PCA<d>]
+  *   BUILD ANN INDEX FROM '<dir>' AT '<path>'
+  *       [USING SQ8 | RESIDUAL | PCA<d> | OPQ<m>]
   *     -> ivfPqIndexWrite (plain / residual = true), ivfSqIndexWrite,
-  *        or pcaIvfPqIndexWrite(outDim = d) over the indexed-history
-  *        slice of <dir>/embeddings.parquet; returns (path, n_vectors)
+  *        pcaIvfPqIndexWrite(outDim = d), or opqIvfPqIndexWrite(m)
+  *        over the indexed-history slice of
+  *        <dir>/embeddings.parquet; returns (path, n_vectors)
   *   PROBE ANN INDEX '<path>' FROM '<dir>'
   *     -> annIvfPqProbeAt / annIvfSqProbeAt / annPcaIvfPqProbeAt: new
   *        query vectors search the persisted header-trusted
@@ -88,10 +90,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   REBUILD ANN INDEX IF NEEDED '<path>' FROM '<dir>'
   *     -> ivfPqRebuildIfNeeded / ivfSqRebuildIfNeeded (header-kind
   *        dispatch; the SQ audit adds bounds saturation): staleness
-  *        audit, then retrain/verify/swap only if tripped; a PCA
-  *        artifact rebuilds from the corpus PROJECTED through its
-  *        stored rotation (quantizers retrain in index space, the
-  *        rotation itself retrains only via a fresh BUILD); returns
+  *        audit, then retrain/verify/swap only if tripped; a pcarot
+  *        artifact audits BASIS-first (capture drift — a tripped
+  *        basis rebuild retrains rotation AND quantizers), falling
+  *        through to the quantizer-balance audit over the corpus
+  *        PROJECTED through the stored rotation; returns
   *        (rebuilt, rows_before, rows_after)
   *
   * The plan is BUILT at parse time but executed lazily by the caller
@@ -306,9 +309,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         case Some(pca) if pca.matches("PCA\\d+") =>
           graft.operators.Similarity.pcaIvfPqIndexWrite(annCorpus(dir), path,
             dim = 64, outDim = pca.drop(3).toInt)
+        case Some(opq) if opq.matches("OPQ\\d+") =>
+          // the Faiss "OPQ{m},IVF,PQ{m}" factory string: full-rank
+          // eigen-allocation rotation, quantizers trained in rotated
+          // space; PROBE/ALLOWING/REBUILD all dispatch on the pcarot
+          // sidecar this stamps (method=opq_p)
+          graft.operators.Similarity.opqIvfPqIndexWrite(annCorpus(dir), path,
+            dim = 64, m = opq.drop(3).toInt)
         case Some(other) => throw new IllegalArgumentException(
           s"BUILD ANN INDEX USING $other: supported encodings are SQ8, " +
-            "RESIDUAL and PCA<d> (omit USING for plain IVF-PQ)")
+            "RESIDUAL, PCA<d> and OPQ<m> (omit USING for plain IVF-PQ)")
       }
       Seq((path, n)).toDF("path", "n_vectors").queryExecution.logical
     }

@@ -3690,16 +3690,22 @@ object Similarity {
     */
   def opqEnergyPermutation(embeddings: DataFrame, dim: Int, m: Int,
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): Array[Int] = {
+                           vecCol: String = "embedding",
+                           trainSample: Int = 0,
+                           trainFraction: Double = 0.0): Array[Int] = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     // 2^10, not the kmeans 2^20: energies only need to RANK, and the
     // coarser fixed point keeps the full-corpus q^2 sum in BIGINT
-    // (guarded exactly below, the embedCovariance convention)
+    // (guarded exactly below, the embedCovariance convention). The
+    // default ranks the FULL corpus (what the q_ann_opq oracle
+    // mirrors); production bounds the scan with the shared
+    // hash-threshold sample like every trainer here.
     val scale = 1024.0
     val quant = udf { (v: Seq[Float]) =>
       v.map(x => math.floor(x.toDouble * scale).toLong).toArray
     }
-    val q = embeddings.select(quant(col(vecCol)).as("qv"))
+    val q = trainFrameOf(embeddings, idCol, trainSample, trainFraction)
+      .select(quant(col(vecCol)).as("qv"))
     val g = q.agg(count(lit(1)).as("n"),
       coalesce(max(expr("aggregate(qv, 0L, (mx, x) -> greatest(mx, abs(x)))")),
         lit(0L)).as("maxq")).collect()(0)

@@ -288,7 +288,20 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.toString).sorted
     assert(resSql.nonEmpty && resSql.sameElements(resApi))
 
+    // OPQ<m>: the rotation-composed build; PROBE dispatches on the
+    // pcarot sidecar (method=opq_p) and projects the queries
+    val p5 = tmpIdx("sql_ann_opq")
+    spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '$p5' USING OPQ8").collect()
+    assert(graft.sources.ArtifactHeader.read(spark, p5, "pcarot")
+      .exists(_.get("method").contains("opq_p")))
+    val opqSql = spark.sql(s"PROBE ANN INDEX '$p5' FROM '$sf'")
+      .collect().map(_.toString).sorted
+    val opqApi = Similarity.annPcaIvfPqProbeAt(spark, p5, qs, k = 5)
+      .collect().map(_.toString).sorted
+    assert(opqSql.nonEmpty && opqSql.sameElements(opqApi))
+
     // an unknown encoding refuses at the parse seam with guidance
+    // (bare OPQ without the subspace count included)
     val ex = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
       spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '${tmpIdx("sql_ann_bad")}' USING OPQ")
     }
