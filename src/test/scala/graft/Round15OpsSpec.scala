@@ -237,13 +237,18 @@ class Round15OpsSpec extends AnyFunSuite with SharedSpark {
       s"injected drift must trip the audit: fresh $fresh1 vs stored $stored1")
     assert(Similarity.pcaNeedsRebuild(grown, dir))
     val before = refineRecall(dir, grown, probes)
-    // the maintainer one-call: audit says rebuild, rebuild verifies
-    // recall on the drifted probes before swapping
-    val rep = Similarity.pcaIvfPqRebuildIfNeeded(grown, dir,
-      recallQueries = Some(probes), minRecallRatio = 0.0).get
-    assert(rep.rowsBefore == 192L && rep.rowsAfter == 192L)
-    assert(rep.recallAfter > rep.recallBefore,
-      s"gate: ${rep.recallBefore} -> ${rep.recallAfter}")
+    // THROUGH the maintainer twins: the due check trips on the capture
+    // drop, the window runs the rebuild task (which re-audits inside
+    // via IfNeeded and verifies recall on the drifted probes before
+    // swapping)
+    val m = new ArtifactMaintainer()
+    val due = ArtifactMaintainer.pcaRebuildDue(spark, dir, () => grown,
+      trainSample = 192, recallQueries = Some(probes), minRecallRatio = 0.0)
+    val winRep = m.maintainIfDue(Seq(due)).get
+    val taskSummary = winRep.tasks.map(_.summary).mkString("; ")
+    assert(taskSummary.contains("basis capture"), taskSummary) // the trigger reason
+    assert(taskSummary.contains("rotation + quantizers rebuilt"), taskSummary)
+    assert(taskSummary.contains("rows 192 -> 192"), taskSummary)
     val after = refineRecall(dir, grown, probes)
     assert(after > before && after >= 0.8,
       s"rebuild must restore refine-recall: $before -> $after")
