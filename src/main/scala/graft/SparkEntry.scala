@@ -389,6 +389,20 @@ object SparkEntry {
       s.sql(s"PROBE ANN INDEX '$path' FROM '$dir' ALLOWING vec_id % 5 <= 1")
     }),
 
+    // the deletion lifecycle as SQL verbs: DELETE tombstones the ids
+    // the predicate admits (the ALLOWING seam), VACUUM makes them
+    // physical (verified rewrite + atomic swap + sidecar cleared),
+    // and the probe answers from the folded generation — shares
+    // q_ann_delete's oracle (ids outside the artifact's slice are
+    // admitted and fold as zero rows, by design)
+    "q_sql_ann_delete" -> ((s, dir) => {
+      val path = runTmp("sql_ann_del", dir)
+      s.sql(s"BUILD ANN INDEX FROM '$dir' AT '$path'").collect()
+      s.sql(s"DELETE FROM ANN INDEX '$path' FROM '$dir' WHERE vec_id % 7 = 1").collect()
+      s.sql(s"VACUUM ANN INDEX '$path'").collect()
+      s.sql(s"PROBE ANN INDEX '$path' FROM '$dir'")
+    }),
+
     // duplicate CLUSTERS: connected components (star contraction) over
     // the near-dup pair graph, one canonical survivor per component
     "q_dup_clusters" -> ((s, dir) =>
@@ -1257,6 +1271,57 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24),
         allowedIds = emb.filter(col("vec_id") % 5 <= 1).select("vec_id"),
         k = 5)
+    }),
+
+    // DELETION, tombstone-live (the Faiss remove_ids verb): the
+    // deleted ids land in the bounded content-hashed sidecar and
+    // leave the candidate set at the artifact scan, BEFORE the rank
+    // cut — a deleted row must neither surface nor displace a live
+    // neighbor out of the top-k. No artifact rewrite happens here;
+    // the oracle mirrors the exclusion as a candidate predicate over
+    // the otherwise-identical probe algebra
+    "q_ann_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("ann_delete", dir)
+      Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      Similarity.annIndexDeleteAt(s, path,
+        emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 1)
+          .select("vec_id"))
+      Similarity.annIvfPqProbeAt(s, path,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
+    }),
+
+    // the same deletion made PHYSICAL: annTombstoneFold rewrites the
+    // artifact minus the tombstoned rows (verified row accounting,
+    // sidecars carried, atomic swap, sidecar cleared) and the probe
+    // answers from the folded generation — gate-equal to the
+    // tombstone-live form above by construction, and both share one
+    // oracle, so exclusion-at-probe == physical-removal == DuckDB
+    "q_ann_delete_fold" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("ann_delete_fold", dir)
+      Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      Similarity.annIndexDeleteAt(s, path,
+        emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 1)
+          .select("vec_id"))
+      Similarity.annTombstoneFold(s, path)
+      Similarity.annIvfPqProbeAt(s, path,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
+    }),
+
+    // the SQ8 twin of q_ann_delete: the scalar artifact's id column
+    // and decode-dot probe run the same tombstone exclusion (one
+    // deletion verb serves every encoding — ids live outside the
+    // vector space)
+    "q_ann_sq_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("ann_sq_delete", dir)
+      Similarity.ivfSqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      Similarity.annIndexDeleteAt(s, path,
+        emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 1)
+          .select("vec_id"))
+      Similarity.annIvfSqProbeAt(s, path,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
     }),
 
     // MMR diversified re-rank (Carbonell & Goldstein 1998) over the
@@ -3316,6 +3381,12 @@ object SparkEntry {
     "q_ann_sq_append" -> annIvfSqOracle(5,
       queryWhere = "vec_id < 8",
       boundsWhere = "vec_id % 3 <> 0"),
+    // the SQ8 deletion twin: same tombstone exclusion as a candidate
+    // predicate over the scalar probe algebra
+    "q_ann_sq_delete" -> annIvfSqOracle(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
+      excludeWhere = "e.vec_id % 7 <> 1"),
     // saturation needs no IVF assignment at all — codes per dim from
     // prior-trained bounds over the full corpus, then rail counts.
     // The SAME oracle gates the incremental (stats-sidecar) form:
@@ -3397,6 +3468,22 @@ object SparkEntry {
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
       allowedWhere = "a.vec_id % 5 <= 1"),
+    // deletion: the tombstone exclusion is a candidate predicate over
+    // the otherwise-identical probe algebra — and because the fold is
+    // result-invariant, the tombstone-live probe, the post-fold
+    // probe, AND the SQL verb chain all share this one oracle
+    "q_ann_delete" -> annIvfPqOracleK(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
+      allowedWhere = "a.vec_id % 7 <> 1"),
+    "q_ann_delete_fold" -> annIvfPqOracleK(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
+      allowedWhere = "a.vec_id % 7 <> 1"),
+    "q_sql_ann_delete" -> annIvfPqOracleK(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
+      allowedWhere = "a.vec_id % 7 <> 1"),
     // the ADC stage is the ENTIRE incremental-probe oracle at k=32 as
     // a subquery (the q_ann_recall_ivfpq composition convention), then
     // exact cosine over prior-corpus vectors re-ranks the survivors
@@ -5032,7 +5119,8 @@ object SparkEntry {
 
   private def annIvfSqOracle(k: Int, baseWhere: String = "",
                              queryWhere: String = "vec_id < 8",
-                             boundsWhere: String = ""): String = {
+                             boundsWhere: String = "",
+                             excludeWhere: String = ""): String = {
     val corpusWhere = if (baseWhere.isEmpty) "" else s" WHERE $baseWhere"
     // the append case trains bounds on the PRIOR slice only while the
     // encoded corpus includes the appended rows (which clamp)
@@ -5068,7 +5156,8 @@ object SparkEntry {
        |probe AS (SELECT vec_id, c AS list_id FROM sc WHERE $queryWhere
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) <= 4),
        |cand AS (SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id, e.codes
-       |  FROM probe p JOIN enc e USING (list_id) WHERE p.vec_id <> e.vec_id),
+       |  FROM probe p JOIN enc e USING (list_id) WHERE p.vec_id <> e.vec_id${
+         if (excludeWhere.isEmpty) "" else s" AND ($excludeWhere)"}),
        |s AS (SELECT query_id, neighbor_id,
        |    list_sum(list_transform(range(1, 65), i -> q.v[i] * $dec))
        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))

@@ -96,6 +96,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *        through to the quantizer-balance audit over the corpus
   *        PROJECTED through the stored rotation; returns
   *        (rebuilt, rows_before, rows_after)
+  *   DELETE FROM ANN INDEX '<path>' FROM '<dir>' WHERE <predicate>
+  *     -> annIndexDeleteAt: the ids the predicate admits over the
+  *        embeddings table land in the artifact's bounded tombstone
+  *        sidecar (probes exclude them immediately; rows removed
+  *        physically at the next VACUUM); one verb for every
+  *        encoding — ids live outside the vector space; returns
+  *        (path, tombstones)
+  *   VACUUM ANN INDEX '<path>'
+  *     -> annTombstoneFold: rewrite-minus-tombstones, verified row
+  *        accounting, sidecars carried, SQ8 stats re-seeded, atomic
+  *        swap, tombstone set cleared; returns
+  *        (rows_before, rows_after)
   *
   * The plan is BUILT at parse time but executed lazily by the caller
   * (`spark.sql(...)` analyzes/executes the returned plan) — identical
@@ -152,6 +164,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*PROBE\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+ALLOWING\s+(.+?)\s*;?\s*""".r
   private val RebuildAnnIndex =
     """(?is)\s*REBUILD\s+ANN\s+INDEX\s+IF\s+NEEDED\s+'([^']+)'\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  // deletion rides the same predicate seam as ALLOWING: ordinary SQL
+  // over the embeddings table picks the ids to tombstone
+  private val DeleteAnnIds =
+    """(?is)\s*DELETE\s+FROM\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val VacuumAnnIndex =
+    """(?is)\s*VACUUM\s+ANN\s+INDEX\s+'([^']+)'\s*;?\s*""".r
 
   private def parseError(sqlText: String, msg: String): ParseException =
     new ParseException(Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
@@ -392,6 +410,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         rep.map(_.rowsAfter).getOrElse(-1L)))
         .toDF("rebuilt", "rows_before", "rows_after").queryExecution.logical
     }
+    case DeleteAnnIds(path, dir, pred) => wrapGraft(sqlText) {
+      // the tombstone half of the deletion lifecycle: ids admitted by
+      // the predicate (ordinary SQL over the embeddings table, the
+      // ALLOWING seam) land in the bounded sidecar; probes exclude
+      // them from this statement on, VACUUM makes them physical
+      import session.implicits._
+      val emb = graft.sources.TableArmor.embeddings(
+        session.read.parquet(s"$dir/embeddings.parquet"))
+      val n = graft.operators.Similarity.annIndexDeleteAt(session, path,
+        emb.filter(org.apache.spark.sql.functions.expr(pred)).select("vec_id"))
+      Seq((path, n)).toDF("path", "tombstones").queryExecution.logical
+    }
+    case VacuumAnnIndex(path) => wrapGraft(sqlText) {
+      import session.implicits._
+      val (b, a) = graft.operators.Similarity.annTombstoneFold(session, path)
+      Seq((b, a)).toDF("rows_before", "rows_after").queryExecution.logical
+    }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -409,7 +444,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
          ShelveEventsFrom(_, _) | MergeStatesFrom(_, _) |
          DedupDocs(_) | NeardupDocs(_) | DecontaminateDocs(_) |
          BuildAnnIndex(_, _, _) | ProbeAnnIndex(_, _) |
-         ProbeAnnIndexFiltered(_, _, _) | RebuildAnnIndex(_, _) =>
+         ProbeAnnIndexFiltered(_, _, _) | RebuildAnnIndex(_, _) |
+         DeleteAnnIds(_, _, _) | VacuumAnnIndex(_) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }

@@ -1364,6 +1364,7 @@ object Similarity {
       "Write it with ivfPqIndexWrite (which stamps one), or stamp it explicitly " +
         "with ivfPqWriteHeader, before appending through the header path.")
     requireCorpusDim(newVectors, hdr.dim, indexPath, vecCol, "ivfPqIndexAppendAt")
+    requireNoTombstoneHit(newVectors, spark, indexPath, idCol, "ivfPqIndexAppendAt")
     val n = ivfPqIndexAppend(newVectors, indexPath, hdr.dim, hdr.lists, hdr.m, hdr.codes,
       idCol, vecCol, Some(hdr.centroids), Some(hdr.codebooks), hdr.residual)
     val after = ivfPqRequireHeader(spark, indexPath,
@@ -1638,7 +1639,13 @@ object Similarity {
     // projected artifact) would silently LUT the first hdr.dim
     // coordinates — refuse like the rebuild path does
     requireCorpusDim(queries, hdr.dim, indexPath, vecCol, "annIvfPqProbeAt")
-    annIvfPqProbe(spark.read.parquet(indexPath), queries, k, hdr.dim, hdr.lists,
+    // tombstoned ids are excluded at the artifact scan, BEFORE the
+    // rank cut — a deleted row must neither surface nor displace a
+    // live neighbor out of the top-k
+    annIvfPqProbe(
+      tombstoneExclude(spark.read.parquet(indexPath),
+        tombstonesOf(spark, indexPath), "vec_id"),
+      queries, k, hdr.dim, hdr.lists,
       nprobe, hdr.m, hdr.codes, idCol, vecCol,
       Some(hdr.centroids), Some(hdr.codebooks), allowedIds = allowedIds,
       residual = hdr.residual)
@@ -1782,6 +1789,7 @@ object Similarity {
     val hdr = ivfPqRequireHeader(spark, indexPath,
       "A rebuild of an artifact whose build parameters are unverifiable would " +
         "guess — stamp it first (ivfPqIndexWrite / ivfPqWriteHeader).")
+    requireNoTombstones(spark, indexPath, "ivfPqRebuild")
     // argument refusals BEFORE the expensive retrain: an
     // accidentally-empty query frame would make the recall gate a
     // trivial 0-vs-0 pass (or a null-avg crash) after hours of
@@ -2495,7 +2503,10 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val hdr = sqRequireHeader(spark, indexPath, "annIvfSqProbeAt")
     requireCorpusDim(queries, hdr.dim, indexPath, vecCol, "annIvfSqProbeAt")
-    val index = spark.read.parquet(indexPath)
+    // same deletion contract as the PQ probe: tombstoned ids leave the
+    // candidate set at the scan, before the rank cut
+    val index = tombstoneExclude(spark.read.parquet(indexPath),
+      tombstonesOf(spark, indexPath), "neighbor_id")
     val q = queries.select(col(idCol).as(idCol), col(vecCol).as("qv"))
     annIvfSqProbeFrame(index, q, k, nprobe, hdr.cents, hdr.vmin, hdr.vmax, idCol)
   }
@@ -2571,6 +2582,7 @@ object Similarity {
     val spark = newVectors.sparkSession
     val hdr = sqRequireHeader(spark, indexPath, "ivfSqIndexAppendAt")
     requireCorpusDim(newVectors, hdr.dim, indexPath, vecCol, "ivfSqIndexAppendAt")
+    requireNoTombstoneHit(newVectors, spark, indexPath, idCol, "ivfSqIndexAppendAt")
     val existing = spark.read.parquet(indexPath)
       .select(col("neighbor_id").as(idCol))
     // materialize before writing: the anti-join reads indexPath, and
@@ -2785,6 +2797,7 @@ object Similarity {
                    maxRecallQueryRows: Long = DefaultMaxBenchRows): RebuildReport = {
     val spark = corpus.sparkSession
     val hdr = sqRequireHeader(spark, indexPath, "ivfSqRebuild")
+    requireNoTombstones(spark, indexPath, "ivfSqRebuild")
     recallQueries.foreach { q =>
       val qRows =
         q.limit(math.min(maxRecallQueryRows, Int.MaxValue - 1L).toInt + 1).count()
@@ -2880,6 +2893,189 @@ object Similarity {
       recallQueries, k, nprobe, minRecallRatio,
       seedFromData = true, idCol = idCol, vecCol = vecCol,
       allowShrink = allowShrink, minRecallAbs = minRecallAbs))
+
+  // ------------------------------------------------------------------
+  // Deletion: the DELETE verb of the index lifecycle (Faiss
+  // remove_ids; rights-removal / opt-out at training-data scale). A
+  // delete never rewrites the artifact — the ids land in a bounded
+  // content-hashed tombstone sidecar ([[graft.sources.Tombstones]]),
+  // every probe excludes them (id predicate under the measured
+  // pushdown bound, broadcast anti-join above it), appends that would
+  // silently shadow a deleted id refuse, and a maintenance-window
+  // FOLD ([[annTombstoneFold]]) makes the removal physical and clears
+  // the sidecar. Rebuilds refuse a live tombstone set outright: a
+  // retrain re-encodes from the corpus and would resurrect deleted
+  // rows — fold first (the maintainer composes tombstoneFoldDue ahead
+  // of the rebuild checks in one window).
+  //
+  // Audit posture: the balance/saturation audits keep reading
+  // PHYSICAL rows, tombstoned included — they measure the artifact's
+  // storage and scan-bound truth, which folding (not probing) changes.
+  // ------------------------------------------------------------------
+
+  /** Exclude a bounded tombstone set from an artifact frame: at or
+    * under [[AnnFilterPushdownMax]] ids the exclusion is a NOT-IN scan
+    * predicate (row-group stats prune; stays inside whole-stage
+    * codegen), above it a broadcast anti-join — the same measured
+    * crossover as the filtered probe's allowed-id set.
+    */
+  private[graft] def tombstoneExclude(df: DataFrame, ids: Array[Long], idColName: String,
+                               pushdownMax: Int = AnnFilterPushdownMax): DataFrame =
+    if (ids.isEmpty) df
+    else if (ids.length <= pushdownMax)
+      df.filter(!col(idColName).isin(ids.map(java.lang.Long.valueOf): _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toSeq.toDF(idColName)), Seq(idColName), "left_anti")
+    }
+
+  /** The rows of `df` whose id IS tombstoned — the semi side of
+    * [[tombstoneExclude]], same pushdown-vs-join crossover. Feeds the
+    * append-admission check and the fold's independent row accounting
+    * (semi count + anti count must tile the artifact).
+    */
+  private[graft] def tombstoneMatches(df: DataFrame, ids: Array[Long], idColName: String,
+                               pushdownMax: Int = AnnFilterPushdownMax): DataFrame =
+    if (ids.isEmpty) df.limit(0)
+    else if (ids.length <= pushdownMax)
+      df.filter(col(idColName).isin(ids.map(java.lang.Long.valueOf): _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toSeq.toDF(idColName)), Seq(idColName), "left_semi")
+    }
+
+  /** First id of `df` that collides with the live tombstone set, if
+    * any — the append-admission check (one bounded job).
+    */
+  private def tombstoneHit(df: DataFrame, ids: Array[Long], idColName: String,
+                           pushdownMax: Int = AnnFilterPushdownMax): Option[Long] =
+    tombstoneMatches(df, ids, idColName, pushdownMax)
+      .select(col(idColName).cast("long")).limit(1).collect()
+      .headOption.map(_.getLong(0))
+
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String): Array[Long] =
+    graft.sources.Tombstones.read(spark, indexPath)
+
+  /** Refuse an append batch that re-uses live-tombstoned ids: the rows
+    * would land but stay INVISIBLE to every probe until a fold, and
+    * the fold would then physically drop them — two silent surprises.
+    * Loud instead, with both legitimate paths named.
+    */
+  private def requireNoTombstoneHit(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                                    indexPath: String, idCol: String,
+                                    what: String): Unit =
+    tombstoneHit(batch, tombstonesOf(spark, indexPath), idCol).foreach { id =>
+      sys.error(s"$what: batch id $id is tombstoned at $indexPath — appending it " +
+        "would be invisible to every probe until the next fold, which would then " +
+        "physically drop it. Run annTombstoneFold first if the delete should " +
+        "become physical (re-appends are then admitted), or append under fresh ids")
+    }
+
+  /** Refuse a rebuild over a live tombstone set — the retrain
+    * re-encodes from the caller's corpus and would silently resurrect
+    * deleted rows (or, corpus-excluded, leave a sidecar shadowing ids
+    * that no longer exist). One verb per job: fold, then rebuild.
+    */
+  private def requireNoTombstones(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, what: String): Unit = {
+    val n = graft.sources.Tombstones.count(spark, indexPath)
+    require(n == 0L,
+      s"$what: the artifact at $indexPath has $n live tombstoned ids — a rebuild " +
+        "re-encodes from the corpus and would resurrect them. Fold first " +
+        "(annTombstoneFold, or list tombstoneFoldDue ahead of the rebuild checks " +
+        "in maintainIfDue — the window folds, then the rebuild re-audits)")
+  }
+
+  /** DELETE ids from a persisted ANN artifact (IVF-PQ, IVF-SQ8, or
+    * any PCA/OPQ-composed variant — ids live outside the vector
+    * space, so one verb serves every encoding): merge into the
+    * tombstone sidecar, idempotently; unknown ids are admitted (the
+    * fold verifies against rows actually present). Returns the live
+    * tombstone count. The artifact must be header-stamped — deleting
+    * from an arbitrary parquet path is a scoping mistake refused by
+    * name. Writer-class access: route through the maintainer's
+    * `withAccess` like an append.
+    */
+  def annIndexDeleteAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       ids: Seq[Long]): Long = {
+    require(
+      graft.sources.ArtifactHeader.read(spark, indexPath, "ivfpq").isDefined ||
+        graft.sources.ArtifactHeader.read(spark, indexPath, "ivfsq").isDefined,
+      s"annIndexDeleteAt: no ivfpq/ivfsq header at $indexPath — not a stamped ANN " +
+        "artifact (deleting ids from an arbitrary path is a scoping mistake)")
+    if (ids.isEmpty) graft.sources.Tombstones.count(spark, indexPath)
+    else graft.sources.Tombstones.add(spark, indexPath, ids)
+  }
+
+  /** [[annIndexDeleteAt]] from an id frame (the shape a metadata
+    * predicate produces): first column is the id. Bounded by the
+    * sidecar's own cap — the collect is the point (tombstones are
+    * driver-held), so an over-cap frame refuses before collecting
+    * more than cap+1 rows.
+    */
+  def annIndexDeleteAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       ids: DataFrame): Long = {
+    val cap = graft.sources.Tombstones.MaxIds
+    val collected = ids.select(col(ids.columns.head).cast("long"))
+      .distinct().limit(cap + 1).collect().map(_.getLong(0))
+    require(collected.length <= cap,
+      s"annIndexDeleteAt: the id frame exceeds the $cap live-tombstone bound — " +
+        "delete in folded batches (annTombstoneFold between them)")
+    annIndexDeleteAt(spark, indexPath, collected.toSeq)
+  }
+
+  /** Make the tombstoned deletions PHYSICAL: rewrite the artifact
+    * minus the tombstoned rows, verify the row accounting BEFORE the
+    * swap (rowsAfter == rowsBefore - matched), carry every foreign
+    * sidecar, re-seed the SQ8 stats sidecar from the surviving rows
+    * (rail counts of deleted rows must leave the saturation audit),
+    * atomically swap, and clear the consumed tombstone set. Returns
+    * (rowsBefore, rowsAfter); a no-op on an empty set. Runs inside
+    * the same single-writer maintenance window as compaction — it IS
+    * a compaction with a filter.
+    */
+  def annTombstoneFold(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): (Long, Long) = {
+    val isSq = graft.sources.ArtifactHeader.read(spark, indexPath, "ivfsq").isDefined
+    if (!isSq) ivfPqRequireHeader(spark, indexPath,
+      "annTombstoneFold only rewrites stamped ANN artifacts.")
+    val idColName = if (isSq) "neighbor_id" else "vec_id"
+    val before = spark.read.parquet(indexPath)
+    val rowsBefore = before.count()
+    val ids = tombstonesOf(spark, indexPath)
+    if (ids.isEmpty) return (rowsBefore, rowsBefore)
+    val matched = tombstoneMatches(before, ids, idColName).count()
+    val (fs, p) = hadoopFs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tombfold.tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tombfold.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    tombstoneExclude(spark.read.parquet(indexPath), ids, idColName)
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+    val rowsAfter = spark.read.parquet(tmp.toString).count()
+    if (rowsAfter != rowsBefore - matched) {
+      fs.delete(tmp, true)
+      sys.error(s"annTombstoneFold: rewrite of $indexPath has $rowsAfter rows, " +
+        s"expected ${rowsBefore - matched} ($rowsBefore - $matched tombstoned); " +
+        "artifact left untouched")
+    }
+    carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
+    // the fold CONSUMED the tombstones — they must not shadow the new
+    // generation (an append of a folded id is legitimate again)
+    graft.sources.Tombstones.clear(spark, tmp.toString)
+    // SQ8: the stats sidecar accumulated the deleted rows' rail
+    // counts — re-seed from the surviving rows ON TMP, so the swap
+    // installs artifact + stats as one consistent generation
+    if (isSq) {
+      val hdr = sqRequireHeader(spark, indexPath, "annTombstoneFold")
+      sqStatsWrite(spark, tmp.toString,
+        sqStatsArray(spark.read.parquet(tmp.toString), hdr.dim))
+    }
+    artifactSwap(fs, p, tmp, old, "annTombstoneFold")
+    (rowsBefore, rowsAfter)
+  }
 
   // ------------------------------------------------------------------
   // PCA pre-transform (Faiss "PCAR{d},IVF{n},PQ{m}" index-factory
@@ -3417,6 +3613,7 @@ object Similarity {
         "a plain IVF-PQ artifact rebuilds via ivfPqRebuild (there is no basis " +
         "to retrain)"))
     val (dim, outDim) = (oldKv("dim").toInt, oldKv("out_dim").toInt)
+    requireNoTombstones(spark, indexPath, "pcaIvfPqRebuild")
     recallQueries.foreach { q =>
       val qRows =
         q.limit(math.min(maxRecallQueryRows, Int.MaxValue - 1L).toInt + 1).count()

@@ -120,6 +120,16 @@ object ArtifactHeader {
       case None => write(spark, path, kind, params)
     }
 
+  /** Remove a sidecar (e.g. a consumed tombstone set after its fold).
+    * Returns whether a file existed — deleting an absent sidecar is a
+    * no-op, not an error (absence IS the empty state on the read
+    * side).
+    */
+  def delete(spark: SparkSession, path: String, kind: String): Boolean = {
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(headerPath(path, kind), false)
+  }
+
   /** The read-path contract: the header must exist (refuse with
     * guidance otherwise) and the caller either takes the stored
     * params or is validated against them.

@@ -296,6 +296,36 @@ object ArtifactMaintainer {
       },
       deltaCompactTask(spark, path, keys, merges))
 
+  /** Physical fold of an ANN artifact's tombstoned deletions —
+    * [[graft.operators.Similarity.annTombstoneFold]] under the window
+    * contract (it IS a compaction with a filter). List this check
+    * AHEAD of the rebuild checks: the rebuild verbs refuse a live
+    * tombstone set (a retrain would resurrect deleted rows), and
+    * tasks run in check order inside one window, so fold-then-rebuild
+    * composes in a single `maintainIfDue` poll.
+    */
+  def tombstoneFoldTask(spark: SparkSession, indexPath: String): Task =
+    Task(s"tomb_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
+      val (b, a) = graft.operators.Similarity.annTombstoneFold(spark, indexPath)
+      s"rows $b -> $a (${b - a} tombstoned rows dropped)"
+    }
+
+  /** Tombstone-debt trigger: due when the live (unfolded) set exceeds
+    * `maxIds`. The count is one sidecar-header read — O(1), no
+    * artifact data touched. The budget is a probe-side cost bound
+    * (every probe excludes the live set via predicate or broadcast
+    * anti-join), not a storage bound: heavy deletion volume means
+    * folding more often, never a bigger sidecar.
+    */
+  def tombstoneFoldDue(spark: SparkSession, indexPath: String,
+                       maxIds: Long = 1024L): DueCheck =
+    new DueCheck(s"tomb_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}",
+      () => {
+        val n = Tombstones.count(spark, indexPath)
+        if (n > maxIds) Some(s"tombstones=$n > budget $maxIds") else None
+      },
+      tombstoneFoldTask(spark, indexPath))
+
   /** Staleness-audited ANN rebuild. `corpus` is a THUNK evaluated
     * inside the window — after the quiesce, so it can (and must)
     * include every append that landed before the window opened; a
@@ -308,7 +338,13 @@ object ArtifactMaintainer {
                      minRecallRatio: Double = 0.9,
                      minRecallAbs: Double = 0.0): Task =
     Task(s"ann_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
-      graft.operators.Similarity.ivfPqRebuildIfNeeded(corpus(), indexPath,
+      val c = corpus()
+      // the rebuild verb refuses a live tombstone set (a retrain would
+      // resurrect deleted rows) — inside the exclusive window the fold
+      // is safe and cheap relative to the retrain, so run it first
+      // instead of failing a window the due check opened for balance
+      foldIfTombstoned(c.sparkSession, indexPath) +
+      (graft.operators.Similarity.ivfPqRebuildIfNeeded(c, indexPath,
         rebuildPm, trainFraction = trainFraction, recallQueries = recallQueries,
         k = k, nprobe = nprobe, minRecallRatio = minRecallRatio,
         minRecallAbs = minRecallAbs) match {
@@ -316,7 +352,17 @@ object ArtifactMaintainer {
         case Some(r) =>
           f"rebuilt rows ${r.rowsBefore} -> ${r.rowsAfter}, " +
             f"recall ${r.recallBefore}%.4f -> ${r.recallAfter}%.4f"
-      }
+      })
+    }
+
+  /** Fold a live tombstone set ahead of a rebuild task — returns the
+    * report prefix ("" when there was nothing to fold).
+    */
+  private def foldIfTombstoned(spark: SparkSession, indexPath: String): String =
+    if (Tombstones.count(spark, indexPath) == 0L) ""
+    else {
+      val (b, a) = graft.operators.Similarity.annTombstoneFold(spark, indexPath)
+      s"folded ${b - a} tombstoned rows; "
     }
 
   /** ANN rebuild trigger on the persisted artifact's list-balance
@@ -355,7 +401,9 @@ object ArtifactMaintainer {
                     minRecallRatio: Double = 0.9,
                     minRecallAbs: Double = 0.0): Task =
     Task(s"sq_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
-      graft.operators.Similarity.ivfSqRebuildIfNeeded(corpus(), indexPath,
+      val c = corpus()
+      foldIfTombstoned(c.sparkSession, indexPath) +
+      (graft.operators.Similarity.ivfSqRebuildIfNeeded(c, indexPath,
         rebuildPm, satPm, trainFraction = trainFraction,
         recallQueries = recallQueries, k = k, nprobe = nprobe,
         minRecallRatio = minRecallRatio, minRecallAbs = minRecallAbs) match {
@@ -363,7 +411,7 @@ object ArtifactMaintainer {
         case Some(r) =>
           f"rebuilt rows ${r.rowsBefore} -> ${r.rowsAfter}, " +
             f"recall ${r.recallBefore}%.4f -> ${r.recallAfter}%.4f"
-      }
+      })
     }
 
   def sqRebuildDue(spark: SparkSession, indexPath: String,
@@ -424,7 +472,9 @@ object ArtifactMaintainer {
                      minRecallRatio: Double = 0.9,
                      minRecallAbs: Double = 0.0): Task =
     Task(s"pca_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
-      graft.operators.Similarity.pcaIvfPqRebuildIfNeeded(corpus(), indexPath,
+      val c = corpus()
+      foldIfTombstoned(c.sparkSession, indexPath) +
+      (graft.operators.Similarity.pcaIvfPqRebuildIfNeeded(c, indexPath,
         driftRatioPm, trainSample = trainSample, trainFraction = trainFraction,
         recallQueries = recallQueries, k = k, nprobe = nprobe,
         minRecallRatio = minRecallRatio, minRecallAbs = minRecallAbs) match {
@@ -432,7 +482,7 @@ object ArtifactMaintainer {
         case Some(r) =>
           f"rotation + quantizers rebuilt, rows ${r.rowsBefore} -> " +
             f"${r.rowsAfter}, recall ${r.recallBefore}%.4f -> ${r.recallAfter}%.4f"
-      }
+      })
     }
 
   /** The basis drift trigger: due when the stored rotation's variance

@@ -1,0 +1,204 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.{ArtifactMaintainer, Tombstones}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deletion lifecycle (round 15): ids tombstone into a bounded
+  * content-hashed sidecar, every probe excludes them before the rank
+  * cut, appends that would shadow a deleted id refuse, rebuilds
+  * refuse a live set (a retrain would resurrect deleted rows), and
+  * the maintenance-window fold makes the removal physical — verified
+  * row accounting, sidecars carried, SQ8 stats re-seeded, sidecar
+  * cleared. The probe-result algebra itself is oracle-gated
+  * (q_ann_delete / q_ann_delete_fold / q_ann_sq_delete /
+  * q_sql_ann_delete); this spec holds the lifecycle seams.
+  */
+class TombstoneSpec extends AnyFunSuite with SharedSpark {
+
+  private def tmpIdx(prefix: String): String =
+    new java.io.File(
+      java.nio.file.Files.createTempDirectory(prefix).toFile, "idx").getPath
+
+  private def corpusAndProbes(seed: Int = 1510, n: Int = 48, dim: Int = 8) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    def vec() = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val corpus = (0 until n).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding").coalesce(1).localCheckpoint()
+    val probes = (100 until 104).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding").coalesce(1).localCheckpoint()
+    (corpus, probes)
+  }
+
+  private def resultSet(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("neighbor_id").cast("long"), col("score_e6").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("deleted ids leave the PQ probe before the rank cut; tombstone-live == built-without-them (salted quantizers)") {
+    val (corpus, probes) = corpusAndProbes()
+    val dir = tmpIdx("tomb_pq")
+    Similarity.ivfPqIndexWrite(corpus, dir, dim = 8, lists = 2, m = 2, codes = 4)
+    val full = Similarity.annIvfPqProbeAt(spark, dir, probes, k = 5, nprobe = 2)
+    val victims = full.select(col("neighbor_id").cast("long"))
+      .limit(2).collect().map(_.getLong(0)).distinct
+    assert(victims.nonEmpty)
+    assert(Similarity.annIndexDeleteAt(spark, dir, victims.toSeq) == victims.length)
+    val after = Similarity.annIvfPqProbeAt(spark, dir, probes, k = 5, nprobe = 2)
+    val got = resultSet(after)
+    assert(!got.exists(r => victims.contains(r._3)),
+      s"tombstoned ids surfaced: $got")
+    // the quantizers are salted constants, so an artifact BUILT on the
+    // filtered corpus is the same index — exclusion must be bit-equal
+    val dir2 = tmpIdx("tomb_pq_ref")
+    Similarity.ivfPqIndexWrite(
+      corpus.filter(!col("vec_id").isin(victims.map(java.lang.Long.valueOf): _*)),
+      dir2, dim = 8, lists = 2, m = 2, codes = 4)
+    assert(got == resultSet(
+      Similarity.annIvfPqProbeAt(spark, dir2, probes, k = 5, nprobe = 2)))
+  }
+
+  test("delete is idempotent, merges batches, admits unknown ids; non-artifact paths refuse; the sidecar bound refuses past MaxIds") {
+    val (corpus, _) = corpusAndProbes(seed = 1511)
+    val dir = tmpIdx("tomb_merge")
+    Similarity.ivfPqIndexWrite(corpus, dir, dim = 8, lists = 2, m = 2, codes = 4)
+    assert(Similarity.annIndexDeleteAt(spark, dir, Seq(1L, 2L)) == 2L)
+    // overlap + an id the artifact never held (admitted; folds as 0 rows)
+    assert(Similarity.annIndexDeleteAt(spark, dir, Seq(2L, 3L, 999L)) == 4L)
+    assert(Similarity.annIndexDeleteAt(spark, dir, Seq(1L, 2L)) == 4L)
+    assert(Tombstones.count(spark, dir) == 4L)
+    assert(Tombstones.read(spark, dir).toSeq == Seq(1L, 2L, 3L, 999L))
+    // empty delete is a no-op count read
+    assert(Similarity.annIndexDeleteAt(spark, dir, Seq.empty[Long]) == 4L)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annIndexDeleteAt(spark, tmpIdx("not_an_artifact"), Seq(1L))
+    }
+    assert(ex.getMessage.contains("not a stamped ANN artifact"), ex.getMessage)
+    // the hard bound refuses with fold guidance before writing
+    val ex2 = intercept[IllegalArgumentException] {
+      Tombstones.add(spark, dir, 10000L until (10001L + Tombstones.MaxIds))
+    }
+    assert(ex2.getMessage.contains("fold"), ex2.getMessage)
+    assert(Tombstones.count(spark, dir) == 4L) // untouched by the refusal
+  }
+
+  test("appending a tombstoned id refuses by name on both encodings; fresh ids keep appending") {
+    import spark.implicits._
+    val (corpus, _) = corpusAndProbes(seed = 1512)
+    val pq = tmpIdx("tomb_app_pq"); val sq = tmpIdx("tomb_app_sq")
+    Similarity.ivfPqIndexWrite(corpus, pq, dim = 8, lists = 2, m = 2, codes = 4)
+    Similarity.ivfSqIndexWrite(corpus, sq, dim = 8, lists = 2)
+    Similarity.annIndexDeleteAt(spark, pq, Seq(7L))
+    Similarity.annIndexDeleteAt(spark, sq, Seq(7L))
+    val batch = Seq((7L, Seq.fill(8)(0.5f)), (200L, Seq.fill(8)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[RuntimeException] {
+      Similarity.ivfPqIndexAppendAt(batch, pq)
+    }
+    assert(e1.getMessage.contains("tombstoned"), e1.getMessage)
+    val e2 = intercept[RuntimeException] {
+      Similarity.ivfSqIndexAppendAt(batch, sq)
+    }
+    assert(e2.getMessage.contains("tombstoned"), e2.getMessage)
+    // the fresh-id remainder of the batch appends fine
+    assert(Similarity.ivfPqIndexAppendAt(batch.filter(col("vec_id") =!= 7L), pq) == 1L)
+    assert(Similarity.ivfSqIndexAppendAt(batch.filter(col("vec_id") =!= 7L), sq) == 1L)
+  }
+
+  test("fold makes the removal physical: verified row accounting, sidecar cleared, headers survive, SQ8 stats re-seeded, re-append admitted") {
+    import spark.implicits._
+    val (corpus, probes) = corpusAndProbes(seed = 1513)
+    val dir = tmpIdx("tomb_fold_sq")
+    Similarity.ivfSqIndexWrite(corpus, dir, dim = 8, lists = 2)
+    Similarity.annIndexDeleteAt(spark, dir, Seq(3L, 5L, 999L)) // 999 not present
+    val before = resultSet(Similarity.annIvfSqProbeAt(spark, dir, probes, k = 5, nprobe = 2)
+      .withColumnRenamed("score", "score_e6")
+      .withColumn("score_e6", (col("score_e6") * 1e6).cast("long")))
+    val (b, a) = Similarity.annTombstoneFold(spark, dir)
+    assert(b == 48L && a == 46L, s"accounting: $b -> $a") // only present ids drop
+    assert(Tombstones.count(spark, dir) == 0L)
+    assert(spark.read.parquet(dir).filter(col("neighbor_id").isin(3L, 5L)).count() == 0L)
+    // the artifact stays self-describing and probe-identical
+    val after = resultSet(Similarity.annIvfSqProbeAt(spark, dir, probes, k = 5, nprobe = 2)
+      .withColumnRenamed("score", "score_e6")
+      .withColumn("score_e6", (col("score_e6") * 1e6).cast("long")))
+    assert(after == before, "fold must be result-invariant")
+    // stats re-seeded from the surviving rows: increment == scan
+    val fromStats = Similarity.ivfSqSaturationFromStats(spark, dir).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fromScan = Similarity.ivfSqSaturation(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fromStats == fromScan)
+    // a folded id is legitimately appendable again
+    assert(Similarity.ivfSqIndexAppendAt(
+      Seq((3L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding"), dir) == 1L)
+    // an empty set folds as a no-op
+    assert(Similarity.annTombstoneFold(spark, dir) == (47L, 47L))
+  }
+
+  test("rebuilds refuse a live tombstone set by name (PQ, SQ, PCA); the maintainer task folds first instead") {
+    val (corpus, _) = corpusAndProbes(seed = 1514)
+    val pq = tmpIdx("tomb_reb_pq"); val sq = tmpIdx("tomb_reb_sq")
+    val pca = tmpIdx("tomb_reb_pca")
+    Similarity.ivfPqIndexWrite(corpus, pq, dim = 8, lists = 2, m = 2, codes = 4)
+    Similarity.ivfSqIndexWrite(corpus, sq, dim = 8, lists = 2)
+    Similarity.pcaIvfPqIndexWrite(corpus, pca, dim = 8, outDim = 4,
+      lists = 2, m = 2, codes = 4)
+    Seq(pq, sq, pca).foreach(Similarity.annIndexDeleteAt(spark, _, Seq(11L)))
+    // the projecting probe excludes too (the exclusion sits under the
+    // shared trusted probe body)
+    val (_, probes) = corpusAndProbes(seed = 1515)
+    assert(!resultSet(Similarity.annPcaIvfPqProbeAt(spark, pca, probes, k = 5,
+        nprobe = 2)).exists(_._3 == 11L))
+    def refusal(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(refusal(Similarity.ivfPqRebuild(corpus, pq)).contains("Fold first"))
+    assert(refusal(Similarity.ivfSqRebuild(corpus, sq)).contains("Fold first"))
+    assert(refusal(Similarity.pcaIvfPqRebuild(corpus, pca,
+      trainSample = 64)).contains("Fold first"))
+    // the maintainer rebuild task folds inside its window instead of
+    // failing it (the due check may have tripped for balance alone)
+    val summary = ArtifactMaintainer.annRebuildTask(pq,
+      () => corpus.filter(col("vec_id") =!= 11L)).run()
+    assert(summary.contains("folded 1 tombstoned rows"), summary)
+    assert(Tombstones.count(spark, pq) == 0L)
+  }
+
+  test("tombstoneFoldDue: O(1) sidecar poll trips past the budget, the window folds, the next poll is quiet") {
+    val (corpus, _) = corpusAndProbes(seed = 1516)
+    val dir = tmpIdx("tomb_due")
+    Similarity.ivfPqIndexWrite(corpus, dir, dim = 8, lists = 2, m = 2, codes = 4)
+    val m = new ArtifactMaintainer()
+    val due = ArtifactMaintainer.tombstoneFoldDue(spark, dir, maxIds = 2L)
+    assert(m.maintainIfDue(Seq(due)).isEmpty) // nothing deleted yet
+    Similarity.annIndexDeleteAt(spark, dir, Seq(1L, 2L))
+    assert(m.maintainIfDue(Seq(due)).isEmpty) // at budget, not past it
+    Similarity.annIndexDeleteAt(spark, dir, Seq(4L))
+    val rep = m.maintainIfDue(Seq(due))
+    assert(rep.isDefined)
+    val task = rep.get.tasks.head
+    assert(task.summary.contains("tombstones=3 > budget 2"), task.summary)
+    assert(task.summary.contains("rows 48 -> 45"), task.summary)
+    assert(Tombstones.count(spark, dir) == 0L)
+    assert(m.maintainIfDue(Seq(due)).isEmpty) // folded -> quiet
+  }
+
+  test("tombstoneExclude/tombstoneMatches: the pushdown and anti/semi-join branches agree and tile the frame") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i => (i, i * 10)).toDF("vec_id", "payload")
+    val ids = Array(3L, 7L, 15L, 999L)
+    val exPush = Similarity.tombstoneExclude(df, ids, "vec_id", pushdownMax = 100)
+    val exJoin = Similarity.tombstoneExclude(df, ids, "vec_id", pushdownMax = 1)
+    val mPush = Similarity.tombstoneMatches(df, ids, "vec_id", pushdownMax = 100)
+    val mJoin = Similarity.tombstoneMatches(df, ids, "vec_id", pushdownMax = 1)
+    def setOf(d: DataFrame) = d.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(setOf(exPush) == setOf(exJoin))
+    assert(setOf(mPush) == setOf(mJoin))
+    assert(setOf(mPush) == Set(3L, 7L, 15L))
+    assert(setOf(exPush) ++ setOf(mPush) == (0L until 20L).toSet)
+  }
+}
