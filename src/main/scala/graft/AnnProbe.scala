@@ -25,6 +25,7 @@ object AnnProbe {
     if (args.nonEmpty && args(0) == "pca") { pcaProbe(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "opq") { opqLadder(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "pcalifecycle") { pcaLifecycle(); return }
+    if (args.nonEmpty && args(0) == "tombstones") { tombstoneLifecycle(args.drop(1)); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -380,6 +381,75 @@ object AnnProbe {
     * compaction preserves probe results.
     * Run: sbt "runMain graft.AnnProbe sqlifecycle"
     */
+  /** The deletion lifecycle timed at a grown corpus — the claims
+    * under measurement: (a) a live tombstone set prices every probe
+    * at ~the clean-probe cost through BOTH exclusion branches (the
+    * NOT-IN scan predicate under the pushdown bound, the broadcast
+    * anti-join above it); (b) the due-check poll is O(sidecar), not
+    * O(artifact); (c) the fold is one bounded artifact rewrite after
+    * which probes pay nothing at all. Corpus grown by entity copies
+    * (the soak convention). Run: sbt "runMain graft.AnnProbe tombstones 100"
+    */
+  private def tombstoneLifecycle(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 100
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb =
+      if (copies <= 1) emb0.localCheckpoint()
+      else (0 until copies).map { k =>
+        val rot = k % 64
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          (if (rot == 0) col("embedding")
+           else concat(slice(col("embedding"), rot + 1, 64 - rot),
+             slice(col("embedding"), 1, rot))).as("embedding"))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+    val nVec = emb.count()
+    val out = java.nio.file.Files.createTempDirectory("ann_tombstones").toString + "/idx"
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    def min2(f: => Long): Double = (1 to 2).map(_ => time(f)._2).min
+    val (_, writeSec) = time(Similarity.ivfPqIndexWrite(emb, out, dim = 64))
+    val q = emb0.filter(col("vec_id") < 8).localCheckpoint()
+    def probe(): Long = Similarity.annIvfPqProbeAt(spark, out, q, k = 5).count()
+    val probeClean = min2(probe())
+    // 1%: under the pushdown bound -> NOT-IN scan predicate
+    val (nSmall, delSmallSec) = time(Similarity.annIndexDeleteAt(spark, out,
+      emb.filter(col("vec_id") % 100 === 1).select("vec_id")))
+    val probeSmall = min2(probe())
+    // 10%: past the pushdown bound -> broadcast anti-join branch
+    val (nBig, delBigSec) = time(Similarity.annIndexDeleteAt(spark, out,
+      emb.filter(col("vec_id") % 10 === 1).select("vec_id")))
+    val probeBig = min2(probe())
+    // the per-batch poll a deployment runs: one sidecar-header read
+    val (debt, pollSec) = time(graft.sources.Tombstones.count(spark, out))
+    val ((rb, ra), foldSec) = time(Similarity.annTombstoneFold(spark, out))
+    require(ra == nVec - nBig, s"fold accounting: $rb -> $ra, expected ${nVec - nBig}")
+    val probeFolded = min2(probe())
+    // deleted ids stay gone and ingest resumes (a folded id may return)
+    require(spark.read.parquet(out).filter(col("vec_id") % 10 === 1).count() == 0L)
+    val (nResumed, resumeSec) = time(Similarity.ivfPqIndexAppendAt(
+      emb.filter(col("vec_id") % 10 === 1).limit(100), out))
+    require(nResumed == 100L, s"resume admitted $nResumed/100")
+    graft.plans.CheckpointHygiene.free(emb, q)
+    println(s"""{"dir":"$dir","n_vectors":$nVec,"write_sec":${f"$writeSec%.2f"},""" +
+      s""""probe_clean_sec":${f"$probeClean%.2f"},""" +
+      s""""delete_small_sec":${f"$delSmallSec%.2f"},"tombstones_small":$nSmall,""" +
+      s""""probe_pushdown_sec":${f"$probeSmall%.2f"},""" +
+      s""""delete_big_sec":${f"$delBigSec%.2f"},"tombstones_big":$nBig,""" +
+      s""""probe_antijoin_sec":${f"$probeBig%.2f"},""" +
+      s""""debt":$debt,"poll_sec":${f"$pollSec%.3f"},""" +
+      s""""fold_sec":${f"$foldSec%.2f"},"rows_before":$rb,"rows_after":$ra,""" +
+      s""""probe_folded_sec":${f"$probeFolded%.2f"},"resume_append_sec":${f"$resumeSec%.2f"}}""")
+    spark.stop()
+  }
+
   private def sqLifecycle(): Unit = {
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
