@@ -2035,6 +2035,52 @@ object SparkEntry {
         path, "text", "doc_id", threshold = 0.4)
     }),
 
+    // DELETION from the near-dup index (rights-removal hits the dedup
+    // family too): tombstoned prior docs leave the index scan, so
+    // they can never become candidates and their winner text is never
+    // fetched — exclusion happens AFTER the admission-time bucket
+    // cap, which the oracle mirrors
+    "q_neardup_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      val path = runTmp("band_index_del", dir)
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      graft.streaming.StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        path, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      Dedup.neardupIndexDeleteAt(s, path,
+        prior.filter(col("doc_id") % 7 === 1).select("doc_id"))
+      Dedup.nearDupAgainstIndexAt(s, prior, docs.filter(col("doc_id") % 3 === 0),
+        path, "text", "doc_id", threshold = 0.4)
+    }),
+
+    // the same deletion made PHYSICAL (neardupTombstoneFold on the
+    // index; the winner-store half is spec-held — this query's prior
+    // side is a frame, not a persisted store): fold is
+    // result-invariant, so it shares q_neardup_delete's oracle
+    "q_neardup_delete_fold" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      val path = runTmp("band_index_delf", dir)
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      graft.streaming.StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        path, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      Dedup.neardupIndexDeleteAt(s, path,
+        prior.filter(col("doc_id") % 7 === 1).select("doc_id"))
+      Dedup.neardupTombstoneFold(s, path)
+      Dedup.nearDupAgainstIndexAt(s, prior, docs.filter(col("doc_id") % 3 === 0),
+        path, "text", "doc_id", threshold = 0.4)
+    }),
+
     // runtime bloom semi-join filter: a selective dim filter (one
     // nation's suppliers) prunes the fact scan via a broadcast bit
     // array BEFORE any join — the fact side sees a pure codegen
@@ -4190,6 +4236,11 @@ object SparkEntry {
     // the persisted-index round-trip must answer exactly like the
     // recomputed operator — same oracle by design
     "q_neardup_index_probe" -> incNeardupOracle,
+    // deletion: tombstoned priors leave the candidate join after the
+    // admission-time cap; the fold is result-invariant, so both forms
+    // share the oracle
+    "q_neardup_delete" -> incNeardupOracleEx("doc_id % 7 <> 1"),
+    "q_neardup_delete_fold" -> incNeardupOracleEx("doc_id % 7 <> 1"),
 
     // mirrors Par.bloomBits + bloomMightContain: same md5 positions,
     // 60-bit words, per-distinct-key probe (pass is a function of the
@@ -4304,8 +4355,19 @@ object SparkEntry {
     * tables (each capped independently, as the operator does) and
     * prior x probe candidate generation only.
     */
-  private def incNeardupOracle: String = {
-    """WITH t AS (SELECT doc_id,
+  private def incNeardupOracle: String = incNeardupOracleEx()
+
+  /** `priorExclude`: deletion mirror — a predicate dropping tombstoned
+    * PRIOR docs from the candidate join AFTER the admission-time
+    * bucket cap (the engine caps at admission and excludes at the
+    * probe scan, so the oracle must too — filtering before the
+    * QUALIFY would re-admit different docs into full buckets).
+    */
+  private def incNeardupOracleEx(priorExclude: String = ""): String = {
+    val priorSrc =
+      if (priorExclude.isEmpty) "bp"
+      else s"(SELECT * FROM bp WHERE $priorExclude)"
+    s"""WITH t AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
        |  FROM documents),
        |shr AS (SELECT doc_id, unnest(list_transform(
@@ -4332,7 +4394,7 @@ object SparkEntry {
        |bq AS (SELECT doc_id, band_key FROM b0 WHERE doc_id % 3 = 0
        |  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= 128),
        |cand AS (SELECT DISTINCT p.doc_id AS doc_prior, q.doc_id AS doc_new
-       |  FROM bp p JOIN bq q USING (band_key)),
+       |  FROM $priorSrc p JOIN bq q USING (band_key)),
        |s2 AS (SELECT t.doc_id, list_distinct(list_transform(
        |    range(1, greatest(len(toks) - 2, 0) + 1),
        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),

@@ -283,11 +283,97 @@ object Dedup {
             import spark.implicits._
             Seq.empty[(Long, String)].toDF("doc_id", "band_key")
         }
-      nearDupAgainstIndex(priorDocs, probe, idx, textCol, idCol,
+      // the deletion contract (the ANN probe convention): tombstoned
+      // prior docs leave the index scan, so they can never become
+      // candidates and their winner-store text is never fetched
+      nearDupAgainstIndex(priorDocs,
+        probe, Similarity.tombstoneExclude(idx,
+          graft.sources.Tombstones.read(spark, indexPath), "doc_id"),
+        textCol, idCol,
         shingleN = hdr("shingle_n").toInt, bands = hdr("bands").toInt,
         rows = hdr("rows").toInt, threshold = threshold,
         bucketCap = hdr("bucket_cap").toInt)
     }
+  }
+
+  /** DELETE docs from a persisted near-dup band index (the rights-
+    * removal verb for the dedup family — the
+    * [[graft.operators.Similarity.annIndexDeleteAt]] contract): ids
+    * merge idempotently into the bounded content-hashed tombstone
+    * sidecar; every [[nearDupAgainstIndexAt]] probe excludes them
+    * immediately, and [[neardupTombstoneFold]] makes the removal
+    * physical — from the winner store too, which is where the TEXT a
+    * removal request actually targets lives. The artifact must carry
+    * its `bands` header (deleting from an arbitrary path is a scoping
+    * mistake).
+    */
+  def neardupIndexDeleteAt(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, ids: Seq[Long]): Long = {
+    graft.sources.ArtifactHeader.required(spark, indexPath, "bands")
+    if (ids.isEmpty) graft.sources.Tombstones.count(spark, indexPath)
+    else graft.sources.Tombstones.add(spark, indexPath, ids)
+  }
+
+  /** [[neardupIndexDeleteAt]] from an id frame (first column is the
+    * id) — bounded like the ANN overload: the collect is the point,
+    * tombstones are driver-held.
+    */
+  def neardupIndexDeleteAt(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, ids: DataFrame): Long = {
+    val cap = graft.sources.Tombstones.MaxIds
+    val collected = ids.select(col(ids.columns.head).cast("long"))
+      .distinct().limit(cap + 1).collect().map(_.getLong(0))
+    require(collected.length <= cap,
+      s"neardupIndexDeleteAt: the id frame exceeds the $cap live-tombstone " +
+        "bound — delete in folded batches (neardupTombstoneFold between them)")
+    neardupIndexDeleteAt(spark, indexPath, collected.toSeq)
+  }
+
+  /** Make the near-dup deletions PHYSICAL across BOTH artifacts of the
+    * incremental family: rewrite the winner store minus the tombstoned
+    * docs FIRST (it holds the text a removal request targets; the
+    * band index still shadows the ids if this crashes mid-way, and a
+    * re-run is idempotent), then the band index, each with the
+    * verified row accounting + sidecar carry + atomic swap of the ANN
+    * fold, clearing the consumed tombstone set with the index rewrite.
+    * Returns ((storeBefore, storeAfter), (indexBefore, indexAfter));
+    * `winnerStorePath = None` folds the index alone (callers whose
+    * prior side is not a persisted store). A no-op on an empty set.
+    */
+  def neardupTombstoneFold(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String,
+                           winnerStorePath: Option[String] = None)
+      : ((Long, Long), (Long, Long)) = {
+    graft.sources.ArtifactHeader.required(spark, indexPath, "bands")
+    val ids = graft.sources.Tombstones.read(spark, indexPath)
+    def foldOne(path: String, clearTombstones: Boolean): (Long, Long) = {
+      val before = spark.read.parquet(path)
+      val rowsBefore = before.count()
+      if (ids.isEmpty) return (rowsBefore, rowsBefore)
+      val matched = Similarity.tombstoneMatches(before, ids, "doc_id").count()
+      val (fs, p) = Similarity.hadoopFs(spark, path)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tombfold.tmp")
+      val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tombfold.old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      Similarity.tombstoneExclude(spark.read.parquet(path), ids, "doc_id")
+        .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+      val rowsAfter = spark.read.parquet(tmp.toString).count()
+      if (rowsAfter != rowsBefore - matched) {
+        fs.delete(tmp, true)
+        sys.error(s"neardupTombstoneFold: rewrite of $path has $rowsAfter rows, " +
+          s"expected ${rowsBefore - matched} ($rowsBefore - $matched tombstoned); " +
+          "artifact left untouched")
+      }
+      Similarity.carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
+      if (clearTombstones) graft.sources.Tombstones.clear(spark, tmp.toString)
+      Similarity.artifactSwap(fs, p, tmp, old, "neardupTombstoneFold")
+      (rowsBefore, rowsAfter)
+    }
+    val store = winnerStorePath match {
+      case Some(w) => foldOne(w, clearTombstones = false)
+      case None => (0L, 0L)
+    }
+    (store, foldOne(indexPath, clearTombstones = true))
   }
 
   /** Candidate-id pushdown bound for [[verifyAgainst]]'s prior-text

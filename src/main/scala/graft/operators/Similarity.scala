@@ -1442,7 +1442,7 @@ object Similarity {
     graft.core.Hashes.contentHash(bos.toByteArray)
   }
 
-  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+  private[graft] def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
@@ -1960,7 +1960,7 @@ object Similarity {
     * rebuild path. Existing files in `to` win (a rebuild's freshly
     * retrained headers must never be clobbered by stale ones).
     */
-  private def carrySidecars(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def carrySidecars(fs: org.apache.hadoop.fs.FileSystem,
                             from: org.apache.hadoop.fs.Path,
                             to: org.apache.hadoop.fs.Path,
                             conf: org.apache.hadoop.conf.Configuration): Unit =
@@ -1973,7 +1973,7 @@ object Similarity {
         new org.apache.hadoop.fs.Path(to, s.getPath.getName), false, conf)
     }
 
-  private def artifactSwap(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def artifactSwap(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path,
                            tmp: org.apache.hadoop.fs.Path,
                            old: org.apache.hadoop.fs.Path,

@@ -326,6 +326,34 @@ object ArtifactMaintainer {
       },
       tombstoneFoldTask(spark, indexPath))
 
+  /** The near-dup family's fold twin — both artifacts in one task:
+    * the winner store first (it holds the TEXT a removal request
+    * targets; a crash mid-way leaves the ids still index-shadowed and
+    * the re-run idempotent), then the band index, which clears the
+    * consumed tombstone set.
+    */
+  def neardupTombstoneFoldTask(spark: SparkSession, indexPath: String,
+                               winnerStorePath: Option[String] = None): Task =
+    Task(s"tomb_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
+      val ((sb, sa), (ib, ia)) =
+        graft.operators.Dedup.neardupTombstoneFold(spark, indexPath, winnerStorePath)
+      val store = winnerStorePath.map(_ => s"store rows $sb -> $sa, ").getOrElse("")
+      s"${store}index rows $ib -> $ia"
+    }
+
+  /** [[tombstoneFoldDue]] for the near-dup index — same O(1) sidecar
+    * poll, the fold rewrites the winner store too.
+    */
+  def neardupTombstoneFoldDue(spark: SparkSession, indexPath: String,
+                              winnerStorePath: Option[String] = None,
+                              maxIds: Long = 1024L): DueCheck =
+    new DueCheck(s"tomb_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}",
+      () => {
+        val n = Tombstones.count(spark, indexPath)
+        if (n > maxIds) Some(s"tombstones=$n > budget $maxIds") else None
+      },
+      neardupTombstoneFoldTask(spark, indexPath, winnerStorePath))
+
   /** Staleness-audited ANN rebuild. `corpus` is a THUNK evaluated
     * inside the window — after the quiesce, so it can (and must)
     * include every append that landed before the window opened; a

@@ -187,6 +187,102 @@ class TombstoneSpec extends AnyFunSuite with SharedSpark {
     assert(m.maintainIfDue(Seq(due)).isEmpty) // folded -> quiet
   }
 
+  // ------------------------------------------------------------------
+  // the near-dup family's deletion twin (band index + winner store)
+  // ------------------------------------------------------------------
+
+  private def docsFixture() = {
+    import spark.implicits._
+    // three shared-text groups so near-dup pairs exist across the
+    // prior/probe split, plus unique fillers
+    val rows = (0 until 30).map { i =>
+      val text =
+        if (i % 5 == 0) "the quick brown fox jumps over the lazy dog again"
+        else if (i % 5 == 1) "pack my box with five dozen liquor jugs tonight"
+        else s"unique document number $i with its own words entirely " +
+          s"nothing shared here ${i * 31}"
+      (i.toLong, text)
+    }
+    rows.toDF("doc_id", "text").coalesce(1).localCheckpoint()
+  }
+
+  private def buildBandIndex(docs: DataFrame, path: String): Unit =
+    graft.streaming.StreamingNearDup.appendToIndex(
+      graft.operators.Dedup.capBucket(
+        graft.operators.Dedup.bandKeys(
+          docs.select(col("doc_id"), col("text").as("__text")),
+          shingleN = 3, bands = 6, rows = 2),
+        "band_key", "doc_id", 128),
+      path, bucketCap = 128, stampParams = Some((3, 6, 2)))
+
+  test("near-dup deletion: tombstoned priors leave the candidate set; append refuses; fold rewrites winner store AND index, clears the set") {
+    val Dedup = graft.operators.Dedup
+    val docs = docsFixture()
+    val prior = docs.filter(col("doc_id") % 3 =!= 0)
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+    val idxPath = tmpIdx("tomb_band")
+    val storePath = tmpIdx("tomb_winners")
+    buildBandIndex(prior, idxPath)
+    prior.write.mode("overwrite").parquet(storePath)
+    val before = Dedup.nearDupAgainstIndexAt(spark, prior, probe, idxPath,
+      "text", "doc_id", threshold = 0.4)
+    val victims = before.select(col("doc_prior").cast("long"))
+      .limit(2).collect().map(_.getLong(0)).distinct
+    assert(victims.nonEmpty, "fixture must produce near-dup pairs")
+    assert(Dedup.neardupIndexDeleteAt(spark, idxPath, victims.toSeq) == victims.length)
+    // probe-side exclusion: deleted priors can no longer match
+    val live = Dedup.nearDupAgainstIndexAt(spark, prior, probe, idxPath,
+      "text", "doc_id", threshold = 0.4)
+    assert(live.filter(col("doc_prior").isin(
+      victims.map(java.lang.Long.valueOf): _*)).count() == 0L)
+    // a non-artifact path refuses the delete
+    intercept[IllegalArgumentException] {
+      Dedup.neardupIndexDeleteAt(spark, tmpIdx("not_bands"), Seq(1L))
+    }
+    // appending a tombstoned doc refuses by name
+    val reBands = Dedup.capBucket(
+      Dedup.bandKeys(prior.filter(col("doc_id") === victims.head)
+        .select(col("doc_id"), col("text").as("__text")),
+        shingleN = 3, bands = 6, rows = 2),
+      "band_key", "doc_id", 128)
+    val e = intercept[RuntimeException] {
+      graft.streaming.StreamingNearDup.appendToIndex(reBands, idxPath)
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    // fold: BOTH artifacts rewritten with verified accounting, the
+    // text physically gone from the store, sidecar cleared, probe
+    // result-invariant
+    val idxRows = spark.read.parquet(idxPath).count()
+    val idxTombRows = spark.read.parquet(idxPath)
+      .filter(col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*)).count()
+    val ((sb, sa), (ib, ia)) =
+      Dedup.neardupTombstoneFold(spark, idxPath, Some(storePath))
+    assert(sb - sa == victims.length, s"store accounting: $sb -> $sa")
+    assert(ib == idxRows && ib - ia == idxTombRows, s"index accounting: $ib -> $ia")
+    assert(spark.read.parquet(storePath)
+      .filter(col("doc_id").isin(victims.map(java.lang.Long.valueOf): _*)).count() == 0L)
+    assert(graft.sources.Tombstones.count(spark, idxPath) == 0L)
+    val folded = Dedup.nearDupAgainstIndexAt(spark, prior, probe, idxPath,
+      "text", "doc_id", threshold = 0.4)
+    def pairSet(df: DataFrame) = df.select(col("doc_new").cast("long"),
+        col("doc_prior").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(folded) == pairSet(live), "fold must be result-invariant")
+    // the header survived the swap: a fresh append is admitted again
+    assert(graft.streaming.StreamingNearDup.appendToIndex(reBands, idxPath) > 0L)
+    // maintainer twin: due trips past budget, the window folds both
+    Dedup.neardupIndexDeleteAt(spark, idxPath, victims.toSeq)
+    val m = new ArtifactMaintainer()
+    val due = ArtifactMaintainer.neardupTombstoneFoldDue(spark, idxPath,
+      Some(storePath), maxIds = 0L)
+    val rep = m.maintainIfDue(Seq(due))
+    assert(rep.isDefined)
+    assert(rep.get.tasks.head.summary.contains("index rows"),
+      rep.get.tasks.head.summary)
+    assert(graft.sources.Tombstones.count(spark, idxPath) == 0L)
+    assert(m.maintainIfDue(Seq(due)).isEmpty)
+  }
+
   test("tombstoneExclude/tombstoneMatches: the pushdown and anti/semi-join branches agree and tile the frame") {
     import spark.implicits._
     val df = (0L until 20L).map(i => (i, i * 10)).toDF("vec_id", "payload")
