@@ -70,9 +70,23 @@ object ArtifactHeader {
       params.sortBy(_._1).map { case (k, v) => s"$k=$v" } :+
       s"hash=${paramsHash(kind, params)}").mkString("\n")
     val (fs, _) = fsOf(spark, path)
-    val out = fs.create(headerPath(path, kind), true)
+    // write-tmp-then-rename(OVERWRITE): header stamps are ATOMIC for
+    // readers. Writer-class accesses (appends accumulating a stats
+    // sidecar, deletes growing a tombstone set) legally run under the
+    // SHARED maintenance lock concurrently with probes reading the
+    // same sidecar — an in-place overwrite would expose a torn header
+    // to exactly those readers (loud, via the content hash, but a
+    // refusal the lock discipline promises cannot happen). The tmp is
+    // '.'-prefixed: invisible to parquet listings and never carried
+    // by the sidecar-copy rules.
+    val target = headerPath(path, kind)
+    val tmp = new Path(path, s".${sidecarName(kind)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Load + integrity-check; None when the artifact predates headers. */

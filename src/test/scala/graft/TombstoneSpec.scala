@@ -187,6 +187,71 @@ class TombstoneSpec extends AnyFunSuite with SharedSpark {
     assert(m.maintainIfDue(Seq(due)).isEmpty) // folded -> quiet
   }
 
+  test("deletion under live ingest: probes never see a deleted id once the delete lands; the fold window preserves every fresh append") {
+    import spark.implicits._
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+    val (corpus, probes) = corpusAndProbes(seed = 1517)
+    val dir = tmpIdx("tomb_live")
+    Similarity.ivfPqIndexWrite(corpus, dir, dim = 8, lists = 2, m = 2, codes = 4)
+    val victims = Similarity.annIvfPqProbeAt(spark, dir, probes, k = 5, nprobe = 2)
+      .select(col("neighbor_id").cast("long")).limit(2).collect()
+      .map(_.getLong(0)).distinct
+    assert(victims.nonEmpty)
+    val maint = new graft.sources.ArtifactMaintainer()
+    val rnd = new scala.util.Random(1518)
+    val chunks = (0 until 4).map(c => (0 until 16).map(i =>
+      ((1000 + c * 16 + i).toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))))
+    val appended = new AtomicInteger(0)
+    val err = new AtomicReference[Throwable](null)
+    val deleteDone = new AtomicBoolean(false)
+    val stop = new AtomicBoolean(false)
+    val violations = new AtomicInteger(0)
+    val appender = new Thread(() => {
+      try chunks.foreach { c =>
+        maint.withAccess {
+          assert(Similarity.ivfPqIndexAppendAt(
+            c.toDF("vec_id", "embedding"), dir) == c.size.toLong)
+          appended.addAndGet(c.size)
+        }
+        Thread.sleep(30)
+      } catch { case e: Throwable => err.set(e) }
+    })
+    val prober = new Thread(() => {
+      try while (!stop.get()) {
+        val flagged = deleteDone.get() // read BEFORE the probe starts
+        val got = maint.withAccess {
+          Similarity.annIvfPqProbeAt(spark, dir, probes, k = 5, nprobe = 2)
+            .select(col("neighbor_id").cast("long")).collect().map(_.getLong(0)).toSet
+        }
+        if (flagged && victims.exists(got.contains)) violations.incrementAndGet()
+      } catch { case e: Throwable => err.set(e) }
+    })
+    appender.start(); prober.start()
+    while (appended.get() < 16 && err.get() == null) Thread.sleep(10)
+    // the delete is a writer-class access, like an append
+    maint.withAccess {
+      Similarity.annIndexDeleteAt(spark, dir, victims.toSeq)
+    }
+    deleteDone.set(true)
+    // debt past budget -> the window folds mid-ingest
+    val rep = maint.maintainIfDue(Seq(
+      graft.sources.ArtifactMaintainer.tombstoneFoldDue(spark, dir,
+        maxIds = victims.length - 1L)))
+    assert(rep.isDefined, "fold window must open past the budget")
+    appender.join(120000)
+    stop.set(true); prober.join(120000)
+    assert(err.get() == null, s"concurrent access failed: ${err.get()}")
+    assert(violations.get() == 0,
+      s"${violations.get()} probes saw a deleted id after the delete landed")
+    // accounting: initial minus victims plus every fresh append, once
+    val idx = spark.read.parquet(dir)
+    assert(idx.filter(col("vec_id").isin(
+      victims.map(java.lang.Long.valueOf): _*)).count() == 0L)
+    assert(graft.sources.Tombstones.count(spark, dir) == 0L)
+    assert(idx.count() == 48L - victims.length + 64L)
+    assert(idx.select("vec_id").distinct().count() == idx.count())
+  }
+
   // ------------------------------------------------------------------
   // the near-dup family's deletion twin (band index + winner store)
   // ------------------------------------------------------------------
