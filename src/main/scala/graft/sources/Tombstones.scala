@@ -66,6 +66,14 @@ object Tombstones {
 
   /** Merge `ids` into the live set (idempotent — re-deleting is a
     * no-op) and re-stamp the sidecar. Returns the merged live count.
+    *
+    * Concurrency contract: the stamp is ATOMIC for readers
+    * ([[ArtifactHeader.write]]'s rename), so probes under the shared
+    * maintenance lock always see a complete old-or-new set — but two
+    * CONCURRENT adds are read-modify-write and would lose one
+    * another's ids. Deletes are writer-class mutations of the
+    * artifact, exactly like appends: serialize them in the one driver
+    * that owns the artifact's maintenance loop.
     */
   def add(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
     val merged = (read(spark, path) ++ ids).distinct.sorted

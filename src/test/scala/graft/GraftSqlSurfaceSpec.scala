@@ -255,6 +255,42 @@ class GraftSqlParserSpec extends AnyFunSuite with SharedSpark {
     assert(rows(p3) == rows(p4)) // untouched
   }
 
+  test("DELETE/VACUUM ANN INDEX verbs equal their DataFrame twins; failures surface as ParseException") {
+    import graft.operators.Similarity
+    def tmpIdx(p: String) = new java.io.File(
+      java.nio.file.Files.createTempDirectory(p).toFile, "idx").getPath
+    val p1 = tmpIdx("sql_ann_del")
+    spark.sql(s"BUILD ANN INDEX FROM '$sf' AT '$p1'").collect()
+    val del = spark.sql(
+      s"DELETE FROM ANN INDEX '$p1' FROM '$sf' WHERE vec_id % 7 = 1").collect().head
+    assert(del.getString(0) == p1 && del.getLong(1) > 0L)
+    // the probe verb excludes the tombstoned ids from this statement on
+    assert(spark.sql(s"PROBE ANN INDEX '$p1' FROM '$sf'")
+      .filter(col("neighbor_id") % 7 === 1).count() == 0L)
+    val rowsBefore = spark.read.parquet(p1).count()
+    val vac = spark.sql(s"VACUUM ANN INDEX '$p1'").collect().head
+    assert(vac.getLong(0) == rowsBefore && vac.getLong(1) < rowsBefore)
+    assert(graft.sources.Tombstones.count(spark, p1) == 0L)
+    // twin equality: delete + fold == building on the filtered slice
+    // (salted quantizers, so the artifacts are bit-identical)
+    val p2 = tmpIdx("sql_ann_del_twin")
+    val emb = graft.sources.TableArmor.embeddings(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
+    Similarity.ivfPqIndexWrite(
+      emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 =!= 1), p2, dim = 64)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("list_id").cast("long"), col("codes").cast("string"))
+      .collect().map(_.toString).toSet
+    assert(rows(p1) == rows(p2))
+    // failure seams stay ParseException: bad predicate, missing artifact
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"DELETE FROM ANN INDEX '$p1' FROM '$sf' WHERE no_such_col = 1").collect()
+    }
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"VACUUM ANN INDEX '/tmp/graft_no_such_artifact_xyz'").collect()
+    }
+  }
+
   test("BUILD ANN INDEX USING SQ8 / RESIDUAL equal their twins; PROBE dispatches on the stored header kind; bad encoding refuses") {
     import graft.operators.Similarity
     def tmpIdx(p: String) = new java.io.File(
