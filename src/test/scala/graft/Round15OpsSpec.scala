@@ -248,7 +248,18 @@ class Round15OpsSpec extends AnyFunSuite with SharedSpark {
     val taskSummary = winRep.tasks.map(_.summary).mkString("; ")
     assert(taskSummary.contains("basis capture"), taskSummary) // the trigger reason
     assert(taskSummary.contains("rotation + quantizers rebuilt"), taskSummary)
-    assert(taskSummary.contains("rows 192 -> 192"), taskSummary)
+    // exact row accounting (a bare "rows 192 -> 192" substring would
+    // also match "-> 1920") and the GATE's own recall direction — the
+    // report numbers are the only view of the in-gate measurement
+    val summaryRe =
+      """rows (\d+) -> (\d+), recall ([0-9.]+) -> ([0-9.]+)""".r.unanchored
+    taskSummary match {
+      case summaryRe(rb, ra, recB, recA) =>
+        assert(rb.toLong == 192L && ra.toLong == 192L, taskSummary)
+        assert(recA.toDouble > recB.toDouble,
+          s"gate must measure recall recovering across generations: $taskSummary")
+      case _ => fail(s"report shape drifted: $taskSummary")
+    }
     val after = refineRecall(dir, grown, probes)
     assert(after > before && after >= 0.8,
       s"rebuild must restore refine-recall: $before -> $after")
