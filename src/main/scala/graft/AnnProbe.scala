@@ -372,15 +372,6 @@ object AnnProbe {
     spark.stop()
   }
 
-  /** The SQ8 maintenance loop end to end, timed — the `lifecycle`
-    * probe for the scalar encoding, with the drift the SQ audit
-    * exists for: in-bounds appends ride the header, an OUT-OF-SPAN
-    * batch rail-clamps, `ivfSqNeedsRebuild` trips on saturation, the
-    * rebuild retrains bounds (unclamping) + data-seeded centroids and
-    * swaps, ingest resumes through the header-driven appender, and
-    * compaction preserves probe results.
-    * Run: sbt "runMain graft.AnnProbe sqlifecycle"
-    */
   /** The deletion lifecycle timed at a grown corpus — the claims
     * under measurement: (a) a live tombstone set prices every probe
     * at ~the clean-probe cost through BOTH exclusion branches (the
@@ -450,6 +441,15 @@ object AnnProbe {
     spark.stop()
   }
 
+  /** The SQ8 maintenance loop end to end, timed — the `lifecycle`
+    * probe for the scalar encoding, with the drift the SQ audit
+    * exists for: in-bounds appends ride the header, an OUT-OF-SPAN
+    * batch rail-clamps, `ivfSqNeedsRebuild` trips on saturation, the
+    * rebuild retrains bounds (unclamping) + data-seeded centroids and
+    * swaps, ingest resumes through the header-driven appender, and
+    * compaction preserves probe results.
+    * Run: sbt "runMain graft.AnnProbe sqlifecycle"
+    */
   private def sqLifecycle(): Unit = {
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -319,15 +319,10 @@ object Dedup {
     * tombstones are driver-held.
     */
   def neardupIndexDeleteAt(spark: org.apache.spark.sql.SparkSession,
-                           indexPath: String, ids: DataFrame): Long = {
-    val cap = graft.sources.Tombstones.MaxIds
-    val collected = ids.select(col(ids.columns.head).cast("long"))
-      .distinct().limit(cap + 1).collect().map(_.getLong(0))
-    require(collected.length <= cap,
-      s"neardupIndexDeleteAt: the id frame exceeds the $cap live-tombstone " +
-        "bound — delete in folded batches (neardupTombstoneFold between them)")
-    neardupIndexDeleteAt(spark, indexPath, collected.toSeq)
-  }
+                           indexPath: String, ids: DataFrame): Long =
+    neardupIndexDeleteAt(spark, indexPath,
+      graft.sources.Tombstones.collectBounded(ids,
+        "neardupIndexDeleteAt", "neardupTombstoneFold"))
 
   /** Make the near-dup deletions PHYSICAL across BOTH artifacts of the
     * incremental family: rewrite the winner store minus the tombstoned
@@ -338,7 +333,8 @@ object Dedup {
     * fold, clearing the consumed tombstone set with the index rewrite.
     * Returns ((storeBefore, storeAfter), (indexBefore, indexAfter));
     * `winnerStorePath = None` folds the index alone (callers whose
-    * prior side is not a persisted store). A no-op on an empty set.
+    * prior side is not a persisted store). ((0,0),(0,0)) on an empty
+    * set — the no-op reads only the sidecar.
     */
   def neardupTombstoneFold(spark: org.apache.spark.sql.SparkSession,
                            indexPath: String,
@@ -346,34 +342,14 @@ object Dedup {
       : ((Long, Long), (Long, Long)) = {
     graft.sources.ArtifactHeader.required(spark, indexPath, "bands")
     val ids = graft.sources.Tombstones.read(spark, indexPath)
-    def foldOne(path: String, clearTombstones: Boolean): (Long, Long) = {
-      val before = spark.read.parquet(path)
-      val rowsBefore = before.count()
-      if (ids.isEmpty) return (rowsBefore, rowsBefore)
-      val matched = Similarity.tombstoneMatches(before, ids, "doc_id").count()
-      val (fs, p) = Similarity.hadoopFs(spark, path)
-      val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tombfold.tmp")
-      val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tombfold.old")
-      fs.delete(tmp, true); fs.delete(old, true)
-      Similarity.tombstoneExclude(spark.read.parquet(path), ids, "doc_id")
-        .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
-      val rowsAfter = spark.read.parquet(tmp.toString).count()
-      if (rowsAfter != rowsBefore - matched) {
-        fs.delete(tmp, true)
-        sys.error(s"neardupTombstoneFold: rewrite of $path has $rowsAfter rows, " +
-          s"expected ${rowsBefore - matched} ($rowsBefore - $matched tombstoned); " +
-          "artifact left untouched")
-      }
-      Similarity.carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
-      if (clearTombstones) graft.sources.Tombstones.clear(spark, tmp.toString)
-      Similarity.artifactSwap(fs, p, tmp, old, "neardupTombstoneFold")
-      (rowsBefore, rowsAfter)
-    }
+    if (ids.isEmpty) return ((0L, 0L), (0L, 0L)) // sidecar-only no-op
     val store = winnerStorePath match {
-      case Some(w) => foldOne(w, clearTombstones = false)
+      case Some(w) => Similarity.tombstoneFoldRows(spark, w, ids, "doc_id",
+        "neardupTombstoneFold", clearTombstones = false)
       case None => (0L, 0L)
     }
-    (store, foldOne(indexPath, clearTombstones = true))
+    (store, Similarity.tombstoneFoldRows(spark, indexPath, ids, "doc_id",
+      "neardupTombstoneFold", clearTombstones = true))
   }
 
   /** Candidate-id pushdown bound for [[verifyAgainst]]'s prior-text

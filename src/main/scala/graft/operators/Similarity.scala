@@ -2962,15 +2962,18 @@ object Similarity {
   /** Refuse an append batch that re-uses live-tombstoned ids: the rows
     * would land but stay INVISIBLE to every probe until a fold, and
     * the fold would then physically drop them — two silent surprises.
-    * Loud instead, with both legitimate paths named.
+    * Loud instead, with both legitimate paths named. Shared by the ANN
+    * appenders and the near-dup band-index appender (`foldVerb` names
+    * each family's own fold).
     */
-  private def requireNoTombstoneHit(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                                    indexPath: String, idCol: String,
-                                    what: String): Unit =
+  private[graft] def requireNoTombstoneHit(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                                           indexPath: String, idCol: String,
+                                           what: String,
+                                           foldVerb: String = "annTombstoneFold"): Unit =
     tombstoneHit(batch, tombstonesOf(spark, indexPath), idCol).foreach { id =>
       sys.error(s"$what: batch id $id is tombstoned at $indexPath — appending it " +
         "would be invisible to every probe until the next fold, which would then " +
-        "physically drop it. Run annTombstoneFold first if the delete should " +
+        s"physically drop it. Run $foldVerb first if the delete should " +
         "become physical (re-appends are then admitted), or append under fresh ids")
     }
 
@@ -3017,15 +3020,10 @@ object Similarity {
     * more than cap+1 rows.
     */
   def annIndexDeleteAt(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                       ids: DataFrame): Long = {
-    val cap = graft.sources.Tombstones.MaxIds
-    val collected = ids.select(col(ids.columns.head).cast("long"))
-      .distinct().limit(cap + 1).collect().map(_.getLong(0))
-    require(collected.length <= cap,
-      s"annIndexDeleteAt: the id frame exceeds the $cap live-tombstone bound — " +
-        "delete in folded batches (annTombstoneFold between them)")
-    annIndexDeleteAt(spark, indexPath, collected.toSeq)
-  }
+                       ids: DataFrame): Long =
+    annIndexDeleteAt(spark, indexPath,
+      graft.sources.Tombstones.collectBounded(ids,
+        "annIndexDeleteAt", "annTombstoneFold"))
 
   /** Make the tombstoned deletions PHYSICAL: rewrite the artifact
     * minus the tombstoned rows, verify the row accounting BEFORE the
@@ -3033,47 +3031,68 @@ object Similarity {
     * sidecar, re-seed the SQ8 stats sidecar from the surviving rows
     * (rail counts of deleted rows must leave the saturation audit),
     * atomically swap, and clear the consumed tombstone set. Returns
-    * (rowsBefore, rowsAfter); a no-op on an empty set. Runs inside
-    * the same single-writer maintenance window as compaction — it IS
-    * a compaction with a filter.
+    * (rowsBefore, rowsAfter), or (0, 0) on an empty set — the no-op
+    * reads only the sidecar, never the artifact. Runs inside the same
+    * single-writer maintenance window as compaction — it IS a
+    * compaction with a filter.
     */
   def annTombstoneFold(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String): (Long, Long) = {
     val isSq = graft.sources.ArtifactHeader.read(spark, indexPath, "ivfsq").isDefined
     if (!isSq) ivfPqRequireHeader(spark, indexPath,
       "annTombstoneFold only rewrites stamped ANN artifacts.")
-    val idColName = if (isSq) "neighbor_id" else "vec_id"
-    val before = spark.read.parquet(indexPath)
-    val rowsBefore = before.count()
     val ids = tombstonesOf(spark, indexPath)
+    if (ids.isEmpty) return (0L, 0L)
+    // SQ8: the stats sidecar accumulated the deleted rows' rail
+    // counts — re-seed from the surviving rows ON TMP, so the swap
+    // installs artifact + stats as one consistent generation
+    val onTmp: String => Unit =
+      if (!isSq) _ => ()
+      else { tmpPath =>
+        val hdr = sqRequireHeader(spark, indexPath, "annTombstoneFold")
+        sqStatsWrite(spark, tmpPath,
+          sqStatsArray(spark.read.parquet(tmpPath), hdr.dim))
+      }
+    tombstoneFoldRows(spark, indexPath, ids,
+      if (isSq) "neighbor_id" else "vec_id",
+      "annTombstoneFold", clearTombstones = true, onTmp)
+  }
+
+  /** The fold core shared by the ANN and near-dup families: rewrite
+    * `path` minus `ids` (on `idColName`), verify the accounting with
+    * the INDEPENDENT semi-join count before the swap (anti + semi
+    * must tile the artifact), carry foreign sidecars, optionally drop
+    * the consumed tombstone sidecar from the rewrite (an append of a
+    * folded id is legitimate again), run `onTmp` (e.g. the SQ8 stats
+    * re-seed) so the swap installs one consistent generation, then
+    * the two-rename atomic swap.
+    */
+  private[graft] def tombstoneFoldRows(spark: org.apache.spark.sql.SparkSession,
+                                       path: String, ids: Array[Long],
+                                       idColName: String, what: String,
+                                       clearTombstones: Boolean,
+                                       onTmp: String => Unit = _ => ()): (Long, Long) = {
+    val before = spark.read.parquet(path)
+    val rowsBefore = before.count()
     if (ids.isEmpty) return (rowsBefore, rowsBefore)
     val matched = tombstoneMatches(before, ids, idColName).count()
-    val (fs, p) = hadoopFs(spark, indexPath)
+    val (fs, p) = hadoopFs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tombfold.tmp")
     val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tombfold.old")
     fs.delete(tmp, true); fs.delete(old, true)
-    tombstoneExclude(spark.read.parquet(indexPath), ids, idColName)
+    tombstoneExclude(spark.read.parquet(path), ids, idColName)
       .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
     val rowsAfter = spark.read.parquet(tmp.toString).count()
     if (rowsAfter != rowsBefore - matched) {
       fs.delete(tmp, true)
-      sys.error(s"annTombstoneFold: rewrite of $indexPath has $rowsAfter rows, " +
+      sys.error(s"$what: rewrite of $path has $rowsAfter rows, " +
         s"expected ${rowsBefore - matched} ($rowsBefore - $matched tombstoned); " +
         "artifact left untouched")
     }
     carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
-    // the fold CONSUMED the tombstones — they must not shadow the new
-    // generation (an append of a folded id is legitimate again)
-    graft.sources.Tombstones.clear(spark, tmp.toString)
-    // SQ8: the stats sidecar accumulated the deleted rows' rail
-    // counts — re-seed from the surviving rows ON TMP, so the swap
-    // installs artifact + stats as one consistent generation
-    if (isSq) {
-      val hdr = sqRequireHeader(spark, indexPath, "annTombstoneFold")
-      sqStatsWrite(spark, tmp.toString,
-        sqStatsArray(spark.read.parquet(tmp.toString), hdr.dim))
-    }
-    artifactSwap(fs, p, tmp, old, "annTombstoneFold")
+    if (clearTombstones) graft.sources.Tombstones.clear(spark, tmp.toString)
+    onTmp(tmp.toString)
+    artifactSwap(fs, p, tmp, old, what)
     (rowsBefore, rowsAfter)
   }
 

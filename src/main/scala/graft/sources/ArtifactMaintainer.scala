@@ -319,12 +319,17 @@ object ArtifactMaintainer {
     */
   def tombstoneFoldDue(spark: SparkSession, indexPath: String,
                        maxIds: Long = 1024L): DueCheck =
-    new DueCheck(s"tomb_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}",
+    tombDebtDue(spark, indexPath, maxIds, tombstoneFoldTask(spark, indexPath))
+
+  /** The shared tombstone-debt trigger: one sidecar-header read. */
+  private def tombDebtDue(spark: SparkSession, indexPath: String,
+                          maxIds: Long, task: Task): DueCheck =
+    new DueCheck(task.name,
       () => {
         val n = Tombstones.count(spark, indexPath)
         if (n > maxIds) Some(s"tombstones=$n > budget $maxIds") else None
       },
-      tombstoneFoldTask(spark, indexPath))
+      task)
 
   /** The near-dup family's fold twin — both artifacts in one task:
     * the winner store first (it holds the TEXT a removal request
@@ -334,7 +339,7 @@ object ArtifactMaintainer {
     */
   def neardupTombstoneFoldTask(spark: SparkSession, indexPath: String,
                                winnerStorePath: Option[String] = None): Task =
-    Task(s"tomb_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
+    Task(s"nd_tomb_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
       val ((sb, sa), (ib, ia)) =
         graft.operators.Dedup.neardupTombstoneFold(spark, indexPath, winnerStorePath)
       val store = winnerStorePath.map(_ => s"store rows $sb -> $sa, ").getOrElse("")
@@ -347,11 +352,7 @@ object ArtifactMaintainer {
   def neardupTombstoneFoldDue(spark: SparkSession, indexPath: String,
                               winnerStorePath: Option[String] = None,
                               maxIds: Long = 1024L): DueCheck =
-    new DueCheck(s"tomb_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}",
-      () => {
-        val n = Tombstones.count(spark, indexPath)
-        if (n > maxIds) Some(s"tombstones=$n > budget $maxIds") else None
-      },
+    tombDebtDue(spark, indexPath, maxIds,
       neardupTombstoneFoldTask(spark, indexPath, winnerStorePath))
 
   /** Staleness-audited ANN rebuild. `corpus` is a THUNK evaluated
@@ -366,12 +367,14 @@ object ArtifactMaintainer {
                      minRecallRatio: Double = 0.9,
                      minRecallAbs: Double = 0.0): Task =
     Task(s"ann_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
-      val c = corpus()
       // the rebuild verb refuses a live tombstone set (a retrain would
       // resurrect deleted rows) — inside the exclusive window the fold
-      // is safe and cheap relative to the retrain, so run it first
-      // instead of failing a window the due check opened for balance
-      foldIfTombstoned(c.sparkSession, indexPath) +
+      // is safe and cheap relative to the retrain, so fold first AND
+      // exclude the folded ids from this retrain's corpus (the thunk
+      // may predate the delete), instead of failing a window the due
+      // check opened for balance
+      val (pre, c) = foldReconciled(indexPath, corpus())
+      pre +
       (graft.operators.Similarity.ivfPqRebuildIfNeeded(c, indexPath,
         rebuildPm, trainFraction = trainFraction, recallQueries = recallQueries,
         k = k, nprobe = nprobe, minRecallRatio = minRecallRatio,
@@ -383,15 +386,26 @@ object ArtifactMaintainer {
       })
     }
 
-  /** Fold a live tombstone set ahead of a rebuild task — returns the
-    * report prefix ("" when there was nothing to fold).
+  /** Fold a live tombstone set ahead of a rebuild task and EXCLUDE the
+    * folded ids from the retrain corpus — the fold clears the sidecar,
+    * so a corpus thunk that still contains the deleted docs would
+    * otherwise re-encode them with no tombstone left to shadow them
+    * (silent resurrection, the exact failure the rebuild verbs refuse
+    * on). Returns the report prefix ("" when nothing was folded) and
+    * the reconciled corpus.
     */
-  private def foldIfTombstoned(spark: SparkSession, indexPath: String): String =
-    if (Tombstones.count(spark, indexPath) == 0L) ""
+  private def foldReconciled(indexPath: String,
+                             corpus: org.apache.spark.sql.DataFrame)
+      : (String, org.apache.spark.sql.DataFrame) = {
+    val spark = corpus.sparkSession
+    val ids = Tombstones.read(spark, indexPath)
+    if (ids.isEmpty) ("", corpus)
     else {
       val (b, a) = graft.operators.Similarity.annTombstoneFold(spark, indexPath)
-      s"folded ${b - a} tombstoned rows; "
+      (s"folded ${b - a} tombstoned rows; ",
+        graft.operators.Similarity.tombstoneExclude(corpus, ids, "vec_id"))
     }
+  }
 
   /** ANN rebuild trigger on the persisted artifact's list-balance
     * audit ([[graft.operators.Similarity.ivfPqNeedsRebuild]]): one
@@ -429,8 +443,8 @@ object ArtifactMaintainer {
                     minRecallRatio: Double = 0.9,
                     minRecallAbs: Double = 0.0): Task =
     Task(s"sq_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
-      val c = corpus()
-      foldIfTombstoned(c.sparkSession, indexPath) +
+      val (pre, c) = foldReconciled(indexPath, corpus())
+      pre +
       (graft.operators.Similarity.ivfSqRebuildIfNeeded(c, indexPath,
         rebuildPm, satPm, trainFraction = trainFraction,
         recallQueries = recallQueries, k = k, nprobe = nprobe,
@@ -500,8 +514,8 @@ object ArtifactMaintainer {
                      minRecallRatio: Double = 0.9,
                      minRecallAbs: Double = 0.0): Task =
     Task(s"pca_rebuild:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
-      val c = corpus()
-      foldIfTombstoned(c.sparkSession, indexPath) +
+      val (pre, c) = foldReconciled(indexPath, corpus())
+      pre +
       (graft.operators.Similarity.pcaIvfPqRebuildIfNeeded(c, indexPath,
         driftRatioPm, trainSample = trainSample, trainFraction = trainFraction,
         recallQueries = recallQueries, k = k, nprobe = nprobe,

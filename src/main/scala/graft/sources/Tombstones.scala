@@ -93,4 +93,20 @@ object Tombstones {
     */
   def clear(spark: SparkSession, path: String): Unit =
     ArtifactHeader.delete(spark, path, Kind)
+
+  /** The bounded collect shared by the id-frame delete overloads:
+    * first column is the id; refuses past [[MaxIds]] BEFORE
+    * collecting more than cap+1 rows (the collect is the point —
+    * tombstones are driver-held).
+    */
+  def collectBounded(ids: org.apache.spark.sql.DataFrame,
+                     what: String, foldVerb: String): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val collected = ids.select(col(ids.columns.head).cast("long"))
+      .distinct().limit(MaxIds + 1).collect().map(_.getLong(0))
+    require(collected.length <= MaxIds,
+      s"$what: the id frame exceeds the $MaxIds live-tombstone bound — " +
+        s"delete in folded batches ($foldVerb between them)")
+    collected.toSeq
+  }
 }

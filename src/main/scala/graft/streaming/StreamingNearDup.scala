@@ -150,20 +150,10 @@ object StreamingNearDup {
       graft.sources.ArtifactHeader.validateOrStamp(spark, indexPath, "bands",
         bandParams(shingleN, bands, rows, bucketCap))
     }
-    // the deletion contract (the ivfPqIndexAppendAt convention): a
-    // batch re-using a tombstoned doc id would land probe-invisible
-    // until the fold, which would then drop it — refuse loudly with
-    // both legitimate paths named
-    val tomb = graft.sources.Tombstones.read(spark, indexPath)
-    if (tomb.nonEmpty)
-      graft.operators.Similarity.tombstoneMatches(newBands, tomb, "doc_id")
-        .select(col("doc_id").cast("long")).limit(1).collect()
-        .headOption.foreach { r =>
-          sys.error(s"appendToIndex: batch doc ${r.getLong(0)} is tombstoned at " +
-            s"$indexPath — run neardupTombstoneFold first if the delete should " +
-            "become physical (re-appends are then admitted), or admit under " +
-            "fresh ids")
-        }
+    // the deletion contract — the shared ivfPqIndexAppendAt refusal,
+    // with this family's own fold verb named
+    graft.operators.Similarity.requireNoTombstoneHit(newBands, spark, indexPath,
+      "doc_id", "appendToIndex", foldVerb = "neardupTombstoneFold")
     val idx = readIndex(spark, indexPath)
     val occ = idx.groupBy("band_key").agg(count(lit(1)).as("__n"))
     // materialize before writing: `admitted` reads indexPath (via occ),

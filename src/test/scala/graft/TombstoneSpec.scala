@@ -136,8 +136,8 @@ class TombstoneSpec extends AnyFunSuite with SharedSpark {
     // a folded id is legitimately appendable again
     assert(Similarity.ivfSqIndexAppendAt(
       Seq((3L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding"), dir) == 1L)
-    // an empty set folds as a no-op
-    assert(Similarity.annTombstoneFold(spark, dir) == (47L, 47L))
+    // an empty set folds as a sidecar-only no-op (never scans rows)
+    assert(Similarity.annTombstoneFold(spark, dir) == (0L, 0L))
   }
 
   test("rebuilds refuse a live tombstone set by name (PQ, SQ, PCA); the maintainer task folds first instead") {
@@ -166,6 +166,25 @@ class TombstoneSpec extends AnyFunSuite with SharedSpark {
       () => corpus.filter(col("vec_id") =!= 11L)).run()
     assert(summary.contains("folded 1 tombstoned rows"), summary)
     assert(Tombstones.count(spark, pq) == 0L)
+  }
+
+  test("a maintainer rebuild never resurrects deleted rows: the window folds AND excludes them from the retrain corpus") {
+    val (corpus, _) = corpusAndProbes(seed = 1519)
+    val pq = tmpIdx("tomb_resurrect")
+    Similarity.ivfPqIndexWrite(corpus, pq, dim = 8, lists = 2, m = 2, codes = 4)
+    Similarity.annIndexDeleteAt(spark, pq, Seq(11L))
+    // the corpus thunk STILL CONTAINS the deleted doc (it predates the
+    // delete — the realistic hazard), and rebuildPm = 1 forces the
+    // retrain to actually execute (any non-empty list is > 0.001 of
+    // the uniform share)
+    val summary = ArtifactMaintainer.annRebuildTask(pq,
+      () => corpus, rebuildPm = 1L).run()
+    assert(summary.contains("folded 1 tombstoned rows"), summary)
+    assert(summary.contains("rebuilt"), summary)
+    assert(spark.read.parquet(pq).filter(col("vec_id") === 11L).count() == 0L,
+      "the retrain re-encoded a deleted row (silent resurrection)")
+    assert(Tombstones.count(spark, pq) == 0L)
+    assert(spark.read.parquet(pq).count() == 47L)
   }
 
   test("tombstoneFoldDue: O(1) sidecar poll trips past the budget, the window folds, the next poll is quiet") {
