@@ -73,7 +73,12 @@ object Tombstones {
     * CONCURRENT adds are read-modify-write and would lose one
     * another's ids. Deletes are writer-class mutations of the
     * artifact, exactly like appends: serialize them in the one driver
-    * that owns the artifact's maintenance loop.
+    * that owns the artifact's maintenance loop. Because a lost delete
+    * in a rights-removal verb is a SILENT legal failure, the contract
+    * is also enforced: after the stamp the sidecar is re-read and must
+    * contain every id just merged — a concurrent add that clobbered
+    * this one turns into a loud refusal naming the dropped ids, and
+    * the caller re-issues the delete (`add` is idempotent).
     */
   def add(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
     val merged = (read(spark, path) ++ ids).distinct.sorted
@@ -82,9 +87,17 @@ object Tombstones {
         "the live set is driver-held and probe-excluded, so it must stay small — " +
         "fold it physical first (annTombstoneFold / the maintainer's " +
         "tombstoneFoldDue), then delete the next batch")
-    if (merged.nonEmpty)
+    if (merged.nonEmpty) {
       ArtifactHeader.write(spark, path, Kind, Seq(
         "ids" -> merged.mkString(","), "count" -> merged.length.toString))
+      val now = read(spark, path).toSet
+      val lost = merged.filterNot(now)
+      require(lost.isEmpty,
+        s"tombstone add at $path lost ${lost.length} ids (e.g. ${lost.take(5).mkString(",")}) " +
+          "to a concurrent writer: deletes are read-modify-write and must be " +
+          "serialized in the artifact's owning driver (route through the " +
+          "maintainer's withAccess) — re-issue this delete, it is idempotent")
+    }
     merged.length
   }
 

@@ -181,12 +181,28 @@ object StreamingNearDup {
     Seq("shingle_n" -> shingleN.toString, "bands" -> bands.toString,
       "rows" -> rows.toString, "bucket_cap" -> bucketCap.toString)
 
-  private def readIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
-    try spark.read.parquet(indexPath).select(col("doc_id"), col("band_key"))
-    catch { case _: org.apache.spark.sql.AnalysisException =>
-      import spark.implicits._
-      spark.emptyDataset[(Long, String)].toDF("doc_id", "band_key")
-    }
+  /** The LIVE rows of the persisted index: tombstoned doc_ids are
+    * excluded AT THE READER, so every consumer — the per-batch probe
+    * join in [[indexedIngest]] and the occupancy count in
+    * [[appendToIndex]] — inherits the deletion contract ("a
+    * tombstoned prior can never become a candidate") without each
+    * call site remembering it. Occupancy consequence, deliberate: the
+    * bucket cap admits against LIVE rows, so a bucket holding
+    * tombstoned rows re-admits up to their count before the fold
+    * (physical rows ≤ cap + live tombstones, live rows ≤ cap always)
+    * — the same "grown index == capBucket(bands(surviving corpus))"
+    * semantics the batch operator has over a post-fold corpus.
+    */
+  private def readIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
+    val idx =
+      try spark.read.parquet(indexPath).select(col("doc_id"), col("band_key"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        import spark.implicits._
+        spark.emptyDataset[(Long, String)].toDF("doc_id", "band_key")
+      }
+    graft.operators.Similarity.tombstoneExclude(idx,
+      graft.sources.Tombstones.read(spark, indexPath), "doc_id")
+  }
 
   /** End-to-end incremental ingest: per micro-batch, (1) probe the
     * persisted band index for candidate pairs against ALL history —
@@ -196,6 +212,18 @@ object StreamingNearDup {
     * batch pipeline starts with `Dedup.bandKeys`: the index artifact
     * is both the probe target and the state, no streaming state store
     * involved, and a crashed stream resumes from the index as written.
+    *
+    * Deletion contract on a LIVE stream: a micro-batch carrying a
+    * tombstoned doc_id (a deleted document re-appearing in the ingest
+    * feed — replayed history, an upstream retry) is NOT the batch
+    * appenders' loud refusal, which here would kill the whole
+    * streaming query and turn one bad row into unbounded ingest
+    * downtime. Instead the tombstoned rows are dropped from the batch
+    * before the probe AND the append (a deleted doc must neither
+    * surface as doc_new nor re-enter the index), and the drop is
+    * reported on stderr with the ids — the stream stays up, the
+    * contract holds. Batch callers keep the refusal
+    * ([[appendToIndex]] via requireNoTombstoneHit).
     */
   def indexedIngest(docs: Dataset[DocRecord], indexPath: String,
                     sink: DataFrame => Unit,
@@ -203,10 +231,24 @@ object StreamingNearDup {
                     bucketCap: Int = 128): org.apache.spark.sql.streaming.StreamingQuery =
     probeBands(docs, shingleN, bands, rows).writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = Dedup.capBucket(batch, "band_key", "doc_id", bucketCap)
+        val tombs = graft.sources.Tombstones.read(spark, indexPath)
+        val capped = Dedup.capBucket(batch, "band_key", "doc_id", bucketCap)
+        val b = graft.operators.Similarity
+          .tombstoneExclude(capped, tombs, "doc_id")
           .localCheckpoint() // feeds the probe join AND the index append
+        if (tombs.nonEmpty) {
+          val dropped = graft.operators.Similarity
+            .tombstoneMatches(capped.select("doc_id").distinct(), tombs, "doc_id")
+            .collect().map(_.getLong(0))
+          if (dropped.nonEmpty)
+            Console.err.println(s"[graft] indexedIngest batch $batchId at $indexPath: " +
+              s"dropped ${dropped.length} tombstoned doc_id(s) " +
+              s"(${dropped.take(8).mkString(",")}${if (dropped.length > 8) ",…" else ""}) — " +
+              "deleted documents cannot re-enter the index or probe; fold first " +
+              "(neardupTombstoneFold) if the ids should become appendable again")
+        }
         val idx = readIndex(spark, indexPath)
         sink(b.join(idx.select(col("band_key"), col("doc_id").as("doc_prior")),
             "band_key")
