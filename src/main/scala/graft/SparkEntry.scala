@@ -2104,6 +2104,113 @@ object SparkEntry {
           sum(when(!col("__pass") && col("__in").isNotNull, 1L).otherwise(0L)).as("n_false_neg"),
           expr("CAST(CAST(sum(CASE WHEN __in IS NOT NULL THEN rev END) AS DECIMAL(18,4)) AS DOUBLE)")
             .as("revenue"))
+    }),
+
+    // rights-removal END-TO-END (round 16): ONE forgetDocuments call
+    // sequences tombstone -> winner-store-first fold -> band/ANN
+    // folds -> gram-index rebuild from the surviving corpus. This
+    // gate returns the near-dup probe surface afterwards, with the
+    // prior TEXT read from the FOLDED winner store — so the oracle's
+    // prior exclusion proves the candidate AND text surfaces forgot
+    // the docs in the same call that also folded the ANN artifact
+    // (that surface is gated by q_forget_ann, the gram surface by
+    // q_forget_grams; the four-surface single-call contract is
+    // spec-held in ForgetSpec)
+    "q_forget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      val bandPath = runTmp("forget_band", dir)
+      val storePath = runTmp("forget_store", dir)
+      val gramPath = runTmp("forget_gram", dir)
+      val annPath = runTmp("forget_annp", dir)
+      Seq(bandPath, storePath, gramPath, annPath).foreach { pp =>
+        val p = new org.apache.hadoop.fs.Path(pp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      graft.streaming.StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        bandPath, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      prior.select("doc_id", "text").write.mode("overwrite").parquet(storePath)
+      graft.streaming.StreamingSubstringDedup.appendToIndex(
+        prior, "text", "doc_id", gramPath, k = 8)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), annPath, dim = 64)
+      graft.operators.Forget.forgetDocuments(s,
+        prior.filter(col("doc_id") % 7 === 1).select("doc_id"),
+        graft.operators.Forget.Targets(
+          annIndexPaths = Seq(annPath),
+          bandIndexPath = Some(bandPath),
+          winnerStorePath = Some(storePath),
+          gramIndexPath = Some(gramPath)))
+      Dedup.nearDupAgainstIndexAt(s, s.read.parquet(storePath),
+        docs.filter(col("doc_id") % 3 === 0), bandPath,
+        "text", "doc_id", threshold = 0.4)
+    }),
+
+    // the gram surface of the same composition: after the one call,
+    // the substring-incremental probe dedups against the REBUILT gram
+    // index — grams owed only to forgotten docs are gone, shared
+    // grams survive through their surviving owners (the oracle
+    // derives the index from the surviving prior corpus directly)
+    "q_forget_grams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 5 =!= 0)
+      val bandPath = runTmp("forgetg_band", dir)
+      val storePath = runTmp("forgetg_store", dir)
+      val gramPath = runTmp("forgetg_gram", dir)
+      Seq(bandPath, storePath, gramPath).foreach { pp =>
+        val p = new org.apache.hadoop.fs.Path(pp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      graft.streaming.StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        bandPath, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      prior.select("doc_id", "text").write.mode("overwrite").parquet(storePath)
+      graft.streaming.StreamingSubstringDedup.appendToIndex(
+        prior, "text", "doc_id", gramPath, k = 8)
+      graft.operators.Forget.forgetDocuments(s,
+        prior.filter(col("doc_id") % 7 === 1).select("doc_id"),
+        graft.operators.Forget.Targets(
+          bandIndexPath = Some(bandPath),
+          winnerStorePath = Some(storePath),
+          gramIndexPath = Some(gramPath)))
+      Curation.substringDedupAgainstIndex(
+        graft.streaming.StreamingSubstringDedup.indexFor(s, gramPath, 8),
+        docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", k = 8)
+    }),
+
+    // the ANN surface through the same verb (ann-only targets): the
+    // forget call tombstones AND folds in one sequence, so the probe
+    // answers from the physically-clean generation — shares
+    // q_ann_delete's oracle
+    "q_forget_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = runTmp("forget_ann1", dir)
+      Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
+      graft.operators.Forget.forgetDocuments(s,
+        emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 1)
+          .select("vec_id"),
+        graft.operators.Forget.Targets(annIndexPaths = Seq(path)))
+      Similarity.annIvfPqProbeAt(s, path,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
+    }),
+
+    // the SQL face: FORGET DOCUMENTS drives the composition from a
+    // predicate over the documents table (ids outside the artifact
+    // fold as zero rows, by design — documents at some SFs outnumber
+    // embeddings); probe shares q_ann_delete's oracle
+    "q_sql_forget" -> ((s, dir) => {
+      val path = runTmp("sql_forget", dir)
+      s.sql(s"BUILD ANN INDEX FROM '$dir' AT '$path'").collect()
+      s.sql(s"FORGET DOCUMENTS FROM '$dir' WHERE doc_id % 7 = 1 " +
+        s"IN ANN INDEX '$path'").collect()
+      s.sql(s"PROBE ANN INDEX '$path' FROM '$dir'")
     })
   )
 
@@ -2667,45 +2774,13 @@ object SparkEntry {
     // reduced to its distinct gram set; batch grams duplicate if
     // present there or not-first within the batch; same islands/
     // anti-join/reassembly algebra, batch docs only
-    "q_substring_incremental" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |b0 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
-        |bb AS (SELECT * FROM b0 WHERE doc_id % 5 = 0),
-        |bp AS (SELECT * FROM b0 WHERE doc_id % 5 <> 0),
-        |gp AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 7)) AS pos FROM bp WHERE n_tokens >= 8),
-        |pg AS (SELECT DISTINCT
-        |    array_to_string(toks[CAST(pos + 1 AS INT) : CAST(pos + 8 AS INT)], ' ') AS gram
-        |  FROM gp),
-        |g AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 7)) AS pos FROM bb WHERE n_tokens >= 8),
-        |g2 AS (SELECT doc_id, pos,
-        |    array_to_string(toks[CAST(pos + 1 AS INT) : CAST(pos + 8 AS INT)], ' ') AS gram
-        |  FROM g),
-        |m AS (SELECT g2.doc_id, g2.pos, (pg.gram IS NOT NULL) AS in_prior,
-        |    row_number() OVER (PARTITION BY g2.gram ORDER BY g2.doc_id, g2.pos) AS rn
-        |  FROM g2 LEFT JOIN pg ON g2.gram = pg.gram),
-        |dups AS (SELECT doc_id, pos AS start, pos + 8 AS stop FROM m WHERE in_prior OR rn > 1),
-        |isl AS (SELECT doc_id, start, stop,
-        |    CASE WHEN start > coalesce(max(stop) OVER (PARTITION BY doc_id ORDER BY start, stop
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
-        |  FROM dups),
-        |isl2 AS (SELECT doc_id, start, stop,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start, stop) AS grp
-        |  FROM isl),
-        |mrg AS (SELECT doc_id, min(start) AS start, max(stop) AS stop FROM isl2 GROUP BY doc_id, grp),
-        |cov AS (SELECT doc_id, unnest(range(start, stop)) AS pos FROM mrg),
-        |tp AS (SELECT doc_id, unnest(range(0, n_tokens)) AS pos, toks FROM bb WHERE n_tokens > 0),
-        |tp2 AS (SELECT doc_id, pos, toks[CAST(pos + 1 AS INT)] AS tok FROM tp),
-        |kept AS (SELECT tp2.doc_id, tp2.pos, tp2.tok FROM tp2
-        |  ANTI JOIN cov ON tp2.doc_id = cov.doc_id AND tp2.pos = cov.pos),
-        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-        |    string_agg(tok, ' ' ORDER BY pos) AS kept_text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT bb.doc_id, bb.n_tokens,
-        |  bb.n_tokens - coalesce(pd.n_kept, 0) AS n_removed,
-        |  coalesce(pd.kept_text, '') AS kept_text
-        |FROM bb LEFT JOIN pd ON bb.doc_id = pd.doc_id""".stripMargin,
+    "q_substring_incremental" -> substringIncOracle("doc_id % 5 <> 0"),
+    // the forget composition's gram surface: the rebuilt index equals
+    // the gram set of the SURVIVING prior corpus, so the oracle is
+    // the same incremental algebra with the forgotten ids excluded
+    // from the prior side
+    "q_forget_grams" ->
+      substringIncOracle("doc_id % 5 <> 0 AND doc_id % 7 <> 1"),
 
     // mirrors Curation.boilerplateStrip: same planted banner, same
     // chunking, doc-frequency cap 5, per-doc reassembly
@@ -3530,6 +3605,17 @@ object SparkEntry {
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
       allowedWhere = "a.vec_id % 7 <> 1"),
+    // the forget composition's ANN surface (DataFrame verb and SQL
+    // verb): one sequenced tombstone+fold, probe answers from the
+    // clean generation — the same exclusion algebra as q_ann_delete
+    "q_forget_ann" -> annIvfPqOracleK(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
+      allowedWhere = "a.vec_id % 7 <> 1"),
+    "q_sql_forget" -> annIvfPqOracleK(5,
+      baseWhere = "vec_id % 3 <> 0",
+      queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
+      allowedWhere = "a.vec_id % 7 <> 1"),
     // the ADC stage is the ENTIRE incremental-probe oracle at k=32 as
     // a subquery (the q_ann_recall_ivfpq composition convention), then
     // exact cosine over prior-corpus vectors re-ranks the survivors
@@ -4240,6 +4326,12 @@ object SparkEntry {
     // admission-time cap; the fold is result-invariant, so both forms
     // share the oracle
     "q_neardup_delete" -> incNeardupOracleEx("doc_id % 7 <> 1"),
+    // the forget composition's near-dup surface: after the ONE call,
+    // the probe runs against the folded band index with its prior
+    // text read from the FOLDED winner store — same exclusion as the
+    // per-artifact delete, proving candidate and text surfaces forgot
+    // the docs together
+    "q_forget" -> incNeardupOracleEx("doc_id % 7 <> 1"),
     "q_neardup_delete_fold" -> incNeardupOracleEx("doc_id % 7 <> 1"),
 
     // mirrors Par.bloomBits + bloomMightContain: same md5 positions,
@@ -4355,6 +4447,51 @@ object SparkEntry {
     * tables (each capped independently, as the operator does) and
     * prior x probe candidate generation only.
     */
+  /** The substring-incremental oracle (Curation.substringDedupAgainst
+    * algebra), with the prior-corpus membership parameterized so the
+    * forget composition's gram surface — the index rebuilt from the
+    * SURVIVING prior corpus — shares the same SQL body.
+    */
+  private def substringIncOracle(priorWhere: String): String =
+    s"""WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |b0 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+      |bb AS (SELECT * FROM b0 WHERE doc_id % 5 = 0),
+      |bp AS (SELECT * FROM b0 WHERE $priorWhere),
+      |gp AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 7)) AS pos FROM bp WHERE n_tokens >= 8),
+      |pg AS (SELECT DISTINCT
+      |    array_to_string(toks[CAST(pos + 1 AS INT) : CAST(pos + 8 AS INT)], ' ') AS gram
+      |  FROM gp),
+      |g AS (SELECT doc_id, toks, unnest(range(0, n_tokens - 7)) AS pos FROM bb WHERE n_tokens >= 8),
+      |g2 AS (SELECT doc_id, pos,
+      |    array_to_string(toks[CAST(pos + 1 AS INT) : CAST(pos + 8 AS INT)], ' ') AS gram
+      |  FROM g),
+      |m AS (SELECT g2.doc_id, g2.pos, (pg.gram IS NOT NULL) AS in_prior,
+      |    row_number() OVER (PARTITION BY g2.gram ORDER BY g2.doc_id, g2.pos) AS rn
+      |  FROM g2 LEFT JOIN pg ON g2.gram = pg.gram),
+      |dups AS (SELECT doc_id, pos AS start, pos + 8 AS stop FROM m WHERE in_prior OR rn > 1),
+      |isl AS (SELECT doc_id, start, stop,
+      |    CASE WHEN start > coalesce(max(stop) OVER (PARTITION BY doc_id ORDER BY start, stop
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+      |  FROM dups),
+      |isl2 AS (SELECT doc_id, start, stop,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start, stop) AS grp
+      |  FROM isl),
+      |mrg AS (SELECT doc_id, min(start) AS start, max(stop) AS stop FROM isl2 GROUP BY doc_id, grp),
+      |cov AS (SELECT doc_id, unnest(range(start, stop)) AS pos FROM mrg),
+      |tp AS (SELECT doc_id, unnest(range(0, n_tokens)) AS pos, toks FROM bb WHERE n_tokens > 0),
+      |tp2 AS (SELECT doc_id, pos, toks[CAST(pos + 1 AS INT)] AS tok FROM tp),
+      |kept AS (SELECT tp2.doc_id, tp2.pos, tp2.tok FROM tp2
+      |  ANTI JOIN cov ON tp2.doc_id = cov.doc_id AND tp2.pos = cov.pos),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY pos) AS kept_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT bb.doc_id, bb.n_tokens,
+      |  bb.n_tokens - coalesce(pd.n_kept, 0) AS n_removed,
+      |  coalesce(pd.kept_text, '') AS kept_text
+      |FROM bb LEFT JOIN pd ON bb.doc_id = pd.doc_id""".stripMargin
+
   private def incNeardupOracle: String = incNeardupOracleEx()
 
   /** `priorExclude`: deletion mirror — a predicate dropping tombstoned

@@ -108,6 +108,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *        accounting, sidecars carried, SQ8 stats re-seeded, atomic
   *        swap, tombstone set cleared; returns
   *        (rows_before, rows_after)
+  *   FORGET DOCUMENTS FROM '<dir>' WHERE <predicate>
+  *       [IN ANN INDEX '<path>']
+  *       [IN BAND INDEX '<path>' [WITH WINNER STORE '<path>']]
+  *       [IN GRAM INDEX '<path>']
+  *     -> Forget.forgetDocuments: rights-removal end-to-end — the
+  *        doc ids the predicate admits over the documents table are
+  *        tombstoned across every named artifact, folded physical
+  *        (winner store first), and the gram index is re-derived
+  *        from the surviving corpus, all in one sequenced call;
+  *        returns (forgotten, report)
   *
   * The plan is BUILT at parse time but executed lazily by the caller
   * (`spark.sql(...)` analyzes/executes the returned plan) — identical
@@ -170,6 +180,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*DELETE\s+FROM\s+ANN\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val VacuumAnnIndex =
     """(?is)\s*VACUUM\s+ANN\s+INDEX\s+'([^']+)'\s*;?\s*""".r
+  // rights-removal end-to-end: the predicate (ordinary SQL over the
+  // documents table) picks the doc ids to forget across every named
+  // artifact in one sequenced call — tombstone, fold winner store
+  // first, fold indexes, rebuild the gram index from the surviving
+  // corpus. Clauses are optional but at least one IN must be named;
+  // WITH WINNER STORE rides the band-index clause (one family).
+  private val ForgetDocs =
+    ("""(?is)\s*FORGET\s+DOCUMENTS\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)""" +
+      """(?:\s+IN\s+ANN\s+INDEX\s+'([^']+)')?""" +
+      """(?:\s+IN\s+BAND\s+INDEX\s+'([^']+)'(?:\s+WITH\s+WINNER\s+STORE\s+'([^']+)')?)?""" +
+      """(?:\s+IN\s+GRAM\s+INDEX\s+'([^']+)')?\s*;?\s*""").r
 
   private def parseError(sqlText: String, msg: String): ParseException =
     new ParseException(Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
@@ -427,6 +448,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       val (b, a) = graft.operators.Similarity.annTombstoneFold(session, path)
       Seq((b, a)).toDF("rows_before", "rows_after").queryExecution.logical
     }
+    case ForgetDocs(dir, pred, annPath, bandPath, storePath, gramPath) =>
+      wrapGraft(sqlText) {
+        import session.implicits._
+        if (annPath == null && bandPath == null && gramPath == null)
+          throw parseError(sqlText, "FORGET DOCUMENTS names no artifacts — add " +
+            "IN ANN INDEX '<path>' / IN BAND INDEX '<path>' [WITH WINNER STORE " +
+            "'<path>'] / IN GRAM INDEX '<path>' clauses")
+        val docs = session.read.parquet(s"$dir/documents.parquet")
+        val ids = graft.sources.Tombstones.collectBounded(
+          docs.filter(org.apache.spark.sql.functions.expr(pred)).select("doc_id"),
+          "FORGET DOCUMENTS", "FORGET DOCUMENTS (re-run — it folds as it goes)")
+        val targets = graft.operators.Forget.Targets(
+          annIndexPaths = Option(annPath).toSeq,
+          bandIndexPath = Option(bandPath),
+          winnerStorePath = Option(storePath),
+          gramIndexPath = Option(gramPath))
+        val r = graft.operators.Forget.forgetDocuments(session, ids, targets)
+        Seq((r.nIds.toLong, r.summary)).toDF("forgotten", "report")
+          .queryExecution.logical
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -445,7 +486,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
          DedupDocs(_) | NeardupDocs(_) | DecontaminateDocs(_) |
          BuildAnnIndex(_, _, _) | ProbeAnnIndex(_, _) |
          ProbeAnnIndexFiltered(_, _, _) | RebuildAnnIndex(_, _) |
-         DeleteAnnIds(_, _, _) | VacuumAnnIndex(_) =>
+         DeleteAnnIds(_, _, _) | VacuumAnnIndex(_) |
+         ForgetDocs(_, _, _, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Rights-removal END-TO-END: one verb that forgets a set of
+  * documents across every artifact family the engine persists, in the
+  * one order that is crash-safe and resurrection-proof. The
+  * per-artifact verbs ([[Similarity.annIndexDeleteAt]],
+  * [[Dedup.neardupIndexDeleteAt]], the folds, the gram rebuild) all
+  * exist standalone; this module owns the CROSS-artifact sequencing
+  * that previously lived in prose — "fold the winner store first,
+  * rebuild aggregate state from the surviving corpus after" — so an
+  * operator issues one call instead of hand-ordering five.
+  *
+  * Sequencing contract (each phase is durable before the next):
+  *
+  *  1. VALIDATE every named artifact (headers present) — a typo'd
+  *     path refuses before ANY tombstone lands, never a half-forget;
+  *  2. TOMBSTONE the per-row artifacts (ANN indexes on vec_id, the
+  *     band index on doc_id): from this instant every probe surface
+  *     excludes the ids — a crash later leaves the documents already
+  *     unreachable, just not yet physically removed;
+  *  3. FOLD physical: winner store FIRST (it holds the TEXT a
+  *     removal request actually targets; the band index still
+  *     shadows the ids if this crashes mid-way), then the band
+  *     index, then each ANN artifact — each with verified row
+  *     accounting and an atomic swap;
+  *  4. REBUILD aggregate state from the now-clean corpus: the gram
+  *     index (content-addressed hashes have no per-document rows to
+  *     tombstone — see the boundary note in [[graft.streaming.StreamingSubstringDedup.rebuildIndex]])
+  *     plus any caller-supplied rebuilds (sketch delta logs, bloom
+  *     sidecars) via `extraRebuilds`.
+  *
+  * Re-running the same call is idempotent: tombstone adds merge,
+  * folds of already-folded ids are verified no-match rewrites, the
+  * gram rebuild re-derives the same set.
+  *
+  * Ownership: this is a writer-class mutation of every artifact it
+  * touches. Run it inside the owning driver's maintenance window —
+  * [[graft.sources.ArtifactMaintainer.forgetTask]] packages it as a
+  * window task (quiesce streams, exclusive lock, restart) — or call
+  * it directly only where nothing else writes.
+  *
+  * Id spaces: `ids` are document ids. The ANN artifacts key on
+  * vec_id; pipelines where an embedding row carries its document's id
+  * (the testdata contract and the common case) pass one set. Where
+  * the spaces differ, `annIds` overrides the vec_id set (the caller
+  * resolves doc -> vec through its own mapping table).
+  *
+  * Reference posture: the reference's event graph is append-only with
+  * no removal verb (crates/esvc-core/src/graph.rs); its
+  * merge-from-file driver (crates/exvc/src/main.rs:54-111) is the
+  * precedent for one verb orchestrating multiple persisted artifacts.
+  * Rights-removal at training-data scale is an obligation the Spark
+  * engine adds.
+  */
+object Forget {
+
+  /** The artifact families one forget call covers. Every field is
+    * optional — a deployment names what it runs — but
+    * `winnerStorePath` requires `bandIndexPath` (the pair is one
+    * family: the index's tombstone sidecar drives the store's fold),
+    * and `gramIndexPath` needs a surviving corpus to re-derive from
+    * (`survivingDocs`, or by default the winner store AFTER its
+    * fold).
+    *
+    * `extraRebuilds`: named rebuild actions for aggregate state
+    * beyond the gram index (sketch delta logs, bloom membership
+    * sidecars) — run LAST, after every fold, so they can re-derive
+    * from clean artifacts; each returns a one-line summary for the
+    * report.
+    */
+  final case class Targets(
+      annIndexPaths: Seq[String] = Nil,
+      bandIndexPath: Option[String] = None,
+      winnerStorePath: Option[String] = None,
+      gramIndexPath: Option[String] = None,
+      survivingDocs: Option[() => DataFrame] = None,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      extraRebuilds: Seq[(String, () => String)] = Nil) {
+    require(annIndexPaths.nonEmpty || bandIndexPath.nonEmpty || gramIndexPath.nonEmpty,
+      "forgetDocuments: no targets named — list the artifact families this " +
+        "deployment persists (annIndexPaths / bandIndexPath / gramIndexPath)")
+    require(winnerStorePath.isEmpty || bandIndexPath.nonEmpty,
+      "forgetDocuments: winnerStorePath without bandIndexPath — the winner " +
+        "store folds through the band index's tombstone sidecar; name both")
+    require(gramIndexPath.isEmpty || survivingDocs.nonEmpty || winnerStorePath.nonEmpty,
+      "forgetDocuments: gramIndexPath needs a surviving corpus to re-derive " +
+        "from — pass survivingDocs, or name the winnerStorePath whose folded " +
+        "rows ARE the corpus of record")
+  }
+
+  /** Per-surface accounting of one forget call. Folds are
+    * (rowsBefore, rowsAfter); `annTombstoned`/`annFolds` key by
+    * artifact path.
+    */
+  final case class Report(
+      nIds: Int,
+      annTombstoned: Map[String, Long],
+      bandTombstoned: Option[Long],
+      storeFold: Option[(Long, Long)],
+      bandFold: Option[(Long, Long)],
+      annFolds: Map[String, (Long, Long)],
+      gramRebuild: Option[(Long, Long)],
+      extras: Seq[(String, String)]) {
+    def summary: String = {
+      def f(t: (Long, Long)) = s"${t._1}->${t._2}"
+      (Seq(s"ids=$nIds") ++
+        annFolds.toSeq.sortBy(_._1).map { case (p, t) =>
+          s"ann ${new org.apache.hadoop.fs.Path(p).getName} ${f(t)}" } ++
+        storeFold.map(t => s"store ${f(t)}") ++
+        bandFold.map(t => s"band ${f(t)}") ++
+        gramRebuild.map(t => s"grams ${f(t)}") ++
+        extras.map { case (n, s) => s"$n: $s" }).mkString("; ")
+    }
+  }
+
+  /** Forget `ids` everywhere `targets` names — see the object doc for
+    * the sequencing contract. Returns the per-surface accounting.
+    */
+  def forgetDocuments(spark: SparkSession, ids: Seq[Long], targets: Targets,
+                      annIds: Option[Seq[Long]] = None): Report = {
+    val t = targets
+    val vecIds = annIds.getOrElse(ids)
+    if (ids.isEmpty && vecIds.isEmpty)
+      return Report(0, Map.empty, None, None, None, Map.empty, None, Nil)
+
+    // -- phase 1: validate everything before mutating anything
+    t.annIndexPaths.foreach { p =>
+      require(
+        graft.sources.ArtifactHeader.read(spark, p, "ivfpq").isDefined ||
+          graft.sources.ArtifactHeader.read(spark, p, "ivfsq").isDefined,
+        s"forgetDocuments: no ivfpq/ivfsq header at $p — not a stamped ANN artifact")
+    }
+    t.bandIndexPath.foreach(p =>
+      graft.sources.ArtifactHeader.required(spark, p, "bands"))
+    t.gramIndexPath.foreach(p =>
+      graft.sources.ArtifactHeader.required(spark, p, "grams"))
+    t.winnerStorePath.foreach { p =>
+      val (fs, hp) = Similarity.hadoopFs(spark, p)
+      require(fs.exists(hp), s"forgetDocuments: winner store missing at $p")
+    }
+
+    // -- phase 2: tombstone every per-row artifact (unreachable from
+    // here on, even across a crash — the sidecars are durable)
+    val annTomb = t.annIndexPaths.map(p =>
+      p -> Similarity.annIndexDeleteAt(spark, p, vecIds)).toMap
+    val bandTomb = t.bandIndexPath.map(p =>
+      Dedup.neardupIndexDeleteAt(spark, p, ids))
+
+    // -- phase 3: fold physical — winner store first (via the band
+    // index's fold verb), then the ANN artifacts
+    val (storeFold, bandFold) = t.bandIndexPath match {
+      case Some(p) =>
+        val ((sb, sa), (ib, ia)) =
+          Dedup.neardupTombstoneFold(spark, p, t.winnerStorePath)
+        (t.winnerStorePath.map(_ => (sb, sa)), Some((ib, ia)))
+      case None => (None, None)
+    }
+    val annFolds = t.annIndexPaths.map(p =>
+      p -> Similarity.annTombstoneFold(spark, p)).toMap
+
+    // -- phase 4: re-derive aggregate state from the clean corpus
+    val gram = t.gramIndexPath.map { p =>
+      val surviving = t.survivingDocs.map(_.apply()).getOrElse(
+        // the folded winner store IS the surviving corpus of record
+        spark.read.parquet(t.winnerStorePath.get))
+      graft.streaming.StreamingSubstringDedup.rebuildIndex(
+        spark, p, surviving, t.textCol, t.idCol)
+    }
+    val extras = t.extraRebuilds.map { case (name, run) => name -> run() }
+
+    Report(math.max(ids.length, vecIds.length), annTomb, bandTomb,
+      storeFold, bandFold, annFolds, gram, extras)
+  }
+
+  /** [[forgetDocuments]] from an id frame (first column is the id) —
+    * bounded by the tombstone sidecar's own cap, like the per-artifact
+    * frame overloads.
+    */
+  def forgetDocuments(spark: SparkSession, ids: DataFrame,
+                      targets: Targets): Report =
+    forgetDocuments(spark,
+      graft.sources.Tombstones.collectBounded(ids,
+        "forgetDocuments", "forgetDocuments (re-run — it folds as it goes)"),
+      targets)
+}

@@ -355,6 +355,27 @@ object ArtifactMaintainer {
     tombDebtDue(spark, indexPath, maxIds,
       neardupTombstoneFoldTask(spark, indexPath, winnerStorePath))
 
+  /** Rights-removal END-TO-END as one maintenance-window task:
+    * [[graft.operators.Forget.forgetDocuments]] under the window
+    * contract — the streams that ingest into these artifacts are
+    * quiesced, the exclusive lock serializes the tombstone merges
+    * (the [[Tombstones.add]] read-modify-write), and the verified
+    * folds/rebuilds run with no concurrent appender. Run it via
+    * `maintainer.maintain(Seq(forgetTask(...)))` — THE owned window
+    * the cross-artifact sequencing contract asks for.
+    *
+    * Not a DueCheck: forgetting is an external request (a removal
+    * notice), not an artifact-health signal — the caller opens the
+    * window when the request arrives, batching requests into one
+    * window where volume allows.
+    */
+  def forgetTask(spark: SparkSession, ids: Seq[Long],
+                 targets: graft.operators.Forget.Targets,
+                 annIds: Option[Seq[Long]] = None): Task =
+    Task(s"forget:${ids.length}ids") { () =>
+      graft.operators.Forget.forgetDocuments(spark, ids, targets, annIds).summary
+    }
+
   /** Staleness-audited ANN rebuild. `corpus` is a THUNK evaluated
     * inside the window — after the quiesce, so it can (and must)
     * include every append that landed before the window opened; a

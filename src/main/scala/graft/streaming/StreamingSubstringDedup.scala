@@ -99,6 +99,56 @@ object StreamingSubstringDedup {
     n
   }
 
+  /** Rebuild the gram index FROM A SURVIVING CORPUS — the
+    * rights-removal verb for this artifact. Grams are content-
+    * addressed aggregate state (one hash may be owed to many
+    * documents), so per-id tombstones are not well-defined here;
+    * forgetting a document means re-deriving the index from the
+    * corpus that no longer contains it — run AFTER the winner-store
+    * fold has made that corpus clean
+    * ([[graft.operators.Forget.forgetDocuments]] sequences this).
+    *
+    * Same posture as the ANN rebuild: derive on tmp, verify the row
+    * accounting independently (re-read count == computed count),
+    * carry the `grams` header and any foreign sidecars through, then
+    * the two-rename atomic swap — a crash leaves the old generation
+    * live. Returns (rowsBefore, rowsAfter) in distinct gram hashes.
+    *
+    * Scale: one shuffle (the gram distinct) over the surviving
+    * corpus — the same cost as the initial build, amortized across
+    * the forget batch; NOT a per-document cost.
+    */
+  def rebuildIndex(spark: SparkSession, indexPath: String,
+                   surviving: DataFrame, textCol: String, idCol: String): (Long, Long) = {
+    val hdr = graft.sources.ArtifactHeader.required(spark, indexPath, "grams")
+    val k = hdr("k").toInt
+    val rowsBefore = readIndex(spark, indexPath).count()
+    val (_, grams) = Curation.gramTable(surviving, textCol, idCol, k)
+    val fresh = grams.select("h").distinct().localCheckpoint()
+    val expected = fresh.count()
+    val sim = graft.operators.Similarity
+    val (fs, p) = sim.hadoopFs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".gramrebuild.tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".gramrebuild.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    // no coalesce(1) here: unlike the per-batch append (tiny deltas
+    // accumulating into a listing tax), a full rebuild writes the
+    // whole index once — one file per shuffle partition is the right
+    // layout at scale, and compactDue owns any later consolidation
+    fresh.write.mode("overwrite")
+      .option("compression", "zstd").parquet(tmp.toString)
+    graft.plans.CheckpointHygiene.free(fresh)
+    val rowsAfter = spark.read.parquet(tmp.toString).count()
+    if (rowsAfter != expected) {
+      fs.delete(tmp, true)
+      sys.error(s"rebuildIndex: rewrite of $indexPath has $rowsAfter gram hashes, " +
+        s"expected $expected; artifact left untouched")
+    }
+    sim.carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
+    sim.artifactSwap(fs, p, tmp, old, "gram rebuildIndex")
+    (rowsBefore, rowsAfter)
+  }
+
   /** Run the stream: per micro-batch, dedup arriving docs against the
     * index (and batch-internally), hand the deduped frame to `sink`,
     * then admit the batch's new grams. Index admission happens AFTER

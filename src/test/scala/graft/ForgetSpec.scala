@@ -1,0 +1,225 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Forget, Similarity}
+import graft.sources.{ArtifactMaintainer, Tombstones}
+import graft.streaming.{StreamingNearDup, StreamingSubstringDedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rights-removal end-to-end: ONE forgetDocuments call makes a
+  * document unreachable from EVERY probe surface — the ANN probe, the
+  * near-dup candidate set, the substring-incremental gram probe, and
+  * the winner-store text — with each artifact physically clean after
+  * the call (the per-surface result algebra is oracle-gated by
+  * q_forget / q_forget_ann / q_forget_grams / q_sql_forget).
+  */
+class ForgetSpec extends AnyFunSuite with SharedSpark {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** A sentence of 12 nonsense tokens no testdata doc contains — the
+    * forgotten document's unique content, planted in one probe doc so
+    * every surface has an observable before/after.
+    */
+  private val uniq = "zqxbv wfjkp mthrn ylcdg qpzow vbnkt xsfra gjhlm" +
+    " dwcye uoipn rtkbs azmvq"
+
+  private case class Fx(prior: DataFrame, probe: DataFrame,
+                        victimId: Long, probeId: Long,
+                        bandPath: String, storePath: String, gramPath: String,
+                        annPath: String, vecVictims: Seq[Long])
+
+  private def fixture(tag: String): Fx = {
+    import spark.implicits._
+    val dir = tmpDir(s"forget_$tag")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val victimId = 1001L // % 3 == 2 -> prior side
+    val probeId = 3000L  // % 3 == 0 -> probe side
+    val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      .union(Seq((victimId, uniq)).toDF("doc_id", "text"))
+      .coalesce(1).localCheckpoint()
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+      .union(Seq((probeId, uniq)).toDF("doc_id", "text"))
+      .coalesce(1).localCheckpoint()
+
+    val bandPath = s"$dir/band_index"
+    val storePath = s"$dir/winners"
+    val gramPath = s"$dir/gram_index"
+    val annPath = s"$dir/ann_index"
+    StreamingNearDup.appendToIndex(
+      Dedup.capBucket(
+        Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+          shingleN = 3, bands = 6, rows = 2),
+        "band_key", "doc_id", 128),
+      bandPath, bucketCap = 128, stampParams = Some((3, 6, 2)))
+    prior.write.mode("overwrite").parquet(storePath)
+    StreamingSubstringDedup.appendToIndex(prior, "text", "doc_id", gramPath, k = 8)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), annPath, dim = 64)
+    val vecVictims = emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Fx(prior, probe, victimId, probeId, bandPath, storePath, gramPath,
+      annPath, vecVictims)
+  }
+
+  private def annNeighbors(fx: Fx): Set[Long] = {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.annIvfPqProbeAt(spark, fx.annPath,
+      emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
+      .select(col("neighbor_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  private def neardupPriors(fx: Fx): Set[Long] =
+    Dedup.nearDupAgainstIndexAt(spark,
+      spark.read.parquet(fx.storePath), fx.probe, fx.bandPath,
+      "text", "doc_id", threshold = 0.4)
+      .select(col("doc_prior").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+
+  private def gramRemovedFor(fx: Fx, id: Long): Long =
+    Curation.substringDedupAgainstIndex(
+      StreamingSubstringDedup.indexFor(spark, fx.gramPath, 8),
+      fx.probe.filter(col("doc_id") === id), "text", "doc_id", k = 8)
+      .select(col("n_removed").cast("long")).collect().head.getLong(0)
+
+  test("one forgetDocuments call: unreachable from ANN probe, near-dup candidates, gram probe, and winner text; artifacts physically clean") {
+    val fx = fixture("all")
+
+    // BEFORE: the victim is reachable on every surface
+    assert(neardupPriors(fx).contains(fx.victimId),
+      "fixture: planted near-dup pair must surface")
+    assert(gramRemovedFor(fx, fx.probeId) > 0L,
+      "fixture: probe doc must dedup against the victim's grams")
+    val annBefore = annNeighbors(fx)
+    assert(fx.vecVictims.exists(annBefore.contains),
+      "fixture: some vec victim must be a top-5 neighbor before the forget")
+
+    // THE one call
+    val report = Forget.forgetDocuments(spark, Seq(fx.victimId),
+      Forget.Targets(
+        annIndexPaths = Seq(fx.annPath),
+        bandIndexPath = Some(fx.bandPath),
+        winnerStorePath = Some(fx.storePath),
+        gramIndexPath = Some(fx.gramPath)),
+      annIds = Some(fx.vecVictims))
+
+    // AFTER: every surface
+    assert(!neardupPriors(fx).contains(fx.victimId),
+      "near-dup candidates still reach the forgotten doc")
+    assert(gramRemovedFor(fx, fx.probeId) === 0L,
+      "the gram probe still dedups against the forgotten doc's grams")
+    val annAfter = annNeighbors(fx)
+    assert(!fx.vecVictims.exists(annAfter.contains),
+      "the ANN probe still returns a forgotten vector")
+    assert(spark.read.parquet(fx.storePath)
+      .filter(col("doc_id") === fx.victimId).count() === 0L,
+      "winner text not physically removed")
+    assert(spark.read.parquet(fx.bandPath)
+      .filter(col("doc_id") === fx.victimId).count() === 0L,
+      "band rows not physically removed")
+    assert(spark.read.parquet(fx.annPath)
+      .filter(col("vec_id").isin(fx.vecVictims.map(java.lang.Long.valueOf): _*))
+      .count() === 0L, "ANN rows not physically removed")
+    // tombstone sidecars consumed — re-appends admitted again
+    assert(Tombstones.count(spark, fx.bandPath) === 0L)
+    assert(Tombstones.count(spark, fx.annPath) === 0L)
+    // the gram index IS the surviving corpus's index (content equality)
+    val expectIdx = Curation.gramTable(
+      spark.read.parquet(fx.storePath), "text", "doc_id", 8)
+      ._2.select("h").distinct().collect().map(_.getLong(0)).toSet
+    val gotIdx = StreamingSubstringDedup.indexFor(spark, fx.gramPath, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotIdx === expectIdx, "gram index != index of surviving corpus")
+    // report accounting
+    assert(report.storeFold.exists { case (b, a) => b - a == 1 })
+    assert(report.gramRebuild.isDefined)
+    assert(report.annFolds(fx.annPath)._1 - report.annFolds(fx.annPath)._2 ==
+      fx.vecVictims.length)
+
+    // idempotent re-run: same call, no-op accounting, surfaces unchanged
+    val again = Forget.forgetDocuments(spark, Seq(fx.victimId),
+      Forget.Targets(
+        annIndexPaths = Seq(fx.annPath),
+        bandIndexPath = Some(fx.bandPath),
+        winnerStorePath = Some(fx.storePath),
+        gramIndexPath = Some(fx.gramPath)),
+      annIds = Some(fx.vecVictims))
+    assert(again.storeFold.exists { case (b, a) => b == a })
+    assert(annNeighbors(fx) === annAfter)
+  }
+
+  test("validation is all-or-nothing: a bad path refuses BEFORE any tombstone lands") {
+    val fx = fixture("val")
+    val bogus = s"${tmpDir("forget_bogus")}/nothing"
+    intercept[IllegalArgumentException] {
+      Forget.forgetDocuments(spark, Seq(fx.victimId),
+        Forget.Targets(
+          annIndexPaths = Seq(fx.annPath),
+          bandIndexPath = Some(fx.bandPath),
+          winnerStorePath = Some(fx.storePath),
+          gramIndexPath = Some(bogus))) // typo'd gram path
+    }
+    // nothing was tombstoned anywhere — no half-forget
+    assert(Tombstones.count(spark, fx.annPath) === 0L)
+    assert(Tombstones.count(spark, fx.bandPath) === 0L)
+    // target combinations that cannot work refuse at construction
+    intercept[IllegalArgumentException] { Forget.Targets() }
+    intercept[IllegalArgumentException] {
+      Forget.Targets(winnerStorePath = Some(fx.storePath))
+    }
+    intercept[IllegalArgumentException] {
+      Forget.Targets(gramIndexPath = Some(fx.gramPath))
+    }
+  }
+
+  test("forgetTask runs the composition inside one owned maintenance window") {
+    val fx = fixture("task")
+    val m = new ArtifactMaintainer()
+    val rep = m.maintain(Seq(ArtifactMaintainer.forgetTask(spark,
+      Seq(fx.victimId),
+      Forget.Targets(
+        annIndexPaths = Seq(fx.annPath),
+        bandIndexPath = Some(fx.bandPath),
+        winnerStorePath = Some(fx.storePath),
+        gramIndexPath = Some(fx.gramPath)),
+      annIds = Some(fx.vecVictims))))
+    assert(rep.tasks.size === 1)
+    val s = rep.tasks.head.summary
+    assert(s.contains("store") && s.contains("band") && s.contains("grams"), s)
+    assert(!neardupPriors(fx).contains(fx.victimId))
+    assert(Tombstones.count(spark, fx.bandPath) === 0L)
+  }
+
+  test("FORGET DOCUMENTS SQL verb: predicate over the documents table drives the full composition") {
+    val fx = fixture("sql")
+    // victim 1001 is not in the testdata documents table, so the SQL
+    // predicate targets a real testdata doc on the prior side instead
+    val sqlVictim = 7L // % 3 == 1 -> prior side
+    val out = spark.sql(
+      s"FORGET DOCUMENTS FROM '/root/testdata/sf0.001' WHERE doc_id = $sqlVictim " +
+        s"IN ANN INDEX '${fx.annPath}' " +
+        s"IN BAND INDEX '${fx.bandPath}' WITH WINNER STORE '${fx.storePath}' " +
+        s"IN GRAM INDEX '${fx.gramPath}'").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L)
+    assert(out.head.getString(1).contains("grams"), out.head.getString(1))
+    assert(spark.read.parquet(fx.storePath)
+      .filter(col("doc_id") === sqlVictim).count() === 0L)
+    assert(spark.read.parquet(fx.bandPath)
+      .filter(col("doc_id") === sqlVictim).count() === 0L)
+    // the ANN artifact folded the same id (doc_id == vec_id linkage)
+    assert(spark.read.parquet(fx.annPath)
+      .filter(col("vec_id") === sqlVictim).count() === 0L)
+    // no-clause and empty-predicate forms refuse loudly
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"FORGET DOCUMENTS FROM '/root/testdata/sf0.001' WHERE doc_id = 1")
+    }
+    assert(e.getMessage.contains("names no artifacts"), e.getMessage)
+  }
+}
