@@ -2911,6 +2911,11 @@ object Similarity {
   // Audit posture: the balance/saturation audits keep reading
   // PHYSICAL rows, tombstoned included — they measure the artifact's
   // storage and scan-bound truth, which folding (not probing) changes.
+  // Ordering guarantee (spec-held in TombstoneSpec): list
+  // tombstoneFoldDue AHEAD of the rebuild checks in maintainIfDue —
+  // tasks run in check order inside one window and every rebuild task
+  // re-audits in-window, so a rebuild DECISION executes on post-fold
+  // live counts even when its trigger tripped on dead rows.
   // ------------------------------------------------------------------
 
   /** Exclude a bounded tombstone set from an artifact frame: at or

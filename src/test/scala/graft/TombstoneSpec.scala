@@ -367,6 +367,77 @@ class TombstoneSpec extends AnyFunSuite with SharedSpark {
     assert(m.maintainIfDue(Seq(due)).isEmpty)
   }
 
+  test("audits between a heavy skewed delete and its fold count PHYSICAL rows; a rebuild decision in the same window never fires on dead-row counts") {
+    import spark.implicits._
+    // explicit centroids make list assignment deterministic: 40 rows
+    // cluster at (+10,...) -> list 0, 10 at (-10,...) -> list 1
+    val dim = 4
+    val cents = Array(Array.fill(dim)(10.0), Array.fill(dim)(-10.0))
+    val rnd = new scala.util.Random(1601)
+    def near(c: Double) = Seq.fill(dim)((c + rnd.nextDouble() - 0.5).toFloat)
+    val hot = (0 until 40).map(i => (i.toLong, near(10.0)))
+    val cold = (100 until 110).map(i => (i.toLong, near(-10.0)))
+    val corpus = (hot ++ cold).toDF("vec_id", "embedding")
+      .coalesce(1).localCheckpoint()
+    val dir = tmpIdx("tomb_audit")
+    Similarity.ivfPqIndexWrite(corpus, dir, dim = dim, lists = 2, m = 2,
+      codes = 4, centroids = Some(cents))
+
+    // delete 30 of the 40 hot rows: list 0 is imbalanced ONLY through
+    // rows that are already tombstoned
+    val victims = (0L until 30L)
+    assert(Similarity.annIndexDeleteAt(spark, dir, victims) == 30L)
+
+    // between delete and fold the balance audit reads PHYSICAL rows,
+    // tombstoned included: 40/50 in list 0 = 1600pm of uniform share,
+    // identical to the pre-delete audit
+    def loadPm(): Map[Long, Long] =
+      Similarity.ivfPqListBalance(spark.read.parquet(dir), lists = 2,
+        rebuildPm = 1500L)
+        .select(col("list_id"), col("load_pm"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loadPm() == Map(0L -> 1600L, 1L -> 400L),
+      "balance must reflect storage truth (dead rows included) until the fold")
+    assert(Similarity.ivfPqNeedsRebuild(spark, dir, rebuildPm = 1500L),
+      "the physical audit trips on dead-row imbalance — by design")
+
+    // one maintainIfDue poll with the documented order (fold check
+    // AHEAD of the rebuild check): both trip, tasks run in check
+    // order inside one window, and the rebuild's in-window re-audit
+    // runs AFTER the fold — on live counts (10/10 = balanced), so no
+    // retrain fires on dead rows
+    val m = new ArtifactMaintainer()
+    val rep = m.maintainIfDue(Seq(
+      ArtifactMaintainer.tombstoneFoldDue(spark, dir, maxIds = 0L),
+      ArtifactMaintainer.annRebuildDue(spark, dir,
+        () => corpus, rebuildPm = 1500L)))
+    assert(rep.isDefined)
+    val tasks = rep.get.tasks
+    assert(tasks.map(_.name).exists(_.startsWith("tomb_fold")) &&
+      tasks.head.name.startsWith("tomb_fold"),
+      s"fold must run first in the window: ${tasks.map(_.name)}")
+    val rebuildSummary = tasks.find(_.name.startsWith("ann_rebuild")).get.summary
+    assert(rebuildSummary.contains("balanced — no rebuild"),
+      s"rebuild decision must re-audit post-fold live counts: $rebuildSummary")
+    assert(loadPm() == Map(0L -> 1000L, 1L -> 1000L))
+    assert(!Similarity.ivfPqNeedsRebuild(spark, dir, rebuildPm = 1500L))
+    assert(spark.read.parquet(dir).count() == 20L,
+      "no retrain ran — the folded artifact is the live generation")
+
+    // SQ twin: between delete and fold the saturation audit reports
+    // the stored codes' truth, deleted rows included (bit-identical
+    // to pre-delete); the fold's stats re-seed is spec-held above
+    val sqDir = tmpIdx("tomb_audit_sq")
+    Similarity.ivfSqIndexWrite(corpus, sqDir, dim = dim, lists = 2)
+    def satRows() = Similarity.ivfSqSaturation(spark, sqDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val satBefore = satRows()
+    Similarity.annIndexDeleteAt(spark, sqDir, victims)
+    assert(satRows() == satBefore,
+      "saturation must reflect storage truth until the fold")
+  }
+
   test("tombstoneExclude/tombstoneMatches: the pushdown and anti/semi-join branches agree and tile the frame") {
     import spark.implicits._
     val df = (0L until 20L).map(i => (i, i * 10)).toDF("vec_id", "payload")
