@@ -26,6 +26,7 @@ object AnnProbe {
     if (args.nonEmpty && args(0) == "opq") { opqLadder(args.drop(1)); return }
     if (args.nonEmpty && args(0) == "pcalifecycle") { pcaLifecycle(); return }
     if (args.nonEmpty && args(0) == "tombstones") { tombstoneLifecycle(args.drop(1)); return }
+    if (args.nonEmpty && args(0) == "dims") { dimScaling(args.drop(1)); return }
     val lists = if (args.nonEmpty) args(0).toInt else 16
     val nprobe = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -759,6 +760,7 @@ object AnnProbe {
     def run(tag: String, corpus: org.apache.spark.sql.DataFrame,
             queries: org.apache.spark.sql.DataFrame): String = {
       val pq = s"$base/$tag-pq"; val opq = s"$base/$tag-opq"
+      val opqi = s"$base/$tag-opqi"
       val (_, pqBuild) = time {
         val c = Similarity.kmeansCentroids(corpus, k = 16, iters = 2, dim = 64,
           trainSample = 65536, seedFromData = true)
@@ -769,6 +771,10 @@ object AnnProbe {
       }
       val (_, opqBuild) = time(Similarity.opqIvfPqIndexWrite(corpus, opq,
         dim = 64, trainSample = 65536))
+      // the iterative rung: Ge et al. non-parametric refinement at the
+      // SAME byte budget, 2 alternating rounds from the OPQ_P start
+      val (_, opqiBuild) = time(Similarity.opqIvfPqIndexWrite(corpus, opqi,
+        dim = 64, trainSample = 65536, refineIters = 2))
       val pqSec = min2(
         Similarity.annIvfPqRefineAt(spark, pq, corpus, queries, k = 5).count())
       val opqSec = min2(
@@ -779,20 +785,24 @@ object AnnProbe {
           .agg(avg(col("recall"))).collect()(0).getDouble(0)
       val pqAdc = recall(Similarity.annIvfPqProbeAt(spark, pq, queries, k = 5))
       val opqAdc = recall(Similarity.annPcaIvfPqProbeAt(spark, opq, queries, k = 5))
+      val opqiAdc = recall(Similarity.annPcaIvfPqProbeAt(spark, opqi, queries, k = 5))
       val pqRef = recall(Similarity.annIvfPqRefineAt(spark, pq, corpus, queries, k = 5))
       val opqRef = recall(Similarity.annPcaIvfPqRefineAt(spark, opq, corpus, queries, k = 5))
+      val opqiRef = recall(Similarity.annPcaIvfPqRefineAt(spark, opqi, corpus, queries, k = 5))
       // all lists probed: the coarse-quantizer recall ceiling removed,
       // so this pair isolates the ENCODING stage the rotation is for
       val pqRefAll = recall(Similarity.annIvfPqRefineAt(spark, pq, corpus,
         queries, k = 5, nprobe = 16))
       val opqRefAll = recall(Similarity.annPcaIvfPqRefineAt(spark, opq, corpus,
         queries, k = 5, nprobe = 16))
+      val opqiRefAll = recall(Similarity.annPcaIvfPqRefineAt(spark, opqi, corpus,
+        queries, k = 5, nprobe = 16))
       graft.plans.CheckpointHygiene.free(exact)
-      f""""$tag":{"pq_build_sec":$pqBuild%.2f,"opq_build_sec":$opqBuild%.2f,""" +
+      f""""$tag":{"pq_build_sec":$pqBuild%.2f,"opq_build_sec":$opqBuild%.2f,"opqi_build_sec":$opqiBuild%.2f,""" +
         f""""pq_refine_sec":$pqSec%.2f,"opq_refine_sec":$opqSec%.2f,""" +
-        f""""pq_adc_recall5":$pqAdc%.3f,"opq_adc_recall5":$opqAdc%.3f,""" +
-        f""""pq_refine_recall5":$pqRef%.3f,"opq_refine_recall5":$opqRef%.3f,""" +
-        f""""pq_refine_alllists_recall5":$pqRefAll%.3f,"opq_refine_alllists_recall5":$opqRefAll%.3f}"""
+        f""""pq_adc_recall5":$pqAdc%.3f,"opq_adc_recall5":$opqAdc%.3f,"opqi_adc_recall5":$opqiAdc%.3f,""" +
+        f""""pq_refine_recall5":$pqRef%.3f,"opq_refine_recall5":$opqRef%.3f,"opqi_refine_recall5":$opqiRef%.3f,""" +
+        f""""pq_refine_alllists_recall5":$pqRefAll%.3f,"opq_refine_alllists_recall5":$opqRefAll%.3f,"opqi_refine_alllists_recall5":$opqiRefAll%.3f}"""
     }
     val nVec = iso.count()
     val isoLine = run("isotropic", iso, emb0.filter(col("vec_id") < 8))
@@ -833,6 +843,49 @@ object AnnProbe {
     val learned = meanRecall(Similarity.annPq(emb, q, k = k, dim = 64,
       codebooks = Some(learnedCbs)))
     println(s"""{"dir":"$dir","train_sample":$trainSample,"train_sec":$tTrain,"recall_salted":$salted,"recall_learned":$learned}""")
+    spark.stop()
+  }
+
+  /** DIMENSION-scaling probe for the covariance/eigen path (testdata
+    * is dim 64; production embedding columns are 768-4096): times the
+    * three cost components that scale with dim, at a Faiss-convention
+    * training sample —
+    *   - the embedCovariance aggregate: the pair-explode emits
+    *     trainRows x dim(dim+1)/2 intermediate rows (the distributed
+    *     cost; at dim 1024 that is 525k pairs PER training row);
+    *   - jacobiEigen: O(sweeps x dim^3) DRIVER flops;
+    *   - pcaProject of `projRows` corpus rows through the rotation:
+    *     dim^2 multiply-adds per row (the per-row index-build cost).
+    * Run: sbt "runMain graft.AnnProbe dims 1024 4096 100000"
+    */
+  private def dimScaling(args: Array[String]): Unit = {
+    val dim = if (args.nonEmpty) args(0).toInt else 1024
+    val trainRows = if (args.length > 1) args(1).toInt else 4096
+    val projRows = if (args.length > 2) args(2).toInt else 100000
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def synth(n: Int): org.apache.spark.sql.DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(1, $dim), d -> CAST(" +
+          // deterministic pseudo-noise with a decaying spectrum (the
+          // realistic shape: most variance in the leading dims)
+          "(CAST(hash(id, d) AS DOUBLE) / 2147483647.0) * pow(2.0, -CAST(d AS DOUBLE) / 256.0)" +
+          " AS FLOAT))").as("embedding"))
+    val train = synth(trainRows).localCheckpoint()
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val (cov, covSec) = time(Similarity.covarianceMatrix(train, dim))
+    val ((_, eigRows), eigSec) = time(Similarity.jacobiEigen(cov))
+    val proj = synth(projRows).localCheckpoint()
+    val (_, projSec) = time(
+      Similarity.pcaProject(proj, eigRows.take(dim / 4))
+        .agg(count(lit(1))).collect())
+    println(s"""{"dim":$dim,"train_rows":$trainRows,"proj_rows":$projRows,""" +
+      s""""cov_sec":$covSec,"eigen_sec":$eigSec,"project_quarter_sec":$projSec}""")
     spark.stop()
   }
 }

@@ -3664,6 +3664,13 @@ object Similarity {
       case Some("opq_p") =>
         val (eigs, eigRows) = jacobiEigen(cov)
         opqEigenAllocate(eigs, hdr.m).map(eigRows)
+      case Some("opq_i") =>
+        // re-run the full alternating loop at the stamped iteration
+        // count — a rebuild of an iterative-OPQ artifact re-learns
+        // rotation AND the codebook interplay, not just the allocation
+        opqIterRotation(corpus, dim, hdr.m, hdr.codes,
+          oldKv.get("opq_iters").map(_.toInt).getOrElse(2),
+          idCol, vecCol, trainSample, trainFraction)._1
       case _ => jacobiEigen(cov)._2.take(outDim)
     }
     val freshCapture = capturePm(rot, cov)
@@ -3692,7 +3699,8 @@ object Similarity {
       "dim" -> dim.toString, "out_dim" -> outDim.toString,
       "rotation" -> encodeMatrix(rot),
       "capture_pm" -> freshCapture.toString) ++
-      method.map("method" -> _))
+      method.map("method" -> _) ++
+      oldKv.get("opq_iters").map("opq_iters" -> _))
 
     val corpusRows = corpus.count()
     if (rowsAfter != corpusRows) {
@@ -3868,12 +3876,29 @@ object Similarity {
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          trainSample: Int = 0, trainFraction: Double = 0.0,
                          residual: Boolean = false,
-                         trainQuantizers: Boolean = true): Long = {
+                         trainQuantizers: Boolean = true,
+                         refineIters: Int = 0): Long = {
     val spark = embeddings.sparkSession
+    require(refineIters == 0 || trainQuantizers,
+      "opqIvfPqIndexWrite: refineIters alternates rotation WITH codebook " +
+        "training — it is meaningless with trainQuantizers = false")
+    require(refineIters == 0 || !residual,
+      "opqIvfPqIndexWrite: the iterative refinement minimizes the PLAIN PQ " +
+        "reconstruction of the rotated vectors; residual encoding quantizes " +
+        "against coarse centroids the Procrustes step does not model — use " +
+        "OPQ_P (refineIters = 0) with residual = true")
     val cov = covarianceMatrix(embeddings, dim, idCol, vecCol,
       trainSample, trainFraction)
     val (eigs, eigRows) = jacobiEigen(cov)
-    val rot = opqEigenAllocate(eigs, m).map(eigRows)
+    // refineIters > 0: the Ge et al. alternating loop (warm-started
+    // from this same eigen allocation inside opqIterRotation, which
+    // also hands back codebooks already trained in the final space)
+    val (rot, iterCbs) =
+      if (refineIters > 0) {
+        val (r, cb) = opqIterRotation(embeddings, dim, m, codes, refineIters,
+          idCol, vecCol, trainSample, trainFraction)
+        (r, Some(cb))
+      } else (opqEigenAllocate(eigs, m).map(eigRows), None)
     val proj = pcaProject(embeddings, rot, idCol, vecCol)
     val (cOpt, cbOpt) =
       if (!trainQuantizers) (None, None)
@@ -3881,11 +3906,13 @@ object Similarity {
         val c = kmeansCentroids(proj, k = lists, iters = 2, dim = dim,
           idCol = idCol, vecCol = vecCol, trainSample = trainSample,
           trainFraction = trainFraction, seedFromData = true)
-        val cbFrame = if (residual) residualFloatFrame(proj, c, idCol, vecCol)
-                      else proj
-        val cb = pqLearnedCodebooks(cbFrame, dim = dim, m = m, codes = codes,
-          iters = 2, vecCol = vecCol, idCol = idCol, trainSample = trainSample,
-          trainFraction = trainFraction, seedFromData = true)
+        val cb = iterCbs.getOrElse {
+          val cbFrame = if (residual) residualFloatFrame(proj, c, idCol, vecCol)
+                        else proj
+          pqLearnedCodebooks(cbFrame, dim = dim, m = m, codes = codes,
+            iters = 2, vecCol = vecCol, idCol = idCol, trainSample = trainSample,
+            trainFraction = trainFraction, seedFromData = true)
+        }
         (Some(c), Some(cb))
       }
     val n = ivfPqIndexWrite(proj, indexPath,
@@ -3894,8 +3921,233 @@ object Similarity {
       "dim" -> dim.toString, "out_dim" -> dim.toString,
       "rotation" -> encodeMatrix(rot),
       "capture_pm" -> capturePm(rot, cov).toString,
-      "method" -> "opq_p"))
+      "method" -> (if (refineIters > 0) "opq_i" else "opq_p")) ++
+      (if (refineIters > 0) Seq("opq_iters" -> refineIters.toString) else Nil))
     n
+  }
+
+  /** NON-PARAMETRIC OPQ (Ge et al. 2013 §4, the production Faiss
+    * OPQMatrix training loop): alternate (a) train PQ codebooks in the
+    * current rotation's space with (b) re-solve the rotation as the
+    * orthogonal Procrustes problem min_R ||R·x - decode(encode(R·x))||²
+    * — R = U·Vᵀ from the SVD of the reconstruction cross-moment
+    * M = Σ ŷ·xᵀ. Initialized from the [[opqRotation]] eigenvalue
+    * allocation (the paper's parametric warm start, already the
+    * measured OPQ_P ladder rung); each alternating step minimizes the
+    * shared quantization objective given the other, so the error is
+    * non-increasing up to the sampled/fixed-point approximation of
+    * the steps.
+    *
+    * Distribution shape: per iteration, one codebook training pass
+    * (the m-subspace kmeans chain) plus ONE additional pass for the
+    * cross-moment — a dim×dim fixed-point BIGINT aggregate
+    * accumulated per partition and merged on the driver (deterministic
+    * by construction: integer addition commutes, so partition order
+    * cannot change the rotation). The O(dim³) SVD runs on the driver
+    * like [[jacobiEigen]] — same dimensional envelope as the PCA
+    * path. Train cost is bounded by `trainSample`/`trainFraction`
+    * exactly like every trainer here; the returned codebooks are
+    * trained in the FINAL rotation's space, ready for the index
+    * write.
+    *
+    * @return (rotation rows, codebooks in the final rotated space)
+    */
+  def opqIterRotation(embeddings: DataFrame, dim: Int, m: Int,
+                      codes: Int = 16, iters: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      trainSample: Int = 0, trainFraction: Double = 0.0)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(iters >= 1, s"opqIterRotation: iters=$iters must be >= 1")
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val cov = covarianceMatrix(embeddings, dim, idCol, vecCol,
+      trainSample, trainFraction)
+    val (eigs, eigRows) = jacobiEigen(cov)
+    var rot = opqEigenAllocate(eigs, m).map(eigRows)
+    // ONE bounded training frame reused across all iterations (each
+    // needs the raw x side of the cross-moment AND the codebook
+    // trainer's projected view)
+    val train = trainFrameOf(embeddings, idCol, trainSample, trainFraction)
+      .select(col(idCol), col(vecCol)).localCheckpoint()
+    var cbs: Array[Array[Array[Double]]] = null
+    var it = 0
+    while (it < iters) {
+      val proj = pcaProject(train, rot, idCol, vecCol)
+      cbs = pqLearnedCodebooks(proj, dim = dim, m = m, codes = codes,
+        iters = 2, vecCol = vecCol, idCol = idCol, seedFromData = true)
+      rot = opqProcrustes(opqCrossMoment(train, rot, cbs, dim, m, vecCol))
+      it += 1
+    }
+    // codebooks must live in the FINAL rotation's space
+    cbs = pqLearnedCodebooks(pcaProject(train, rot, idCol, vecCol),
+      dim = dim, m = m, codes = codes, iters = 2, vecCol = vecCol,
+      idCol = idCol, seedFromData = true)
+    graft.plans.CheckpointHygiene.free(train)
+    (rot, cbs)
+  }
+
+  /** The reconstruction cross-moment M = Σ ŷ·xᵀ of the Procrustes
+    * step, as an exact fixed-point BIGINT aggregate (2^15 per
+    * coordinate, data-driven overflow guard — the embedCovariance
+    * convention): ŷ is the PQ reconstruction of R·x under the current
+    * codebooks, computed row-local with the broadcast rotation and
+    * codebooks, partial sums per partition, one driver merge.
+    */
+  private def opqCrossMoment(train: DataFrame, rot: Array[Array[Double]],
+                             cbs: Array[Array[Array[Double]]],
+                             dim: Int, m: Int, vecCol: String)
+      : Array[Array[Double]] = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val scale = 32768.0 // 2^15
+    val g = train.agg(count(lit(1)).as("n"),
+      coalesce(max(expr(s"aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
+        "(mx, x) -> greatest(mx, abs(CAST(x AS DOUBLE))))")), lit(0.0)).as("mx"))
+      .collect()(0)
+    val (n, maxX) = (g.getLong(0), g.getDouble(1))
+    // |y_j| <= ||x||_2 <= sqrt(dim)*maxX for unit rotation rows, and
+    // centroids are means of members, so one bound covers both sides
+    val maxQ = math.max(math.ceil(scale * maxX * math.sqrt(dim)).toLong, 1L)
+    require(n <= Long.MaxValue / (maxQ * maxQ),
+      s"opqCrossMoment: $n rows with max |x| $maxX can overflow the BIGINT " +
+        "cross-moment sum — normalize the embeddings or train on a sample " +
+        "(trainSample/trainFraction)")
+    val bR = spark.sparkContext.broadcast(rot)
+    val bC = spark.sparkContext.broadcast(cbs)
+    val parts = train.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { rows =>
+        val r = bR.value; val cb = bC.value
+        val acc = new Array[Long](dim * dim)
+        val y = new Array[Double](dim)
+        val qx = new Array[Long](dim)
+        rows.foreach { v =>
+          require(v.length == dim,
+            s"opqCrossMoment: vector has ${v.length} dims, expected $dim — " +
+              "ragged corpus row")
+          var j = 0
+          while (j < dim) {
+            var s = 0.0; var d = 0
+            val rr = r(j)
+            while (d < dim) { s += rr(d) * v(d); d += 1 }
+            y(j) = s; j += 1
+          }
+          var d = 0
+          while (d < dim) { qx(d) = math.floor(v(d) * scale).toLong; d += 1 }
+          var s = 0
+          while (s < m) {
+            // nearest sub-codebook entry by L2 (== the MIPS argmax of
+            // pqEncodeUdf); ŷ slice = that centroid
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cb(s).length) {
+              val cv = cb(s)(c)
+              var dd = 0.0; var i = 0
+              while (i < subDim) {
+                val diff = y(s * subDim + i) - cv(i); dd += diff * diff; i += 1
+              }
+              if (dd < bestD) { bestD = dd; best = c }
+              c += 1
+            }
+            val cv = cb(s)(best)
+            var i = 0
+            while (i < subDim) {
+              val row = s * subDim + i
+              val qy = math.floor(cv(i) * scale).toLong
+              var cc = 0
+              while (cc < dim) { acc(row * dim + cc) += qy * qx(cc); cc += 1 }
+              i += 1
+            }
+            s += 1
+          }
+        }
+        Iterator.single(acc)
+      }.collect()
+    val total = new Array[Long](dim * dim)
+    parts.foreach { a =>
+      var i = 0; while (i < total.length) { total(i) += a(i); i += 1 }
+    }
+    Array.tabulate(dim, dim)((r, c) => total(r * dim + c) / (scale * scale))
+  }
+
+  /** Solve min_R ||R·A - B||_F over orthogonal R given the
+    * cross-moment M = B·Aᵀ: R = U·Vᵀ from M = U·S·Vᵀ. The SVD runs
+    * through the symmetric eigensolver already in the tree
+    * (MᵀM = V·S²·Vᵀ, U = M·V·S⁻¹ — [[jacobiEigen]]); a
+    * rank-deficient cross-moment (a degenerate corpus whose
+    * reconstruction spans a subspace) cannot pin the rotation and
+    * refuses rather than returning a non-orthogonal guess, and the
+    * result is verified orthogonal before it is returned.
+    */
+  private[graft] def opqProcrustes(mIn: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val d = mIn.length
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var r = 0
+      while (r < d) { s += mIn(r)(i) * mIn(r)(j); r += 1 }
+      s
+    }
+    val (eigs, vRows) = jacobiEigen(mtm)
+    val sig = eigs.map(e => math.sqrt(math.max(e, 0.0)))
+    require(sig(0) > 0.0 && sig(d - 1) > 1e-9 * sig(0),
+      "opqProcrustes: the cross-moment is (near-)rank-deficient — the corpus " +
+        "reconstruction spans a subspace, so the rotation is underdetermined; " +
+        "train on more data or keep the parametric OPQ_P rotation")
+    val u = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var r = 0
+      while (r < d) {
+        var s = 0.0; var c = 0
+        while (c < d) { s += mIn(r)(c) * vRows(i)(c); c += 1 }
+        u(r)(i) = s / sig(i); r += 1
+      }
+      i += 1
+    }
+    var rot = Array.tabulate(d, d) { (r, c) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += u(r)(k) * vRows(k)(c); k += 1 }
+      s
+    }
+    // U·Vᵀ assembled through the eigen route carries O(1e-6)
+    // orthogonality error at dim 64 (the SVD-by-MᵀM squaring of the
+    // condition number); two Newton–Schulz steps — R ← 1.5R − 0.5·R·RᵀR,
+    // the deterministic polar-projection iteration — polish it to the
+    // NEAREST orthogonal matrix before anyone projects through it
+    def mul(a: Array[Array[Double]], b: Array[Array[Double]]) =
+      Array.tabulate(d, d) { (r, c) =>
+        var s = 0.0; var k = 0
+        while (k < d) { s += a(r)(k) * b(k)(c); k += 1 }
+        s
+      }
+    var step = 0
+    while (step < 2) {
+      val rtr = Array.tabulate(d, d) { (r, c) =>
+        var s = 0.0; var k = 0
+        while (k < d) { s += rot(k)(r) * rot(k)(c); k += 1 }
+        s
+      }
+      val rrtr = mul(rot, rtr)
+      rot = Array.tabulate(d, d)((r, c) => 1.5 * rot(r)(c) - 0.5 * rrtr(r)(c))
+      step += 1
+    }
+    // verify R·Rᵀ == I — post-polish failure means a genuinely
+    // degenerate cross-moment, not assembly noise
+    var maxDev = 0.0
+    var r = 0
+    while (r < d) {
+      var c = 0
+      while (c < d) {
+        var s = 0.0; var k = 0
+        while (k < d) { s += rot(r)(k) * rot(c)(k); k += 1 }
+        maxDev = math.max(maxDev, math.abs(s - (if (r == c) 1.0 else 0.0)))
+        c += 1
+      }
+      r += 1
+    }
+    require(maxDev < 1e-8,
+      f"opqProcrustes: result deviates from orthogonality by $maxDev%.2e " +
+        "after polar polish — numerically degenerate cross-moment")
+    rot
   }
 
   /** The SQL-EXACT cousin of [[opqRotation]] for the oracle gate: a

@@ -83,6 +83,131 @@ class Round16OpsSpec extends AnyFunSuite with SharedSpark {
     assert(perBatch(0).nonEmpty || perBatch(1).nonEmpty)
   }
 
+  // ------------------------------------------------------------------
+  // Iterative (non-parametric) OPQ — Ge et al. 2013 §4
+  // ------------------------------------------------------------------
+
+  test("opqProcrustes recovers a known rotation from its cross-moment") {
+    val Similarity = graft.operators.Similarity
+    val d = 6
+    val rnd = new scala.util.Random(1602)
+    // a known orthogonal Q: eigenvector rows of a random symmetric matrix
+    val sym = Array.tabulate(d, d)((_, _) => rnd.nextDouble())
+    val symm = Array.tabulate(d, d)((i, j) => sym(i)(j) + sym(j)(i))
+    val q = Similarity.jacobiEigen(symm)._2
+    // X: 40 random columns; M = (QX)·Xᵀ = Q·(XXᵀ), polar factor = Q
+    val xs = Array.fill(40)(Array.fill(d)(rnd.nextDouble() * 2 - 1))
+    val m = Array.ofDim[Double](d, d)
+    xs.foreach { x =>
+      val y = Array.tabulate(d)(r => (0 until d).map(c => q(r)(c) * x(c)).sum)
+      for (r <- 0 until d; c <- 0 until d) m(r)(c) += y(r) * x(c)
+    }
+    val got = Similarity.opqProcrustes(m)
+    val dev = (0 until d).flatMap(r => (0 until d).map(c =>
+      math.abs(got(r)(c) - q(r)(c)))).max
+    assert(dev < 1e-8, f"recovered rotation deviates by $dev%.2e")
+  }
+
+  /** Energy concentrated in dims 0-3 of 16 — the Round15 OPQ fixture:
+    * positional PQ grouping starves three subspaces; any variance-
+    * balancing rotation fixes it.
+    */
+  private def anisoCorpus16() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1603)
+    def vec() = Seq.tabulate(16) { d =>
+      if (d < 4) (rnd.nextDouble() * 2 - 1).toFloat
+      else ((rnd.nextDouble() * 2 - 1) * 0.05).toFloat
+    }
+    ((0 until 256).map(i => (i.toLong, vec()))
+       .toDF("vec_id", "embedding").localCheckpoint(),
+     (5000 until 5008).map(i => (i.toLong, vec()))
+       .toDF("vec_id", "embedding").localCheckpoint())
+  }
+
+  /** Mean squared PQ reconstruction error of `corpus` under
+    * (rotation, codebooks) — the objective both OPQ variants minimize,
+    * computed driver-side on the collected spec corpus.
+    */
+  private def quantMse(corpus: org.apache.spark.sql.DataFrame,
+                       rot: Array[Array[Double]],
+                       cbs: Array[Array[Array[Double]]]): Double = {
+    val rows = corpus.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = rot.length
+    val m = cbs.length
+    val sub = d / m
+    val errs = rows.map { x =>
+      val y = Array.tabulate(d)(r => (0 until d).map(c => rot(r)(c) * x(c)).sum)
+      (0 until m).map { s =>
+        cbs(s).map { cv =>
+          (0 until sub).map(i => math.pow(y(s * sub + i) - cv(i), 2)).sum
+        }.min
+      }.sum
+    }
+    errs.sum / errs.length
+  }
+
+  test("opqIterRotation: orthogonal result, reconstruction error <= the OPQ_P warm start; method opq_i round-trips append + rebuild") {
+    val Similarity = graft.operators.Similarity
+    val (corpus, probes) = anisoCorpus16()
+
+    // OPQ_P baseline at the same byte budget
+    val rotP = Similarity.opqRotation(corpus, dim = 16, m = 4)
+    val cbsP = Similarity.pqLearnedCodebooks(
+      Similarity.pcaProject(corpus, rotP), dim = 16, m = 4, codes = 16,
+      iters = 2, seedFromData = true)
+    val (rotI, cbsI) = Similarity.opqIterRotation(corpus, dim = 16, m = 4,
+      codes = 16, iters = 2)
+
+    // orthogonality of the refined rotation
+    val dev = (0 until 16).flatMap(r => (0 until 16).map { c =>
+      val s = (0 until 16).map(k => rotI(r)(k) * rotI(c)(k)).sum
+      math.abs(s - (if (r == c) 1.0 else 0.0))
+    }).max
+    assert(dev < 1e-6, f"refined rotation deviates from orthogonal by $dev%.2e")
+
+    // the alternating loop minimizes the same objective it starts
+    // from — it must not end worse than the parametric warm start
+    // (tiny tolerance for the sampled/fixed-point steps)
+    val mseP = quantMse(corpus, rotP, cbsP)
+    val mseI = quantMse(corpus, rotI, cbsI)
+    assert(mseI <= mseP * 1.01,
+      f"iterative OPQ mse $mseI%.6f worse than OPQ_P warm start $mseP%.6f")
+
+    // end-to-end artifact: stamped opq_i, probes, appends, rebuilds
+    val dir = tmpDir("opq_iter") + "/idx"
+    assert(Similarity.opqIvfPqIndexWrite(corpus, dir, dim = 16, lists = 4,
+      m = 4, codes = 16, refineIters = 2) == 256L)
+    val kv = graft.sources.ArtifactHeader.read(spark, dir, "pcarot").get
+    assert(kv("method") == "opq_i" && kv("opq_iters") == "2")
+    val probed = Similarity.annPcaIvfPqProbeAt(spark, dir, probes, k = 5,
+      nprobe = 4)
+    assert(probed.count() == 40L)
+    import spark.implicits._
+    val more = corpus.select((col("vec_id") + 10000L).as("vec_id"),
+      col("embedding"))
+    assert(Similarity.pcaIvfPqIndexAppendAt(more, dir) == 256L)
+    val rep = Similarity.pcaIvfPqRebuild(corpus.unionByName(more), dir,
+      recallQueries = Some(probes), minRecallRatio = 0.0)
+    assert(rep.rowsAfter == 512L)
+    val kv2 = graft.sources.ArtifactHeader.read(spark, dir, "pcarot").get
+    assert(kv2("method") == "opq_i" && kv2("opq_iters") == "2",
+      "rebuild must carry the opq_i method AND its iteration stamp")
+    assert(Similarity.annPcaIvfPqProbeAt(spark, dir, probes, k = 5,
+      nprobe = 4).count() == 40L)
+    // refinement composes with neither untrained quantizers nor
+    // residual encoding — both refuse by name
+    intercept[IllegalArgumentException] {
+      Similarity.opqIvfPqIndexWrite(corpus, dir, dim = 16,
+        refineIters = 2, trainQuantizers = false)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.opqIvfPqIndexWrite(corpus, dir, dim = 16,
+        refineIters = 2, residual = true)
+    }
+  }
+
   test("tombstone add: idempotent re-delete and disjoint merges round-trip the sidecar verbatim") {
     val path = s"${tmpDir("tombadd")}/idx"
     import spark.implicits._
