@@ -3164,6 +3164,19 @@ object Similarity {
         "s_ab — Spark's non-ANSI sum would WRAP silently and corrupt the " +
         "covariance (and any rotation trained on it); shrink the training " +
         "sample or normalize the embeddings first")
+    // pair-volume bound: the aggregate explodes nTrain x dim(dim+1)/2
+    // intermediate rows. Measured (AnnProbe dims, 4096 rows, 32
+    // threads): 3.9 s at dim 256, 6.1 s at 512, 19.3 s at 1024 —
+    // linear in this product; 2^34 pairs ~ a few minutes, the
+    // outer bound of a maintenance-window training step. At dim 64
+    // (2080 pairs/row) this admits ~8M rows — looser than the 2^21
+    // overflow bound above, so only high-dim corpora ever see it.
+    val pairs = dim.toLong * (dim + 1L) / 2L
+    require(nTrain * pairs <= (1L << 34),
+      s"embedCovariance: $nTrain training rows x $pairs dim-pairs = " +
+        s"${nTrain * pairs} exploded aggregate rows (bound 2^34) — at dim " +
+        s"$dim pass trainSample <= ${(1L << 34) / pairs} (the covariance only " +
+        "needs a sample; the Faiss transform-training convention)")
     quantized
       .select(col("qv"), posexplode(col("qv")).as(Seq("i", "a")))
       .select(col("i"), col("a"), posexplode(col("qv")).as(Seq("j", "b")))
@@ -3184,6 +3197,16 @@ object Similarity {
   private[graft] def jacobiEigen(a0: Array[Array[Double]], sweeps: Int = 16)
       : (Array[Double], Array[Array[Double]]) = {
     val n = a0.length
+    // dimensional envelope, measured (AnnProbe dims, 16 sweeps, one
+    // driver core): 0.55 s at dim 256, 3.8 s at 512, 102 s at 1024 —
+    // O(sweeps x dim^3), so 2048 extrapolates to ~15 min (the outer
+    // edge of a rebuild window) and 4096 to ~2 h. Refuse past 2048:
+    // reduce dimensionality upstream (a truncated random projection /
+    // feature hash before ingest), not in this dense eigensolver.
+    require(n <= 2048,
+      s"jacobiEigen: dim $n exceeds the 2048 driver-eigensolve envelope " +
+        "(O(dim^3): measured 102 s at 1024, ~2 h extrapolated at 4096) — " +
+        "reduce embedding dimensionality upstream before training a rotation")
     val a = a0.map(_.clone())
     val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
     var s = 0

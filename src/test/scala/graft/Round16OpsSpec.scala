@@ -208,6 +208,30 @@ class Round16OpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Dimensional envelope guards (the AnnProbe `dims` rung's measured
+  // walls turned into refusals with guidance)
+  // ------------------------------------------------------------------
+
+  test("jacobiEigen refuses past the measured driver-eigensolve envelope; embedCovariance bounds the pair-explode volume") {
+    val Similarity = graft.operators.Similarity
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.jacobiEigen(Array.ofDim[Double](2049, 2049))
+    }
+    assert(e1.getMessage.contains("2048") &&
+      e1.getMessage.contains("upstream"), e1.getMessage)
+
+    import spark.implicits._
+    // dim 4096 -> 8.39M pairs/row: 2100 rows cross the 2^34 exploded-
+    // row bound before any explode work runs
+    val wide = spark.range(2100).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 4096), d -> CAST(0.0 AS FLOAT))").as("embedding"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.embedCovariance(wide, dim = 4096).collect()
+    }
+    assert(e2.getMessage.contains("trainSample"), e2.getMessage)
+  }
+
   test("tombstone add: idempotent re-delete and disjoint merges round-trip the sidecar verbatim") {
     val path = s"${tmpDir("tombadd")}/idx"
     import spark.implicits._
