@@ -23,13 +23,27 @@ import org.apache.spark.sql.functions._
   * original while shingle spaces stay disjoint; embeddings rotate by
   * k dims (distinct vectors, same geometry); ids get disjoint offsets.
   *
+  * A third arg turns on STEADY DELETION under the live stream (the
+  * rights-removal soak): every batch from the third on, `delRate`
+  * doc ids from the batch ingested two batches earlier are deleted
+  * through [[graft.operators.Dedup.neardupIndexDeleteAt]] under the
+  * maintainer's shared access, and `neardupTombstoneFoldDue` joins
+  * the per-batch maintainIfDue poll (budget 3x the rate, so fold
+  * windows land repeatedly mid-soak and rewrite the winner store +
+  * band index under live history). The close-out proves the
+  * contract: a probe of the deleted documents' own texts surfaces
+  * ZERO deleted priors while tombstones are still live, and after
+  * the final fold both artifacts physically contain zero deleted
+  * rows.
+  *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *   sbt "runMain graft.CurationStreamProbe 12 1"
+  *   sbt "runMain graft.CurationStreamProbe 12 1 8"
   */
 object CurationStreamProbe {
   def main(args: Array[String]): Unit = {
     val nBatches = if (args.nonEmpty) args(0).toInt else 12
     val copies = if (args.length > 1) args(1).toInt else 1
+    val delRate = if (args.length > 2) args(2).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -98,7 +112,16 @@ object CurationStreamProbe {
     // Budget ~ half the soak so the first window lands mid-soak under
     // live history and debt re-accumulates visibly afterwards.
     val smallFileBudget = math.max(3, nBatches / 2)
-    def dueChecks = Seq("winners", "bands", "grams").map(a =>
+    // the deletion soak's fold policy: the live tombstone set is a
+    // probe-side cost, so the budget is a RATE bound (3 batches of
+    // deletes), not a storage bound — windows land repeatedly
+    val tombBudget = math.max(1L, delRate * 3L)
+    def delChecks =
+      if (delRate <= 0) Nil
+      else Seq(graft.sources.ArtifactMaintainer.neardupTombstoneFoldDue(
+        spark, s"$stateDir/bands", Some(s"$stateDir/winners"),
+        maxIds = tombBudget))
+    def dueChecks = delChecks ++ Seq("winners", "bands", "grams").map(a =>
       graft.sources.ArtifactMaintainer.compactDue(
         spark, s"$stateDir/$a", maxSmallFiles = smallFileBudget,
         // auto-sized rewrite (~64 MB/file): soak-scale stores fold to
@@ -122,12 +145,35 @@ object CurationStreamProbe {
     var accUpTo = -1L   // highest batch id whose increment is in storeAcc
     val windows = scala.collection.mutable.ArrayBuffer
       .empty[(Int, graft.sources.ArtifactMaintainer.Report)]
+    val batchSlices = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var nDeletedPresent = 0L // deleted ids that really held winner rows
+    val tombLive = scala.collection.mutable.ArrayBuffer.empty[Long]
     maint.start()
     try {
       all.grouped(per).take(nBatches).zipWithIndex.foreach { case (b, i) =>
         val t0 = System.nanoTime()
         stream.addData(b.toIndexedSeq)
         maint.drain()
+        batchSlices += b.map(_.doc_id).toArray
+        // steady removal requests against settled history (two
+        // batches back), issued under the shared artifact access like
+        // any writer-class caller; the per-batch cost of the delete
+        // itself is one sidecar merge
+        if (delRate > 0 && i >= 2) {
+          val src = batchSlices(i - 2)
+          val stride = math.max(1, src.length / delRate)
+          val ids = src.grouped(stride).map(_.head).take(delRate).toSeq
+          maint.withAccess {
+            nDeletedPresent += spark.read.parquet(s"$stateDir/winners")
+              .filter(col("doc_id").isin(ids.map(java.lang.Long.valueOf): _*))
+              .select("doc_id").distinct().count()
+            graft.operators.Dedup.neardupIndexDeleteAt(
+              spark, s"$stateDir/bands", ids)
+          }
+          deleted ++= ids
+        }
+        tombLive += graft.sources.Tombstones.count(spark, s"$stateDir/bands")
         batchWalls += (System.nanoTime() - t0) / 1e9
         touched += {
           // linear-soak accounting: the prior-store total is the
@@ -175,6 +221,7 @@ object CurationStreamProbe {
         .mkString(",")
       val (storeB, touchB, touchDocs) =
         if (i < touched.size) touched(i) else (0L, 0L, 0L)
+      val tl = if (i < tombLive.size) tombLive(i) else 0L
       println(s"""{"batch":$i,"wall_sec":${f"$wall%.3f"},"stages":{$stages},""" +
         s""""winners":${m.nWinners},"cross_drop":${m.nCrossDrop},""" +
         s""""within_drop":${m.nWithinDrop},"gram_drop":${m.nGramDrop},""" +
@@ -182,7 +229,7 @@ object CurationStreamProbe {
         s""""winners_rows":${m.winnersRows},"band_idx_rows":${m.bandIdxRows},""" +
         s""""gram_idx_rows":${m.gramIdxRows},""" +
         s""""store_text_bytes":$storeB,"touched_text_bytes":$touchB,""" +
-        s""""touched_prior_docs":$touchDocs}""")
+        s""""touched_prior_docs":$touchDocs,"tombstones_live":$tl}""")
     }
     // lifecycle close-out: the appends wrote one file per batch by
     // design; the periodic maintenance job compacts the layout (rows
@@ -193,6 +240,45 @@ object CurationStreamProbe {
       s""""$a":[$fb,$fa]"""
     }
     println(s"""{"compacted_files":{${compacted.mkString(",")}}}""")
+
+    if (delRate > 0) {
+      val delArr = deleted.map(java.lang.Long.valueOf).toSeq
+      // the contract WHILE tombstones may still be live: probing the
+      // deleted documents' own texts (jaccard 1.0 against themselves
+      // if reachable) must surface ZERO deleted priors
+      val probeDocs = docs.filter(col("doc_id").isin(delArr: _*))
+        .select("doc_id", "text").limit(64)
+      val store = graft.sources.DeltaLogCompaction.dedupeRetries(
+        spark.read.parquet(s"$stateDir/winners"), Seq("doc_id"))
+        .select("doc_id", "text")
+      val hits = graft.operators.Dedup.nearDupAgainstIndexAt(spark, store,
+          probeDocs, s"$stateDir/bands", "text", "doc_id", threshold = 0.4)
+        .filter(col("doc_prior").isin(delArr: _*)).count()
+      val liveResidue = graft.sources.Tombstones.count(spark, s"$stateDir/bands")
+      require(hits == 0L,
+        s"deletion soak VIOLATION: $hits deleted priors surfaced from the probe")
+      // make the residue physical, then the artifacts must hold zero
+      // deleted rows
+      val ((sb, sa), (ib, ia)) = graft.operators.Dedup.neardupTombstoneFold(
+        spark, s"$stateDir/bands", Some(s"$stateDir/winners"))
+      val storeLeft = spark.read.parquet(s"$stateDir/winners")
+        .filter(col("doc_id").isin(delArr: _*)).count()
+      val idxLeft = spark.read.parquet(s"$stateDir/bands")
+        .filter(col("doc_id").isin(delArr: _*)).count()
+      require(storeLeft == 0L && idxLeft == 0L,
+        s"deletion soak VIOLATION: $storeLeft store / $idxLeft index rows " +
+          "survived the final fold")
+      require(nDeletedPresent > 0L,
+        "deletion soak fixture: no deleted id ever held a winner row — the " +
+          "probe checks would be vacuous")
+      println(s"""{"deletion_soak":{"del_rate":$delRate,""" +
+        s""""deleted_total":${deleted.size},""" +
+        s""""deleted_present_in_store":$nDeletedPresent,""" +
+        s""""probe_deleted_prior_hits":$hits,""" +
+        s""""tombstones_at_close":$liveResidue,""" +
+        s""""final_fold":{"store":[$sb,$sa],"index":[$ib,$ia]},""" +
+        s""""store_rows_left":$storeLeft,"index_rows_left":$idxLeft}}""")
+    }
 
     val head3 = batchWalls.take(3)
     val tail3 = batchWalls.takeRight(3)
