@@ -257,17 +257,41 @@ object CurationStreamProbe {
       val liveResidue = graft.sources.Tombstones.count(spark, s"$stateDir/bands")
       require(hits == 0L,
         s"deletion soak VIOLATION: $hits deleted priors surfaced from the probe")
-      // make the residue physical, then the artifacts must hold zero
-      // deleted rows
-      val ((sb, sa), (ib, ia)) = graft.operators.Dedup.neardupTombstoneFold(
-        spark, s"$stateDir/bands", Some(s"$stateDir/winners"))
+      // close-out via the FULL rights-removal composition: one
+      // forgetDocuments over every deleted id (idempotent — most are
+      // already folded) covering the gram index too, which the
+      // per-batch fold deliberately leaves to rebuild-from-surviving
+      // (content-addressed grams have no per-doc rows). The chain's
+      // gram corpus is the SURVIVOR docs (post-decontam), so the
+      // surviving corpus is the folded winner store semi-joined to
+      // survivor ids — evaluated inside the call, AFTER the fold.
+      val t0 = System.nanoTime()
+      val report = graft.operators.Forget.forgetDocuments(spark,
+        deleted.toSeq,
+        graft.operators.Forget.Targets(
+          bandIndexPath = Some(s"$stateDir/bands"),
+          winnerStorePath = Some(s"$stateDir/winners"),
+          gramIndexPath = Some(s"$stateDir/grams"),
+          survivingDocs = Some(() => {
+            val survIds = graft.sources.DeltaLogCompaction.dedupeRetries(
+              spark.read.parquet(s"$stateDir/survivors"), Seq("doc_id"))
+              .select("doc_id")
+            graft.sources.DeltaLogCompaction.dedupeRetries(
+              spark.read.parquet(s"$stateDir/winners"), Seq("doc_id"))
+              .select("doc_id", "text")
+              .join(survIds, Seq("doc_id"), "left_semi")
+          })))
+      val forgetSec = (System.nanoTime() - t0) / 1e9
+      val (sb, sa) = report.storeFold.getOrElse((0L, 0L))
+      val (ib, ia) = report.bandFold.getOrElse((0L, 0L))
+      val (gb, ga) = report.gramRebuild.getOrElse((0L, 0L))
       val storeLeft = spark.read.parquet(s"$stateDir/winners")
         .filter(col("doc_id").isin(delArr: _*)).count()
       val idxLeft = spark.read.parquet(s"$stateDir/bands")
         .filter(col("doc_id").isin(delArr: _*)).count()
       require(storeLeft == 0L && idxLeft == 0L,
         s"deletion soak VIOLATION: $storeLeft store / $idxLeft index rows " +
-          "survived the final fold")
+          "survived the final forget")
       require(nDeletedPresent > 0L,
         "deletion soak fixture: no deleted id ever held a winner row — the " +
           "probe checks would be vacuous")
@@ -276,7 +300,9 @@ object CurationStreamProbe {
         s""""deleted_present_in_store":$nDeletedPresent,""" +
         s""""probe_deleted_prior_hits":$hits,""" +
         s""""tombstones_at_close":$liveResidue,""" +
-        s""""final_fold":{"store":[$sb,$sa],"index":[$ib,$ia]},""" +
+        s""""forget_sec":${f"$forgetSec%.2f"},""" +
+        s""""final_forget":{"store":[$sb,$sa],"index":[$ib,$ia],""" +
+        s""""grams":[$gb,$ga]},""" +
         s""""store_rows_left":$storeLeft,"index_rows_left":$idxLeft}}""")
     }
 

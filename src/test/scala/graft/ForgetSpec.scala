@@ -154,6 +154,28 @@ class ForgetSpec extends AnyFunSuite with SharedSpark {
     assert(annNeighbors(fx) === annAfter)
   }
 
+  test("extraRebuilds hooks run AFTER the folds — they observe the already-clean corpus — and report their summaries") {
+    val fx = fixture("hooks")
+    var storeCleanInsideHook = false
+    val report = Forget.forgetDocuments(spark, Seq(fx.victimId),
+      Forget.Targets(
+        bandIndexPath = Some(fx.bandPath),
+        winnerStorePath = Some(fx.storePath),
+        extraRebuilds = Seq("sketch_rebuild" -> { () =>
+          // the hook's contract: the winner store it re-derives from
+          // is already folded when the hook fires
+          val left = spark.read.parquet(fx.storePath)
+            .filter(col("doc_id") === fx.victimId).count()
+          storeCleanInsideHook = left == 0L
+          s"rebuilt from ${spark.read.parquet(fx.storePath).count()} surviving docs"
+        })))
+    assert(storeCleanInsideHook,
+      "extraRebuilds must fire after the winner-store fold")
+    assert(report.extras.size === 1 &&
+      report.extras.head._2.contains("surviving docs"))
+    assert(report.summary.contains("sketch_rebuild"), report.summary)
+  }
+
   test("validation is all-or-nothing: a bad path refuses BEFORE any tombstone lands") {
     val fx = fixture("val")
     val bogus = s"${tmpDir("forget_bogus")}/nothing"
