@@ -2211,6 +2211,72 @@ object SparkEntry {
       s.sql(s"FORGET DOCUMENTS FROM '$dir' WHERE doc_id % 7 = 1 " +
         s"IN ANN INDEX '$path'").collect()
       s.sql(s"PROBE ANN INDEX '$path' FROM '$dir'")
+    }),
+
+    // PROVE-OF-ABSENCE (the compliance face of rights-removal): ids
+    // tombstoned but NOT yet folded — the audit must report every
+    // physical row still stored, every id in the live sidecars, and
+    // ZERO probe-reachable rows; the oracle derives all three counts
+    // per surface from the base tables (the band surface through the
+    // full capped band-index algebra)
+    "q_forget_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      val bandPath = runTmp("audit_band", dir)
+      val storePath = runTmp("audit_store", dir)
+      val annPath = runTmp("audit_ann", dir)
+      Seq(bandPath, storePath, annPath).foreach { pp =>
+        val p = new org.apache.hadoop.fs.Path(pp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      graft.streaming.StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        bandPath, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      prior.select("doc_id", "text").write.mode("overwrite").parquet(storePath)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), annPath, dim = 64)
+      val idsDf = prior.filter(col("doc_id") % 7 === 1).select("doc_id")
+      Dedup.neardupIndexDeleteAt(s, bandPath, idsDf)
+      Similarity.annIndexDeleteAt(s, annPath, idsDf)
+      graft.operators.Forget.auditDocuments(s,
+        graft.sources.Tombstones.collectBounded(idsDf, "q_forget_audit", "FORGET"),
+        graft.operators.Forget.Targets(
+          annIndexPaths = Seq(annPath),
+          bandIndexPath = Some(bandPath),
+          winnerStorePath = Some(storePath)))
+    }),
+
+    // the same audit through the SQL verb (predicate over documents
+    // picks the identical id set) — shares q_forget_audit's oracle
+    "q_sql_forget_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      val bandPath = runTmp("saudit_band", dir)
+      val storePath = runTmp("saudit_store", dir)
+      val annPath = runTmp("saudit_ann", dir)
+      Seq(bandPath, storePath, annPath).foreach { pp =>
+        val p = new org.apache.hadoop.fs.Path(pp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      graft.streaming.StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        bandPath, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      prior.select("doc_id", "text").write.mode("overwrite").parquet(storePath)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), annPath, dim = 64)
+      val idsDf = prior.filter(col("doc_id") % 7 === 1).select("doc_id")
+      Dedup.neardupIndexDeleteAt(s, bandPath, idsDf)
+      Similarity.annIndexDeleteAt(s, annPath, idsDf)
+      s.sql(s"AUDIT DOCUMENTS FROM '$dir' " +
+        "WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1 " +
+        s"IN ANN INDEX '$annPath' " +
+        s"IN BAND INDEX '$bandPath' WITH WINNER STORE '$storePath'")
     })
   )
 
@@ -3616,6 +3682,12 @@ object SparkEntry {
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
       allowedWhere = "a.vec_id % 7 <> 1"),
+    // prove-of-absence, tombstoned-not-folded state: physical counts
+    // per surface from the base tables (band through the capped
+    // band-index CTEs), every audited id in both sidecars, zero
+    // reachable — DataFrame verb and SQL verb share the oracle
+    "q_forget_audit" -> forgetAuditOracle,
+    "q_sql_forget_audit" -> forgetAuditOracle,
     // the ADC stage is the ENTIRE incremental-probe oracle at k=32 as
     // a subquery (the q_ann_recall_ivfpq composition convention), then
     // exact cosine over prior-corpus vectors re-ranks the survivors
@@ -4492,6 +4564,27 @@ object SparkEntry {
       |  coalesce(pd.kept_text, '') AS kept_text
       |FROM bb LEFT JOIN pd ON bb.doc_id = pd.doc_id""".stripMargin
 
+  /** The forget-audit oracle: per-surface (physical, tombstoned,
+    * reachable) for the ids `doc_id % 3 <> 0 AND doc_id % 7 = 1`
+    * after a tombstone-only delete — physical rows from the base
+    * tables (the band surface through the capped band-index CTEs),
+    * every audited id in both live sidecars, zero probe-reachable.
+    */
+  private def forgetAuditOracle: String =
+    s"""WITH $bandCtePrefix,
+       |idset AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+       |n_ids AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idset),
+       |ann_phys AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+       |  WHERE vec_id % 3 <> 0 AND vec_id % 7 = 1),
+       |band_phys AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bp WHERE doc_id % 7 = 1),
+       |store_phys AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1)
+       |SELECT 'ann' AS surface, (SELECT n FROM ann_phys) AS physical_rows,
+       |  (SELECT n FROM n_ids) AS tombstoned_ids, CAST(0 AS BIGINT) AS reachable_rows
+       |UNION ALL SELECT 'band', (SELECT n FROM band_phys), (SELECT n FROM n_ids), CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'store', (SELECT n FROM store_phys), (SELECT n FROM n_ids), CAST(0 AS BIGINT)
+       |ORDER BY surface""".stripMargin
+
   private def incNeardupOracle: String = incNeardupOracleEx()
 
   /** `priorExclude`: deletion mirror — a predicate dropping tombstoned
@@ -4500,11 +4593,13 @@ object SparkEntry {
     * probe scan, so the oracle must too — filtering before the
     * QUALIFY would re-admit different docs into full buckets).
     */
-  private def incNeardupOracleEx(priorExclude: String = ""): String = {
-    val priorSrc =
-      if (priorExclude.isEmpty) "bp"
-      else s"(SELECT * FROM bp WHERE $priorExclude)"
-    s"""WITH t AS (SELECT doc_id,
+  /** The shingle→minhash→band→cap CTE chain (t..bp) shared by the
+    * incremental near-dup oracle and the forget-audit oracle: `bp` is
+    * the capped prior band index exactly as the persisted artifact
+    * admits it.
+    */
+  private def bandCtePrefix: String =
+    """t AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS toks
        |  FROM documents),
        |shr AS (SELECT doc_id, unnest(list_transform(
@@ -4527,7 +4622,13 @@ object SparkEntry {
        |  FROM hs GROUP BY doc_id),
        |b0 AS (SELECT doc_id, unnest([md5(h0 || '|' || h1), md5(h2 || '|' || h3), md5(h4 || '|' || h5), md5(h6 || '|' || h7), md5(h8 || '|' || h9), md5(h10 || '|' || h11)]) AS band_key FROM m),
        |bp AS (SELECT doc_id, band_key FROM b0 WHERE doc_id % 3 <> 0
-       |  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= 128),
+       |  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= 128)"""
+
+  private def incNeardupOracleEx(priorExclude: String = ""): String = {
+    val priorSrc =
+      if (priorExclude.isEmpty) "bp"
+      else s"(SELECT * FROM bp WHERE $priorExclude)"
+    s"""WITH $bandCtePrefix,
        |bq AS (SELECT doc_id, band_key FROM b0 WHERE doc_id % 3 = 0
        |  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= 128),
        |cand AS (SELECT DISTINCT p.doc_id AS doc_prior, q.doc_id AS doc_new

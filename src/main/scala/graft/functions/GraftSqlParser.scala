@@ -118,6 +118,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *        (winner store first), and the gram index is re-derived
   *        from the surviving corpus, all in one sequenced call;
   *        returns (forgotten, report)
+  *   AUDIT DOCUMENTS FROM '<dir>' WHERE <predicate>
+  *       [IN ANN INDEX '<path>']
+  *       [IN BAND INDEX '<path>' [WITH WINNER STORE '<path>']]
+  *     -> Forget.auditDocuments: prove-of-absence — per surface,
+  *        the ids' remaining physical rows, live-tombstoned ids,
+  *        and probe-REACHABLE rows (the compliance number: a
+  *        removal request is honored at reachable 0, fully
+  *        physical at physical 0); read-only
   *
   * The plan is BUILT at parse time but executed lazily by the caller
   * (`spark.sql(...)` analyzes/executes the returned plan) — identical
@@ -191,6 +199,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       """(?:\s+IN\s+ANN\s+INDEX\s+'([^']+)')?""" +
       """(?:\s+IN\s+BAND\s+INDEX\s+'([^']+)'(?:\s+WITH\s+WINNER\s+STORE\s+'([^']+)')?)?""" +
       """(?:\s+IN\s+GRAM\s+INDEX\s+'([^']+)')?\s*;?\s*""").r
+  // prove-of-absence: same clause grammar as FORGET (minus the gram
+  // index — content-addressed state proves absence by reconstruction,
+  // not by scan), read-only, one row per surface
+  private val AuditDocs =
+    ("""(?is)\s*AUDIT\s+DOCUMENTS\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)""" +
+      """(?:\s+IN\s+ANN\s+INDEX\s+'([^']+)')?""" +
+      """(?:\s+IN\s+BAND\s+INDEX\s+'([^']+)'(?:\s+WITH\s+WINNER\s+STORE\s+'([^']+)')?)?""" +
+      """\s*;?\s*""").r
 
   private def parseError(sqlText: String, msg: String): ParseException =
     new ParseException(Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
@@ -468,6 +484,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         Seq((r.nIds.toLong, r.summary)).toDF("forgotten", "report")
           .queryExecution.logical
       }
+    case AuditDocs(dir, pred, annPath, bandPath, storePath) =>
+      wrapGraft(sqlText) {
+        if (annPath == null && bandPath == null)
+          throw parseError(sqlText, "AUDIT DOCUMENTS names no artifacts — add " +
+            "IN ANN INDEX '<path>' / IN BAND INDEX '<path>' [WITH WINNER STORE " +
+            "'<path>'] clauses")
+        val docs = session.read.parquet(s"$dir/documents.parquet")
+        val ids = graft.sources.Tombstones.collectBounded(
+          docs.filter(org.apache.spark.sql.functions.expr(pred)).select("doc_id"),
+          "AUDIT DOCUMENTS", "FORGET DOCUMENTS")
+        graft.operators.Forget.auditDocuments(session, ids,
+          graft.operators.Forget.Targets(
+            annIndexPaths = Option(annPath).toSeq,
+            bandIndexPath = Option(bandPath),
+            winnerStorePath = Option(storePath)))
+          .queryExecution.logical
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -487,7 +520,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
          BuildAnnIndex(_, _, _) | ProbeAnnIndex(_, _) |
          ProbeAnnIndexFiltered(_, _, _) | RebuildAnnIndex(_, _) |
          DeleteAnnIds(_, _, _) | VacuumAnnIndex(_) |
-         ForgetDocs(_, _, _, _, _, _) =>
+         ForgetDocs(_, _, _, _, _, _) | AuditDocs(_, _, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }

@@ -185,4 +185,73 @@ object Forget {
       graft.sources.Tombstones.collectBounded(ids,
         "forgetDocuments", "forgetDocuments (re-run — it folds as it goes)"),
       targets)
+
+  /** PROVE-OF-ABSENCE: the compliance face of rights-removal. For
+    * each per-row artifact `targets` names, report what the named ids
+    * still amount to — one row per surface:
+    *
+    *   - `physical_rows`: rows matching the ids still stored in the
+    *     artifact (what a FOLD removes);
+    *   - `tombstoned_ids`: how many of the ids are in the artifact's
+    *     live tombstone sidecar (excluded from every probe already);
+    *   - `reachable_rows`: rows a probe can still surface — matching
+    *     rows whose id is NOT tombstoned. THE compliance number: a
+    *     removal request is honored the moment this hits 0 on every
+    *     surface, and fully physical once `physical_rows` follows.
+    *
+    * The winner store reports reachability through the BAND index's
+    * sidecar (its text is only ever fetched for band-collision
+    * candidates, which that sidecar gates). The gram index is
+    * deliberately absent: content-addressed hashes have no
+    * per-document rows to count — its removal story is
+    * rebuild-from-surviving-corpus ([[forgetDocuments]] phase 4), and
+    * absence there is proved by reconstruction, not by scan.
+    *
+    * Read-only — safe to run anytime, no lock needed beyond the usual
+    * shared access. Returns (surface, physical_rows, tombstoned_ids,
+    * reachable_rows) sorted by surface.
+    */
+  def auditDocuments(spark: SparkSession, ids: Seq[Long], targets: Targets,
+                     annIds: Option[Seq[Long]] = None): DataFrame = {
+    import spark.implicits._
+    val vecIds = annIds.getOrElse(ids).distinct.toArray
+    val docIds = ids.distinct.toArray
+
+    def counts(frame: DataFrame, idCol: String, idSet: Array[Long],
+               tombs: Array[Long]): (Long, Long, Long) = {
+      val physical = Similarity.tombstoneMatches(frame, idSet, idCol).count()
+      val tombSet = tombs.toSet
+      val tombstoned = idSet.count(tombSet).toLong
+      val liveIds = idSet.filterNot(tombSet)
+      val reachable = Similarity.tombstoneMatches(frame, liveIds, idCol).count()
+      (physical, tombstoned, reachable)
+    }
+
+    val annRows = targets.annIndexPaths.zipWithIndex.map { case (p, i) =>
+      val isSq = graft.sources.ArtifactHeader.read(spark, p, "ivfsq").isDefined
+      require(isSq ||
+        graft.sources.ArtifactHeader.read(spark, p, "ivfpq").isDefined,
+        s"auditDocuments: no ivfpq/ivfsq header at $p")
+      val idCol = if (isSq) "neighbor_id" else "vec_id"
+      val (ph, tb, rc) = counts(spark.read.parquet(p), idCol, vecIds,
+        graft.sources.Tombstones.read(spark, p))
+      (if (targets.annIndexPaths.length == 1) "ann" else s"ann:$i", ph, tb, rc)
+    }
+    val bandTombs = targets.bandIndexPath
+      .map(p => graft.sources.Tombstones.read(spark, p))
+      .getOrElse(Array.empty[Long])
+    val bandRows = targets.bandIndexPath.map { p =>
+      graft.sources.ArtifactHeader.required(spark, p, "bands")
+      val (ph, tb, rc) = counts(spark.read.parquet(p), "doc_id", docIds, bandTombs)
+      ("band", ph, tb, rc)
+    }
+    val storeRows = targets.winnerStorePath.map { p =>
+      val (ph, tb, rc) = counts(
+        spark.read.parquet(p).select(targets.idCol), targets.idCol,
+        docIds, bandTombs)
+      ("store", ph, tb, rc)
+    }
+    (annRows ++ bandRows ++ storeRows).sortBy(_._1)
+      .toDF("surface", "physical_rows", "tombstoned_ids", "reachable_rows")
+  }
 }

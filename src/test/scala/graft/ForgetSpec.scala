@@ -154,6 +154,51 @@ class ForgetSpec extends AnyFunSuite with SharedSpark {
     assert(annNeighbors(fx) === annAfter)
   }
 
+  test("auditDocuments tracks the removal lifecycle: reachable before, tombstoned-unreachable after delete, physically gone after forget") {
+    val fx = fixture("audit")
+    def audit(): Map[String, (Long, Long, Long)] =
+      Forget.auditDocuments(spark, Seq(fx.victimId),
+        Forget.Targets(
+          annIndexPaths = Seq(fx.annPath),
+          bandIndexPath = Some(fx.bandPath),
+          winnerStorePath = Some(fx.storePath)),
+        annIds = Some(fx.vecVictims))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // BEFORE any delete: everything reachable, nothing tombstoned
+    val before = audit()
+    assert(before("store") == ((1L, 0L, 1L)))
+    assert(before("band")._1 > 0L && before("band")._2 == 0L &&
+      before("band")._3 == before("band")._1)
+    assert(before("ann")._1 == fx.vecVictims.length.toLong &&
+      before("ann")._2 == 0L && before("ann")._3 == before("ann")._1)
+
+    // tombstone only (no fold): physical unchanged, reachable ZERO —
+    // the instant a removal request is honored
+    graft.operators.Dedup.neardupIndexDeleteAt(spark, fx.bandPath,
+      Seq(fx.victimId))
+    Similarity.annIndexDeleteAt(spark, fx.annPath, fx.vecVictims)
+    val live = audit()
+    assert(live("store") == ((1L, 1L, 0L)))
+    assert(live("band") == ((before("band")._1, 1L, 0L)))
+    assert(live("ann") ==
+      ((before("ann")._1, fx.vecVictims.length.toLong, 0L)))
+
+    // after the full forget: physically gone everywhere, sidecars
+    // consumed (tombstoned 0 — nothing left to shadow)
+    Forget.forgetDocuments(spark, Seq(fx.victimId),
+      Forget.Targets(
+        annIndexPaths = Seq(fx.annPath),
+        bandIndexPath = Some(fx.bandPath),
+        winnerStorePath = Some(fx.storePath)),
+      annIds = Some(fx.vecVictims))
+    val after = audit()
+    assert(after("store") == ((0L, 0L, 0L)))
+    assert(after("band") == ((0L, 0L, 0L)))
+    assert(after("ann") == ((0L, 0L, 0L)))
+  }
+
   test("extraRebuilds hooks run AFTER the folds — they observe the already-clean corpus — and report their summaries") {
     val fx = fixture("hooks")
     var storeCleanInsideHook = false
