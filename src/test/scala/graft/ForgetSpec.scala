@@ -199,6 +199,32 @@ class ForgetSpec extends AnyFunSuite with SharedSpark {
     assert(after("ann") == ((0L, 0L, 0L)))
   }
 
+  test("forget + audit dispatch on the SQ8 encoding too (neighbor_id rows, stats re-seeded by the fold)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1604)
+    val corpus = (0 until 48).map(i =>
+        (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").coalesce(1).localCheckpoint()
+    val dir = s"${tmpDir("forget_sq")}/idx"
+    Similarity.ivfSqIndexWrite(corpus, dir, dim = 8, lists = 2)
+    val victims = Seq(3L, 17L, 31L)
+    def audit() = Forget.auditDocuments(spark, victims,
+        Forget.Targets(annIndexPaths = Seq(dir)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(audit() == ((3L, 0L, 3L)))
+    val report = Forget.forgetDocuments(spark, victims,
+      Forget.Targets(annIndexPaths = Seq(dir)))
+    assert(report.annFolds(dir) == ((48L, 45L)))
+    assert(audit() == ((0L, 0L, 0L)))
+    // the SQ stats sidecar was re-seeded by the fold: the saturation
+    // audit's incremental form still agrees with the codes scan
+    val fromStats = Similarity.ivfSqSaturationFromStats(spark, dir)
+    assert(fromStats.isDefined)
+    val scan = Similarity.ivfSqSaturation(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(fromStats.get.collect().map(_.toSeq).toSet == scan)
+  }
+
   test("extraRebuilds hooks run AFTER the folds — they observe the already-clean corpus — and report their summaries") {
     val fx = fixture("hooks")
     var storeCleanInsideHook = false
