@@ -2185,6 +2185,42 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", k = 8)
     }),
 
+    // the COUNTED gram strategy under the same truth: ownership
+    // counts decrement from the deleted docs' own texts (O(deleted
+    // docs), corpus-size-independent) instead of rebuilding from the
+    // surviving corpus — the probe against the live set must equal
+    // the rebuild path's result exactly, so both gates share one
+    // oracle
+    "q_forget_grams_counted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 5 =!= 0)
+      val bandPath = runTmp("forgetc_band", dir)
+      val storePath = runTmp("forgetc_store", dir)
+      val gramPath = runTmp("forgetc_gram", dir)
+      Seq(bandPath, storePath, gramPath).foreach { pp =>
+        val p = new org.apache.hadoop.fs.Path(pp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      graft.streaming.StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        bandPath, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      prior.select("doc_id", "text").write.mode("overwrite").parquet(storePath)
+      graft.streaming.StreamingSubstringDedup.appendToIndexCounted(
+        prior, "text", "doc_id", gramPath, k = 8, stampId = 0L)
+      graft.operators.Forget.forgetDocuments(s,
+        prior.filter(col("doc_id") % 7 === 1).select("doc_id"),
+        graft.operators.Forget.Targets(
+          bandIndexPath = Some(bandPath),
+          winnerStorePath = Some(storePath),
+          gramIndexPath = Some(gramPath)))
+      Curation.substringDedupAgainstIndex(
+        graft.streaming.StreamingSubstringDedup.countedLiveFor(s, gramPath, 8),
+        docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", k = 8)
+    }),
+
     // the ANN surface through the same verb (ann-only targets): the
     // forget call tombstones AND folds in one sequence, so the probe
     // answers from the physically-clean generation — shares
@@ -2846,6 +2882,10 @@ object SparkEntry {
     // the same incremental algebra with the forgotten ids excluded
     // from the prior side
     "q_forget_grams" ->
+      substringIncOracle("doc_id % 5 <> 0 AND doc_id % 7 <> 1"),
+    // the counted-ownership strategy answers from its live set — same
+    // truth as the rebuild strategy, one oracle for both
+    "q_forget_grams_counted" ->
       substringIncOracle("doc_id % 5 <> 0 AND doc_id % 7 <> 1"),
 
     // mirrors Curation.boilerplateStrip: same planted banner, same

@@ -103,7 +103,8 @@ object Forget {
       bandFold: Option[(Long, Long)],
       annFolds: Map[String, (Long, Long)],
       gramRebuild: Option[(Long, Long)],
-      extras: Seq[(String, String)]) {
+      extras: Seq[(String, String)],
+      gramDecrement: Option[Long] = None) {
     def summary: String = {
       def f(t: (Long, Long)) = s"${t._1}->${t._2}"
       (Seq(s"ids=$nIds") ++
@@ -112,6 +113,7 @@ object Forget {
         storeFold.map(t => s"store ${f(t)}") ++
         bandFold.map(t => s"band ${f(t)}") ++
         gramRebuild.map(t => s"grams ${f(t)}") ++
+        gramDecrement.map(n => s"grams -$n owner counts") ++
         extras.map { case (n, s) => s"$n: $s" }).mkString("; ")
     }
   }
@@ -135,8 +137,19 @@ object Forget {
     }
     t.bandIndexPath.foreach(p =>
       graft.sources.ArtifactHeader.required(spark, p, "bands"))
-    t.gramIndexPath.foreach(p =>
-      graft.sources.ArtifactHeader.required(spark, p, "grams"))
+    // the gram artifact dispatches on its own header kind: "grams"
+    // (distinct hashes — removal is rebuild-from-surviving-corpus) or
+    // "gramsc" (counted delta log — removal is an O(deleted-docs)
+    // ownership decrement derived from the deleted texts)
+    val gramCounted = t.gramIndexPath.exists { p =>
+      val counted =
+        graft.sources.ArtifactHeader.read(spark, p, "gramsc").isDefined
+      if (!counted) graft.sources.ArtifactHeader.required(spark, p, "grams")
+      counted
+    }
+    require(!gramCounted || t.winnerStorePath.nonEmpty,
+      "forgetDocuments: a counted gram index decrements from the DELETED " +
+        "docs' texts, which live in the winner store — name winnerStorePath")
     t.winnerStorePath.foreach { p =>
       val (fs, hp) = Similarity.hadoopFs(spark, p)
       require(fs.exists(hp), s"forgetDocuments: winner store missing at $p")
@@ -148,6 +161,23 @@ object Forget {
       p -> Similarity.annIndexDeleteAt(spark, p, vecIds)).toMap
     val bandTomb = t.bandIndexPath.map(p =>
       Dedup.neardupIndexDeleteAt(spark, p, ids))
+
+    // -- phase 2.5 (counted gram index only): decrement the deleted
+    // docs' gram ownership BEFORE the store fold removes their texts.
+    // O(deleted docs' text), corpus-size-independent — the negative
+    // stamp derives from the id set, so a re-run dedupes at read
+    val gramDecrement =
+      if (!gramCounted) None
+      else t.gramIndexPath.map { p =>
+        val stamp = -1L - (scala.util.hashing.MurmurHash3
+          .orderedHash(ids.distinct.sorted).toLong & 0x7fffffffL)
+        val deleted = Similarity.tombstoneMatches(
+          spark.read.parquet(t.winnerStorePath.get)
+            .select(t.idCol, t.textCol),
+          ids.distinct.toArray, t.idCol)
+        graft.streaming.StreamingSubstringDedup.decrementCounted(
+          deleted, t.textCol, t.idCol, p, stamp)
+      }
 
     // -- phase 3: fold physical — winner store first (via the band
     // index's fold verb), then the ANN artifacts
@@ -162,17 +192,21 @@ object Forget {
       p -> Similarity.annTombstoneFold(spark, p)).toMap
 
     // -- phase 4: re-derive aggregate state from the clean corpus
-    val gram = t.gramIndexPath.map { p =>
-      val surviving = t.survivingDocs.map(_.apply()).getOrElse(
-        // the folded winner store IS the surviving corpus of record
-        spark.read.parquet(t.winnerStorePath.get))
-      graft.streaming.StreamingSubstringDedup.rebuildIndex(
-        spark, p, surviving, t.textCol, t.idCol)
-    }
+    // (plain gram index only — the counted variant already settled
+    // its removal in phase 2.5)
+    val gram =
+      if (gramCounted) None
+      else t.gramIndexPath.map { p =>
+        val surviving = t.survivingDocs.map(_.apply()).getOrElse(
+          // the folded winner store IS the surviving corpus of record
+          spark.read.parquet(t.winnerStorePath.get))
+        graft.streaming.StreamingSubstringDedup.rebuildIndex(
+          spark, p, surviving, t.textCol, t.idCol)
+      }
     val extras = t.extraRebuilds.map { case (name, run) => name -> run() }
 
     Report(math.max(ids.length, vecIds.length), annTomb, bandTomb,
-      storeFold, bandFold, annFolds, gram, extras)
+      storeFold, bandFold, annFolds, gram, extras, gramDecrement)
   }
 
   /** [[forgetDocuments]] from an id frame (first column is the id) —

@@ -149,6 +149,150 @@ object StreamingSubstringDedup {
     (rowsBefore, rowsAfter)
   }
 
+  // ------------------------------------------------------------------
+  // COUNTED gram index — the O(deleted-docs) rights-removal variant.
+  //
+  // The plain index stores distinct gram hashes, so removing one
+  // document's contribution is undefined (a hash may be owed to many
+  // docs) and forgetDocuments must REBUILD it from the surviving
+  // corpus — O(corpus) per forget batch. The counted variant stores a
+  // delta log of (h, delta, batch_id) OWNER COUNTS instead: ingest
+  // appends +counts for each batch's per-doc-distinct grams, and a
+  // removal appends -counts derived from the DELETED docs' own texts
+  // (fetched from the winner store BEFORE its fold) — O(deleted docs'
+  // text), independent of corpus size. A gram is live while its net
+  // count is positive, so grams shared with surviving docs survive a
+  // removal by construction and grams owned only by removed docs die.
+  //
+  // Delta-log conventions (the DeltaLogCompaction contract): rows are
+  // batch_id-stamped so at-least-once retries dedupe at read
+  // (dedupeRetries on (h, batch_id)); INGEST stamps are non-negative
+  // micro-batch ids, REMOVAL stamps are negative (derived from the id
+  // set), so a forget re-run is idempotent and can never collide with
+  // an ingest batch. Probe cost grows with log length between folds —
+  // compactCounted() nets the log (dropping dead grams) under the
+  // usual maintenance window, the CMS/HLL delta-log posture.
+  // ------------------------------------------------------------------
+
+  /** Per-doc-distinct gram ownership deltas for a doc frame: one
+    * (h, delta, batch_id) row per distinct gram, delta = signed count
+    * of owning docs in this frame.
+    */
+  private def ownerDeltas(docs: DataFrame, textCol: String, idCol: String,
+                          k: Int, sign: Int, stampId: Long): DataFrame = {
+    val (_, grams) = Curation.gramTable(docs, textCol, idCol, k)
+    grams.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg((count(lit(1)) * sign).as("delta"))
+      .withColumn("batch_id", lit(stampId))
+  }
+
+  /** Append a batch's gram ownership counts (+) to the counted index.
+    * `stampId` must be a non-negative, batch-stable id (the streaming
+    * micro-batch id) — retries of the same batch dedupe at read.
+    * Returns distinct grams stamped.
+    */
+  def appendToIndexCounted(batch: DataFrame, textCol: String, idCol: String,
+                           indexPath: String, k: Int = 8,
+                           stampId: Long = 0L): Long = {
+    val spark = batch.sparkSession
+    require(stampId >= 0L,
+      "appendToIndexCounted: ingest stamps are non-negative (negative ids are " +
+        "reserved for removal deltas)")
+    graft.sources.ArtifactHeader.validateOrStamp(spark, indexPath, "gramsc",
+      Seq("k" -> k.toString))
+    val deltas = ownerDeltas(batch, textCol, idCol, k, 1, stampId)
+      .localCheckpoint()
+    val n = deltas.count()
+    if (n > 0) deltas.coalesce(1).write.mode("append")
+      .option("compression", "zstd").parquet(indexPath)
+    graft.plans.CheckpointHygiene.free(deltas)
+    n
+  }
+
+  /** Remove `deletedDocs`' gram ownership (-): the O(deleted-docs)
+    * forget step. `stampId` must be NEGATIVE and stable for the
+    * removal request (derive it from the id set), so a re-run of the
+    * same forget is a read-time no-op. Returns distinct grams
+    * decremented.
+    */
+  def decrementCounted(deletedDocs: DataFrame, textCol: String, idCol: String,
+                       indexPath: String, stampId: Long): Long = {
+    val spark = deletedDocs.sparkSession
+    require(stampId < 0L,
+      "decrementCounted: removal stamps are negative (non-negative ids are " +
+        "the ingest batch space)")
+    val hdr = graft.sources.ArtifactHeader.required(spark, indexPath, "gramsc")
+    val deltas = ownerDeltas(deletedDocs, textCol, idCol, hdr("k").toInt,
+      -1, stampId).localCheckpoint()
+    val n = deltas.count()
+    if (n > 0) deltas.coalesce(1).write.mode("append")
+      .option("compression", "zstd").parquet(indexPath)
+    graft.plans.CheckpointHygiene.free(deltas)
+    n
+  }
+
+  /** The LIVE gram set of a counted index: retry-deduped, net count
+    * positive — the drop-in `priorIdx` frame for
+    * [[graft.operators.Curation.substringDedupAgainstIndex]]. Empty
+    * frame when nothing was ever ingested.
+    */
+  def countedLive(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val raw =
+      if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+        try spark.read.parquet(indexPath)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Seq.empty[(Long, Long, Long)].toDF("h", "delta", "batch_id") }
+      else Seq.empty[(Long, Long, Long)].toDF("h", "delta", "batch_id")
+    graft.sources.DeltaLogCompaction.dedupeRetries(raw, Seq("h"))
+      .groupBy("h").agg(sum(col("delta")).as("__net"))
+      .filter(col("__net") > 0L).select("h")
+  }
+
+  /** [[countedLive]] validated against the stamped k (the
+    * [[indexFor]] twin).
+    */
+  def countedLiveFor(spark: SparkSession, indexPath: String, k: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) {
+      val hdr = graft.sources.ArtifactHeader.required(spark, indexPath, "gramsc")
+      require(hdr.get("k").contains(k.toString),
+        s"counted gram index at $indexPath was built with k=" +
+          s"${hdr.getOrElse("k", "?")}, probed with k=$k — rebuild or pass " +
+          "the build-time k")
+    }
+    countedLive(spark, indexPath)
+  }
+
+  /** Net the delta log: one (h, net, null) row per live gram, dead
+    * grams (net <= 0) dropped, header carried, atomic swap — the
+    * maintenance fold that keeps probe cost from growing with log
+    * length. Returns (rowsBefore, rowsAfter).
+    */
+  def compactCounted(spark: SparkSession, indexPath: String): (Long, Long) = {
+    graft.sources.ArtifactHeader.required(spark, indexPath, "gramsc")
+    val raw = spark.read.parquet(indexPath)
+    val before = raw.count()
+    val netted = graft.sources.DeltaLogCompaction.dedupeRetries(raw, Seq("h"))
+      .groupBy("h").agg(sum(col("delta")).as("delta"))
+      .filter(col("delta") > 0L)
+      .withColumn("batch_id", lit(null).cast("long"))
+      .localCheckpoint()
+    val after = netted.count()
+    val sim = graft.operators.Similarity
+    val (fs, p) = sim.hadoopFs(spark, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".gramcfold.tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".gramcfold.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    netted.write.mode("overwrite").option("compression", "zstd")
+      .parquet(tmp.toString)
+    graft.plans.CheckpointHygiene.free(netted)
+    sim.carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
+    sim.artifactSwap(fs, p, tmp, old, "compactCounted")
+    (before, after)
+  }
+
   /** Run the stream: per micro-batch, dedup arriving docs against the
     * index (and batch-internally), hand the deduped frame to `sink`,
     * then admit the batch's new grams. Index admission happens AFTER

@@ -199,6 +199,95 @@ class ForgetSpec extends AnyFunSuite with SharedSpark {
     assert(after("ann") == ((0L, 0L, 0L)))
   }
 
+  test("counted gram index: live set == plain index of the same corpus; removal decrements ONLY the deleted docs' ownership; idempotent; fold nets the log") {
+    import spark.implicits._
+    val S = StreamingSubstringDedup
+    val dir = s"${tmpDir("gramsc")}/idx"
+    // shared sentence owned by docs 1 AND 2; doc 2 also owns a unique one
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val d1 = (1L, shared)
+    val d2 = (2L, shared + " " + uniq)
+    val b1 = Seq(d1).toDF("doc_id", "text")
+    val b2 = Seq(d2).toDF("doc_id", "text")
+    assert(S.appendToIndexCounted(b1, "text", "doc_id", dir, k = 8, stampId = 0L) > 0L)
+    assert(S.appendToIndexCounted(b2, "text", "doc_id", dir, k = 8, stampId = 1L) > 0L)
+    // retry of batch 1 (same stamp): read-time no-op
+    S.appendToIndexCounted(b1, "text", "doc_id", dir, k = 8, stampId = 0L)
+
+    def live(): Set[Long] =
+      S.countedLiveFor(spark, dir, 8).collect().map(_.getLong(0)).toSet
+    def plainOf(docs: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Curation.gramTable(docs, "text", "doc_id", 8)
+        ._2.select("h").distinct().collect().map(_.getLong(0)).toSet
+    val both = Seq(d1, d2).toDF("doc_id", "text")
+    assert(live() == plainOf(both), "counted live set != plain index content")
+
+    // remove doc 2: its unique grams die, the shared grams survive
+    // through doc 1's ownership
+    assert(S.decrementCounted(b2, "text", "doc_id", dir, stampId = -7L) > 0L)
+    assert(live() == plainOf(b1),
+      "after removal the live set must equal the surviving corpus's index")
+    // idempotent re-run (same stamp): nothing changes
+    S.decrementCounted(b2, "text", "doc_id", dir, stampId = -7L)
+    assert(live() == plainOf(b1))
+    // stamp-space guards
+    intercept[IllegalArgumentException] {
+      S.appendToIndexCounted(b1, "text", "doc_id", dir, k = 8, stampId = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      S.decrementCounted(b2, "text", "doc_id", dir, stampId = 3L)
+    }
+    // fold: log netted, dead grams dropped, header carried, live set
+    // unchanged
+    val (before, after) = S.compactCounted(spark, dir)
+    assert(after < before, s"fold must shrink the log ($before -> $after)")
+    assert(after == plainOf(b1).size.toLong,
+      "folded log must hold exactly one row per live gram")
+    assert(live() == plainOf(b1))
+    assert(graft.sources.ArtifactHeader.read(spark, dir, "gramsc").isDefined,
+      "header must survive the fold")
+  }
+
+  test("forgetDocuments on a COUNTED gram index decrements instead of rebuilding — same end state as the rebuild path, O(deleted docs)") {
+    import spark.implicits._
+    val fx = fixture("counted")
+    // a counted twin of the fixture's gram index, over the same prior
+    val countedPath = s"${tmpDir("gramsc_fx")}/idx"
+    StreamingSubstringDedup.appendToIndexCounted(
+      fx.prior, "text", "doc_id", countedPath, k = 8, stampId = 0L)
+    val report = Forget.forgetDocuments(spark, Seq(fx.victimId),
+      Forget.Targets(
+        bandIndexPath = Some(fx.bandPath),
+        winnerStorePath = Some(fx.storePath),
+        gramIndexPath = Some(countedPath)))
+    assert(report.gramDecrement.exists(_ > 0L),
+      "counted path must report decremented grams")
+    assert(report.gramRebuild.isEmpty, "counted path must NOT rebuild")
+    // gram surface forgot the victim: the probe doc sharing only the
+    // victim's unique grams no longer dedups
+    val removed = graft.operators.Curation.substringDedupAgainstIndex(
+        StreamingSubstringDedup.countedLiveFor(spark, countedPath, 8),
+        fx.probe.filter(col("doc_id") === fx.probeId), "text", "doc_id", k = 8)
+      .select(col("n_removed").cast("long")).collect().head.getLong(0)
+    assert(removed === 0L)
+    // and the live set equals the surviving corpus's plain index
+    val expect = graft.operators.Curation.gramTable(
+        spark.read.parquet(fx.storePath), "text", "doc_id", 8)
+      ._2.select("h").distinct().collect().map(_.getLong(0)).toSet
+    val got = StreamingSubstringDedup.countedLiveFor(spark, countedPath, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // counted without a winner store refuses by name (the texts to
+    // decrement from are gone after a fold)
+    intercept[IllegalArgumentException] {
+      Forget.forgetDocuments(spark, Seq(fx.victimId),
+        Forget.Targets(
+          bandIndexPath = Some(fx.bandPath),
+          gramIndexPath = Some(countedPath),
+          survivingDocs = Some(() => fx.prior)))
+    }
+  }
+
   test("forget + audit dispatch on the SQ8 encoding too (neighbor_id rows, stats re-seeded by the fold)") {
     import spark.implicits._
     val rnd = new scala.util.Random(1604)
