@@ -293,6 +293,36 @@ object StreamingSubstringDedup {
     (before, after)
   }
 
+  /** [[dedupStream]] over a COUNTED index: per micro-batch, dedup
+    * arriving docs against the live gram set, then admit the batch's
+    * ownership counts STAMPED WITH THE MICRO-BATCH ID — exactly the
+    * at-least-once retry seam the delta-log convention exists for (a
+    * replayed batch re-appends identical (h, delta, batch_id) rows,
+    * which [[countedLive]] collapses at read; the plain
+    * [[dedupStream]] gets the same idempotence from content
+    * addressing, the counted form gets it from the stamps). Removal
+    * traffic composes live: a [[decrementCounted]] landing between
+    * batches takes effect at the next batch's probe, no fold needed.
+    */
+  def dedupStreamCounted(docs: Dataset[DocRecord], indexPath: String,
+                         sink: DataFrame => Unit,
+                         k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.sources.ArtifactHeader.validateOrStamp(spark, indexPath, "gramsc",
+          Seq("k" -> k.toString))
+        // snapshot the live set once: the dedup and the admission
+        // must see the same prior state
+        val live = countedLive(spark, indexPath).localCheckpoint()
+        sink(Curation.substringDedupAgainstIndex(live, batch, "text", "doc_id", k))
+        appendToIndexCounted(batch, "text", "doc_id", indexPath, k,
+          stampId = batchId)
+        graft.plans.CheckpointHygiene.free(live)
+      }
+      .start()
+
   /** Run the stream: per micro-batch, dedup arriving docs against the
     * index (and batch-internally), hand the deduped frame to `sink`,
     * then admit the batch's new grams. Index admission happens AFTER
