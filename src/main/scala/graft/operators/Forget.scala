@@ -78,7 +78,8 @@ object Forget {
       survivingDocs: Option[() => DataFrame] = None,
       textCol: String = "text",
       idCol: String = "doc_id",
-      extraRebuilds: Seq[(String, () => String)] = Nil) {
+      extraRebuilds: Seq[(String, () => String)] = Nil,
+      removalStamp: Option[Long] = None) {
     require(annIndexPaths.nonEmpty || bandIndexPath.nonEmpty || gramIndexPath.nonEmpty,
       "forgetDocuments: no targets named — list the artifact families this " +
         "deployment persists (annIndexPaths / bandIndexPath / gramIndexPath)")
@@ -164,19 +165,56 @@ object Forget {
 
     // -- phase 2.5 (counted gram index only): decrement the deleted
     // docs' gram ownership BEFORE the store fold removes their texts.
-    // O(deleted docs' text), corpus-size-independent — the negative
-    // stamp derives from the id set, so a re-run dedupes at read
+    // O(deleted docs' text), corpus-size-independent. The negative
+    // stamp must be STABLE across a crash-retry of this same request
+    // (the decrement dedupes to a no-op) yet DIFFERENT for a later
+    // removal of a re-ingested id (not mistaken for a retry).
+    // Precedence:
+    //   1. `removalStamp` - the removal REQUEST's own id (real
+    //      rights-removal workflows have one); always unambiguous;
+    //   2. content-derived - id set XOR an order-independent hash of
+    //      the matched rows INCLUDING the store's ingest `batch_id`
+    //      when it carries one (the streaming-chain store does): a
+    //      re-ingest lands under a new batch id, so even
+    //      byte-identical content yields a fresh stamp. A stampless
+    //      store re-ingesting BYTE-IDENTICAL content is the one
+    //      residual ambiguity - pass removalStamp there (in-window
+    //      re-appends refuse under live tombstones, so a crash-retry
+    //      can never race an interleaved re-ingest).
+    // Either way a retry AFTER the fold matches zero rows and appends
+    // nothing.
     val gramDecrement =
       if (!gramCounted) None
       else t.gramIndexPath.map { p =>
-        val stamp = -1L - (scala.util.hashing.MurmurHash3
-          .orderedHash(ids.distinct.sorted).toLong & 0x7fffffffL)
+        import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit}
+        val store = spark.read.parquet(t.winnerStorePath.get)
+        val genCols =
+          if (store.columns.contains("batch_id"))
+            Seq(col(t.idCol), col(t.textCol), col("batch_id"))
+          else Seq(col(t.idCol), col(t.textCol))
         val deleted = Similarity.tombstoneMatches(
-          spark.read.parquet(t.winnerStorePath.get)
-            .select(t.idCol, t.textCol),
-          ids.distinct.toArray, t.idCol)
-        graft.streaming.StreamingSubstringDedup.decrementCounted(
-          deleted, t.textCol, t.idCol, p, stamp)
+          store.select(genCols: _*),
+          ids.distinct.toArray, t.idCol).localCheckpoint()
+        val stamp = t.removalStamp match {
+          case Some(r) => -1L - (r & 0x7fffffffL)
+          case None =>
+            // bit_xor, not sum: order-independent AND overflow-free
+            // under ANSI (a sum of 64-bit hashes wraps within ~60
+            // rows); the row count breaks even-duplicate cancellation
+            val row = deleted
+              .agg(coalesce(expr("bit_xor(xxhash64(concat_ws(' ', " +
+                  genCols.map(_.toString).mkString(", ") + ")))"), lit(0L)),
+                count(lit(1)))
+              .collect()(0)
+            val (xorAgg, nRows) = (row.getLong(0), row.getLong(1))
+            val idHash = scala.util.hashing.MurmurHash3
+              .orderedHash(ids.distinct.sorted).toLong
+            -1L - ((idHash ^ xorAgg ^ (nRows * 0x9E3779B97F4A7CL)) & 0x7fffffffL)
+        }
+        val n = graft.streaming.StreamingSubstringDedup.decrementCounted(
+          deleted.select(t.idCol, t.textCol), t.textCol, t.idCol, p, stamp)
+        graft.plans.CheckpointHygiene.free(deleted)
+        n
       }
 
     // -- phase 3: fold physical — winner store first (via the band

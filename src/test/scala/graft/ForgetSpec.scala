@@ -286,6 +286,98 @@ class ForgetSpec extends AnyFunSuite with SharedSpark {
           gramIndexPath = Some(countedPath),
           survivingDocs = Some(() => fx.prior)))
     }
+
+    // forget RE-RUN after a crash simulation (same ids, store already
+    // folded): matches zero rows, appends nothing, live set unchanged
+    val liveAfter = StreamingSubstringDedup.countedLiveFor(spark, countedPath, 8)
+      .collect().map(_.getLong(0)).toSet
+    Forget.forgetDocuments(spark, Seq(fx.victimId),
+      Forget.Targets(
+        bandIndexPath = Some(fx.bandPath),
+        winnerStorePath = Some(fx.storePath),
+        gramIndexPath = Some(countedPath)))
+    assert(StreamingSubstringDedup.countedLiveFor(spark, countedPath, 8)
+      .collect().map(_.getLong(0)).toSet == liveAfter)
+
+    // RE-INGEST the victim (folded ids are appendable again) with
+    // byte-identical content — the one case a content-derived stamp
+    // on a batch_id-LESS store cannot distinguish from a retry — then
+    // a SECOND forget carrying the removal REQUEST's own stamp: it
+    // must decrement again, not dedupe against the first removal
+    val reDoc = Seq((fx.victimId, uniq)).toDF("doc_id", "text")
+    reDoc.write.mode("append").parquet(fx.storePath)
+    graft.streaming.StreamingNearDup.appendToIndex(
+      graft.operators.Dedup.capBucket(
+        graft.operators.Dedup.bandKeys(
+          reDoc.select(col("doc_id"), col("text").as("__text")),
+          shingleN = 3, bands = 6, rows = 2),
+        "band_key", "doc_id", 128),
+      fx.bandPath, bucketCap = 128)
+    StreamingSubstringDedup.appendToIndexCounted(
+      reDoc, "text", "doc_id", countedPath, k = 8, stampId = 99L)
+    val uniqGrams = graft.operators.Curation.gramTable(
+        reDoc, "text", "doc_id", 8)
+      ._2.select("h").distinct().collect().map(_.getLong(0)).toSet
+    assert(uniqGrams.subsetOf(
+      StreamingSubstringDedup.countedLiveFor(spark, countedPath, 8)
+        .collect().map(_.getLong(0)).toSet),
+      "re-ingested grams must be live again")
+    Forget.forgetDocuments(spark, Seq(fx.victimId),
+      Forget.Targets(
+        bandIndexPath = Some(fx.bandPath),
+        winnerStorePath = Some(fx.storePath),
+        gramIndexPath = Some(countedPath),
+        removalStamp = Some(20260816L)))
+    val finalLive = StreamingSubstringDedup.countedLiveFor(spark, countedPath, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(uniqGrams.intersect(finalLive).isEmpty,
+      "second forget must decrement the re-ingested ownership, not dedupe " +
+        "against the first removal's stamp")
+  }
+
+  test("counted stamps on a batch_id-carrying store: re-ingest under a new batch id gets a fresh content-derived stamp, no removalStamp needed") {
+    import spark.implicits._
+    val S = StreamingSubstringDedup
+    val base = tmpDir("counted_gen")
+    val storePath = s"$base/store"
+    val bandPath = s"$base/bands"
+    val gramPath = s"$base/grams"
+    val doc = Seq((5001L, uniq, 0L)).toDF("doc_id", "text", "batch_id")
+    doc.write.parquet(storePath)
+    StreamingNearDup.appendToIndex(
+      graft.operators.Dedup.capBucket(
+        graft.operators.Dedup.bandKeys(
+          doc.select(col("doc_id"), col("text").as("__text")),
+          shingleN = 3, bands = 6, rows = 2),
+        "band_key", "doc_id", 128),
+      bandPath, bucketCap = 128, stampParams = Some((3, 6, 2)))
+    S.appendToIndexCounted(doc, "text", "doc_id", gramPath, k = 8, stampId = 0L)
+    def forgetOnce(): Unit =
+      Forget.forgetDocuments(spark, Seq(5001L),
+        Forget.Targets(
+          bandIndexPath = Some(bandPath),
+          winnerStorePath = Some(storePath),
+          gramIndexPath = Some(gramPath)))
+    forgetOnce()
+    def live() = S.countedLiveFor(spark, gramPath, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(live().isEmpty)
+    // byte-identical re-ingest under ingest batch 1: the generation
+    // column alone makes the second forget's stamp fresh
+    val re = Seq((5001L, uniq, 1L)).toDF("doc_id", "text", "batch_id")
+    re.write.mode("append").parquet(storePath)
+    graft.streaming.StreamingNearDup.appendToIndex(
+      graft.operators.Dedup.capBucket(
+        graft.operators.Dedup.bandKeys(
+          re.select(col("doc_id"), col("text").as("__text")),
+          shingleN = 3, bands = 6, rows = 2),
+        "band_key", "doc_id", 128),
+      bandPath, bucketCap = 128)
+    S.appendToIndexCounted(re, "text", "doc_id", gramPath, k = 8, stampId = 1L)
+    assert(live().nonEmpty)
+    forgetOnce()
+    assert(live().isEmpty,
+      "batch_id-aware stamp must treat the re-ingest as a new removal")
   }
 
   test("forget + audit dispatch on the SQ8 encoding too (neighbor_id rows, stats re-seeded by the fold)") {
