@@ -196,7 +196,7 @@ object Forget {
           store.select(genCols: _*),
           ids.distinct.toArray, t.idCol).localCheckpoint()
         val stamp = t.removalStamp match {
-          case Some(r) => -1L - (r & 0x7fffffffL)
+          case Some(r) => -1L - (r & Long.MaxValue)
           case None =>
             // bit_xor, not sum: order-independent AND overflow-free
             // under ANSI (a sum of 64-bit hashes wraps within ~60
@@ -209,7 +209,7 @@ object Forget {
             val (xorAgg, nRows) = (row.getLong(0), row.getLong(1))
             val idHash = scala.util.hashing.MurmurHash3
               .orderedHash(ids.distinct.sorted).toLong
-            -1L - ((idHash ^ xorAgg ^ (nRows * 0x9E3779B97F4A7CL)) & 0x7fffffffL)
+            -1L - ((idHash ^ xorAgg ^ (nRows * 0x9E3779B97F4A7CL)) & Long.MaxValue)
         }
         val n = graft.streaming.StreamingSubstringDedup.decrementCounted(
           deleted.select(t.idCol, t.textCol), t.textCol, t.idCol, p, stamp)

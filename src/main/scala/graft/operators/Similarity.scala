@@ -3690,10 +3690,14 @@ object Similarity {
       case Some("opq_i") =>
         // re-run the full alternating loop at the stamped iteration
         // count — a rebuild of an iterative-OPQ artifact re-learns
-        // rotation AND the codebook interplay, not just the allocation
-        opqIterRotation(corpus, dim, hdr.m, hdr.codes,
+        // rotation AND the codebook interplay, not just the
+        // allocation. The rebuild's own covariance feeds the warm
+        // start, and the loop skips its final codebook pass (the
+        // rebuild retrains codebooks below with ITS pqIters/residual)
+        opqIterRotationFrom(corpus, cov, dim, hdr.m, hdr.codes,
           oldKv.get("opq_iters").map(_.toInt).getOrElse(2),
-          idCol, vecCol, trainSample, trainFraction)._1
+          idCol, vecCol, trainSample, trainFraction,
+          finalCodebooks = false)._1
       case _ => jacobiEigen(cov)._2.take(outDim)
     }
     val freshCapture = capturePm(rot, cov)
@@ -3917,11 +3921,12 @@ object Similarity {
     // from this same eigen allocation inside opqIterRotation, which
     // also hands back codebooks already trained in the final space)
     val (rot, iterCbs) =
-      if (refineIters > 0) {
-        val (r, cb) = opqIterRotation(embeddings, dim, m, codes, refineIters,
-          idCol, vecCol, trainSample, trainFraction)
-        (r, Some(cb))
-      } else (opqEigenAllocate(eigs, m).map(eigRows), None)
+      if (refineIters > 0)
+        // reuse THIS call's covariance — the loop's warm start would
+        // otherwise recompute the aggregate and the eigensolve
+        opqIterRotationFrom(embeddings, cov, dim, m, codes, refineIters,
+          idCol, vecCol, trainSample, trainFraction, finalCodebooks = true)
+      else (opqEigenAllocate(eigs, m).map(eigRows), None)
     val proj = pcaProject(embeddings, rot, idCol, vecCol)
     val (cOpt, cbOpt) =
       if (!trainQuantizers) (None, None)
@@ -3980,10 +3985,32 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       trainSample: Int = 0, trainFraction: Double = 0.0)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    require(iters >= 1, s"opqIterRotation: iters=$iters must be >= 1")
-    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val cov = covarianceMatrix(embeddings, dim, idCol, vecCol,
       trainSample, trainFraction)
+    val (rot, cbs) = opqIterRotationFrom(embeddings, cov, dim, m, codes,
+      iters, idCol, vecCol, trainSample, trainFraction,
+      finalCodebooks = true)
+    (rot, cbs.get)
+  }
+
+  /** [[opqIterRotation]] over a PRECOMPUTED training covariance —
+    * the index write and the method-aware rebuild both already hold
+    * one (the capture_pm baseline / the staleness audit), and
+    * recomputing it here would duplicate the most expensive
+    * distributed pass (and at dim 1024 a ~100 s driver eigensolve).
+    * `finalCodebooks = false` skips the final in-rotation codebook
+    * training for callers that retrain codebooks themselves (the
+    * rebuild path, whose pqIters/residual parameters differ).
+    */
+  private def opqIterRotationFrom(embeddings: DataFrame,
+                                  cov: Array[Array[Double]],
+                                  dim: Int, m: Int, codes: Int, iters: Int,
+                                  idCol: String, vecCol: String,
+                                  trainSample: Int, trainFraction: Double,
+                                  finalCodebooks: Boolean)
+      : (Array[Array[Double]], Option[Array[Array[Array[Double]]]]) = {
+    require(iters >= 1, s"opqIterRotation: iters=$iters must be >= 1")
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val (eigs, eigRows) = jacobiEigen(cov)
     var rot = opqEigenAllocate(eigs, m).map(eigRows)
     // ONE bounded training frame reused across all iterations (each
@@ -3991,21 +4018,22 @@ object Similarity {
     // trainer's projected view)
     val train = trainFrameOf(embeddings, idCol, trainSample, trainFraction)
       .select(col(idCol), col(vecCol)).localCheckpoint()
-    var cbs: Array[Array[Array[Double]]] = null
     var it = 0
     while (it < iters) {
       val proj = pcaProject(train, rot, idCol, vecCol)
-      cbs = pqLearnedCodebooks(proj, dim = dim, m = m, codes = codes,
+      val cbs = pqLearnedCodebooks(proj, dim = dim, m = m, codes = codes,
         iters = 2, vecCol = vecCol, idCol = idCol, seedFromData = true)
       rot = opqProcrustes(opqCrossMoment(train, rot, cbs, dim, m, vecCol))
       it += 1
     }
     // codebooks must live in the FINAL rotation's space
-    cbs = pqLearnedCodebooks(pcaProject(train, rot, idCol, vecCol),
-      dim = dim, m = m, codes = codes, iters = 2, vecCol = vecCol,
-      idCol = idCol, seedFromData = true)
+    val finalCbs =
+      if (!finalCodebooks) None
+      else Some(pqLearnedCodebooks(pcaProject(train, rot, idCol, vecCol),
+        dim = dim, m = m, codes = codes, iters = 2, vecCol = vecCol,
+        idCol = idCol, seedFromData = true))
     graft.plans.CheckpointHygiene.free(train)
-    (rot, cbs)
+    (rot, finalCbs)
   }
 
   /** The reconstruction cross-moment M = Σ ŷ·xᵀ of the Procrustes
@@ -4029,9 +4057,12 @@ object Similarity {
       .collect()(0)
     val (n, maxX) = (g.getLong(0), g.getDouble(1))
     // |y_j| <= ||x||_2 <= sqrt(dim)*maxX for unit rotation rows, and
-    // centroids are means of members, so one bound covers both sides
+    // centroids are means of members, so one bound covers both sides.
+    // Divide twice, never form maxQ*maxQ: the squared bound itself
+    // wraps Long for |x| in the low thousands at dim 1024, and a
+    // wrapped guard can wave real overflow through
     val maxQ = math.max(math.ceil(scale * maxX * math.sqrt(dim)).toLong, 1L)
-    require(n <= Long.MaxValue / (maxQ * maxQ),
+    require(n <= Long.MaxValue / maxQ / maxQ,
       s"opqCrossMoment: $n rows with max |x| $maxX can overflow the BIGINT " +
         "cross-moment sum — normalize the embeddings or train on a sample " +
         "(trainSample/trainFraction)")
@@ -4084,10 +4115,15 @@ object Similarity {
           }
         }
         Iterator.single(acc)
-      }.collect()
-    val total = new Array[Long](dim * dim)
-    parts.foreach { a =>
-      var i = 0; while (i < total.length) { total(i) += a(i); i += 1 }
+      }
+    // executor-side partial merge (treeReduce), not a driver collect
+    // of one dim² array PER PARTITION: at dim 2048 each partial is
+    // 32 MB, and a many-partition train frame would materialize GBs
+    // in the driver before a sequential merge. Integer addition
+    // commutes, so the tree shape cannot change the result.
+    val total = parts.rdd.treeReduce { (a, b) =>
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }
+      a
     }
     Array.tabulate(dim, dim)((r, c) => total(r * dim + c) / (scale * scale))
   }

@@ -74,11 +74,14 @@ object Tombstones {
     * another's ids. Deletes are writer-class mutations of the
     * artifact, exactly like appends: serialize them in the one driver
     * that owns the artifact's maintenance loop. Because a lost delete
-    * in a rights-removal verb is a SILENT legal failure, the contract
-    * is also enforced: after the stamp the sidecar is re-read and must
-    * contain every id just merged — a concurrent add that clobbered
-    * this one turns into a loud refusal naming the dropped ids, and
-    * the caller re-issues the delete (`add` is idempotent).
+    * in a rights-removal verb is a SILENT legal failure, there is also
+    * a BEST-EFFORT detector: after the stamp the sidecar is re-read
+    * and must contain every id just merged — a clobber landing inside
+    * this writer's write->verify window refuses loudly with the
+    * dropped ids (re-issue the delete, `add` is idempotent). It is a
+    * detector, not a serializer: a clobber landing AFTER the re-read
+    * still loses silently (classic TOCTOU), which is why the window
+    * lock remains the actual contract.
     */
   def add(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
     val merged = (read(spark, path) ++ ids).distinct.sorted

@@ -234,13 +234,17 @@ object StreamingNearDup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val tombs = graft.sources.Tombstones.read(spark, indexPath)
-        val capped = Dedup.capBucket(batch, "band_key", "doc_id", bucketCap)
-        val b = graft.operators.Similarity
-          .tombstoneExclude(capped, tombs, "doc_id")
+        // exclusion BEFORE the cap: tombstoned replay rows must not
+        // consume per-bucket cap slots (cap sacrifice is append-only-
+        // permanent — dead rows winning the ORDER BY doc_id cut would
+        // push live docs out of the index forever)
+        val live = graft.operators.Similarity
+          .tombstoneExclude(batch, tombs, "doc_id")
+        val b = Dedup.capBucket(live, "band_key", "doc_id", bucketCap)
           .localCheckpoint() // feeds the probe join AND the index append
         if (tombs.nonEmpty) {
           val dropped = graft.operators.Similarity
-            .tombstoneMatches(capped.select("doc_id").distinct(), tombs, "doc_id")
+            .tombstoneMatches(batch.select("doc_id").distinct(), tombs, "doc_id")
             .collect().map(_.getLong(0))
           if (dropped.nonEmpty)
             Console.err.println(s"[graft] indexedIngest batch $batchId at $indexPath: " +

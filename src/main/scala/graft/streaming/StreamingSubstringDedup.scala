@@ -170,8 +170,22 @@ object StreamingSubstringDedup {
   // micro-batch ids, REMOVAL stamps are negative (derived from the id
   // set), so a forget re-run is idempotent and can never collide with
   // an ingest batch. Probe cost grows with log length between folds —
-  // compactCounted() nets the log (dropping dead grams) under the
-  // usual maintenance window, the CMS/HLL delta-log posture.
+  // compactCounted() nets the log under the usual maintenance window,
+  // the CMS/HLL delta-log posture.
+  //
+  // DOC REGISTRY: counts are only sound if each document's ownership
+  // enters EXACTLY once — an at-least-once upstream that re-delivers a
+  // doc in a DIFFERENT micro-batch would double-count it, and a later
+  // forget would then under-decrement (the forgotten doc's unique
+  // grams stay live: a silent rights-removal failure the plain
+  // content-addressed index is immune to). The artifact therefore
+  // carries its own doc-ownership delta log at `<indexPath>/_docs`
+  // (underscore path — invisible to the parquet read of the gram
+  // rows): admission drops doc_ids already registered-live, and
+  // removal (a) only decrements docs that ARE registered — so a store
+  // superset of the gram corpus can never over-decrement — and (b)
+  // unregisters them, making a legitimate post-fold re-ingest
+  // admissible again.
   // ------------------------------------------------------------------
 
   /** Per-doc-distinct gram ownership deltas for a doc frame: one
@@ -186,10 +200,34 @@ object StreamingSubstringDedup {
       .withColumn("batch_id", lit(stampId))
   }
 
-  /** Append a batch's gram ownership counts (+) to the counted index.
+  private def docsRegistryPath(indexPath: String): String = s"$indexPath/_docs"
+
+  /** The registered-live doc ids of a counted index (one column
+    * `doc_id`): retry-deduped registry rows netted positive.
+    */
+  private def registeredLive(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(docsRegistryPath(indexPath))
+    val raw =
+      if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+        try spark.read.parquet(p.toString)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Seq.empty[(Long, Long, Long)].toDF("doc_id", "delta", "batch_id") }
+      else Seq.empty[(Long, Long, Long)].toDF("doc_id", "delta", "batch_id")
+    graft.sources.DeltaLogCompaction.dedupeRetries(raw, Seq("doc_id"))
+      .groupBy("doc_id").agg(sum(col("delta")).as("__net"))
+      .filter(col("__net") > 0L).select("doc_id")
+  }
+
+  /** Append a batch's gram ownership counts (+) to the counted index,
+    * ADMISSION-FILTERED through the doc registry: doc_ids already
+    * registered-live contribute nothing (first delivery wins — an
+    * updated document is forget-then-re-ingest, not a second append).
     * `stampId` must be a non-negative, batch-stable id (the streaming
-    * micro-batch id) — retries of the same batch dedupe at read.
-    * Returns distinct grams stamped.
+    * micro-batch id) — retries of the same batch dedupe at read, and
+    * the gram deltas land BEFORE the registry rows so a crash between
+    * the two writes re-runs into the stamp dedupe, never a double
+    * count. Returns distinct grams stamped for the admitted docs.
     */
   def appendToIndexCounted(batch: DataFrame, textCol: String, idCol: String,
                            indexPath: String, k: Int = 8,
@@ -200,19 +238,35 @@ object StreamingSubstringDedup {
         "reserved for removal deltas)")
     graft.sources.ArtifactHeader.validateOrStamp(spark, indexPath, "gramsc",
       Seq("k" -> k.toString))
-    val deltas = ownerDeltas(batch, textCol, idCol, k, 1, stampId)
+    val admitted = batch.join(
+        registeredLive(spark, indexPath).withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val deltas = ownerDeltas(admitted, textCol, idCol, k, 1, stampId)
       .localCheckpoint()
     val n = deltas.count()
     if (n > 0) deltas.coalesce(1).write.mode("append")
       .option("compression", "zstd").parquet(indexPath)
-    graft.plans.CheckpointHygiene.free(deltas)
+    val reg = admitted.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .withColumn("delta", lit(1L)).withColumn("batch_id", lit(stampId))
+      .localCheckpoint()
+    if (reg.count() > 0)
+      reg.coalesce(1).write.mode("append")
+        .option("compression", "zstd").parquet(docsRegistryPath(indexPath))
+    graft.plans.CheckpointHygiene.free(admitted, deltas, reg)
     n
   }
 
-  /** Remove `deletedDocs`' gram ownership (-): the O(deleted-docs)
-    * forget step. `stampId` must be NEGATIVE and stable for the
-    * removal request (derive it from the id set), so a re-run of the
-    * same forget is a read-time no-op. Returns distinct grams
+  /** Remove gram ownership (-): the O(deleted-docs) forget step.
+    * Restricted to docs that ARE registered-live — a caller handing a
+    * SUPERSET of the gram corpus (e.g. a winner store whose gram index
+    * only admitted post-curation survivors) cannot over-decrement
+    * grams that were never counted — and the matched docs are
+    * unregistered, so a legitimate post-fold re-ingest of the same id
+    * is admissible again. `stampId` must be NEGATIVE and stable for
+    * the removal request, so a re-run of the same forget is a
+    * read-time no-op (gram deltas land before registry rows — the
+    * crash-retry ordering of the append path). Returns distinct grams
     * decremented.
     */
   def decrementCounted(deletedDocs: DataFrame, textCol: String, idCol: String,
@@ -222,12 +276,22 @@ object StreamingSubstringDedup {
       "decrementCounted: removal stamps are negative (non-negative ids are " +
         "the ingest batch space)")
     val hdr = graft.sources.ArtifactHeader.required(spark, indexPath, "gramsc")
-    val deltas = ownerDeltas(deletedDocs, textCol, idCol, hdr("k").toInt,
+    val registered = deletedDocs.join(
+        registeredLive(spark, indexPath).withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val deltas = ownerDeltas(registered, textCol, idCol, hdr("k").toInt,
       -1, stampId).localCheckpoint()
     val n = deltas.count()
     if (n > 0) deltas.coalesce(1).write.mode("append")
       .option("compression", "zstd").parquet(indexPath)
-    graft.plans.CheckpointHygiene.free(deltas)
+    val reg = registered.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .withColumn("delta", lit(-1L)).withColumn("batch_id", lit(stampId))
+      .localCheckpoint()
+    if (reg.count() > 0)
+      reg.coalesce(1).write.mode("append")
+        .option("compression", "zstd").parquet(docsRegistryPath(indexPath))
+    graft.plans.CheckpointHygiene.free(registered, deltas, reg)
     n
   }
 
@@ -265,20 +329,36 @@ object StreamingSubstringDedup {
     countedLive(spark, indexPath)
   }
 
-  /** Net the delta log: one (h, net, null) row per live gram, dead
-    * grams (net <= 0) dropped, header carried, atomic swap — the
-    * maintenance fold that keeps probe cost from growing with log
-    * length. Returns (rowsBefore, rowsAfter).
+  /** Net the delta log's INGEST side (one (h, net, null) row per
+    * gram) while preserving REMOVAL rows (negative stamps) verbatim —
+    * the maintenance fold that keeps probe cost from growing with log
+    * length. Removal rows must survive compaction: a crash-retry of
+    * the same forget re-derives the same negative stamp and relies on
+    * finding its (h, stamp) rows to dedupe into a no-op — netting
+    * them away would turn the retry into a SECOND decrement and kill
+    * grams that surviving docs still own. The cost is that a dead
+    * gram keeps its one net row plus its removal rows (bounded by
+    * removal volume, never by corpus size) instead of vanishing;
+    * liveness is unchanged (net over everything > 0). Returns
+    * (rowsBefore, rowsAfter).
     */
   def compactCounted(spark: SparkSession, indexPath: String): (Long, Long) = {
     graft.sources.ArtifactHeader.required(spark, indexPath, "gramsc")
     val raw = spark.read.parquet(indexPath)
     val before = raw.count()
-    val netted = graft.sources.DeltaLogCompaction.dedupeRetries(raw, Seq("h"))
-      .groupBy("h").agg(sum(col("delta")).as("delta"))
-      .filter(col("delta") > 0L)
-      .withColumn("batch_id", lit(null).cast("long"))
+    val deduped = graft.sources.DeltaLogCompaction.dedupeRetries(raw, Seq("h"))
       .localCheckpoint()
+    def netKeepRemovals(df: DataFrame, keyCol: String): DataFrame = {
+      val removals = df
+        .filter(col("batch_id").isNotNull && col("batch_id") < 0L)
+        .select(keyCol, "delta", "batch_id")
+      df.filter(col("batch_id").isNull || col("batch_id") >= 0L)
+        .groupBy(keyCol).agg(sum(col("delta")).as("delta"))
+        .filter(col("delta") =!= 0L)
+        .withColumn("batch_id", lit(null).cast("long"))
+        .unionByName(removals)
+    }
+    val netted = netKeepRemovals(deduped, "h").localCheckpoint()
     val after = netted.count()
     val sim = graft.operators.Similarity
     val (fs, p) = sim.hadoopFs(spark, indexPath)
@@ -287,7 +367,18 @@ object StreamingSubstringDedup {
     fs.delete(tmp, true); fs.delete(old, true)
     netted.write.mode("overwrite").option("compression", "zstd")
       .parquet(tmp.toString)
-    graft.plans.CheckpointHygiene.free(netted)
+    // the doc registry is a SUBDIR ("_docs") the file-level sidecar
+    // carry cannot copy — net it under the same rule and write it
+    // into the rewrite before the swap installs one generation
+    val regP = new org.apache.hadoop.fs.Path(docsRegistryPath(indexPath))
+    if (fs.exists(regP)) {
+      val regDeduped = graft.sources.DeltaLogCompaction.dedupeRetries(
+        spark.read.parquet(regP.toString), Seq("doc_id"))
+      netKeepRemovals(regDeduped, "doc_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "_docs").toString)
+    }
+    graft.plans.CheckpointHygiene.free(deduped, netted)
     sim.carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
     sim.artifactSwap(fs, p, tmp, old, "compactCounted")
     (before, after)

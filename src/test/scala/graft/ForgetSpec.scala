@@ -237,15 +237,42 @@ class ForgetSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       S.decrementCounted(b2, "text", "doc_id", dir, stampId = 3L)
     }
-    // fold: log netted, dead grams dropped, header carried, live set
-    // unchanged
+    // fold: ingest side netted to one row per gram, REMOVAL rows
+    // preserved verbatim (a crash-retry must still find its stamp to
+    // dedupe against), header carried, live set unchanged
     val (before, after) = S.compactCounted(spark, dir)
     assert(after < before, s"fold must shrink the log ($before -> $after)")
-    assert(after == plainOf(b1).size.toLong,
-      "folded log must hold exactly one row per live gram")
     assert(live() == plainOf(b1))
     assert(graft.sources.ArtifactHeader.read(spark, dir, "gramsc").isDefined,
       "header must survive the fold")
+    // the finding the preservation exists for: a decrement RETRY with
+    // the same stamp AFTER a compaction must still dedupe to a no-op
+    // — netting the stamp rows away would double-apply and kill grams
+    // the surviving doc still owns
+    S.decrementCounted(b2, "text", "doc_id", dir, stampId = -7L)
+    assert(live() == plainOf(b1),
+      "retry after compaction double-applied the decrement")
+    // a decrement of a doc that was never admitted (unregistered) is
+    // a no-op — a store superset of the gram corpus cannot
+    // over-decrement shared grams
+    assert(S.decrementCounted(
+      Seq((777L, shared)).toDF("doc_id", "text"),
+      "text", "doc_id", dir, stampId = -8L) == 0L)
+    assert(live() == plainOf(b1))
+    // cross-batch re-delivery of an already-admitted doc (different
+    // stamp — an at-least-once upstream) contributes nothing: the doc
+    // registry admits each doc once, so a later forget fully removes
+    // it (no under-decrement leak)
+    assert(S.appendToIndexCounted(b1, "text", "doc_id", dir, k = 8,
+      stampId = 33L) == 0L)
+    assert(live() == plainOf(b1))
+    S.decrementCounted(b1, "text", "doc_id", dir, stampId = -9L)
+    assert(live().isEmpty,
+      "forget after a cross-batch re-delivery left grams live")
+    // ...and the unregistered doc becomes admissible again
+    assert(S.appendToIndexCounted(b1, "text", "doc_id", dir, k = 8,
+      stampId = 34L) > 0L)
+    assert(live() == plainOf(b1))
   }
 
   test("forgetDocuments on a COUNTED gram index decrements instead of rebuilding — same end state as the rebuild path, O(deleted docs)") {
