@@ -212,6 +212,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     new ParseException(Option(sqlText), org.apache.spark.sql.catalyst.trees.Origin(),
       "PARSE_SYNTAX_ERROR", Map("error" -> msg, "hint" -> ""))
 
+  // FORGET/AUDIT clause regexes fix the clause order as ANN -> BAND ->
+  // GRAM; a clause given out of order would be absorbed into the lazy
+  // WHERE (.+?) predicate and surface later as a confusing
+  // expr()/analysis failure — catch it at the parse seam and name the
+  // required order instead
+  private val MisplacedClause =
+    """(?is)\bIN\s+(ANN|BAND|GRAM)\s+INDEX\b""".r
+  private def requireCleanPredicate(sqlText: String, verb: String,
+                                    pred: String): Unit =
+    MisplacedClause.findFirstMatchIn(pred).foreach { m =>
+      throw parseError(sqlText,
+        s"$verb: clause 'IN ${m.group(1).toUpperCase} INDEX' appears out of " +
+          "order (it was parsed as part of the WHERE predicate) — clauses " +
+          "must follow the predicate in the fixed order IN ANN INDEX, " +
+          "IN BAND INDEX [WITH WINNER STORE], IN GRAM INDEX")
+    }
+
   /** Graft statements run engine/IO code while parsing — surface any
     * failure as a ParseException (the contract of this interface), not
     * a raw NumberFormatException/IOException from inside the parser.
@@ -467,6 +484,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     case ForgetDocs(dir, pred, annPath, bandPath, storePath, gramPath) =>
       wrapGraft(sqlText) {
         import session.implicits._
+        requireCleanPredicate(sqlText, "FORGET DOCUMENTS", pred)
         if (annPath == null && bandPath == null && gramPath == null)
           throw parseError(sqlText, "FORGET DOCUMENTS names no artifacts — add " +
             "IN ANN INDEX '<path>' / IN BAND INDEX '<path>' [WITH WINNER STORE " +
@@ -486,6 +504,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       }
     case AuditDocs(dir, pred, annPath, bandPath, storePath) =>
       wrapGraft(sqlText) {
+        requireCleanPredicate(sqlText, "AUDIT DOCUMENTS", pred)
         if (annPath == null && bandPath == null)
           throw parseError(sqlText, "AUDIT DOCUMENTS names no artifacts — add " +
             "IN ANN INDEX '<path>' / IN BAND INDEX '<path>' [WITH WINNER STORE " +

@@ -296,6 +296,41 @@ object ArtifactMaintainer {
       },
       deltaCompactTask(spark, path, keys, merges))
 
+  /** Stamp-preserving fold of a COUNTED gram index
+    * ([[graft.streaming.StreamingSubstringDedup.compactCounted]])
+    * under the window contract. The GENERIC [[deltaCompactTask]]
+    * refuses a gramsc-stamped path by design (its net-per-key rewrite
+    * would erase removal stamps — turning a crash-retried forget into
+    * a second decrement — and destroy the `_docs` registry subdir);
+    * this task is the one that folds it soundly: ingest side netted,
+    * removal rows preserved verbatim, registry netted under the same
+    * rule, verify-before-swap.
+    */
+  def countedGramCompactTask(spark: SparkSession, indexPath: String): Task =
+    Task(s"gramsc_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
+      val (rb, ra) =
+        graft.streaming.StreamingSubstringDedup.compactCounted(spark, indexPath)
+      s"rows $rb -> $ra"
+    }
+
+  /** [[deltaCompactDue]]'s trigger shape for the counted gram log:
+    * due when the raw (unfolded) log exceeds `maxRows` — probe cost
+    * ([[graft.streaming.StreamingSubstringDedup.countedLive]]'s
+    * dedupe + net) grows with raw log length between folds, so the
+    * budget bounds per-probe cost exactly like the CMS/HLL logs'.
+    * Same parquet-metadata count, no column data read.
+    */
+  def countedGramCompactDue(spark: SparkSession, indexPath: String,
+                            maxRows: Long): DueCheck =
+    new DueCheck(s"gramsc_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}",
+      () => {
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        val n = if (exists) spark.read.parquet(indexPath).count() else 0L
+        if (n > maxRows) Some(s"raw_rows=$n > budget $maxRows") else None
+      },
+      countedGramCompactTask(spark, indexPath))
+
   /** Physical fold of an ANN artifact's tombstoned deletions —
     * [[graft.operators.Similarity.annTombstoneFold]] under the window
     * contract (it IS a compaction with a filter). List this check

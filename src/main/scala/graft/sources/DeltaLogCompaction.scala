@@ -87,6 +87,18 @@ object DeltaLogCompaction {
     */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
               merges: Map[String, Column => Column]): (Long, Long) = {
+    // the counted gram index is a delta log TOO, but NOT this one's
+    // algebra: its removal rows (negative stamps) must survive
+    // compaction verbatim (a crash-retried forget dedupes against
+    // them — netting them away turns the retry into a second
+    // decrement) and its `_docs` registry subdir would not survive
+    // the swap. Its own fold is
+    // [[graft.streaming.StreamingSubstringDedup.compactCounted]];
+    // pointing the generic verb at it is always a mistake — refuse.
+    require(ArtifactHeader.read(spark, path, "gramsc").isEmpty,
+      s"DeltaLogCompaction: $path is a COUNTED gram index (gramsc header) — " +
+        "its removal stamps and _docs registry do not survive a generic " +
+        "net-per-key rewrite; fold it with StreamingSubstringDedup.compactCounted")
     val df = spark.read.parquet(path)
     val before = df.count()
     val aggs = df.columns.filterNot(keys.contains).map { c =>
@@ -108,6 +120,16 @@ object DeltaLogCompaction {
     val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".compact.old")
     fs.delete(tmp, true); fs.delete(old, true)
     compacted.write.mode("overwrite").parquet(tmp.toString)
+    // artifact header sidecars (`_graft_<kind>_header` — the CMS/HLL/
+    // loghist/MV stamps, plus any foreign sidecar another layer owns)
+    // ride inside the artifact directory and would be deleted with
+    // `old` below; carry them into the rewrite like every other
+    // rewrite path does (ArtifactCompaction.compactFiles, the ANN
+    // rebuilds, compactCounted) — losing the header would make the
+    // next estimateFrom fail loudly and let a drifted-config writer
+    // silently re-stamp, defeating the drift refusal
+    graft.operators.Similarity.carrySidecars(fs, p, tmp,
+      spark.sessionState.newHadoopConf())
     if (!fs.rename(p, old) || !fs.rename(tmp, p))
       sys.error(s"DeltaLogCompaction: atomic swap failed for $path")
     fs.delete(old, true) // retire the old log

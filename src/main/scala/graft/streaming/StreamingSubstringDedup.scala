@@ -202,36 +202,50 @@ object StreamingSubstringDedup {
 
   private def docsRegistryPath(indexPath: String): String = s"$indexPath/_docs"
 
+  /** Raw rows of a delta-log path ((first, delta, batch_id) shape),
+    * empty frame when the path is missing or data-less — the shared
+    * bootstrap read under both the gram log and its `_docs` registry.
+    */
+  private def readDeltaRaw(spark: SparkSession, path: String,
+                           firstCol: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      try spark.read.parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(Long, Long, Long)].toDF(firstCol, "delta", "batch_id") }
+    else Seq.empty[(Long, Long, Long)].toDF(firstCol, "delta", "batch_id")
+  }
+
   /** The registered-live doc ids of a counted index (one column
     * `doc_id`): retry-deduped registry rows netted positive.
     */
-  private def registeredLive(spark: SparkSession, indexPath: String): DataFrame = {
-    import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(docsRegistryPath(indexPath))
-    val raw =
-      if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-        try spark.read.parquet(p.toString)
-        catch { case _: org.apache.spark.sql.AnalysisException =>
-          Seq.empty[(Long, Long, Long)].toDF("doc_id", "delta", "batch_id") }
-      else Seq.empty[(Long, Long, Long)].toDF("doc_id", "delta", "batch_id")
-    graft.sources.DeltaLogCompaction.dedupeRetries(raw, Seq("doc_id"))
+  private def registeredLive(spark: SparkSession, indexPath: String): DataFrame =
+    graft.sources.DeltaLogCompaction.dedupeRetries(
+        readDeltaRaw(spark, docsRegistryPath(indexPath), "doc_id"), Seq("doc_id"))
       .groupBy("doc_id").agg(sum(col("delta")).as("__net"))
       .filter(col("__net") > 0L).select("doc_id")
-  }
 
   /** Append a batch's gram ownership counts (+) to the counted index,
     * ADMISSION-FILTERED through the doc registry: doc_ids already
     * registered-live contribute nothing (first delivery wins — an
     * updated document is forget-then-re-ingest, not a second append).
-    * `stampId` must be a non-negative, batch-stable id (the streaming
-    * micro-batch id) — retries of the same batch dedupe at read, and
-    * the gram deltas land BEFORE the registry rows so a crash between
-    * the two writes re-runs into the stamp dedupe, never a double
-    * count. Returns distinct grams stamped for the admitted docs.
+    * `stampId` must be a non-negative id UNIQUE to this logical batch
+    * over the artifact's lifetime (the streaming micro-batch id under
+    * a checkpoint — NO default: two different batches silently
+    * sharing a stamp would max-collapse at read as if they were
+    * retries, losing owner counts, the exact under-decrement the
+    * registry cannot catch when the docs differ). Retries of the same
+    * batch dedupe at read, and the gram deltas land BEFORE the
+    * registry rows so a crash between the two writes re-runs into the
+    * stamp dedupe, never a double count; a stamp REUSE across
+    * different batches is detected (the re-derived rows disagree with
+    * the rows already logged under the stamp) and refuses loudly.
+    * Returns distinct grams stamped for the admitted docs.
     */
   def appendToIndexCounted(batch: DataFrame, textCol: String, idCol: String,
-                           indexPath: String, k: Int = 8,
-                           stampId: Long = 0L): Long = {
+                           indexPath: String, k: Int,
+                           stampId: Long): Long = {
     val spark = batch.sparkSession
     require(stampId >= 0L,
       "appendToIndexCounted: ingest stamps are non-negative (negative ids are " +
@@ -245,8 +259,35 @@ object StreamingSubstringDedup {
     val deltas = ownerDeltas(admitted, textCol, idCol, k, 1, stampId)
       .localCheckpoint()
     val n = deltas.count()
-    if (n > 0) deltas.coalesce(1).write.mode("append")
-      .option("compression", "zstd").parquet(indexPath)
+    if (n > 0) {
+      // stamp-collision detector: rows already logged under this stamp
+      // are legitimate ONLY for a crash-retry of this same batch, in
+      // which case the re-derived rows are IDENTICAL — any symmetric
+      // difference means two different batches share a stamp, and the
+      // read-time retry collapse would silently lose owner counts.
+      // One batch_id-pushdown scan of the log slice, O(stamp's rows).
+      val existing = readDeltaRaw(spark, indexPath, "h")
+        .filter(col("batch_id") === stampId).select("h", "delta")
+        .localCheckpoint()
+      val isRetry = existing.count() > 0L
+      if (isRetry) {
+        val fresh = deltas.select("h", "delta")
+        val collides = existing.join(fresh, Seq("h", "delta"), "left_anti")
+          .unionByName(fresh.join(existing, Seq("h", "delta"), "left_anti"))
+          .limit(1).count() > 0L
+        require(!collides,
+          s"appendToIndexCounted: stamp $stampId already logged at $indexPath " +
+            "with DIFFERENT gram rows — two batches are sharing one stamp, which " +
+            "would silently collapse their owner counts at read. Pass a " +
+            "per-batch-unique stamp (the checkpointed micro-batch id).")
+        // identical rows present -> this IS the crash-retry; the grams
+        // are already durable, fall through to (re-)write the registry
+        // half the crash may have lost
+      }
+      else deltas.coalesce(1).write.mode("append")
+        .option("compression", "zstd").parquet(indexPath)
+      graft.plans.CheckpointHygiene.free(existing)
+    }
     val reg = admitted.select(col(idCol).cast("long").as("doc_id")).distinct()
       .withColumn("delta", lit(1L)).withColumn("batch_id", lit(stampId))
       .localCheckpoint()
@@ -280,6 +321,28 @@ object StreamingSubstringDedup {
         registeredLive(spark, indexPath).withColumnRenamed("doc_id", idCol),
         Seq(idCol), "left_semi")
       .localCheckpoint()
+    // completed-removal detector: registry rows land LAST in this
+    // verb, so an unregister row already logged under THIS stamp means
+    // a prior removal at this stamp ran to completion — and the doc
+    // being registered-LIVE again means it was re-ingested since. This
+    // call is then a SECOND removal whose gram/registry rows would
+    // dedupe against the first's and silently no-op on the gram
+    // surface alone (the Forget residual: a stampless store
+    // re-ingesting byte-identical content re-derives the same content
+    // stamp). Refuse loudly instead of relying on the caller having
+    // read that comment. A crash-retry of an UNFINISHED removal never
+    // trips this — its registry rows were not yet written.
+    val reusedOnLive = readDeltaRaw(spark, docsRegistryPath(indexPath), "doc_id")
+      .filter(col("batch_id") === stampId)
+      .join(registered.select(col(idCol).cast("long").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count() > 0L
+    require(!reusedOnLive,
+      s"decrementCounted: removal stamp $stampId already COMPLETED a removal " +
+        s"of document(s) that are registered-live again at $indexPath — the " +
+        "doc was re-ingested since, and this second removal's rows would " +
+        "dedupe against the first's into a silent no-op. Pass a FRESH stamp " +
+        "(forgetDocuments: set removalStamp to the removal request's own id).")
     val deltas = ownerDeltas(registered, textCol, idCol, hdr("k").toInt,
       -1, stampId).localCheckpoint()
     val n = deltas.count()
@@ -371,14 +434,41 @@ object StreamingSubstringDedup {
     // carry cannot copy — net it under the same rule and write it
     // into the rewrite before the swap installs one generation
     val regP = new org.apache.hadoop.fs.Path(docsRegistryPath(indexPath))
-    if (fs.exists(regP)) {
-      val regDeduped = graft.sources.DeltaLogCompaction.dedupeRetries(
-        spark.read.parquet(regP.toString), Seq("doc_id"))
-      netKeepRemovals(regDeduped, "doc_id")
-        .write.mode("overwrite").option("compression", "zstd")
-        .parquet(new org.apache.hadoop.fs.Path(tmp, "_docs").toString)
-    }
+    val regExpected =
+      if (!fs.exists(regP)) -1L
+      else {
+        val regNetted = netKeepRemovals(
+          graft.sources.DeltaLogCompaction.dedupeRetries(
+            spark.read.parquet(regP.toString), Seq("doc_id")),
+          "doc_id").localCheckpoint()
+        val n = regNetted.count()
+        regNetted.write.mode("overwrite").option("compression", "zstd")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, "_docs").toString)
+        graft.plans.CheckpointHygiene.free(regNetted)
+        n
+      }
     graft.plans.CheckpointHygiene.free(deduped, netted)
+    // verify-before-swap (the rebuildIndex/annTombstoneFold
+    // convention — this is a destructive rewrite too): independently
+    // re-read what was written and compare to the computed
+    // expectation; a mismatch deletes tmp and leaves the live
+    // artifact untouched. The gram read skips tmp's `_docs` subdir by
+    // the underscore-path rule, so both counts are clean.
+    val written = spark.read.parquet(tmp.toString).count()
+    if (written != after) {
+      fs.delete(tmp, true)
+      sys.error(s"compactCounted: rewrite of $indexPath has $written rows, " +
+        s"expected $after; artifact left untouched")
+    }
+    if (regExpected >= 0L) {
+      val regWritten = spark.read
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "_docs").toString).count()
+      if (regWritten != regExpected) {
+        fs.delete(tmp, true)
+        sys.error(s"compactCounted: rewritten _docs registry of $indexPath has " +
+          s"$regWritten rows, expected $regExpected; artifact left untouched")
+      }
+    }
     sim.carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
     sim.artifactSwap(fs, p, tmp, old, "compactCounted")
     (before, after)
