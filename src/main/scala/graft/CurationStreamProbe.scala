@@ -36,14 +36,31 @@ import org.apache.spark.sql.functions._
   * the final fold both artifacts physically contain zero deleted
   * rows.
   *
+  * A fourth arg `counted=1` routes the substring stage through the
+  * COUNTED gram index (`StreamingCurationFull(countedGrams = true)`)
+  * and turns the deletion soak's gram story live: every per-batch
+  * removal ALSO issues the O(deleted-docs)
+  * [[graft.streaming.StreamingSubstringDedup.decrementCounted]]
+  * against the chain's own gram artifact (uniquely stamped per
+  * batch), so removals reach the gram surface at the NEXT batch with
+  * no rebuild and no pause; `countedGramCompactDue` joins the
+  * per-batch poll so the delta log folds mid-soak under live
+  * removals. Close-out proves set-equivalence: the counted live gram
+  * set must equal the grams re-derived from (survivors minus
+  * deleted) — the same truth the rebuild path would install — and
+  * the final forget's gram phase reports a (no-op) decrement, not a
+  * rebuild.
+  *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *   sbt "runMain graft.CurationStreamProbe 12 1 8"
+  *   sbt "runMain graft.CurationStreamProbe 12 1 8"      # rebuild path
+  *   sbt "runMain graft.CurationStreamProbe 12 1 8 1"    # counted path
   */
 object CurationStreamProbe {
   def main(args: Array[String]): Unit = {
     val nBatches = if (args.nonEmpty) args(0).toInt else 12
     val copies = if (args.length > 1) args(1).toInt else 1
     val delRate = if (args.length > 2) args(2).toInt else 0
+    val counted = args.length > 3 && args(3).toInt != 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -104,7 +121,7 @@ object CurationStreamProbe {
     val maint = new graft.sources.ArtifactMaintainer(owner = Some(() =>
       StreamingCurationFull.start(stream.toDS(), docs, emb,
         grams, benchIdx, stateDir, minOverlap = 8, onBatch = metrics += _,
-        checkpointDir = Some(s"$stateDir/ckpt"))))
+        checkpointDir = Some(s"$stateDir/ckpt"), countedGrams = counted)))
     // the maintenance DECISION is the production policy too: per
     // batch the probe polls maintainIfDue with a small-file budget
     // (due checks are pure listings); windows open only when an
@@ -121,7 +138,17 @@ object CurationStreamProbe {
       else Seq(graft.sources.ArtifactMaintainer.neardupTombstoneFoldDue(
         spark, s"$stateDir/bands", Some(s"$stateDir/winners"),
         maxIds = tombBudget))
-    def dueChecks = delChecks ++ Seq("winners", "bands", "grams").map(a =>
+    // counted mode: the gram DELTA LOG's probe cost grows with raw
+    // log length between folds — its stamp-preserving fold joins the
+    // poll with a budget paced off the first batch's log size, so
+    // windows land mid-soak under live decrements. ONE DueCheck
+    // instance across polls (it remembers the last fold's floor —
+    // the netted log is corpus-sized, so a stateless raw-rows budget
+    // would re-fold every batch for zero shrink); created after
+    // batch 0 once the pacing size is known
+    var countedCheck = Option.empty[graft.sources.ArtifactMaintainer.DueCheck]
+    def dueChecks = delChecks ++ countedCheck.toSeq ++
+      Seq("winners", "bands", "grams").map(a =>
       graft.sources.ArtifactMaintainer.compactDue(
         spark, s"$stateDir/$a", maxSmallFiles = smallFileBudget,
         // auto-sized rewrite (~64 MB/file): soak-scale stores fold to
@@ -148,6 +175,8 @@ object CurationStreamProbe {
     val batchSlices = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
     val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
     var nDeletedPresent = 0L // deleted ids that really held winner rows
+    var gramDecremented = 0L // counted mode: owner-count rows decremented live
+    val gramDecSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tombLive = scala.collection.mutable.ArrayBuffer.empty[Long]
     maint.start()
     try {
@@ -170,9 +199,29 @@ object CurationStreamProbe {
               .select("doc_id").distinct().count()
             graft.operators.Dedup.neardupIndexDeleteAt(
               spark, s"$stateDir/bands", ids)
+            // counted mode: the gram surface settles NOW — one
+            // O(deleted docs' text) decrement, uniquely stamped per
+            // removal batch; effective at the next batch's probe with
+            // no rebuild and no stream pause
+            if (counted) {
+              val t0 = System.nanoTime()
+              val delTexts = graft.sources.DeltaLogCompaction.dedupeRetries(
+                  spark.read.parquet(s"$stateDir/winners"), Seq("doc_id"))
+                .filter(col("doc_id").isin(ids.map(java.lang.Long.valueOf): _*))
+                .select("doc_id", "text")
+              gramDecremented += graft.streaming.StreamingSubstringDedup
+                .decrementCounted(delTexts, "text", "doc_id",
+                  s"$stateDir/grams", stampId = -(i + 1L))
+              gramDecSecs += (System.nanoTime() - t0) / 1e9
+            }
           }
           deleted ++= ids
         }
+        if (counted && i == 0 && countedCheck.isEmpty)
+          countedCheck = Some(graft.sources.ArtifactMaintainer
+            .countedGramCompactDue(spark, s"$stateDir/grams",
+              maxRows = math.max(256L,
+                spark.read.parquet(s"$stateDir/grams").count() * 3L)))
         tombLive += graft.sources.Tombstones.count(spark, s"$stateDir/bands")
         batchWalls += (System.nanoTime() - t0) / 1e9
         touched += {
@@ -285,6 +334,41 @@ object CurationStreamProbe {
       val (sb, sa) = report.storeFold.getOrElse((0L, 0L))
       val (ib, ia) = report.bandFold.getOrElse((0L, 0L))
       val (gb, ga) = report.gramRebuild.getOrElse((0L, 0L))
+      if (counted) {
+        // counted-mode contract: the per-batch decrements already
+        // settled the gram surface, so the close-out forget's gram
+        // phase is a decrement (of residual registered ids — zero
+        // here) and NEVER a rebuild
+        require(report.gramRebuild.isEmpty && report.gramDecrement.isDefined,
+          s"counted soak VIOLATION: close-out forget took the rebuild path " +
+            s"(${report.summary})")
+        // set-equivalence close-out: the live counted gram set must
+        // equal the grams re-derived from (survivors minus deleted) —
+        // the exact truth the rebuild path would have installed
+        val keptIds = graft.sources.DeltaLogCompaction.dedupeRetries(
+            spark.read.parquet(s"$stateDir/survivors"), Seq("doc_id"))
+          .select("doc_id")
+          .filter(!col("doc_id").isin(delArr: _*))
+        val keptTexts = graft.sources.DeltaLogCompaction.dedupeRetries(
+            spark.read.parquet(s"$stateDir/winners"), Seq("doc_id"))
+          .select("doc_id", "text")
+          .join(keptIds, Seq("doc_id"), "left_semi")
+        val expected = graft.operators.Curation
+          .gramTable(keptTexts, "text", "doc_id", 8)._2
+          .select("h").distinct()
+        val live = graft.streaming.StreamingSubstringDedup
+          .countedLive(spark, s"$stateDir/grams")
+        val diff = expected.join(live, Seq("h"), "left_anti")
+          .unionByName(live.join(expected, Seq("h"), "left_anti")).count()
+        require(diff == 0L,
+          s"counted soak VIOLATION: live gram set diverges from the " +
+            s"surviving-corpus derivation by $diff hashes")
+        println(s"""{"counted_gram_closeout":{""" +
+          s""""live_decrements":$gramDecremented,""" +
+          s""""decrement_total_sec":${f"${gramDecSecs.sum}%.2f"},""" +
+          s""""decrement_max_sec":${f"${gramDecSecs.foldLeft(0.0)(math.max)}%.3f"},""" +
+          s""""live_set_equals_surviving_derivation":true}}""")
+      }
       val storeLeft = spark.read.parquet(s"$stateDir/winners")
         .filter(col("doc_id").isin(delArr: _*)).count()
       val idxLeft = spark.read.parquet(s"$stateDir/bands")
@@ -302,7 +386,7 @@ object CurationStreamProbe {
         s""""tombstones_at_close":$liveResidue,""" +
         s""""forget_sec":${f"$forgetSec%.2f"},""" +
         s""""final_forget":{"store":[$sb,$sa],"index":[$ib,$ia],""" +
-        s""""grams":[$gb,$ga]},""" +
+        s""""grams":[$gb,$ga],"gram_decrement":${report.gramDecrement.getOrElse(-1L)}},""" +
         s""""store_rows_left":$storeLeft,"index_rows_left":$idxLeft}}""")
     }
 

@@ -128,10 +128,15 @@ object ArtifactCompaction {
       }
     laidOut
       .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
-    // carry self-describing sidecars; never the writer's own _SUCCESS
+    // carry self-describing sidecars; never the writer's own _SUCCESS.
+    // Underscore-prefixed SUBDIRS ride too (FileUtil.copy recurses):
+    // the counted gram index keeps its doc-ownership registry at
+    // `_docs` — invisible to the parquet read above, so a pure layout
+    // rewrite is safe for it exactly as long as the swap does not
+    // drop it
     fs.listStatus(p).filter { s =>
       val n = s.getPath.getName
-      s.isFile && n.startsWith("_") && n != "_SUCCESS"
+      n.startsWith("_") && n != "_SUCCESS"
     }.foreach { s =>
       FileUtil.copy(fs, s.getPath, fs, new Path(tmp, s.getPath.getName), false, conf)
     }

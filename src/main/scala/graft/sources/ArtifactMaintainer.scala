@@ -319,17 +319,40 @@ object ArtifactMaintainer {
     * dedupe + net) grows with raw log length between folds, so the
     * budget bounds per-probe cost exactly like the CMS/HLL logs'.
     * Same parquet-metadata count, no column data read.
+    *
+    * UNLIKE the bounded-key CMS/HLL logs, this log's netted size has
+    * a corpus-sized FLOOR (most grams are distinct, one row each), so
+    * a raw-rows budget alone would re-trip every poll once the floor
+    * passes it — folding O(log) per batch for zero shrink. The check
+    * therefore also remembers the last fold's result through this
+    * instance and stays quiet until the log grows past
+    * `growthFactor` x that floor: hold ONE DueCheck instance across
+    * polls (a fresh instance forgets the floor and pays one extra
+    * no-op fold to relearn it).
     */
   def countedGramCompactDue(spark: SparkSession, indexPath: String,
-                            maxRows: Long): DueCheck =
-    new DueCheck(s"gramsc_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}",
+                            maxRows: Long,
+                            growthFactor: Double = 2.0): DueCheck = {
+    var lastFolded = 0L
+    val name = s"gramsc_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}"
+    new DueCheck(name,
       () => {
         val p = new org.apache.hadoop.fs.Path(indexPath)
         val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
         val n = if (exists) spark.read.parquet(indexPath).count() else 0L
-        if (n > maxRows) Some(s"raw_rows=$n > budget $maxRows") else None
+        if (n > maxRows && n > (lastFolded * growthFactor).toLong)
+          Some(s"raw_rows=$n > budget $maxRows" +
+            (if (lastFolded > 0L) s" and > ${growthFactor}x last fold $lastFolded"
+             else ""))
+        else None
       },
-      countedGramCompactTask(spark, indexPath))
+      Task(name) { () =>
+        val (rb, ra) =
+          graft.streaming.StreamingSubstringDedup.compactCounted(spark, indexPath)
+        lastFolded = ra
+        s"rows $rb -> $ra"
+      })
+  }
 
   /** Physical fold of an ANN artifact's tombstoned deletions —
     * [[graft.operators.Similarity.annTombstoneFold]] under the window

@@ -136,6 +136,24 @@ object StreamingCurationFull {
     * (vec_id, embedding) side for the semantic stage. Survivors land
     * append-only under `$stateDir/survivors`; the three history
     * artifacts live under `$stateDir/{winners,bands,grams}`.
+    *
+    * `countedGrams` routes the substring stage through the COUNTED
+    * gram index ([[StreamingSubstringDedup.appendToIndexCounted]] /
+    * `countedLiveFor`) instead of the plain content-addressed one:
+    * identical dedup semantics on clean data (the live set equals the
+    * plain index's hash set while nothing was removed — spec-held),
+    * but rights-removal becomes an O(deleted-docs)
+    * [[StreamingSubstringDedup.decrementCounted]] that takes effect
+    * at the NEXT batch's probe with no rebuild and no stream pause —
+    * the 100 TB forget path for the chain's one rebuild-priced
+    * artifact. Admission stamps ride the micro-batch id, so the flag
+    * REQUIRES `checkpointDir` (a checkpoint-less restart would reuse
+    * ids for different batches — the stamp-collision refusal would
+    * halt the chain loudly rather than corrupt, but a production
+    * chain should never be startable into that state). The artifact
+    * kinds differ (`gramsc` vs `grams`), so flipping the flag over an
+    * existing stateDir refuses at the header seam instead of probing
+    * a foreign index shape.
     */
   def start(stream: Dataset[StreamingCuration.DocRecord],
             docTexts: DataFrame, emb: DataFrame,
@@ -149,7 +167,12 @@ object StreamingCurationFull {
             semThreshold: Double = 0.3, substrK: Int = 8,
             onBatch: BatchMetrics => Unit = _ => (),
             checkpointDir: Option[String] = None,
-            targetAppendBytes: Long = 64L << 20): StreamingQuery = {
+            targetAppendBytes: Long = 64L << 20,
+            countedGrams: Boolean = false): StreamingQuery = {
+    require(!countedGrams || checkpointDir.nonEmpty,
+      "StreamingCurationFull: countedGrams stamps gram ownership with the " +
+        "micro-batch id, which is only restart-stable under a checkpoint — " +
+        "pass checkpointDir")
     val winnersPath = s"$stateDir/winners"
     val bandIdxPath = s"$stateDir/bands"
     val gramIdxPath = s"$stateDir/grams"
@@ -277,7 +300,10 @@ object StreamingCurationFull {
             // stage into O(history); the span write happens before
             // the append, so the join never reads a path being
             // appended to
-            val gIdx = StreamingSubstringDedup.indexFor(spark, gramIdxPath, substrK)
+            val gIdx =
+              if (countedGrams)
+                StreamingSubstringDedup.countedLiveFor(spark, gramIdxPath, substrK)
+              else StreamingSubstringDedup.indexFor(spark, gramIdxPath, substrK)
             // the span frame carries kept_text (near-full document
             // text per survivor), so sizing it from the survivor ROW
             // count re-created the single-writer funnel on text-heavy
@@ -296,7 +322,15 @@ object StreamingCurationFull {
             spans.coalesce(fileCount(spanBytes, targetAppendBytes))
               .write.mode("append").option("compression", "zstd")
               .parquet(s"$stateDir/substr_spans")
-            StreamingSubstringDedup.appendToIndex(
+            if (countedGrams)
+              // ownership stamped with the (checkpoint-stable)
+              // micro-batch id — the at-least-once retry seam; a
+              // decrementCounted landing between batches already took
+              // effect in this batch's countedLiveFor probe above
+              StreamingSubstringDedup.appendToIndexCounted(
+                fin.select("doc_id", "text"), "text", "doc_id", gramIdxPath,
+                k = substrK, stampId = batchId)
+            else StreamingSubstringDedup.appendToIndex(
               fin.select("doc_id", "text"), "text", "doc_id", gramIdxPath, k = substrK)
           }
           fin.select("doc_id", "content_hash")

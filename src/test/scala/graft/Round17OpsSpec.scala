@@ -111,8 +111,9 @@ class Round17OpsSpec extends AnyFunSuite with SharedSpark {
     val maint = new ArtifactMaintainer()
     // raw = 9 (7 ingest + 2 removal); the fold nets the ingest side to
     // 5 and PRESERVES the 2 removal rows (7 is this log's floor — the
-    // budget must sit above it, or the poll re-folds forever)
-    def check = ArtifactMaintainer.countedGramCompactDue(spark, path, maxRows = 8L)
+    // due check's remembered floor keeps the poll quiet there). ONE
+    // instance across polls, the documented usage.
+    val check = ArtifactMaintainer.countedGramCompactDue(spark, path, maxRows = 8L)
     val rep = maint.maintainIfDue(Seq(check))
     assert(rep.isDefined, "raw counted log did not trip the fold budget")
     assert(rep.get.tasks.head.name.startsWith("gramsc_fold:"),
@@ -191,6 +192,31 @@ class Round17OpsSpec extends AnyFunSuite with SharedSpark {
     // ...and a fresh stamp removes them
     assert(S.decrementCounted(doc, "text", "doc_id", path, stampId = -10L) > 0L)
     assert(S.countedLive(spark, path).count() == 0L)
+  }
+
+  test("file-layout compaction carries the counted index's _docs registry " +
+    "subdir (admission and removal semantics survive an OPTIMIZE)") {
+    import spark.implicits._
+    val path = s"${tmpDir("r17_layout")}/grams_counted"
+    def live() = S.countedLive(spark, path).collect().map(_.getLong(0)).toSet
+    val doc1 = Seq((1L, tA)).toDF("doc_id", "text")
+    S.appendToIndexCounted(doc1, "text", "doc_id", path, k = 8, stampId = 0L)
+    val aSet = live() // doc1's grams
+    S.appendToIndexCounted(Seq((2L, tB)).toDF("doc_id", "text"),
+      "text", "doc_id", path, k = 8, stampId = 1L)
+    val liveBefore = live()
+    val (fb, fa) = graft.sources.ArtifactCompaction.compactFiles(spark, path,
+      targetFiles = 1)
+    assert(fb > fa, s"layout fixture never had file debt ($fb -> $fa)")
+    // rows + liveness unchanged by a pure layout rewrite
+    assert(live() == liveBefore)
+    // the registry survived: a re-delivery of a registered doc is
+    // still admission-dropped, and removal still decrements exactly
+    // doc1's ownership
+    assert(S.appendToIndexCounted(doc1, "text", "doc_id", path,
+      k = 8, stampId = 2L) == 0L)
+    assert(S.decrementCounted(doc1, "text", "doc_id", path, stampId = -3L) > 0L)
+    assert(live() == liveBefore.diff(aSet))
   }
 
   // ------------------------------------------------------------------

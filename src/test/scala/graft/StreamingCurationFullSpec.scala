@@ -236,6 +236,137 @@ class StreamingCurationFullSpec extends AnyFunSuite with SharedSpark {
     assert(metrics.last.bandIdxRows > metrics.head.bandIdxRows)
   }
 
+  test("countedGrams chain == plain chain on clean data (survivors, spans, live gram set)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val embDf = spark.read.parquet(s"$dir/embeddings.parquet")
+    val grams = StreamingDecontaminate.benchGrams(spark,
+      docsDf.filter(col("doc_id") % 50 === 3), "text", n = 3)
+    val benchIdx = StreamingSemDecontaminate.benchIndex(
+      embDf.filter(col("vec_id") % 50 === 3), dim = 64)
+
+    val all = docsDf.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text) =>
+        StreamingCuration.DocRecord(id, text, 1700000000000000L + id * 1000L) }
+    val (b1, rest) = all.splitAt(all.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    def runChain(counted: Boolean): String = {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(if (counted) "cur_cnt" else "cur_pln").toString
+      val stream = MemoryStream[StreamingCuration.DocRecord]
+      val query = graft.streaming.StreamingCurationFull.start(
+        stream.toDS(), docsDf, embDf, grams, benchIdx, stateDir,
+        checkpointDir = Some(s"$stateDir/ckpt"), countedGrams = counted)
+      try {
+        Seq(b1, b2, b3).foreach { b =>
+          stream.addData(b.toIndexedSeq); query.processAllAvailable()
+        }
+      } finally query.stop()
+      stateDir
+    }
+    val plainDir = runChain(counted = false)
+    val cntDir = runChain(counted = true)
+
+    def survivorsOf(d: String) = spark.read.parquet(s"$d/survivors")
+      .select("doc_id", "content_hash")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(survivorsOf(cntDir) == survivorsOf(plainDir) && survivorsOf(cntDir).nonEmpty)
+    def spansOf(d: String) = spark.read.parquet(s"$d/substr_spans")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(spansOf(cntDir) == spansOf(plainDir) && spansOf(cntDir).nonEmpty)
+    // the two strategies hold the SAME live gram set on clean data —
+    // and through different artifact kinds (flipping the flag over an
+    // existing stateDir refuses at the header seam)
+    val plainSet = StreamingSubstringDedup.readIndex(spark, s"$plainDir/grams")
+      .collect().map(_.getLong(0)).toSet
+    val cntSet = StreamingSubstringDedup.countedLive(spark, s"$cntDir/grams")
+      .collect().map(_.getLong(0)).toSet
+    assert(cntSet == plainSet && cntSet.nonEmpty)
+    intercept[Exception] {
+      StreamingSubstringDedup.indexFor(spark, s"$cntDir/grams", 8).count()
+    }
+  }
+
+  test("countedGrams chain: a forget between batches takes effect at the next " +
+    "batch's probe with NO rebuild (shared grams die only when every owner is forgotten)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // gate-passing synthetic corpus with globally unique vocabulary:
+    // 3 language markers (the/and/of = 3 marker hits, stop ratio
+    // ~0.09) + 33 nonsense tokens >= the 30-word floor
+    def doc(tag: String, extra: Seq[String] = Nil): String =
+      ("the and of" +: ((1 to (33 - extra.size)).map(i => s"${tag}tok$i") ++ extra))
+        .mkString(" ")
+    val span = (1 to 10).map(i => s"sptok$i")  // 10-token span -> 3 shared 8-gram windows
+    val vText = doc("v", span)                 // victim owns the span
+    val c1Text = doc("ca", span)               // batch-2 copy: shares ONLY the span
+    val c2Text = doc("cb", span)               // batch-3 copy, fresh vocab
+    val docTexts = Seq((5551L, vText), (5552L, c1Text), (5553L, c2Text))
+      .toDF("doc_id", "text")
+    // stage-4 static side: one unrelated embedding so the index is
+    // nonempty; none of the synthetic ids carries a vector
+    val emb = Seq((999999L, (1 to 64).map(_ => 0.1f))).toDF("vec_id", "embedding")
+    val grams = StreamingDecontaminate.benchGrams(spark,
+      docTexts.limit(0), "text", n = 3)
+    val benchIdx = StreamingSemDecontaminate.benchIndex(emb, dim = 64)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("cur_forget").toString
+    val stream = MemoryStream[StreamingCuration.DocRecord]
+    val query = graft.streaming.StreamingCurationFull.start(
+      stream.toDS(), docTexts, emb, grams, benchIdx, stateDir,
+      checkpointDir = Some(s"$stateDir/ckpt"), countedGrams = true)
+    def spansOf(id: Long): Map[Long, String] =
+      spark.read.parquet(s"$stateDir/substr_spans").filter(col("doc_id") === id)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    try {
+      stream.addData(StreamingCuration.DocRecord(5551L, vText, 1700000000000000L))
+      query.processAllAvailable()
+      // batch 2: low-jaccard copy passes near-dup, but its span is
+      // OWNED by the victim's live grams -> trimmed
+      stream.addData(StreamingCuration.DocRecord(5552L, c1Text, 1700000001000000L))
+      query.processAllAvailable()
+      assert(!spansOf(5552L)(5552L).contains("sptok5"),
+        s"span not deduped while its owner was live: ${spansOf(5552L)}")
+
+      // rights-removal BETWEEN batches, against the LIVE chain state:
+      // forget the victim AND the admitted copy (both own the span
+      // now — forgetting only one must keep the gram alive, so the
+      // full id set is the one that kills it). No rebuild: the gram
+      // surface settles via the O(deleted-docs) decrement.
+      val report = graft.operators.Forget.forgetDocuments(spark,
+        Seq(5551L, 5552L),
+        graft.operators.Forget.Targets(
+          bandIndexPath = Some(s"$stateDir/bands"),
+          winnerStorePath = Some(s"$stateDir/winners"),
+          gramIndexPath = Some(s"$stateDir/grams"),
+          removalStamp = Some(424242L)))
+      assert(report.gramDecrement.exists(_ > 0L), report.summary)
+      assert(report.gramRebuild.isEmpty, "counted path must not rebuild")
+
+      // batch 3: the span's grams are DEAD (every owner forgotten) —
+      // the copy keeps its full text, and admission re-registers it
+      stream.addData(StreamingCuration.DocRecord(5553L, c2Text, 1700000002000000L))
+      query.processAllAvailable()
+      assert(spansOf(5553L)(5553L).contains("sptok5"),
+        s"removed owners' grams still deduped the next batch: ${spansOf(5553L)}")
+    } finally query.stop()
+    // nothing of the forgotten docs is reachable anywhere: store and
+    // band index folded physically, gram ownership netted dead
+    assert(spark.read.parquet(s"$stateDir/winners")
+      .filter(col("doc_id").isin(5551L, 5552L)).count() == 0L)
+    assert(spark.read.parquet(s"$stateDir/bands")
+      .filter(col("doc_id").isin(5551L, 5552L)).count() == 0L)
+  }
+
   test("nearDupAgainstIndex over the grown index == nearDupAgainst recomputed") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val prior = docs.filter(col("doc_id") % 3 =!= 0).localCheckpoint()
