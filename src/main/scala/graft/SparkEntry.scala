@@ -2237,6 +2237,30 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
     }),
 
+    // forget over a ROTATED (PCA-composed) ANN artifact: the fold
+    // must carry the pcarot sidecar or the projecting probe refuses —
+    // and the probe here is made ORACLE-EXACT by construction:
+    // nprobe = every list and rerank >= the artifact makes the ADC
+    // stage a pure candidate enumeration of the FOLDED index (a
+    // leaked forgotten row would surface in the exact top-k and
+    // hash-mismatch), and the exact-cosine refine in the ORIGINAL
+    // space reduces the result to exact top-k over the surviving
+    // corpus — SQL-expressible with no eigen algebra in the oracle.
+    // A lifecycle-correctness gate, not a probe-efficiency one (the
+    // bounded-nprobe probe cost is q_ann_ivfpq's gate).
+    "q_forget_ann_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val prior = emb.filter(col("vec_id") % 3 =!= 0)
+      val path = runTmp("forget_annpca", dir)
+      Similarity.pcaIvfPqIndexWrite(prior, path, dim = 64, outDim = 32)
+      graft.operators.Forget.forgetDocuments(s,
+        prior.filter(col("vec_id") % 7 === 1).select("vec_id"),
+        graft.operators.Forget.Targets(annIndexPaths = Seq(path)))
+      Similarity.annPcaIvfPqRefineAt(s, path, prior,
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24),
+        k = 5, nprobe = 16, rerank = 1 << 20)
+    }),
+
     // the SQL face: FORGET DOCUMENTS drives the composition from a
     // predicate over the documents table (ids outside the artifact
     // fold as zero rows, by design — documents at some SFs outnumber
@@ -3718,6 +3742,26 @@ object SparkEntry {
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24",
       allowedWhere = "a.vec_id % 7 <> 1"),
+    // the rotated-artifact forget gate: with nprobe = all lists and
+    // rerank >= rows, the probe is exact top-5 cosine over the FOLDED
+    // (surviving) corpus — the ADC/rotation stages only pick WHICH
+    // rows can surface, so a fold leak or a lost pcarot sidecar still
+    // fails the gate while the oracle needs no eigen algebra
+    "q_forget_ann_pca" ->
+      """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id % 3 = 0 AND vec_id < 24),
+        |c AS (SELECT vec_id AS neighbor_id, v FROM ev WHERE vec_id % 3 <> 0 AND vec_id % 7 <> 1),
+        |s AS (SELECT q.query_id, c.neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))) AS score
+        |  FROM q, c)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank,
+        |  neighbor_id, round(score, 6) AS score
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5""".stripMargin,
     "q_sql_forget" -> annIvfPqOracleK(5,
       baseWhere = "vec_id % 3 <> 0",
       queryWhere = "vec_id % 3 = 0 AND vec_id < 24",

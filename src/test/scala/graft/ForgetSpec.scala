@@ -523,4 +523,37 @@ class ForgetSpec extends AnyFunSuite with SharedSpark {
     }
     assert(e.getMessage.contains("names no artifacts"), e.getMessage)
   }
+
+  test("forget folds a PCA-rotated ANN artifact: rotation sidecars survive the " +
+    "fold and the projecting probe answers cleanly (q_forget_ann_pca is the oracle gate)") {
+    val dir = tmpDir("forget_pca")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prior = emb.filter(col("vec_id") % 3 =!= 0)
+    val path = s"$dir/pca_idx"
+    Similarity.pcaIvfPqIndexWrite(prior, path, dim = 64, outDim = 32)
+    val victims = prior.filter(col("vec_id") % 7 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(victims.nonEmpty)
+    val report = Forget.forgetDocuments(spark, victims.toSeq,
+      Forget.Targets(annIndexPaths = Seq(path)))
+    // physical fold happened (tombstone -> fold in one sequenced call)
+    val (fb, fa) = report.annFolds(path)
+    assert(fb - fa == victims.size.toLong, s"fold $fb -> $fa vs ${victims.size} ids")
+    assert(Tombstones.count(spark, path) == 0L, "fold did not consume the sidecar")
+    // the pcarot sidecar rode through the fold's swap, baseline intact
+    val rot = graft.sources.ArtifactHeader.read(spark, path, "pcarot")
+    assert(rot.exists(kv => kv.contains("rotation") && kv.contains("capture_pm")),
+      s"pcarot sidecar lost or stripped: ${rot.map(_.keySet)}")
+    // the projecting probe (stored-rotation projection + header-trusted
+    // ADC) surfaces ONLY surviving neighbors
+    val res = Similarity.annPcaIvfPqProbeAt(spark, path,
+      emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 24), k = 5)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(res.nonEmpty && res.toSet.intersect(victims).isEmpty,
+      s"forgotten ids reachable through the rotated probe")
+    // idempotent re-run: no-match fold, artifact stable
+    val again = Forget.forgetDocuments(spark, victims.toSeq,
+      Forget.Targets(annIndexPaths = Seq(path)))
+    assert(again.annFolds(path)._1 == again.annFolds(path)._2)
+  }
 }
