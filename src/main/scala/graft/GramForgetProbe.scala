@@ -57,10 +57,16 @@ object GramForgetProbe {
       StreamingSubstringDedup.appendToIndexCounted(docs, "text", "doc_id",
         counted, k = 8, stampId = 0L))
 
-    // the removal set: a stride through the id space
-    val ids = docs.select("doc_id").orderBy("doc_id")
-      .limit(delDocs * 100).collect().map(_.getLong(0))
-      .grouped(100).map(_.head).take(delDocs).toArray
+    // three DISJOINT removal sets, strides through the id space: set 1
+    // drives the strategy comparison; sets 2 and 3 drive the
+    // registry-accounting rounds (pre vs post compaction)
+    val stride = math.max(1, math.min(100, (nDocs / (delDocs * 3)).toInt))
+    val allIds = docs.select("doc_id").orderBy("doc_id")
+      .limit(delDocs * 3 * stride).collect().map(_.getLong(0))
+      .grouped(stride).map(_.head).take(delDocs * 3).toArray
+    require(allIds.length == delDocs * 3,
+      s"corpus of $nDocs docs cannot seed 3 disjoint sets of $delDocs removals")
+    val Array(ids, ids2, ids3) = allIds.grouped(delDocs).toArray
     val deleted = spark.read.parquet(store)
       .filter(col("doc_id").isin(ids.map(java.lang.Long.valueOf): _*))
       .localCheckpoint()
@@ -89,6 +95,50 @@ object GramForgetProbe {
       s""""build_counted_sec":${f"$buildCounted%.2f"},""" +
       s""""decrement_sec":${f"$decSec%.2f"},""" +
       s""""rebuild_sec":${f"$rebSec%.2f"},"strategies_agree":true}""")
+
+    // REGISTRY ACCOUNTING: the decrement's honest shape is O(registry
+    // id-scan) + O(deleted grams) — the registry only NETS inside
+    // compactCounted, so the "flat" claim is pinned to its maintenance
+    // precondition here: registry/log rows and a same-size removal's
+    // wall measured before vs after the fold, at this corpus scale
+    def rowsAt(p: String): Long =
+      try spark.read.parquet(p).count() catch { case _: Exception => 0L }
+    def removalOf(set: Array[Long], stamp: Long): (Long, Double) = {
+      val frame = spark.read.parquet(store)
+        .filter(col("doc_id").isin(set.map(java.lang.Long.valueOf): _*))
+        .localCheckpoint()
+      val (n, sec) = time(StreamingSubstringDedup.decrementCounted(
+        frame, "text", "doc_id", counted, stampId = stamp))
+      (n, sec)
+    }
+    val regPre = rowsAt(s"$counted/_docs")
+    val logPre = rowsAt(counted)
+    val (_, decPreSec) = removalOf(ids2, -2L)
+    val ((logB, logA), compactSec) =
+      time(StreamingSubstringDedup.compactCounted(spark, counted))
+    val regPost = rowsAt(s"$counted/_docs")
+    val (_, decPostSec) = removalOf(ids3, -3L)
+    // truth preserved through removal -> compact -> removal: the live
+    // set still equals the surviving corpus's own gram derivation
+    val allDeleted = (ids ++ ids2 ++ ids3).map(java.lang.Long.valueOf)
+    val expected = graft.operators.Curation.gramTable(
+        spark.read.parquet(store).filter(!col("doc_id").isin(allDeleted: _*)),
+        "text", "doc_id", 8)._2
+      .select("h").distinct()
+    val liveNow = StreamingSubstringDedup.countedLive(spark, counted)
+    val drift = expected.join(liveNow, Seq("h"), "left_anti")
+      .unionByName(liveNow.join(expected, Seq("h"), "left_anti")).count()
+    require(drift == 0L,
+      s"registry accounting VIOLATION: live set drifted by $drift grams " +
+        "across removal -> compact -> removal")
+    println(s"""{"metric":"gram_forget_registry","copies":$copies,""" +
+      s""""registry_rows_pre_compact":$regPre,"log_rows_pre_compact":$logPre,""" +
+      s""""decrement_pre_compact_sec":${f"$decPreSec%.2f"},""" +
+      s""""compact_sec":${f"$compactSec%.2f"},""" +
+      s""""log_rows_fold":[$logB,$logA],""" +
+      s""""registry_rows_post_compact":$regPost,""" +
+      s""""decrement_post_compact_sec":${f"$decPostSec%.2f"},""" +
+      s""""live_set_matches_derivation":true}""")
     spark.stop()
   }
 }
