@@ -2221,6 +2221,39 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", k = 8)
     }),
 
+    // the counted strategy driven END-TO-END through the SQL face:
+    // WITH REMOVAL STAMP carries the removal REQUEST's own id into
+    // the decrement (the clause that remedies the byte-identical
+    // re-ingest refusal — decrementCounted names it in its error);
+    // same probe, same truth, same oracle as the Scala-face twins
+    "q_sql_forget_stamped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 5 =!= 0)
+      val bandPath = runTmp("sforgetc_band", dir)
+      val storePath = runTmp("sforgetc_store", dir)
+      val gramPath = runTmp("sforgetc_gram", dir)
+      Seq(bandPath, storePath, gramPath).foreach { pp =>
+        val p = new org.apache.hadoop.fs.Path(pp)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      }
+      graft.streaming.StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(prior.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        bandPath, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      prior.select("doc_id", "text").write.mode("overwrite").parquet(storePath)
+      graft.streaming.StreamingSubstringDedup.appendToIndexCounted(
+        prior, "text", "doc_id", gramPath, k = 8, stampId = 0L)
+      s.sql(s"FORGET DOCUMENTS FROM '$dir' " +
+        "WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1 " +
+        s"IN BAND INDEX '$bandPath' WITH WINNER STORE '$storePath' " +
+        s"IN GRAM INDEX '$gramPath' WITH REMOVAL STAMP 1").collect()
+      Curation.substringDedupAgainstIndex(
+        graft.streaming.StreamingSubstringDedup.countedLiveFor(s, gramPath, 8),
+        docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", k = 8)
+    }),
+
     // the ANN surface through the same verb (ann-only targets): the
     // forget call tombstones AND folds in one sequence, so the probe
     // answers from the physically-clean generation — shares
@@ -2910,6 +2943,10 @@ object SparkEntry {
     // the counted-ownership strategy answers from its live set — same
     // truth as the rebuild strategy, one oracle for both
     "q_forget_grams_counted" ->
+      substringIncOracle("doc_id % 5 <> 0 AND doc_id % 7 <> 1"),
+    // the SQL face with WITH REMOVAL STAMP removes the identical id
+    // set through the counted strategy — third gate on the same truth
+    "q_sql_forget_stamped" ->
       substringIncOracle("doc_id % 5 <> 0 AND doc_id % 7 <> 1"),
 
     // mirrors Curation.boilerplateStrip: same planted banner, same

@@ -112,6 +112,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *       [IN ANN INDEX '<path>']
   *       [IN BAND INDEX '<path>' [WITH WINNER STORE '<path>']]
   *       [IN GRAM INDEX '<path>']
+  *       [WITH REMOVAL STAMP <n>]
   *     -> Forget.forgetDocuments: rights-removal end-to-end — the
   *        doc ids the predicate admits over the documents table are
   *        tombstoned across every named artifact, folded physical
@@ -194,11 +195,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
   // first, fold indexes, rebuild the gram index from the surviving
   // corpus. Clauses are optional but at least one IN must be named;
   // WITH WINNER STORE rides the band-index clause (one family).
+  // WITH REMOVAL STAMP passes the removal REQUEST's own id through to
+  // the counted gram index's decrement (Targets.removalStamp): the
+  // one case that NEEDS it is a stampless (batch_id-less) winner
+  // store re-ingesting byte-identical content — the content-derived
+  // stamp then collides with the first removal's and decrementCounted
+  // refuses asking for exactly this clause.
   private val ForgetDocs =
     ("""(?is)\s*FORGET\s+DOCUMENTS\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)""" +
       """(?:\s+IN\s+ANN\s+INDEX\s+'([^']+)')?""" +
       """(?:\s+IN\s+BAND\s+INDEX\s+'([^']+)'(?:\s+WITH\s+WINNER\s+STORE\s+'([^']+)')?)?""" +
-      """(?:\s+IN\s+GRAM\s+INDEX\s+'([^']+)')?\s*;?\s*""").r
+      """(?:\s+IN\s+GRAM\s+INDEX\s+'([^']+)')?""" +
+      """(?:\s+WITH\s+REMOVAL\s+STAMP\s+(\d+))?\s*;?\s*""").r
   // prove-of-absence: same clause grammar as FORGET (minus the gram
   // index — content-addressed state proves absence by reconstruction,
   // not by scan), read-only, one row per surface
@@ -218,15 +226,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
   // expr()/analysis failure — catch it at the parse seam and name the
   // required order instead
   private val MisplacedClause =
-    """(?is)\bIN\s+(ANN|BAND|GRAM)\s+INDEX\b""".r
+    """(?is)\b(?:IN\s+(ANN|BAND|GRAM)\s+INDEX|WITH\s+(REMOVAL)\s+STAMP)\b""".r
   private def requireCleanPredicate(sqlText: String, verb: String,
                                     pred: String): Unit =
     MisplacedClause.findFirstMatchIn(pred).foreach { m =>
+      val clause =
+        if (m.group(1) != null) s"IN ${m.group(1).toUpperCase} INDEX"
+        else "WITH REMOVAL STAMP"
       throw parseError(sqlText,
-        s"$verb: clause 'IN ${m.group(1).toUpperCase} INDEX' appears out of " +
+        s"$verb: clause '$clause' appears out of " +
           "order (it was parsed as part of the WHERE predicate) — clauses " +
           "must follow the predicate in the fixed order IN ANN INDEX, " +
-          "IN BAND INDEX [WITH WINNER STORE], IN GRAM INDEX")
+          "IN BAND INDEX [WITH WINNER STORE], IN GRAM INDEX, " +
+          "WITH REMOVAL STAMP")
     }
 
   /** Graft statements run engine/IO code while parsing — surface any
@@ -481,7 +493,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       val (b, a) = graft.operators.Similarity.annTombstoneFold(session, path)
       Seq((b, a)).toDF("rows_before", "rows_after").queryExecution.logical
     }
-    case ForgetDocs(dir, pred, annPath, bandPath, storePath, gramPath) =>
+    case ForgetDocs(dir, pred, annPath, bandPath, storePath, gramPath, stamp) =>
       wrapGraft(sqlText) {
         import session.implicits._
         requireCleanPredicate(sqlText, "FORGET DOCUMENTS", pred)
@@ -497,7 +509,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
           annIndexPaths = Option(annPath).toSeq,
           bandIndexPath = Option(bandPath),
           winnerStorePath = Option(storePath),
-          gramIndexPath = Option(gramPath))
+          gramIndexPath = Option(gramPath),
+          removalStamp = Option(stamp).map(_.toLong))
         val r = graft.operators.Forget.forgetDocuments(session, ids, targets)
         Seq((r.nIds.toLong, r.summary)).toDF("forgotten", "report")
           .queryExecution.logical
@@ -539,7 +552,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
          BuildAnnIndex(_, _, _) | ProbeAnnIndex(_, _) |
          ProbeAnnIndexFiltered(_, _, _) | RebuildAnnIndex(_, _) |
          DeleteAnnIds(_, _, _) | VacuumAnnIndex(_) |
-         ForgetDocs(_, _, _, _, _, _) | AuditDocs(_, _, _, _, _) =>
+         ForgetDocs(_, _, _, _, _, _, _) | AuditDocs(_, _, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parseQuery(sqlText)
   }

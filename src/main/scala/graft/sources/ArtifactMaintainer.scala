@@ -283,15 +283,28 @@ object ArtifactMaintainer {
     * unfolded log exceeds `maxRows`. The count is parquet row-group
     * metadata (no column data read) — cheap enough to poll per batch.
     */
+  /** Raw row count of a delta-log artifact for a due check: 0 when
+    * the path is missing OR header-stamped but data-less (writers
+    * stamp via validateOrStamp BEFORE the first data write, so a
+    * zero-admission first batch legitimately leaves a header-only
+    * directory — a maintenance poll must read that as "nothing to
+    * fold", not throw schema-inference errors out of the poll loop).
+    */
+  private def rawRowCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) 0L
+    else
+      try spark.read.parquet(path).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+  }
+
   def deltaCompactDue(spark: SparkSession, path: String, keys: Seq[String],
                       merges: Map[String, org.apache.spark.sql.Column =>
                         org.apache.spark.sql.Column],
                       maxRows: Long): DueCheck =
     new DueCheck(s"delta_compact:${new org.apache.hadoop.fs.Path(path).getName}",
       () => {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-        val n = if (exists) spark.read.parquet(path).count() else 0L
+        val n = rawRowCount(spark, path)
         if (n > maxRows) Some(s"raw_rows=$n > budget $maxRows") else None
       },
       deltaCompactTask(spark, path, keys, merges))
@@ -337,9 +350,7 @@ object ArtifactMaintainer {
     val name = s"gramsc_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}"
     new DueCheck(name,
       () => {
-        val p = new org.apache.hadoop.fs.Path(indexPath)
-        val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-        val n = if (exists) spark.read.parquet(indexPath).count() else 0L
+        val n = rawRowCount(spark, indexPath)
         if (n > maxRows && n > (lastFolded * growthFactor).toLong)
           Some(s"raw_rows=$n > budget $maxRows" +
             (if (lastFolded > 0L) s" and > ${growthFactor}x last fold $lastFolded"

@@ -407,7 +407,12 @@ object StreamingSubstringDedup {
     */
   def compactCounted(spark: SparkSession, indexPath: String): (Long, Long) = {
     graft.sources.ArtifactHeader.required(spark, indexPath, "gramsc")
-    val raw = spark.read.parquet(indexPath)
+    // a header-stamped but data-less artifact is the legitimate state
+    // after a zero-admission first batch (validateOrStamp runs before
+    // the first data write) — nothing to fold, not a schema error
+    val raw =
+      try spark.read.parquet(indexPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => return (0L, 0L) }
     val before = raw.count()
     val deduped = graft.sources.DeltaLogCompaction.dedupeRetries(raw, Seq("h"))
       .localCheckpoint()

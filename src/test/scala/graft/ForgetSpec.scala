@@ -524,6 +524,71 @@ class ForgetSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("names no artifacts"), e.getMessage)
   }
 
+  test("FORGET DOCUMENTS ... WITH REMOVAL STAMP reaches the counted gram " +
+    "decrement, and IS the SQL remedy for the byte-identical re-ingest refusal") {
+    import spark.implicits._
+    val dir = tmpDir("sql_stamp")
+    val bandPath = s"$dir/band"
+    val storePath = s"$dir/winners"
+    val gramPath = s"$dir/gramsc"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val victim = 7L // % 3 == 1 -> prior side of the usual split
+    val prior = docs.filter(col("doc_id") < 60 && col("doc_id") % 3 =!= 0)
+      .coalesce(1).localCheckpoint()
+    def ingest(batch: DataFrame, stamp: Long): Unit = {
+      StreamingNearDup.appendToIndex(
+        Dedup.capBucket(
+          Dedup.bandKeys(batch.select(col("doc_id"), col("text").as("__text")),
+            shingleN = 3, bands = 6, rows = 2),
+          "band_key", "doc_id", 128),
+        bandPath, bucketCap = 128, stampParams = Some((3, 6, 2)))
+      batch.select("doc_id", "text").write.mode("append").parquet(storePath)
+      StreamingSubstringDedup.appendToIndexCounted(batch, "text", "doc_id",
+        gramPath, k = 8, stampId = stamp)
+    }
+    ingest(prior, 0L)
+    val victimRow = prior.filter(col("doc_id") === victim).localCheckpoint()
+    assert(victimRow.count() === 1L)
+    def forgetSql(stamp: Long): String =
+      s"FORGET DOCUMENTS FROM '/root/testdata/sf0.001' WHERE doc_id = $victim " +
+        s"IN BAND INDEX '$bandPath' WITH WINNER STORE '$storePath' " +
+        s"IN GRAM INDEX '$gramPath' WITH REMOVAL STAMP $stamp"
+    val out = spark.sql(forgetSql(41L)).collect()
+    assert(out.head.getLong(0) === 1L)
+    // the stamp reached the COUNTED path: the report carries the
+    // decrement accounting, not a rebuild
+    assert(out.head.getString(1).contains("owner counts"), out.head.getString(1))
+    assert(spark.read.parquet(storePath)
+      .filter(col("doc_id") === victim).count() === 0L)
+    // byte-identical re-ingest (stampless store: the content-derived
+    // stamp would now collide — the residual the clause exists for)
+    ingest(victimRow, 1L)
+    // reusing the COMPLETED removal's stamp refuses with the remedy named
+    val e3 = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(forgetSql(41L)).collect()
+    }
+    assert(e3.getMessage.contains("FRESH stamp"), e3.getMessage)
+    // ...and a fresh stamp completes the second removal end-to-end
+    val out2 = spark.sql(forgetSql(42L)).collect()
+    assert(out2.head.getString(1).contains("owner counts"), out2.head.getString(1))
+    assert(spark.read.parquet(storePath)
+      .filter(col("doc_id") === victim).count() === 0L)
+    // victim's ownership is gone from the live gram set again: its
+    // grams equal the first removal's delta, so live == post-first-forget
+    // (proved indirectly: re-registering is allowed again)
+    assert(StreamingSubstringDedup.appendToIndexCounted(victimRow,
+      "text", "doc_id", gramPath, k = 8, stampId = 2L) > 0L)
+    // a misplaced stamp clause fails at parse naming the fixed order
+    val e4 = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"FORGET DOCUMENTS FROM '/root/testdata/sf0.001' " +
+        s"WHERE doc_id = $victim WITH REMOVAL STAMP 9 " +
+        s"IN BAND INDEX '$bandPath' WITH WINNER STORE '$storePath'")
+    }
+    assert(e4.getMessage.contains("WITH REMOVAL STAMP"), e4.getMessage)
+    assert(e4.getMessage.contains("out of order"), e4.getMessage)
+  }
+
   test("forget folds a PCA-rotated ANN artifact: rotation sidecars survive the " +
     "fold and the projecting probe answers cleanly (q_forget_ann_pca is the oracle gate)") {
     val dir = tmpDir("forget_pca")

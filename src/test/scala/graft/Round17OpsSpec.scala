@@ -128,6 +128,29 @@ class Round17OpsSpec extends AnyFunSuite with SharedSpark {
       "retried removal decremented again after the fold")
   }
 
+  test("a header-stamped but data-less counted artifact is quiet maintenance: " +
+    "the due check reads zero rows, compactCounted no-ops, appends still land") {
+    import spark.implicits._
+    val path = s"${tmpDir("r17_gramsc_empty")}/grams_counted"
+    // a zero-admission first batch stamps the header BEFORE any data
+    // write — the legitimate empty state a maintenance poll must
+    // survive (previously: AnalysisException out of the poll loop)
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(S.appendToIndexCounted(none, "text", "doc_id", path,
+      k = 8, stampId = 0L) === 0L)
+    assert(graft.sources.ArtifactHeader.read(spark, path, "gramsc").isDefined,
+      "empty first batch did not stamp the header")
+    val maint = new ArtifactMaintainer()
+    val check = ArtifactMaintainer.countedGramCompactDue(spark, path, maxRows = 0L)
+    assert(maint.maintainIfDue(Seq(check)).isEmpty,
+      "header-only artifact tripped (or crashed) the due poll")
+    assert(S.compactCounted(spark, path) === ((0L, 0L)))
+    // the artifact is still writable and liveness flows normally
+    assert(S.appendToIndexCounted(Seq((1L, tA)).toDF("doc_id", "text"),
+      "text", "doc_id", path, k = 8, stampId = 1L) > 0L)
+    assert(S.countedLive(spark, path).count() > 0L)
+  }
+
   // ------------------------------------------------------------------
   // stamp-reuse refusals
   // ------------------------------------------------------------------
