@@ -819,7 +819,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       // fused single-scan gate: lang + quality thresholds in one
       // projection — 1 corpus read instead of 3
-      val eligible = TextAnalysis.curationGate(docs, "text", "doc_id",
+      // the gate's tokenize/marker/stopword projection is the heavy
+      // pre-shuffle map stage — spread a too-few-splits scan first
+      // (no-op on production multi-split inputs)
+      val eligible = TextAnalysis.curationGate(
+        Par.spread(docs.select(col("doc_id"), col("text"))), "text", "doc_id",
         minMarkers = 3, minWords = 30, maxStopRatio = 0.3)
       Dedup.exact(eligible, "text", "doc_id")
         .select(col("keep_id").as("doc_id"), col("content_hash"))
@@ -833,7 +837,11 @@ object SparkEntry {
     "q_curation_full" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // fused single-scan gate (lang + quality in one projection)
-      val eligible = TextAnalysis.curationGate(docs, "text", "doc_id",
+      // the gate's tokenize/marker/stopword projection is the heavy
+      // pre-shuffle map stage — spread a too-few-splits scan first
+      // (no-op on production multi-split inputs)
+      val eligible = TextAnalysis.curationGate(
+        Par.spread(docs.select(col("doc_id"), col("text"))), "text", "doc_id",
         minMarkers = 3, minWords = 30, maxStopRatio = 0.3)
       // winners feeds BOTH the near-dup candidate generation and the
       // final anti-join — checkpoint once or the gate + exact-dedup
@@ -858,7 +866,11 @@ object SparkEntry {
     // which is the pipeline's self-cleaning property
     "q_curation_full2" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val eligible = TextAnalysis.curationGate(docs, "text", "doc_id",
+      // the gate's tokenize/marker/stopword projection is the heavy
+      // pre-shuffle map stage — spread a too-few-splits scan first
+      // (no-op on production multi-split inputs)
+      val eligible = TextAnalysis.curationGate(
+        Par.spread(docs.select(col("doc_id"), col("text"))), "text", "doc_id",
         minMarkers = 3, minWords = 30, maxStopRatio = 0.3)
       val winners = Dedup.exact(eligible, "text", "doc_id")
         .select(col("keep_id").as("doc_id"), col("content_hash"))
@@ -2092,9 +2104,14 @@ object SparkEntry {
       val bits = Par.bloomBits(sup, "s_suppkey")
       val dimKeys = sup.select(col("s_suppkey").as("k")).distinct()
         .withColumn("__in", lit(1L))
-      t(s, dir, "lineitem")
-        .select(col("l_suppkey").as("k"),
-          expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))").as("rev"))
+      // the fact side pays 3 md5 probes per row — spread a
+      // too-few-splits scan (single-row-group testdata) across the
+      // cluster first; no-op on production multi-split inputs, and the
+      // projection is already cut to two columns so the exchange ships
+      // the minimum
+      Par.spread(t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("k"),
+            expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))").as("rev")))
         .withColumn("__pass", Par.bloomMightContain(bits, col("k")))
         .join(broadcast(dimKeys), Seq("k"), "left")
         .agg(count(lit(1)).as("n_fact"),

@@ -41,8 +41,11 @@ object Curation {
                     textCol: String, idCol: String, n: Int = 3): DataFrame = {
     val testGrams = testSet
       .select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
-    corpus
-      .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("g"))
+    // the corpus-side shingle explode + broadcast probe is pure map
+    // work — spread a too-few-splits scan across the cluster first
+    // (no-op on production multi-split inputs)
+    Par.spread(corpus.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("g"))
       .join(broadcast(testGrams), Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_overlap"))
@@ -506,7 +509,12 @@ object Curation {
     */
   def boilerplateStrip(docs: DataFrame, textCol: String, idCol: String,
                        chunkWords: Int = 10, maxDocFreq: Long = 5L): DataFrame = {
-    val chunked = chunkRows(docs, textCol, idCol, chunkWords)
+    // tokenize + chunk-slice + posexplode runs pre-shuffle — spread a
+    // too-few-splits scan across the cluster first (no-op on
+    // production multi-split inputs); covers BOTH consumers below
+    // (the chunk table and the per-doc n_chunks recount)
+    val spreadDocs = Par.spread(docs.select(col(idCol), col(textCol)))
+    val chunked = chunkRows(spreadDocs, textCol, idCol, chunkWords)
     val freq = chunked.select(col("chunk"), col("doc_id")).distinct()
       .groupBy("chunk").agg(count(lit(1)).as("chunk_df"))
     val kept = chunked.join(freq, "chunk").filter(col("chunk_df") <= maxDocFreq)
@@ -515,7 +523,7 @@ object Curation {
       array_join(transform(
         array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
         x => x.getField("chunk")), " ").as("kept_text"))
-    docs.select(col(idCol).as("doc_id"), nChunksCol(textCol, chunkWords).as("n_chunks"))
+    spreadDocs.select(col(idCol).as("doc_id"), nChunksCol(textCol, chunkWords).as("n_chunks"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

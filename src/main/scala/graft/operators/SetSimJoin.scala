@@ -49,10 +49,16 @@ object SetSimJoin {
     verifyStage(cand, setsStage(tok), tauNum, tauDen)
   }
 
-  /** Distinct (doc_id, word) token stream. */
+  /** Distinct (doc_id, word) token stream. The tokenize+explode is
+    * the join's one map-heavy pre-shuffle stage and feeds three
+    * consumers — spread a too-few-splits scan (single-row-group
+    * files) across the cluster first; no-op on production
+    * multi-split inputs.
+    */
   private[graft] def tokStage(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(Dedup.tokens(col(textCol))).as("word")).distinct()
+    Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("word")).distinct()
 
   /** Prefix-token table (doc_id, word, rn, s): each doc's tokens in
     * the global rarest-first order, kept only within the standalone

@@ -332,9 +332,14 @@ object Sketches {
     */
   private def kmvItems(docs: DataFrame, textCol: String, strataCol: String,
                        shingleN: Int): DataFrame =
-    docs.select(col(strataCol).as("source"),
-      explode(if (shingleN > 0) Dedup.shingles(col(textCol), shingleN)
-              else Dedup.tokens(col(textCol))).as("word"))
+    // the shingle/token explode + md5 downstream is the sketch's one
+    // map-heavy stage — spread it across the cluster when the scan
+    // produced fewer splits than slots (single-row-group files);
+    // no-op on production multi-split inputs
+    Par.spread(docs.select(col(strataCol).as("source"), col(textCol)))
+      .select(col("source"),
+        explode(if (shingleN > 0) Dedup.shingles(col(textCol), shingleN)
+                else Dedup.tokens(col(textCol))).as("word"))
 
   def kmvSketch(docs: DataFrame, textCol: String, strataCol: String,
                 k: Int = 256, shingleN: Int = 0): DataFrame = {

@@ -37,7 +37,10 @@ object Triangles {
     // (slim id pairs) instead of re-deriving the upstream pipeline per
     // consumer (un-checkpointed, the physical plan re-scans the source
     // 30x). Blocks are freed by the session owner (CheckpointHygiene).
-    val und = edges
+    // the caller's edge derivation (json extraction, hashing) rides
+    // in this first pre-shuffle stage — spread a too-few-splits scan
+    // across the cluster (no-op on production multi-split inputs)
+    val und = graft.operators.Par.spread(edges)
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
