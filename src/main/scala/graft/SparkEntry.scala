@@ -1295,6 +1295,11 @@ object SparkEntry {
     "q_ann_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val path = runTmp("ann_delete", dir)
+      // this gate leaves its tombstones LIVE (that is what it tests),
+      // so a later pass's build-over-existing would refuse — start
+      // each pass from a clean path
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
       Similarity.annIndexDeleteAt(s, path,
         emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 1)
@@ -1328,6 +1333,10 @@ object SparkEntry {
     "q_ann_sq_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val path = runTmp("ann_sq_delete", dir)
+      // tombstones stay live here (the gate's point) — clean the path
+      // so a later pass's build-over-existing does not refuse
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       Similarity.ivfSqIndexWrite(emb.filter(col("vec_id") % 3 =!= 0), path, dim = 64)
       Similarity.annIndexDeleteAt(s, path,
         emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 1)

@@ -1561,6 +1561,13 @@ object Similarity {
                       codebooks: Option[Array[Array[Array[Double]]]] = None,
                       residual: Boolean = false): Long = {
     val spark = embeddings.sparkSession
+    // a build over an EXISTING artifact is a rebuild in disguise: the
+    // overwrite clears every sidecar, so a LIVE tombstone set (a
+    // pending rights-removal) would vanish while the caller's corpus
+    // re-encodes the deleted rows — the resurrection the rebuild verbs
+    // refuse. Same contract here: fold first.
+    requireNoTombstones(spark, indexPath,
+      "ivfPqIndexWrite (build over an existing artifact)")
     val (cents, cbs) = ivfPqResolve(dim, lists, m, codes, centroids, codebooks)
     ivfPqIndex(embeddings, dim, lists, m, codes, idCol, vecCol, Some(cents), Some(cbs),
         residual)
@@ -2476,6 +2483,11 @@ object Similarity {
                       bounds: Option[(Array[Double], Array[Double])] = None,
                       trainSample: Int = 0, trainFraction: Double = 0.0): Long = {
     val spark = embeddings.sparkSession
+    // the ivfPqIndexWrite contract: building over an existing artifact
+    // with live tombstones would discard a pending rights-removal and
+    // re-encode the deleted rows — fold first
+    requireNoTombstones(spark, indexPath,
+      "ivfSqIndexWrite (build over an existing artifact)")
     val cents = centroids.getOrElse(Array.tabulate(lists)(c => ivfCentroidSql(c, dim)))
     val (vmin, vmax) = bounds.getOrElse(
       sqTrainBounds(embeddings, dim, idCol, vecCol, trainSample, trainFraction))
@@ -3381,6 +3393,11 @@ object Similarity {
     require(outDim % m == 0,
       s"outDim=$outDim must split into m=$m equal PQ subspaces")
     val spark = embeddings.sparkSession
+    // refuse BEFORE the covariance/eigen training, not after —
+    // ivfPqIndexWrite would refuse anyway, but only once the
+    // expensive solve is already paid
+    requireNoTombstones(spark, indexPath,
+      "pcaIvfPqIndexWrite (build over an existing artifact)")
     val cov = covarianceMatrix(embeddings, dim, idCol, vecCol,
       trainSample, trainFraction)
     val rot = jacobiEigen(cov)._2.take(outDim)
@@ -3914,6 +3931,11 @@ object Similarity {
         "reconstruction of the rotated vectors; residual encoding quantizes " +
         "against coarse centroids the Procrustes step does not model — use " +
         "OPQ_P (refineIters = 0) with residual = true")
+    // refuse BEFORE the covariance/eigen/alternating training (the
+    // ivfPqIndexWrite guard would fire anyway, but only after the
+    // expensive solve is paid)
+    requireNoTombstones(spark, indexPath,
+      "opqIvfPqIndexWrite (build over an existing artifact)")
     val cov = covarianceMatrix(embeddings, dim, idCol, vecCol,
       trainSample, trainFraction)
     val (eigs, eigRows) = jacobiEigen(cov)

@@ -589,6 +589,38 @@ class ForgetSpec extends AnyFunSuite with SharedSpark {
     assert(e4.getMessage.contains("out of order"), e4.getMessage)
   }
 
+  test("index BUILD verbs refuse a live tombstone set: a retrain-in-place must " +
+    "not discard a pending rights-removal (fold first, then build)") {
+    val dir = tmpDir("build_tomb")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pqPath = s"$dir/ann_pq"
+    val sqPath = s"$dir/ann_sq"
+    Similarity.ivfPqIndexWrite(emb, pqPath, dim = 64)
+    Similarity.ivfSqIndexWrite(emb, sqPath, dim = 64)
+    Similarity.annIndexDeleteAt(spark, pqPath, Seq(3L, 6L))
+    Similarity.annIndexDeleteAt(spark, sqPath, Seq(3L, 6L))
+    // the in-place overwrite would clear the tombstone sidecar while
+    // re-encoding the deleted rows from the caller's corpus — refuse
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexWrite(emb, pqPath, dim = 64)
+    }
+    assert(e1.getMessage.contains("Fold first"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfSqIndexWrite(emb, sqPath, dim = 64)
+    }
+    assert(e2.getMessage.contains("Fold first"), e2.getMessage)
+    // the composed builders refuse EARLY, before paying the
+    // covariance/eigen training
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pcaIvfPqIndexWrite(emb, pqPath, dim = 64, outDim = 32)
+    }
+    assert(e3.getMessage.contains("pcaIvfPqIndexWrite"), e3.getMessage)
+    // folding the removal physical makes a rebuild-in-place legal again
+    Similarity.annTombstoneFold(spark, pqPath)
+    assert(Similarity.ivfPqIndexWrite(emb, pqPath, dim = 64) > 0L)
+  }
+
   test("forget folds a PCA-rotated ANN artifact: rotation sidecars survive the " +
     "fold and the projecting probe answers cleanly (q_forget_ann_pca is the oracle gate)") {
     val dir = tmpDir("forget_pca")
