@@ -243,6 +243,26 @@ class Round17OpsSpec extends AnyFunSuite with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // spread: single-row-group armor, no-op at scale
+  // ------------------------------------------------------------------
+
+  test("Par.spread is an IDENTITY on well-split inputs (zero added exchange " +
+    "at scale) and engages only on too-few-splits scans") {
+    import spark.implicits._
+    val df = (1 to 1000).toDF("x").repartition(16)
+    // enough splits: the SAME frame comes back — no plan change at all
+    assert(graft.operators.Par.spread(df) eq df)
+    // a single-partition frame (the single-row-group parquet shape)
+    // gains the round-robin exchange up to the cluster's slot count
+    val one = (1 to 1000).toDF("x").coalesce(1)
+    val spreadOne = graft.operators.Par.spread(one)
+    assert(spreadOne ne one)
+    assert(spreadOne.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(spreadOne.collect().map(_.getInt(0)).sorted.toSeq == (1 to 1000))
+  }
+
+  // ------------------------------------------------------------------
   // parser clause order
   // ------------------------------------------------------------------
 
