@@ -217,11 +217,16 @@ object CurationStreamProbe {
           }
           deleted ++= ids
         }
-        if (counted && i == 0 && countedCheck.isEmpty)
+        if (counted && i == 0 && countedCheck.isEmpty) {
+          // batch 0 can legitimately admit nothing: the artifact is
+          // then header-only and unreadable as parquet — budget from 0
+          val rows0 =
+            try spark.read.parquet(s"$stateDir/grams").count()
+            catch { case _: org.apache.spark.sql.AnalysisException => 0L }
           countedCheck = Some(graft.sources.ArtifactMaintainer
             .countedGramCompactDue(spark, s"$stateDir/grams",
-              maxRows = math.max(256L,
-                spark.read.parquet(s"$stateDir/grams").count() * 3L)))
+              maxRows = math.max(256L, rows0 * 3L)))
+        }
         tombLive += graft.sources.Tombstones.count(spark, s"$stateDir/bands")
         batchWalls += (System.nanoTime() - t0) / 1e9
         touched += {

@@ -229,7 +229,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\b(?:IN\s+(ANN|BAND|GRAM)\s+INDEX|WITH\s+(REMOVAL)\s+STAMP)\b""".r
   private def requireCleanPredicate(sqlText: String, verb: String,
                                     pred: String): Unit =
-    MisplacedClause.findFirstMatchIn(pred).foreach { m =>
+    // blank out quoted string literals first: a predicate like
+    // text LIKE '%IN GRAM INDEX%' is legal and must not read as a
+    // misplaced clause
+    MisplacedClause.findFirstMatchIn(pred.replaceAll("'[^']*'", "''")).foreach { m =>
       val clause =
         if (m.group(1) != null) s"IN ${m.group(1).toUpperCase} INDEX"
         else "WITH REMOVAL STAMP"

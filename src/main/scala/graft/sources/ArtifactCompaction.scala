@@ -136,7 +136,10 @@ object ArtifactCompaction {
     // drop it
     fs.listStatus(p).filter { s =>
       val n = s.getPath.getName
-      n.startsWith("_") && n != "_SUCCESS"
+      // never the writer's own _SUCCESS, and never a crashed write's
+      // _temporary staging dir — carrying that would embed dead bytes
+      // in every future generation
+      n.startsWith("_") && n != "_SUCCESS" && !n.startsWith("_temporary")
     }.foreach { s =>
       FileUtil.copy(fs, s.getPath, fs, new Path(tmp, s.getPath.getName), false, conf)
     }

@@ -309,23 +309,6 @@ object ArtifactMaintainer {
       },
       deltaCompactTask(spark, path, keys, merges))
 
-  /** Stamp-preserving fold of a COUNTED gram index
-    * ([[graft.streaming.StreamingSubstringDedup.compactCounted]])
-    * under the window contract. The GENERIC [[deltaCompactTask]]
-    * refuses a gramsc-stamped path by design (its net-per-key rewrite
-    * would erase removal stamps — turning a crash-retried forget into
-    * a second decrement — and destroy the `_docs` registry subdir);
-    * this task is the one that folds it soundly: ingest side netted,
-    * removal rows preserved verbatim, registry netted under the same
-    * rule, verify-before-swap.
-    */
-  def countedGramCompactTask(spark: SparkSession, indexPath: String): Task =
-    Task(s"gramsc_fold:${new org.apache.hadoop.fs.Path(indexPath).getName}") { () =>
-      val (rb, ra) =
-        graft.streaming.StreamingSubstringDedup.compactCounted(spark, indexPath)
-      s"rows $rb -> $ra"
-    }
-
   /** [[deltaCompactDue]]'s trigger shape for the counted gram log:
     * due when the raw (unfolded) log exceeds `maxRows` — probe cost
     * ([[graft.streaming.StreamingSubstringDedup.countedLive]]'s

@@ -258,45 +258,70 @@ object StreamingSubstringDedup {
       .localCheckpoint()
     val deltas = ownerDeltas(admitted, textCol, idCol, k, 1, stampId)
       .localCheckpoint()
-    val n = deltas.count()
-    if (n > 0) {
-      // stamp-collision detector: rows already logged under this stamp
-      // are legitimate ONLY for a crash-retry of this same batch, in
-      // which case the re-derived rows are IDENTICAL — any symmetric
-      // difference means two different batches share a stamp, and the
-      // read-time retry collapse would silently lose owner counts.
-      // One batch_id-pushdown scan of the log slice, O(stamp's rows).
-      val existing = readDeltaRaw(spark, indexPath, "h")
-        .filter(col("batch_id") === stampId).select("h", "delta")
-        .localCheckpoint()
-      val isRetry = existing.count() > 0L
-      if (isRetry) {
-        val fresh = deltas.select("h", "delta")
-        val collides = existing.join(fresh, Seq("h", "delta"), "left_anti")
-          .unionByName(fresh.join(existing, Seq("h", "delta"), "left_anti"))
-          .limit(1).count() > 0L
-        require(!collides,
-          s"appendToIndexCounted: stamp $stampId already logged at $indexPath " +
-            "with DIFFERENT gram rows — two batches are sharing one stamp, which " +
-            "would silently collapse their owner counts at read. Pass a " +
-            "per-batch-unique stamp (the checkpointed micro-batch id).")
-        // identical rows present -> this IS the crash-retry; the grams
-        // are already durable, fall through to (re-)write the registry
-        // half the crash may have lost
-      }
-      else deltas.coalesce(1).write.mode("append")
-        .option("compression", "zstd").parquet(indexPath)
-      graft.plans.CheckpointHygiene.free(existing)
-    }
-    val reg = admitted.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .withColumn("delta", lit(1L)).withColumn("batch_id", lit(stampId))
+    val existing = readDeltaRaw(spark, indexPath, "h")
+      .filter(col("batch_id") === stampId).select("h", "delta")
       .localCheckpoint()
-    if (reg.count() > 0)
-      reg.coalesce(1).write.mode("append")
-        .option("compression", "zstd").parquet(docsRegistryPath(indexPath))
-    graft.plans.CheckpointHygiene.free(admitted, deltas, reg)
-    n
+    try {
+      val n = deltas.count()
+      if (n > 0) {
+        // stamp-collision detector: rows already logged under this stamp
+        // are legitimate ONLY for a crash-retry of this same batch, in
+        // which case the re-derived rows are IDENTICAL — any symmetric
+        // difference means two different batches share a stamp, and the
+        // read-time retry collapse would silently lose owner counts.
+        // One batch_id-pushdown scan of the log slice, O(stamp's rows).
+        val isRetry = existing.count() > 0L
+        if (isRetry) {
+          val fresh = deltas.select("h", "delta")
+          val collides = existing.join(fresh, Seq("h", "delta"), "left_anti")
+            .unionByName(fresh.join(existing, Seq("h", "delta"), "left_anti"))
+            .limit(1).count() > 0L
+          require(!collides,
+            s"appendToIndexCounted: stamp $stampId already logged at $indexPath " +
+              "with DIFFERENT gram rows — two batches are sharing one stamp, which " +
+              "would silently collapse their owner counts at read. Pass a " +
+              "per-batch-unique stamp (the checkpointed micro-batch id).")
+          // identical rows present -> this IS the crash-retry; the grams
+          // are already durable, fall through to (re-)write the registry
+          // half the crash may have lost
+        }
+        else if (stampId > foldedThroughOf(spark, indexPath))
+          deltas.coalesce(1).write.mode("append")
+            .option("compression", "zstd").parquet(indexPath)
+        // else: FOLDED crash-retry. compactCounted nets the ingest side
+        // to batch_id NULL (per-batch stamps are erased) and records the
+        // max ingest stamp it folded in the gramsc_fold watermark — a
+        // stamp at or below it with no surviving rows means this batch's
+        // gram write landed and was folded before the retry ran (a
+        // micro-batch must commit before the next starts, so the folded
+        // max can only reach this stamp through this batch's own write).
+        // A second append would double the owner counts the retry
+        // collapse can no longer see — skip the gram write, still repair
+        // the registry half below.
+      }
+      val reg = admitted.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .withColumn("delta", lit(1L)).withColumn("batch_id", lit(stampId))
+        .localCheckpoint()
+      if (reg.count() > 0)
+        reg.coalesce(1).write.mode("append")
+          .option("compression", "zstd").parquet(docsRegistryPath(indexPath))
+      graft.plans.CheckpointHygiene.free(reg)
+      n
+    } finally {
+      // refusal paths above throw BEFORE the frees — release the
+      // checkpointed blocks on every exit, not just success
+      graft.plans.CheckpointHygiene.free(admitted, deltas, existing)
+    }
   }
+
+  /** The fold watermark: the highest ingest stamp whose rows a
+    * [[compactCounted]] has netted into stampless (batch_id NULL)
+    * rows; -1 when no fold ever ran. Appends consult it to recognize
+    * a crash-retry whose original write was folded away.
+    */
+  private def foldedThroughOf(spark: SparkSession, indexPath: String): Long =
+    graft.sources.ArtifactHeader.read(spark, indexPath, "gramsc_fold")
+      .flatMap(_.get("folded_through")).map(_.toLong).getOrElse(-1L)
 
   /** Remove gram ownership (-): the O(deleted-docs) forget step.
     * Restricted to docs that ARE registered-live — a caller handing a
@@ -321,41 +346,95 @@ object StreamingSubstringDedup {
         registeredLive(spark, indexPath).withColumnRenamed("doc_id", idCol),
         Seq(idCol), "left_semi")
       .localCheckpoint()
-    // completed-removal detector: registry rows land LAST in this
-    // verb, so an unregister row already logged under THIS stamp means
-    // a prior removal at this stamp ran to completion — and the doc
-    // being registered-LIVE again means it was re-ingested since. This
-    // call is then a SECOND removal whose gram/registry rows would
-    // dedupe against the first's and silently no-op on the gram
-    // surface alone (the Forget residual: a stampless store
-    // re-ingesting byte-identical content re-derives the same content
-    // stamp). Refuse loudly instead of relying on the caller having
-    // read that comment. A crash-retry of an UNFINISHED removal never
-    // trips this — its registry rows were not yet written.
-    val reusedOnLive = readDeltaRaw(spark, docsRegistryPath(indexPath), "doc_id")
-      .filter(col("batch_id") === stampId)
-      .join(registered.select(col(idCol).cast("long").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .limit(1).count() > 0L
-    require(!reusedOnLive,
-      s"decrementCounted: removal stamp $stampId already COMPLETED a removal " +
-        s"of document(s) that are registered-live again at $indexPath — the " +
-        "doc was re-ingested since, and this second removal's rows would " +
-        "dedupe against the first's into a silent no-op. Pass a FRESH stamp " +
-        "(forgetDocuments: set removalStamp to the removal request's own id).")
+    val regAtStamp = readDeltaRaw(spark, docsRegistryPath(indexPath), "doc_id")
+      .filter(col("batch_id") === stampId).select("doc_id")
+      .localCheckpoint()
     val deltas = ownerDeltas(registered, textCol, idCol, hdr("k").toInt,
       -1, stampId).localCheckpoint()
-    val n = deltas.count()
-    if (n > 0) deltas.coalesce(1).write.mode("append")
-      .option("compression", "zstd").parquet(indexPath)
-    val reg = registered.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .withColumn("delta", lit(-1L)).withColumn("batch_id", lit(stampId))
+    val existing = readDeltaRaw(spark, indexPath, "h")
+      .filter(col("batch_id") === stampId).select("h", "delta")
       .localCheckpoint()
-    if (reg.count() > 0)
-      reg.coalesce(1).write.mode("append")
-        .option("compression", "zstd").parquet(docsRegistryPath(indexPath))
-    graft.plans.CheckpointHygiene.free(registered, deltas, reg)
-    n
+    try {
+      val thisDocs = registered.select(col(idCol).cast("long").as("doc_id"))
+      // completed-removal detector: registry rows land LAST in this
+      // verb, so an unregister row already logged under THIS stamp means
+      // a prior removal at this stamp ran to completion — and the doc
+      // being registered-LIVE again means it was re-ingested since. This
+      // call is then a SECOND removal whose gram/registry rows would
+      // dedupe against the first's and silently no-op on the gram
+      // surface alone (the Forget residual: a stampless store
+      // re-ingesting byte-identical content re-derives the same content
+      // stamp). Refuse loudly instead of relying on the caller having
+      // read that comment. A crash-retry of an UNFINISHED removal never
+      // trips this — its registry rows were not yet written.
+      val reusedOnLive = regAtStamp.join(thisDocs, Seq("doc_id"), "left_semi")
+        .limit(1).count() > 0L
+      require(!reusedOnLive,
+        s"decrementCounted: removal stamp $stampId already COMPLETED a removal " +
+          s"of document(s) that are registered-live again at $indexPath — the " +
+          "doc was re-ingested since, and this second removal's rows would " +
+          "dedupe against the first's into a silent no-op. Pass a FRESH stamp " +
+          "(forgetDocuments: set removalStamp to the removal request's own id).")
+      // stamp shared by a DIFFERENT removal: unregister rows logged
+      // under this stamp name docs OUTSIDE this call's set. For every
+      // gram the two removals share, their identical (h, -1, stamp)
+      // rows max-collapse at read into ONE decrement — the gram nets
+      // positive with zero live owners and keeps deduping future
+      // ingest forever (a rights-removal leak). Refuse. Compared
+      // against the caller's FULL deletedDocs set (not the
+      // live-filtered one): a retry of a COMPLETED removal hands the
+      // same docs — no longer live, still this request's own — and
+      // must stay the documented no-op.
+      val otherDocs = regAtStamp.join(
+          deletedDocs.select(col(idCol).cast("long").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .limit(1).count() > 0L
+      require(!otherDocs,
+        s"decrementCounted: removal stamp $stampId already logged unregister " +
+          s"rows for DIFFERENT document(s) at $indexPath — two removal requests " +
+          "are sharing one stamp, and their gram deltas would collapse at read, " +
+          "under-decrementing every shared gram. Pass a per-request-unique " +
+          "stamp (forgetDocuments: removalStamp).")
+      val n = deltas.count()
+      if (n > 0) {
+        // gram rows already at this stamp: IDENTICAL re-derived rows are
+        // the crash-retry of THIS removal (registry rows land last) —
+        // the decrement is durable, skip the duplicate write and repair
+        // the registry half below. DIFFERENT rows are an UNFINISHED
+        // other removal sharing the stamp — the same collapse leak as
+        // above, caught on the gram surface because its registry rows
+        // never landed. (Residual: two byte-identical docs removed by
+        // two unfinished requests under one stamp produce identical gram
+        // rows and pass this check; the registry doc-set check above
+        // catches it as soon as either completes.)
+        val isRetry = existing.count() > 0L
+        if (isRetry) {
+          val fresh = deltas.select("h", "delta")
+          val collides = existing.join(fresh, Seq("h", "delta"), "left_anti")
+            .unionByName(fresh.join(existing, Seq("h", "delta"), "left_anti"))
+            .limit(1).count() > 0L
+          require(!collides,
+            s"decrementCounted: removal stamp $stampId already logged DIFFERENT " +
+              s"gram rows at $indexPath — two removal requests are sharing one " +
+              "stamp; their deltas would collapse at read, under-decrementing " +
+              "every shared gram. Pass a per-request-unique stamp " +
+              "(forgetDocuments: removalStamp).")
+        }
+        else deltas.coalesce(1).write.mode("append")
+          .option("compression", "zstd").parquet(indexPath)
+      }
+      val reg = registered.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .withColumn("delta", lit(-1L)).withColumn("batch_id", lit(stampId))
+        .localCheckpoint()
+      if (reg.count() > 0)
+        reg.coalesce(1).write.mode("append")
+          .option("compression", "zstd").parquet(docsRegistryPath(indexPath))
+      graft.plans.CheckpointHygiene.free(reg)
+      n
+    } finally {
+      // refusal paths throw BEFORE the frees — release on every exit
+      graft.plans.CheckpointHygiene.free(registered, regAtStamp, deltas, existing)
+    }
   }
 
   /** The LIVE gram set of a counted index: retry-deduped, net count
@@ -428,6 +507,17 @@ object StreamingSubstringDedup {
     }
     val netted = netKeepRemovals(deduped, "h").localCheckpoint()
     val after = netted.count()
+    // the fold watermark: netting erases per-batch ingest stamps
+    // (batch_id NULL), so a crash-retry replayed AFTER this fold can
+    // no longer find its rows and would double-append — record the
+    // max ingest stamp folded (monotone across folds) so the append
+    // path recognizes the folded retry (see appendToIndexCounted)
+    val foldedThrough = {
+      val row = raw.filter(col("batch_id").isNotNull && col("batch_id") >= 0L)
+        .agg(max(col("batch_id"))).collect()(0)
+      val m = if (row.isNullAt(0)) -1L else row.getLong(0)
+      math.max(m, foldedThroughOf(spark, indexPath))
+    }
     val sim = graft.operators.Similarity
     val (fs, p) = sim.hadoopFs(spark, indexPath)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".gramcfold.tmp")
@@ -475,6 +565,14 @@ object StreamingSubstringDedup {
       }
     }
     sim.carrySidecars(fs, p, tmp, spark.sessionState.newHadoopConf())
+    // stamp the watermark INTO the rewrite (overwriting any carried
+    // older one) so the swap installs rows + watermark atomically — a
+    // crash between swap and a post-swap stamp would leave a folded
+    // log with a stale-low watermark, exactly the double-append window
+    // the watermark closes
+    if (foldedThrough >= 0L)
+      graft.sources.ArtifactHeader.write(spark, tmp.toString, "gramsc_fold",
+        Seq("folded_through" -> foldedThrough.toString))
     sim.artifactSwap(fs, p, tmp, old, "compactCounted")
     (before, after)
   }

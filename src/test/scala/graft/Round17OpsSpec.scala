@@ -242,6 +242,78 @@ class Round17OpsSpec extends AnyFunSuite with SharedSpark {
     assert(live() == liveBefore.diff(aSet))
   }
 
+  test("decrementCounted refuses a stamp shared by a DIFFERENT removal request " +
+    "— the shared-gram collapse would under-decrement (a removal leak)") {
+    import spark.implicits._
+    val path = s"${tmpDir("r17_remshare")}/grams_counted"
+    val doc1 = Seq((1L, tA)).toDF("doc_id", "text")
+    val doc2 = Seq((2L, tA)).toDF("doc_id", "text") // byte-identical text
+    S.appendToIndexCounted(doc1, "text", "doc_id", path, k = 8, stampId = 0L)
+    S.appendToIndexCounted(doc2, "text", "doc_id", path, k = 8, stampId = 1L)
+    // every shared gram now has owner count 2
+    assert(S.decrementCounted(doc1, "text", "doc_id", path, stampId = -9L) > 0L)
+    // removal of the OTHER doc reusing the stamp must refuse: its
+    // identical (h, -1, -9) rows would max-collapse with the first
+    // removal's at read, leaving the gram live with zero owners
+    val e = intercept[IllegalArgumentException] {
+      S.decrementCounted(doc2, "text", "doc_id", path, stampId = -9L)
+    }
+    assert(e.getMessage.contains("DIFFERENT document"), e.getMessage)
+    // a per-request stamp completes and the shared grams actually die
+    assert(S.decrementCounted(doc2, "text", "doc_id", path, stampId = -10L) > 0L)
+    assert(S.countedLive(spark, path).count() === 0L,
+      "shared grams survived both owners' removal — the collapse leak")
+  }
+
+  test("a crash-retry replayed AFTER a fold does not double-append: the fold " +
+    "watermark recognizes the folded stamp and repairs only the registry") {
+    import spark.implicits._
+    val path = s"${tmpDir("r17_foldretry")}/grams_counted"
+    val doc1 = Seq((1L, tA)).toDF("doc_id", "text")
+    assert(S.appendToIndexCounted(doc1, "text", "doc_id", path,
+      k = 8, stampId = 0L) > 0L)
+    // simulate the crash between the gram write and the registry
+    // write: the registry rows vanish, the gram rows are durable
+    val regP = new org.apache.hadoop.fs.Path(s"$path/_docs")
+    assert(regP.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(regP, true))
+    // a maintenance fold lands BEFORE the retry: ingest stamps are
+    // netted away, the watermark records folded_through = 0
+    S.compactCounted(spark, path)
+    // the replayed batch must not double the owner counts — the gram
+    // write is skipped (watermark), the registry half is repaired
+    S.appendToIndexCounted(doc1, "text", "doc_id", path, k = 8, stampId = 0L)
+    assert(S.countedLive(spark, path).count() > 0L)
+    // one removal kills everything — count was 1, not 2
+    assert(S.decrementCounted(doc1, "text", "doc_id", path, stampId = -5L) > 0L)
+    assert(S.countedLive(spark, path).count() === 0L,
+      "post-fold retry double-appended: one removal left grams live")
+  }
+
+  test("FORGET DOCUMENTS predicate may contain clause keywords inside string " +
+    "literals — only real out-of-order clauses fail") {
+    val dir = "/root/testdata/sf0.001"
+    val band = s"${tmpDir("r17_lit")}/band"
+    // build a tiny band index so the verb has a real target
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .limit(8)
+    graft.streaming.StreamingNearDup.appendToIndex(
+      graft.operators.Dedup.capBucket(
+        graft.operators.Dedup.bandKeys(
+          docs.select(col("doc_id"), col("text").as("__text")),
+          shingleN = 3, bands = 6, rows = 2),
+        "band_key", "doc_id", 128),
+      band, bucketCap = 128, stampParams = Some((3, 6, 2)))
+    // the literal contains 'IN GRAM INDEX' but the statement is
+    // well-ordered: it must parse and run (matching zero docs)
+    val out = spark.sql(s"FORGET DOCUMENTS FROM '$dir' " +
+      "WHERE text LIKE '%IN GRAM INDEX%' " +
+      s"IN BAND INDEX '$band'").collect()
+    assert(out.head.getLong(0) === 0L)
+  }
+
   // ------------------------------------------------------------------
   // spread: single-row-group armor, no-op at scale
   // ------------------------------------------------------------------
